@@ -1,0 +1,78 @@
+"""Text expression helpers (SURVEY.md §2.11 D3) — all JVM-side built-ins.
+
+Tokenization, token/char stats, quality scoring, language-ID heuristic and
+document fingerprinting as composable Column expressions. Python never touches
+the hot path; everything stays inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: a tiny multi-language stopword list for the quality/lang heuristics
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it")
+
+
+def tokens_expr(text: Column) -> Column:
+    """Whitespace tokenization → array<string>; empty string → empty array."""
+    return F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != F.lit(""))
+
+
+def token_count_expr(text: Column) -> Column:
+    """Whitespace token count, as int."""
+    return F.size(tokens_expr(text))
+
+
+def bpe_ish_token_count_expr(text: Column) -> Column:
+    """BPE-ish token estimate: count of word-piece / punctuation matches.
+
+    Uses the common GPT-2-style pre-tokenizer shape (word, number, punct runs)
+    approximated with a regex split — a cheap, deterministic proxy for real BPE
+    (the actual tokenizer libs are not in this container).
+    """
+    pieces = F.filter(
+        F.split(text, r"(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"),
+        lambda t: F.trim(t) != F.lit(""),
+    )
+    return F.size(pieces)
+
+
+def punct_ratio_expr(text: Column) -> Column:
+    """Fraction of characters that are punctuation, as double."""
+    stripped = F.regexp_replace(text, r"[^\p{Punct}]", "")
+    return F.length(stripped).cast("double") / F.greatest(
+        F.length(text).cast("double"), F.lit(1.0)
+    )
+
+
+def stopword_ratio_expr(text: Column) -> Column:
+    """Fraction of whitespace tokens that are stopwords, as double."""
+    toks = tokens_expr(F.lower(text))
+    stops = F.filter(toks, lambda t: t.isin(*STOPWORDS))
+    return F.size(stops).cast("double") / F.greatest(
+        F.size(toks).cast("double"), F.lit(1.0)
+    )
+
+
+def quality_score_expr(text: Column) -> Column:
+    """Composite quality score in [0,1]: length-normalized, penalizing
+    punctuation-heavy and stopword-free (word-salad) text.
+
+    Deliberately simple arithmetic over the ratio expressions so it is
+    oracle-expressible in ANSI SQL.
+    """
+    length_score = F.least(F.length(text).cast("double") / F.lit(500.0), F.lit(1.0))
+    return F.round(
+        0.5 * length_score
+        + 0.25 * (1.0 - punct_ratio_expr(text))
+        + 0.25 * F.least(stopword_ratio_expr(text) * 4.0, F.lit(1.0)),
+        4,
+    )
+
+
+def fingerprint_expr(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 of whitespace-normalized,
+    lower-cased text. Oracle-expressible (DuckDB md5)."""
+    normalized = F.lower(F.trim(F.regexp_replace(text, r"\s+", " ")))
+    return F.md5(normalized)

@@ -1,0 +1,298 @@
+"""Deduplication operators (SURVEY.md §2.11 D1/D2): exact, MinHash-LSH,
+SimHash, n-gram Jaccard, embedding-cosine near-dup.
+
+All deterministic (seeded ``xxhash64``, no randomness) so results are
+reproducible run-to-run — a hard requirement for oracle checks and for
+incremental 100 TB pipelines (re-running a shard must not change survivors).
+
+Scale design:
+- exact dedup: one shuffle on the content hash; `row_number` picks the
+  canonical survivor (min id) per group. At 100 TB the hash groupBy is the
+  canonical map-side-combine-friendly shuffle.
+- MinHash-LSH: per-doc signature is a narrow fixed-width array (k longs)
+  computed JVM-side; banding turns the O(n^2) pair problem into
+  groupBy(band_idx, band_hash) buckets. Candidate pairs are generated ONLY
+  within buckets (self-join on the bucket key), then verified with true
+  Jaccard. No crossJoin anywhere. Huge buckets (degenerate content) are
+  capped to bound the quadratic blowup inside a single bucket.
+- SimHash: 64-bit signature via per-token hash bit-voting, all with
+  built-in bitwise expressions; near-dup candidates = exact signature match
+  (or banded sub-keys), again a plain groupBy.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pandas_to_postgres_spark.functions.text import tokens_expr
+from pandas_to_postgres_spark.functions.vectors import cosine_expr
+
+
+# ---------------------------------------------------------------- exact (D1)
+
+def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep one row per exact text content: the row with the lowest id.
+
+    sha2-256 of the raw text is the group key (collision-safe at any scale;
+    groupBy on a 64-char hash shuffles far less than the full text).
+    """
+    w = Window.partitionBy("__h").orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("__h", F.sha2(F.col(text_col), 256))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__h", "__rn")
+    )
+
+
+def dedup_exact_summary(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-content-hash summary: canonical (min) id + duplicate count.
+
+    Aggregation form of :func:`dedup_exact` — fully map-side-combinable,
+    and oracle-expressible in ANSI SQL.
+    """
+    return df.groupBy(F.sha2(F.col(text_col), 256).alias("text_hash")).agg(
+        F.min(id_col).alias("keep_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+# ------------------------------------------------------- shingles / n-grams
+
+def shingles_expr(text_col: str, n: int = 3):
+    """Word n-gram shingles of a text column → array<string> (distinct).
+
+    Built from ``slice`` over the token array via ``transform`` — stays
+    JVM-side, no explode needed until the caller wants one.
+    """
+    toks = tokens_expr(F.lower(F.col(text_col)))
+    k = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(1), k),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    # degenerate short docs: fall back to the whole text as one shingle
+    return F.array_distinct(
+        F.when(F.size(toks) >= n, grams).otherwise(F.array(F.concat_ws(" ", toks)))
+    )
+
+
+# ------------------------------------------------------------ MinHash (D2)
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, signature array<long>[num_hashes]) per document.
+
+    Hash family i is ``xxhash64(shingle, lit(i))`` — hashing the (shingle,
+    family-index) pair gives k independent-enough hash functions without any
+    Python. Signature[i] = min over shingles — computed with
+    ``transform`` + ``array_min`` per seed, entirely JVM-side, no explode:
+    the shuffle carries only (id, k longs), never the shingle set.
+    """
+    shingles = shingles_expr(text_col, shingle_n)
+
+    def family_min(seed: int):
+        # closure (NOT a default-arg lambda: pyspark HOFs inspect lambda
+        # arity, and a 2-arg transform lambda receives the element index
+        # as its second argument, which would shadow the seed)
+        return F.array_min(
+            F.transform(F.col("__sh"), lambda s: F.xxhash64(s, F.lit(seed)))
+        )
+
+    sig = F.array(*[family_min(i) for i in range(num_hashes)])
+    return df.select(F.col(id_col), shingles.alias("__sh")).select(
+        F.col(id_col), sig.alias("signature")
+    )
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame,
+    id_col: str,
+    num_bands: int = 16,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) from banded LSH buckets.
+
+    rows of each band are hashed together (xxhash64 over the band slice);
+    docs sharing any (band_idx, band_hash) bucket become candidates.
+    ``max_bucket`` caps pathological buckets (e.g. empty docs) so a single
+    degenerate bucket can't go quadratic at scale.
+    """
+    banded = signatures.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(num_bands - 1)),
+                lambda b: F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(
+                                F.col("signature"),
+                                b * (F.size("signature") / num_bands).cast("int") + 1,
+                                (F.size("signature") / num_bands).cast("int"),
+                            ),
+                            lambda x: x.cast("string"),
+                        ),
+                    ),
+                    b,
+                ),
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    # cap bucket size before the self-join
+    wb = Window.partitionBy("band_idx", "band_hash").orderBy(F.col(id_col))
+    capped = banded.withColumn("__bn", F.row_number().over(wb)).filter(
+        F.col("__bn") <= max_bucket
+    )
+    a = capped.select(
+        F.col("band_idx"), F.col("band_hash"), F.col(id_col).alias("id_a")
+    )
+    b = capped.select(
+        F.col("band_idx"), F.col("band_hash"), F.col(id_col).alias("id_b")
+    )
+    return (
+        a.join(b, ["band_idx", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    num_bands: int = 16,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: signatures → banded candidates →
+    exact shingle-Jaccard verification. Returns (id_a, id_b, jaccard).
+
+    The verification join re-attaches shingle sets only for candidate ids
+    (a semi-join-sized shuffle, not the full corpus)."""
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    cands = minhash_lsh_candidates(sigs, id_col, num_bands)
+    sh = df.select(
+        F.col(id_col), shingles_expr(text_col, shingle_n).alias("__sh")
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("sh_b"))
+    verified = (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+    return verified
+
+
+# ------------------------------------------------------------ SimHash
+
+def simhash_expr(text_col: str, bits: int = 64):
+    """64-bit SimHash of the token multiset, as a signed long.
+
+    Classic bit-voting: each token votes +1/-1 per bit of its xxhash64;
+    signature bit = 1 iff the vote sum is positive. The per-bit shift
+    amounts are Python-loop literals (Spark's shiftright needs a literal
+    bit count), so the expression is one codegen'd tree per bit — all
+    JVM-side, no Python at runtime.
+    """
+    toks = tokens_expr(F.lower(F.col(text_col)))
+
+    def bit_vote(bit: int):
+        # closure, not a default-arg lambda (see family_min note above)
+        return F.aggregate(
+            toks,
+            F.lit(0),
+            lambda acc, t: acc
+            + F.shiftright(F.xxhash64(t), bit).bitwiseAND(F.lit(1)).cast("int") * 2
+            - 1,
+        )
+
+    sig = F.lit(0).cast("long")
+    for i in range(bits):
+        mask = (1 << i) if i < 63 else -(1 << 63)
+        sig = sig.bitwiseOR(
+            F.when(bit_vote(i) > 0, F.lit(mask).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return sig
+
+
+def simhash_near_duplicates(
+    df: DataFrame, text_col: str, id_col: str, hamming_threshold: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash: candidates share one of 4 16-bit bands
+    (guarantees recall for hamming distance <= 3), verified by exact
+    hamming distance via ``bit_count(xor)``."""
+    sh = df.select(F.col(id_col), simhash_expr(text_col).alias("sig"))
+    banded = sh.select(
+        F.col(id_col),
+        F.col("sig"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("sig"), 16 * i).bitwiseAND(F.lit(0xFFFF))
+                    for i in range(4)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    a = banded.select("band_idx", "band_val", F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    b = banded.select("band_idx", "band_val", F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= hamming_threshold)
+    )
+
+
+# ------------------------------------------- embedding-cosine near-dup (D2e)
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float,
+    block_col: Optional[str] = None,
+) -> DataFrame:
+    """Pairs (id_a < id_b) with cosine similarity >= threshold.
+
+    With ``block_col`` (e.g. a cluster/label/LSH-bucket column) the pair
+    space is restricted to same-block pairs — the scale path. Without it,
+    this is an all-pairs self-join: fine for small corpora, infeasible at
+    100 TB (use LSH bucketing upstream instead).
+    """
+    keys = [block_col] if block_col else []
+    a = df.select(*keys, F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(*keys, F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    joined = a.join(b, keys) if keys else a.crossJoin(b)
+    return (
+        joined.filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine_expr(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select(*keys, "id_a", "id_b", F.round("cosine", 5).alias("cosine"))
+    )

@@ -1,0 +1,104 @@
+"""Join operators Spark lacks natively (SURVEY.md §2.3 J6/J7).
+
+as-of join (J7): Spark SQL has no ASOF JOIN; the naive formulation
+(range-join + per-key max) explodes into a broadcast-nested-loop or an
+O(n*m) shuffle. The construction here is the union+last-value window trick:
+union both sides tagged, sort within each key by (ts, side), and carry the
+most recent right-side value forward with ``last(..., ignorenulls=True)``.
+
+Scale: ONE shuffle on the key column, no pair explosion — at 100 TB this is
+the difference between a linear pass and an infeasible join. Skewed keys can
+be salted upstream; AQE skew handling applies to the single shuffle.
+
+range join (J6): expressed as a non-equi join; when one side is small (bin
+tables, calendars) we broadcast it so Catalyst picks BroadcastNestedLoopJoin
+instead of a cartesian shuffle.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str,
+    value_cols: Sequence[str],
+    right_on: Optional[str] = None,
+    right_by: Optional[str] = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    ``right.right_on <= left.on`` within the same ``by`` key (inclusive,
+    matching DuckDB's ``ASOF JOIN ... ON l.ts >= r.ts``). Left rows with no
+    prior right row keep NULLs (left-outer semantics).
+
+    Returns all left columns plus ``{c}{suffix}`` for each of ``value_cols``.
+    """
+    right_on = right_on or on
+    right_by = right_by or by
+
+    left_struct_type = left.schema
+    l_tagged = left.select(
+        F.col(by).alias("__k"),
+        F.col(on).alias("__t"),
+        F.lit(1).alias("__is_l"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__row"),
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(f"__v_{c}")
+            for c in value_cols
+        ],
+    )
+    r_tagged = right.select(
+        F.col(right_by).alias("__k"),
+        F.col(right_on).alias("__t"),
+        F.lit(0).alias("__is_l"),
+        F.lit(None).cast(_struct_ddl(left_struct_type)).alias("__row"),
+        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+    )
+
+    # right rows sort before left rows at equal ts → inclusive (<=) semantics
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__t").asc(), F.col("__is_l").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = l_tagged.unionByName(r_tagged).select(
+        "__is_l",
+        "__row",
+        *[
+            F.last(F.col(f"__v_{c}"), ignorenulls=True).over(w).alias(f"__v_{c}")
+            for c in value_cols
+        ],
+    )
+    out = filled.filter(F.col("__is_l") == 1).select(
+        *[F.col(f"__row.{c}").alias(c) for c in left.columns],
+        *[F.col(f"__v_{c}").alias(f"{c}{suffix}") for c in value_cols],
+    )
+    return out
+
+
+def _struct_ddl(schema) -> str:
+    """DDL string for casting a NULL literal to a struct of ``schema``."""
+    inner = ",".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields)
+    return f"struct<{inner}>"
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    condition: Column,
+    broadcast_right: bool = True,
+    how: str = "inner",
+) -> DataFrame:
+    """Theta/range join. With a small right side (bin tables, calendars),
+    broadcasting turns the cartesian shuffle into a map-side
+    BroadcastNestedLoopJoin — the only sane physical plan at scale for
+    non-equi conditions."""
+    r = F.broadcast(right) if broadcast_right else right
+    return left.join(r, on=condition, how=how)

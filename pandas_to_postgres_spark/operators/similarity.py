@@ -1,0 +1,130 @@
+"""Similarity search over embedding columns (SURVEY.md §2.11 D4).
+
+Two tiers:
+- brute-force top-k: query set × corpus, cosine via JVM-side array
+  expressions, per-query top-k via window rank. Exact; the query side is
+  broadcast (it is small by construction), so the corpus is scanned once
+  with NO shuffle of the embedding column — at 100 TB the corpus never
+  moves, only (query_id, corpus_id, score) tuples shuffle for the top-k.
+- LSH-bucketed ANN: random-hyperplane signatures (deterministic seeds via
+  xxhash64-derived pseudo-random planes) bucket the corpus; queries probe
+  only their own bucket(s). Approximate; trades recall for a ~B× prune.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pandas_to_postgres_spark.functions.vectors import cosine_expr
+
+
+def topk_cosine_bruteforce(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    query_vec: str,
+    corpus_vec: str,
+    k: int = 5,
+    round_digits: int = 5,
+) -> DataFrame:
+    """Exact top-k corpus neighbors per query vector by cosine similarity.
+
+    Ranking uses the ROUNDED score with the corpus id as tie-break, so
+    results are stable across FP summation orders (oracle-reproducible).
+    Output: (query_id, corpus_id, cosine, rank).
+    """
+    q = F.broadcast(
+        queries.select(F.col(query_id).alias("__qid"), F.col(query_vec).alias("__qv"))
+    )
+    c = corpus.select(F.col(corpus_id).alias("__cid"), F.col(corpus_vec).alias("__cv"))
+    scored = q.crossJoin(c).select(
+        F.col("__qid"),
+        F.col("__cid"),
+        F.round(cosine_expr(F.col("__qv"), F.col("__cv")), round_digits).alias("cosine"),
+    )
+    w = Window.partitionBy("__qid").orderBy(F.col("cosine").desc(), F.col("__cid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__qid").alias(query_id),
+            F.col("__cid").alias(corpus_id),
+            "cosine",
+            "rank",
+        )
+    )
+
+
+def hyperplane_lsh_bucket_expr(vec_col: str, num_planes: int = 8, dim: int = 64):
+    """Deterministic random-hyperplane LSH bucket id for a vector column.
+
+    Plane j's i-th coordinate is a pseudo-random ±1 derived from
+    ``xxhash64(lit(j), lit(i))`` — fixed at plan time, identical across runs
+    and executors. Bucket = sign-bit string of the ``num_planes`` dot
+    products. All JVM-side.
+    """
+    bucket = F.lit(0).cast("long")
+    for j in range(num_planes):
+        # deterministic ±1 plane baked into the plan as a literal array
+        import numpy as np  # local, driver-side only
+
+        rng = np.random.default_rng(seed=1000 + j)
+        plane = [float(x) for x in rng.choice([-1.0, 1.0], size=dim)]
+        dot = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.array(*[F.lit(p) for p in plane]),
+                lambda x, p: x.cast("double") * p,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket.bitwiseOR(
+            F.when(dot > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(F.lit(0).cast("long"))
+        )
+    return bucket
+
+
+def topk_cosine_lsh(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    query_vec: str,
+    corpus_vec: str,
+    k: int = 5,
+    num_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: only same-LSH-bucket pairs are scored.
+
+    The corpus is bucketed once (a narrow long column); the equi-join on
+    bucket replaces the crossJoin — the 100 TB path. Recall is tunable via
+    ``num_planes`` (fewer planes → bigger buckets → higher recall).
+    """
+    bexpr_q = hyperplane_lsh_bucket_expr(query_vec, num_planes, dim)
+    bexpr_c = hyperplane_lsh_bucket_expr(corpus_vec, num_planes, dim)
+    q = queries.select(
+        F.col(query_id).alias("__qid"), F.col(query_vec).alias("__qv"), bexpr_q.alias("__b")
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("__cid"), F.col(corpus_vec).alias("__cv"), bexpr_c.alias("__b")
+    )
+    scored = q.join(c, "__b").select(
+        "__qid",
+        "__cid",
+        F.round(cosine_expr(F.col("__qv"), F.col("__cv")), 5).alias("cosine"),
+    )
+    w = Window.partitionBy("__qid").orderBy(F.col("cosine").desc(), F.col("__cid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__qid").alias(query_id),
+            F.col("__cid").alias(corpus_id),
+            "cosine",
+            "rank",
+        )
+    )

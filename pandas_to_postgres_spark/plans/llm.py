@@ -1,0 +1,287 @@
+"""LLM-data-pipeline query surface (SURVEY.md §2.11 D1–D5): dedup, text
+analysis, similarity search, multimodal columns.
+
+Oracle-checked where ANSI-SQL-expressible (exact dedup, text stats,
+fingerprints, quality scores, brute-force similarity, embedding near-dup);
+rows-only for LSH/SimHash internals (xxhash64 has no DuckDB equivalent) and
+the mapInPandas multimodal path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pandas_to_postgres_spark.functions.text import (
+    STOPWORDS,
+    bpe_ish_token_count_expr,
+    fingerprint_expr,
+    quality_score_expr,
+    token_count_expr,
+)
+from pandas_to_postgres_spark.operators.dedup import (
+    dedup_exact_summary,
+    embedding_near_duplicates,
+    minhash_near_duplicates,
+    simhash_expr,
+)
+from pandas_to_postgres_spark.operators.multimodal import (
+    attach_fake_media,
+    extract_features,
+)
+from pandas_to_postgres_spark.operators.similarity import topk_cosine_bruteforce
+from pandas_to_postgres_spark.plans.registry import register
+from pandas_to_postgres_spark.sources.parquet import load_table
+
+
+# ------------------------------------------------------------------ D1
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT sha256(text) AS text_hash,
+           min(doc_id)  AS keep_id,
+           count(*)     AS n_copies
+    FROM documents GROUP BY text
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1: exact dedup — canonical (min) doc_id per content hash.
+
+    Scale: groupBy on a 64-char hash (never the full text); fully
+    map-side-combinable."""
+    return dedup_exact_summary(load_table(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+# ------------------------------------------------------------------ D3
+
+_TOKENS_SQL = "regexp_split_to_array(trim(text), '\\s+')"
+
+
+@register(
+    "text_stats",
+    oracle=f"""
+    SELECT lang,
+           count(*) AS n_docs,
+           round(avg(n_chars), 2) AS avg_chars,
+           round(avg(len({_TOKENS_SQL})), 2) AS avg_tokens,
+           sum(CAST(len({_TOKENS_SQL}) AS BIGINT)) AS total_tokens
+    FROM documents GROUP BY lang
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3: per-language corpus statistics (char/token counts)."""
+    d = load_table(spark, sf_dir, "documents")
+    ntok = token_count_expr(F.col("text"))
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        F.round(F.avg(ntok), 2).alias("avg_tokens"),
+        F.sum(ntok.cast("long")).alias("total_tokens"),
+    )
+
+
+@register(
+    "fingerprint_docs",
+    oracle="""
+    SELECT doc_id,
+           md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
+    FROM documents
+    """,
+)
+def fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3: deterministic document fingerprint (md5 of normalized text)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint_expr(F.col("text")).alias("fingerprint"))
+
+
+_STOP_IN = ", ".join(f"'{s}'" for s in STOPWORDS)
+
+
+@register(
+    "quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           round(
+             0.5 * least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+           + 0.25 * (1.0 - CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)
+                       / greatest(CAST(length(text) AS DOUBLE), 1.0))
+           + 0.25 * least(
+               (CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                     x -> x IN ({_STOP_IN}))) AS DOUBLE)
+                / greatest(CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS DOUBLE), 1.0)
+               ) * 4.0, 1.0),
+           4) AS quality
+    FROM documents
+    """,
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3: composite quality score (length / punctuation / stopword-ratio
+    heuristic), fully SQL-expressible."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", quality_score_expr(F.col("text")).alias("quality"))
+
+
+@register(
+    "token_counts",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
+               AS bpe_ish_tokens
+    FROM documents
+    """,
+)
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3: whitespace token count + BPE-ish (word/punct-piece) count."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count_expr(F.col("text")).cast("long").alias("ws_tokens"),
+        bpe_ish_token_count_expr(F.col("text")).cast("long").alias("bpe_ish_tokens"),
+    )
+
+
+@register(
+    "lang_distribution",
+    oracle="""
+    SELECT source, lang, count(*) AS n,
+           round(count(*) * 1.0 / sum(count(*)) OVER (PARTITION BY source), 4) AS frac
+    FROM documents GROUP BY source, lang
+    """,
+)
+def lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3: language mix per source (windowed share-of-total)."""
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source")
+    return (
+        d.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "source",
+            "lang",
+            "n",
+            F.round(F.col("n") * 1.0 / F.sum("n").over(w), 4).alias("frac"),
+        )
+    )
+
+
+# ------------------------------------------------------------------ D4
+
+_DOT = (
+    "(SELECT sum(CAST(q.qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)) "
+    "FROM range(1, 65) t(i))"
+)
+_NORM_Q = (
+    "sqrt((SELECT sum(CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)) "
+    "FROM range(1, 65) t(i)))"
+)
+_NORM_E = (
+    "sqrt((SELECT sum(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)) "
+    "FROM range(1, 65) t(i)))"
+)
+
+
+@register(
+    "simsearch_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+    scored AS (
+        SELECT q.qid, e.vec_id,
+               round({_DOT} / ({_NORM_Q} * {_NORM_E}), 5) AS cosine
+        FROM q CROSS JOIN embeddings e),
+    ranked AS (
+        SELECT qid, vec_id, cosine,
+               CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id)
+                    AS BIGINT) AS rnk
+        FROM scored)
+    SELECT qid, vec_id, cosine, rnk FROM ranked WHERE rnk <= 5
+    """,
+)
+def simsearch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4: brute-force cosine top-k (query set = vec_id < 5, broadcast).
+
+    Ranking uses the ROUNDED cosine + vec_id tie-break on both engines so
+    FP summation order cannot flip ranks. Scale path: topk_cosine_lsh
+    (same signature, LSH-bucketed pairing)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding")
+    )
+    out = topk_cosine_bruteforce(
+        q, e, query_id="qid", corpus_id="vec_id", query_vec="embedding",
+        corpus_vec="embedding", k=5,
+    )
+    return out.select("qid", "vec_id", "cosine", F.col("rank").cast("long").alias("rnk"))
+
+
+@register(
+    "embedding_neardup",
+    oracle=f"""
+    SELECT q.label, q.vec_id AS id_a, e.vec_id AS id_b,
+           round({_DOT} / ({_NORM_Q} * {_NORM_E}), 5) AS cosine
+    FROM (SELECT label, vec_id, embedding AS qe FROM embeddings) q
+    JOIN embeddings e ON q.label = e.label AND q.vec_id < e.vec_id
+    WHERE {_DOT} / ({_NORM_Q} * {_NORM_E}) >= 0.3
+    """,
+)
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2e: embedding-cosine near-duplicate pairs, blocked by label (the
+    block column stands in for an LSH/cluster bucket at scale — the pair
+    space is same-block only, never a global crossJoin)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_duplicates(
+        e, vec_col="embedding", id_col="vec_id", threshold=0.3, block_col="label"
+    )
+
+
+# ------------------------------------------------------------------ D2
+
+@register("minhash_neardup")  # rows-only: xxhash64 signatures have no SQL oracle
+def minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2: MinHash-LSH near-dup detection, demonstrated on documents ∪ a
+    deterministically perturbed copy (last word dropped, doc_id+10**6) so
+    planted near-dups exist at every scale factor. Returns verified pairs
+    (id_a, id_b, jaccard >= 0.8).
+
+    Correctness of recall is unit-tested on planted fixtures
+    (tests/test_dedup.py); the LSH internals (banding, bucket self-join)
+    are not ANSI-SQL-expressible → rows-only driver check."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    perturbed = d.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.regexp_replace(F.col("text"), r"\s+\S+$", "").alias("text"),
+    )
+    corpus = d.unionByName(perturbed)
+    return minhash_near_duplicates(
+        corpus, text_col="text", id_col="doc_id",
+        num_hashes=64, num_bands=16, jaccard_threshold=0.8,
+    )
+
+
+@register("simhash_docs")  # rows-only: xxhash64 bit-votes have no SQL oracle
+def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2: 64-bit SimHash signature per document (deterministic)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", simhash_expr("text").alias("simhash"))
+
+
+# ------------------------------------------------------------------ D5
+
+@register("multimodal_features")  # rows-only: mapInPandas decode path
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5: multimodal column plumbing — binary payload + typed metadata
+    struct → Arrow-batched (fake) decode + feature extraction via
+    mapInPandas. Schema/partitioning/batch shape are the real thing; the
+    decoder is a deterministic stub (no media libs in this container)."""
+    d = load_table(spark, sf_dir, "documents")
+    media = attach_fake_media(d, text_col="text", id_col="doc_id")
+    feats = extract_features(media)
+    return feats.select(
+        "doc_id",
+        "byte_len",
+        "mime",
+        F.round(F.element_at("feature", 1).cast("double"), 4).alias("f0"),
+    )

@@ -1,0 +1,690 @@
+"""Relational query surface (SURVEY.md §2.2–§2.8): filters, joins J1–J8,
+aggregations A1–A6, windows W1–W3, sorts/top-k, set ops U1–U2, scalar
+functions F1–F6. Every query has a DuckDB oracle.
+
+Conventions (driver contract):
+- every computed column is aliased identically in Spark and SQL;
+- double aggregates are rounded (2–5 digits) so FP summation order can't
+  flip the value hash;
+- computed integer columns are cast to BIGINT on both sides (DuckDB counts/
+  ranks are BIGINT; Spark's are int);
+- timestamps leave the plan as formatted strings or plain dates.
+
+Scale notes are per-query docstrings; the common themes: filters/projections
+push to the parquet scan, small dims broadcast, fact-fact joins shuffle on
+the join key once, aggs are partial+final (map-side combine) by Catalyst.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pandas_to_postgres_spark.functions.agg import davg, davg_sql, dsum, dsum_sql
+from pandas_to_postgres_spark.operators.joins import asof_join, range_join
+from pandas_to_postgres_spark.plans.registry import register
+from pandas_to_postgres_spark.sources.parquet import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ----------------------------------------------------------------- A2 / P4
+
+@register(
+    "pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {dsum_sql('l_quantity')}                                        AS sum_qty,
+           {dsum_sql('l_extendedprice')}                                   AS sum_base_price,
+           {dsum_sql('l_extendedprice * (1 - l_discount)')}                AS sum_disc_price,
+           {dsum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)')}  AS sum_charge,
+           {davg_sql('l_quantity')}                                        AS avg_qty,
+           {davg_sql('l_extendedprice')}                                   AS avg_price,
+           {davg_sql('l_discount')}                                        AS avg_disc,
+           count(*)                                                        AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape (flagship). Scan → pushed filter → hash agg.
+
+    Scale: the filter reaches the parquet scan (PushedFilters); the groupBy
+    key has tiny cardinality so partial aggregation collapses each partition
+    to a few rows before the single shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+            davg(F.col("l_quantity")).alias("avg_qty"),
+            davg(F.col("l_extendedprice")).alias("avg_price"),
+            davg(F.col("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "filter_project",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount > 0.05
+    """,
+)
+def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4: predicate + projection, both pushed to the scan (ReadSchema shows
+    only 6 columns; PushedFilters shows the range + gt predicates)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00"))
+            & (F.col("l_discount") > 0.05)
+        )
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount")
+    )
+
+
+# ------------------------------------------------------------------- joins
+
+@register(
+    "join_broadcast_rollup",
+    oracle=f"""
+    SELECT r_name, n_name,
+           count(*) AS n_customers,
+           {dsum_sql('c_acctbal')} AS acctbal_total
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+)
+def join_broadcast_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: dims are explicitly broadcast — no shuffle of the customer fact;
+    the only shuffle is the final small agg."""
+    c = _t(spark, sf_dir, "customer")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    r = F.broadcast(_t(spark, sf_dir, "region"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum(F.col("c_acctbal")).alias("acctbal_total"),
+        )
+    )
+
+
+@register(
+    "join_order_revenue",
+    oracle=f"""
+    SELECT o_orderkey, o_orderpriority,
+           {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue,
+           count(*) AS n_items
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderkey, o_orderpriority
+    """,
+)
+def join_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: fact-fact equi-join → sort-merge/shuffled-hash on the order key.
+
+    Scale: both sides shuffle ONCE on o_orderkey/l_orderkey; the agg reuses
+    the join partitioning (no second shuffle — check .explain)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "join_left_counts",
+    oracle="""
+    SELECT o_orderkey, count(l_orderkey) AS n_items
+    FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderkey
+    """,
+)
+def join_left_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: left outer — orders with zero lineitems keep count 0."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left")
+        .groupBy("o_orderkey")
+        .agg(F.count("l_orderkey").alias("n_items"))
+    )
+
+
+@register(
+    "join_semi_customers",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def join_semi_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: left-semi — customers having at least one order. The semi join
+    never materializes order columns (narrow shuffle)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_anti_parts",
+    oracle="""
+    SELECT p_partkey, p_name FROM part
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+    """,
+)
+def join_anti_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: left-anti — parts never shipped."""
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    return p.join(li, p.p_partkey == li.l_partkey, "left_anti").select(
+        "p_partkey", "p_name"
+    )
+
+
+@register(
+    "range_join_bins",
+    oracle=f"""
+    WITH bins(lo, hi, bucket) AS (
+        VALUES (0.0, 50.0, 'low'), (50.0, 100.0, 'mid'),
+               (100.0, 200.0, 'high'), (200.0, 1e9, 'huge'))
+    SELECT bucket, count(*) AS n_events, {dsum_sql('value')} AS total_value
+    FROM events e JOIN bins b ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY bucket
+    """,
+)
+def range_join_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: theta/range join against a tiny bin table — broadcast nested loop
+    (the bin side is broadcast; the events scan never shuffles)."""
+    e = _t(spark, sf_dir, "events")
+    bins = spark.createDataFrame(
+        [(0.0, 50.0, "low"), (50.0, 100.0, "mid"), (100.0, 200.0, "high"), (200.0, 1e9, "huge")],
+        "lo double, hi double, bucket string",
+    )
+    joined = range_join(
+        e, bins, (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi"))
+    )
+    return joined.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum(F.col("value")).alias("total_value"),
+    )
+
+
+@register(
+    "asof_join_events",
+    oracle="""
+    SELECT p.event_id, p.user_id,
+           round(p.value, 2) AS purchase_value,
+           round(c.value, 2) AS last_click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7: as-of join — for each purchase, the latest prior click's value
+    per user. Validated against DuckDB's native ASOF JOIN.
+
+    Scale: single shuffle on user_id (union+window construction), no pair
+    explosion — see operators/joins.py."""
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase")
+    clicks = e.filter(F.col("event_type") == "click")
+    joined = asof_join(
+        purchases, clicks, on="ts", by="user_id", value_cols=["value"], suffix="_click"
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.round("value", 2).alias("purchase_value"),
+        F.round("value_click", 2).alias("last_click_value"),
+    )
+
+
+# -------------------------------------------------------------------- aggs
+
+@register("count_star", oracle="SELECT count(*) AS n_rows FROM lineitem")
+def count_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 — the one aggregation the reference itself performs (running row
+    count, `/root/reference/pandas_to_postgres/copy_hdf.py:103`)."""
+    return _t(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+@register(
+    "distinct_counts",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_suppkey) AS n_supp,
+           count(DISTINCT l_partkey) AS n_part,
+           count(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: exact distinct aggregation (Catalyst expands to a two-stage
+    distinct-then-count plan)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct("l_partkey").alias("n_part"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "rollup_acctbal",
+    oracle=f"""
+    SELECT r_name, n_name, count(*) AS n, {dsum_sql('c_acctbal')} AS total
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def rollup_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: ROLLUP grouping sets (region → nation → grand total)."""
+    c = _t(spark, sf_dir, "customer")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    r = F.broadcast(_t(spark, sf_dir, "region"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("c_acctbal")).alias("total"))
+    )
+
+
+@register(
+    "conditional_agg",
+    oracle=f"""
+    SELECT o_orderpriority,
+           {dsum_sql("CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END")} AS f_total,
+           count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS o_count,
+           count(*) AS n
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: filtered/conditional aggregation via CASE inside agg."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        dsum(
+            F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice")).otherwise(0.0)
+        ).alias("f_total"),
+        F.count(F.when(F.col("o_orderstatus") == "O", F.lit(1))).alias("o_count"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "collect_set_segments",
+    oracle="""
+    SELECT n_name,
+           array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segments
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def collect_set_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: collect_set, sorted+joined to a string so the hash is
+    order-insensitive on both engines."""
+    c = _t(spark, sf_dir, "customer")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.concat_ws(",", F.sort_array(F.collect_set("c_mktsegment"))).alias("segments")
+        )
+    )
+
+
+# ----------------------------------------------------------------- windows
+
+@register(
+    "window_topn_orders",
+    oracle="""
+    SELECT * FROM (
+        SELECT c_mktsegment, o_orderkey, o_totalprice,
+               CAST(ROW_NUMBER() OVER (
+                    PARTITION BY c_mktsegment
+                    ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+        FROM orders JOIN customer ON o_custkey = c_custkey)
+    WHERE rn <= 3
+    """,
+)
+def window_topn_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: per-group top-N by window rank with a deterministic tie-break."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_mktsegment",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "window_lag_events",
+    oracle="""
+    SELECT event_id, user_id,
+           round(value - lag(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id), 2) AS delta
+    FROM events
+    """,
+)
+def window_lag_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: analytic lag over event time per user (first row → NULL delta)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") - F.lag("value").over(w), 2).alias("delta"),
+    )
+
+
+@register(
+    "window_running_sum",
+    oracle="""
+    SELECT event_id, user_id,
+           round(sum(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value
+    FROM events
+    """,
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: frame-spec running aggregate (identical accumulation order on
+    both engines → stable under rounding)."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 2).alias("running_value"),
+    )
+
+
+# ------------------------------------------------------------ sort / top-k
+
+@register(
+    "topk_lineitems",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+    LIMIT 10
+    """,
+)
+def topk_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k: Catalyst rewrites orderBy+limit to TakeOrderedAndProject —
+    a per-partition heap + driver merge, never a full sort at scale."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(
+            F.col("l_extendedprice").desc(), F.col("l_orderkey"), F.col("l_linenumber")
+        )
+        .limit(10)
+    )
+
+
+# ----------------------------------------------------------------- set ops
+
+@register(
+    "union_slices",
+    oracle=f"""
+    SELECT slice, count(*) AS n, {dsum_sql('o_totalprice')} AS total
+    FROM (
+        SELECT 'f_slice' AS slice, o_totalprice FROM orders WHERE o_orderstatus = 'F'
+        UNION ALL
+        SELECT 'o_slice' AS slice, o_totalprice FROM orders WHERE o_orderstatus = 'O'
+        UNION ALL
+        SELECT 'p_slice' AS slice, o_totalprice FROM orders WHERE o_orderstatus = 'P')
+    GROUP BY slice
+    """,
+)
+def union_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 — the reference's many-sources→one-table routing
+    (`/root/reference/pandas_to_postgres/utilities.py:36-38`,
+    `copy_hdf.py:98-120`) re-expressed as unionByName over per-source scans."""
+    o = _t(spark, sf_dir, "orders")
+    slices = [
+        o.filter(F.col("o_orderstatus") == s).select(
+            F.lit(name).alias("slice"), "o_totalprice"
+        )
+        for s, name in (("F", "f_slice"), ("O", "o_slice"), ("P", "p_slice"))
+    ]
+    unioned = slices[0]
+    for s in slices[1:]:
+        unioned = unioned.unionByName(s)
+    return unioned.groupBy("slice").agg(
+        F.count(F.lit(1)).alias("n"), dsum(F.col("o_totalprice")).alias("total")
+    )
+
+
+@register(
+    "intersect_custkeys",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def intersect_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2a: INTERSECT (distinct) — customers with both F and O orders."""
+    o = _t(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    op = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
+    return f.intersect(op)
+
+
+@register(
+    "except_custkeys",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    EXCEPT
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'P'
+    """,
+)
+def except_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2b: EXCEPT (distinct) — customers with F orders but no P orders."""
+    o = _t(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    p = o.filter(F.col("o_orderstatus") == "P").select(F.col("o_custkey").alias("custkey"))
+    return f.subtract(p)
+
+
+# ---------------------------------------------------------- scalar functions
+
+@register(
+    "string_funcs",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_brand)                 AS brand_u,
+           substring(p_name, 1, 8)        AS name_prefix,
+           CAST(length(p_name) AS BIGINT) AS name_len,
+           concat_ws('|', p_brand, p_type) AS brand_type,
+           round(p_retailprice * 1.1, 2)  AS marked_up
+    FROM part
+    """,
+)
+def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 (strings/math): substring/upper/length/concat_ws/round."""
+    return _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_u"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.round(F.col("p_retailprice") * 1.1, 2).alias("marked_up"),
+    )
+
+
+@register(
+    "date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS BIGINT)  AS order_year,
+           CAST(month(o_orderdate) AS BIGINT) AS order_month,
+           strftime(o_orderdate, '%Y-%m')     AS order_ym,
+           CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
+               AS days_since_epoch_start
+    FROM orders
+    """,
+)
+def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 (dates): year/month/format/datediff."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.month("o_orderdate").cast("long").alias("order_month"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("order_ym"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("days_since_epoch_start"),
+    )
+
+
+@register(
+    "json_extract_events",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_total,
+           round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS k_avg
+    FROM events GROUP BY event_type
+    """,
+)
+def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5: JSON extraction from the props string column (get_json_object),
+    aggregated per event type. Integer sum → exact hash match."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("k_total"),
+        F.round(F.avg(k), 4).alias("k_avg"),
+    )
+
+
+@register(
+    "array_ops_embeddings",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS BIGINT) AS dim,
+           round(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
+           round(sqrt((SELECT sum(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))
+                       FROM range(1, 65) t(i))), 4) AS l2_norm
+    FROM embeddings e
+    """,
+)
+def array_ops_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6: array ops over array<float> — size, element access, aggregate
+    (L2 norm), all JVM-side expressions."""
+    from pandas_to_postgres_spark.functions.vectors import l2_norm_expr
+
+    e = _t(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_val"),
+        F.round(l2_norm_expr(F.col("embedding")), 4).alias("l2_norm"),
+    )
+
+
+@register(
+    "cast_nullable",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(floor(o_totalprice) AS BIGINT) AS price_floor,
+           CAST(CASE WHEN o_orderstatus = 'P' THEN NULL
+                     ELSE o_totalprice > 150 END AS BIGINT) AS flag
+    FROM orders
+    """,
+)
+def cast_nullable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F2 — the reference's `cast_pandas` semantic obligation
+    (`/root/reference/pandas_to_postgres/utilities.py:119-167`): NULLs
+    survive int and bool columns end-to-end. Spark primitives are natively
+    nullable, so the query is the whole implementation."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.floor("o_totalprice").cast("long").alias("price_floor"),
+        F.when(F.col("o_orderstatus") == "P", F.lit(None).cast("boolean"))
+        .otherwise(F.col("o_totalprice") > 150)
+        .cast("long")
+        .alias("flag"),
+    )
+
+
+@register(
+    "normalize_target_schema",
+    oracle="""
+    SELECT CAST(l_orderkey AS BIGINT)   AS l_orderkey,
+           CAST(l_linenumber AS BIGINT) AS l_linenumber,
+           CAST(l_quantity AS DOUBLE)   AS l_quantity,
+           l_returnflag
+    FROM lineitem
+    """,
+)
+def normalize_target_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1/F1: project+cast onto an external target schema — the Spark
+    re-expression of the reference's `cast_pandas` + COPY column-list
+    projection (`/root/reference/pandas_to_postgres/_base_copy.py:140-143`)."""
+    from pyspark.sql import types as T
+
+    from pandas_to_postgres_spark.functions.normalize import cast_to_target_schema
+
+    target = T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("l_linenumber", T.LongType()),
+            T.StructField("l_quantity", T.DoubleType()),
+            T.StructField("l_returnflag", T.StringType()),
+        ]
+    )
+    return cast_to_target_schema(_t(spark, sf_dir, "lineitem"), target)

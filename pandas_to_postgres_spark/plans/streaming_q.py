@@ -1,0 +1,32 @@
+"""Streaming query registration (SURVEY.md §2.9).
+
+The batch-equivalent oracle works because AvailableNow drains the whole
+(static) source and ``complete`` output mode emits every window regardless of
+the watermark — so the stream's final state equals the batch aggregation,
+which DuckDB can compute with time_bucket (10-minute buckets align on both
+engines: both origins are at :00)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pandas_to_postgres_spark.plans.registry import register
+from pandas_to_postgres_spark.streaming.events import windowed_event_counts
+
+
+@register(
+    "stream_window_counts",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M:%S')
+               AS window_start,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9: tumbling event-time windows via a real Structured Streaming
+    query (watermark + memory sink + AvailableNow), oracle-checked against
+    the equivalent batch SQL."""
+    return windowed_event_counts(spark, sf_dir)

@@ -1,0 +1,70 @@
+"""Structured Streaming re-casts of the event aggregations (SURVEY.md §2.9).
+
+The reference is strictly batch; its bounded-memory chunk loops
+(`/root/reference/pandas_to_postgres/utilities.py:112-116`) are the moral
+ancestor of micro-batching. Here the same windowed aggregation runs as a real
+stream: ``readStream`` over the events parquet, event-time tumbling windows
+with a watermark, memory sink drained with ``Trigger.AvailableNow``.
+
+Scale notes: in production the source would be Kafka/files-on-arrival; the
+watermark bounds state (late rows beyond it are dropped); ``complete`` output
+mode is used here because the memory sink collects the full small aggregate —
+a real sink would use ``update``/``append`` with checkpointing.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def windowed_event_counts(
+    spark: SparkSession,
+    sf_dir: str,
+    window_duration: str = "10 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Tumbling-window per-type event counts, computed by a genuine
+    Structured Streaming query drained to completion (AvailableNow).
+
+    Returns the final result as a static DataFrame: (window_start string,
+    event_type, n, total_value)."""
+    path = f"{sf_dir}/events.parquet"
+    # events.ts is parquet TIMESTAMP(NANOS) — same legacy-long treatment as
+    # the batch source (see sources/parquet.py)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(path).schema
+    # the streaming file source needs a directory or glob, not a bare file
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .format("parquet")
+        .load(f"{sf_dir}/events.parque[t]")
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_duration).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+    table = f"stream_events_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(table)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(table)
