@@ -31,6 +31,21 @@ from pandas_to_postgres_spark.functions.text import tokens_expr
 from pandas_to_postgres_spark.functions.vectors import cosine_expr
 
 
+def ensure_parallelism(df: DataFrame, min_partitions: Optional[int] = None) -> DataFrame:
+    """Repartition iff the input has fewer partitions than the target.
+
+    Hash-heavy operators (MinHash families, SimHash bit votes) are
+    CPU-bound per row; a small parquet file arrives as 1-2 splits and would
+    serialize on 2 of N cores. At 100 TB inputs already carry thousands of
+    partitions and this is a no-op — the guard keeps it from adding a
+    shuffle where none is needed.
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 # ---------------------------------------------------------------- exact (D1)
 
 def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -91,25 +106,29 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, signature array<long>[num_hashes]) per document.
 
-    Hash family i is ``xxhash64(shingle, lit(i))`` — hashing the (shingle,
-    family-index) pair gives k independent-enough hash functions without any
-    Python. Signature[i] = min over shingles — computed with
-    ``transform`` + ``array_min`` per seed, entirely JVM-side, no explode:
-    the shuffle carries only (id, k longs), never the shingle set.
+    Hash family i is ``xxhash64(shingle, i)`` — k independent families,
+    deterministic (no randomness anywhere). Linear derived families
+    (Kirsch-Mitzenmacher h1+i*h2) were measurably correlated here and cost
+    banded-LSH recall, so each family is a real hash.
+
+    Shape: explode shingles → k codegen'd hash columns → groupBy(id) with k
+    ``min`` aggregates. Everything stays in whole-stage codegen (no
+    interpreted higher-order functions in the hot path), and partial
+    aggregation collapses each doc's shingles map-side, so the shuffle
+    carries only (id, k longs) — the 100 TB-friendly shape.
     """
-    shingles = shingles_expr(text_col, shingle_n)
-
-    def family_min(seed: int):
-        # closure (NOT a default-arg lambda: pyspark HOFs inspect lambda
-        # arity, and a 2-arg transform lambda receives the element index
-        # as its second argument, which would shadow the seed)
-        return F.array_min(
-            F.transform(F.col("__sh"), lambda s: F.xxhash64(s, F.lit(seed)))
-        )
-
-    sig = F.array(*[family_min(i) for i in range(num_hashes)])
-    return df.select(F.col(id_col), shingles.alias("__sh")).select(
-        F.col(id_col), sig.alias("signature")
+    exploded = df.select(
+        F.col(id_col), F.explode(shingles_expr(text_col, shingle_n)).alias("__s")
+    ).select(
+        F.col(id_col),
+        *[F.xxhash64("__s", F.lit(i)).alias(f"__h{i}") for i in range(num_hashes)],
+    )
+    mins = exploded.groupBy(id_col).agg(
+        *[F.min(f"__h{i}").alias(f"__m{i}") for i in range(num_hashes)]
+    )
+    return mins.select(
+        F.col(id_col),
+        F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias("signature"),
     )
 
 
@@ -118,35 +137,28 @@ def minhash_lsh_candidates(
     id_col: str,
     num_bands: int = 16,
     max_bucket: int = 1000,
+    num_hashes: int = 64,
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) from banded LSH buckets.
 
-    rows of each band are hashed together (xxhash64 over the band slice);
-    docs sharing any (band_idx, band_hash) bucket become candidates.
-    ``max_bucket`` caps pathological buckets (e.g. empty docs) so a single
-    degenerate bucket can't go quadratic at scale.
+    Rows of each band are hashed together (xxhash64 over the band's
+    signature slice); docs sharing any (band_idx, band_hash) bucket become
+    candidates. ``max_bucket`` caps pathological buckets (e.g. empty docs)
+    so a single degenerate bucket can't go quadratic at scale.
     """
+    width = num_hashes // num_bands
+    band_hashes = F.array(
+        *[
+            F.xxhash64(
+                *[F.element_at("signature", b * width + j + 1) for j in range(width)],
+                F.lit(b),
+            )
+            for b in range(num_bands)
+        ]
+    )
     banded = signatures.select(
         F.col(id_col),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(num_bands - 1)),
-                lambda b: F.xxhash64(
-                    F.concat_ws(
-                        ",",
-                        F.transform(
-                            F.slice(
-                                F.col("signature"),
-                                b * (F.size("signature") / num_bands).cast("int") + 1,
-                                (F.size("signature") / num_bands).cast("int"),
-                            ),
-                            lambda x: x.cast("string"),
-                        ),
-                    ),
-                    b,
-                ),
-            )
-        ).alias("band_idx", "band_hash"),
+        F.posexplode(band_hashes).alias("band_idx", "band_hash"),
     )
     # cap bucket size before the self-join
     wb = Window.partitionBy("band_idx", "band_hash").orderBy(F.col(id_col))
@@ -180,8 +192,15 @@ def minhash_near_duplicates(
     exact shingle-Jaccard verification. Returns (id_a, id_b, jaccard).
 
     The verification join re-attaches shingle sets only for candidate ids
-    (a semi-join-sized shuffle, not the full corpus)."""
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    (a semi-join-sized shuffle, not the full corpus).
+
+    The signature frame is cached before banding: Catalyst's projection
+    collapse would otherwise inline the 64-family minhash expression into
+    every band-hash reference AND both sides of the bucket self-join
+    (~32x recompute). At 100 TB the same move applies — persist the narrow
+    (id, 64 longs) signature table once, then band/join against it."""
+    df = ensure_parallelism(df)
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n).cache()
     cands = minhash_lsh_candidates(sigs, id_col, num_bands)
     sh = df.select(
         F.col(id_col), shingles_expr(text_col, shingle_n).alias("__sh")
@@ -242,7 +261,7 @@ def simhash_near_duplicates(
     """Near-dup pairs by SimHash: candidates share one of 4 16-bit bands
     (guarantees recall for hamming distance <= 3), verified by exact
     hamming distance via ``bit_count(xor)``."""
-    sh = df.select(F.col(id_col), simhash_expr(text_col).alias("sig"))
+    sh = ensure_parallelism(df).select(F.col(id_col), simhash_expr(text_col).alias("sig")).cache()
     banded = sh.select(
         F.col(id_col),
         F.col("sig"),

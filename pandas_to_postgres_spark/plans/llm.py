@@ -264,7 +264,9 @@ def minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("simhash_docs")  # rows-only: xxhash64 bit-votes have no SQL oracle
 def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D2: 64-bit SimHash signature per document (deterministic)."""
-    d = load_table(spark, sf_dir, "documents")
+    from pandas_to_postgres_spark.operators.dedup import ensure_parallelism
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     return d.select("doc_id", simhash_expr("text").alias("simhash"))
 
 
