@@ -27,6 +27,25 @@ from pandas_to_postgres_spark.functions.normalize import (
     apply_formatters,
 )
 
+# reference-compatible API (`/root/reference/pandas_to_postgres/__init__.py:1-11`)
+from pandas_to_postgres_spark.compat import (
+    DataFrameCopy,
+    HDFTableCopy,
+    SmallHDFTableCopy,
+    BigHDFTableCopy,
+    ParquetCopy,
+    hdf_to_postgres,
+    create_hdf_table_objects,
+    get_logger,
+)
+from pandas_to_postgres_spark.sources.hdf import hdf_metadata
+from pandas_to_postgres_spark.sinks.jdbc import write_jdbc
+from pandas_to_postgres_spark.sinks.postgres_copy import (
+    TargetTable,
+    ForeignKey,
+    copy_to_postgres,
+)
+
 __all__ = [
     "get_spark",
     "load_table",
@@ -34,6 +53,19 @@ __all__ = [
     "from_pandas",
     "cast_to_target_schema",
     "apply_formatters",
+    "DataFrameCopy",
+    "HDFTableCopy",
+    "SmallHDFTableCopy",
+    "BigHDFTableCopy",
+    "ParquetCopy",
+    "hdf_to_postgres",
+    "create_hdf_table_objects",
+    "hdf_metadata",
+    "get_logger",
+    "write_jdbc",
+    "TargetTable",
+    "ForeignKey",
+    "copy_to_postgres",
 ]
 
 __version__ = "0.1.0"

@@ -1,0 +1,188 @@
+"""Reference-compatible API surface.
+
+The reference exports (`/root/reference/pandas_to_postgres/__init__.py:1-11`):
+``DataFrameCopy, HDFTableCopy, SmallHDFTableCopy, BigHDFTableCopy,
+ParquetCopy, hdf_to_postgres, create_hdf_table_objects, copy_worker,
+hdf_metadata, create_file_object, df_generator, cast_pandas, get_logger``.
+
+This module gives a user of the reference the same verbs on Spark. The copy
+classes keep the ``(source..., defer_sql_objs, conn, table_obj,
+csv_chunksize).copy()`` shape but take a SparkSession + sink; the pickle
+machinery (``defer_sql_objs``, ``copy_worker`` engine rebuilds) has no Spark
+equivalent to need.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Callable, Optional, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from pandas_to_postgres_spark.functions.normalize import apply_formatters
+from pandas_to_postgres_spark.orchestration import copy_tables, resolve_routing, union_sources
+from pandas_to_postgres_spark.sources.hdf import (
+    DEFAULT_CHUNK_ROWS,
+    hdf_metadata,
+    load_hdf_distributed,
+    load_hdf_small,
+)
+
+Sink = Callable[[str, DataFrame], None]
+
+
+def get_logger(name: str) -> logging.Logger:
+    """`utilities.py:10-14`."""
+    return logging.getLogger(f"pandas_to_postgres_spark.{name}")
+
+
+class _BaseCopy:
+    """Common copy shape: source DataFrame → formatter chain → sink
+    (`/root/reference/pandas_to_postgres/_base_copy.py`), minus the
+    constraint/txn plumbing which lives in sinks.postgres_copy."""
+
+    def __init__(self, sink: Sink, table_name: str, formatters: Sequence = ()):
+        self.sink = sink
+        self.table_name = table_name
+        self.formatters = formatters
+        self.rows = 0
+
+    def _run(self, df: DataFrame) -> None:
+        df = apply_formatters(df, self.formatters)
+        self.sink(self.table_name, df)
+        self.rows = df.count()
+
+
+class DataFrameCopy(_BaseCopy):
+    """`copy_df.py:11-55` — in-memory pandas DataFrame → sink."""
+
+    def __init__(
+        self,
+        df: pd.DataFrame,
+        spark: SparkSession,
+        sink: Sink,
+        table_name: str,
+        formatters: Sequence = (),
+    ):
+        super().__init__(sink, table_name, formatters)
+        self.df = df
+        self.spark = spark
+
+    def copy(self) -> None:
+        self._run(self.spark.createDataFrame(self.df))
+
+
+class HDFTableCopy(_BaseCopy):
+    """`copy_hdf.py:14-121` — HDF keys → union → sink. ``big=True`` selects
+    the distributed range scan (BigHDFTableCopy, `copy_hdf.py:175-230`);
+    ``big=False`` the whole-key read (Small/plain, `:82-163`)."""
+
+    def __init__(
+        self,
+        file_name: str,
+        hdf_tables: Sequence[str],
+        spark: SparkSession,
+        sink: Sink,
+        table_name: str,
+        big: bool = False,
+        hdf_chunksize: int = DEFAULT_CHUNK_ROWS,
+        formatters: Sequence = (),
+    ):
+        super().__init__(sink, table_name, formatters)
+        self.file_name = file_name
+        self.hdf_tables = hdf_tables
+        self.spark = spark
+        self.big = big
+        self.hdf_chunksize = hdf_chunksize
+
+    def _load(self) -> DataFrame:
+        loader = (
+            (lambda k: load_hdf_distributed(self.spark, self.file_name, k, self.hdf_chunksize))
+            if self.big
+            else (lambda k: load_hdf_small(self.spark, self.file_name, k))
+        )
+        return union_sources([loader(k) for k in self.hdf_tables])
+
+    def copy(self) -> None:
+        self._run(self._load())
+
+
+class SmallHDFTableCopy(HDFTableCopy):
+    """`copy_hdf.py:124-163`."""
+
+    def __init__(self, *args, **kwargs):
+        kwargs["big"] = False
+        super().__init__(*args, **kwargs)
+
+
+class BigHDFTableCopy(HDFTableCopy):
+    """`copy_hdf.py:166-230`."""
+
+    def __init__(self, *args, **kwargs):
+        kwargs["big"] = True
+        super().__init__(*args, **kwargs)
+
+
+class ParquetCopy(_BaseCopy):
+    """`copy_parquet.py:14-126` — the small/big strategy choice disappears:
+    Spark's parquet scan is already row-group parallel."""
+
+    def __init__(
+        self,
+        file_name: str,
+        spark: SparkSession,
+        sink: Sink,
+        table_name: str,
+        formatters: Sequence = (),
+    ):
+        super().__init__(sink, table_name, formatters)
+        self.file_name = file_name
+        self.spark = spark
+
+    def copy(self) -> None:
+        self._run(self.spark.read.parquet(self.file_name))
+
+
+def create_hdf_table_objects(
+    file_name: str,
+    sql_to_hdf: dict[str, set[str]],
+    spark: SparkSession,
+    sink: Sink,
+    big: bool = False,
+    hdf_chunksize: int = DEFAULT_CHUNK_ROWS,
+    formatters: Sequence = (),
+) -> list[HDFTableCopy]:
+    """`hdf_to_postgres.py:10-46` — one copy object per SQL table."""
+    return [
+        HDFTableCopy(
+            file_name, sorted(keys), spark, sink, table, big, hdf_chunksize, formatters
+        )
+        for table, keys in sql_to_hdf.items()
+    ]
+
+
+def hdf_to_postgres(
+    file_name: str,
+    spark: SparkSession,
+    sink: Sink,
+    keys: Optional[Sequence[str]] = None,
+    metadata_attr: Optional[str] = None,
+    metadata_keys: Sequence[str] = (),
+    processes: Optional[int] = None,
+    big: bool = False,
+    hdf_chunksize: int = DEFAULT_CHUNK_ROWS,
+    formatters: Sequence = (),
+) -> None:
+    """`hdf_to_postgres.py:106-201` — discovery → routing → per-table copy,
+    serial or concurrent (driver threads replace the Pool)."""
+    sql_to_hdf, _meta = hdf_metadata(file_name, None, metadata_attr, metadata_keys)
+    routing = resolve_routing(sql_to_hdf, keys)
+    copies = create_hdf_table_objects(
+        file_name, routing, spark, sink, big, hdf_chunksize, formatters
+    )
+    copy_tables(
+        {c.table_name: c._load() for c in copies},
+        lambda name, df: sink(name, apply_formatters(df, formatters)),
+        processes,
+    )

@@ -1,0 +1,292 @@
+"""Postgres COPY fast-path sink with constraint management (SURVEY.md §2.1
+S8–S12, §4) — the Spark re-expression of the reference's core machinery.
+
+Reference behavior being reproduced (all `/root/reference/pandas_to_postgres/`):
+- ``COPY {table} ({cols}) FROM STDIN WITH CSV`` via psycopg2 ``copy_expert``
+  from an in-memory CSV buffer (`_base_copy.py:130-144`, `utilities.py:76-92`)
+- PK/FK drop before load, recreate after (`_base_copy.py:67-114`)
+- TRUNCATE before, ANALYZE after (`_base_copy.py:116-128`)
+- ``SET maintenance_work_mem`` for index rebuild (`hdf_to_postgres.py:88-91`)
+- ``FREEZE`` requires COPY in the same transaction as TRUNCATE
+  (comment `copy_hdf.py:70`)
+
+Spark-first design:
+- the *data plane* is ``df.foreachPartition``: each executor task opens its
+  own psycopg2 connection and streams its partition as CSV chunks — N
+  partitions load in parallel (the reference's table-level
+  ``multiprocessing.Pool`` becomes partition-level parallelism).
+- the *control plane* (DDL: constraints, truncate, analyze) runs on the
+  driver, before/after the Spark job — Spark has no constraint hooks, same
+  as the reference's copy() bracket.
+- FREEZE vs parallelism (SURVEY.md §4 hard part #1): FREEZE demands one
+  transaction containing both TRUNCATE and every COPY — impossible across
+  parallel writers. ``freeze=True`` therefore coalesces to a single
+  partition and does TRUNCATE+COPY FREEZE in one transaction (the
+  reference's exact behavior); ``freeze=False`` (default) truncates on the
+  driver and COPYies partitions concurrently — at scale the parallel
+  non-FREEZE path wins by a wide margin.
+
+The pure helpers (DDL builders, CSV serialization) have no psycopg2
+dependency and are unit-tested; the network paths import psycopg2 lazily and
+raise a clear error when it is absent (as in this container).
+
+100 TB notes: cap write parallelism with ``num_partitions`` (the database is
+the bottleneck); each partition streams CSV in bounded ``csv_chunk_rows``
+batches so executor memory is flat; constraint rebuild cost is server-side
+and amortized once per table, not per partition.
+"""
+
+from __future__ import annotations
+
+import io
+from dataclasses import dataclass, field
+from typing import Iterable, Iterator, Optional, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+
+# --------------------------------------------------------------- descriptors
+
+@dataclass(frozen=True)
+class ForeignKey:
+    """One FK constraint of the target table (name + its DDL body)."""
+
+    name: str
+    definition: str  # e.g. "FOREIGN KEY (o_custkey) REFERENCES customer(c_custkey)"
+
+
+@dataclass(frozen=True)
+class TargetTable:
+    """Driver-side descriptor of the external target table.
+
+    The reference reflects this via SQLAlchemy (`hdf_to_postgres.py:81-96`);
+    here it is either constructed explicitly or reflected with
+    :func:`reflect_target_table`. The target schema stays authoritative —
+    the engine never creates tables.
+    """
+
+    schema: str
+    name: str
+    columns: Sequence[str]
+    primary_key: Optional[Sequence[str]] = None
+    pk_name: Optional[str] = None
+    foreign_keys: Sequence[ForeignKey] = field(default_factory=tuple)
+
+    @property
+    def qualified(self) -> str:
+        return f'"{self.schema}"."{self.name}"'
+
+
+# ------------------------------------------------------- pure SQL builders
+
+def truncate_sql(t: TargetTable) -> str:
+    """`_base_copy.py:116-121`."""
+    return f"TRUNCATE TABLE {t.qualified};"
+
+
+def analyze_sql(t: TargetTable) -> str:
+    """`_base_copy.py:123-128`."""
+    return f"ANALYZE {t.qualified};"
+
+
+def drop_pk_sql(t: TargetTable) -> str:
+    """`_base_copy.py:67-80` (DROP ... CASCADE, tolerate absence upstream)."""
+    pk = t.pk_name or f"{t.name}_pkey"
+    return f'ALTER TABLE {t.qualified} DROP CONSTRAINT IF EXISTS "{pk}" CASCADE;'
+
+
+def create_pk_sql(t: TargetTable) -> str:
+    """`_base_copy.py:82-92` (note: the reference's error message there
+    says "foreign key" for the PK path — bug, not replicated)."""
+    if not t.primary_key:
+        raise ValueError(f"{t.name} has no primary key")
+    pk = t.pk_name or f"{t.name}_pkey"
+    cols = ", ".join(f'"{c}"' for c in t.primary_key)
+    return f'ALTER TABLE {t.qualified} ADD CONSTRAINT "{pk}" PRIMARY KEY ({cols});'
+
+
+def drop_fk_sql(t: TargetTable, fk: ForeignKey) -> str:
+    """`_base_copy.py:94-103`."""
+    return f'ALTER TABLE {t.qualified} DROP CONSTRAINT IF EXISTS "{fk.name}";'
+
+
+def create_fk_sql(t: TargetTable, fk: ForeignKey) -> str:
+    """`_base_copy.py:105-114`."""
+    return f'ALTER TABLE {t.qualified} ADD CONSTRAINT "{fk.name}" {fk.definition};'
+
+
+def copy_sql(t: TargetTable) -> str:
+    """`_base_copy.py:140-143` — explicit column list (the reference reads
+    it from the CSV header; here it is explicit and the CSV carries no
+    header)."""
+    cols = ", ".join(f'"{c}"' for c in t.columns)
+    return f"COPY {t.qualified} ({cols}) FROM STDIN WITH CSV"
+
+
+def copy_freeze_sql(t: TargetTable) -> str:
+    return copy_sql(t) + " FREEZE"
+
+
+# ------------------------------------------------- pure CSV serialization
+
+def csv_chunks(
+    rows: Iterable, columns: Sequence[str], chunk_rows: int = 10**6
+) -> Iterator[io.StringIO]:
+    """Serialize an iterator of Spark Rows into bounded in-memory CSV
+    buffers — the per-partition analog of the reference's ``df_generator`` +
+    ``create_file_object`` (`utilities.py:76-116`): no intermediate files,
+    NULL → empty field, no header.
+    """
+    buf: list = []
+    for row in rows:
+        buf.append(row)
+        if len(buf) >= chunk_rows:
+            yield _to_csv(buf, columns)
+            buf = []
+    if buf:
+        yield _to_csv(buf, columns)
+
+
+def _to_csv(rows: list, columns: Sequence[str]) -> io.StringIO:
+    pdf = pd.DataFrame.from_records([tuple(r) for r in rows], columns=list(columns))
+    out = io.StringIO()
+    # na_rep="" → empty CSV field → SQL NULL (`utilities.py:90`)
+    pdf.to_csv(out, index=False, header=False, na_rep="")
+    out.seek(0)
+    return out
+
+
+# ------------------------------------------------------------ network paths
+
+def _psycopg2():
+    try:
+        import psycopg2  # noqa: PLC0415
+
+        return psycopg2
+    except ImportError as e:  # pragma: no cover - environment dependent
+        raise RuntimeError(
+            "postgres COPY sink requires psycopg2 (not installed in this "
+            "environment); use sinks.jdbc.write_jdbc or install psycopg2"
+        ) from e
+
+
+def reflect_target_table(conn_params: dict, schema: str, name: str) -> TargetTable:
+    """Reflect columns/PK/FKs from information_schema + pg_catalog —
+    the psycopg2 re-expression of the reference's SQLAlchemy
+    ``MetaData.reflect()`` (`hdf_to_postgres.py:81-96`)."""
+    psycopg2 = _psycopg2()
+    with psycopg2.connect(**conn_params) as conn, conn.cursor() as cur:
+        cur.execute(
+            """SELECT column_name FROM information_schema.columns
+               WHERE table_schema = %s AND table_name = %s
+               ORDER BY ordinal_position""",
+            (schema, name),
+        )
+        columns = [r[0] for r in cur.fetchall()]
+        if not columns:
+            # same contract as `hdf_to_postgres.py:94-96`
+            raise ValueError(f"Table {schema}.{name} does not exist.")
+        cur.execute(
+            """SELECT c.conname, pg_get_constraintdef(c.oid), c.contype
+               FROM pg_constraint c
+               JOIN pg_class t ON c.conrelid = t.oid
+               JOIN pg_namespace n ON t.relnamespace = n.oid
+               WHERE n.nspname = %s AND t.relname = %s
+                 AND c.contype IN ('p', 'f')""",
+            (schema, name),
+        )
+        pk_name, pk_cols, fks = None, None, []
+        for conname, condef, contype in cur.fetchall():
+            if contype == "p":
+                pk_name = conname
+                inside = condef[condef.index("(") + 1 : condef.rindex(")")]
+                pk_cols = [c.strip().strip('"') for c in inside.split(",")]
+            else:
+                fks.append(ForeignKey(name=conname, definition=condef))
+    return TargetTable(
+        schema=schema,
+        name=name,
+        columns=columns,
+        primary_key=pk_cols,
+        pk_name=pk_name,
+        foreign_keys=tuple(fks),
+    )
+
+
+def copy_to_postgres(
+    df: DataFrame,
+    conn_params: dict,
+    target: TargetTable,
+    csv_chunk_rows: int = 10**6,
+    num_partitions: Optional[int] = None,
+    freeze: bool = False,
+    maintenance_work_mem: Optional[str] = None,
+    analyze: bool = True,
+) -> None:
+    """Full-refresh bulk load: constraint drop → TRUNCATE → parallel
+    per-partition COPY → constraint recreate → ANALYZE.
+
+    The end-to-end shape of ``BaseCopy.copy()``
+    (`copy_hdf.py:55-80`) with the chunk loop replaced by Spark partitions.
+    """
+    psycopg2 = _psycopg2()
+    cols = [c for c in target.columns if c in df.columns]
+    df = df.select(*cols)
+    load_target = TargetTable(
+        schema=target.schema,
+        name=target.name,
+        columns=cols,
+        primary_key=target.primary_key,
+        pk_name=target.pk_name,
+        foreign_keys=target.foreign_keys,
+    )
+    if num_partitions is not None:
+        df = df.repartition(num_partitions)
+
+    ddl = psycopg2.connect(**conn_params)
+    ddl.autocommit = True
+    with ddl.cursor() as cur:
+        if maintenance_work_mem:
+            cur.execute(f"SET maintenance_work_mem TO '{maintenance_work_mem}';")
+        for fk in load_target.foreign_keys:
+            cur.execute(drop_fk_sql(load_target, fk))
+        if load_target.primary_key:
+            cur.execute(drop_pk_sql(load_target))
+
+    if freeze:
+        # single transaction: TRUNCATE + COPY FREEZE (reference semantics,
+        # `copy_hdf.py:70-71`) — single writer by construction
+        sql = copy_freeze_sql(load_target)
+        rows = df.coalesce(1).toLocalIterator()
+        with psycopg2.connect(**conn_params) as conn, conn.cursor() as cur:
+            cur.execute(truncate_sql(load_target))
+            for chunk in csv_chunks(rows, cols, csv_chunk_rows):
+                cur.copy_expert(sql, chunk)
+    else:
+        with ddl.cursor() as cur:
+            cur.execute(truncate_sql(load_target))
+        sql = copy_sql(load_target)
+        params = dict(conn_params)
+        chunk_rows_n = csv_chunk_rows
+
+        def _load_partition(rows: Iterator) -> None:
+            # executor-side: own connection per task (the reference's
+            # "engine contains process specific stuff" rebuild,
+            # `hdf_to_postgres.py:58-61`, becomes per-task connections)
+            import psycopg2 as pg  # noqa: PLC0415
+
+            with pg.connect(**params) as conn, conn.cursor() as cur:
+                for chunk in csv_chunks(rows, cols, chunk_rows_n):
+                    cur.copy_expert(sql, chunk)
+
+        df.foreachPartition(_load_partition)
+
+    with ddl.cursor() as cur:
+        if load_target.primary_key:
+            cur.execute(create_pk_sql(load_target))
+        for fk in load_target.foreign_keys:
+            cur.execute(create_fk_sql(load_target, fk))
+        if analyze:
+            cur.execute(analyze_sql(load_target))
+    ddl.close()

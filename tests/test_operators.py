@@ -1,0 +1,222 @@
+"""Operator unit tests on micro-fixtures (FIXTURES.md §B): null-preserving
+casts, missing columns, as-of join golden answers, dedup recall on planted
+near-dups, similarity golden cosines, multimodal plumbing, orchestration."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pandas_to_postgres_spark.functions.normalize import (
+    apply_formatters,
+    cast_to_target_schema,
+)
+from pandas_to_postgres_spark.operators.dedup import (
+    dedup_exact,
+    embedding_near_duplicates,
+    minhash_near_duplicates,
+    simhash_near_duplicates,
+)
+from pandas_to_postgres_spark.operators.joins import asof_join
+from pandas_to_postgres_spark.operators.multimodal import (
+    attach_fake_media,
+    extract_features,
+)
+from pandas_to_postgres_spark.operators.similarity import (
+    topk_cosine_bruteforce,
+    topk_cosine_lsh,
+)
+from pandas_to_postgres_spark.orchestration import copy_tables, union_sources
+
+
+class TestNormalize:
+    """FIXTURES B.1/B.2 — the cast_pandas contract."""
+
+    def test_nulls_survive_int_and_bool(self, spark):
+        df = spark.createDataFrame(
+            [(1, 1.0, True), (2, None, None), (3, 3.0, False)],
+            "id long, v double, b boolean",
+        )
+        target = T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("v", T.LongType()),
+                T.StructField("b", T.BooleanType()),
+            ]
+        )
+        out = cast_to_target_schema(df, target).orderBy("id").collect()
+        assert [r.v for r in out] == [1, None, 3]
+        assert [r.b for r in out] == [True, None, False]
+        assert out[0].__fields__ == ["id", "v", "b"]
+
+    def test_missing_column_warn_and_skip(self, spark):
+        df = spark.createDataFrame([(1,)], "id long")
+        target = T.StructType(
+            [T.StructField("id", T.LongType()), T.StructField("missing", T.StringType())]
+        )
+        out = cast_to_target_schema(df, target)
+        assert out.columns == ["id"]
+
+    def test_missing_column_strict_raises(self, spark):
+        df = spark.createDataFrame([(1,)], "id long")
+        target = T.StructType([T.StructField("nope", T.StringType())])
+        with pytest.raises(ValueError):
+            cast_to_target_schema(df, target, strict=True)
+
+    def test_extra_columns_dropped_and_order_is_target(self, spark):
+        df = spark.createDataFrame([(1, "x", 2.0)], "b long, extra string, a double")
+        target = T.StructType(
+            [T.StructField("a", T.DoubleType()), T.StructField("b", T.LongType())]
+        )
+        assert cast_to_target_schema(df, target).columns == ["a", "b"]
+
+    def test_formatter_chain_order(self, spark):
+        df = spark.createDataFrame([(1,)], "v long")
+        out = apply_formatters(
+            df,
+            [
+                lambda d: d.withColumn("v", F.col("v") + 1),
+                lambda d: d.withColumn("v", F.col("v") * 10),
+            ],
+        ).collect()
+        assert out[0].v == 20  # (1+1)*10 — order preserved
+
+
+class TestAsofJoin:
+    def test_golden(self, spark):
+        ts = lambda s: datetime.datetime.fromisoformat(s)  # noqa: E731
+        left = spark.createDataFrame(
+            [(1, ts("2024-01-01 10:00:00"), "p1"), (1, ts("2024-01-01 12:00:00"), "p2"),
+             (2, ts("2024-01-01 09:00:00"), "p3")],
+            "k long, ts timestamp, tag string",
+        )
+        right = spark.createDataFrame(
+            [(1, ts("2024-01-01 09:30:00"), 10.0), (1, ts("2024-01-01 11:00:00"), 20.0),
+             (2, ts("2024-01-01 09:30:00"), 99.0)],
+            "k long, ts timestamp, v double",
+        )
+        out = {r.tag: r.v_asof for r in asof_join(left, right, on="ts", by="k", value_cols=["v"]).collect()}
+        # p1: latest right <= 10:00 is 09:30 → 10.0; p2: 11:00 → 20.0
+        # p3: no right row at or before 09:00 → NULL (left-outer)
+        assert out == {"p1": 10.0, "p2": 20.0, "p3": None}
+
+    def test_inclusive_tie(self, spark):
+        ts = datetime.datetime(2024, 1, 1, 10, 0, 0)
+        left = spark.createDataFrame([(1, ts, "p")], "k long, ts timestamp, tag string")
+        right = spark.createDataFrame([(1, ts, 7.0)], "k long, ts timestamp, v double")
+        out = asof_join(left, right, on="ts", by="k", value_cols=["v"]).collect()
+        assert out[0].v_asof == 7.0  # equal timestamps match (>= semantics)
+
+
+class TestDedup:
+    """FIXTURES B.5 — planted exact and near duplicates."""
+
+    def _docs(self, spark):
+        base = "the quick brown fox jumps over the lazy dog again and again today"
+        rows = [
+            (1, base),
+            (2, base),  # exact dup of 1
+            (3, base + " extended"),  # near dup of 1
+            (4, "completely different content about spark query engines at scale"),
+            (5, "yet another unrelated document with its own distinct words here"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_exact_keeps_min_id(self, spark):
+        kept = {r.doc_id for r in dedup_exact(self._docs(spark), "text", "doc_id").collect()}
+        assert kept == {1, 3, 4, 5}
+
+    def test_minhash_recall_and_precision(self, spark):
+        pairs = {
+            (r.id_a, r.id_b)
+            for r in minhash_near_duplicates(
+                self._docs(spark), "text", "doc_id", jaccard_threshold=0.5
+            ).collect()
+        }
+        assert (1, 2) in pairs  # exact dup found
+        assert (1, 3) in pairs and (2, 3) in pairs  # near dups found
+        assert not any({4, 5} & set(p) for p in pairs)  # no false positives
+
+    def test_simhash_finds_exact_dups(self, spark):
+        pairs = {
+            (r.id_a, r.id_b)
+            for r in simhash_near_duplicates(self._docs(spark), "text", "doc_id").collect()
+        }
+        assert (1, 2) in pairs
+        assert not any({4, 5} & set(p) for p in pairs)
+
+    def test_embedding_neardup_blocked(self, spark):
+        df = spark.createDataFrame(
+            [(1, [1.0, 0.0], "a"), (2, [0.99, 0.1], "a"),
+             (3, [0.0, 1.0], "a"), (4, [1.0, 0.0], "b")],
+            "id long, v array<double>, blk string",
+        )
+        out = embedding_near_duplicates(df, "v", "id", threshold=0.95, block_col="blk").collect()
+        assert [(r.id_a, r.id_b) for r in out] == [(1, 2)]  # 3 dissimilar, 4 other block
+
+
+class TestSimilarity:
+    """FIXTURES B.6 — hand-computable cosines on unit axes."""
+
+    def _emb(self, spark):
+        return spark.createDataFrame(
+            [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0]), (2, [1.0, 1.0, 0.0]),
+             (3, [-1.0, 0.0, 0.0]), (4, [0.6, 0.8, 0.0])],
+            "vec_id long, embedding array<double>",
+        )
+
+    def test_bruteforce_golden(self, spark):
+        e = self._emb(spark)
+        q = e.filter(F.col("vec_id") == 0).select(
+            F.col("vec_id").alias("qid"), F.col("embedding")
+        )
+        out = topk_cosine_bruteforce(
+            q, e, "qid", "vec_id", "embedding", "embedding", k=3
+        ).collect()
+        assert [r.vec_id for r in out] == [0, 2, 4]  # cos: 1.0, 0.70711, 0.6
+        assert [r.cosine for r in out] == [1.0, 0.70711, 0.6]
+
+    def test_lsh_is_subset_of_bruteforce_scores(self, spark):
+        e = self._emb(spark)
+        q = e.select(F.col("vec_id").alias("qid"), F.col("embedding"))
+        out = topk_cosine_lsh(q, e, "qid", "vec_id", "embedding", "embedding",
+                              k=2, num_planes=2, dim=3).collect()
+        assert len(out) > 0
+        for r in out:  # every (q, c) pair in a shared bucket has a true cosine
+            assert -1.0001 <= r.cosine <= 1.0001
+
+
+class TestMultimodal:
+    def test_plumbing_end_to_end(self, spark):
+        docs = spark.createDataFrame([(1, "hello world"), (2, "")], "doc_id long, text string")
+        media = attach_fake_media(docs, "text", "doc_id")
+        assert [f.name for f in media.schema["media_meta"].dataType.fields] == [
+            "mime", "width", "height", "n_frames",
+        ]
+        feats = {r.doc_id: r for r in extract_features(media).collect()}
+        assert feats[1].byte_len == 11
+        assert feats[2].byte_len == 0
+        assert len(feats[1].feature) == 8
+        assert abs(sum(feats[1].feature) - 1.0) < 1e-6  # normalized histogram
+
+
+class TestOrchestration:
+    def test_union_and_copy_tables(self, spark):
+        a = spark.createDataFrame([(1,)], "x long")
+        b = spark.createDataFrame([(2,)], "x long")
+        u = union_sources([a, b])
+        assert u.count() == 2
+        seen = {}
+        copy_tables({"t": u}, lambda name, df: seen.__setitem__(name, df.count()))
+        assert seen == {"t": 2}
+
+    def test_copy_tables_parallel_and_errors(self, spark):
+        a = spark.createDataFrame([(1,)], "x long")
+
+        def sink(name, df):
+            if name == "bad":
+                raise RuntimeError("boom")
+
+        with pytest.raises(RuntimeError, match="bad"):
+            copy_tables({"ok": a, "bad": a}, sink, processes=2)

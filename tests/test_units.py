@@ -1,0 +1,133 @@
+"""Pure-logic unit tests (no SparkSession): SQL builders, CSV
+serialization, range planning, routing — the testable cores of the sink,
+HDF source, and orchestration."""
+
+import io
+
+import pytest
+
+from pandas_to_postgres_spark.orchestration import resolve_routing
+from pandas_to_postgres_spark.sinks.postgres_copy import (
+    ForeignKey,
+    TargetTable,
+    analyze_sql,
+    copy_freeze_sql,
+    copy_sql,
+    create_fk_sql,
+    create_pk_sql,
+    csv_chunks,
+    drop_fk_sql,
+    drop_pk_sql,
+    truncate_sql,
+)
+from pandas_to_postgres_spark.sources.hdf import plan_ranges
+
+T = TargetTable(
+    schema="public",
+    name="orders",
+    columns=("o_orderkey", "o_custkey"),
+    primary_key=("o_orderkey",),
+    pk_name="orders_pkey",
+    foreign_keys=(
+        ForeignKey("orders_cust_fk", "FOREIGN KEY (o_custkey) REFERENCES customer(c_custkey)"),
+    ),
+)
+
+
+class TestSqlBuilders:
+    def test_truncate(self):
+        assert truncate_sql(T) == 'TRUNCATE TABLE "public"."orders";'
+
+    def test_analyze(self):
+        assert analyze_sql(T) == 'ANALYZE "public"."orders";'
+
+    def test_pk_roundtrip(self):
+        assert (
+            drop_pk_sql(T)
+            == 'ALTER TABLE "public"."orders" DROP CONSTRAINT IF EXISTS "orders_pkey" CASCADE;'
+        )
+        assert (
+            create_pk_sql(T)
+            == 'ALTER TABLE "public"."orders" ADD CONSTRAINT "orders_pkey" PRIMARY KEY ("o_orderkey");'
+        )
+
+    def test_pk_required(self):
+        no_pk = TargetTable("public", "t", ("a",))
+        with pytest.raises(ValueError):
+            create_pk_sql(no_pk)
+
+    def test_fk_roundtrip(self):
+        fk = T.foreign_keys[0]
+        assert "DROP CONSTRAINT IF EXISTS" in drop_fk_sql(T, fk)
+        assert create_fk_sql(T, fk).endswith(
+            'ADD CONSTRAINT "orders_cust_fk" FOREIGN KEY (o_custkey) REFERENCES customer(c_custkey);'
+        )
+
+    def test_copy_column_list(self):
+        assert (
+            copy_sql(T)
+            == 'COPY "public"."orders" ("o_orderkey", "o_custkey") FROM STDIN WITH CSV'
+        )
+        assert copy_freeze_sql(T).endswith("FREEZE")
+
+
+class TestCsvChunks:
+    def test_null_becomes_empty_field(self):
+        # the cast_pandas obligation: NULL → empty CSV field → SQL NULL
+        chunks = list(csv_chunks([(1, None), (2, "x")], ["a", "b"]))
+        assert len(chunks) == 1
+        assert chunks[0].getvalue() == "1,\n2,x\n"
+
+    def test_chunk_boundaries(self):
+        # reference `df_generator`: exact multiples → no trailing empty chunk
+        rows = [(i,) for i in range(20)]
+        chunks = list(csv_chunks(rows, ["a"], chunk_rows=10))
+        assert len(chunks) == 2
+        assert all(c.getvalue().count("\n") == 10 for c in chunks)
+
+    def test_empty_input_yields_nothing(self):
+        assert list(csv_chunks([], ["a"], chunk_rows=10)) == []
+
+    def test_no_header(self):
+        (chunk,) = csv_chunks([(1, 2)], ["a", "b"])
+        assert isinstance(chunk, io.StringIO)
+        assert "a" not in chunk.getvalue()
+
+
+class TestPlanRanges:
+    def test_exact_multiple_no_trailing_empty(self):
+        assert plan_ranges(20, 10) == [(0, 10), (10, 20)]
+
+    def test_remainder(self):
+        assert plan_ranges(25, 10) == [(0, 10), (10, 20), (20, 25)]
+
+    def test_empty_input_is_one_empty_range(self):
+        # `utilities.py:107-108`: empty input is valid, one empty chunk
+        assert plan_ranges(0, 10) == [(0, 0)]
+
+    def test_single_row(self):
+        assert plan_ranges(1, 10) == [(0, 1)]
+
+    def test_bad_chunk(self):
+        with pytest.raises(ValueError):
+            plan_ranges(10, 0)
+
+
+class TestRouting:
+    def test_catalog_only(self):
+        r = resolve_routing({"t1": {"/a", "/b"}, "t2": {"/c"}})
+        assert r == {"t1": {"/a", "/b"}, "t2": {"/c"}}
+
+    def test_keys_filter(self):
+        r = resolve_routing({"t1": {"/a", "/b"}, "t2": {"/c"}}, keys=["/a"])
+        assert r == {"t1": {"/a"}}
+
+    def test_unknown_key_maps_to_itself_not_charset(self):
+        # the reference's `set(x)` bug (`hdf_to_postgres.py:161`) would
+        # yield the *characters* of the key; fixed behavior maps the key
+        r = resolve_routing({}, keys=["/mytable"])
+        assert r == {"mytable": {"/mytable"}}
+
+    def test_empty_raises(self):
+        with pytest.raises(ValueError):
+            resolve_routing({}, keys=[])
