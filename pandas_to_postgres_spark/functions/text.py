@@ -71,6 +71,46 @@ def quality_score_expr(text: Column) -> Column:
     )
 
 
+#: marker stopwords per language for the n-gram/marker-count lang-ID
+#: heuristic (deliberately tiny + deterministic so it is SQL-expressible)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "is"),
+    "es": ("el", "la", "de", "que"),
+    "de": ("der", "die", "und", "ist"),
+    "fr": ("le", "la", "et", "est"),
+}
+
+
+def lang_marker_score_expr(text: Column, lang: str) -> Column:
+    """Count of tokens that are marker words for ``lang``, as long."""
+    toks = tokens_expr(F.lower(text))
+    hits = F.filter(toks, lambda t: t.isin(*LANG_MARKERS[lang]))
+    return F.size(hits).cast("long")
+
+
+def lang_id_expr(text: Column) -> Column:
+    """Marker-count language detector with deterministic tie-breaking
+    (priority = declaration order in LANG_MARKERS; all-zero → 'und').
+
+    A real detector would use char n-gram profiles; the *engine* surface —
+    a deterministic per-row classifier expression the optimizer can
+    pipeline — is identical.
+    """
+    scores = {lang: lang_marker_score_expr(text, lang) for lang in LANG_MARKERS}
+    langs = list(LANG_MARKERS)
+    expr = F.lit("und")
+    # build the CASE chain back-to-front so earlier langs win ties
+    for lang in reversed(langs):
+        cond = scores[lang] > 0
+        for other in langs:
+            if other != lang and langs.index(other) < langs.index(lang):
+                cond = cond & (scores[lang] > scores[other])
+            elif other != lang:
+                cond = cond & (scores[lang] >= scores[other])
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    return expr
+
+
 def fingerprint_expr(text: Column) -> Column:
     """Deterministic document fingerprint: md5 of whitespace-normalized,
     lower-cased text. Oracle-expressible (DuckDB md5)."""

@@ -9,13 +9,17 @@ the mapInPandas multimodal path.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pandas_to_postgres_spark.functions.text import (
+    LANG_MARKERS,
     STOPWORDS,
     bpe_ish_token_count_expr,
     fingerprint_expr,
+    lang_id_expr,
+    lang_marker_score_expr,
     quality_score_expr,
     token_count_expr,
 )
@@ -165,6 +169,139 @@ def lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
             F.round(F.col("n") * 1.0 / F.sum("n").over(w), 4).alias("frac"),
         )
+    )
+
+
+def _score_sql(lang: str) -> str:
+    markers = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+    return (
+        f"CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), "
+        f"t -> t IN ({markers}))) AS BIGINT)"
+    )
+
+
+_LANG_CASE = """CASE
+    WHEN s_en > 0 AND s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+    WHEN s_es > 0 AND s_es >  s_en AND s_es >= s_de AND s_es >= s_fr THEN 'es'
+    WHEN s_de > 0 AND s_de >  s_en AND s_de >  s_es AND s_de >= s_fr THEN 'de'
+    WHEN s_fr > 0 AND s_fr >  s_en AND s_fr >  s_es AND s_fr >  s_de THEN 'fr'
+    ELSE 'und' END"""
+
+
+@register(
+    "lang_id",
+    oracle=f"""
+    SELECT doc_id, s_en, s_es, s_de, s_fr, {_LANG_CASE} AS predicted_lang
+    FROM (SELECT doc_id,
+                 {_score_sql('en')} AS s_en,
+                 {_score_sql('es')} AS s_es,
+                 {_score_sql('de')} AS s_de,
+                 {_score_sql('fr')} AS s_fr
+          FROM documents)
+    """,
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3: marker-count language-ID heuristic with deterministic
+    tie-breaking — per-row classifier expression, fully SQL-expressible."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        *[
+            lang_marker_score_expr(F.col("text"), lang).alias(f"s_{lang}")
+            for lang in LANG_MARKERS
+        ],
+        lang_id_expr(F.col("text")).alias("predicted_lang"),
+    )
+
+
+@register(
+    "explode_tokens",
+    oracle="""
+    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+    FROM documents WHERE doc_id < 50
+    """,
+)
+def explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 (UDTF-equivalent): one row per token — explode of an
+    array-returning expression, the Spark shape of a table function."""
+    from pandas_to_postgres_spark.functions.text import tokens_expr
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return d.select("doc_id", F.explode(tokens_expr(F.col("text"))).alias("token"))
+
+
+@register(
+    "pandas_udf_norm",
+    oracle="""
+    SELECT p_partkey, upper(replace(p_name, ' ', '_')) AS norm_name
+    FROM part
+    """,
+)
+def pandas_udf_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2: vectorized (Arrow-batched) scalar pandas UDF. The same transform
+    is expressible with built-ins — the point here is exercising the
+    pandas_udf path itself, oracle-checked."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def norm(name: pd.Series) -> pd.Series:
+        return name.str.replace(" ", "_", regex=False).str.upper()
+
+    return load_table(spark, sf_dir, "part").select(
+        "p_partkey", norm(F.col("p_name")).alias("norm_name")
+    )
+
+
+@register(
+    "udaf_weighted_avg",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4) AS wavg_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def udaf_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: GROUPED_AGG pandas UDAF — quantity-weighted average price."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def wavg(price: pd.Series, qty: pd.Series) -> float:
+        return float((price * qty).sum() / qty.sum())
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(wavg(F.col("l_extendedprice"), F.col("l_quantity")), 4).alias("wavg_price")
+    )
+
+
+@register(
+    "grouped_map_zscore",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round((l_extendedprice - avg(l_extendedprice) OVER w)
+                 / stddev_pop(l_extendedprice) OVER w, 4) AS z
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_returnflag)
+    """,
+)
+def grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3: grouped-map applyInPandas — per-group z-score normalization.
+    Each group arrives as one pandas DataFrame (the Arrow-batched shape a
+    feature-normalization pipeline uses at scale; groups must fit executor
+    memory — for 100 TB groups, use window aggregates instead)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"
+    )
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf["l_extendedprice"]
+        z = ((x - x.mean()) / x.std(ddof=0)).round(4)
+        return pd.DataFrame(
+            {"l_orderkey": pdf["l_orderkey"], "l_linenumber": pdf["l_linenumber"], "z": z}
+        )
+
+    return li.groupBy("l_returnflag").applyInPandas(
+        zscore, schema="l_orderkey long, l_linenumber int, z double"
     )
 
 

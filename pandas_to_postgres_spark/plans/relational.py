@@ -323,6 +323,22 @@ def rollup_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cube_orders",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           {dsum_sql('o_totalprice')} AS total
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4b: CUBE grouping sets — all 4 combinations of (status, priority)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), dsum(F.col("o_totalprice")).alias("total")
+    )
+
+
+@register(
     "conditional_agg",
     oracle=f"""
     SELECT o_orderpriority,
@@ -443,6 +459,44 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         F.round(F.sum("value").over(w), 2).alias("running_value"),
+    )
+
+
+@register(
+    "session_windows",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    sess AS (
+        SELECT user_id, ts,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marked)
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           count(*) AS n
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4/§2.9: gap-based session windows (30 min inactivity) per user via
+    ``session_window`` — the oracle derives the identical sessions with the
+    gaps-and-islands construction. In streaming this same expression pairs
+    with ``withWatermark`` for state expiry."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n",
+        )
     )
 
 

@@ -10,18 +10,19 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pandas_to_postgres_spark.functions.agg import dsum_sql
 from pandas_to_postgres_spark.plans.registry import register
 from pandas_to_postgres_spark.streaming.events import windowed_event_counts
 
 
 @register(
     "stream_window_counts",
-    oracle="""
+    oracle=f"""
     SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M:%S')
                AS window_start,
            event_type,
            count(*) AS n,
-           round(sum(value), 2) AS total_value
+           {dsum_sql('value')} AS total_value
     FROM events GROUP BY 1, 2
     """,
 )
@@ -30,3 +31,27 @@ def stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     query (watermark + memory sink + AvailableNow), oracle-checked against
     the equivalent batch SQL."""
     return windowed_event_counts(spark, sf_dir)
+
+
+@register(
+    "stream_sliding_counts",
+    oracle=f"""
+    WITH contrib AS (
+        SELECT time_bucket(INTERVAL '5 minutes', ts) AS ws, event_type, value
+        FROM events
+        UNION ALL
+        SELECT time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes',
+               event_type, value
+        FROM events)
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           count(*) AS n,
+           {dsum_sql('value')} AS total_value
+    FROM contrib GROUP BY 1, 2
+    """,
+)
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9: SLIDING event-time windows (10 min width, 5 min slide) — each
+    event lands in exactly two windows; the oracle materializes the same
+    two-bucket contribution with a UNION ALL."""
+    return windowed_event_counts(spark, sf_dir, "10 minutes", "1 hour", "5 minutes")

@@ -25,9 +25,11 @@ def windowed_event_counts(
     sf_dir: str,
     window_duration: str = "10 minutes",
     watermark: str = "1 hour",
+    slide: str | None = None,
 ) -> DataFrame:
-    """Tumbling-window per-type event counts, computed by a genuine
-    Structured Streaming query drained to completion (AvailableNow).
+    """Tumbling (or, with ``slide``, sliding) per-type event counts computed
+    by a genuine Structured Streaming query drained to completion
+    (AvailableNow).
 
     Returns the final result as a static DataFrame: (window_start string,
     event_type, n, total_value)."""
@@ -44,12 +46,17 @@ def windowed_event_counts(
     )
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    window_col = (
+        F.window("ts", window_duration, slide) if slide else F.window("ts", window_duration)
+    )
     agg = (
         stream.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", window_duration).alias("w"), "event_type")
+        .groupBy(window_col.alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("total_value"),
         )
         .select(
             F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
