@@ -55,3 +55,20 @@ def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     event lands in exactly two windows; the oracle materializes the same
     two-bucket contribution with a UNION ALL."""
     return windowed_event_counts(spark, sf_dir, "10 minutes", "1 hour", "5 minutes")
+
+
+@register(
+    "stream_stateful_totals",
+    oracle="""
+    SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9/X: custom stateful streaming operator
+    (``applyInPandasWithState``) — per-user running totals with explicit
+    state, drained to completion; final state equals the batch aggregation
+    (the oracle)."""
+    from pandas_to_postgres_spark.streaming.stateful import stateful_user_totals
+
+    return stateful_user_totals(spark, sf_dir)

@@ -1,0 +1,62 @@
+"""File-based sinks for training-data pipelines.
+
+The reference's only sink is Postgres; a 100 TB training-data pipeline's
+primary outputs are partitioned columnar datasets. These helpers encode the
+layout decisions that matter at scale:
+
+- ``partitionBy`` columns become directory partitions → downstream readers
+  get partition PRUNING for free (filters on the partition column never
+  touch excluded files).
+- ``maxRecordsPerFile`` bounds file size so a skewed partition value cannot
+  produce a multi-GB file (small-file problem's evil twin).
+- writer-side ``repartition(partition_cols)`` lines task outputs up with
+  directory partitions — without it, every task writes into every partition
+  directory (tasks × partitions tiny files).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+
+
+def write_parquet_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: Sequence[str] = (),
+    max_records_per_file: Optional[int] = None,
+    mode: str = "overwrite",
+    compression: str = "snappy",
+) -> None:
+    """Partitioned parquet dataset write with file-size bounds."""
+    if partition_cols:
+        df = df.repartition(*partition_cols)
+    writer = df.write.mode(mode).option("compression", compression)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(path)
+
+
+def write_csv(
+    df: DataFrame,
+    path: str,
+    header: bool = True,
+    mode: str = "overwrite",
+    num_partitions: Optional[int] = None,
+) -> None:
+    """CSV export (the reference's wire format, as a file sink). NULL →
+    empty field, matching the COPY convention (`/root/reference/
+    pandas_to_postgres/utilities.py:90`)."""
+    if num_partitions:
+        df = df.coalesce(num_partitions)
+    df.write.mode(mode).option("header", str(header).lower()).option(
+        "nullValue", ""
+    ).csv(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-lines export (interchange format for document pipelines)."""
+    df.write.mode(mode).json(path)
