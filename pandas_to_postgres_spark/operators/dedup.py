@@ -221,6 +221,44 @@ def minhash_near_duplicates(
     return verified
 
 
+def ngram_jaccard_blocked(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_cols: Sequence[str],
+    n: int = 1,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all SAME-BLOCK pairs (id_a < id_b).
+
+    The block columns (language, source, cluster, LSH bucket, …) bound the
+    pair space — the blocked-comparison pattern that keeps exact Jaccard
+    feasible at scale (never an unblocked self-join). With n=1 this is word
+    Jaccard and fully SQL-expressible for the oracle; MinHash (above) is the
+    approximation tier when even blocked pairs are too many.
+    """
+    sh = df.select(
+        *block_cols, F.col(id_col), shingles_expr(text_col, n).alias("__sh")
+    )
+    a = sh.select(
+        *block_cols, F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a")
+    )
+    b = sh.select(
+        *block_cols, F.col(id_col).alias("id_b"), F.col("__sh").alias("sh_b")
+    )
+    return (
+        a.join(b, list(block_cols))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(*block_cols, "id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
 # ------------------------------------------------------------ SimHash
 
 def simhash_expr(text_col: str, bits: int = 64):

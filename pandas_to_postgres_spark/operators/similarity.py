@@ -57,6 +57,72 @@ def topk_cosine_bruteforce(
     )
 
 
+def topk_cosine_ivf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    query_vec: str,
+    corpus_vec: str,
+    cluster_col: str,
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF-style ANN: a coarse quantizer (the ``cluster_col`` partition —
+    a KMeans assignment, a label, or an LSH bucket) splits the corpus into
+    inverted lists; each query is scored against the ``nprobe`` nearest
+    cluster CENTROIDS (computed as per-cluster mean vectors), then searched
+    only within those clusters.
+
+    Scale: centroids are tiny (one row per cluster → broadcast); the
+    corpus-side search joins on the cluster id, so each query touches
+    nprobe/N of the corpus instead of all of it. Recall is tunable with
+    ``nprobe``; exactness returns at nprobe = #clusters.
+    """
+    # centroids: element-wise mean via posexplode + groupBy (codegen-friendly)
+    centroids = (
+        corpus.select(F.col(cluster_col), F.posexplode(F.col(corpus_vec)).alias("__i", "__x"))
+        .groupBy(cluster_col, "__i")
+        .agg(F.avg("__x").alias("__m"))
+        .groupBy(cluster_col)
+        .agg(F.array_sort(F.collect_list(F.struct("__i", "__m"))).alias("__ims"))
+        .select(
+            F.col(cluster_col),
+            F.transform("__ims", lambda s: s.getField("__m")).alias("__centroid"),
+        )
+    )
+    q = queries.select(F.col(query_id).alias("__qid"), F.col(query_vec).alias("__qv"))
+    probe_w = Window.partitionBy("__qid").orderBy(
+        F.col("__csim").desc(), F.col(cluster_col).asc()
+    )
+    probes = (
+        q.crossJoin(F.broadcast(centroids))
+        .withColumn("__csim", cosine_expr(F.col("__qv"), F.col("__centroid")))
+        .withColumn("__pr", F.row_number().over(probe_w))
+        .filter(F.col("__pr") <= nprobe)
+        .select("__qid", "__qv", cluster_col)
+    )
+    c = corpus.select(
+        F.col(cluster_col), F.col(corpus_id).alias("__cid"), F.col(corpus_vec).alias("__cv")
+    )
+    scored = probes.join(c, cluster_col).select(
+        "__qid",
+        "__cid",
+        F.round(cosine_expr(F.col("__qv"), F.col("__cv")), 5).alias("cosine"),
+    )
+    w = Window.partitionBy("__qid").orderBy(F.col("cosine").desc(), F.col("__cid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__qid").alias(query_id),
+            F.col("__cid").alias(corpus_id),
+            "cosine",
+            "rank",
+        )
+    )
+
+
 def hyperplane_lsh_bucket_expr(vec_col: str, num_planes: int = 8, dim: int = 64):
     """Deterministic random-hyperplane LSH bucket id for a vector column.
 

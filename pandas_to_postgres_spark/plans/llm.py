@@ -374,6 +374,52 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ngram_jaccard_pairs",
+    oracle="""
+    WITH toks AS (
+        SELECT lang, source, doc_id,
+               list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tk
+        FROM documents)
+    SELECT a.lang, a.source, a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+                 / CAST(len(list_distinct(list_concat(a.tk, b.tk))) AS DOUBLE), 4)
+               AS jaccard
+    FROM toks a JOIN toks b
+      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    """,
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2: exact word-gram Jaccard for all same-(lang,source) pairs — the
+    blocked-comparison pattern (block columns bound the pair space; exact
+    similarity only within blocks)."""
+    from pandas_to_postgres_spark.operators.dedup import ngram_jaccard_blocked
+
+    d = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_blocked(
+        d, text_col="text", id_col="doc_id", block_cols=["lang", "source"], n=1
+    )
+
+
+@register("simsearch_ivf")  # rows-only: probe pruning is engine-side logic
+def simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4b: IVF-style ANN — label partitions as inverted lists, per-cluster
+    mean centroids as the coarse quantizer, nprobe=3. Deterministic; recall
+    vs the exact brute force is asserted in tests/."""
+    from pandas_to_postgres_spark.operators.similarity import topk_cosine_ivf
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding")
+    )
+    out = topk_cosine_ivf(
+        q, e.select("vec_id", "embedding", "label"),
+        query_id="qid", corpus_id="vec_id", query_vec="embedding",
+        corpus_vec="embedding", cluster_col="label", k=5, nprobe=3,
+    )
+    return out.select("qid", "vec_id", "cosine", F.col("rank").cast("long").alias("rnk"))
+
+
 # ------------------------------------------------------------------ D2
 
 @register("minhash_neardup")  # rows-only: xxhash64 signatures have no SQL oracle

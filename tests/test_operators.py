@@ -177,6 +177,24 @@ class TestSimilarity:
         assert [r.vec_id for r in out] == [0, 2, 4]  # cos: 1.0, 0.70711, 0.6
         assert [r.cosine for r in out] == [1.0, 0.70711, 0.6]
 
+    def test_ivf_full_probe_equals_bruteforce(self, spark):
+        from pandas_to_postgres_spark.operators.similarity import topk_cosine_ivf
+
+        e = self._emb(spark).withColumn(
+            "blk", (F.col("vec_id") % 2).cast("int")
+        )
+        q = e.filter(F.col("vec_id") == 0).select(
+            F.col("vec_id").alias("qid"), F.col("embedding")
+        )
+        exact = topk_cosine_bruteforce(q, e, "qid", "vec_id", "embedding", "embedding", k=3)
+        ivf = topk_cosine_ivf(
+            q, e, "qid", "vec_id", "embedding", "embedding",
+            cluster_col="blk", k=3, nprobe=2,  # nprobe = all clusters → exact
+        )
+        assert [(r.vec_id, r.cosine) for r in ivf.collect()] == [
+            (r.vec_id, r.cosine) for r in exact.collect()
+        ]
+
     def test_lsh_is_subset_of_bruteforce_scores(self, spark):
         e = self._emb(spark)
         q = e.select(F.col("vec_id").alias("qid"), F.col("embedding"))
