@@ -37,6 +37,32 @@ HEADLINE = (
 )
 
 
+def etl_bulk_load(spark, sf_dir: str) -> tuple[float, int]:
+    """The reference's own workload shape: full-table scan → target-schema
+    normalization → bulk write (parquet here; COPY/JDBC against a real
+    Postgres). Returns (seconds, rows) so rows/s compares against the
+    reference's published 197k rows/s (`BASELINE.md`)."""
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from pandas_to_postgres_spark.functions.normalize import cast_to_target_schema
+
+    out = "/root/repo/.bench_out"
+    shutil.rmtree(out, ignore_errors=True)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    target = T.StructType(
+        [T.StructField(f.name, f.dataType) for f in li.schema.fields]
+    )
+    t0 = time.perf_counter()
+    normalized = cast_to_target_schema(li, target)
+    normalized.write.mode("overwrite").parquet(out)
+    secs = time.perf_counter() - t0
+    rows = spark.read.parquet(out).count()
+    shutil.rmtree(out, ignore_errors=True)
+    return secs, rows
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("bench")
@@ -52,6 +78,9 @@ def main() -> None:
         fn(spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    etl_secs, etl_rows = etl_bulk_load(spark, sf_dir)
+    timings["etl_bulk_load"] = round(etl_secs, 3)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -61,6 +90,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "etl_rows_per_sec": round(etl_rows / etl_secs),
             }
         )
     )
