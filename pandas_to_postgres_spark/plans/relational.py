@@ -802,6 +802,70 @@ def array_ops_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "json_struct_parse",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod
+    FROM events
+    """,
+)
+def json_struct_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5b: schema-full JSON parsing with from_json → typed struct (the
+    scale path: parse once into columns, not per-access get_json_object)."""
+    e = _t(spark, sf_dir, "events")
+    parsed = e.select(
+        "event_id", F.from_json("props", "k LONG").alias("p")
+    )
+    return parsed.select(
+        "event_id",
+        F.col("p.k").alias("k_val"),
+        (F.col("p.k") % 10).alias("k_mod"),
+    )
+
+
+@register(
+    "like_filter",
+    oracle="""
+    SELECT p_partkey, p_name, p_type FROM part
+    WHERE p_type LIKE '%PROMO%' AND p_name NOT LIKE '%green%'
+    """,
+)
+def like_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4b: LIKE / NOT LIKE predicates (pushed to the scan as
+    StringContains where possible)."""
+    p = _t(spark, sf_dir, "part")
+    return p.filter(
+        F.col("p_type").like("%PROMO%") & ~F.col("p_name").like("%green%")
+    ).select("p_partkey", "p_name", "p_type")
+
+
+@register(
+    "sql_interface_revenue",
+    oracle=f"""
+    SELECT n_name, count(*) AS n_orders, {dsum_sql('o_totalprice')} AS total
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def sql_interface_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's second entry point: plain Spark SQL over registered
+    views — identical Catalyst plan to the DataFrame API."""
+    for t in ("orders", "customer", "nation"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"v_{t}")
+    return spark.sql(
+        """SELECT n_name, count(*) AS n_orders,
+                  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total
+           FROM v_orders
+           JOIN v_customer ON o_custkey = c_custkey
+           JOIN v_nation   ON c_nationkey = n_nationkey
+           GROUP BY n_name"""
+    )
+
+
+@register(
     "cast_nullable",
     oracle="""
     SELECT o_orderkey,
