@@ -453,6 +453,64 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", simhash_expr("text").alias("simhash"))
 
 
+@register(
+    "train_test_split",
+    oracle="""
+    SELECT CASE WHEN doc_id % 10 < 8 THEN 'train' ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           sum(n_chars) AS total_chars
+    FROM documents GROUP BY 1
+    """,
+)
+def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-pipeline op: deterministic hash/modulo split — every rerun
+    and every scale puts the same doc in the same split (no rand())."""
+    d = load_table(spark, sf_dir, "documents")
+    split = F.when(F.col("doc_id") % 10 < 8, "train").otherwise("test")
+    return d.groupBy(split.alias("split")).agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars")
+    )
+
+
+@register("stratified_sample")  # rows-only: sampling is engine-specific
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-pipeline op: per-stratum downsampling (sampleBy with a fixed
+    seed — deterministic for a given input partitioning)."""
+    d = load_table(spark, sf_dir, "documents")
+    fractions = {"en": 0.5, "es": 0.5, "de": 0.2, "fr": 0.2, "zh": 1.0}
+    return d.sampleBy("lang", fractions, seed=42).select("doc_id", "lang")
+
+
+@register(
+    "profile_documents",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           count(DISTINCT lang) AS n_langs,
+           count(DISTINCT source) AS n_sources,
+           sum(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END) AS n_empty,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars,
+           round(avg(n_chars), 2) AS avg_chars
+    FROM documents
+    """,
+)
+def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-pipeline op: one-pass corpus profile (the pre-ingestion
+    sanity scan every 100 TB pipeline runs before training)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum(
+            F.when(F.col("text").isNull() | (F.col("text") == ""), 1).otherwise(0)
+        ).alias("n_empty"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+    )
+
+
 # ------------------------------------------------------------------ D5
 
 @register("multimodal_features")  # rows-only: mapInPandas decode path
