@@ -10,7 +10,7 @@ the mapInPandas multimodal path.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pandas_to_postgres_spark.functions.text import (
@@ -527,4 +527,71 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "byte_len",
         "mime",
         F.round(F.element_at("feature", 1).cast("double"), 4).alias("f0"),
+    )
+
+
+# --------------------------------------------- training-data shaping
+
+@register(
+    "chunk_documents",
+    oracle="""
+    WITH idx AS (
+        SELECT doc_id, text,
+               unnest(generate_series(
+                   1, greatest(CAST(ceil(length(text) / 200.0) AS BIGINT), 1))) AS i
+        FROM documents)
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS chunk_idx,
+           substring(text, CAST((i - 1) * 200 + 1 AS INT), 200) AS chunk
+    FROM idx
+    """,
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width character chunking — split every document into 200-char
+    windows (the training-pipeline primitive behind context-window prep).
+
+    `sequence` builds the per-doc chunk indices JVM-side and `explode`
+    fans them out; `substring` slices lazily, so the text column is read
+    once and never collected. Scale: embarrassingly parallel (no shuffle at
+    all — chunking is a per-row generator), output partitioning inherits
+    the scan; `greatest(..., 1)` keeps empty docs as one empty chunk on
+    both engines."""
+    from pandas_to_postgres_spark.functions.text import chunk_text
+
+    d = load_table(spark, sf_dir, "documents")
+    return chunk_text(d, "text", "doc_id", width=200)
+
+
+@register(
+    "pack_sequences",
+    oracle="""
+    SELECT doc_id, lang,
+           CAST(floor(coalesce(sum(n_chars) OVER (
+                    PARTITION BY lang ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                / 4096.0) AS BIGINT) AS pack_id
+    FROM documents
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential sequence packing: assign each document to a ~4096-char
+    training pack, filling packs in doc_id order within each language.
+
+    This is the deterministic streaming-fill packing (not bin-packing
+    first-fit): pack boundary = running size before the doc crosses a
+    4096 multiple. One window shuffle on lang; at 100 TB partition by
+    (lang, shard) so no single language serializes a sort — the pack id
+    only needs a per-shard prefix sum, which is what the window computes."""
+    d = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        F.floor(F.coalesce(F.sum("n_chars").over(w), F.lit(0)) / 4096.0)
+        .cast("long")
+        .alias("pack_id"),
     )

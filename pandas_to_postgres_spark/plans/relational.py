@@ -918,3 +918,126 @@ def normalize_target_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return cast_to_target_schema(_t(spark, sf_dir, "lineitem"), target)
+
+
+# ------------------------------------------------- correlated subqueries
+
+def _register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    for n in names:
+        _t(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+@register(
+    "exists_order_priority",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+    GROUP BY o_orderpriority
+    """,
+)
+def exists_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS, submitted as SQL so Catalyst's
+    subquery decorrelation rewrites it (RewritePredicateSubquery → left
+    semi join on l_orderkey).
+
+    Scale: the decorrelated plan is one semi-join shuffle on the order key
+    with the quantity filter pushed below it — same shape we'd hand-write,
+    derived automatically. Verify with .explain(): no per-row subquery."""
+    _register_views(spark, sf_dir, "orders", "lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders o
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@register(
+    "scalar_subquery_brand_price",
+    oracle="""
+    SELECT p.p_partkey, round(p.p_retailprice, 2) AS retail
+    FROM part p
+    WHERE p.p_retailprice > (SELECT 1.02 * avg(p2.p_retailprice)
+                             FROM part p2 WHERE p2.p_brand = p.p_brand)
+    """,
+)
+def scalar_subquery_brand_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (price vs 1.02x the
+    per-brand average), decorrelated by Catalyst into an aggregate joined
+    back on p_brand.
+
+    Scale: one partial+final agg over part (tiny per-brand row) broadcast
+    back against the scan — no per-row re-aggregation."""
+    _register_views(spark, sf_dir, "part")
+    return spark.sql(
+        """
+        SELECT p.p_partkey, round(p.p_retailprice, 2) AS retail
+        FROM part p
+        WHERE p.p_retailprice > (SELECT 1.02 * avg(p2.p_retailprice)
+                                 FROM part p2 WHERE p2.p_brand = p.p_brand)
+        """
+    )
+
+
+@register(
+    "q6_revenue_delta",
+    oracle=f"""
+    SELECT {dsum_sql('l_extendedprice * l_discount')} AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: pure filter + global agg — the canonical predicate-pushdown
+    showcase. All four predicates reach the parquet scan (PushedFilters:
+    shipdate min/max prune whole row groups via statistics); the agg is a
+    single partial+final sum, shuffling one row per partition."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+    )
+
+
+@register(
+    "having_big_orders",
+    oracle=f"""
+    SELECT c.c_name, o.o_orderkey, {dsum_sql('l.l_quantity')} AS total_qty
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY c.c_name, o.o_orderkey
+    HAVING sum(l.l_quantity) > 150
+    """,
+)
+def having_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: join fan-in + groupBy + HAVING.
+
+    Scale: lineitem→orders join shuffles on the order key; the customer dim
+    broadcasts; HAVING is a post-agg filter so it never touches the fact
+    scan, but the agg itself is partial+final (map-side combine collapses
+    each order's lines before the shuffle)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_name", "o_orderkey")
+        .agg(dsum(F.col("l_quantity")).alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )

@@ -72,3 +72,22 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pandas_to_postgres_spark.streaming.stateful import stateful_user_totals
 
     return stateful_user_totals(spark, sf_dir)
+
+
+@register(
+    "stream_dedup_events",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+    FROM events
+    """,
+)
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9: stateful streaming dedup — dropDuplicates(event_id, ts) under
+    a 1-hour watermark (bounded state), drained with AvailableNow. event_id
+    is unique in the fixture, so the oracle is the full projection; the
+    operator's job is the stateful plumbing, which pytest exercises with a
+    planted-duplicate stream."""
+    from pandas_to_postgres_spark.streaming.events import streaming_dedup_events
+
+    return streaming_dedup_events(spark, sf_dir)

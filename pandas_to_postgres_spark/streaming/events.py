@@ -75,3 +75,46 @@ def windowed_event_counts(
     )
     q.awaitTermination()
     return spark.table(table)
+
+
+def streaming_dedup_events(
+    spark: SparkSession, sf_dir: str, watermark: str = "1 hour"
+) -> DataFrame:
+    """Stateful streaming deduplication: ``dropDuplicates`` on event_id
+    under a watermark — the streaming twin of exact dedup (D1).
+
+    The watermark bounds the dedup state: an id older than the watermark
+    is evicted, so state is O(events within the watermark horizon), not
+    O(stream) — the only formulation that survives an unbounded stream.
+    Drained with AvailableNow + append mode; on this static source the
+    result equals batch DISTINCT, which is the oracle."""
+    path = f"{sf_dir}/events.parquet"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .format("parquet")
+        .load(f"{sf_dir}/events.parque[t]")
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    deduped = (
+        stream.withWatermark("ts", watermark)
+        .dropDuplicates(["event_id", "ts"])
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        )
+    )
+    table = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(table)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(table)

@@ -238,3 +238,69 @@ class TestOrchestration:
 
         with pytest.raises(RuntimeError, match="bad"):
             copy_tables({"ok": a, "bad": a}, sink, processes=2)
+
+
+class TestChunkText:
+    """Training-data chunking: width boundaries, empty docs, determinism."""
+
+    def test_widths_and_indices(self, spark):
+        from pandas_to_postgres_spark.functions.text import chunk_text
+
+        df = spark.createDataFrame(
+            [(1, "abcdefghij"), (2, "abc"), (3, ""), (4, "abcdefgh")],
+            "doc_id long, text string",
+        )
+        out = {
+            (r.doc_id, r.chunk_idx): r.chunk
+            for r in chunk_text(df, "text", "doc_id", width=4).collect()
+        }
+        assert out[(1, 1)] == "abcd" and out[(1, 2)] == "efgh" and out[(1, 3)] == "ij"
+        assert out[(2, 1)] == "abc"
+        assert out[(3, 1)] == ""  # empty doc keeps exactly one (empty) chunk
+        # exact multiple: no trailing empty chunk
+        assert out[(4, 1)] == "abcd" and out[(4, 2)] == "efgh"
+        assert (4, 3) not in out
+        assert len(out) == 7
+
+    def test_reassembly_roundtrip(self, spark):
+        from pyspark.sql import functions as F
+
+        from pandas_to_postgres_spark.functions.text import chunk_text
+
+        df = spark.createDataFrame(
+            [(i, "x" * i + "yz"[: i % 2]) for i in range(1, 20)],
+            "doc_id long, text string",
+        )
+        back = (
+            chunk_text(df, "text", "doc_id", width=7)
+            .groupBy("doc_id")
+            .agg(F.concat_ws("", F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk"))).getField("chunk")).alias("t2"))
+        )
+        joined = df.join(back, "doc_id").filter(F.col("text") != F.col("t2"))
+        assert joined.count() == 0
+
+
+class TestStreamingDedup:
+    def test_planted_duplicates_removed(self, spark, tmp_path):
+        import datetime
+
+        from pandas_to_postgres_spark.streaming.events import streaming_dedup_events
+
+        ts = datetime.datetime(2024, 1, 1, 10, 0, 0)
+        rows = [
+            (1, ts, 10, "click", 1.0, "{}"),
+            (1, ts, 10, "click", 1.0, "{}"),  # exact duplicate delivery
+            (2, ts, 11, "view", 2.0, "{}"),
+            (2, datetime.datetime(2024, 1, 1, 10, 5), 11, "view", 2.0, "{}"),  # same id, later ts → kept
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+        out = streaming_dedup_events(spark, str(tmp_path))
+        got = sorted((r.event_id, r.ts_s) for r in out.collect())
+        assert got == [
+            (1, "2024-01-01 10:00:00"),
+            (2, "2024-01-01 10:00:00"),
+            (2, "2024-01-01 10:05:00"),
+        ]
