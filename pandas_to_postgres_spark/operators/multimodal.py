@@ -106,3 +106,110 @@ def extract_features(media_df: DataFrame) -> DataFrame:
     the exact shape a real image/audio featurizer would use.
     """
     return media_df.mapInPandas(_decode_and_featurize, schema=FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField(
+            "media_meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType()),
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("n_frames", T.IntegerType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_payload", T.BinaryType()),
+    ]
+)
+
+
+def resize_media(media_df: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize every image payload to (width, height) — mapInPandas over
+    Arrow batches, payload-in/payload-out (same MEDIA_SCHEMA shape).
+
+    FAKE_DECODE stands in for PIL: the fake "resize" deterministically
+    truncates/tiles the payload to width*height bytes so output size is
+    what a real w*h*1 buffer would be. Scale: payload bytes never shuffle —
+    the transform is per-partition; size output partitions via
+    spark.sql.files.maxPartitionBytes on the upstream scan.
+    """
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if not FAKE_DECODE:
+            raise NotImplementedError("real image resize needs PIL/Pillow")
+        target = width * height
+        for pdf in batches:
+            out_payloads = []
+            for payload in pdf["payload"]:
+                b = bytes(payload)
+                if not b:
+                    out_payloads.append(b"\x00" * target)
+                    continue
+                reps = target // len(b) + 1
+                out_payloads.append((b * reps)[:target])
+            meta = pd.DataFrame(
+                {
+                    "mime": pdf["media_meta"].map(lambda m: m["mime"]),
+                    "width": width,
+                    "height": height,
+                    "n_frames": pdf["media_meta"].map(lambda m: m["n_frames"]),
+                }
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": out_payloads,
+                    "media_meta": meta.to_dict("records"),
+                }
+            )
+
+    return media_df.mapInPandas(_resize, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(media_df: DataFrame, every_n: int = 10) -> DataFrame:
+    """Sample every ``every_n``-th frame of each video payload → one output
+    row per sampled frame (doc_id, frame_idx, frame_payload).
+
+    The row fan-out happens INSIDE mapInPandas (a generator per Arrow
+    batch), the shape a real ffmpeg frame extractor would use; FAKE_DECODE
+    slices the payload into n_frames equal byte ranges and keeps indices
+    0, every_n, 2*every_n, ... Scale: output rows >> input rows — follow
+    with a repartition before any wide op, and never collect frames.
+    """
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if not FAKE_DECODE:
+            raise NotImplementedError("real frame sampling needs ffmpeg")
+        for pdf in batches:
+            ids, idxs, payloads = [], [], []
+            for doc_id, payload, meta in zip(
+                pdf["doc_id"], pdf["payload"], pdf["media_meta"]
+            ):
+                b = bytes(payload)
+                n_frames = max(int(meta["n_frames"]), 1)
+                frame_len = max(len(b) // n_frames, 1)
+                for i in range(0, n_frames, every_n):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    payloads.append(b[i * frame_len : (i + 1) * frame_len])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_payload": payloads,
+                }
+            )
+
+    return media_df.mapInPandas(_sample, schema=FRAME_SCHEMA)

@@ -595,3 +595,25 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("pack_id"),
     )
+
+
+@register("multimodal_frames")  # rows-only: mapInPandas decode path
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5: the full multimodal chain — attach payload+metadata → resize →
+    frame-sample — all Arrow-batched mapInPandas with deterministic fake
+    decoders (no media libs in this container; the Spark plumbing is real).
+    Returns per-frame rows with byte lengths (binary payloads stay out of
+    the result hash)."""
+    from pandas_to_postgres_spark.operators.multimodal import (
+        attach_fake_media,
+        resize_media,
+        sample_frames,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    media = attach_fake_media(d, text_col="text", id_col="doc_id")
+    resized = resize_media(media, width=64, height=48)
+    frames = sample_frames(resized, every_n=5)
+    return frames.select(
+        "doc_id", "frame_idx", F.length("frame_payload").cast("long").alias("frame_bytes")
+    )

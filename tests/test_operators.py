@@ -304,3 +304,33 @@ class TestStreamingDedup:
             (2, "2024-01-01 10:00:00"),
             (2, "2024-01-01 10:05:00"),
         ]
+
+
+class TestMultimodalResizeFrames:
+    def _media(self, spark):
+        from pandas_to_postgres_spark.operators.multimodal import attach_fake_media
+
+        df = spark.createDataFrame(
+            [(1, "hello world this is a doc"), (2, "x")], "doc_id long, text string"
+        )
+        return attach_fake_media(df, text_col="text", id_col="doc_id")
+
+    def test_resize_payload_size(self, spark):
+        from pandas_to_postgres_spark.operators.multimodal import resize_media
+
+        out = resize_media(self._media(spark), width=8, height=4).collect()
+        assert all(len(r.payload) == 32 for r in out)
+        assert all(r.media_meta.width == 8 and r.media_meta.height == 4 for r in out)
+
+    def test_frame_sampling_indices(self, spark):
+        from pandas_to_postgres_spark.operators.multimodal import sample_frames
+
+        out = sample_frames(self._media(spark), every_n=10).collect()
+        by_doc = {}
+        for r in out:
+            by_doc.setdefault(r.doc_id, []).append(r.frame_idx)
+        # doc 1: text len 25 → n_frames = 25 % 30 + 1 = 26 → indices 0,10,20
+        assert sorted(by_doc[1]) == [0, 10, 20]
+        # doc 2: len 1 → n_frames 2 → index 0 only
+        assert sorted(by_doc[2]) == [0]
+        assert all(len(r.frame_payload) > 0 for r in out if r.doc_id == 1)
