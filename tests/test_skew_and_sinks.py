@@ -101,3 +101,71 @@ class TestFileSinks:
         write_json(df, f"{TMP}/json")
         back = spark.read.json(f"{TMP}/json")
         assert back.collect()[0].v == [1.0, 2.0]
+
+
+class TestBucketedJoin:
+    """Bucketed tables: the join plan must contain no Exchange (co-located
+    read) and must equal the plain-join result."""
+
+    def test_exchange_free_join(self, spark):
+        import io
+        import contextlib
+
+        from pyspark.sql import functions as F
+
+        from pandas_to_postgres_spark.sinks.bucketed import (
+            bucketed_join,
+            drop_table,
+            write_bucketed,
+        )
+        from pandas_to_postgres_spark.sources.parquet import load_table
+
+        li = load_table(spark, "/root/testdata/sf0.001", "lineitem").select(
+            "l_orderkey", "l_quantity"
+        )
+        o = load_table(spark, "/root/testdata/sf0.001", "orders").select(
+            F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+        )
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            # force SMJ: broadcast would mask the property under test
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            write_bucketed(li, "t_li_b", ["l_orderkey"], 8, sort_cols=["l_orderkey"])
+            write_bucketed(o, "t_o_b", ["l_orderkey"], 8, sort_cols=["l_orderkey"])
+            joined = bucketed_join(spark, "t_li_b", "t_o_b", ["l_orderkey"])
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                joined.explain("formatted")
+            plan = buf.getvalue()
+            assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan}"
+            expect = li.join(o, "l_orderkey").count()
+            assert joined.count() == expect
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+            drop_table(spark, "t_li_b")
+            drop_table(spark, "t_o_b")
+
+    def test_bucketed_agg_no_exchange(self, spark):
+        import io
+        import contextlib
+
+        from pyspark.sql import functions as F
+
+        from pandas_to_postgres_spark.sinks.bucketed import drop_table, write_bucketed
+        from pandas_to_postgres_spark.sources.parquet import load_table
+
+        li = load_table(spark, "/root/testdata/sf0.001", "lineitem").select(
+            "l_orderkey", "l_quantity"
+        )
+        try:
+            write_bucketed(li, "t_li_agg", ["l_orderkey"], 8)
+            agg = spark.table("t_li_agg").groupBy("l_orderkey").agg(
+                F.sum("l_quantity").alias("q")
+            )
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                agg.explain("formatted")
+            assert "Exchange" not in buf.getvalue()
+            assert agg.count() == li.select("l_orderkey").distinct().count()
+        finally:
+            drop_table(spark, "t_li_agg")
