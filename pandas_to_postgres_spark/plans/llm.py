@@ -617,3 +617,30 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.select(
         "doc_id", "frame_idx", F.length("frame_payload").cast("long").alias("frame_bytes")
     )
+
+
+_SAMPLE_FRACTIONS = {"en": 0.5, "es": 0.5, "de": 0.2, "fr": 0.2, "zh": 1.0}
+
+from pandas_to_postgres_spark.operators.sampling import sample_sql as _sample_sql  # noqa: E402
+
+
+@register(
+    "stratified_sample_det",
+    oracle=(
+        "SELECT doc_id, lang FROM documents WHERE "
+        + _sample_sql("doc_id", "lang", _SAMPLE_FRACTIONS)
+    ),
+)
+def stratified_sample_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-pipeline op: deterministic content-keyed stratified sampling
+    (md5-threshold). Unlike sampleBy, membership is stable under any
+    repartitioning and reproducible on any engine — the oracle runs the
+    IDENTICAL predicate in DuckDB."""
+    from pandas_to_postgres_spark.operators.sampling import (
+        stratified_sample_deterministic,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return stratified_sample_deterministic(
+        d, "doc_id", "lang", _SAMPLE_FRACTIONS
+    ).select("doc_id", "lang")

@@ -1041,3 +1041,72 @@ def having_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(dsum(F.col("l_quantity")).alias("total_qty"))
         .filter(F.col("total_qty") > 150)
     )
+
+
+@register(
+    "q19_disjunctive_revenue",
+    oracle=f"""
+    SELECT {dsum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND l.l_quantity BETWEEN 1 AND 11 AND p.p_size BETWEEN 1 AND 5)
+       OR (p.p_brand = 'Brand#2' AND l.l_quantity BETWEEN 10 AND 20 AND p.p_size BETWEEN 1 AND 10)
+       OR (p.p_brand = 'Brand#3' AND l.l_quantity BETWEEN 20 AND 30 AND p.p_size BETWEEN 1 AND 15)
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs predicate across both join sides.
+
+    Scale: Catalyst extracts the common sub-predicates it can push to each
+    scan (brand/size reach the part scan; quantity bounds reach lineitem as
+    an OR-range) and evaluates the full disjunction post-join; part
+    broadcasts. The point of the shape: disjunctions don't break pushdown
+    entirely — the per-side residuals still prune."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("l_quantity").between(1, 11) & F.col("p_size").between(1, 5))
+        | ((F.col("p_brand") == "Brand#2") & F.col("l_quantity").between(10, 20) & F.col("p_size").between(1, 10))
+        | ((F.col("p_brand") == "Brand#3") & F.col("l_quantity").between(20, 30) & F.col("p_size").between(1, 15))
+    )
+    return j.filter(cond).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+    )
+
+
+@register(
+    "q22_idle_customers",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           count(*) AS n_cust,
+           round(sum(c.c_acctbal), 2) AS total_bal
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2 WHERE c2.c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: high-balance customers with NO recent order —
+    uncorrelated scalar subquery (global positive-balance average) +
+    correlated NOT EXISTS anti-join + group-agg, submitted as SQL.
+
+    Scale: the scalar subquery computes once and folds into the filter as
+    a literal-ish broadcast; NOT EXISTS decorrelates to a left-anti join
+    shuffling on custkey. Nothing is per-row."""
+    _register_views(spark, sf_dir, "customer", "orders")
+    return spark.sql(
+        """
+        SELECT c.c_mktsegment AS segment,
+               count(*) AS n_cust,
+               round(sum(c.c_acctbal), 2) AS total_bal
+        FROM customer c
+        WHERE c.c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2 WHERE c2.c_acctbal > 0.0)
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        GROUP BY c.c_mktsegment
+        """
+    )

@@ -334,3 +334,43 @@ class TestMultimodalResizeFrames:
         # doc 2: len 1 → n_frames 2 → index 0 only
         assert sorted(by_doc[2]) == [0]
         assert all(len(r.frame_payload) > 0 for r in out if r.doc_id == 1)
+
+
+class TestDeterministicSampling:
+    def test_stable_under_repartition(self, spark):
+        from pandas_to_postgres_spark.operators.sampling import (
+            stratified_sample_deterministic,
+        )
+
+        df = spark.createDataFrame(
+            [(i, "en" if i % 2 else "de") for i in range(1000)], "id long, lang string"
+        )
+        fr = {"en": 0.3, "de": 0.7}
+        a = {r.id for r in stratified_sample_deterministic(df, "id", "lang", fr).collect()}
+        b = {
+            r.id
+            for r in stratified_sample_deterministic(
+                df.repartition(17), "id", "lang", fr
+            ).collect()
+        }
+        assert a == b  # membership is content-keyed, not partition-keyed
+
+    def test_fractions_approximate(self, spark):
+        from pandas_to_postgres_spark.operators.sampling import (
+            stratified_sample_deterministic,
+        )
+
+        df = spark.createDataFrame(
+            [(i, "en") for i in range(4000)], "id long, lang string"
+        )
+        kept = stratified_sample_deterministic(df, "id", "lang", {"en": 0.25}).count()
+        assert 0.2 < kept / 4000 < 0.3
+
+    def test_default_fraction_drops(self, spark):
+        from pandas_to_postgres_spark.operators.sampling import (
+            stratified_sample_deterministic,
+        )
+
+        df = spark.createDataFrame([(1, "xx"), (2, "en")], "id long, lang string")
+        out = stratified_sample_deterministic(df, "id", "lang", {"en": 1.0}).collect()
+        assert [r.id for r in out] == [2]
