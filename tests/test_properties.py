@@ -1,0 +1,142 @@
+"""Property-based tests (hypothesis): the operators whose edge cases are
+hardest to enumerate by hand.
+
+- as-of join vs pandas merge_asof (the reference implementation of asof
+  semantics everyone agrees on);
+- target-schema normalization must preserve null positions through
+  int/bool casts (the reference's cast_pandas contract,
+  /root/reference/pandas_to_postgres/utilities.py:119-167);
+- deterministic sampler membership is a pure function of the key.
+
+Each example runs a Spark job, so max_examples stays small and deadlines
+are off; the value is in the generated shapes (dup timestamps, empty
+sides, all-null columns), not the example count.
+"""
+
+import datetime
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pandas_to_postgres_spark.operators.joins import asof_join
+
+BASE = datetime.datetime(2024, 1, 1)
+
+
+def ts_list(n):
+    return st.lists(
+        st.integers(min_value=0, max_value=50).map(
+            lambda m: BASE + datetime.timedelta(minutes=m)
+        ),
+        min_size=0,
+        max_size=n,
+    )
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    left_ts=ts_list(6),
+    right_ts=ts_list(6),
+    keys=st.lists(st.integers(min_value=1, max_value=2), min_size=12, max_size=12),
+)
+def test_asof_join_matches_pandas_merge_asof(spark, left_ts, right_ts, keys):
+    left_rows = [
+        (keys[i], t, f"L{i}") for i, t in enumerate(left_ts)
+    ]
+    # unique (k, ts) on the right: with duplicates, "the latest right row"
+    # is ambiguous (both engines pick arbitrarily) — not a property to test
+    right_rows = list(
+        {(keys[6 + i], t): (keys[6 + i], t, float(i)) for i, t in enumerate(right_ts)}.values()
+    )
+    left = spark.createDataFrame(
+        left_rows or [(None, None, None)], "k long, ts timestamp, tag string"
+    ).filter("k IS NOT NULL")
+    right = spark.createDataFrame(
+        right_rows or [(None, None, None)], "k long, ts timestamp, v double"
+    ).filter("k IS NOT NULL")
+
+    got = {
+        (r.k, r.ts, r.tag): r.v_asof
+        for r in asof_join(left, right, on="ts", by="k", value_cols=["v"]).collect()
+    }
+
+    lp = pd.DataFrame(left_rows, columns=["k", "ts", "tag"]).sort_values(["ts", "k", "tag"])
+    rp = pd.DataFrame(right_rows, columns=["k", "ts", "v"]).sort_values(["ts", "k", "v"])
+    if len(lp) == 0:
+        assert got == {}
+        return
+    if len(rp) == 0:
+        expect = {(r.k, r.ts, r.tag): None for r in lp.itertuples()}
+    else:
+        m = pd.merge_asof(
+            lp.sort_values("ts"), rp.sort_values("ts"), on="ts", by="k", direction="backward"
+        )
+        expect = {
+            (r.k, r.ts, r.tag): (None if pd.isna(r.v) else r.v) for r in m.itertuples()
+        }
+    assert got == expect
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.one_of(st.none(), st.integers(min_value=-1000, max_value=1000)),
+        min_size=0,
+        max_size=20,
+    ),
+    flags=st.lists(st.one_of(st.none(), st.booleans()), min_size=0, max_size=20),
+)
+def test_normalize_preserves_null_positions(spark, vals, flags):
+    from pyspark.sql import types as T
+
+    from pandas_to_postgres_spark.functions.normalize import cast_to_target_schema
+
+    n = max(len(vals), len(flags))
+    vals = (vals + [None] * n)[:n]
+    flags = (flags + [None] * n)[:n]
+    rows = [(i, float(v) if v is not None else None, f) for i, (v, f) in enumerate(zip(vals, flags))]
+    df = spark.createDataFrame(rows or [(0, None, None)], "i long, x double, b boolean")
+    if not rows:
+        df = df.filter("i < 0")
+    target = T.StructType(
+        [
+            T.StructField("i", T.LongType()),
+            T.StructField("x", T.LongType()),
+            T.StructField("b", T.BooleanType()),
+        ]
+    )
+    out = {r.i: (r.x, r.b) for r in cast_to_target_schema(df, target).collect()}
+    assert len(out) == len(rows)
+    for i, (v, f) in enumerate(zip(vals, flags)):
+        x, b = out[i]
+        assert (x is None) == (v is None)
+        if v is not None:
+            assert x == v
+        assert b == f
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(frac=st.floats(min_value=0.0, max_value=1.0))
+def test_sampler_membership_is_pure(spark, frac):
+    from pandas_to_postgres_spark.operators.sampling import (
+        stratified_sample_deterministic,
+    )
+
+    df = spark.createDataFrame([(i, "s") for i in range(200)], "id long, lang string")
+    a = {r.id for r in stratified_sample_deterministic(df, "id", "lang", {"s": frac}).collect()}
+    b = {r.id for r in stratified_sample_deterministic(df.repartition(7), "id", "lang", {"s": frac}).collect()}
+    assert a == b
+    if frac == 0.0:
+        assert a == set()
+    if frac == 1.0:
+        assert len(a) == 200
