@@ -37,6 +37,10 @@ from pandas_to_postgres_spark.compat import (
     hdf_to_postgres,
     create_hdf_table_objects,
     get_logger,
+    copy_worker,
+    create_file_object,
+    df_generator,
+    cast_pandas,
 )
 from pandas_to_postgres_spark.sources.hdf import hdf_metadata
 from pandas_to_postgres_spark.sinks.jdbc import write_jdbc
@@ -60,6 +64,10 @@ __all__ = [
     "ParquetCopy",
     "hdf_to_postgres",
     "create_hdf_table_objects",
+    "copy_worker",
+    "create_file_object",
+    "df_generator",
+    "cast_pandas",
     "hdf_metadata",
     "get_logger",
     "write_jdbc",

@@ -186,3 +186,74 @@ def hdf_to_postgres(
         lambda name, df: sink(name, apply_formatters(df, formatters)),
         processes,
     )
+
+
+# --------------------------------------------------------------------------
+# pandas-level utility parity (`/root/reference/pandas_to_postgres/
+# utilities.py:76-167`, `hdf_to_postgres.py:49-103`): same names, same
+# contracts, so reference call sites keep working. In the Spark engine these
+# are the slow path — the DataFrame-native equivalents are
+# `functions.normalize.cast_to_target_schema`, `sinks.postgres_copy.
+# csv_chunks`, and the Spark scheduler — but user code importing the old
+# names gets faithful behavior.
+
+
+def create_file_object(df: pd.DataFrame):
+    """pandas DataFrame → in-memory CSV StringIO (header included), the
+    reference's wire format toward COPY (`utilities.py:76-92`)."""
+    import io
+
+    file_object = io.StringIO()
+    df.to_csv(file_object, index=False)
+    file_object.seek(0)
+    return file_object
+
+
+def df_generator(df: pd.DataFrame, chunksize: int = 10**6, logger=None):
+    """Yield row-range chunks of a pandas DataFrame (`utilities.py:95-116`);
+    an empty frame still yields one (empty) chunk — empty input is valid."""
+    rows = 0
+    n_chunks = max(-(-df.shape[0] // chunksize), 1)
+    for _ in range(n_chunks):
+        yield df.iloc[rows : rows + chunksize]
+        rows += chunksize
+
+
+def cast_pandas(df: pd.DataFrame, columns=None, copy_obj=None, logger=None, **kwargs):
+    """Nullable int/bool normalization (`utilities.py:119-167`): columns
+    whose target type reads INTEGER/BIGINT become pandas Int64; BOOLEAN
+    becomes object with None for missing. ``columns`` is any iterable of
+    objects with ``.name``/``.type`` (SQLAlchemy Columns or the engine's
+    TargetTable fields); missing df columns are skipped with a warning.
+
+    In Spark the workaround is unnecessary (natively nullable primitives) —
+    kept for pandas-side call sites only."""
+    if columns is None and copy_obj is not None:
+        columns = getattr(copy_obj, "columns", None) or getattr(
+            getattr(copy_obj, "table_obj", None), "columns", None
+        )
+    if columns is None:
+        raise ValueError("cast_pandas requires columns or copy_obj")
+    log = logger or get_logger("cast_pandas")
+    for col in columns:
+        type_str = str(col.type).upper()
+        try:
+            if type_str in ("INTEGER", "BIGINT"):
+                df[col.name] = df[col.name].astype("Int64")
+            elif type_str == "BOOLEAN":
+                df[col.name] = df[col.name].map(
+                    lambda x: None if pd.isna(x) else bool(x)
+                )
+        except KeyError:
+            log.warning("%s not in DataFrame; skipping", col.name)
+    return df
+
+
+def copy_worker(copy_obj, *args, maintenance_work_mem=None, **kwargs):
+    """Reference's per-process worker (`hdf_to_postgres.py:49-103`) ran one
+    copy in a forked process with a fresh engine. On Spark the scheduler
+    owns parallelism and executors own connections, so the worker reduces
+    to invoking the copy — kept so orchestration code written against the
+    reference API still runs."""
+    copy_obj.copy()
+    return copy_obj.rows

@@ -131,3 +131,69 @@ class TestRouting:
     def test_empty_raises(self):
         with pytest.raises(ValueError):
             resolve_routing({}, keys=[])
+
+
+class TestReferenceUtilityParity:
+    """Same-name drop-ins for the reference's pandas utilities
+    (`/root/reference/pandas_to_postgres/utilities.py:76-167`)."""
+
+    def test_cast_pandas_int_bool_nulls(self):
+        import numpy as np
+        import pandas as pd
+
+        from pandas_to_postgres_spark import cast_pandas
+
+        class Col:
+            def __init__(self, name, t):
+                self.name, self.type = name, t
+
+        df = pd.DataFrame({"i": [1.0, np.nan], "b": [0.0, np.nan]})
+        out = cast_pandas(df, columns=[Col("i", "BIGINT"), Col("b", "BOOLEAN")])
+        assert str(out["i"].dtype) == "Int64"
+        assert out["i"].iloc[1] is pd.NA
+        assert out["b"].tolist() == [False, None]
+
+    def test_cast_pandas_missing_column_skipped(self):
+        import pandas as pd
+
+        from pandas_to_postgres_spark import cast_pandas
+
+        class Col:
+            def __init__(self, name, t):
+                self.name, self.type = name, t
+
+        df = pd.DataFrame({"x": [1]})
+        out = cast_pandas(df, columns=[Col("nope", "INTEGER")])
+        assert out["x"].tolist() == [1]
+
+    def test_df_generator_chunks_and_empty(self):
+        import pandas as pd
+
+        from pandas_to_postgres_spark import df_generator
+
+        chunks = list(df_generator(pd.DataFrame({"x": range(5)}), chunksize=2))
+        assert [len(c) for c in chunks] == [2, 2, 1]
+        empties = list(df_generator(pd.DataFrame({"x": []}), chunksize=2))
+        assert len(empties) == 1 and len(empties[0]) == 0  # empty input valid
+
+    def test_create_file_object_header_and_nulls(self):
+        import numpy as np
+        import pandas as pd
+
+        from pandas_to_postgres_spark import create_file_object
+
+        fo = create_file_object(pd.DataFrame({"a": [1.0, np.nan], "s": ["x", "y"]}))
+        lines = fo.read().splitlines()
+        assert lines[0] == "a,s"          # header row = COPY column list
+        assert lines[2].startswith(",")   # NaN → empty field → SQL NULL
+
+    def test_copy_worker_invokes_copy(self):
+        from pandas_to_postgres_spark import copy_worker
+
+        class FakeCopy:
+            rows = 0
+
+            def copy(self):
+                self.rows = 7
+
+        assert copy_worker(FakeCopy()) == 7
