@@ -34,6 +34,7 @@ HEADLINE = (
     "simsearch_topk",
     "text_stats",
     "topk_lineitems",
+    "corpus_prep_pipeline",
 )
 
 

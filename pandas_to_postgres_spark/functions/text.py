@@ -118,26 +118,31 @@ def fingerprint_expr(text: Column) -> Column:
     return F.md5(normalized)
 
 
-def chunk_text(df, text_col: str, id_col: str, width: int = 200):
+def chunk_text(df, text_col: str, id_col: str, width: int = 200, carry_cols=()):
     """Fixed-width character chunking: one output row per ``width``-char
     window of ``text_col``, indexed 1..ceil(len/width) as ``chunk_idx``.
 
     Empty/short docs still yield exactly one chunk (possibly empty) so no
-    document silently disappears from the training set. No shuffle — a
-    per-row generate (sequence+explode) that inherits the scan's
-    partitioning; at 100 TB output size ~= input size, so pair it with a
-    repartition before any downstream groupBy if chunk counts are skewed.
+    document silently disappears from the training set. ``carry_cols``
+    ride along on every chunk row (metadata like lang/quality) — carried
+    through the generate instead of joined back, so the op stays
+    shuffle-free: a per-row generate (sequence+explode) that inherits the
+    scan's partitioning. At 100 TB output size ~= input size, so pair it
+    with a repartition before any downstream groupBy if chunk counts are
+    skewed.
     """
     n_chunks = F.greatest(
         F.ceil(F.length(text_col) / F.lit(float(width))).cast("long"), F.lit(1)
     )
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in carry_cols],
         F.explode(F.sequence(F.lit(1).cast("long"), n_chunks)).alias("chunk_idx"),
         F.col(text_col),
     ).select(
         F.col(id_col),
         "chunk_idx",
+        *[F.col(c) for c in carry_cols],
         F.substring(
             F.col(text_col), ((F.col("chunk_idx") - 1) * width + 1).cast("int"), width
         ).alias("chunk"),

@@ -644,3 +644,75 @@ def stratified_sample_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample_deterministic(
         d, "doc_id", "lang", _SAMPLE_FRACTIONS
     ).select("doc_id", "lang")
+
+
+_PIPE_FRACTIONS = {"en": 0.8, "es": 0.8, "de": 0.5, "fr": 0.5, "zh": 1.0}
+
+# the quality predicate, shared verbatim with quality_score's oracle
+_QUALITY_SQL = f"""round(
+             0.5 * least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+           + 0.25 * (1.0 - CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)
+                       / greatest(CAST(length(text) AS DOUBLE), 1.0))
+           + 0.25 * least(
+               (CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                     x -> x IN ({_STOP_IN}))) AS DOUBLE)
+                / greatest(CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS DOUBLE), 1.0)
+               ) * 4.0, 1.0),
+           4)"""
+
+
+@register(
+    "corpus_prep_pipeline",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, text, lang, {_QUALITY_SQL} AS quality
+        FROM documents),
+    filtered AS (SELECT * FROM scored WHERE quality >= 0.5),
+    deduped AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+            FROM filtered) WHERE rn = 1),
+    sampled AS (
+        SELECT doc_id, text, lang, quality FROM deduped
+        WHERE {_sample_sql('doc_id', 'lang', _PIPE_FRACTIONS)}),
+    chunked AS (
+        SELECT doc_id, lang, quality,
+               unnest(generate_series(
+                   1, greatest(CAST(ceil(length(text) / 200.0) AS BIGINT), 1))) AS i,
+               text
+        FROM sampled)
+    SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx, lang, quality,
+           substring(text, CAST((i - 1) * 200 + 1 AS INT), 200) AS chunk
+    FROM chunked
+    """,
+)
+def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship training-data pipeline, composed from the operator
+    library: quality-score filter → exact dedup (keep min doc_id per
+    content hash) → deterministic stratified sample → fixed-width
+    chunking. Every stage is the registered operator, so the whole chain
+    is oracle-expressible as CTEs.
+
+    Scale shape: filter+score push into the scan (no shuffle) → ONE
+    shuffle for the dedup groupBy on md5(text) → sampler is another
+    scan-local filter → chunking is a per-row generate. Total: one
+    exchange end-to-end for the entire prep pipeline."""
+    from pandas_to_postgres_spark.functions.text import chunk_text
+    from pandas_to_postgres_spark.operators.sampling import (
+        stratified_sample_deterministic,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", "text", "lang", quality_score_expr(F.col("text")).alias("quality")
+    ).filter(F.col("quality") >= 0.5)
+    w = Window.partitionBy(F.md5("text")).orderBy(F.col("doc_id").asc())
+    deduped = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    sampled = stratified_sample_deterministic(deduped, "doc_id", "lang", _PIPE_FRACTIONS)
+    return chunk_text(
+        sampled, "text", "doc_id", width=200, carry_cols=("lang", "quality")
+    ).select("doc_id", "chunk_idx", "lang", "quality", "chunk")
