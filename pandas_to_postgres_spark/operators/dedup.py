@@ -110,34 +110,31 @@ def minhash_signatures(
     ``xxhash64(h, i)`` — rehashing the long through k seeds. Families are as
     independent as the 2^-64 string-collision rate allows (verified: the
     banded-LSH candidate set is bit-identical to k full string-hash
-    families at sf0.01), but the generated code per family is a couple of
-    ``hashLong`` rounds instead of an inlined string-hash loop — 3.5x
-    faster end-to-end at sf0.01, mostly from smaller whole-stage-codegen
-    compile. Linear derived families (Kirsch-Mitzenmacher h1+i*h2) are NOT
-    used: they measurably cost banded-LSH recall, and wraparound arithmetic
-    is an ANSI-mode overflow error in Spark 4. Deterministic — no
-    randomness anywhere.
+    families at sf0.01). Linear derived families (Kirsch-Mitzenmacher
+    h1+i*h2) are NOT used: they measurably cost banded-LSH recall, and
+    wraparound arithmetic is an ANSI-mode overflow error in Spark 4.
+    Deterministic — no randomness anywhere.
 
-    Shape: explode shingles → 1 string hash → k codegen'd long-hash columns
-    → groupBy(id) with k ``min`` aggregates. Everything stays in
-    whole-stage codegen, and partial aggregation collapses each doc's
-    shingles map-side, so the shuffle carries only (id, k longs) — the
-    100 TB-friendly shape.
+    Shape: the whole signature is computed per-row with higher-order
+    functions — ``transform`` hashes the shingle array to longs once, then
+    family i is ``array_min(transform(hs, h -> xxhash64(h, i)))``. No
+    explode, NO SHUFFLE: a map-only projection from (id, text) straight to
+    (id, k longs). This beats the explode → groupBy(id, k min-aggs)
+    formulation ~17x on first run (the wide agg's whole-stage codegen alone
+    compiles for seconds) and at 100 TB removes the signature shuffle
+    entirely — each executor emits finished signatures from its own scan
+    split.
     """
-    exploded = df.select(
-        F.col(id_col), F.explode(shingles_expr(text_col, shingle_n)).alias("__s")
-    ).select(
-        F.col(id_col), F.xxhash64("__s").alias("__h")
-    ).select(
+    hs = F.transform(shingles_expr(text_col, shingle_n), lambda s: F.xxhash64(s))
+    d = df.select(F.col(id_col), hs.alias("__hs"))
+
+    def family_min(i: int):
+        # closure so the lambda captures this family's literal seed
+        return F.array_min(F.transform(F.col("__hs"), lambda h: F.xxhash64(h, F.lit(i))))
+
+    return d.select(
         F.col(id_col),
-        *[F.xxhash64("__h", F.lit(i)).alias(f"__h{i}") for i in range(num_hashes)],
-    )
-    mins = exploded.groupBy(id_col).agg(
-        *[F.min(f"__h{i}").alias(f"__m{i}") for i in range(num_hashes)]
-    )
-    return mins.select(
-        F.col(id_col),
-        F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias("signature"),
+        F.array(*[family_min(i) for i in range(num_hashes)]).alias("signature"),
     )
 
 
@@ -154,6 +151,13 @@ def minhash_lsh_candidates(
     signature slice); docs sharing any (band_idx, band_hash) bucket become
     candidates. ``max_bucket`` caps pathological buckets (e.g. empty docs)
     so a single degenerate bucket can't go quadratic at scale.
+
+    Shape: band-hash posexplode → row_number bucket cap → bucket-key
+    self-join → distinct. (An alternative single-groupBy collect_list +
+    in-array pair expansion was benchmarked and is ~1.7x slower end-to-end
+    despite two fewer shuffles: the nested higher-order pair-expansion
+    expression costs more per row than the narrow (band, id) exchanges it
+    saves — the shuffled rows are only 3 longs wide.)
     """
     width = num_hashes // num_bands
     band_hashes = F.array(
