@@ -716,3 +716,45 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_text(
         sampled, "text", "doc_id", width=200, carry_cols=("lang", "quality")
     ).select("doc_id", "chunk_idx", "lang", "quality", "chunk")
+
+
+@register(
+    "udtf_sentences",
+    oracle="""
+    SELECT doc_id,
+           CAST(generate_subscripts(parts, 1) - 1 AS BIGINT) AS sent_idx,
+           unnest(parts) AS sentence
+    FROM (SELECT doc_id, regexp_split_to_array(text, '\\.\\s+') AS parts
+          FROM documents WHERE doc_id < 30)
+    """,
+)
+def udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 (true Python UDTF, Spark 4 ``@udtf``): one row per sentence with
+    its position, via a LATERAL table-function call — the genuinely
+    set-returning UDF surface (vs the explode-of-array shape in
+    ``explode_tokens``).
+
+    Scale: row-at-a-time Python — the slow tier by design; the built-in
+    ``posexplode(split(...))`` expression is the hot-path equivalent. Use a
+    UDTF only when the expansion logic genuinely needs Python (stateful
+    tokenizers, external parsers); then prefer ``useArrow=True`` batching.
+    """
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sent_idx: bigint, sentence: string")
+    class SplitSentences:
+        def eval(self, text):
+            for i, s in enumerate(re.split(r"\.\s+", text or "")):
+                yield i, s
+
+    spark.udtf.register("split_sentences", SplitSentences)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.sent_idx, t.sentence
+        FROM documents d, LATERAL split_sentences(d.text) t
+        WHERE d.doc_id < 30
+        """
+    )

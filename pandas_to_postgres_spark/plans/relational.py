@@ -1110,3 +1110,298 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY c.c_mktsegment
         """
     )
+
+
+# ------------------------------------------------- more TPC-H query shapes
+
+@register(
+    "q7_nation_volume",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS BIGINT) AS l_year,
+           {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations by ship
+    year. The nation dim joins twice under different roles (supplier-side
+    and customer-side).
+
+    Scale: both nation copies broadcast; the disjunctive nation-pair filter
+    lands on broadcast-join outputs, pruning before the fact-fact
+    lineitem-orders shuffle. Year extraction is a codegen'd expression on
+    the agg key, not a pre-shuffle projection blowup."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n1 = F.broadcast(
+        _t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    n2 = F.broadcast(
+        _t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+        )
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(n1, F.col("s_nationkey") == F.col("sn_key"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n2, F.col("c_nationkey") == F.col("cn_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "q8_market_share",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           round(
+             CAST(sum(CASE WHEN n1.n_name = 'NATION_3'
+                           THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+                           ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+             / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE),
+             6) AS mkt_share
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    JOIN region ON n2.n_regionkey = r_regionkey
+    WHERE r_name = 'AMERICA' AND p_type = 'PROMO'
+    GROUP BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_3 suppliers' share of PROMO-part revenue sold
+    to AMERICA customers, by order year — 8-table join + conditional ratio
+    aggregate.
+
+    Scale: part/supplier/nation/region all broadcast (p_type filter prunes
+    part before broadcast); the only shuffles are the lineitem-orders join
+    and the final tiny per-year agg. The ratio uses exact decimal sums so
+    the result is partition-order independent."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = F.broadcast(_t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO"))
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n1 = F.broadcast(
+        _t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    n2 = F.broadcast(
+        _t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+        )
+    )
+    r = F.broadcast(_t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA"))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    dec = vol.cast("decimal(18,6)")
+    zero = F.lit(0).cast("decimal(18,6)")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(n1, F.col("s_nationkey") == F.col("sn_key"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n2, F.col("c_nationkey") == F.col("cn_key"))
+        .join(r, F.col("cn_region") == F.col("r_regionkey"))
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", dec).otherwise(zero))
+                .cast("double")
+                / F.sum(dec).cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@register(
+    "q10_returned_items",
+    oracle=f"""
+    SELECT c_custkey, c_name,
+           {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue,
+           round(c_acctbal, 2) AS acctbal, n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top 20 customers by revenue lost to returned items
+    in a half-year window.
+
+    Scale: both the date filter (orders) and returnflag filter (lineitem)
+    push to the parquet scans; nation broadcasts; orderBy+limit compiles to
+    TakeOrderedAndProject (per-partition top-20, no global sort). The
+    custkey tiebreak makes the limit boundary deterministic."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01 00:00:00"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            "c_custkey", "c_name", F.round("c_acctbal", 2).alias("acctbal"), "n_name"
+        )
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    oracle="""
+    SELECT round(
+             100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                              THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+                              ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+             / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE),
+             6) AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: percent of one month's revenue from PROMO parts —
+    global conditional ratio aggregate over a broadcast join.
+
+    Scale: the one-month filter pushes to the lineitem scan (at 100 TB with
+    date-partitioned storage it becomes partition pruning); part broadcasts;
+    the global agg collapses map-side to one row per partition."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01 00:00:00"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00"))
+    )
+    p = F.broadcast(_t(spark, sf_dir, "part"))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    dec = vol.cast("decimal(18,6)")
+    zero = F.lit(0).cast("decimal(18,6)")
+    return li.join(p, li.l_partkey == p.p_partkey).agg(
+        F.round(
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type") == "PROMO", dec).otherwise(zero)).cast(
+                "double"
+            )
+            / F.sum(dec).cast("double"),
+            6,
+        ).alias("promo_pct")
+    )
+
+
+@register(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             {dsum_sql('l_extendedprice * (1 - l_discount)')} AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY supplier_no
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with the maximum quarterly revenue —
+    derived aggregate reused twice (per-supplier revenue AND its global
+    max), expressed with an unpartitioned window max instead of a self-join
+    on the CTE.
+
+    Scale: the revenue agg shuffles on suppkey once; the window max runs
+    over supplier-cardinality rows (tiny post-agg), avoiding a second scan
+    of the CTE that the SQL formulation implies. Exact-decimal rounding
+    makes the max comparison stable across partitionings."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00"))
+    )
+    s = F.broadcast(_t(spark, sf_dir, "supplier"))
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "total_revenue"
+        )
+    )
+    mx = Window.partitionBy()
+    return (
+        rev.withColumn("__mx", F.max("total_revenue").over(mx))
+        .filter(F.col("total_revenue") == F.col("__mx"))
+        .join(s, F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "grouping_sets_orders",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2)::DOUBLE AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+    """,
+)
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 (explicit GROUPING SETS, beyond rollup/cube): two independent
+    one-column groupings plus the grand total in a single pass.
+
+    Scale: Catalyst expands grouping sets with an Expand node — one scan,
+    one shuffle carrying (key, grouping_id) — instead of three scans
+    unioned. The decimal sum keeps the totals partition-order independent."""
+    _register_views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus,
+               count(*) AS n_orders,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+                 AS total_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        """
+    )
