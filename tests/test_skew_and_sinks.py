@@ -169,3 +169,72 @@ class TestBucketedJoin:
             assert agg.count() == li.select("l_orderkey").distinct().count()
         finally:
             drop_table(spark, "t_li_agg")
+
+
+class TestFileSources:
+    def test_csv_schema_roundtrip_null_preserving(self, spark):
+        from pandas_to_postgres_spark.sources.files import load_csv
+
+        df = spark.createDataFrame(
+            [(1, None, 1.5), (2, "x", None)], "id long, s string, v double"
+        )
+        write_csv(df, f"{TMP}/src_csv", num_partitions=1)
+        back = load_csv(spark, f"{TMP}/src_csv", schema="id long, s string, v double")
+        assert back.schema == df.schema
+        rows = {r.id: (r.s, r.v) for r in back.collect()}
+        assert rows == {1: (None, 1.5), 2: ("x", None)}
+
+    def test_csv_requires_schema_or_optin(self, spark):
+        from pandas_to_postgres_spark.sources.files import load_csv
+
+        with pytest.raises(ValueError):
+            load_csv(spark, f"{TMP}/whatever")
+
+    def test_json_schema_roundtrip_nested(self, spark):
+        from pandas_to_postgres_spark.sources.files import load_json
+
+        df = spark.createDataFrame([(1, [1.0, 2.0])], "id long, v array<double>")
+        write_json(df, f"{TMP}/src_json")
+        back = load_json(spark, f"{TMP}/src_json", schema="id long, v array<double>")
+        assert back.schema == df.schema
+        assert back.collect()[0].v == [1.0, 2.0]
+
+    def test_orc_roundtrip(self, spark):
+        from pandas_to_postgres_spark.sources.files import load_orc
+
+        df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+        df.write.mode("overwrite").orc(f"{TMP}/src_orc")
+        back = load_orc(spark, f"{TMP}/src_orc")
+        assert sorted((r.id, r.s) for r in back.collect()) == [(1, "a"), (2, "b")]
+
+
+class TestIncrementalDedup:
+    def test_batch_vs_corpus_and_within_batch(self, spark):
+        from pandas_to_postgres_spark.operators.dedup import dedup_incremental
+
+        corpus = spark.createDataFrame(
+            [(1, "already ingested"), (2, "old news")], "doc_id long, text string"
+        )
+        batch = spark.createDataFrame(
+            [
+                (10, "already ingested"),   # dup of corpus -> dropped
+                (11, "brand new"),          # survives
+                (12, "brand new"),          # within-batch dup -> dropped
+                (13, "also new"),           # survives
+            ],
+            "doc_id long, text string",
+        )
+        out = dedup_incremental(batch, corpus, "text", "doc_id")
+        assert sorted(r.doc_id for r in out.collect()) == [11, 13]
+        # schema passthrough: helper columns dropped
+        assert out.columns == ["doc_id", "text"]
+
+    def test_empty_corpus_is_plain_dedup(self, spark):
+        from pandas_to_postgres_spark.operators.dedup import dedup_incremental
+
+        corpus = spark.createDataFrame([], "doc_id long, text string")
+        batch = spark.createDataFrame(
+            [(1, "a"), (2, "a"), (3, "b")], "doc_id long, text string"
+        )
+        out = dedup_incremental(batch, corpus, "text", "doc_id")
+        assert sorted(r.doc_id for r in out.collect()) == [1, 3]
