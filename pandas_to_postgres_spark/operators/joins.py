@@ -32,14 +32,31 @@ def asof_join(
     right_on: Optional[str] = None,
     right_by: Optional[str] = None,
     suffix: str = "_asof",
+    direction: str = "backward",
+    tolerance: Optional[float] = None,
 ) -> DataFrame:
-    """For each left row, attach the latest right row with
-    ``right.right_on <= left.on`` within the same ``by`` key (inclusive,
-    matching DuckDB's ``ASOF JOIN ... ON l.ts >= r.ts``). Left rows with no
-    prior right row keep NULLs (left-outer semantics).
+    """For each left row, attach the nearest right row within the same
+    ``by`` key — ``direction='backward'`` (default): latest right with
+    ``right.right_on <= left.on`` (inclusive, matching DuckDB's
+    ``ASOF JOIN ... ON l.ts >= r.ts``); ``direction='forward'``: earliest
+    right with ``right.right_on >= left.on``. Left rows with no match keep
+    NULLs (left-outer semantics).
+
+    ``tolerance`` (seconds for timestamp keys, plain difference for numeric
+    keys) nulls out matches farther than the bound — pandas
+    ``merge_asof(tolerance=...)`` semantics: the left row survives, the
+    joined values become NULL.
 
     Returns all left columns plus ``{c}{suffix}`` for each of ``value_cols``.
+
+    Scale: single shuffle on the ``by`` key (the union sorts once per
+    partition); no join node at all — the window's running ``last`` carries
+    right values forward (or backward) within each key. At 100 TB this
+    beats the naive range-join formulation (which explodes to a
+    per-left-row scan of the right side) and never materializes pairs.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
     right_on = right_on or on
     right_by = right_by or by
 
@@ -49,6 +66,7 @@ def asof_join(
         F.col(on).alias("__t"),
         F.lit(1).alias("__is_l"),
         F.struct(*[F.col(c) for c in left.columns]).alias("__row"),
+        F.lit(None).cast(right.schema[right_on].dataType).alias("__rt"),
         *[
             F.lit(None).cast(right.schema[c].dataType).alias(f"__v_{c}")
             for c in value_cols
@@ -59,23 +77,46 @@ def asof_join(
         F.col(right_on).alias("__t"),
         F.lit(0).alias("__is_l"),
         F.lit(None).cast(_struct_ddl(left_struct_type)).alias("__row"),
+        F.col(right_on).alias("__rt"),
         *[F.col(c).alias(f"__v_{c}") for c in value_cols],
     )
 
-    # right rows sort before left rows at equal ts → inclusive (<=) semantics
+    # right rows sort before left rows at equal ts → inclusive semantics in
+    # both directions; desc time order turns the running `last` into
+    # "earliest following" for direction='forward'
+    t_order = F.col("__t").asc() if direction == "backward" else F.col("__t").desc()
     w = (
         Window.partitionBy("__k")
-        .orderBy(F.col("__t").asc(), F.col("__is_l").asc())
+        .orderBy(t_order, F.col("__is_l").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = l_tagged.unionByName(r_tagged).select(
         "__is_l",
         "__row",
+        F.col("__t"),
+        F.last(F.col("__rt"), ignorenulls=True).over(w).alias("__mt"),
         *[
             F.last(F.col(f"__v_{c}"), ignorenulls=True).over(w).alias(f"__v_{c}")
             for c in value_cols
         ],
     )
+    if tolerance is not None:
+        on_type = left.schema[on].dataType.simpleString()
+        if on_type.startswith("timestamp"):
+            gap = (
+                F.unix_micros(F.col("__t")) - F.unix_micros(F.col("__mt"))
+            ).cast("double") / 1e6
+        else:
+            gap = (F.col("__t") - F.col("__mt")).cast("double")
+        within = F.abs(gap) <= F.lit(float(tolerance))
+        filled = filled.select(
+            "__is_l",
+            "__row",
+            *[
+                F.when(within, F.col(f"__v_{c}")).alias(f"__v_{c}")
+                for c in value_cols
+            ],
+        )
     out = filled.filter(F.col("__is_l") == 1).select(
         *[F.col(f"__row.{c}").alias(c) for c in left.columns],
         *[F.col(f"__v_{c}").alias(f"{c}{suffix}") for c in value_cols],

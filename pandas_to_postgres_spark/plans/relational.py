@@ -1405,3 +1405,46 @@ def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
         """
     )
+
+
+@register(
+    "asof_forward_events",
+    oracle="""
+    SELECT p.event_id, p.user_id,
+           (SELECT round(arg_min(c.value, c.ts), 2)
+            FROM events c
+            WHERE c.event_type = 'click'
+              AND c.user_id = p.user_id
+              AND c.ts >= p.ts
+              AND c.ts <= p.ts + INTERVAL 1 HOUR) AS next_click_value
+    FROM events p
+    WHERE p.event_type = 'purchase'
+    """,
+)
+def asof_forward_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 (forward + tolerance): for each purchase, the EARLIEST click of
+    the same user at-or-after the purchase, but only within 1 hour —
+    clicks farther out are no match (NULL). DuckDB has no forward ASOF
+    JOIN, so the oracle is a correlated arg_min subquery.
+
+    Scale: same single-shuffle union+window construction as backward as-of
+    (operators/joins.asof_join, direction='forward'); the tolerance is a
+    post-window filter, not a join condition, so the plan is unchanged."""
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase")
+    clicks = e.filter(F.col("event_type") == "click")
+    joined = asof_join(
+        purchases,
+        clicks,
+        on="ts",
+        by="user_id",
+        value_cols=["value"],
+        suffix="_next",
+        direction="forward",
+        tolerance=3600.0,
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.round("value_next", 2).alias("next_click_value"),
+    )

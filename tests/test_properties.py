@@ -140,3 +140,60 @@ def test_sampler_membership_is_pure(spark, frac):
         assert a == set()
     if frac == 1.0:
         assert len(a) == 200
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    left_ts=ts_list(5),
+    right_ts=ts_list(5),
+    keys=st.lists(st.integers(min_value=1, max_value=2), min_size=10, max_size=10),
+    direction=st.sampled_from(["backward", "forward"]),
+    tol_minutes=st.one_of(st.none(), st.integers(min_value=0, max_value=20)),
+)
+def test_asof_direction_tolerance_matches_pandas(
+    spark, left_ts, right_ts, keys, direction, tol_minutes
+):
+    left_rows = [(keys[i], t, f"L{i}") for i, t in enumerate(left_ts)]
+    right_rows = list(
+        {(keys[5 + i], t): (keys[5 + i], t, float(i)) for i, t in enumerate(right_ts)}.values()
+    )
+    left = spark.createDataFrame(
+        left_rows or [(None, None, None)], "k long, ts timestamp, tag string"
+    ).filter("k IS NOT NULL")
+    right = spark.createDataFrame(
+        right_rows or [(None, None, None)], "k long, ts timestamp, v double"
+    ).filter("k IS NOT NULL")
+    tol = None if tol_minutes is None else tol_minutes * 60.0
+
+    got = {
+        (r.k, r.ts, r.tag): r.v_asof
+        for r in asof_join(
+            left, right, on="ts", by="k", value_cols=["v"],
+            direction=direction, tolerance=tol,
+        ).collect()
+    }
+
+    lp = pd.DataFrame(left_rows, columns=["k", "ts", "tag"])
+    rp = pd.DataFrame(right_rows, columns=["k", "ts", "v"])
+    if len(lp) == 0:
+        assert got == {}
+        return
+    if len(rp) == 0:
+        expect = {(r.k, r.ts, r.tag): None for r in lp.itertuples()}
+    else:
+        m = pd.merge_asof(
+            lp.sort_values("ts"),
+            rp.sort_values("ts"),
+            on="ts",
+            by="k",
+            direction=direction,
+            tolerance=None if tol is None else pd.Timedelta(seconds=tol),
+        )
+        expect = {
+            (r.k, r.ts, r.tag): (None if pd.isna(r.v) else r.v) for r in m.itertuples()
+        }
+    assert got == expect
