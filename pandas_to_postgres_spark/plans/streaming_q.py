@@ -91,3 +91,22 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pandas_to_postgres_spark.streaming.events import streaming_dedup_events
 
     return streaming_dedup_events(spark, sf_dir)
+
+
+@register(
+    "stream_static_join",
+    oracle=f"""
+    SELECT c_mktsegment, event_type,
+           count(*) AS n,
+           {dsum_sql('value')} AS total_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment, event_type
+    """,
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9: stream-static join — the event stream enriched with the
+    static customer dimension inside a Structured Streaming query, then
+    aggregated. Oracle-checked against the equivalent batch join SQL."""
+    from pandas_to_postgres_spark.streaming.events import stream_static_enrichment
+
+    return stream_static_enrichment(spark, sf_dir)

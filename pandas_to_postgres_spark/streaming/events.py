@@ -118,3 +118,55 @@ def streaming_dedup_events(
     )
     q.awaitTermination()
     return spark.table(table)
+
+
+def stream_static_enrichment(
+    spark: SparkSession,
+    sf_dir: str,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-static join: the event stream enriched with the (static)
+    customer dimension, then aggregated per market segment and event type.
+
+    The static side is re-read per micro-batch by Structured Streaming's
+    stream-static join rules — no state is kept for it, and Catalyst
+    broadcasts it when small. At 100 TB of stream: the stateful side is
+    only the windowless global agg here; with event-time windows the
+    watermark bounds state exactly as in `windowed_event_counts`.
+    """
+    from pandas_to_postgres_spark.sources.parquet import load_table
+
+    path = f"{sf_dir}/events.parquet"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .format("parquet")
+        .load(f"{sf_dir}/events.parque[t]")
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    customers = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = (
+        stream.withWatermark("ts", watermark)
+        .join(customers, stream.user_id == customers.c_custkey)
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+    table = f"stream_static_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(table)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(table)

@@ -1,0 +1,62 @@
+"""Streaming ETL sink: ``foreachBatch`` bridges a stream to any batch sink.
+
+The reference's whole purpose is bulk-loading batches into Postgres
+(`/root/reference/pandas_to_postgres/_base_copy.py:130-144`). Its streaming
+twin is ``writeStream.foreachBatch``: each micro-batch arrives as a plain
+batch DataFrame, so the SAME sink code (JDBC writer, psycopg2 COPY
+``sinks/postgres_copy.copy_to_postgres``, partitioned parquet
+``sinks/files``) loads it unchanged — no second sink implementation.
+
+Semantics that matter in production:
+
+- **Exactly-once is the sink's job.** Structured Streaming re-delivers a
+  micro-batch after failure with the SAME ``batch_id``; an idempotent sink
+  (e.g. DELETE-then-COPY keyed on batch_id, or overwrite of a
+  batch-id-named partition directory) turns at-least-once delivery into
+  exactly-once tables. The ``epoch_col`` option stamps the batch id into a
+  column so the sink can key on it.
+- **Truncate/FREEZE does not fit here.** The reference's TRUNCATE+COPY
+  FREEZE is a full-refresh idiom; a stream is incremental by definition —
+  use append COPY per micro-batch, constraints stay in place.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+BatchWriter = Callable[[DataFrame, int], None]
+
+
+def stream_to_batch_sink(
+    stream: DataFrame,
+    writer: BatchWriter,
+    checkpoint_dir: str,
+    epoch_col: Optional[str] = None,
+    available_now: bool = True,
+    output_mode: str = "append",
+) -> StreamingQuery:
+    """Drive ``writer(batch_df, batch_id)`` for every micro-batch.
+
+    ``available_now=True`` drains whatever input exists and stops — the
+    batch-parity mode used in tests; ``False`` runs continuously. The
+    checkpoint directory is what makes restarts resume instead of replay
+    from scratch — at scale it lives on shared storage.
+    """
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if epoch_col is not None:
+            batch_df = batch_df.withColumn(epoch_col, F.lit(batch_id))
+        writer(batch_df, batch_id)
+
+    ws = (
+        stream.writeStream.foreachBatch(_apply)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        ws = ws.trigger(availableNow=True)
+    return ws.start()
