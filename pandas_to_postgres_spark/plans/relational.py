@@ -1448,3 +1448,100 @@ def asof_forward_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.round("value_next", 2).alias("next_click_value"),
     )
+
+
+@register(
+    "pivot_returnflag",
+    oracle=f"""
+    SELECT l_linestatus,
+           {dsum_sql("CASE WHEN l_returnflag = 'A' THEN l_quantity ELSE NULL END")} AS qty_A,
+           {dsum_sql("CASE WHEN l_returnflag = 'N' THEN l_quantity ELSE NULL END")} AS qty_N,
+           {dsum_sql("CASE WHEN l_returnflag = 'R' THEN l_quantity ELSE NULL END")} AS qty_R
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+)
+def pivot_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: quantity totals per linestatus spread across returnflag
+    columns — ``groupBy().pivot(col, values).agg()``.
+
+    Scale: the explicit value list matters — without it Spark runs an extra
+    distinct job to discover pivot values (a full scan + shuffle before the
+    real query). With it, the pivot compiles to conditional aggregates: one
+    scan, one shuffle, same as a CASE-WHEN rollup."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(dsum(F.col("l_quantity")))
+    )
+    return out.select(
+        "l_linestatus",
+        F.col("A").alias("qty_A"),
+        F.col("N").alias("qty_N"),
+        F.col("R").alias("qty_R"),
+    )
+
+
+@register(
+    "rank_distributions",
+    oracle="""
+    SELECT c_custkey,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def rank_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 (distribution ranks): ntile quartiles, percent_rank and cume_dist
+    per market segment — the statistical window family beyond row_number.
+
+    Scale: one shuffle on the partition key; the c_custkey tiebreak makes
+    every rank deterministic (percent_rank over ties is engine-dependent
+    otherwise)."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@register(
+    "trailing_window_revenue",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+                 OVER (PARTITION BY o_custkey
+                       ORDER BY epoch(o_orderdate)
+                       RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW),
+               2) AS DOUBLE) AS trailing_30d
+    FROM orders
+    """,
+)
+def trailing_window_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 (time-range frame): per customer, each order's trailing-30-day
+    order total — ``rangeBetween`` over epoch seconds, the event-time frame
+    ``rowsBetween`` cannot express (rows vs time distance).
+
+    Scale: one shuffle on o_custkey; the range frame is evaluated with a
+    sliding aggregate over the sorted partition, O(n) per key. Ties on the
+    sort key (same-day orders) are summed together by RANGE semantics in
+    both engines — deterministic without a tiebreak."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-2592000, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")).over(w), 2)
+        .cast("double")
+        .alias("trailing_30d"),
+    )
