@@ -1545,3 +1545,82 @@ def trailing_window_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("trailing_30d"),
     )
+
+
+@register(
+    "hypertable_rollup",
+    oracle=f"""
+    SELECT day, hr, count(*) AS n, {dsum_sql('value')} AS total_value
+    FROM (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                 strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hr,
+                 value
+          FROM events)
+    GROUP BY GROUPING SETS ((day, hr), (day))
+    """,
+)
+def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: hourly AND daily event
+    aggregates materialized in ONE pass via grouping sets over two
+    time-bucket granularities (the batch shape of a TimescaleDB continuous
+    aggregate / rollup cascade).
+
+    Scale: one scan + one Expand (x2) + one shuffle — vs two scans and two
+    shuffles for separate hourly/daily jobs. At 100 TB the coarser levels
+    are nearly free because Expand rows carrying the same (day) key combine
+    map-side."""
+    _register_views(spark, sf_dir, "events")
+    return spark.sql(
+        """
+        SELECT day, hr, count(*) AS n,
+               CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+                 AS total_value
+        FROM (SELECT date_format(date_trunc('DAY', ts), 'yyyy-MM-dd') AS day,
+                     date_format(date_trunc('HOUR', ts), 'yyyy-MM-dd HH') AS hr,
+                     value
+              FROM events)
+        GROUP BY GROUPING SETS ((day, hr), (day))
+        """
+    )
+
+
+@register(
+    "kmv_distinct_parts",
+    oracle="""
+    WITH mins AS (
+      SELECT DISTINCT
+             CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      FROM lineitem ORDER BY h LIMIT 256
+    )
+    SELECT round(CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
+                      ELSE 255.0 * 1152921504606846976.0 / CAST(max(h) AS DOUBLE)
+                 END, 2) AS est_distinct
+    FROM mins
+    """,
+)
+def kmv_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch, k=256 — a
+    deterministic, mergeable cardinality estimate that is bit-reproducible
+    ACROSS ENGINES (md5-based hash, unlike HLL whose estimate is
+    implementation-specific — cf. the rows-only `approx_distinct_parts`).
+
+    Scale: the k smallest hashes per partition are found locally
+    (TakeOrderedAndProject), only k values per partition move to the
+    driver-side merge — O(k) memory however many billion rows scanned. The
+    sketch union (min-merge of two KMV sets) makes it incrementally
+    maintainable across ingest batches."""
+    li = _t(spark, sf_dir, "lineitem")
+    k = 256
+    h = F.conv(
+        F.substring(F.md5(F.col("l_partkey").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    mins = li.select(h.alias("h")).distinct().orderBy("h").limit(k)
+    return mins.agg(
+        F.round(
+            F.when(F.count(F.lit(1)) < k, F.count(F.lit(1)).cast("double")).otherwise(
+                F.lit(float(k - 1))
+                * F.lit(1152921504606846976.0)
+                / F.max("h").cast("double")
+            ),
+            2,
+        ).alias("est_distinct")
+    )

@@ -60,3 +60,45 @@ def write_csv(
 def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """JSON-lines export (interchange format for document pipelines)."""
     df.write.mode(mode).json(path)
+
+
+def compact_dataset(
+    spark,
+    in_path: str,
+    out_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    partition_cols: Sequence[str] = (),
+) -> int:
+    """Rewrite a parquet dataset into ~``target_file_bytes`` files; returns
+    the output file count.
+
+    The small-file problem is the dominant operational failure of long-run
+    ingest at scale: streaming/foreachBatch sinks and over-parallel writers
+    leave thousands of KB-sized files, and every downstream scan pays a
+    task + footer read per file. Compaction = read → repartition to
+    ceil(total_bytes / target) → rewrite. Sizing uses the filesystem's
+    content summary (works for any Hadoop-compatible FS), not driver-side
+    file listing.
+
+    With ``partition_cols`` the repartition keys on those columns so each
+    task writes into one directory partition (otherwise tasks x partitions
+    small files come right back).
+    """
+    import math
+
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path(in_path)
+    fs = hpath.getFileSystem(conf)
+    total_bytes = fs.getContentSummary(hpath).getLength()
+    n = max(1, math.ceil(total_bytes / target_file_bytes))
+
+    df = spark.read.parquet(in_path)
+    if partition_cols:
+        df = df.repartition(n, *partition_cols)
+        df.write.mode("overwrite").partitionBy(*partition_cols).parquet(out_path)
+    else:
+        df = df.repartition(n)
+        df.write.mode("overwrite").parquet(out_path)
+    out = spark.read.parquet(out_path)
+    return len([f for f in out.inputFiles()])

@@ -238,3 +238,21 @@ class TestIncrementalDedup:
         )
         out = dedup_incremental(batch, corpus, "text", "doc_id")
         assert sorted(r.doc_id for r in out.collect()) == [1, 3]
+
+
+class TestCompaction:
+    def test_compacts_many_small_files(self, spark):
+        from pandas_to_postgres_spark.sinks.files import compact_dataset
+
+        df = spark.range(10000).selectExpr("id", "id % 7 AS v")
+        df.repartition(40).write.mode("overwrite").parquet(f"{TMP}/frag")
+        n_before = len(spark.read.parquet(f"{TMP}/frag").inputFiles())
+        assert n_before >= 40
+        n_after = compact_dataset(
+            spark, f"{TMP}/frag", f"{TMP}/compact", target_file_bytes=10**9
+        )
+        assert n_after <= 2
+        # content preserved
+        a = spark.read.parquet(f"{TMP}/frag").groupBy().sum("id", "v").collect()
+        b = spark.read.parquet(f"{TMP}/compact").groupBy().sum("id", "v").collect()
+        assert a == b
