@@ -788,3 +788,66 @@ def dedup_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_incremental(batch, corpus, "text", "doc_id").select(
         "doc_id", "lang", "source"
     )
+
+
+@register(
+    "provenance_counts",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           count(DISTINCT source_file) AS n_files
+    FROM (SELECT 'documents.parquet' AS source_file FROM documents)
+    """,
+)
+def provenance_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-provenance audit (Titian-style lineage as data, see
+    operators/provenance): stamp scan-time origin (file, partition, offset)
+    on every document, then roll up rows per source file. The testdata is
+    one file per table, so the oracle pins (row count, file count); the
+    per-file stamping itself is asserted in unit tests with multi-file
+    inputs."""
+    from pandas_to_postgres_spark.operators.provenance import (
+        provenance_summary,
+        with_provenance,
+    )
+
+    d = with_provenance(load_table(spark, sf_dir, "documents"))
+    s = provenance_summary(d)
+    return s.agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_files"),
+    )
+
+
+@register(
+    "null_profile_orders",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null_custkey,
+           sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS null_totalprice,
+           count(DISTINCT o_orderstatus) AS n_statuses,
+           CAST(round(min(o_totalprice), 2) AS DOUBLE) AS min_price,
+           CAST(round(max(o_totalprice), 2) AS DOUBLE) AS max_price
+    FROM orders
+    """,
+)
+def null_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile: null counts, distinct cardinality and value
+    ranges for a table in ONE scan — the validation pass an ETL pipeline
+    runs before loading (the reference delegates this to Postgres rejecting
+    the COPY; here it is a first-class pre-load report).
+
+    Scale: single scan, fully map-side-combinable aggregates; add columns
+    freely — the pass stays one job."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias(
+            "null_custkey"
+        ),
+        F.sum(F.when(F.col("o_totalprice").isNull(), 1).otherwise(0)).alias(
+            "null_totalprice"
+        ),
+        F.countDistinct("o_orderstatus").alias("n_statuses"),
+        F.round(F.min("o_totalprice"), 2).cast("double").alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).cast("double").alias("max_price"),
+    )

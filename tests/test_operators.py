@@ -423,3 +423,45 @@ class TestStreamingForeachBatchSink:
         stream2 = spark.readStream.schema("id long").parquet(src)
         stream_to_batch_sink(stream2, writer, checkpoint_dir=ckpt).awaitTermination()
         assert spark.read.parquet(out).count() == n1 == 1
+
+
+class TestProvenance:
+    def test_stamps_survive_pipeline_and_name_files(self, spark, tmp_path):
+        from pandas_to_postgres_spark.operators.provenance import (
+            provenance_summary,
+            with_provenance,
+        )
+
+        src = str(tmp_path / "multi")
+        spark.range(100).selectExpr("id", "id % 3 AS k").repartition(4).write.mode(
+            "overwrite"
+        ).parquet(src)
+        df = with_provenance(spark.read.parquet(src))
+        # provenance survives a filter + repartition (travels as data)
+        survived = df.filter("k != 1").repartition(8)
+        rows = survived.collect()
+        assert all(r._prov_file.endswith(".parquet") for r in rows)
+        # offsets are within-partition counters: start at 0 per partition
+        offs = {}
+        for r in df.collect():
+            offs.setdefault(r._prov_partition, []).append(r._prov_offset)
+        for p, os_ in offs.items():
+            assert sorted(os_) == list(range(len(os_)))
+        # summary maps rows back to real files
+        s = {r.source_file: r.n_rows for r in provenance_summary(survived).collect()}
+        assert sum(s.values()) == survived.count()
+        assert all(f.endswith(".parquet") for f in s)
+        assert len(s) == 4
+
+    def test_map_only_no_shuffle(self, spark, tmp_path):
+        from pandas_to_postgres_spark.operators.provenance import with_provenance
+
+        src = str(tmp_path / "single")
+        spark.range(10).write.mode("overwrite").parquet(src)
+        plan = (
+            with_provenance(spark.read.parquet(src))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan
