@@ -13,6 +13,8 @@ Two tiers:
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -193,4 +195,39 @@ def topk_cosine_lsh(
             "cosine",
             "rank",
         )
+    )
+
+
+def merge_topk(
+    partials: Sequence[DataFrame],
+    query_id: str,
+    corpus_id: str,
+    k: int = 5,
+) -> DataFrame:
+    """Merge per-shard top-k result sets into the global exact top-k.
+
+    Top-k is merge-decomposable: the global top-k per query is contained in
+    the union of each shard's top-k, so incremental search sessions (cf.
+    EDBT 2020 incremental top-k) never rescan old shards — score only the
+    NEW shard, union its (query, id, cosine) top-k with the cached results,
+    re-rank, cut at k. Inputs carry (query_id, corpus_id, cosine[, rank]);
+    output re-ranks with the same rounded-score + id tie-break as
+    :func:`topk_cosine_bruteforce`, so a merge of shard results is
+    bit-identical to a full recompute.
+
+    Scale: each incremental step shuffles only O(queries x k) cached rows
+    plus the new shard's scores — corpus embeddings are never revisited.
+    """
+    from functools import reduce
+
+    cols = [query_id, corpus_id, "cosine"]
+    u = reduce(
+        lambda a, b: a.unionByName(b), [p.select(*cols) for p in partials]
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cosine").desc(), F.col(corpus_id).asc()
+    )
+    return (
+        u.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
     )

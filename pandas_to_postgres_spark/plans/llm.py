@@ -851,3 +851,52 @@ def null_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("o_totalprice"), 2).cast("double").alias("min_price"),
         F.round(F.max("o_totalprice"), 2).cast("double").alias("max_price"),
     )
+
+
+@register(
+    "simsearch_topk_incremental",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+    scored AS (
+        SELECT q.qid, e.vec_id,
+               round({_DOT} / ({_NORM_Q} * {_NORM_E}), 5) AS cosine
+        FROM q CROSS JOIN embeddings e),
+    ranked AS (
+        SELECT qid, vec_id, cosine,
+               CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id)
+                    AS BIGINT) AS rnk
+        FROM scored)
+    SELECT qid, vec_id, cosine, rnk FROM ranked WHERE rnk <= 5
+    """,
+)
+def simsearch_topk_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 incremental: the corpus arrives as two ingest shards; each shard
+    is scored independently (as if at different times) and the cached
+    per-shard top-ks are merged with `operators/similarity.merge_topk` —
+    the oracle is the FULL-corpus top-k, proving merge == recompute exactly
+    (top-k is merge-decomposable; cf. incremental top-k search, EDBT 2020).
+
+    Scale: the incremental step never revisits old shards — it shuffles
+    O(queries x k) cached rows plus the new shard's scores only."""
+    from pandas_to_postgres_spark.operators.similarity import (
+        merge_topk,
+        topk_cosine_bruteforce,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding")
+    )
+    shard_a = e.filter(F.col("vec_id") % 2 == 0)
+    shard_b = e.filter(F.col("vec_id") % 2 == 1)
+    topks = [
+        topk_cosine_bruteforce(
+            q, s, query_id="qid", corpus_id="vec_id", query_vec="embedding",
+            corpus_vec="embedding", k=5,
+        )
+        for s in (shard_a, shard_b)
+    ]
+    merged = merge_topk(topks, query_id="qid", corpus_id="vec_id", k=5)
+    return merged.select(
+        "qid", "vec_id", "cosine", F.col("rank").cast("long").alias("rnk")
+    )
