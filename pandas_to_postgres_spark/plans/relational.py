@@ -1624,3 +1624,94 @@ def kmv_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("est_distinct")
     )
+
+
+@register(
+    "unpivot_lineitem",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, measure, round(val, 2) AS val
+    FROM (
+      SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val
+      FROM lineitem WHERE l_orderkey < 100
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+      FROM lineitem WHERE l_orderkey < 100
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+      FROM lineitem WHERE l_orderkey < 100
+    )
+    """,
+)
+def unpivot_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt: wide measure columns → long (measure, value) rows via
+    ``DataFrame.unpivot`` (the inverse of pivot_returnflag).
+
+    Scale: unpivot is a flatMap-style projection — rows x measures output,
+    no shuffle; the id columns repeat per measure so project only what the
+    long format needs."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "measure",
+        "v",
+    ).select(
+        "l_orderkey", "l_linenumber", "measure", F.round("v", 2).alias("val")
+    )
+
+
+@register(
+    "scd2_customer_updates",
+    oracle="""
+    WITH cur AS (
+      SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal,
+             TIMESTAMP '2020-01-01 00:00:00' AS valid_from,
+             CAST(NULL AS TIMESTAMP) AS valid_to,
+             TRUE AS is_current
+      FROM customer
+    ),
+    upd AS (
+      SELECT c_custkey, c_name, round(c_acctbal + 100.0, 2) AS acctbal
+      FROM customer WHERE c_custkey % 10 = 0
+    )
+    SELECT * FROM (
+      SELECT c.* FROM cur c
+      WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.c_custkey = c.c_custkey)
+      UNION ALL
+      SELECT c.c_custkey, c.c_name, c.acctbal, c.valid_from,
+             TIMESTAMP '2024-06-01 00:00:00', FALSE
+      FROM cur c
+      WHERE EXISTS (SELECT 1 FROM upd u WHERE u.c_custkey = c.c_custkey)
+      UNION ALL
+      SELECT u.c_custkey, u.c_name, u.acctbal,
+             TIMESTAMP '2024-06-01 00:00:00', CAST(NULL AS TIMESTAMP), TRUE
+      FROM upd u
+    )
+    """,
+)
+def scd2_customer_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC / SCD2 merge emulation (no MERGE INTO without a transactional
+    table format): an update batch (10% of customers with changed balances)
+    closes out current dimension versions and appends new open versions —
+    anti-join + semi-join + union, full history kept
+    (operators/cdc.scd2_apply).
+
+    Scale: one key-shuffle for the semi/anti pair, union is shuffle-free;
+    with a key-partitioned dimension only changed partitions rewrite."""
+    from pandas_to_postgres_spark.operators.cdc import scd2_apply
+
+    c = _t(spark, sf_dir, "customer")
+    cur = c.select(
+        "c_custkey",
+        "c_name",
+        F.round("c_acctbal", 2).alias("acctbal"),
+        F.lit("2020-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    upd = c.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        "c_name",
+        F.round(F.col("c_acctbal") + 100.0, 2).alias("acctbal"),
+    )
+    return scd2_apply(cur, upd, key="c_custkey", effective_ts="2024-06-01 00:00:00")

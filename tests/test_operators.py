@@ -465,3 +465,38 @@ class TestProvenance:
             .toString()
         )
         assert "Exchange" not in plan
+
+
+class TestCdc:
+    def test_upsert_scd1(self, spark):
+        from pandas_to_postgres_spark.operators.cdc import upsert
+
+        cur = spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0)], "k long, name string, v double"
+        )
+        upd = spark.createDataFrame(
+            [(2, "b2", 25.0), (3, "c", 30.0)], "k long, name string, v double"
+        )
+        out = {r.k: (r.name, r.v) for r in upsert(cur, upd, "k").collect()}
+        assert out == {1: ("a", 10.0), 2: ("b2", 25.0), 3: ("c", 30.0)}
+
+    def test_scd2_keeps_history(self, spark):
+        from pyspark.sql import functions as F
+
+        from pandas_to_postgres_spark.operators.cdc import scd2_apply
+
+        cur = spark.createDataFrame(
+            [(1, 10.0), (2, 20.0)], "k long, v double"
+        ).select(
+            "k", "v",
+            F.lit("2020-01-01").cast("timestamp").alias("valid_from"),
+            F.lit(None).cast("timestamp").alias("valid_to"),
+            F.lit(True).alias("is_current"),
+        )
+        upd = spark.createDataFrame([(2, 99.0)], "k long, v double")
+        out = scd2_apply(cur, upd, "k", "2024-06-01").collect()
+        rows = sorted(((r.k, r.v, r.is_current) for r in out))
+        # key 1 untouched; key 2: closed old version + open new version
+        assert rows == [(1, 10.0, True), (2, 20.0, False), (2, 99.0, True)]
+        closed = [r for r in out if r.k == 2 and not r.is_current][0]
+        assert closed.valid_to is not None
