@@ -1715,3 +1715,31 @@ def scd2_customer_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("c_acctbal") + 100.0, 2).alias("acctbal"),
     )
     return scd2_apply(cur, upd, key="c_custkey", effective_ts="2024-06-01 00:00:00")
+
+
+@register(
+    "q13_order_distribution",
+    oracle="""
+    SELECT n_orders, count(*) AS n_custs
+    FROM (SELECT c_custkey, count(o_orderkey) AS n_orders
+          FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+          GROUP BY c_custkey)
+    GROUP BY n_orders
+    """,
+)
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: customer order-count distribution — aggregate of an
+    aggregate, with LEFT JOIN keeping zero-order customers in the histogram.
+
+    Scale: first agg shuffles on custkey (reusing the join partitioning —
+    one exchange for join+agg), second agg shuffles the tiny histogram.
+    The left join means no customer is lost: COUNT(o_orderkey) counts
+    non-null matches only."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count(F.lit(1)).alias("n_custs"))
