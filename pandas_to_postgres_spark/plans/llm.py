@@ -900,3 +900,49 @@ def simsearch_topk_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select(
         "qid", "vec_id", "cosine", F.col("rank").cast("long").alias("rnk")
     )
+
+
+@register(
+    "quantize_embeddings",
+    oracle="""
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+               FROM embeddings),
+    m AS (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS s FROM v),
+    q AS (SELECT vec_id, e, s,
+                 list_transform(e, x -> floor(x * 127.0 / s + 0.5)) AS qq FROM m)
+    SELECT vec_id, round(s, 6) AS scale,
+           round(list_max(list_transform(list_zip(e, qq),
+                 p -> abs(p[1] - p[2] * s / 127.0))), 6) AS max_err
+    FROM q
+    """,
+)
+def quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 embedding quantization with per-vector scale + reconstruction
+    error — the storage-compression step of an embedding pipeline (float32
+    → int8 is 4x smaller; the max_err column is the quality audit).
+    Quantize = floor(x*127/s + 0.5) (explicit half-up so both engines tie-
+    break identically); dequantized error via zip_with.
+
+    Scale: all higher-order functions, map-only per row, no shuffle —
+    quantization parallelizes with the scan exactly like minhash
+    signatures."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ed = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    d = e.select(F.col("vec_id"), ed.alias("e"))
+    s = F.array_max(F.transform(F.col("e"), F.abs))
+    d = d.withColumn("s", s)
+    qq = F.transform(
+        F.col("e"), lambda x: F.floor(x * F.lit(127.0) / F.col("s") + F.lit(0.5))
+    )
+    err = F.array_max(
+        F.zip_with(
+            F.col("e"),
+            qq,
+            lambda a, b: F.abs(a - b.cast("double") * F.col("s") / F.lit(127.0)),
+        )
+    )
+    return d.select(
+        "vec_id",
+        F.round("s", 6).alias("scale"),
+        F.round(err, 6).alias("max_err"),
+    )
