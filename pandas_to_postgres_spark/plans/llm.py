@@ -946,3 +946,38 @@ def quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("s", 6).alias("scale"),
         F.round(err, 6).alias("max_err"),
     )
+
+
+@register(
+    "weighted_sample_docs",
+    oracle=f"""
+    SELECT doc_id, {_QUALITY_SQL} AS quality
+    FROM documents
+    WHERE CAST(('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+          / 1152921504606846976.0 < {_QUALITY_SQL}
+    """,
+)
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic importance sampling: keep each doc with probability
+    equal to its quality score — P(keep) = quality, decided by comparing a
+    salted md5-uniform of the doc id against the score. No randomness:
+    membership is a pure function of (salt, doc_id), so reruns, retries
+    and different partitionings select the SAME sample — the property that
+    makes a 100 TB sampling job resumable and auditable (and lets an
+    independent engine reproduce the exact sample, as the oracle proves).
+
+    Scale: map-only filter; the md5-uniform costs one hash per row and the
+    quality expression is shared with quality_score (JVM codegen)."""
+    d = load_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ws:"), F.col("doc_id").cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(1152921504606846976.0)
+    )
+    q = quality_score_expr(F.col("text"))
+    return d.filter(u < q).select("doc_id", q.alias("quality"))
