@@ -981,3 +981,47 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = quality_score_expr(F.col("text"))
     return d.filter(u < q).select("doc_id", q.alias("quality"))
+
+
+@register(
+    "scrub_documents",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, 'https?://[^ ]+')) AS BIGINT) AS n_urls,
+           CAST(len(regexp_extract_all(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+')) AS BIGINT) AS n_emails,
+           CAST(length(trim(regexp_replace(regexp_replace(regexp_replace(text,
+                'https?://[^ ]+', '', 'g'),
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '', 'g'),
+                '  +', ' ', 'g'))) AS BIGINT) AS clean_len
+    FROM documents
+    """,
+)
+def scrub_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb-style scrubbing pass: count and strip URLs and email
+    addresses, collapse the leftover double spaces, report the cleaned
+    length — the text-sanitization step before tokenization (patterns kept
+    in the Java-regex ∩ RE2 dialect so any engine reproduces the result).
+
+    Scale: pure regexp expressions, map-only, whole-stage codegen; at
+    100 TB this runs at scan speed and the counts feed the quality gate."""
+    d = load_table(spark, sf_dir, "documents")
+    url = r"https?://[^ ]+"
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.regexp_replace(F.col("text"), url, ""), email, ""),
+            "  +",
+            " ",
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(url), F.lit(0)))
+        .cast("bigint")
+        .alias("n_urls"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(email), F.lit(0)))
+        .cast("bigint")
+        .alias("n_emails"),
+        F.length(cleaned).cast("bigint").alias("clean_len"),
+    )
