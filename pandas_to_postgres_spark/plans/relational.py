@@ -1743,3 +1743,53 @@ def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("o_orderkey").alias("n_orders"))
     )
     return per_cust.groupBy("n_orders").agg(F.count(F.lit(1)).alias("n_custs"))
+
+
+@register(
+    "funnel_conversion",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT count(*) AS n_users,
+           sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS step_view,
+           sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                    THEN 1 ELSE 0 END) AS step_click,
+           sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                     AND t_purchase > t_click THEN 1 ELSE 0 END) AS step_purchase
+    FROM per_user
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis: users progressing view → click → purchase IN ORDER
+    (each step's first occurrence must follow the previous step's). One
+    conditional-min aggregation per user, then one global rollup — the
+    event-analytics pattern sessionization feeds.
+
+    Scale: a single shuffle on user_id; the per-step min() is map-side
+    combinable, so the funnel costs the same as a count regardless of
+    events per user. NULL-safe by construction: a missing step's min is
+    NULL and the > comparison fails, dropping the user from later steps."""
+    e = _t(spark, sf_dir, "events")
+
+    def first_ts(t):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    per_user = e.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    stepped = F.col("t_view").isNotNull()
+    clicked = stepped & (F.col("t_click") > F.col("t_view"))
+    purchased = clicked & (F.col("t_purchase") > F.col("t_click"))
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(stepped.cast("long")).alias("step_view"),
+        F.sum(clicked.cast("long")).alias("step_click"),
+        F.sum(purchased.cast("long")).alias("step_purchase"),
+    )
