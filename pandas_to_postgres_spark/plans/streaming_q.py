@@ -110,3 +110,24 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pandas_to_postgres_spark.streaming.events import stream_static_enrichment
 
     return stream_static_enrichment(spark, sf_dir)
+
+
+@register(
+    "stream_stream_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9: stream-stream inner join with watermarks and a time-range
+    condition (bounded state, eviction past watermark + range) —
+    oracle-checked against the equivalent batch range join."""
+    from pandas_to_postgres_spark.streaming.events import (
+        stream_stream_purchase_clicks,
+    )
+
+    return stream_stream_purchase_clicks(spark, sf_dir)

@@ -170,3 +170,57 @@ def stream_static_enrichment(
     )
     q.awaitTermination()
     return spark.table(table)
+
+
+def stream_stream_purchase_clicks(
+    spark: SparkSession,
+    sf_dir: str,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join: purchases joined to the same user's clicks
+    from the preceding hour — both sides are genuine streams with
+    watermarks, so the join keeps bounded state (each side buffers only
+    rows younger than watermark + the 1-hour join range; older state is
+    evicted).
+
+    At 100 TB of stream this is THE stateful operator to size carefully:
+    state ~ (events/hour) x 2 sides x bytes/row per user partition; the
+    time-range predicate is what lets Spark prune state — an unbounded
+    condition would grow state forever.
+    """
+    path = f"{sf_dir}/events.parquet"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(path).schema
+
+    def one_stream(alias: str) -> DataFrame:
+        s = (
+            spark.readStream.schema(raw_schema)
+            .format("parquet")
+            .load(f"{sf_dir}/events.parque[t]")
+        )
+        if dict(s.dtypes).get("ts") == "bigint":
+            s = s.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        return s.withWatermark("ts", watermark).alias(alias)
+
+    p = one_stream("p").filter(F.col("event_type") == "purchase")
+    c = one_stream("c").filter(F.col("event_type") == "click")
+    joined = p.join(
+        c,
+        F.expr(
+            "p.user_id = c.user_id AND "
+            "c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts"
+        ),
+    ).select(
+        F.col("p.event_id").alias("purchase_id"),
+        F.col("c.event_id").alias("click_id"),
+    )
+    table = f"stream_ssj_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(table)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(table)
