@@ -20,9 +20,26 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def upsert(current: DataFrame, updates: DataFrame, key: str) -> DataFrame:
+def upsert(
+    current: DataFrame, updates: DataFrame, key: str, strict: bool = True
+) -> DataFrame:
     """SCD1 merge: updates replace matching current rows, others pass
-    through, new keys append. Schemas must match."""
+    through, new keys append. Schemas must match.
+
+    Precondition: ``updates`` carries each key at most once — real
+    ``MERGE INTO`` raises on multiple matches; a duplicate key here would
+    survive as two conflicting current rows. ``strict=True`` (default)
+    enforces it with one extra pass over the updates batch — the small
+    delta side, so the check is cheap even when ``current`` is 100 TB.
+    Pass ``strict=False`` for pre-deduplicated feeds."""
+    if strict:
+        dup = (
+            updates.groupBy(key).count().filter(F.col("count") > 1).limit(1).collect()
+        )
+        if dup:
+            raise ValueError(
+                f"upsert: updates batch carries key {dup[0][key]!r} more than once"
+            )
     return current.join(updates, key, "left_anti").unionByName(updates)
 
 
@@ -37,13 +54,20 @@ def scd2_apply(
 ) -> DataFrame:
     """SCD2 merge: keep full history. ``current`` must already carry
     (from_col, to_col, flag_col); ``updates`` carries the business columns
-    only. Changed keys get their open version closed at ``effective_ts``
-    and a new open version appended.
+    only. Changed keys get their OPEN version closed at ``effective_ts``
+    and a new open version appended; already-closed history rows of a
+    changed key pass through untouched (closing them again would corrupt
+    their valid_to — a repeated apply must leave prior history bytes
+    unchanged, asserted in tests/test_operators.py).
     """
     changed = updates.select(key)
-    untouched = current.join(changed, key, "left_anti")
+    # rows of unchanged keys: every version passes through untouched
+    untouched_keys = current.join(changed, key, "left_anti")
+    # changed keys: only the open version closes; closed history passes
+    history = current.filter(~F.col(flag_col)).join(changed, key, "left_semi")
     closed = (
-        current.join(changed, key, "left_semi")
+        current.filter(F.col(flag_col))
+        .join(changed, key, "left_semi")
         .withColumn(to_col, F.lit(effective_ts).cast("timestamp"))
         .withColumn(flag_col, F.lit(False))
     )
@@ -52,4 +76,6 @@ def scd2_apply(
         .withColumn(to_col, F.lit(None).cast("timestamp"))
         .withColumn(flag_col, F.lit(True))
     )
-    return untouched.unionByName(closed).unionByName(opened)
+    return (
+        untouched_keys.unionByName(history).unionByName(closed).unionByName(opened)
+    )

@@ -224,6 +224,11 @@ def merge_topk(
     u = reduce(
         lambda a, b: a.unionByName(b), [p.select(*cols) for p in partials]
     )
+    # shards may overlap (re-delivered ingest batch, cached top-k merged with
+    # a recomputed shard): a duplicate (query, corpus) pair would occupy two
+    # ranks and displace a genuine top-k row. Scores are deterministic
+    # rounded values, so duplicates are exact — drop before ranking.
+    u = u.dropDuplicates([query_id, corpus_id])
     w = Window.partitionBy(query_id).orderBy(
         F.col("cosine").desc(), F.col(corpus_id).asc()
     )

@@ -500,3 +500,69 @@ class TestCdc:
         assert rows == [(1, 10.0, True), (2, 20.0, False), (2, 99.0, True)]
         closed = [r for r in out if r.k == 2 and not r.is_current][0]
         assert closed.valid_to is not None
+
+    def test_scd2_second_apply_leaves_closed_history_untouched(self, spark):
+        # regression: a second apply on a key that already carries closed
+        # versions must not re-stamp the old versions' valid_to
+        from pyspark.sql import functions as F
+
+        from pandas_to_postgres_spark.operators.cdc import scd2_apply
+
+        cur = spark.createDataFrame(
+            [(1, 10.0), (2, 20.0)], "k long, v double"
+        ).select(
+            "k", "v",
+            F.lit("2020-01-01").cast("timestamp").alias("valid_from"),
+            F.lit(None).cast("timestamp").alias("valid_to"),
+            F.lit(True).alias("is_current"),
+        )
+        step1 = scd2_apply(
+            cur, spark.createDataFrame([(2, 99.0)], "k long, v double"),
+            "k", "2024-06-01",
+        )
+        step2 = scd2_apply(
+            step1, spark.createDataFrame([(2, 123.0)], "k long, v double"),
+            "k", "2025-01-01",
+        )
+        out = step2.collect()
+        hist = sorted(
+            ((r.v, str(r.valid_to), r.is_current) for r in out if r.k == 2)
+        )
+        # first closed version keeps its ORIGINAL 2024 close timestamp
+        assert hist == [
+            (20.0, "2024-06-01 00:00:00", False),
+            (99.0, "2025-01-01 00:00:00", False),
+            (123.0, "None", True),
+        ]
+        # exactly one open row per key
+        opens = [r for r in out if r.is_current]
+        assert sorted(r.k for r in opens) == [1, 2]
+
+    def test_upsert_raises_on_duplicate_update_keys(self, spark):
+        import pytest
+
+        from pandas_to_postgres_spark.operators.cdc import upsert
+
+        cur = spark.createDataFrame([(1, "a")], "k long, name string")
+        upd = spark.createDataFrame(
+            [(2, "x"), (2, "y")], "k long, name string"
+        )
+        with pytest.raises(ValueError, match="more than once"):
+            upsert(cur, upd, "k")
+        # strict=False keeps the old pass-through behavior
+        assert upsert(cur, upd, "k", strict=False).count() == 3
+
+    def test_merge_topk_dedups_overlapping_shards(self, spark):
+        from pandas_to_postgres_spark.operators.similarity import merge_topk
+
+        shard = spark.createDataFrame(
+            [(1, 10, 0.9), (1, 11, 0.8), (1, 12, 0.7)],
+            "qid long, cid long, cosine double",
+        )
+        other = spark.createDataFrame(
+            [(1, 10, 0.9), (1, 13, 0.6)], "qid long, cid long, cosine double"
+        )
+        out = merge_topk([shard, other], "qid", "cid", k=3).collect()
+        got = sorted((r.cid, r.rank) for r in out)
+        # duplicate (1,10) occupies ONE rank; 12 stays in the top-3
+        assert got == [(10, 1), (11, 2), (12, 3)]

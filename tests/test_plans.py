@@ -73,8 +73,14 @@ class TestAsofShape:
     def test_asof_join_is_single_shuffle_no_join_node(self, spark):
         plan = plan_of(spark, "asof_join_events")
         # union+window construction: no join operator at all
-        assert "Join" not in plan or "BroadcastNestedLoopJoin" not in plan
-        assert "SortMergeJoin" not in plan
+        for op in (
+            "SortMergeJoin",
+            "BroadcastHashJoin",
+            "BroadcastNestedLoopJoin",
+            "ShuffledHashJoin",
+            "CartesianProduct",
+        ):
+            assert op not in plan, f"asof plan regressed to a {op}"
         assert shuffles(plan) == 1
 
     def test_asof_forward_same_shape(self, spark):
