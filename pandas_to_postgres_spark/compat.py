@@ -48,8 +48,10 @@ class _BaseCopy:
         self.formatters = formatters
         self.rows = 0
 
-    def _run(self, df: DataFrame) -> None:
-        df = apply_formatters(df, self.formatters)
+    def _run(self, df: DataFrame, **formatter_kwargs) -> None:
+        df = apply_formatters(
+            df, self.formatters, copy_obj=self, **formatter_kwargs
+        )
         self.sink(self.table_name, df)
         self.rows = df.count()
 
@@ -88,6 +90,7 @@ class HDFTableCopy(_BaseCopy):
         big: bool = False,
         hdf_chunksize: int = DEFAULT_CHUNK_ROWS,
         formatters: Sequence = (),
+        metadata_vars: Optional[dict] = None,
     ):
         super().__init__(sink, table_name, formatters)
         self.file_name = file_name
@@ -95,17 +98,42 @@ class HDFTableCopy(_BaseCopy):
         self.spark = spark
         self.big = big
         self.hdf_chunksize = hdf_chunksize
+        # {metadata_attr: {hdf_key: value}} from hdf_metadata — per-key
+        # constants injected into formatter kwargs (`copy_hdf.py:44-46`)
+        self.metadata_vars = metadata_vars or {}
 
-    def _load(self) -> DataFrame:
+    def _key_kwargs(self, key: str) -> dict:
+        """Formatter kwargs for one HDF key: the key name itself
+        (`copy_hdf.py:105` injects ``hdf_table``) plus every metadata
+        constant recorded for that key."""
+        kw = {"hdf_table": key}
+        for attr, per_key in self.metadata_vars.items():
+            if key in per_key:
+                kw[attr] = per_key[key]
+        return kw
+
+    def _load(self, formatted: bool = True) -> DataFrame:
         loader = (
             (lambda k: load_hdf_distributed(self.spark, self.file_name, k, self.hdf_chunksize))
             if self.big
             else (lambda k: load_hdf_small(self.spark, self.file_name, k))
         )
-        return union_sources([loader(k) for k in self.hdf_tables])
+        parts = []
+        for k in self.hdf_tables:
+            df = loader(k)
+            if formatted:
+                # per-key application so hooks see THIS key's constants,
+                # matching the reference's per-table loop (`copy_hdf.py:98-120`)
+                df = apply_formatters(
+                    df, self.formatters, copy_obj=self, **self._key_kwargs(k)
+                )
+            parts.append(df)
+        return union_sources(parts)
 
     def copy(self) -> None:
-        self._run(self._load())
+        df = self._load(formatted=True)
+        self.sink(self.table_name, df)
+        self.rows = df.count()
 
 
 class SmallHDFTableCopy(HDFTableCopy):
@@ -152,11 +180,13 @@ def create_hdf_table_objects(
     big: bool = False,
     hdf_chunksize: int = DEFAULT_CHUNK_ROWS,
     formatters: Sequence = (),
+    metadata_vars: Optional[dict] = None,
 ) -> list[HDFTableCopy]:
     """`hdf_to_postgres.py:10-46` — one copy object per SQL table."""
     return [
         HDFTableCopy(
-            file_name, sorted(keys), spark, sink, table, big, hdf_chunksize, formatters
+            file_name, sorted(keys), spark, sink, table, big, hdf_chunksize,
+            formatters, metadata_vars,
         )
         for table, keys in sql_to_hdf.items()
     ]
@@ -175,15 +205,18 @@ def hdf_to_postgres(
     formatters: Sequence = (),
 ) -> None:
     """`hdf_to_postgres.py:106-201` — discovery → routing → per-table copy,
-    serial or concurrent (driver threads replace the Pool)."""
-    sql_to_hdf, _meta = hdf_metadata(file_name, None, metadata_attr, metadata_keys)
+    serial or concurrent (driver threads replace the Pool). The metadata
+    constants harvested by ``hdf_metadata`` are threaded into formatter
+    kwargs per HDF key (`copy_hdf.py:44-46,105`), so metadata-driven hooks
+    written against the reference see the same per-table values here."""
+    sql_to_hdf, meta = hdf_metadata(file_name, None, metadata_attr, metadata_keys)
     routing = resolve_routing(sql_to_hdf, keys)
     copies = create_hdf_table_objects(
-        file_name, routing, spark, sink, big, hdf_chunksize, formatters
+        file_name, routing, spark, sink, big, hdf_chunksize, formatters, meta
     )
     copy_tables(
-        {c.table_name: c._load() for c in copies},
-        lambda name, df: sink(name, apply_formatters(df, formatters)),
+        {c.table_name: c._load(formatted=True) for c in copies},
+        sink,
         processes,
     )
 

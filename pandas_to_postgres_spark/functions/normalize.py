@@ -59,14 +59,39 @@ def cast_to_target_schema(
     return df.select(*cols)
 
 
-def apply_formatters(df: DataFrame, formatters: Iterable[Formatter]) -> DataFrame:
+def apply_formatters(
+    df: DataFrame, formatters: Iterable[Formatter], **kwargs
+) -> DataFrame:
     """Apply the ordered formatter chain (`_base_copy.py:146-167`).
 
-    Each formatter is df→df; chaining with ``DataFrame.transform`` keeps the
-    whole pipeline one Catalyst plan (filters still push down through it).
+    Each formatter is df→df; chaining keeps the whole pipeline one Catalyst
+    plan (filters still push down through it). ``kwargs`` mirror the
+    reference's shared-kwargs hook protocol (`_base_copy.py:152-156`:
+    ``f(df, copy_obj=self, **kwargs)``) — the HDF path passes ``hdf_table``
+    plus per-table `hdf_metadata` constants (`copy_hdf.py:44-46,105`).
+    A formatter that only takes ``df`` (the common Spark-native case) is
+    called without them; one whose signature accepts extra named or
+    ``**kwargs`` parameters receives the full set.
     """
+    import inspect
+
     for fn in formatters:
-        df = df.transform(fn)
+        if not kwargs:
+            df = fn(df)
+            continue
+        try:
+            sig = inspect.signature(fn)
+        except (TypeError, ValueError):
+            df = fn(df)
+            continue
+        params = list(sig.parameters.values())
+        has_var_kw = any(p.kind is inspect.Parameter.VAR_KEYWORD for p in params)
+        if has_var_kw:
+            df = fn(df, **kwargs)
+        else:
+            named = {p.name for p in params[1:]}
+            accepted = {k: v for k, v in kwargs.items() if k in named}
+            df = fn(df, **accepted) if accepted else fn(df)
     return df
 
 

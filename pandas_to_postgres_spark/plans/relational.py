@@ -760,19 +760,27 @@ def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            count(*) AS n,
            sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_total,
-           round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS k_avg
+           round(CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
+                 / count(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS k_avg
     FROM events GROUP BY event_type
     """,
 )
 def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F5: JSON extraction from the props string column (get_json_object),
-    aggregated per event type. Integer sum → exact hash match."""
+    aggregated per event type.
+
+    k_avg is exact-integer-sum / non-null-count, NOT ``avg(long)``: Spark's
+    Average over longs accumulates in a double, so the partial-agg merge
+    order (partition count, AQE coalescing, task timing) can flip the last
+    bit right on a round() boundary — the one hash flake of round 1. The
+    long sum is order-independent, so one double division is deterministic
+    on any engine and any partitioning."""
     e = _t(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("long")
     return e.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(k).alias("k_total"),
-        F.round(F.avg(k), 4).alias("k_avg"),
+        F.round(F.sum(k).cast("double") / F.count(k), 4).alias("k_avg"),
     )
 
 

@@ -197,3 +197,78 @@ class TestReferenceUtilityParity:
                 self.rows = 7
 
         assert copy_worker(FakeCopy()) == 7
+
+
+class TestFormatterKwargs:
+    """The reference hook contract `f(df, copy_obj=self, **kwargs)`
+    (`_base_copy.py:152-156`) with per-table metadata constants injected on
+    the HDF path (`copy_hdf.py:44-46,105`)."""
+
+    def test_df_only_formatter_unchanged(self):
+        from pandas_to_postgres_spark.functions.normalize import apply_formatters
+
+        seen = []
+        out = apply_formatters("df0", [lambda df: (seen.append(df), "df1")[1]],
+                               hdf_table="/t1", levels=3)
+        assert out == "df1" and seen == ["df0"]
+
+    def test_kwargs_formatter_receives_constants(self):
+        from pandas_to_postgres_spark.functions.normalize import apply_formatters
+
+        got = {}
+
+        def hook(df, **kwargs):
+            got.update(kwargs)
+            return df
+
+        apply_formatters("df0", [hook], copy_obj="CO", hdf_table="/t1", levels=3)
+        assert got == {"copy_obj": "CO", "hdf_table": "/t1", "levels": 3}
+
+    def test_named_param_formatter_gets_only_its_params(self):
+        from pandas_to_postgres_spark.functions.normalize import apply_formatters
+
+        got = {}
+
+        def hook(df, levels=None):
+            got["levels"] = levels
+            return df
+
+        apply_formatters("df0", [hook], hdf_table="/t1", levels=3)
+        assert got == {"levels": 3}
+
+    def test_hdf_copy_threads_per_key_metadata(self, monkeypatch):
+        """A metadata-driven formatter sees its OWN key's constant for each
+        of the keys feeding one SQL table (the reference's one:many routing)."""
+        import pandas_to_postgres_spark.compat as compat
+        from pandas_to_postgres_spark.compat import HDFTableCopy
+
+        class FakeDF:
+            def __init__(self, tag):
+                self.tag = tag
+
+            def unionByName(self, other):
+                return FakeDF(self.tag + "+" + other.tag)
+
+            def count(self):
+                return 1
+
+        monkeypatch.setattr(
+            compat, "load_hdf_small", lambda spark, f, k: FakeDF(k)
+        )
+        seen = []
+
+        def hook(df, hdf_table=None, levels=None, **kwargs):
+            seen.append((df.tag, hdf_table, levels))
+            return df
+
+        sunk = []
+        c = HDFTableCopy(
+            "f.h5", ["/a", "/b"], spark=None,
+            sink=lambda name, df: sunk.append((name, df.tag)),
+            table_name="t", formatters=[hook],
+            metadata_vars={"levels": {"/a": 2, "/b": 5}},
+        )
+        c.copy()
+        assert seen == [("/a", "/a", 2), ("/b", "/b", 5)]
+        assert sunk == [("t", "/a+/b")]
+        assert c.rows == 1
