@@ -272,6 +272,75 @@ def ngram_jaccard_blocked(
     )
 
 
+def ngram_jaccard_prefix(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    n: int = 1,
+    max_token_df: Optional[int] = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity self-join via **prefix filtering**
+    (the MapReduce set-similarity join of Vernica/Carey/Li, SIGMOD 2010;
+    prefix bound from Chaudhuri/Ganti/Kaushik, ICDE 2006).
+
+    Block key = shingle, but only each document's ``|d| - ceil(t*|d|) + 1``
+    globally-rarest shingles generate candidates: if two sets have Jaccard
+    ≥ t, their prefixes under one global (document-frequency, shingle)
+    order must share an element — so recall is 100% BY CONSTRUCTION, while
+    the candidate space is bounded by the document frequency of *rare*
+    shingles instead of block-squared. Unlike blocking on (lang, source)
+    (~25 blocks → O(n²/25) at any corpus size), block cardinality here is
+    the shingle vocabulary and grows WITH the corpus; per-block pair cost
+    is df(shingle)² only for shingles rare enough to be some document's
+    prefix.
+
+    Stages (all shuffles on bounded keys): shingle+explode → df count
+    (map-side combinable) → per-doc rank window (partition = one doc's
+    shingles, never large) → prefix self-join on shingle → distinct pairs
+    → verify exact Jaccard on candidates only.
+
+    ``max_token_df`` optionally drops candidate-generation shingles seen in
+    more than that many documents (skew cap for adversarial corpora where
+    some document's whole prefix is stopwords). Leave ``None`` for exact
+    results — with it set, pairs whose every shared rare shingle exceeds
+    the cap can be missed (documented recall trade, same spirit as
+    ``max_bucket`` in the MinHash path).
+    """
+    sh = shingles_expr(text_col, n)
+    toks = df.select(F.col(id_col).alias("__id"), sh.alias("__tk")).withColumn(
+        "__sz", F.size("__tk")
+    )
+    tok = toks.select("__id", "__sz", F.explode("__tk").alias("__t"))
+    dfreq = tok.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
+    if max_token_df is not None:
+        dfreq = dfreq.filter(F.col("__df") <= max_token_df)
+    ranked = tok.join(dfreq, "__t").withColumn(
+        "__rn",
+        F.row_number().over(Window.partitionBy("__id").orderBy("__df", "__t")),
+    )
+    prefix_len = F.col("__sz") - F.ceil(F.lit(threshold) * F.col("__sz")) + 1
+    pref = ranked.filter(F.col("__rn") <= prefix_len).select("__id", "__t")
+    cand = (
+        pref.select(F.col("__id").alias("id_a"), "__t")
+        .join(pref.select(F.col("__id").alias("id_b"), "__t"), "__t")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return (
+        cand.join(toks.select(F.col("__id").alias("id_a"), F.col("__tk").alias("__tka")), "id_a")
+        .join(toks.select(F.col("__id").alias("id_b"), F.col("__tk").alias("__tkb")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("__tka", "__tkb")).cast("double")
+            / F.size(F.array_union("__tka", "__tkb")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
 # ------------------------------------------------------------ SimHash
 
 def simhash_expr(text_col: str, bits: int = 64):

@@ -377,27 +377,68 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ngram_jaccard_pairs",
     oracle="""
-    WITH toks AS (
-        SELECT lang, source, doc_id,
-               list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tk
-        FROM documents)
-    SELECT a.lang, a.source, a.doc_id AS id_a, b.doc_id AS id_b,
-           round(CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
-                 / CAST(len(list_distinct(list_concat(a.tk, b.tk))) AS DOUBLE), 4)
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id,
+               regexp_replace(text, '\\s+\\S+$', '') AS text
+        FROM documents),
+    toks AS (
+        SELECT doc_id,
+               list_distinct(list_filter(
+                   regexp_split_to_array(lower(trim(text)), '\\s+'),
+                   t -> t <> '')) AS raw
+        FROM corpus),
+    sized AS (
+        SELECT doc_id,
+               CASE WHEN len(raw) >= 1 THEN raw
+                    ELSE ['']::VARCHAR[] END AS tk,
+               CASE WHEN len(raw) >= 1 THEN len(raw) ELSE 1 END AS sz
+        FROM toks),
+    tok AS (SELECT doc_id, sz, unnest(tk) AS t FROM sized),
+    dfreq AS (SELECT t, count(*) AS dfc FROM tok GROUP BY t),
+    ranked AS (
+        SELECT tok.doc_id, tok.sz, tok.t,
+               row_number() OVER (PARTITION BY tok.doc_id
+                                  ORDER BY dfreq.dfc, tok.t) AS rn
+        FROM tok JOIN dfreq USING (t)),
+    pref AS (
+        SELECT doc_id, t FROM ranked
+        WHERE rn <= sz - ceil(0.8 * sz) + 1),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM pref a JOIN pref b ON a.t = b.t AND a.doc_id < b.doc_id)
+    SELECT id_a, id_b,
+           round(CAST(len(list_intersect(x.tk, y.tk)) AS DOUBLE)
+                 / CAST(len(list_distinct(list_concat(x.tk, y.tk))) AS DOUBLE), 4)
                AS jaccard
-    FROM toks a JOIN toks b
-      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    FROM cand
+    JOIN sized x ON x.doc_id = cand.id_a
+    JOIN sized y ON y.doc_id = cand.id_b
+    WHERE CAST(len(list_intersect(x.tk, y.tk)) AS DOUBLE)
+          / CAST(len(list_distinct(list_concat(x.tk, y.tk))) AS DOUBLE) >= 0.8
     """,
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D2: exact word-gram Jaccard for all same-(lang,source) pairs — the
-    blocked-comparison pattern (block columns bound the pair space; exact
-    similarity only within blocks)."""
-    from pandas_to_postgres_spark.operators.dedup import ngram_jaccard_blocked
+    """D2: exact word-gram Jaccard ≥ 0.8 pairs via PREFIX FILTERING — the
+    scale-safe similarity self-join: candidates come from each document's
+    globally-rarest shingles only, so block cardinality is the vocabulary
+    (grows with the corpus) instead of a fixed handful of (lang, source)
+    blocks going quadratic. Recall is exact by the prefix-filter bound.
+    Run on documents ∪ a perturbed copy (last word dropped, doc_id+10^6,
+    same construction as minhash_neardup) so planted near-dup pairs exist
+    at every scale factor; the oracle replays the identical prefix-join in
+    SQL."""
+    from pandas_to_postgres_spark.operators.dedup import ngram_jaccard_prefix
 
-    d = load_table(spark, sf_dir, "documents")
-    return ngram_jaccard_blocked(
-        d, text_col="text", id_col="doc_id", block_cols=["lang", "source"], n=1
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    perturbed = d.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.regexp_replace(F.col("text"), r"\s+\S+$", "").alias("text"),
+    )
+    corpus = d.unionByName(perturbed)
+    return ngram_jaccard_prefix(
+        corpus, text_col="text", id_col="doc_id", threshold=0.8, n=1
     )
 
 
@@ -577,23 +618,45 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequential sequence packing: assign each document to a ~4096-char
     training pack, filling packs in doc_id order within each language.
 
-    This is the deterministic streaming-fill packing (not bin-packing
-    first-fit): pack boundary = running size before the doc crosses a
-    4096 multiple. One window shuffle on lang; at 100 TB partition by
-    (lang, shard) so no single language serializes a sort — the pack id
-    only needs a per-shard prefix sum, which is what the window computes."""
-    d = load_table(spark, sf_dir, "documents")
-    w = (
-        Window.partitionBy("lang")
+    Deterministic streaming-fill packing (not bin-packing first-fit):
+    pack boundary = running size before the doc crosses a 4096 multiple.
+
+    Sharded prefix sum — the 100 TB shape: the window partitions by
+    (lang, doc_id DIV shard_rows), so no single language ever serializes
+    one giant sort; each task sorts one bounded shard. The cross-shard
+    running offset comes from a tiny per-shard-totals aggregate (one row
+    per shard) whose own window is over that aggregate only, broadcast
+    back onto the data. offset(shard) + within-shard prefix == the global
+    per-lang prefix sum, exactly — the oracle runs the unsharded global
+    window and the hashes must agree."""
+    shard_rows = 100  # small so sf0.01's 500 docs exercise multiple shards
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "__shard", (F.col("doc_id") / shard_rows).cast("long")
+    )
+    w_in = (
+        Window.partitionBy("lang", "__shard")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    return d.select(
-        "doc_id",
+    within = F.coalesce(F.sum("n_chars").over(w_in), F.lit(0))
+    totals = d.groupBy("lang", "__shard").agg(F.sum("n_chars").alias("__tot"))
+    w_sh = (
+        Window.partitionBy("lang")
+        .orderBy("__shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
         "lang",
-        F.floor(F.coalesce(F.sum("n_chars").over(w), F.lit(0)) / 4096.0)
-        .cast("long")
-        .alias("pack_id"),
+        "__shard",
+        F.coalesce(F.sum("__tot").over(w_sh), F.lit(0)).alias("__off"),
+    )
+    return (
+        d.join(F.broadcast(offsets), ["lang", "__shard"])
+        .select(
+            "doc_id",
+            "lang",
+            F.floor((F.col("__off") + within) / 4096.0).cast("long").alias("pack_id"),
+        )
     )
 
 

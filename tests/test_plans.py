@@ -102,3 +102,93 @@ class TestMinhashShape:
             .toString()
         )
         assert shuffles(plan) == 0, "signature computation must not shuffle"
+
+
+class TestPackSequencesShape:
+    def test_pack_window_is_sharded_not_per_lang(self, spark):
+        plan = plan_of(spark, "pack_sequences")
+        # the data-sized window must partition by (lang, __shard) — a plain
+        # per-lang window serializes the dominant language at 100 TB
+        assert re.search(r"hashpartitioning\(lang#\d+, __shard#\d+", plan), plan
+        # cross-shard offsets join back as a broadcast (tiny per-shard totals)
+        assert "BroadcastHashJoin" in plan
+
+    def test_pack_matches_unsharded_window(self, spark):
+        # sharded offsets + within-shard prefix == global per-lang prefix sum
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from pandas_to_postgres_spark.sources.parquet import load_table
+
+        got = {
+            (r.doc_id, r.lang): r.pack_id
+            for r in REGISTRY["pack_sequences"].fn(spark, SF_SMOKE).collect()
+        }
+        d = load_table(spark, SF_SMOKE, "documents")
+        w = (
+            Window.partitionBy("lang")
+            .orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        ref = {
+            (r.doc_id, r.lang): r.pack_id
+            for r in d.select(
+                "doc_id",
+                "lang",
+                F.floor(
+                    F.coalesce(F.sum("n_chars").over(w), F.lit(0)) / 4096.0
+                ).cast("long").alias("pack_id"),
+            ).collect()
+        }
+        assert got == ref
+
+
+class TestNgramPrefixShape:
+    def test_prefix_join_has_no_block_self_join_blowup(self, spark):
+        plan = plan_of(spark, "ngram_jaccard_pairs")
+        # candidate generation joins on the shingle key, never a cartesian
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_prefix_recall_matches_allpairs(self, spark):
+        # prefix filtering must find EXACTLY the pairs the quadratic
+        # all-pairs scan finds (recall bound is exact, not approximate)
+        from pyspark.sql import functions as F
+
+        from pandas_to_postgres_spark.operators.dedup import (
+            ngram_jaccard_prefix,
+            shingles_expr,
+        )
+
+        docs = [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy"),   # near-dup of 1
+            (3, "entirely different words compose this one"),
+            (4, "entirely different words compose this one too"),  # near-dup of 3
+            (5, "quick brown"),
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in ngram_jaccard_prefix(df, "text", "doc_id", 0.7).collect()
+        }
+        sh = df.select("doc_id", shingles_expr("text", 1).alias("tk"))
+        a = sh.select(F.col("doc_id").alias("id_a"), F.col("tk").alias("ta"))
+        b = sh.select(F.col("doc_id").alias("id_b"), F.col("tk").alias("tb"))
+        ref = {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in a.crossJoin(b)
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn(
+                "jaccard",
+                F.round(
+                    F.size(F.array_intersect("ta", "tb")).cast("double")
+                    / F.size(F.array_union("ta", "tb")).cast("double"),
+                    4,
+                ),
+            )
+            .filter(F.col("jaccard") >= 0.7)
+            .select("id_a", "id_b", "jaccard")
+            .collect()
+        }
+        assert got == ref and len(ref) == 2
