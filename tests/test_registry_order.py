@@ -1,0 +1,74 @@
+"""Registry-window tests: the external driver oracle-checks only the first
+50 registry entries, so the ordering IS part of the product contract
+(round-1 lesson: the whole LLM/streaming/UDF surface sat past slot 50 and
+got zero hard signal), plus the driver-order determinism guard that would
+have caught round 1's json_extract_events flake."""
+
+from pandas_to_postgres_spark.plans import PRIORITY, REGISTRY
+from tests.conftest import SF_SMOKE
+
+
+class TestWindow:
+    def test_priority_fills_the_driver_window(self):
+        assert len(PRIORITY) == 50
+        assert list(REGISTRY)[:50] == PRIORITY
+
+    def test_window_covers_the_mandated_surface(self):
+        """Every §2.9–§2.11 family + each relational operator family has a
+        representative inside the driver-checked window."""
+        window = set(PRIORITY)
+        must_have = {
+            # D1..D5
+            "dedup_exact", "dedup_incremental_docs", "minhash_neardup",
+            "simhash_docs", "ngram_jaccard_pairs", "embedding_neardup",
+            "text_stats", "text_metrics", "simsearch_topk", "simsearch_ivf",
+            "simsearch_topk_incremental", "multimodal_pipeline",
+            # training-data shaping
+            "chunk_documents", "pack_sequences", "train_test_split",
+            "corpus_prep_pipeline",
+            # X2..X5
+            "pandas_udf_norm", "grouped_map_zscore", "udaf_weighted_avg",
+            "udtf_sentences",
+            # §2.9 streaming
+            "stream_window_counts", "stream_sliding_counts",
+            "stream_stateful_totals", "stream_dedup_events",
+            "stream_static_join", "stream_stream_join",
+            # relational families
+            "pricing_summary", "filter_project", "normalize_target_schema",
+            "join_broadcast_rollup", "join_order_revenue", "join_left_counts",
+            "join_semi_customers", "join_anti_parts", "range_join_bins",
+            "asof_join_events", "distinct_counts", "percentiles_price",
+            "rollup_cube_gsets", "conditional_agg", "collect_set_segments",
+            "window_topn_orders", "window_lag_events", "window_running_sum",
+            "topk_lineitems", "union_slices", "setops_custkeys",
+            "string_date_funcs", "json_extract_events", "array_ops_embeddings",
+        }
+        assert must_have <= window, sorted(must_have - window)
+
+    def test_window_queries_have_oracles_except_documented(self):
+        # rows-only entries in the window must be the known non-SQL ops
+        rows_only = {n for n in PRIORITY if REGISTRY[n].oracle is None}
+        assert rows_only == {
+            "minhash_neardup", "simhash_docs", "simsearch_ivf",
+            "multimodal_pipeline",
+        }
+
+
+class TestDriverOrderDeterminism:
+    def test_full_window_is_deterministic_in_registry_order(self, spark):
+        """Run the whole driver window in registry order TWICE in one
+        SparkSession and require identical results — guards conf-mutating
+        queries (nanosAsLong), temp-view registration, and accumulation-
+        order-dependent aggregates against cross-query interference."""
+
+        def run_all():
+            out = {}
+            for name in PRIORITY:
+                df = REGISTRY[name].fn(spark, SF_SMOKE)
+                out[name] = sorted(map(str, df.collect()))
+            return out
+
+        first = run_all()
+        second = run_all()
+        bad = [n for n in PRIORITY if first[n] != second[n]]
+        assert not bad, f"order-dependent results: {bad}"
