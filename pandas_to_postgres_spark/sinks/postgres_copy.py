@@ -160,15 +160,19 @@ def _to_csv(rows: list, columns: Sequence[str]) -> io.StringIO:
 # ------------------------------------------------------------ network paths
 
 def _psycopg2():
+    """The Postgres client: psycopg2 when installed, else the bundled
+    pure-Python wire-protocol client (sinks/pgwire.py — same connect/
+    cursor/copy_expert surface, trust auth only). The fallback is what
+    lets this container run real end-to-end COPY integration tests with
+    no client library installed."""
     try:
         import psycopg2  # noqa: PLC0415
 
         return psycopg2
-    except ImportError as e:  # pragma: no cover - environment dependent
-        raise RuntimeError(
-            "postgres COPY sink requires psycopg2 (not installed in this "
-            "environment); use sinks.jdbc.write_jdbc or install psycopg2"
-        ) from e
+    except ImportError:  # pragma: no cover - environment dependent
+        from pandas_to_postgres_spark.sinks import pgwire  # noqa: PLC0415
+
+        return pgwire
 
 
 def reflect_target_table(conn_params: dict, schema: str, name: str) -> TargetTable:
@@ -274,11 +278,18 @@ def copy_to_postgres(
             # executor-side: own connection per task (the reference's
             # "engine contains process specific stuff" rebuild,
             # `hdf_to_postgres.py:58-61`, becomes per-task connections)
-            import psycopg2 as pg  # noqa: PLC0415
+            try:
+                import psycopg2 as pg  # noqa: PLC0415
+            except ImportError:
+                from pandas_to_postgres_spark.sinks import pgwire as pg  # noqa: PLC0415
 
-            with pg.connect(**params) as conn, conn.cursor() as cur:
-                for chunk in csv_chunks(rows, cols, chunk_rows_n):
-                    cur.copy_expert(sql, chunk)
+            conn = pg.connect(**params)
+            try:
+                with conn, conn.cursor() as cur:
+                    for chunk in csv_chunks(rows, cols, chunk_rows_n):
+                        cur.copy_expert(sql, chunk)
+            finally:
+                conn.close()
 
         df.foreachPartition(_load_partition)
 

@@ -1,0 +1,244 @@
+"""End-to-end Postgres COPY-sink integration: the reference's core workload
+(`/root/reference/pandas_to_postgres/_base_copy.py:130-144` COPY FROM STDIN,
+constraint drop/create bracket, TRUNCATE/ANALYZE) executed against a REAL
+PostgreSQL server.
+
+The container ships Postgres server binaries but no client library, so a
+throwaway cluster is initdb'ed into a pytest tmp dir (run as ``nobody`` —
+Postgres refuses root) listening on a unix socket only, and the sink talks
+to it through the bundled pure-Python wire-protocol client
+(sinks/pgwire.py). Skips cleanly where binaries or user-switching are
+unavailable."""
+
+from __future__ import annotations
+
+import os
+import pwd
+import shutil
+import subprocess
+import time
+
+import pytest
+
+from pandas_to_postgres_spark.sinks import pgwire
+from pandas_to_postgres_spark.sinks.postgres_copy import (
+    ForeignKey,
+    TargetTable,
+    copy_to_postgres,
+    reflect_target_table,
+)
+
+PG_PORT = 54329
+
+
+def _runner() -> list[str]:
+    """Command prefix that runs Postgres as a non-root user when needed."""
+    if os.geteuid() != 0:
+        return []
+    return ["runuser", "-u", "nobody", "--"]
+
+
+def _skip_reason() -> str | None:
+    if shutil.which("initdb") is None or shutil.which("pg_ctl") is None:
+        return "postgres server binaries not installed"
+    if os.geteuid() == 0:
+        if shutil.which("runuser") is None:
+            return "running as root and no runuser available"
+        try:
+            pwd.getpwnam("nobody")
+        except KeyError:
+            return "running as root and no 'nobody' user"
+    return None
+
+
+@pytest.fixture(scope="module")
+def pg():
+    reason = _skip_reason()
+    if reason:
+        pytest.skip(reason)
+    # a plain /tmp dir, not pytest's tmp_path: the pytest basetemp chain is
+    # 0700 root-owned, which the 'nobody' postgres process cannot traverse
+    import pathlib
+    import tempfile
+
+    base = pathlib.Path(tempfile.mkdtemp(prefix="pgserver_"))
+    run = _runner()
+    if run:
+        subprocess.run(["chown", "-R", "nobody:nogroup", str(base)], check=True)
+    data = base / "data"
+    subprocess.run(
+        [*run, "initdb", "-D", str(data), "-A", "trust", "-U", "spark"],
+        check=True,
+        capture_output=True,
+    )
+    subprocess.run(
+        [
+            *run, "pg_ctl", "-D", str(data), "-l", str(base / "log"), "-w",
+            "-o", f"-k {base} -p {PG_PORT} -c listen_addresses=''",
+            "start",
+        ],
+        check=True,
+        capture_output=True,
+    )
+    sock = base / f".s.PGSQL.{PG_PORT}"
+    for _ in range(100):
+        if sock.exists():
+            break
+        time.sleep(0.1)
+    params = {"host": str(base), "port": PG_PORT, "user": "spark", "dbname": "spark"}
+    conn = pgwire.connect(**{**params, "dbname": "postgres"})
+    conn.autocommit = True
+    with conn.cursor() as cur:
+        cur.execute("CREATE DATABASE spark")
+    conn.close()
+    yield params
+    subprocess.run(
+        [*run, "pg_ctl", "-D", str(data), "-m", "immediate", "stop"],
+        check=False,
+        capture_output=True,
+    )
+    shutil.rmtree(base, ignore_errors=True)
+
+
+@pytest.fixture(scope="module")
+def schema(pg):
+    """customer ← orders star slice with PK + FK, the reflection target."""
+    conn = pgwire.connect(**pg)
+    conn.autocommit = True
+    with conn.cursor() as cur:
+        cur.execute(
+            """CREATE TABLE IF NOT EXISTS customer (
+                   c_custkey BIGINT,
+                   c_name TEXT,
+                   c_acctbal DOUBLE PRECISION,
+                   CONSTRAINT customer_pkey PRIMARY KEY (c_custkey))"""
+        )
+        cur.execute(
+            """CREATE TABLE IF NOT EXISTS orders (
+                   o_orderkey BIGINT,
+                   o_custkey BIGINT,
+                   o_status TEXT,
+                   o_total DOUBLE PRECISION,
+                   CONSTRAINT orders_pkey PRIMARY KEY (o_orderkey),
+                   CONSTRAINT orders_cust_fk FOREIGN KEY (o_custkey)
+                       REFERENCES customer (c_custkey))"""
+        )
+    conn.close()
+    return pg
+
+
+class TestPgWire:
+    def test_roundtrip_query(self, pg):
+        conn = pgwire.connect(**pg)
+        with conn, conn.cursor() as cur:
+            cur.execute("SELECT 1 + 1 AS two, NULL AS nothing, 'it''s' AS s")
+            assert cur.fetchall() == [("2", None, "it's")]
+        conn.close()
+
+    def test_param_substitution(self, pg):
+        conn = pgwire.connect(**pg)
+        with conn, conn.cursor() as cur:
+            cur.execute("SELECT %s::text, %s::bigint", ("a'b", 7))
+            assert cur.fetchall() == [("a'b", "7")]
+        conn.close()
+
+    def test_error_surfaces_and_connection_survives(self, pg):
+        conn = pgwire.connect(**pg)
+        conn.autocommit = True
+        cur = conn.cursor()
+        with pytest.raises(pgwire.PgError, match="does not exist"):
+            cur.execute("SELECT * FROM no_such_table")
+        cur.execute("SELECT 42")
+        assert cur.fetchall() == [("42",)]
+        conn.close()
+
+
+class TestReflect:
+    def test_reflects_columns_pk_fk(self, schema):
+        t = reflect_target_table(schema, "public", "orders")
+        assert list(t.columns) == ["o_orderkey", "o_custkey", "o_status", "o_total"]
+        assert t.primary_key == ["o_orderkey"] and t.pk_name == "orders_pkey"
+        assert [fk.name for fk in t.foreign_keys] == ["orders_cust_fk"]
+        assert "REFERENCES customer" in t.foreign_keys[0].definition
+
+    def test_missing_table_raises_reference_contract(self, schema):
+        # same contract as `hdf_to_postgres.py:94-96`
+        with pytest.raises(ValueError, match="does not exist"):
+            reflect_target_table(schema, "public", "nope")
+
+
+class TestCopyEndToEnd:
+    def _counts(self, pg, sql):
+        conn = pgwire.connect(**pg)
+        with conn, conn.cursor() as cur:
+            cur.execute(sql)
+            out = cur.fetchall()
+        conn.close()
+        return out
+
+    def test_parallel_copy_with_constraint_bracket(self, spark, schema):
+        cust = spark.createDataFrame(
+            [(i, f"cust#{i}", float(i) * 1.5 if i % 7 else None) for i in range(1, 501)],
+            "c_custkey long, c_name string, c_acctbal double",
+        )
+        target = reflect_target_table(schema, "public", "customer")
+        copy_to_postgres(cust, schema, target, num_partitions=4)
+        n = self._counts(schema, "SELECT count(*) FROM customer")[0][0]
+        nulls = self._counts(
+            schema, "SELECT count(*) FROM customer WHERE c_acctbal IS NULL"
+        )[0][0]
+        assert n == "500" and nulls == str(500 // 7)
+        # PK survived the drop/create bracket
+        (pk,) = self._counts(
+            schema,
+            "SELECT count(*) FROM pg_constraint WHERE conname = 'customer_pkey'",
+        )[0]
+        assert pk == "1"
+        # full refresh: loading again replaces, not appends
+        copy_to_postgres(cust, schema, target, num_partitions=2)
+        assert self._counts(schema, "SELECT count(*) FROM customer")[0] == ("500",)
+
+    def test_freeze_single_transaction_path(self, spark, schema):
+        orders = spark.createDataFrame(
+            [(i, 1 + i % 500, "F" if i % 2 else "O", float(i)) for i in range(1, 301)],
+            "o_orderkey long, o_custkey long, o_status string, o_total double",
+        )
+        # explicit descriptor (the reference's other construction path):
+        # loading customer above dropped customer_pkey CASCADE, which took
+        # orders_cust_fk with it — carrying the FK here recreates it
+        target = TargetTable(
+            schema="public",
+            name="orders",
+            columns=("o_orderkey", "o_custkey", "o_status", "o_total"),
+            primary_key=("o_orderkey",),
+            pk_name="orders_pkey",
+            foreign_keys=(
+                ForeignKey(
+                    "orders_cust_fk",
+                    "FOREIGN KEY (o_custkey) REFERENCES customer (c_custkey)",
+                ),
+            ),
+        )
+        copy_to_postgres(orders, schema, target, freeze=True)
+        assert self._counts(schema, "SELECT count(*) FROM orders")[0] == ("300",)
+        # FK recreated and actually enforced after the load
+        conn = pgwire.connect(**schema)
+        conn.autocommit = True
+        with pytest.raises(pgwire.PgError, match="violates foreign key"):
+            conn.cursor().execute(
+                "INSERT INTO orders VALUES (9999, 888888, 'X', 1.0)"
+            )
+        conn.close()
+
+    def test_copy_reports_bad_rows(self, schema):
+        import io
+
+        conn = pgwire.connect(**schema)
+        with pytest.raises(pgwire.PgError, match="invalid input syntax"):
+            with conn, conn.cursor() as cur:
+                cur.copy_expert(
+                    'COPY "public"."customer" (c_custkey, c_name, c_acctbal) '
+                    "FROM STDIN WITH CSV",
+                    io.StringIO("not_a_number,x,1.0\n"),
+                )
+        conn.close()
