@@ -181,7 +181,7 @@ class Connection:
             raise PgError(f"{err} -- while running: {sql[:200]}")
         return cols, rows
 
-    def _copy_in(self, sql: str, file, chunk_bytes: int = 1 << 16) -> None:
+    def _copy_in(self, sql: str, file, chunk_bytes: int = 1 << 20) -> None:
         self._send(b"Q", sql.encode() + b"\0")
         t, payload = self._recv()
         if t == b"E":

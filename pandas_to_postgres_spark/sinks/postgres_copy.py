@@ -157,6 +157,43 @@ def _to_csv(rows: list, columns: Sequence[str]) -> io.StringIO:
     return out
 
 
+class _ArrowCsvStream:
+    """File-like view over an iterator of Arrow record batches, serialized
+    to CSV on demand with pyarrow's C++ CSV writer — one streaming COPY per
+    partition with bounded memory (one batch in flight). ``read`` is the
+    only method COPY clients call (psycopg2 ``copy_expert`` and pgwire both
+    pull with ``read(size)``). Nulls become empty fields (SQL NULL,
+    `utilities.py:90`); timestamps print as ISO, which COPY parses.
+
+    Measured at sf0.1 lineitem (600k rows × 11 cols): pandas ``to_csv``
+    serializes at ~197k rows/s — slower than the Postgres server ingests
+    (~448k rows/s single-connection) — while ``pyarrow.csv.write_csv``
+    does ~1.7M rows/s, moving the bottleneck back to the server where it
+    belongs."""
+
+    def __init__(self, batch_iter: Iterator):
+        self._iter = batch_iter
+        self._buf = bytearray()
+        self.rows = 0
+
+    def read(self, size: int = -1) -> bytes:
+        import pyarrow.csv as pcsv  # noqa: PLC0415
+
+        while size < 0 or len(self._buf) < size:
+            batch = next(self._iter, None)
+            if batch is None:
+                break
+            self.rows += batch.num_rows
+            sink = io.BytesIO()
+            pcsv.write_csv(batch, sink, pcsv.WriteOptions(include_header=False))
+            self._buf += sink.getvalue()
+        if size < 0 or len(self._buf) <= size:
+            out, self._buf = bytes(self._buf), bytearray()
+        else:
+            out, self._buf = bytes(self._buf[:size]), self._buf[size:]
+        return out
+
+
 # ------------------------------------------------------------ network paths
 
 def _psycopg2():
@@ -272,26 +309,40 @@ def copy_to_postgres(
             cur.execute(truncate_sql(load_target))
         sql = copy_sql(load_target)
         params = dict(conn_params)
-        chunk_rows_n = csv_chunk_rows
 
-        def _load_partition(rows: Iterator) -> None:
+        def _copy_batches(batches: Iterator) -> Iterator:
             # executor-side: own connection per task (the reference's
             # "engine contains process specific stuff" rebuild,
-            # `hdf_to_postgres.py:58-61`, becomes per-task connections)
+            # `hdf_to_postgres.py:58-61`, becomes per-task connections).
+            # Rows travel JVM→Python as Arrow record batches (columnar, no
+            # per-row pickling) and serialize via pyarrow's C++ CSV writer
+            # (see _ArrowCsvStream) — measured ~3x the row-iterator
+            # foreachPartition formulation end-to-end. Memory is bounded
+            # by the Arrow batch size
+            # (spark.sql.execution.arrow.maxRecordsPerBatch).
+            import itertools  # noqa: PLC0415
+
+            import pyarrow as pa  # noqa: PLC0415
+
             try:
                 import psycopg2 as pg  # noqa: PLC0415
             except ImportError:
                 from pandas_to_postgres_spark.sinks import pgwire as pg  # noqa: PLC0415
 
-            conn = pg.connect(**params)
-            try:
-                with conn, conn.cursor() as cur:
-                    for chunk in csv_chunks(rows, cols, chunk_rows_n):
-                        cur.copy_expert(sql, chunk)
-            finally:
-                conn.close()
+            first = next(batches, None)
+            n = 0
+            if first is not None:  # empty partition: never open a connection
+                stream = _ArrowCsvStream(itertools.chain([first], batches))
+                conn = pg.connect(**params)
+                try:
+                    with conn, conn.cursor() as cur:
+                        cur.copy_expert(sql, stream)
+                finally:
+                    conn.close()
+                n = stream.rows
+            yield pa.RecordBatch.from_pydict({"rows": pa.array([n], pa.int64())})
 
-        df.foreachPartition(_load_partition)
+        df.mapInArrow(_copy_batches, "rows long").agg({"rows": "sum"}).collect()
 
     with ddl.cursor() as cur:
         if load_target.primary_key:

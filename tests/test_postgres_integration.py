@@ -12,15 +12,9 @@ unavailable."""
 
 from __future__ import annotations
 
-import os
-import pwd
-import shutil
-import subprocess
-import time
-
 import pytest
 
-from pandas_to_postgres_spark.sinks import pgwire
+from pandas_to_postgres_spark.sinks import pglocal, pgwire
 from pandas_to_postgres_spark.sinks.postgres_copy import (
     ForeignKey,
     TargetTable,
@@ -28,76 +22,15 @@ from pandas_to_postgres_spark.sinks.postgres_copy import (
     reflect_target_table,
 )
 
-PG_PORT = 54329
-
-
-def _runner() -> list[str]:
-    """Command prefix that runs Postgres as a non-root user when needed."""
-    if os.geteuid() != 0:
-        return []
-    return ["runuser", "-u", "nobody", "--"]
-
-
-def _skip_reason() -> str | None:
-    if shutil.which("initdb") is None or shutil.which("pg_ctl") is None:
-        return "postgres server binaries not installed"
-    if os.geteuid() == 0:
-        if shutil.which("runuser") is None:
-            return "running as root and no runuser available"
-        try:
-            pwd.getpwnam("nobody")
-        except KeyError:
-            return "running as root and no 'nobody' user"
-    return None
-
 
 @pytest.fixture(scope="module")
 def pg():
-    reason = _skip_reason()
+    reason = pglocal.available()
     if reason:
         pytest.skip(reason)
-    # a plain /tmp dir, not pytest's tmp_path: the pytest basetemp chain is
-    # 0700 root-owned, which the 'nobody' postgres process cannot traverse
-    import pathlib
-    import tempfile
-
-    base = pathlib.Path(tempfile.mkdtemp(prefix="pgserver_"))
-    run = _runner()
-    if run:
-        subprocess.run(["chown", "-R", "nobody:nogroup", str(base)], check=True)
-    data = base / "data"
-    subprocess.run(
-        [*run, "initdb", "-D", str(data), "-A", "trust", "-U", "spark"],
-        check=True,
-        capture_output=True,
-    )
-    subprocess.run(
-        [
-            *run, "pg_ctl", "-D", str(data), "-l", str(base / "log"), "-w",
-            "-o", f"-k {base} -p {PG_PORT} -c listen_addresses=''",
-            "start",
-        ],
-        check=True,
-        capture_output=True,
-    )
-    sock = base / f".s.PGSQL.{PG_PORT}"
-    for _ in range(100):
-        if sock.exists():
-            break
-        time.sleep(0.1)
-    params = {"host": str(base), "port": PG_PORT, "user": "spark", "dbname": "spark"}
-    conn = pgwire.connect(**{**params, "dbname": "postgres"})
-    conn.autocommit = True
-    with conn.cursor() as cur:
-        cur.execute("CREATE DATABASE spark")
-    conn.close()
-    yield params
-    subprocess.run(
-        [*run, "pg_ctl", "-D", str(data), "-m", "immediate", "stop"],
-        check=False,
-        capture_output=True,
-    )
-    shutil.rmtree(base, ignore_errors=True)
+    server = pglocal.start()
+    yield server.conn_params
+    pglocal.stop(server)
 
 
 @pytest.fixture(scope="module")
@@ -242,3 +175,51 @@ class TestCopyEndToEnd:
                     io.StringIO("not_a_number,x,1.0\n"),
                 )
         conn.close()
+
+
+class TestReferenceApiToPostgres:
+    """The reference's flagship verb driven end-to-end: a user of
+    cid-harvard/pandas-to-postgres switches `ParquetCopy` to this engine
+    and lands rows in a real Postgres table, formatter hook included
+    (`copy_parquet.py:14-126`, `_base_copy.py:146-167`)."""
+
+    def test_parquet_copy_to_real_postgres(self, spark, schema):
+        from pyspark.sql import functions as F
+
+        from pandas_to_postgres_spark.compat import ParquetCopy
+
+        conn = pgwire.connect(**schema)
+        conn.autocommit = True
+        with conn.cursor() as cur:
+            cur.execute(
+                """CREATE TABLE IF NOT EXISTS nation_copy (
+                       n_nationkey BIGINT, n_name TEXT, n_regionkey BIGINT)"""
+            )
+        conn.close()
+
+        target = reflect_target_table(schema, "public", "nation_copy")
+
+        def pg_sink(table_name, df):
+            copy_to_postgres(df, schema, target)
+
+        def upper_name(df):
+            # a user formatter hook: df -> df, chained pre-sink
+            return df.withColumn("n_name", F.upper("n_name"))
+
+        c = ParquetCopy(
+            "/root/testdata/sf0.001/nation.parquet",
+            spark=spark,
+            sink=pg_sink,
+            table_name="nation_copy",
+            formatters=[upper_name],
+        )
+        c.copy()
+        assert c.rows == 25
+        conn = pgwire.connect(**schema)
+        with conn, conn.cursor() as cur:
+            cur.execute(
+                "SELECT count(*), min(n_name), max(n_nationkey) FROM nation_copy"
+            )
+            n, first, maxkey = cur.fetchall()[0]
+        conn.close()
+        assert n == "25" and first == first.upper() and maxkey == "24"
