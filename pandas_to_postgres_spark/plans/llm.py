@@ -67,21 +67,29 @@ _TOKENS_SQL = "regexp_split_to_array(trim(text), '\\s+')"
     oracle=f"""
     SELECT lang,
            count(*) AS n_docs,
-           round(avg(n_chars), 2) AS avg_chars,
-           round(avg(len({_TOKENS_SQL})), 2) AS avg_tokens,
+           round(CAST(sum(n_chars) AS DOUBLE) / count(n_chars), 2) AS avg_chars,
+           round(CAST(sum(CAST(len({_TOKENS_SQL}) AS BIGINT)) AS DOUBLE)
+                 / count(*), 2) AS avg_tokens,
            sum(CAST(len({_TOKENS_SQL}) AS BIGINT)) AS total_tokens
     FROM documents GROUP BY lang
     """,
 )
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D3: per-language corpus statistics (char/token counts)."""
+    """D3: per-language corpus statistics (char/token counts).
+
+    Means are exact-integer-sum / count, not ``avg(long)`` — Spark's
+    Average accumulates longs in a double, so partial-merge order could
+    flip the last bit on a round() boundary (the round-1
+    json_extract_events flake class); the long sum is order-independent."""
     d = load_table(spark, sf_dir, "documents")
-    ntok = token_count_expr(F.col("text"))
+    ntok = token_count_expr(F.col("text")).cast("long")
     return d.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
-        F.round(F.avg(ntok), 2).alias("avg_tokens"),
-        F.sum(ntok.cast("long")).alias("total_tokens"),
+        F.round(F.sum("n_chars").cast("double") / F.count("n_chars"), 2).alias(
+            "avg_chars"
+        ),
+        F.round(F.sum(ntok).cast("double") / F.count(F.lit(1)), 2).alias("avg_tokens"),
+        F.sum(ntok).alias("total_tokens"),
     )
 
 
@@ -463,6 +471,26 @@ def simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------------------ D2
 
+@register("simsearch_lsh")  # rows-only: hyperplane buckets have no SQL oracle
+def simsearch_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4c: random-hyperplane LSH ANN — deterministic sign-bucket equi-join
+    replaces the crossJoin (the 100 TB pruning path; recall tunable via
+    num_planes). Recall vs exact brute force is asserted in
+    tests/test_operators.py."""
+    from pandas_to_postgres_spark.operators.similarity import topk_cosine_lsh
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding")
+    )
+    out = topk_cosine_lsh(
+        q, e.select("vec_id", "embedding"),
+        query_id="qid", corpus_id="vec_id", query_vec="embedding",
+        corpus_vec="embedding", k=5, num_planes=4,
+    )
+    return out.select("qid", "vec_id", "cosine", F.col("rank").cast("long").alias("rnk"))
+
+
 @register("minhash_neardup")  # rows-only: xxhash64 signatures have no SQL oracle
 def minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D2: MinHash-LSH near-dup detection, demonstrated on documents ∪ a
@@ -531,7 +559,7 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
            sum(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END) AS n_empty,
            CAST(min(n_chars) AS BIGINT) AS min_chars,
            CAST(max(n_chars) AS BIGINT) AS max_chars,
-           round(avg(n_chars), 2) AS avg_chars
+           round(CAST(sum(n_chars) AS DOUBLE) / count(n_chars), 2) AS avg_chars
     FROM documents
     """,
 )
@@ -548,7 +576,10 @@ def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_empty"),
         F.min("n_chars").cast("long").alias("min_chars"),
         F.max("n_chars").cast("long").alias("max_chars"),
-        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        # exact long sum / count, not avg(long) (see text_stats)
+        F.round(F.sum("n_chars").cast("double") / F.count("n_chars"), 2).alias(
+            "avg_chars"
+        ),
     )
 
 
