@@ -308,8 +308,16 @@ def ngram_jaccard_prefix(
     ``max_bucket`` in the MinHash path).
     """
     sh = shingles_expr(text_col, n)
-    toks = df.select(F.col(id_col).alias("__id"), sh.alias("__tk")).withColumn(
-        "__sz", F.size("__tk")
+    # cached: the tokenized table feeds candidate generation (via explode),
+    # BOTH sides of the prefix self-join, and BOTH sides of the verify join
+    # — uncached, Catalyst re-derives it from the raw text scan at every
+    # reference (measured 12 scans of the source for this one query). Same
+    # move as minhash_near_duplicates' signature cache: at 100 TB you
+    # persist the narrow (id, shingles) projection once.
+    toks = (
+        df.select(F.col(id_col).alias("__id"), sh.alias("__tk"))
+        .withColumn("__sz", F.size("__tk"))
+        .cache()
     )
     tok = toks.select("__id", "__sz", F.explode("__tk").alias("__t"))
     dfreq = tok.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
@@ -320,7 +328,8 @@ def ngram_jaccard_prefix(
         F.row_number().over(Window.partitionBy("__id").orderBy("__df", "__t")),
     )
     prefix_len = F.col("__sz") - F.ceil(F.lit(threshold) * F.col("__sz")) + 1
-    pref = ranked.filter(F.col("__rn") <= prefix_len).select("__id", "__t")
+    # cached: consumed by both sides of the candidate self-join
+    pref = ranked.filter(F.col("__rn") <= prefix_len).select("__id", "__t").cache()
     cand = (
         pref.select(F.col("__id").alias("id_a"), "__t")
         .join(pref.select(F.col("__id").alias("id_b"), "__t"), "__t")

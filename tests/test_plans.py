@@ -192,3 +192,24 @@ class TestNgramPrefixShape:
             .collect()
         }
         assert got == ref and len(ref) == 2
+
+
+class TestWindowQueryShapes:
+    def test_text_metrics_is_map_only(self, spark):
+        # the whole D3 per-row surface must run at scan speed: one scan,
+        # zero shuffles, no Python
+        plan = plan_of(spark, "text_metrics")
+        assert shuffles(plan) == 0
+        assert plan.count("Scan parquet") == 1
+        assert "Python" not in plan  # no UDF fell into the hot path
+
+    def test_string_date_funcs_is_map_only(self, spark):
+        plan = plan_of(spark, "string_date_funcs")
+        assert shuffles(plan) == 0
+        assert plan.count("Scan parquet") == 1
+
+    def test_ngram_prefix_reuses_cached_tokenization(self, spark):
+        # the tokenized table must come from cache, not a re-derivation
+        # from the raw text scan per reference (12 scans uncached)
+        plan = plan_of(spark, "ngram_jaccard_pairs")
+        assert "InMemoryTableScan" in plan
