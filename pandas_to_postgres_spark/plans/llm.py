@@ -17,6 +17,7 @@ from pandas_to_postgres_spark.functions.text import (
     LANG_MARKERS,
     STOPWORDS,
     bpe_ish_token_count_expr,
+    tokens_expr,
     fingerprint_expr,
     lang_id_expr,
     lang_marker_score_expr,
@@ -1118,4 +1119,140 @@ def scrub_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_emails"),
         F.length(cleaned).cast("bigint").alias("clean_len"),
+    )
+
+
+# --------------------------------------------- training-data curation extras
+
+_RAW_TOKS_SQL = (
+    "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '')"
+)
+
+
+def _raw_grams_sql(n: int) -> str:
+    """DuckDB: overlapping word n-grams of `tk` (NOT deduplicated)."""
+    concat = " || ' ' || ".join(f"tk[i + {j}]" for j in range(n))
+    return (
+        f"list_transform(range(1, greatest(len(tk) - {n - 1}, 0) + 1), "
+        f"i -> {concat})"
+    )
+
+
+def _raw_grams_expr(text_col: str, n: int):
+    """Spark: overlapping word n-grams, NOT deduplicated (shingles_expr
+    dedups, which is right for Jaccard but wrong for repetition ratios)."""
+    toks = tokens_expr(F.lower(F.col(text_col)))
+    k = F.size(toks) - F.lit(n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), k), lambda i: F.concat_ws(" ", F.slice(toks, i, n))
+    )
+    # sequence(1, 0) DESCENDS in Spark → guard short docs to an empty list
+    return F.when(k >= 1, grams).otherwise(F.array().cast("array<string>"))
+
+
+@register(
+    "vocab_topk",
+    oracle=f"""
+    SELECT t AS token, count(*) AS doc_freq
+    FROM (SELECT doc_id, unnest(list_distinct({_RAW_TOKS_SQL})) AS t
+          FROM documents)
+    GROUP BY t
+    ORDER BY doc_freq DESC, token
+    LIMIT 100
+    """,
+)
+def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary building: top-100 tokens by document frequency with a
+    deterministic (df desc, token asc) tie-break — the tokenizer-training /
+    stopword-discovery primitive.
+
+    Scale: explode of per-doc distinct tokens → map-side-combinable count →
+    TakeOrderedAndProject (no global sort materializes)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.array_distinct(tokens_expr(F.lower(F.col("text"))))
+    return (
+        d.select("doc_id", F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.col("doc_freq").desc(), F.col("token").asc())
+        .limit(100)
+    )
+
+
+@register(
+    "repetition_scores",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(g) AS BIGINT) AS n_grams,
+           CAST(len(list_distinct(g)) AS BIGINT) AS n_distinct,
+           round(CASE WHEN len(g) = 0 THEN 0.0
+                      ELSE 1.0 - CAST(len(list_distinct(g)) AS DOUBLE)
+                           / CAST(len(g) AS DOUBLE) END, 4) AS rep_ratio
+    FROM (SELECT doc_id, {_raw_grams_sql(3)} AS g
+          FROM (SELECT doc_id, {_RAW_TOKS_SQL} AS tk FROM documents))
+    """,
+)
+def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter signal: the fraction of a document's
+    word 3-grams that are repeats (1 - distinct/total). High ratio =
+    boilerplate/spam; a standard pre-training quality gate alongside
+    quality_score.
+
+    Scale: pure per-row higher-order functions — map-only, zero shuffles,
+    runs at scan speed like text_metrics."""
+    d = load_table(spark, sf_dir, "documents")
+    g = _raw_grams_expr("text", 3)
+    n = F.size(g)
+    nd = F.size(F.array_distinct(g))
+    return d.select(
+        "doc_id",
+        n.cast("long").alias("n_grams"),
+        nd.cast("long").alias("n_distinct"),
+        F.round(
+            F.when(n == 0, F.lit(0.0)).otherwise(
+                F.lit(1.0) - nd.cast("double") / n.cast("double")
+            ),
+            4,
+        ).alias("rep_ratio"),
+    )
+
+
+@register(
+    "decontaminate_overlap",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_RAW_TOKS_SQL} AS tk FROM documents),
+    grams AS (
+        SELECT doc_id, unnest(list_distinct({_raw_grams_sql(3)})) AS g
+        FROM toks),
+    bench AS (
+        SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0)
+    SELECT g.doc_id, count(*) AS n_hits
+    FROM grams g JOIN bench b ON g.g = b.g
+    WHERE g.doc_id % 97 <> 0
+    GROUP BY g.doc_id
+    """,
+)
+def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3-style n-gram overlap): flag
+    training documents sharing any word n-gram with the held-out benchmark
+    set (the deterministic doc_id % 97 == 0 slice standing in for an
+    external eval suite). Production uses n=13; this corpus is synthetic
+    bag-of-words text with near-zero 13-token sequential overlap, so the
+    shipped query uses n=3 to exercise a non-empty result (171 flagged
+    docs at sf0.01). Returns contaminated doc ids with hit counts.
+
+    Scale: the benchmark gram set is small by construction → broadcast to
+    every executor; training-side grams are generated per row (explode,
+    map-side) and probe the broadcast — the only shuffle is the final
+    per-doc count. The corpus is scanned once; no corpus self-join."""
+    d = load_table(spark, sf_dir, "documents")
+    grams = F.array_distinct(_raw_grams_expr("text", 3))
+    g = d.select("doc_id", F.explode(grams).alias("g"))
+    bench = g.filter(F.col("doc_id") % 97 == 0).select("g").distinct()
+    return (
+        g.filter(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(bench), "g", "inner")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
     )
