@@ -131,3 +131,26 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return stream_stream_purchase_clicks(spark, sf_dir)
+
+
+@register(
+    "stream_foreachbatch_counts",
+    oracle=f"""
+    SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M:%S')
+               AS window_start,
+           event_type,
+           count(*) AS n,
+           {dsum_sql('value')} AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_foreachbatch_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 (7th operator): the tumbling windowed aggregate delivered via
+    the foreachBatch streaming→batch-sink bridge (checkpointed, epoch-aware
+    — streaming/sink.py) rather than the memory sink; same oracle as
+    stream_window_counts because AvailableNow drains the static source."""
+    from pandas_to_postgres_spark.streaming.events import (
+        windowed_event_counts_foreachbatch,
+    )
+
+    return windowed_event_counts_foreachbatch(spark, sf_dir)

@@ -33,6 +33,26 @@ def windowed_event_counts(
 
     Returns the final result as a static DataFrame: (window_start string,
     event_type, n, total_value)."""
+    agg = _windowed_agg(spark, sf_dir, window_duration, watermark, slide)
+    table = f"stream_events_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(table)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(table)
+
+
+def _windowed_agg(
+    spark: SparkSession,
+    sf_dir: str,
+    window_duration: str = "10 minutes",
+    watermark: str = "1 hour",
+    slide: str | None = None,
+) -> DataFrame:
     path = f"{sf_dir}/events.parquet"
     # events.ts is parquet TIMESTAMP(NANOS) — same legacy-long treatment as
     # the batch source (see sources/parquet.py)
@@ -65,16 +85,41 @@ def windowed_event_counts(
             "total_value",
         )
     )
-    table = f"stream_events_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(table)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
+    return agg
+
+
+def windowed_event_counts_foreachbatch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """§2.9's seventh operator: the same tumbling windowed aggregation
+    delivered through the **foreachBatch** bridge (streaming/sink.py)
+    instead of the memory sink — each micro-batch's complete aggregate
+    overwrites a parquet dataset, the pattern that feeds streaming results
+    into ANY batch sink (JDBC/COPY included). AvailableNow drains the
+    static source, so the final parquet equals the batch aggregation and
+    the stream_window_counts oracle applies verbatim."""
+    import shutil
+    import tempfile
+
+    from pandas_to_postgres_spark.streaming.sink import stream_to_batch_sink
+
+    agg = _windowed_agg(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="stream_fb_")
+    out, ckpt = f"{base}/out", f"{base}/ckpt"
+
+    def writer(batch_df: DataFrame, batch_id: int) -> None:
+        # complete mode: every batch carries the full aggregate — the last
+        # overwrite wins and equals the drained-stream state
+        batch_df.write.mode("overwrite").parquet(out)
+
+    q = stream_to_batch_sink(
+        agg, writer, checkpoint_dir=ckpt, output_mode="complete"
     )
     q.awaitTermination()
-    return spark.table(table)
+    result = spark.read.parquet(out).cache()
+    result.count()  # materialize before the temp dir disappears
+    shutil.rmtree(base, ignore_errors=True)
+    return result
 
 
 def streaming_dedup_events(
