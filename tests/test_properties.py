@@ -197,3 +197,61 @@ def test_asof_direction_tolerance_matches_pandas(
             (r.k, r.ts, r.tag): (None if pd.isna(r.v) else r.v) for r in m.itertuples()
         }
     assert got == expect
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from("alpha bravo charlie delta echo fox golf hotel".split()),
+            min_size=0,
+            max_size=8,
+        ).map(" ".join),
+        min_size=2,
+        max_size=10,
+    ),
+    threshold=st.sampled_from([0.3, 0.5, 0.8]),
+)
+def test_prefix_jaccard_equals_allpairs(spark, docs, threshold):
+    """Prefix filtering must find EXACTLY the all-pairs result at any
+    threshold — the recall guarantee is a theorem, not a heuristic, so
+    hypothesis hunts for the counterexample (tiny vocab → heavy collisions,
+    empty docs, duplicate docs)."""
+    from pyspark.sql import functions as F
+
+    from pandas_to_postgres_spark.operators.dedup import (
+        ngram_jaccard_prefix,
+        shingles_expr,
+    )
+
+    df = spark.createDataFrame(
+        list(enumerate(docs)), "doc_id long, text string"
+    )
+    got = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in ngram_jaccard_prefix(df, "text", "doc_id", threshold).collect()
+    }
+    sh = df.select("doc_id", shingles_expr("text", 1).alias("tk"))
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("tk").alias("ta"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("tk").alias("tb"))
+    want = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("ta", "tb")).cast("double")
+                / F.size(F.array_union("ta", "tb")).cast("double"),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+        .collect()
+    }
+    assert got == want
