@@ -1,0 +1,98 @@
+"""Connected components over similarity pairs — near-dup CLUSTERING.
+
+Pair generation (MinHash-LSH, SimHash, prefix-filtered Jaccard —
+operators/dedup.py) answers "which pairs are near-duplicates"; a dedup
+pipeline then needs "which GROUPS are the same document" to keep one
+canonical survivor per group. Near-dup similarity is not transitive, but
+dedup treats its transitive closure as the duplicate group (the standard
+practice in large-corpus dedup) — that closure is connected components over
+the pair graph.
+
+Spark-first design: iterative min-label propagation with the DataFrame API
+— each round, every vertex adopts the minimum component id among itself and
+its neighbors; convergence when no label changes. Rounds = graph diameter
+(near-dup clusters are dense, so typically 2-4). Each round is ONE shuffle
+join on the vertex id; results are localCheckpoint()ed per round so the
+lineage (and thus task closure) stays O(1) instead of growing per
+iteration. For planet-scale graphs the alternating large-star/small-star
+optimization (Kiveris et al., "Connected Components in MapReduce and
+Beyond", SoCC 2014) halves round count; plain min-propagation is kept here
+because dup-cluster diameter is tiny and the code stays oracle-checkable
+(DuckDB replays the same closure with WITH RECURSIVE).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    vertices: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    id_col: str = "id",
+    component_col: str = "component",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """(id, component) with component = min vertex id reachable.
+
+    ``edges`` is undirected input (each pair once is fine); ``vertices``
+    must contain every id (singletons keep their own id as component).
+    Raises if not converged within ``max_iterations`` — dup-cluster graphs
+    converge in a handful; hitting the cap means the input is not the
+    intended pair graph.
+    """
+    sym = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .unionByName(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        .distinct()
+    )
+    comp = vertices.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("component")
+    ).localCheckpoint(eager=True)
+
+    for _ in range(max_iterations):
+        # each vertex pulls its neighbors' current labels...
+        nbr = (
+            sym.join(comp, sym.d == comp.id)
+            .groupBy("s")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        # ...and adopts the min of (own label, neighborhood min)
+        updated = (
+            comp.join(nbr, comp.id == nbr.s, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)  # cut lineage: O(1) plan per round
+        )
+        changed = (
+            updated.alias("u")
+            .join(comp.alias("c"), "id")
+            .filter(F.col("u.component") != F.col("c.component"))
+            .limit(1)
+            .count()
+        )
+        comp = updated
+        if changed == 0:
+            return comp.select(
+                F.col("id").alias(id_col), F.col("component").alias(component_col)
+            )
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iterations} rounds"
+    )
+
+
+def dedup_survivors(
+    components: DataFrame, id_col: str = "id", component_col: str = "component"
+) -> DataFrame:
+    """One canonical row per cluster: the min id (== the component label)."""
+    return (
+        components.filter(F.col(id_col) == F.col(component_col))
+        .select(F.col(id_col).alias("keep_id"))
+    )

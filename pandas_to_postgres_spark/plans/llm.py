@@ -1256,3 +1256,80 @@ def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
+
+
+from pandas_to_postgres_spark.plans.registry import REGISTRY as _REG  # noqa: E402
+
+# the pairs CTE re-runs the ngram oracle on the SLICED corpus (prefix
+# choice depends on global document frequencies, but the OUTPUT of an
+# exact similarity join doesn't — slicing the input equals filtering the
+# result, which keeps the two formulations equivalent)
+_NGRAM_PAIRS_ORACLE_SLICED = _REG["ngram_jaccard_pairs"].oracle.replace(
+    "FROM documents", "FROM (SELECT * FROM documents WHERE doc_id < 150)"
+)
+
+
+@register(
+    "neardup_clusters",
+    oracle=f"""
+    WITH RECURSIVE
+    verts AS (
+        SELECT doc_id FROM documents WHERE doc_id < 150
+        UNION ALL
+        SELECT doc_id + 1000000 FROM documents WHERE doc_id < 150),
+    pairs AS ({_NGRAM_PAIRS_ORACLE_SLICED}),
+    sym AS (
+        SELECT id_a AS s, id_b AS d FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs),
+    reach AS (
+        SELECT doc_id AS a, doc_id AS b FROM verts
+        UNION
+        SELECT r.a, e.d FROM reach r JOIN sym e ON e.s = r.b)
+    SELECT a AS doc_id,
+           min(b) AS cluster_id,
+           a = min(b) AS is_survivor
+    FROM reach GROUP BY a
+    """,
+)
+def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERING: the step after pair generation — transitive
+    closure of the verified Jaccard-0.8 pairs (same corpus and pair
+    definition as ngram_jaccard_pairs), one canonical survivor (min id)
+    per cluster. A genuinely ITERATIVE distributed algorithm: DataFrame
+    min-label propagation with per-round localCheckpoint
+    (operators/cluster.py); the oracle replays the identical closure with
+    DuckDB's WITH RECURSIVE, so even the iterative op is hash-checked."""
+    from pandas_to_postgres_spark.operators.cluster import connected_components
+    from pandas_to_postgres_spark.operators.dedup import ngram_jaccard_prefix
+
+    # 150-doc slice: the full corpus's closure is needlessly dense for a
+    # correctness check (the oracle's recursive CTE goes quadratic in
+    # cluster size); the slice keeps every shape — multi-doc clusters,
+    # planted perturbed twins, singletons
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 150)
+        .select("doc_id", "text")
+    )
+    perturbed = d.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.regexp_replace(F.col("text"), r"\s+\S+$", "").alias("text"),
+    )
+    corpus = d.unionByName(perturbed)
+    pairs = ngram_jaccard_prefix(
+        corpus, text_col="text", id_col="doc_id", threshold=0.8, n=1
+    )
+    comps = connected_components(
+        pairs,
+        corpus.select("doc_id"),
+        src="id_a",
+        dst="id_b",
+        id_col="doc_id",
+        component_col="cluster_id",
+    )
+    return comps.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_survivor"),
+    )

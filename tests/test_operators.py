@@ -566,3 +566,47 @@ class TestCdc:
         got = sorted((r.cid, r.rank) for r in out)
         # duplicate (1,10) occupies ONE rank; 12 stays in the top-3
         assert got == [(10, 1), (11, 2), (12, 3)]
+
+
+class TestConnectedComponents:
+    def test_hand_graph_with_singleton(self, spark):
+        from pandas_to_postgres_spark.operators.cluster import (
+            connected_components,
+            dedup_survivors,
+        )
+
+        # two chains {1-2-3}, {10-11}, singleton {99}
+        edges = spark.createDataFrame(
+            [(2, 1), (2, 3), (10, 11)], "id_a long, id_b long"
+        )
+        verts = spark.createDataFrame(
+            [(1,), (2,), (3,), (10,), (11,), (99,)], "id long"
+        )
+        comps = connected_components(edges, verts)
+        got = {(r.id, r.component) for r in comps.collect()}
+        assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (99, 99)}
+        keep = {r.keep_id for r in dedup_survivors(comps).collect()}
+        assert keep == {1, 10, 99}
+
+    def test_long_chain_needs_multiple_rounds(self, spark):
+        from pandas_to_postgres_spark.operators.cluster import connected_components
+
+        # a path 0-1-2-...-9: min label must propagate the full diameter
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(9)], "id_a long, id_b long"
+        )
+        verts = spark.createDataFrame([(i,) for i in range(10)], "id long")
+        got = {(r.id, r.component) for r in connected_components(edges, verts).collect()}
+        assert got == {(i, 0) for i in range(10)}
+
+    def test_nonconvergence_raises(self, spark):
+        import pytest
+
+        from pandas_to_postgres_spark.operators.cluster import connected_components
+
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(9)], "id_a long, id_b long"
+        )
+        verts = spark.createDataFrame([(i,) for i in range(10)], "id long")
+        with pytest.raises(RuntimeError, match="did not converge"):
+            connected_components(edges, verts, max_iterations=2)
