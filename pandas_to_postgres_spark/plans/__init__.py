@@ -55,8 +55,11 @@ PRIORITY = [
     "grouped_map_zscore",
     "udaf_weighted_avg",
     "udtf_sentences",
-    # §2.9 — streaming
-    "stream_window_counts",
+    # §2.9 — streaming (foreachbatch shares stream_window_counts' oracle:
+    # it IS the tumbling-window aggregate, delivered through the
+    # foreachBatch bridge — one slot proves both operators; the memory-sink
+    # variant stays registered past the window and oracle-checked in pytest)
+    "stream_foreachbatch_counts",
     "stream_sliding_counts",
     "stream_stateful_totals",
     "stream_dedup_events",

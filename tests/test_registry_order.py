@@ -29,8 +29,9 @@ class TestWindow:
             # X2..X5
             "pandas_udf_norm", "grouped_map_zscore", "udaf_weighted_avg",
             "udtf_sentences",
-            # §2.9 streaming
-            "stream_window_counts", "stream_sliding_counts",
+            # §2.9 streaming — foreachbatch carries the tumbling-window row
+            # too (same aggregate + oracle, foreachBatch delivery)
+            "stream_foreachbatch_counts", "stream_sliding_counts",
             "stream_stateful_totals", "stream_dedup_events",
             "stream_static_join", "stream_stream_join",
             # relational families
