@@ -83,7 +83,17 @@ def shingles_expr(text_col: str, n: int = 3):
     Built from ``slice`` over the token array via ``transform`` — stays
     JVM-side, no explode needed until the caller wants one.
     """
-    toks = tokens_expr(F.lower(F.col(text_col)))
+    return shingles_from_tokens(tokens_expr(F.lower(F.col(text_col))), n)
+
+
+def shingles_from_tokens(toks, n: int = 3):
+    """Shingle expression over an already-computed token-array column.
+
+    Callers that project the token array into its own column first get the
+    tokenization computed ONCE: ``toks`` is referenced four times below, so
+    Catalyst's CollapseProject keeps the producing projection separate
+    (non-cheap, multi-referenced) instead of inlining ``split(...)`` into
+    every reference."""
     k = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
     grams = F.transform(
         F.sequence(F.lit(1), k),
@@ -125,14 +135,36 @@ def minhash_signatures(
     entirely — each executor emits finished signatures from its own scan
     split.
     """
-    hs = F.transform(shingles_expr(text_col, shingle_n), lambda s: F.xxhash64(s))
-    d = df.select(F.col(id_col), hs.alias("__hs"))
+    hashed = hashed_shingles(df, text_col, id_col, shingle_n)
+    return signatures_from_hashed(hashed, id_col, num_hashes)
+
+
+def hashed_shingles(
+    df: DataFrame, text_col: str, id_col: str, shingle_n: int = 3
+) -> DataFrame:
+    """(id, __hs array<long>): each distinct shingle hashed once to a
+    64-bit long. The narrow shared input of the LSH pipeline — signatures
+    and the verification join both derive from it, so the expensive
+    tokenize→shingle→hash expression runs (and compiles) exactly once.
+    Tokenization is projected into its own column so the shingle
+    expression's four references to it don't each re-split the text."""
+    toks = tokens_expr(F.lower(F.col(text_col)))
+    d = df.select(F.col(id_col), toks.alias("__toks"))
+    sh = shingles_from_tokens(F.col("__toks"), shingle_n)
+    hs = F.transform(sh, lambda s: F.xxhash64(s))
+    return d.select(F.col(id_col), hs.alias("__hs"))
+
+
+def signatures_from_hashed(
+    hashed: DataFrame, id_col: str, num_hashes: int = 64
+) -> DataFrame:
+    """Signature array from a ``hashed_shingles`` frame (map-only)."""
 
     def family_min(i: int):
         # closure so the lambda captures this family's literal seed
         return F.array_min(F.transform(F.col("__hs"), lambda h: F.xxhash64(h, F.lit(i))))
 
-    return d.select(
+    return hashed.select(
         F.col(id_col),
         F.array(*[family_min(i) for i in range(num_hashes)]).alias("signature"),
     )
@@ -202,24 +234,27 @@ def minhash_near_duplicates(
     jaccard_threshold: float = 0.8,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures → banded candidates →
-    exact shingle-Jaccard verification. Returns (id_a, id_b, jaccard).
+    shingle-set Jaccard verification. Returns (id_a, id_b, jaccard).
 
-    The verification join re-attaches shingle sets only for candidate ids
+    Verification runs on HASHED shingle sets (the same ``hashed_shingles``
+    frame the signatures derive from), not the string shingles: Jaccard
+    over the 64-bit hashes equals Jaccard over the shingles up to the
+    2^-64 collision rate, the tokenize→shingle→hash expression runs (and
+    compiles) once instead of twice, and the set ops compare longs instead
+    of strings. The join re-attaches hash sets only for candidate ids
     (a semi-join-sized shuffle, not the full corpus).
 
-    The signature frame is cached before banding: Catalyst's projection
-    collapse would otherwise inline the 64-family minhash expression into
-    every band-hash reference AND both sides of the bucket self-join
-    (~32x recompute). At 100 TB the same move applies — persist the narrow
-    (id, 64 longs) signature table once, then band/join against it."""
+    Both narrow frames are cached: Catalyst's projection collapse would
+    otherwise inline the 64-family minhash expression into every band-hash
+    reference AND both sides of the bucket self-join (~32x recompute). At
+    100 TB the same move applies — persist (id, hashes) and (id, 64 longs)
+    once, then band/join against them."""
     df = ensure_parallelism(df)
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n).cache()
+    hashed = hashed_shingles(df, text_col, id_col, shingle_n).cache()
+    sigs = signatures_from_hashed(hashed, id_col, num_hashes).cache()
     cands = minhash_lsh_candidates(sigs, id_col, num_bands)
-    sh = df.select(
-        F.col(id_col), shingles_expr(text_col, shingle_n).alias("__sh")
-    )
-    a = sh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a"))
-    b = sh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("sh_b"))
+    a = hashed.select(F.col(id_col).alias("id_a"), F.col("__hs").alias("sh_a"))
+    b = hashed.select(F.col(id_col).alias("id_b"), F.col("__hs").alias("sh_b"))
     verified = (
         cands.join(a, "id_a")
         .join(b, "id_b")
