@@ -103,9 +103,12 @@ def asof_join(
     if tolerance is not None:
         on_type = left.schema[on].dataType.simpleString()
         if on_type.startswith("timestamp"):
-            gap = (
-                F.unix_micros(F.col("__t")) - F.unix_micros(F.col("__mt"))
-            ).cast("double") / 1e6
+            # timestampdiff accepts TIMESTAMP and TIMESTAMP_NTZ alike
+            # (unix_micros does not — parquet `isAdjustedToUTC=false`
+            # columns arrive as NTZ and would fail analysis)
+            gap = F.expr("timestampdiff(MICROSECOND, __mt, __t)").cast(
+                "double"
+            ) / 1e6
         else:
             gap = (F.col("__t") - F.col("__mt")).cast("double")
         within = F.abs(gap) <= F.lit(float(tolerance))

@@ -37,11 +37,15 @@ TABLES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one star-schema table from ``{sf_dir}/{name}.parquet``.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's reader rejects
-    ([PARQUET_TYPE_ILLEGAL]); we read it as a nanosecond long (legacy conf)
-    and rebuild a microsecond timestamp with integer division (``DIV`` —
-    double math would lose precision on ~1.7e18 ns epochs). DuckDB applies
-    the same ns→µs truncation, so oracle comparisons agree.
+    ``events.ts`` has shipped as parquet TIMESTAMP(NANOS) (which Spark's
+    reader rejects — [PARQUET_TYPE_ILLEGAL]) and as naive TIMESTAMP(MICROS)
+    (which Spark reads as TIMESTAMP_NTZ). Both are normalized to
+    TIMESTAMP_NTZ: naive micros pass through; nanos are read as a long
+    (legacy conf) and rebuilt with integer division (``DIV`` — double math
+    would lose precision on ~1.7e18 ns epochs) via ``timestampadd`` on an
+    NTZ epoch literal, which is session-timezone-independent. DuckDB applies
+    the same ns→µs truncation and treats naive timestamps identically, so
+    oracle comparisons agree regardless of the driver session's timezone.
     """
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
@@ -50,9 +54,34 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+            df = df.withColumn(
+                "ts",
+                F.expr(
+                    "timestampadd(MICROSECOND, ts DIV 1000,"
+                    " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+                ),
+            )
         return df
     return spark.read.parquet(path)
+
+
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to watermark-eligible TIMESTAMP for the
+    streaming paths.
+
+    Structured Streaming rejects TIMESTAMP_NTZ event-time columns
+    ([EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE]), so unlike the batch reader
+    (which keeps NTZ — naive end-to-end like DuckDB) the stream gets a
+    TIMESTAMP: nanos-longs rebuild as UTC instants; NTZ casts via the
+    session timezone (UTC in `session.get_spark`), preserving wall time.
+    Window bounds formatted back to strings therefore agree with the
+    DuckDB oracle's naive arithmetic."""
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if dt == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -19,6 +19,8 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pandas_to_postgres_spark.sources.parquet import normalize_event_ts
+
 
 def windowed_event_counts(
     spark: SparkSession,
@@ -64,8 +66,7 @@ def _windowed_agg(
         .format("parquet")
         .load(f"{sf_dir}/events.parque[t]")
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    stream = normalize_event_ts(stream)
     window_col = (
         F.window("ts", window_duration, slide) if slide else F.window("ts", window_duration)
     )
@@ -141,8 +142,7 @@ def streaming_dedup_events(
         .format("parquet")
         .load(f"{sf_dir}/events.parque[t]")
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    stream = normalize_event_ts(stream)
     deduped = (
         stream.withWatermark("ts", watermark)
         .dropDuplicates(["event_id", "ts"])
@@ -189,8 +189,7 @@ def stream_static_enrichment(
         .format("parquet")
         .load(f"{sf_dir}/events.parque[t]")
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    stream = normalize_event_ts(stream)
     customers = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment"
     )
@@ -243,8 +242,7 @@ def stream_stream_purchase_clicks(
             .format("parquet")
             .load(f"{sf_dir}/events.parque[t]")
         )
-        if dict(s.dtypes).get("ts") == "bigint":
-            s = s.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        s = normalize_event_ts(s)
         return s.withWatermark("ts", watermark).alias(alias)
 
     p = one_stream("p").filter(F.col("event_type") == "purchase")

@@ -20,6 +20,8 @@ from typing import Iterable, Iterator, Tuple
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from pandas_to_postgres_spark.sources.parquet import normalize_event_ts
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -65,8 +67,7 @@ def stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .format("parquet")
         .load(f"{sf_dir}/events.parque[t]")
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    stream = normalize_event_ts(stream)
 
     updated = stream.groupBy("user_id").applyInPandasWithState(
         _update_user_totals,
