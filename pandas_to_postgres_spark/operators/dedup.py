@@ -203,14 +203,21 @@ def minhash_lsh_candidates(
     saves — the shuffled rows are only 3 longs wide.)
     """
     width = num_hashes // num_bands
-    band_hashes = F.array(
-        *[
-            F.xxhash64(
-                *[F.element_at("signature", b * width + j + 1) for j in range(width)],
-                F.lit(b),
-            )
-            for b in range(num_bands)
-        ]
+    # one nested HOF, not num_bands unrolled xxhash64 columns (same codegen
+    # economics as signatures_from_hashed). The band hash is a chained
+    # xxhash64 fold over the band's slice seeded with the band index —
+    # different VALUES than the old flat xxhash64(varargs) call, but band
+    # hashes are internal bucket keys: equal slices hash equal either way,
+    # so true near-dup recall is unchanged, and unequal-slice bucket
+    # collisions (the only behavioral delta, ~2^-64) are removed by the
+    # exact-Jaccard verification downstream.
+    band_hashes = F.transform(
+        F.sequence(F.lit(0), F.lit(num_bands - 1)),
+        lambda b: F.aggregate(
+            F.slice(F.col("signature"), b * width + 1, width),
+            b.cast("long"),
+            lambda acc, x: F.xxhash64(acc, x),
+        ),
     )
     banded = signatures.select(
         F.col(id_col),
@@ -255,14 +262,18 @@ def minhash_near_duplicates(
     of strings. The join re-attaches hash sets only for candidate ids
     (a semi-join-sized shuffle, not the full corpus).
 
-    Both narrow frames are cached: Catalyst's projection collapse would
-    otherwise inline the 64-family minhash expression into every band-hash
-    reference AND both sides of the bucket self-join (~32x recompute). At
-    100 TB the same move applies — persist (id, hashes) and (id, 64 longs)
-    once, then band/join against them."""
+    The (id, shingle-hashes) frame is cached — it feeds the signature
+    expression AND both sides of the verification join, and Catalyst's
+    projection collapse would otherwise inline tokenize→shingle→hash into
+    every reference. The signature frame is NOT cached: the bucket
+    self-join's two sides share the row_number window's shuffle, so AQE
+    reuses that exchange and signatures compute exactly once either way —
+    measured, dropping the cache saves its materialization job (~0.2s at
+    sf0.1) with identical output. At 100 TB persist (id, hashes) once,
+    then band/join against it."""
     df = ensure_parallelism(df)
     hashed = hashed_shingles(df, text_col, id_col, shingle_n).cache()
-    sigs = signatures_from_hashed(hashed, id_col, num_hashes).cache()
+    sigs = signatures_from_hashed(hashed, id_col, num_hashes)
     cands = minhash_lsh_candidates(sigs, id_col, num_bands)
     a = hashed.select(F.col(id_col).alias("id_a"), F.col("__hs").alias("sh_a"))
     b = hashed.select(F.col(id_col).alias("id_b"), F.col("__hs").alias("sh_b"))
