@@ -538,3 +538,51 @@ def dedup_incremental(
         .filter(F.col("__rn") == 1)
         .drop("__h", "__rn")
     )
+
+
+# --------------------------------------- repeated-span (boilerplate) mining
+
+def repeated_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document repeated token spans: every word n-gram appearing in
+    ≥ ``min_docs`` distinct documents — the detection half of exact
+    substring dedup / boilerplate removal (headers, footers, license
+    blocks, templated text that near-dup measures dilute away).
+
+    Returns (gram_key, n_docs, first_doc); ``gram_key`` is the first 15
+    hex chars of the span's md5 — 60 bits, portable to any SQL engine, and
+    the shuffle carries the short key instead of the span text.
+
+    Scale: positional n-grams come from one map-side HOF (``transform``
+    over ``sequence`` + ``slice`` — no explode until the grams exist,
+    ``array_distinct`` caps a doc's contribution at one vote per span);
+    the groupBy partially aggregates before the shuffle, so wire volume is
+    (distinct span, partial count) pairs, not one row per occurrence.
+    Docs shorter than ``n`` tokens emit nothing (guarded — Spark's
+    ``sequence(1, 0)`` DESCENDS, so the unguarded expression would emit
+    bogus out-of-range grams for short docs).
+    """
+    toks = tokens_expr(F.lower(F.col(text_col)))
+    d = df.select(F.col(id_col), toks.alias("__t"))
+    k = F.size("__t") - F.lit(n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice("__t", i, n)),
+    )
+    safe = F.when(k >= 1, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+    g = d.select(F.col(id_col), F.explode(safe).alias("__gram"))
+    return (
+        g.groupBy(F.substring(F.md5("__gram"), 1, 15).alias("gram_key"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )

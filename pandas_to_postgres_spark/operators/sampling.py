@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from typing import Mapping
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -64,6 +64,119 @@ def stratified_sample_deterministic(
             F.col(stratum_col) == stratum, F.lit(_hex_threshold(frac))
         ).otherwise(thr)
     return df.filter(hex8 < thr)
+
+
+def budget_prefix_select(
+    df: DataFrame,
+    cost_col: str,
+    budget: int,
+    order_col: str,
+    tie_col: str,
+    num_buckets: int = 20,
+) -> DataFrame:
+    """Greedy budgeted selection: walk rows in (``order_col`` DESC,
+    ``tie_col`` ASC) order and keep the prefix whose running ``cost_col``
+    total stays ≤ ``budget`` — the canonical "best quality docs until the
+    token budget is spent" curation step.
+
+    Scale shape — a GLOBAL ordered prefix sum without a global sort:
+    ``order_col`` must be bounded in [0, 1] (a score); rows bucket by
+    ``floor(score * num_buckets)``, which is monotone in the score, so
+    (bucket DESC, score DESC, tie ASC) equals the global order. Each
+    bucket prefix-sums independently (one bounded sort per bucket); the
+    cross-bucket offset comes from a ``num_buckets``-row aggregate whose
+    own window is over that tiny frame only, broadcast back. The only
+    single-partition sort in the plan is over ≤ ``num_buckets`` rows —
+    constant, not corpus-sized (same construction as the sharded
+    ``pack_sequences``). Costs are summed as integers → the running total
+    is exact and engine-reproducible.
+    """
+    b = F.least(
+        F.floor(F.col(order_col) * num_buckets), F.lit(num_buckets - 1)
+    ).cast("long")
+    d = df.withColumn("__b", b)
+    w_in = (
+        Window.partitionBy("__b")
+        .orderBy(F.col(order_col).desc(), F.col(tie_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = d.withColumn("__within", F.sum(cost_col).over(w_in))
+    totals = d.groupBy("__b").agg(F.sum(cost_col).alias("__tot"))
+    w_b = Window.orderBy(F.col("__b").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.select(
+        "__b", F.coalesce(F.sum("__tot").over(w_b), F.lit(0)).alias("__off")
+    )
+    return (
+        d.join(F.broadcast(offsets), "__b")
+        .withColumn("cum_cost", F.col("__off") + F.col("__within"))
+        .filter(F.col("cum_cost") <= budget)
+        .drop("__b", "__within")
+    )
+
+
+def mix_fractions(
+    df: DataFrame,
+    stratum_col: str,
+    weights: Mapping[str, float],
+    default_weight: float = 1.0,
+) -> DataFrame:
+    """Per-stratum keep-fractions that resample ``df`` toward the target
+    mixture ∝ ``weights`` while keeping as much data as possible.
+
+    The bottleneck stratum (smallest count/weight ratio) is kept whole;
+    every other stratum downsamples to weight-proportional size:
+    ``frac_s = min(1, w_s * min_r(n_r / w_r) / n_s)``. Returns a tiny
+    (stratum, frac) frame to broadcast-join onto the corpus.
+
+    Scale: one aggregate over the corpus (counts per stratum — map-side
+    combined), then arithmetic on a ≤ |strata| row frame. All doubles are
+    computed with the same IEEE operation order an oracle SQL would use,
+    so the fractions — and therefore the sampled membership — reproduce
+    bit-exactly on any engine.
+    """
+    counts = df.groupBy(stratum_col).agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    wdf = df.sparkSession.createDataFrame(
+        [(s, float(w)) for s, w in weights.items()],
+        f"{stratum_col} string, w double",
+    )
+    j = counts.join(F.broadcast(wdf), stratum_col, "left").select(
+        stratum_col, "n", F.coalesce("w", F.lit(float(default_weight))).alias("t")
+    )
+    m = j.agg(F.min(F.col("n") / F.col("t")).alias("tmin"))
+    return j.crossJoin(F.broadcast(m)).select(
+        stratum_col,
+        F.least(F.lit(1.0), F.col("t") * F.col("tmin") / F.col("n")).alias("frac"),
+    )
+
+
+def resample_to_mix(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    weights: Mapping[str, float],
+    default_weight: float = 1.0,
+    salt: str = "mix:",
+) -> DataFrame:
+    """Deterministically resample ``df`` so strata sizes match the target
+    mixture from :func:`mix_fractions`: md5-uniform of the salted key
+    under the stratum's fraction — content-keyed, so membership survives
+    repartitioning, retries, and engine swaps (oracle-checkable)."""
+    fr = mix_fractions(df, stratum_col, weights, default_weight)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(1152921504606846976.0)
+    )
+    return df.join(F.broadcast(fr), stratum_col).filter(u < F.col("frac"))
 
 
 def sample_sql(

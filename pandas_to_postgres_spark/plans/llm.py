@@ -1333,3 +1333,101 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_id",
         (F.col("doc_id") == F.col("cluster_id")).alias("is_survivor"),
     )
+
+
+# ---------------------------------------------- budgeted curation / mixing
+
+@register(
+    "budget_select",
+    oracle=f"""
+    WITH scored AS (SELECT doc_id, n_chars, {_QUALITY_SQL} AS q FROM documents),
+    cum AS (SELECT doc_id, q AS quality,
+            sum(n_chars) OVER (ORDER BY q DESC, doc_id ROWS UNBOUNDED PRECEDING)
+                AS cum_chars
+            FROM scored)
+    SELECT doc_id, quality, cum_chars FROM cum WHERE cum_chars <= 60000
+    """,
+)
+def budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation op: keep the best-quality documents until a 60k-char
+    training budget is spent — a GLOBAL quality-ordered prefix sum,
+    computed WITHOUT a global sort (score-bucket sharding + a 20-row
+    offset aggregate; see ``operators/sampling.budget_prefix_select``).
+    The oracle runs the single global window the sharded plan must equal
+    exactly — integer char counts make the running total bit-reproducible.
+    """
+    from pandas_to_postgres_spark.operators.sampling import budget_prefix_select
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", quality_score_expr(F.col("text")).alias("q")
+    )
+    out = budget_prefix_select(
+        d, cost_col="n_chars", budget=60000, order_col="q", tie_col="doc_id"
+    )
+    return out.select(
+        "doc_id", F.col("q").alias("quality"), F.col("cum_cost").alias("cum_chars")
+    )
+
+
+@register(
+    "mix_sources",
+    oracle="""
+    WITH c AS (SELECT source, CAST(count(*) AS DOUBLE) AS n
+               FROM documents GROUP BY source),
+    w(source, t) AS (VALUES ('src0', 2.0), ('src1', 2.0), ('src2', 2.0),
+                            ('src3', 2.0), ('src4', 2.0)),
+    j AS (SELECT c.source, c.n, COALESCE(w.t, 1.0) AS t
+          FROM c LEFT JOIN w USING (source)),
+    m AS (SELECT min(n / t) AS tmin FROM j),
+    f AS (SELECT source, least(1.0, t * tmin / n) AS frac
+          FROM j CROSS JOIN m)
+    SELECT d.doc_id, d.source, round(f.frac, 6) AS keep_frac
+    FROM documents d JOIN f USING (source)
+    WHERE CAST(('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 15))
+               AS BIGINT) / 1152921504606846976.0 < f.frac
+    """,
+)
+def mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation op: resample the corpus toward a target source mixture
+    (src0-src4 weighted 2x) keeping the bottleneck source whole — the
+    domain-mixing step every training-data pipeline runs before packing.
+    Membership is md5-content-keyed (stable under repartitioning/retries);
+    the fractions derive from per-source counts with oracle-identical IEEE
+    arithmetic, so DuckDB reproduces the exact sample
+    (``operators/sampling.mix_fractions`` / ``resample_to_mix``)."""
+    from pandas_to_postgres_spark.operators.sampling import resample_to_mix
+
+    d = load_table(spark, sf_dir, "documents")
+    weights = {f"src{i}": 2.0 for i in range(5)}
+    out = resample_to_mix(d, key_col="doc_id", stratum_col="source", weights=weights)
+    return out.select("doc_id", "source", F.round("frac", 6).alias("keep_frac"))
+
+
+@register(
+    "repeated_spans",
+    oracle="""
+    WITH toks AS (SELECT doc_id,
+                         regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+                  FROM documents),
+    grams AS (SELECT doc_id,
+                     unnest(list_distinct(list_transform(
+                        range(1, greatest(len(t) - 7, 0) + 1),
+                        i -> array_to_string(t[i:i+7], ' ')))) AS gram
+              FROM toks)
+    SELECT substr(md5(gram), 1, 15) AS gram_key,
+           count(*) AS n_docs,
+           min(doc_id) AS first_doc
+    FROM grams GROUP BY 1 HAVING count(*) >= 2
+    """,
+)
+def repeated_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation op: cross-document repeated 8-token spans — the detection
+    half of exact-substring dedup / boilerplate removal (headers, license
+    blocks, templated text). One vote per document per span
+    (array_distinct before the explode), md5-keyed so the shuffle carries
+    60-bit keys and DuckDB reproduces the grouping exactly
+    (``operators/dedup.repeated_spans``)."""
+    from pandas_to_postgres_spark.operators.dedup import repeated_spans
+
+    d = load_table(spark, sf_dir, "documents")
+    return repeated_spans(d, text_col="text", id_col="doc_id", n=8, min_docs=2)

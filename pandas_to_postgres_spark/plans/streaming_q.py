@@ -154,3 +154,34 @@ def stream_foreachbatch_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return windowed_event_counts_foreachbatch(spark, sf_dir)
+
+
+@register(
+    "stream_session_windows",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    sess AS (
+        SELECT user_id, ts,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marked)
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           count(*) AS n
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9: gap-based session windows as a REAL streaming query
+    (session_window + watermark state eviction + AvailableNow drain) —
+    the dynamic-window counterpart of the fixed tumbling/sliding windows
+    above, sharing the batch ``session_windows`` gaps-and-islands oracle."""
+    from pandas_to_postgres_spark.streaming.events import session_window_counts
+
+    return session_window_counts(spark, sf_dir)

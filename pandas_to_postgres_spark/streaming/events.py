@@ -89,6 +89,52 @@ def _windowed_agg(
     return agg
 
 
+def session_window_counts(
+    spark: SparkSession,
+    sf_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Gap-based SESSION windows (dynamic, per-key window bounds) as a real
+    Structured Streaming query: ``session_window`` merges events within
+    ``gap`` of each other into one growing window per user; the watermark
+    is what lets the state store finalize (and evict) sessions once event
+    time passes their close. AvailableNow + complete output drains the
+    static source, so the final state equals the batch session aggregation
+    — verified against the same gaps-and-islands oracle as the batch
+    ``session_windows`` query.
+
+    Scale: state is keyed by (user, open session); the watermark bounds it
+    to sessions whose close is within ``watermark`` of the stream's event
+    time — without it, 100 TB of users would accumulate state forever."""
+    stream = (
+        spark.readStream.schema(spark.read.parquet(f"{sf_dir}/events.parquet").schema)
+        .format("parquet")
+        .load(f"{sf_dir}/events.parque[t]")
+    )
+    stream = normalize_event_ts(stream)
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n",
+        )
+    )
+    table = f"stream_sessions_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(table)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(table)
+
+
 def windowed_event_counts_foreachbatch(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

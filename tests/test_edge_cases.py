@@ -78,3 +78,33 @@ class TestDegenerateText:
         df = spark.createDataFrame([(1, "   ")], "doc_id long, text string")
         n = minhash_near_duplicates(df, "text", "doc_id").count()
         assert n == 0  # single doc, no pairs, no crash
+
+
+class TestRepeatedSpans:
+    def test_short_docs_emit_no_grams(self, spark):
+        from pandas_to_postgres_spark.operators.dedup import repeated_spans
+
+        # docs shorter than n tokens must emit NOTHING (Spark's
+        # sequence(1, 0) descends — the guard this asserts against)
+        df = spark.createDataFrame(
+            [(1, "too short"), (2, "too short"), (3, "")],
+            "doc_id long, text string",
+        )
+        assert repeated_spans(df, "text", "doc_id", n=8).count() == 0
+
+    def test_shared_span_found_once_per_doc(self, spark):
+        from pandas_to_postgres_spark.operators.dedup import repeated_spans
+
+        span = "one two three four five six seven eight"
+        df = spark.createDataFrame(
+            [
+                (1, f"prefix {span} suffix"),
+                (2, f"{span} {span}"),  # repeats internally: one vote only
+                (3, "entirely different words with no common run here ok"),
+            ],
+            "doc_id long, text string",
+        )
+        out = repeated_spans(df, "text", "doc_id", n=8).collect()
+        # at least the planted span; every surviving key has 2 doc votes
+        assert any(r.n_docs == 2 and r.first_doc == 1 for r in out)
+        assert all(r.n_docs <= 2 for r in out)

@@ -213,3 +213,64 @@ class TestWindowQueryShapes:
         # from the raw text scan per reference (12 scans uncached)
         plan = plan_of(spark, "ngram_jaccard_pairs")
         assert "InMemoryTableScan" in plan
+
+
+class TestBudgetSelectShape:
+    def test_data_window_is_bucketed_not_global(self, spark):
+        plan = plan_of(spark, "budget_select")
+        # the corpus-sized window partitions by the score bucket — the only
+        # rangepartitioning (global sort) allowed is over the ≤20-row
+        # bucket-totals frame, which Spark plans as SinglePartition
+        assert re.search(r"hashpartitioning\(__b#\d+", plan), plan
+        # offsets broadcast back onto the corpus
+        assert "BroadcastHashJoin" in plan
+
+    def test_matches_unbucketed_global_window(self, spark):
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from pandas_to_postgres_spark.functions.text import quality_score_expr
+        from pandas_to_postgres_spark.sources.parquet import load_table
+
+        got = {
+            r.doc_id: r.cum_chars
+            for r in REGISTRY["budget_select"].fn(spark, SF_SMOKE).collect()
+        }
+        d = load_table(spark, SF_SMOKE, "documents").select(
+            "doc_id", "n_chars", quality_score_expr(F.col("text")).alias("q")
+        )
+        w = (
+            Window.orderBy(F.col("q").desc(), F.col("doc_id").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        ref = {
+            r.doc_id: r.cum
+            for r in d.select("doc_id", F.sum("n_chars").over(w).alias("cum"))
+            .filter(F.col("cum") <= 60000)
+            .collect()
+        }
+        assert got == ref
+
+
+class TestMixSourcesProperties:
+    def test_bottleneck_stratum_kept_whole_and_mixture_proportional(self, spark):
+        from pyspark.sql import functions as F
+
+        from pandas_to_postgres_spark.operators.sampling import mix_fractions
+        from pandas_to_postgres_spark.sources.parquet import load_table
+
+        d = load_table(spark, SF_SMOKE, "documents")
+        weights = {f"src{i}": 2.0 for i in range(5)}
+        fr = {r.source: r.frac for r in mix_fractions(d, "source", weights).collect()}
+        counts = {
+            r.source: r.n
+            for r in d.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        # the bottleneck source (max count/weight pressure) keeps frac 1.0
+        ratio = {s: counts[s] / weights.get(s, 1.0) for s in counts}
+        bottleneck = min(ratio, key=ratio.get)
+        assert fr[bottleneck] == 1.0
+        # expected kept sizes are weight-proportional: n_s * frac_s ≈ w_s * tmin
+        tmin = ratio[bottleneck]
+        for s in counts:
+            assert abs(counts[s] * fr[s] - weights.get(s, 1.0) * tmin) < 1e-6
