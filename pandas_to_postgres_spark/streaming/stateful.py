@@ -95,3 +95,111 @@ def stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+# ------------------- transformWithState (Spark 4 arbitrary-state API, §2.9)
+#
+# ENV-GATED (like the HDF5 runtime paths): transformWithStateInPandas'
+# Python worker requires google.protobuf, which this container does not
+# ship and package installation is prohibited — the query registration is
+# therefore omitted (a registered-but-crashing query would poison the
+# driver's correctness run). The operator below is complete and becomes
+# runnable the moment protobuf is importable; tests/test_operators.py
+# skips it with the same condition.
+
+TWS_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def user_type_counts_processor():
+    """Build the StatefulProcessor lazily (class definition touches the
+    streaming.stateful_processor module, imported only when used)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserTypeCounts(StatefulProcessor):
+        """Per-user MAP state (event_type -> running count) — the state
+        shape the old applyInPandasWithState could only fake with an
+        encoded blob; transformWithState gives it a first-class MapState
+        with per-entry point updates (no read-modify-write of the whole
+        user's state on every batch)."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._counts = handle.getMapState(
+                "counts", "event_type string", "n bigint"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            batch = {}
+            for pdf in rows:
+                for et, c in pdf.groupby("event_type").size().items():
+                    batch[et] = batch.get(et, 0) + int(c)
+            for et, c in batch.items():
+                prev = (
+                    self._counts.getValue((et,))[0]
+                    if self._counts.containsKey((et,))
+                    else 0
+                )
+                self._counts.updateValue((et,), (prev + c,))
+            out = [
+                (key[0], et_key[0], n_val[0])
+                for et_key, n_val in self._counts.iterator()
+            ]
+            yield pd.DataFrame(out, columns=["user_id", "event_type", "n"])
+
+        def close(self) -> None:
+            pass
+
+    return UserTypeCounts()
+
+
+def stateful_user_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(user, event_type) running counts via ``transformWithStateInPandas``
+    drained to completion — the final MapState contents equal the batch
+    group-by (the oracle).
+
+    Scale: state is hash-partitioned by user across the cluster; MapState
+    updates touch only the event types present in the batch. ``timeMode``
+    'ProcessingTime' + ``registerTimer`` would bound idle-key state at
+    100 TB; the drain here is single-batch so no timer fires."""
+    path = f"{sf_dir}/events.parquet"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .format("parquet")
+        .load(f"{sf_dir}/events.parque[t]")
+    )
+    stream = normalize_event_ts(stream)
+    updated = stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=user_type_counts_processor(),
+        outputStructType=TWS_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+    table = f"tws_counts_{uuid.uuid4().hex[:8]}"
+    q = (
+        updated.writeStream.format("memory")
+        .queryName(table)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # last emission per (user, type) wins — idempotent under multi-batch runs
+    out = spark.table(table)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id", "event_type").orderBy(F.col("n").desc())
+    return (
+        out.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -610,3 +610,28 @@ class TestConnectedComponents:
         verts = spark.createDataFrame([(i,) for i in range(10)], "id long")
         with pytest.raises(RuntimeError, match="did not converge"):
             connected_components(edges, verts, max_iterations=2)
+
+
+class TestTransformWithState:
+    def test_map_state_counts_equal_batch_groupby(self, spark):
+        pytest.importorskip(
+            "google.protobuf",
+            reason="transformWithStateInPandas' worker needs protobuf; "
+            "absent in this container and installs are prohibited",
+        )
+        from pyspark.sql import functions as F
+
+        from pandas_to_postgres_spark.sources.parquet import load_table
+        from pandas_to_postgres_spark.streaming.stateful import (
+            stateful_user_type_counts,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        got = stateful_user_type_counts(spark, sf)
+        ref = (
+            load_table(spark, sf, "events")
+            .groupBy("user_id", "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        assert got.exceptAll(ref).count() == 0
+        assert ref.exceptAll(got).count() == 0
