@@ -191,3 +191,35 @@ def sample_sql(
         f"substring(md5(CAST({key_col} AS VARCHAR)), 1, 8) < "
         f"(CASE {cases} ELSE '{_hex_threshold(default_fraction)}' END)"
     )
+
+
+def deterministic_shuffle_positions(
+    df: DataFrame, key_col: str, salt: str = "shuf:"
+) -> DataFrame:
+    """Assign every row a deterministic GLOBAL shuffle position (1..N) —
+    the training-order shuffle of a corpus, reproducible on any engine:
+    position = rank in (md5(salt || key), key) order.
+
+    Scale shape — a global rank WITHOUT a global sort: rows bucket by the
+    hash's first two hex chars (256 contiguous ranges of the md5 order,
+    ~uniform by construction); each bucket row_numbers independently, and
+    cross-bucket offsets come from a 256-row count aggregate broadcast
+    back. Same offsets trick as :func:`budget_prefix_select`; the only
+    single-partition window is over the 256-row totals frame.
+    """
+    h = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    d = df.withColumn("__h", h).withColumn(
+        "__b", F.conv(F.substring("__h", 1, 2), 16, 10).cast("long")
+    )
+    w_in = Window.partitionBy("__b").orderBy("__h", key_col)
+    d = d.withColumn("__rn", F.row_number().over(w_in))
+    totals = d.groupBy("__b").agg(F.count(F.lit(1)).alias("__n"))
+    w_b = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "__b", F.coalesce(F.sum("__n").over(w_b), F.lit(0)).alias("__off")
+    )
+    return (
+        d.join(F.broadcast(offsets), "__b")
+        .withColumn("position", F.col("__off") + F.col("__rn"))
+        .drop("__h", "__b", "__rn", "__off")
+    )

@@ -1431,3 +1431,26 @@ def repeated_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return repeated_spans(d, text_col="text", id_col="doc_id", n=8, min_docs=2)
+
+
+@register(
+    "corpus_shuffle",
+    oracle="""
+    SELECT doc_id,
+           row_number() OVER (ORDER BY md5('shuf:' || CAST(doc_id AS VARCHAR)),
+                              doc_id) AS position
+    FROM documents
+    """,
+)
+def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation op: the deterministic global training-order shuffle — every
+    doc gets position 1..N in salted-md5 order, identical on any engine and
+    any partitioning, computed WITHOUT a global sort (256 hash-prefix
+    buckets + broadcast count offsets;
+    ``operators/sampling.deterministic_shuffle_positions``)."""
+    from pandas_to_postgres_spark.operators.sampling import (
+        deterministic_shuffle_positions,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return deterministic_shuffle_positions(d, "doc_id").select("doc_id", "position")

@@ -274,3 +274,17 @@ class TestMixSourcesProperties:
         tmin = ratio[bottleneck]
         for s in counts:
             assert abs(counts[s] * fr[s] - weights.get(s, 1.0) * tmin) < 1e-6
+
+
+class TestCorpusShuffle:
+    def test_positions_are_exactly_1_to_n(self, spark):
+        from pyspark.sql import functions as F
+
+        out = REGISTRY["corpus_shuffle"].fn(spark, SF_SMOKE)
+        n = out.count()
+        agg = out.agg(
+            F.min("position").alias("lo"),
+            F.max("position").alias("hi"),
+            F.countDistinct("position").alias("d"),
+        ).collect()[0]
+        assert (agg.lo, agg.hi, agg.d) == (1, n, n)
