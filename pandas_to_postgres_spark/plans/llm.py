@@ -1454,3 +1454,24 @@ def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents").select("doc_id")
     return deterministic_shuffle_positions(d, "doc_id").select("doc_id", "position")
+
+
+@register("minhash_incremental")  # rows-only: xxhash64 internals, like minhash_neardup
+def minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2 incremental: near-dups of a NEW batch (perturbed copies of docs
+    0-99) against the existing documents corpus — banded equi-join probe,
+    no corpus self-join (``operators/dedup.minhash_near_duplicates_incremental``).
+    Recall vs the planted batch→corpus twins is unit-tested; LSH internals
+    are not SQL-expressible → rows-only driver check."""
+    from pandas_to_postgres_spark.operators.dedup import (
+        minhash_near_duplicates_incremental,
+    )
+
+    corpus = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    batch = corpus.filter(F.col("doc_id") < 100).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.regexp_replace(F.col("text"), r"\s+\S+$", "").alias("text"),
+    )
+    return minhash_near_duplicates_incremental(
+        batch, corpus, text_col="text", id_col="doc_id"
+    )

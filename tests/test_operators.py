@@ -635,3 +635,40 @@ class TestTransformWithState:
         )
         assert got.exceptAll(ref).count() == 0
         assert ref.exceptAll(got).count() == 0
+
+
+class TestMinhashIncremental:
+    def test_planted_batch_twin_found_and_matches_full_pipeline(self, spark):
+        from pyspark.sql import functions as F
+
+        from pandas_to_postgres_spark.operators.dedup import (
+            minhash_near_duplicates,
+            minhash_near_duplicates_incremental,
+        )
+        from pandas_to_postgres_spark.sources.parquet import load_table
+
+        corpus = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+            "doc_id", "text"
+        )
+        batch = corpus.filter(F.col("doc_id") < 50).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.regexp_replace(F.col("text"), r"\s+\S+$", "").alias("text"),
+        )
+        inc = {
+            (r.batch_id, r.corpus_id, r.jaccard)
+            for r in minhash_near_duplicates_incremental(
+                batch, corpus, "text", "doc_id"
+            ).collect()
+        }
+        # every planted twin (doc, doc+1e6) surfaces
+        planted = {p for p in inc if p[0] == p[1] + 1_000_000}
+        assert len(planted) >= 45  # ≥90% of the 50 planted pairs (j≈0.97)
+        # cross-check: the full self-pipeline on batch ∪ corpus finds the
+        # same batch→corpus pairs (restricted to that id split)
+        full = minhash_near_duplicates(corpus.unionByName(batch), "text", "doc_id")
+        full_pairs = {
+            (r.id_b, r.id_a, r.jaccard)
+            for r in full.collect()
+            if r.id_b >= 1_000_000 and r.id_a < 1_000_000
+        }
+        assert inc == full_pairs
