@@ -429,8 +429,18 @@ def simhash_expr(text_col: str, bits: int = 64):
     signature cost is the term that scales. Written as a SQL expression
     because lambda variables can't feed the Python ``shiftright(col,
     int)`` wrapper.
+
+    The SQL tokenizer below MUST stay equivalent to
+    ``functions.text.tokens_expr`` (trim → split on \\s+ → drop empties)
+    plus a ``lower()`` for case-insensitive voting — the same logical
+    tokenizer expressed twice (Column API there, SQL text here); drift
+    between them would make SimHash vote on different tokens than every
+    other text operator.
     """
-    toks = f"filter(split(trim(lower({text_col})), '\\\\s+'), t -> t != '')"
+    # backtick-quote so column names needing quoting (spaces, dots) work;
+    # embedded backticks are escaped by doubling, per Spark identifier rules
+    quoted = f"`{text_col.replace('`', '``')}`"
+    toks = f"filter(split(trim(lower({quoted})), '\\\\s+'), t -> t != '')"
     return F.expr(
         f"""
         aggregate(
@@ -613,6 +623,15 @@ def minhash_near_duplicates_incremental(
     candidate-sized semi-join-shaped shuffle, never a corpus scan per
     batch. ``max_bucket`` caps degenerate corpus buckets exactly like the
     batch path.
+
+    Band-hash scheme version: v2 (chained ``xxhash64`` fold over the
+    band's signature slice, seeded with the band index). v1 was a flat
+    ``xxhash64(slice...)`` varargs call — the two produce DIFFERENT
+    band-hash values for the same signature. A stored (band_idx,
+    band_hash, id) table written under one scheme yields ZERO candidates
+    when probed with the other, silently; rebuild stored band tables
+    whenever this scheme changes, and version the table name (e.g.
+    ``bands_v2``) so a mismatch fails loudly instead.
     """
     width = num_hashes // num_bands
 

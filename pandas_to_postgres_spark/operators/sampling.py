@@ -112,7 +112,7 @@ def budget_prefix_select(
         d.join(F.broadcast(offsets), "__b")
         .withColumn("cum_cost", F.col("__off") + F.col("__within"))
         .filter(F.col("cum_cost") <= budget)
-        .drop("__b", "__within")
+        .drop("__b", "__within", "__off")
     )
 
 

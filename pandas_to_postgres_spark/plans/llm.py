@@ -71,17 +71,19 @@ _TOKENS_SQL = "regexp_split_to_array(trim(text), '\\s+')"
            round(CAST(sum(n_chars) AS DOUBLE) / count(n_chars), 2) AS avg_chars,
            round(CAST(sum(CAST(len({_TOKENS_SQL}) AS BIGINT)) AS DOUBLE)
                  / count(*), 2) AS avg_tokens,
-           sum(CAST(len({_TOKENS_SQL}) AS BIGINT)) AS total_tokens
+           CAST(sum(len({_TOKENS_SQL})) AS BIGINT) AS total_tokens
     FROM documents GROUP BY lang
     """,
 )
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D3: per-language corpus statistics (char/token counts).
 
-    Means are exact-integer-sum / count, not ``avg(long)`` — Spark's
-    Average accumulates longs in a double, so partial-merge order could
-    flip the last bit on a round() boundary (the round-1
-    json_extract_events flake class); the long sum is order-independent."""
+    Oracle note: every integer ``sum()`` is CAST to BIGINT *outside* the
+    sum — DuckDB types ``sum(BIGINT)`` as HUGEINT, and its pandas
+    conversion turns HUGEINT into float64, so the driver's value hash
+    would see ``27615.0`` vs Spark's ``27615`` (the round-1/round-2 hash
+    mismatches; values were bit-identical). Means stay as
+    exact-integer-sum / count for engine-independent determinism."""
     d = load_table(spark, sf_dir, "documents")
     ntok = token_count_expr(F.col("text")).cast("long")
     return d.groupBy("lang").agg(
@@ -528,7 +530,7 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CASE WHEN doc_id % 10 < 8 THEN 'train' ELSE 'test' END AS split,
            count(*) AS n_docs,
-           sum(n_chars) AS total_chars
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
     FROM documents GROUP BY 1
     """,
 )
@@ -557,7 +559,8 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT count(*) AS n_rows,
            count(DISTINCT lang) AS n_langs,
            count(DISTINCT source) AS n_sources,
-           sum(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END) AS n_empty,
+           CAST(sum(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_empty,
            CAST(min(n_chars) AS BIGINT) AS min_chars,
            CAST(max(n_chars) AS BIGINT) AS max_chars,
            round(CAST(sum(n_chars) AS DOUBLE) / count(n_chars), 2) AS avg_chars
@@ -917,8 +920,10 @@ def provenance_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "null_profile_orders",
     oracle="""
     SELECT count(*) AS n_rows,
-           sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null_custkey,
-           sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS null_totalprice,
+           CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS null_custkey,
+           CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS null_totalprice,
            count(DISTINCT o_orderstatus) AS n_statuses,
            CAST(round(min(o_totalprice), 2) AS DOUBLE) AS min_price,
            CAST(round(max(o_totalprice), 2) AS DOUBLE) AS max_price
@@ -1342,8 +1347,9 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH scored AS (SELECT doc_id, n_chars, {_QUALITY_SQL} AS q FROM documents),
     cum AS (SELECT doc_id, q AS quality,
-            sum(n_chars) OVER (ORDER BY q DESC, doc_id ROWS UNBOUNDED PRECEDING)
-                AS cum_chars
+            CAST(sum(n_chars) OVER (ORDER BY q DESC, doc_id
+                                    ROWS UNBOUNDED PRECEDING)
+                 AS BIGINT) AS cum_chars
             FROM scored)
     SELECT doc_id, quality, cum_chars FROM cum WHERE cum_chars <= 60000
     """,

@@ -759,7 +759,8 @@ def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            count(*) AS n,
-           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_total,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS k_total,
            round(CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
                  / count(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS k_avg
     FROM events GROUP BY event_type
@@ -769,12 +770,14 @@ def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F5: JSON extraction from the props string column (get_json_object),
     aggregated per event type.
 
-    k_avg is exact-integer-sum / non-null-count, NOT ``avg(long)``: Spark's
-    Average over longs accumulates in a double, so the partial-agg merge
-    order (partition count, AQE coalescing, task timing) can flip the last
-    bit right on a round() boundary — the one hash flake of round 1. The
-    long sum is order-independent, so one double division is deterministic
-    on any engine and any partitioning."""
+    The round-1/round-2 hash mismatch on this query was NOT floating-point
+    nondeterminism (an earlier docstring here blamed partial-agg merge
+    order — retracted: values were verified bit-identical between Spark
+    and DuckDB). Root cause: DuckDB types ``sum(BIGINT)`` as HUGEINT and
+    converts HUGEINT to float64 in pandas, so the oracle emitted ``N.0``
+    where Spark emitted long ``N``. Fix: CAST the *outer* sum to BIGINT
+    in the oracle SQL. k_avg stays exact-integer-sum / non-null-count so
+    one double division is deterministic on any engine."""
     e = _t(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("long")
     return e.groupBy("event_type").agg(
@@ -1764,11 +1767,13 @@ def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY user_id
     )
     SELECT count(*) AS n_users,
-           sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS step_view,
-           sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
-                    THEN 1 ELSE 0 END) AS step_click,
-           sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
-                     AND t_purchase > t_click THEN 1 ELSE 0 END) AS step_purchase
+           CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS step_view,
+           CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                    THEN 1 ELSE 0 END) AS BIGINT) AS step_click,
+           CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                     AND t_purchase > t_click THEN 1 ELSE 0 END)
+                AS BIGINT) AS step_purchase
     FROM per_user
     """,
 )

@@ -107,6 +107,11 @@ def session_window_counts(
     Scale: state is keyed by (user, open session); the watermark bounds it
     to sessions whose close is within ``watermark`` of the stream's event
     time — without it, 100 TB of users would accumulate state forever."""
+    # must be set BEFORE the schema-probe read: on rounds where events.ts
+    # is TIMESTAMP(NANOS) this is otherwise PARQUET_TYPE_ILLEGAL if this
+    # query is the session's first events read (every other events reader
+    # sets it; relying on them running first is a load-order landmine)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     stream = (
         spark.readStream.schema(spark.read.parquet(f"{sf_dir}/events.parquet").schema)
         .format("parquet")

@@ -8,6 +8,7 @@ absorb the last ulp)."""
 from __future__ import annotations
 
 import math
+from decimal import Decimal
 from typing import Optional
 
 import duckdb
@@ -27,14 +28,24 @@ def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _canon(v):
+    """Type-faithful canonical form.
+
+    Floats carry an ``f:`` tag so an integral float64 (``27615.0``) does NOT
+    canonicalize equal to a long (``27615``) — the driver's value hash
+    distinguishes them (the round-2 HUGEINT→float64 oracle bug slipped past
+    the untagged ``%.9g`` form while hashing red on the driver). The ``%.9g``
+    still absorbs last-ulp double noise; Decimals join the float family so a
+    DECIMAL-typed oracle column still matches a Spark double."""
     if v is None:
         return "∅"
+    if isinstance(v, bool):
+        return f"b:{v}"
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.9g}"
-    if isinstance(v, bool):
-        return f"b:{v}"
+        return f"f:{v:.9g}"
+    if isinstance(v, Decimal):
+        return f"f:{float(v):.9g}"
     return str(v)
 
 
