@@ -598,6 +598,77 @@ def repeated_spans(
     )
 
 
+# ------------------------------------ span-level dedup (C4-style removal)
+
+def span_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    span_tokens: int = 10,
+) -> DataFrame:
+    """Global span-level deduplication with document reassembly — the
+    C4-style curation step (Raffel et al. 2020 removed all but one
+    occurrence of any repeated three-sentence span corpus-wide; this is
+    the token-tiled analogue for text without sentence structure).
+
+    Each document is tiled into consecutive ``span_tokens``-token
+    segments; a segment occurring anywhere earlier in the corpus (first
+    occurrence = lowest (id, position)) is REMOVED from every later
+    document, and the surviving segments are rejoined in original order.
+    Unlike :func:`repeated_spans` (which only *detects* boilerplate),
+    this rewrites the corpus. Returns (id, n_kept, text_clean) for
+    documents with at least one surviving span; fully removed documents
+    drop out.
+
+    Scale shape — span TEXT never shuffles: the dedup window shuffles
+    (id, seg_idx, sha2) triples (~80 B/row regardless of span width);
+    survivors collapse per doc to a sorted int array (narrow groupBy);
+    the one wide shuffle is re-joining that array to the source rows on
+    id, after which reassembly recomputes the segments map-side from the
+    doc's own token array (same recompute-over-shuffle trade as the
+    MinHash hashed-shingle frame). sha2-256 keys make the dedup
+    collision-free at any corpus size, matching :func:`dedup_exact`.
+
+    Guard: ``sequence(0, n_seg - 1)`` DESCENDS when a doc has zero
+    tokens, so empty docs are masked to an empty segment array.
+    """
+    toks = tokens_expr(F.col(text_col))
+    d = df.select(F.col(id_col), toks.alias("__tk"))
+    n_seg = F.ceil(F.size("__tk") / F.lit(float(span_tokens))).cast("int")
+    seq = F.when(F.size("__tk") > 0, F.sequence(F.lit(0), n_seg - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    segs = F.transform(
+        seq,
+        lambda i: F.concat_ws(
+            " ", F.slice(F.col("__tk"), i * span_tokens + 1, span_tokens)
+        ),
+    )
+    seg_hashes = d.select(
+        F.col(id_col), F.posexplode(segs).alias("seg_idx", "seg")
+    ).select(F.col(id_col), "seg_idx", F.sha2("seg", 256).alias("__h"))
+    w = Window.partitionBy("__h").orderBy(
+        F.col(id_col).asc(), F.col("seg_idx").asc()
+    )
+    survivors = (
+        seg_hashes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("seg_idx")).alias("__keep"))
+    )
+    rebuilt = F.transform(
+        F.col("__keep"),
+        lambda i: F.concat_ws(
+            " ", F.slice(F.col("__tk"), i * span_tokens + 1, span_tokens)
+        ),
+    )
+    return d.join(survivors, id_col).select(
+        F.col(id_col),
+        F.size("__keep").cast("long").alias("n_kept"),
+        F.array_join(rebuilt, " ").alias("text_clean"),
+    )
+
+
 def minhash_near_duplicates_incremental(
     batch: DataFrame,
     corpus: DataFrame,

@@ -1440,6 +1440,64 @@ def repeated_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "span_dedup_docs",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000,
+             text || ' zz' || CAST(doc_id AS VARCHAR)
+      FROM documents
+    ),
+    toks AS (SELECT doc_id,
+                    regexp_split_to_array(trim(text), '\\s+') AS t
+             FROM corpus
+             WHERE array_to_string(regexp_split_to_array(trim(text), '\\s+'),
+                                   '') <> ''),
+    segs AS (SELECT doc_id,
+                    CAST(unnest(range(CAST(ceil(len(t) / 10.0) AS BIGINT)))
+                         AS INT) AS seg_idx,
+                    t
+             FROM toks),
+    seg_text AS (SELECT doc_id, seg_idx,
+                        array_to_string(t[seg_idx*10+1 : seg_idx*10+10],
+                                        ' ') AS seg
+                 FROM segs),
+    kept AS (SELECT doc_id, seg_idx, seg,
+                    row_number() OVER (PARTITION BY seg
+                                       ORDER BY doc_id, seg_idx) AS rn
+             FROM seg_text)
+    SELECT doc_id,
+           count(*) AS n_kept,
+           string_agg(seg, ' ' ORDER BY seg_idx) AS text_clean
+    FROM kept WHERE rn = 1 GROUP BY doc_id
+    """,
+)
+def span_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation op: C4-style global span dedup WITH corpus rewriting —
+    any 10-token span seen earlier in the corpus is removed from later
+    docs and the survivors are stitched back in order
+    (``operators/dedup.span_dedup``). Demonstrated on documents ∪ a
+    suffixed copy (doc_id+10**6, two extra tokens) so later copies get
+    their leading spans stripped while their tail span — perturbed by the
+    suffix tokens completing the final tile — survives. The reassembled
+    ``text_clean`` string is part of the oracle hash, so exact
+    reconstruction order is driver-checked, not just counts."""
+    from pandas_to_postgres_spark.operators.dedup import span_dedup
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = d.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(
+            F.col("text"), F.lit(" zz"), F.col("doc_id").cast("string")
+        ).alias("text"),
+    )
+    return span_dedup(
+        d.unionByName(copies), text_col="text", id_col="doc_id", span_tokens=10
+    )
+
+
+@register(
     "corpus_shuffle",
     oracle="""
     SELECT doc_id,

@@ -17,6 +17,7 @@ from pandas_to_postgres_spark.operators.dedup import (
     embedding_near_duplicates,
     minhash_near_duplicates,
     simhash_near_duplicates,
+    span_dedup,
 )
 from pandas_to_postgres_spark.operators.joins import asof_join
 from pandas_to_postgres_spark.operators.multimodal import (
@@ -154,6 +155,62 @@ class TestDedup:
         )
         out = embedding_near_duplicates(df, "v", "id", threshold=0.95, block_col="blk").collect()
         assert [(r.id_a, r.id_b) for r in out] == [(1, 2)]  # 3 dissimilar, 4 other block
+
+
+class TestSpanDedup:
+    """C4-style global span dedup with reassembly (operators/dedup.span_dedup)."""
+
+    def test_later_doc_loses_shared_span(self, spark):
+        # doc 2 repeats doc 1's first 3-token span, then has its own tail
+        df = spark.createDataFrame(
+            [(1, "a b c d e f"), (2, "a b c x y z")],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in span_dedup(df, "text", "doc_id", span_tokens=3).collect()}
+        assert out[1].text_clean == "a b c d e f" and out[1].n_kept == 2
+        assert out[2].text_clean == "x y z" and out[2].n_kept == 1
+
+    def test_fully_duplicated_doc_drops_out(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b c d e f"), (2, "a b c d e f")],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id for r in span_dedup(df, "text", "doc_id", span_tokens=3).collect()}
+        assert out == {1}
+
+    def test_within_doc_duplicate_span_removed(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b c a b c x y z")], "doc_id long, text string"
+        )
+        (r,) = span_dedup(df, "text", "doc_id", span_tokens=3).collect()
+        assert r.text_clean == "a b c x y z" and r.n_kept == 2
+
+    def test_reassembly_preserves_order_and_partial_tail(self, spark):
+        # 7 tokens with span 3 -> tiles "a b c" / "d e f" / "g" (partial tail)
+        df = spark.createDataFrame([(1, "a b c d e f g")], "doc_id long, text string")
+        (r,) = span_dedup(df, "text", "doc_id", span_tokens=3).collect()
+        assert r.text_clean == "a b c d e f g" and r.n_kept == 3
+
+    def test_empty_doc_emits_nothing(self, spark):
+        df = spark.createDataFrame(
+            [(1, ""), (2, "   "), (3, "a b c")], "doc_id long, text string"
+        )
+        out = {r.doc_id for r in span_dedup(df, "text", "doc_id", span_tokens=3).collect()}
+        assert out == {3}
+
+    def test_span_text_not_in_dedup_shuffle(self, spark):
+        """Scale assertion: the row_number window partitions on the sha2
+        hash and its exchange carries (id, seg_idx, hash) only — the seg
+        string column must be projected away before that shuffle."""
+        df = spark.createDataFrame([(1, "a b c d e f")], "doc_id long, text string")
+        plan = span_dedup(df, "text", "doc_id", span_tokens=3)._jdf.queryExecution().executedPlan().toString()
+        import re
+        for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+            assert "seg#" not in m.group(1) or "__h" not in m.group(1)
+        # the window's sort is on (__h); no Exchange output should list seg
+        win_exchanges = [l for l in plan.splitlines() if "Exchange" in l and "__h" in l]
+        assert win_exchanges, "expected a hash-partitioned exchange on __h"
+        assert all("seg#" not in l for l in win_exchanges)
 
 
 class TestSimilarity:
