@@ -1185,6 +1185,78 @@ def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH tf AS (
+      SELECT doc_id, tok, count(*) AS tf
+      FROM (SELECT doc_id, unnest({_RAW_TOKS_SQL}) AS tok FROM documents)
+      GROUP BY doc_id, tok
+    ),
+    dfreq AS (SELECT tok, count(*) AS dfreq FROM tf GROUP BY tok),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.tok,
+             round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.dfreq), 4)
+               AS tfidf
+      FROM tf JOIN dfreq ON tf.tok = dfreq.tok CROSS JOIN n
+    )
+    SELECT doc_id, tok AS token, tfidf, CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT doc_id, tok, tfidf,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY tfidf DESC, tok) AS rnk
+          FROM scored)
+    WHERE rnk <= 5
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-5 terms by TF-IDF — the keyword-extraction /
+    retrieval-weighting primitive (and the classic two-aggregate corpus
+    statistic).
+
+    Determinism: the rank orders on the ROUNDED score with the token as
+    tie-break (the repo-wide rounded-score+key pattern) so a last-ulp
+    ``ln`` difference between libms can't flip cross-engine ranks.
+
+    Scale: ONE corpus scan and ONE tf computation — term frequency is a
+    map-side-combinable groupBy, document frequency is a count window
+    over token on that same frame (a df-via-join formulation scanned and
+    aggregated tf TWICE: the identical exchanges were not reused,
+    plan-audited), the 1-row corpus count broadcasts, and the per-doc
+    rank filter is WindowGroupLimit-pruned partial+final
+    (plan-asserted)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens_expr(F.lower(F.col("text")))
+    tf = (
+        d.select("doc_id", F.explode(toks).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    wtok = Window.partitionBy("tok")
+    scored = (
+        tf.withColumn("dfreq", F.count(F.lit(1)).over(wtok))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "tok",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("dfreq")),
+                4,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("tok").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 5)
+        .select("doc_id", F.col("tok").alias("token"), "tfidf", "rnk")
+    )
+
+
+@register(
     "repetition_scores",
     oracle=f"""
     SELECT doc_id,
@@ -1337,6 +1409,95 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "cluster_id",
         (F.col("doc_id") == F.col("cluster_id")).alias("is_survivor"),
+    )
+
+
+@register(
+    "cluster_representatives",
+    oracle=f"""
+    WITH RECURSIVE
+    verts AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 150
+        UNION ALL
+        SELECT doc_id + 1000000,
+               regexp_replace(text, '\\s+\\S+$', '')
+        FROM documents WHERE doc_id < 150),
+    pairs AS ({{pairs}}),
+    sym AS (
+        SELECT id_a AS s, id_b AS d FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs),
+    reach AS (
+        SELECT doc_id AS a, doc_id AS b FROM verts
+        UNION
+        SELECT r.a, e.d FROM reach r JOIN sym e ON e.s = r.b),
+    labels AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
+    quality AS (SELECT doc_id, {_QUALITY_SQL} AS quality FROM verts)
+    SELECT cluster_id, doc_id AS rep_id, quality AS rep_quality, n_members
+    FROM (SELECT l.cluster_id, l.doc_id, q.quality,
+                 count(*) OVER (PARTITION BY l.cluster_id) AS n_members,
+                 row_number() OVER (PARTITION BY l.cluster_id
+                                    ORDER BY q.quality DESC, l.doc_id) AS rn
+          FROM labels l JOIN quality q USING (doc_id))
+    WHERE rn = 1
+    """.replace("{pairs}", _NGRAM_PAIRS_ORACLE_SLICED),
+)
+def cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation op: quality-based survivor selection per near-dup cluster
+    — instead of ``neardup_clusters``' min-id canonical, keep the
+    HIGHEST-quality member of each cluster (rounded-score desc, id asc
+    tie-break), the RefinedWeb-style "keep the best copy" step. Returns
+    (cluster_id, rep_id, rep_quality, n_members); same sliced corpus,
+    pair definition, and transitive closure as ``neardup_clusters``, so
+    the two queries are directly comparable.
+
+    Scale: reuses the iterative min-label closure; the quality join is a
+    map-only score projection joined on id; the per-cluster argmax is one
+    window over cluster_id (the cluster-count column rides the same
+    shuffle)."""
+    from pandas_to_postgres_spark.operators.cluster import connected_components
+    from pandas_to_postgres_spark.operators.dedup import ngram_jaccard_prefix
+    from pandas_to_postgres_spark.functions.text import quality_score_expr
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 150)
+        .select("doc_id", "text")
+    )
+    perturbed = d.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.regexp_replace(F.col("text"), r"\s+\S+$", "").alias("text"),
+    )
+    corpus = d.unionByName(perturbed)
+    pairs = ngram_jaccard_prefix(
+        corpus, text_col="text", id_col="doc_id", threshold=0.8, n=1
+    )
+    labels = connected_components(
+        pairs,
+        corpus.select("doc_id"),
+        src="id_a",
+        dst="id_b",
+        id_col="doc_id",
+        component_col="cluster_id",
+    )
+    scored = corpus.select(
+        "doc_id", quality_score_expr(F.col("text")).alias("quality")
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    wc = Window.partitionBy("cluster_id")
+    return (
+        labels.join(scored, "doc_id")
+        .withColumn("n_members", F.count(F.lit(1)).over(wc))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("rep_id"),
+            F.col("quality").alias("rep_quality"),
+            "n_members",
+        )
     )
 
 

@@ -288,3 +288,28 @@ class TestCorpusShuffle:
             F.countDistinct("position").alias("d"),
         ).collect()[0]
         assert (agg.lo, agg.hi, agg.d) == (1, n, n)
+
+
+class TestTfidfShape:
+    def test_single_tf_aggregation_and_group_limit(self, spark):
+        """df comes from a count window over the tf frame, not a self-join:
+        exactly ONE (doc_id, tok) aggregation exchange may appear (the
+        join formulation produced two identical, un-reused ones), and the
+        top-5 rank filter must push down as WindowGroupLimit."""
+        plan = plan_of(spark, "tfidf_top_terms")
+        tf_exchanges = [
+            l for l in plan.splitlines()
+            if "Exchange hashpartitioning" in l and "doc_id" in l and "tok" in l
+        ]
+        assert len(tf_exchanges) == 1, tf_exchanges
+        assert "WindowGroupLimit" in plan
+        assert shuffles(plan) <= 3
+
+
+class TestSpanDedupPlan:
+    def test_span_text_excluded_from_dedup_exchange(self, spark):
+        plan = plan_of(spark, "span_dedup_docs")
+        win_exchanges = [
+            l for l in plan.splitlines() if "Exchange hashpartitioning" in l and "__h" in l
+        ]
+        assert win_exchanges and all("seg#" not in l for l in win_exchanges)
