@@ -1,0 +1,412 @@
+"""The remaining TPC-H query shapes (Q2, Q9, Q11, Q12, Q16, Q20, Q21),
+completing 22/22 coverage of the benchmark's plan shapes alongside
+``plans/relational.py`` (Q1/3/4/5/6/7/8/10/13/14/15/17/18/19/22).
+
+The driver's star schema has no ``partsupp`` table and ``lineitem`` lacks
+``l_commitdate/l_receiptdate/l_shipmode``, so each query is ADAPTED: the
+plan shape the original exercises (correlated min subquery, global-scalar
+HAVING, nested IN chains, double-correlated EXISTS/NOT EXISTS, ...) is
+preserved exactly, with the missing relation derived from ``lineitem``
+(the supply relation = distinct (partkey, suppkey) with min unit price)
+and "late" defined as shipping >60 days after the order date. Every
+adaptation is stated in the query's docstring.
+
+Queries whose showcase is Catalyst's subquery decorrelation are submitted
+as ``spark.sql`` (the point is that the SAME declarative text plans into
+joins); join-pipeline shapes use the DataFrame API. All follow the driver
+conventions of ``plans/relational.py``: identical aliases both sides,
+decimal-exact double sums (``dsum``/``dsum_sql``), computed ints cast to
+BIGINT on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pandas_to_postgres_spark.functions.agg import dsum, dsum_sql
+from pandas_to_postgres_spark.plans.registry import register
+from pandas_to_postgres_spark.sources.parquet import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    for n in names:
+        _t(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+# The derived supply relation standing in for partsupp: one row per
+# (partkey, suppkey) ever traded, costed at the minimum observed unit
+# price. min() over doubles is exact and order-independent, so both
+# engines derive bit-identical supply costs.
+_SUPPLY_SQL = """
+    SELECT l_partkey  AS ps_partkey,
+           l_suppkey  AS ps_suppkey,
+           min(l_extendedprice / l_quantity) AS ps_supplycost
+    FROM lineitem
+    GROUP BY l_partkey, l_suppkey
+"""
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle=f"""
+    WITH supply AS ({_SUPPLY_SQL})
+    SELECT round(s.s_acctbal, 2) AS s_acctbal, s.s_name, n.n_name,
+           p.p_partkey, round(ps.ps_supplycost, 4) AS supplycost
+    FROM part p
+    JOIN supply ps  ON p.p_partkey = ps.ps_partkey
+    JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE p.p_size <= 10 AND p.p_type LIKE '%AR%' AND r.r_name = 'EUROPE'
+      AND ps.ps_supplycost = (
+        SELECT min(ps2.ps_supplycost)
+        FROM supply ps2
+        JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+        JOIN nation n2   ON s2.s_nationkey = n2.n_nationkey
+        JOIN region r2   ON n2.n_regionkey = r2.r_regionkey
+        WHERE ps2.ps_partkey = p.p_partkey AND r2.r_name = 'EUROPE')
+    ORDER BY s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+    LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each EUROPE-sourced part in a size range/type pattern,
+    the supplier offering the global minimum supply cost — correlated
+    scalar MIN subquery over the (derived) supply relation.
+
+    Adaptation: supply = per-(part, supplier) min unit price from lineitem
+    (no partsupp table exists; see module docstring).
+
+    Scale: Catalyst decorrelates the scalar subquery into a per-part min
+    aggregate joined back on p_partkey — the supply relation aggregates
+    once, not per outer row. supplier/nation/region broadcast; the LIMIT
+    is TakeOrderedAndProject (no global sort materialization). The full
+    ORDER BY tie-break chain (acctbal, nation, name, partkey) makes the
+    100-row cut deterministic cross-engine."""
+    _views(spark, sf_dir, "part", "supplier", "nation", "region", "lineitem")
+    return spark.sql(
+        f"""
+        WITH supply AS ({_SUPPLY_SQL})
+        SELECT round(s.s_acctbal, 2) AS s_acctbal, s.s_name, n.n_name,
+               p.p_partkey, round(ps.ps_supplycost, 4) AS supplycost
+        FROM part p
+        JOIN supply ps  ON p.p_partkey = ps.ps_partkey
+        JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        JOIN region r   ON n.n_regionkey = r.r_regionkey
+        WHERE p.p_size <= 10 AND p.p_type LIKE '%AR%' AND r.r_name = 'EUROPE'
+          AND ps.ps_supplycost = (
+            SELECT min(ps2.ps_supplycost)
+            FROM supply ps2
+            JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+            JOIN nation n2   ON s2.s_nationkey = n2.n_nationkey
+            JOIN region r2   ON n2.n_regionkey = r2.r_regionkey
+            WHERE ps2.ps_partkey = p.p_partkey AND r2.r_name = 'EUROPE')
+        ORDER BY s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+        LIMIT 100
+        """
+    )
+
+
+@register(
+    "q9_nation_profit",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           CAST(year(l.l_shipdate) AS BIGINT) AS o_year,
+           {dsum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS sum_profit
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%gear%'
+    GROUP BY nation, o_year
+    """,
+)
+def q9_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: product-line profit by supplier nation and year —
+    the classic fact×dim×dim×dim join with a LIKE filter on the part name
+    and a two-dimensional group.
+
+    Adaptation: profit = revenue (no ps_supplycost to net against; the
+    join/group shape is unchanged).
+
+    Scale: part is filtered by the LIKE before broadcast (the pattern
+    can't push to the scan as a range, but it prunes the broadcast build
+    side); supplier and nation broadcast; the lineitem scan shuffles once
+    into the (nation, year) agg, partial-agged map-side to 25×7 rows per
+    partition. Exact decimal sums keep the hash stable."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = F.broadcast(
+        _t(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    )
+    s = F.broadcast(_t(spark, sf_dir, "supplier"))
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").cast("bigint").alias("o_year"),
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "sum_profit"
+            )
+        )
+    )
+
+
+@register(
+    "q11_important_parts",
+    oracle="""
+    SELECT l.l_partkey AS ps_partkey,
+           CAST(round(sum(CAST(l.l_extendedprice * l.l_quantity AS DECIMAL(18,6))), 2)
+                AS DOUBLE) AS part_value
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_regionkey = 3
+    GROUP BY l.l_partkey
+    HAVING sum(CAST(l.l_extendedprice * l.l_quantity AS DECIMAL(18,6))) >
+           (SELECT sum(CAST(l2.l_extendedprice * l2.l_quantity AS DECIMAL(18,6))) * 0.001
+            FROM lineitem l2
+            JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+            JOIN nation n2   ON n2.n_nationkey = s2.s_nationkey
+            WHERE n2.n_regionkey = 3)
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts representing a significant fraction of the
+    EUROPE-region supply value — group-agg filtered by an UNCORRELATED
+    scalar subquery over the same restricted fact (the global total).
+
+    Adaptation: value = extendedprice×quantity from lineitem restricted to
+    region-3 suppliers (no partsupp availqty/supplycost).
+
+    Scale: the scalar subquery is its own partial+final agg computed ONCE
+    and broadcast into the HAVING comparison — not a per-group rescan. Both
+    aggregations are over the same join, and both sums are exact decimals,
+    so the > threshold can't flip with partition order. supplier/nation
+    broadcast; one fact shuffle per agg."""
+    _views(spark, sf_dir, "lineitem", "supplier", "nation")
+    return spark.sql(
+        """
+        SELECT l.l_partkey AS ps_partkey,
+               CAST(round(sum(CAST(l.l_extendedprice * l.l_quantity AS DECIMAL(18,6))), 2)
+                    AS DOUBLE) AS part_value
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n   ON n.n_nationkey = s.s_nationkey
+        WHERE n.n_regionkey = 3
+        GROUP BY l.l_partkey
+        HAVING sum(CAST(l.l_extendedprice * l.l_quantity AS DECIMAL(18,6))) >
+               (SELECT sum(CAST(l2.l_extendedprice * l2.l_quantity AS DECIMAL(18,6))) * 0.001
+                FROM lineitem l2
+                JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+                JOIN nation n2   ON n2.n_nationkey = s2.s_nationkey
+                WHERE n2.n_regionkey = 3)
+        """
+    )
+
+
+@register(
+    "q12_priority_lines",
+    oracle="""
+    SELECT l.l_returnflag,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l.l_returnflag
+    """,
+)
+def q12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: order-priority mix of lines shipped in a year,
+    bucketed by a lineitem category — fact×fact join + conditional counts.
+
+    Adaptation: l_returnflag stands in for the missing l_shipmode; the
+    date window runs on l_shipdate (no commit/receipt dates).
+
+    Scale: the year range pushes to the lineitem scan (row-group pruning
+    on shipdate statistics); the join shuffles both sides on the order key
+    (AQE may broadcast the filtered lineitem side at small SF); the
+    conditional sums partial-agg to 3 rows per partition before the final
+    exchange."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00"))
+        )
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(high.cast("int")).cast("bigint").alias("high_line_count"),
+            F.sum((~high).cast("int")).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q16_supplier_variety",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 4, 7, 10, 14, 19, 23, 36)
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers can deliver each
+    surviving (brand, type, size) bucket, excluding a blacklisted supplier
+    subset via NOT IN subquery.
+
+    Adaptation: the supply relation is lineitem's (partkey, suppkey)
+    pairs; the "customer complaints" blacklist is negative-balance
+    suppliers (no s_comment column).
+
+    Scale: NOT IN over a nullable-free key plans as a null-aware anti
+    join with the tiny blacklist broadcast; part's IN-list + inequality
+    filters prune its broadcast build side; count(DISTINCT) expands to a
+    two-phase agg (dedup on the full key, then count) — both phases
+    map-side partial. Submitted as SQL to showcase the NOT IN plan."""
+    _views(spark, sf_dir, "lineitem", "part", "supplier")
+    return spark.sql(
+        """
+        SELECT p.p_brand, p.p_type, p.p_size,
+               CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO'
+          AND p.p_size IN (1, 4, 7, 10, 14, 19, 23, 36)
+          AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY p.p_brand, p.p_type, p.p_size
+        """
+    )
+
+
+@register(
+    "q20_excess_suppliers",
+    oracle="""
+    SELECT s.s_name, round(s.s_acctbal, 2) AS s_acctbal
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_name = 'NATION_3'
+      AND s.s_suppkey IN (
+        SELECT l.l_suppkey
+        FROM lineitem l
+        WHERE l.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+        GROUP BY l.l_partkey, l.l_suppkey
+        HAVING sum(CASE WHEN l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+                         AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+                        THEN CAST(l.l_quantity AS DECIMAL(18,6))
+                        ELSE CAST(0 AS DECIMAL(18,6)) END)
+               > sum(CAST(l.l_quantity AS DECIMAL(18,6))) * 0.3)
+    """,
+)
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: NATION_3 suppliers concentrating their shipments
+    of 'small%' parts into one year — nested IN chain (supplier IN
+    (grouped-HAVING lineitem IN (filtered part))).
+
+    Adaptation: "excess stock" = 1997 shipments exceeding 30% of the
+    (part, supplier) pair's all-time quantity (no ps_availqty).
+
+    Scale: the inner part IN-list plans as a broadcast semi join into the
+    lineitem scan; the grouped HAVING aggregates per (part, supplier) with
+    map-side combine; the outer IN is a semi join on suppkey against the
+    tiny supplier dim. Decimal-exact sums keep the 30% threshold
+    partition-order independent."""
+    _views(spark, sf_dir, "supplier", "nation", "lineitem", "part")
+    return spark.sql(
+        """
+        SELECT s.s_name, round(s.s_acctbal, 2) AS s_acctbal
+        FROM supplier s
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE n.n_name = 'NATION_3'
+          AND s.s_suppkey IN (
+            SELECT l.l_suppkey
+            FROM lineitem l
+            WHERE l.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+            GROUP BY l.l_partkey, l.l_suppkey
+            HAVING sum(CASE WHEN l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+                             AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+                            THEN CAST(l.l_quantity AS DECIMAL(18,6))
+                            ELSE CAST(0 AS DECIMAL(18,6)) END)
+                   > sum(CAST(l.l_quantity AS DECIMAL(18,6))) * 0.3)
+        """
+    )
+
+
+@register(
+    "q21_waiting_suppliers",
+    oracle="""
+    SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+    JOIN orders o    ON o.o_orderkey = l1.l_orderkey
+    JOIN nation n    ON n.n_nationkey = s.s_nationkey
+    WHERE o.o_orderstatus = 'F'
+      AND n.n_name = 'NATION_1'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s.s_name
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: NATION_1 suppliers who were the SOLE late supplier
+    on a failed multi-supplier order — the benchmark's hardest subquery
+    shape, one correlated EXISTS and one correlated NOT EXISTS over the
+    same fact, both also referencing the outer orders row.
+
+    Adaptation: "late" = shipped more than 60 days after the order date
+    (no commit/receipt dates; same double-correlation structure).
+
+    Scale: Catalyst decorrelates both subqueries into a left-semi and a
+    left-anti join on l_orderkey — three passes over lineitem total, each
+    shuffling on the order key so AQE can co-plan the exchanges;
+    supplier/nation broadcast. No per-row subquery execution anywhere
+    (verify with .explain: two RewritePredicateSubquery joins)."""
+    _views(spark, sf_dir, "supplier", "lineitem", "orders", "nation")
+    return spark.sql(
+        """
+        SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+        FROM supplier s
+        JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+        JOIN orders o    ON o.o_orderkey = l1.l_orderkey
+        JOIN nation n    ON n.n_nationkey = s.s_nationkey
+        WHERE o.o_orderstatus = 'F'
+          AND n.n_name = 'NATION_1'
+          AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        GROUP BY s.s_name
+        """
+    )
