@@ -223,3 +223,44 @@ def deterministic_shuffle_positions(
         .withColumn("position", F.col("__off") + F.col("__rn"))
         .drop("__h", "__b", "__rn", "__off")
     )
+
+
+def top_n_per_group(
+    df: DataFrame,
+    group_cols: list[str] | tuple[str, ...],
+    order_cols: list[Column] | tuple[Column, ...],
+    n: int,
+    salt_col: str | None = None,
+    num_salts: int = 16,
+) -> DataFrame:
+    """Keep the top ``n`` rows of each group under ``order_cols`` — the
+    per-domain document cap (RefinedWeb/CC-style "at most N pages per
+    host") and every other bounded-per-key selection.
+
+    Scale shape — the naive single window shuffles EVERY row of a group
+    into one task, and web-domain groups are exactly the skewed kind
+    (one host can be 1e8 pages). Two stages instead: rows first shuffle on
+    (group, salt) where salt = xxhash64(tie-break) % num_salts — bounded
+    ~1/num_salts of any hot group per task — and each salted slice keeps
+    its local top n. At most n*num_salts survivors per group reach the
+    second, exact window. Any true global top-n row is also top-n within
+    its salt slice, so the two-stage result is identical to the single
+    window (property-tested), while the heavy shuffle is skew-free by
+    construction. ``order_cols`` must be a total order (include a
+    tie-break key) for a deterministic cut.
+    """
+    tie = salt_col or group_cols[0]
+    salted = df.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(tie).cast("string")), F.lit(num_salts))
+    )
+    w1 = Window.partitionBy(*group_cols, "__salt").orderBy(*order_cols)
+    pruned = (
+        salted.withColumn("__rn1", F.row_number().over(w1))
+        .filter(F.col("__rn1") <= n)
+        .drop("__rn1", "__salt")
+    )
+    w2 = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return (
+        pruned.withColumn("cap_rank", F.row_number().over(w2))
+        .filter(F.col("cap_rank") <= n)
+    )

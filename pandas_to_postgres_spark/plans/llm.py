@@ -1700,3 +1700,46 @@ def minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_near_duplicates_incremental(
         batch, corpus, text_col="text", id_col="doc_id"
     )
+
+
+@register(
+    "source_cap_docs",
+    oracle=f"""
+    WITH scored AS (SELECT doc_id, source, {_QUALITY_SQL} AS quality
+                    FROM documents),
+    ranked AS (SELECT doc_id, source, quality,
+                      row_number() OVER (PARTITION BY source
+                                         ORDER BY quality DESC, doc_id) AS rn
+               FROM scored)
+    SELECT doc_id, source, quality, CAST(rn AS BIGINT) AS cap_rank
+    FROM ranked WHERE rn <= 10
+    """,
+)
+def source_cap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation op: cap each source at its 10 highest-quality documents —
+    the per-domain page cap (RefinedWeb-style) that stops one hot host
+    from dominating the mixture. Ranks on the rounded shared quality score
+    with doc_id tie-break so the cut is deterministic cross-engine.
+
+    Scale: runs through ``operators/sampling.top_n_per_group`` — a salted
+    two-stage top-N whose heavy shuffle is bounded to ~1/16 of any hot
+    domain per task (web domains are the canonical skewed key); the exact
+    final window sees at most 160 rows per source. The single-window
+    oracle is the semantic spec; the two-stage plan is property-tested
+    equal to it."""
+    from pandas_to_postgres_spark.operators.sampling import top_n_per_group
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", "source", quality_score_expr(F.col("text")).alias("quality")
+    )
+    out = top_n_per_group(
+        scored,
+        group_cols=("source",),
+        order_cols=(F.col("quality").desc(), F.col("doc_id").asc()),
+        n=10,
+        salt_col="doc_id",
+    )
+    return out.select(
+        "doc_id", "source", "quality", F.col("cap_rank").cast("bigint").alias("cap_rank")
+    )

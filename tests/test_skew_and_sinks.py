@@ -256,3 +256,49 @@ class TestCompaction:
         a = spark.read.parquet(f"{TMP}/frag").groupBy().sum("id", "v").collect()
         b = spark.read.parquet(f"{TMP}/compact").groupBy().sum("id", "v").collect()
         assert a == b
+
+
+class TestTopNPerGroup:
+    """The salted two-stage per-group cap must equal the naive single
+    window exactly — including under heavy key skew and tie-dense
+    orderings."""
+
+    def _naive(self, df, group, order, n):
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        w = Window.partitionBy(*group).orderBy(*order)
+        return (
+            df.withColumn("cap_rank", F.row_number().over(w))
+            .filter(F.col("cap_rank") <= n)
+        )
+
+    def test_equals_single_window_skewed(self, spark):
+        from pyspark.sql import functions as F
+
+        from pandas_to_postgres_spark.operators.sampling import top_n_per_group
+
+        # one hot group (900 rows), several cold ones, duplicate scores
+        rows = [("hot", i, float(i % 7)) for i in range(900)] + [
+            (f"g{i % 5}", i, float(i % 3)) for i in range(100)
+        ]
+        df = spark.createDataFrame(rows, "grp string, id long, score double")
+        order = (F.col("score").desc(), F.col("id").asc())
+        got = top_n_per_group(
+            df, ("grp",), order, n=10, salt_col="id", num_salts=8
+        )
+        want = self._naive(df, ("grp",), order, 10)
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        )
+
+    def test_cap_smaller_than_salts(self, spark):
+        from pyspark.sql import functions as F
+
+        from pandas_to_postgres_spark.operators.sampling import top_n_per_group
+
+        rows = [("a", i, float(i)) for i in range(50)]
+        df = spark.createDataFrame(rows, "grp string, id long, score double")
+        order = (F.col("score").desc(), F.col("id").asc())
+        got = top_n_per_group(df, ("grp",), order, n=1, salt_col="id")
+        assert [r.id for r in got.collect()] == [49]
