@@ -313,3 +313,32 @@ class TestSpanDedupPlan:
             l for l in plan.splitlines() if "Exchange hashpartitioning" in l and "__h" in l
         ]
         assert win_exchanges and all("seg#" not in l for l in win_exchanges)
+
+
+class TestTpchFullShapes:
+    """The adapted Q2/Q9/Q11/Q12/Q16/Q20/Q21 shapes (plans/tpch_full.py):
+    every correlated subquery must decorrelate into joins — a plan with a
+    per-row subquery execution would be a 100 TB disaster."""
+
+    def test_q21_decorrelates_to_semi_and_anti(self, spark):
+        plan = plan_of(spark, "q21_waiting_suppliers")
+        assert "LeftSemi" in plan and "LeftAnti" in plan
+        assert shuffles(plan) <= 3
+
+    def test_q16_not_in_is_anti_join(self, spark):
+        plan = plan_of(spark, "q16_supplier_variety")
+        assert "LeftAnti" in plan
+        assert shuffles(plan) <= 2  # distinct-agg + final agg at most
+
+    def test_q20_in_chain_is_semi_join(self, spark):
+        plan = plan_of(spark, "q20_excess_suppliers")
+        assert "LeftSemi" in plan
+        assert shuffles(plan) <= 2
+
+    def test_q2_limit_is_take_ordered(self, spark):
+        plan = plan_of(spark, "q2_min_cost_supplier")
+        assert "TakeOrderedAndProject" in plan
+
+    def test_q9_q12_single_shuffle(self, spark):
+        assert shuffles(plan_of(spark, "q9_nation_profit")) <= 1
+        assert shuffles(plan_of(spark, "q12_priority_lines")) <= 1
