@@ -1806,3 +1806,93 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(clicked.cast("long")).alias("step_click"),
         F.sum(purchased.cast("long")).alias("step_purchase"),
     )
+
+
+# -------------------------------------------- Spark 4 SQL surface additions
+
+@register(
+    "lateral_topk_orders",
+    oracle="""
+    SELECT c.c_custkey, t.o_orderkey, round(t.o_totalprice, 2) AS totalprice
+    FROM customer c,
+    LATERAL (SELECT o_orderkey, o_totalprice
+             FROM orders o
+             WHERE o.o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey
+             LIMIT 2) t
+    WHERE c.c_acctbal > 9000
+    """,
+)
+def lateral_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery with ORDER BY + LIMIT: each qualifying
+    customer's top-2 orders by value — the per-row-top-k idiom SQL users
+    reach for before they know window functions.
+
+    Scale: Spark does NOT execute the subquery per row — the plan rewrites
+    to a join plus a rank window with WindowGroupLimit pushdown (asserted
+    in tests/test_plans.py), i.e. exactly the plan you'd hand-write, and
+    the per-group limit prunes BEFORE the full sort. The deterministic
+    (price, orderkey) tie-break makes the 2-row cut engine-stable."""
+    _register_views(spark, sf_dir, "customer", "orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, round(t.o_totalprice, 2) AS totalprice
+        FROM customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice
+                 FROM orders o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey
+                 LIMIT 2) t
+        WHERE c.c_acctbal > 9000
+        """
+    )
+
+
+@register(
+    "recursive_calendar_fill",
+    oracle=f"""
+    WITH RECURSIVE months(m) AS (
+        SELECT TIMESTAMP '1995-01-01 00:00:00'
+        UNION ALL
+        SELECT m + INTERVAL 1 MONTH FROM months
+        WHERE m < TIMESTAMP '2001-08-01 00:00:00'),
+    agg AS (
+        SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+               count(*) AS n_orders,
+               {dsum_sql('o_totalprice')} AS revenue
+        FROM orders GROUP BY 1)
+    SELECT strftime(months.m, '%Y-%m') AS month,
+           CAST(coalesce(agg.n_orders, 0) AS BIGINT) AS n_orders,
+           coalesce(agg.revenue, 0.0) AS revenue
+    FROM months LEFT JOIN agg ON strftime(months.m, '%Y-%m') = agg.month
+    """,
+)
+def recursive_calendar_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (new in Spark 4): generate a dense month spine and
+    left-join sparse monthly order aggregates onto it — the gap-filled
+    time series every reporting pipeline needs (a month with zero orders
+    must appear as 0, which a plain GROUP BY can never produce).
+
+    Scale: the recursion generates the 80-row spine driver-side-cheap
+    (UNION ALL recursion, bounded); the fact aggregates once (partial+
+    final); the spine side of the join broadcasts. DuckDB replays the
+    identical recursion."""
+    _register_views(spark, sf_dir, "orders")
+    return spark.sql(
+        f"""
+        WITH RECURSIVE months(m) AS (
+            SELECT TIMESTAMP '1995-01-01 00:00:00'
+            UNION ALL
+            SELECT m + INTERVAL 1 MONTH FROM months
+            WHERE m < TIMESTAMP '2001-08-01 00:00:00'),
+        agg AS (
+            SELECT date_format(o_orderdate, 'yyyy-MM') AS month,
+                   count(*) AS n_orders,
+                   {dsum_sql('o_totalprice')} AS revenue
+            FROM orders GROUP BY 1)
+        SELECT date_format(months.m, 'yyyy-MM') AS month,
+               CAST(coalesce(agg.n_orders, 0) AS BIGINT) AS n_orders,
+               coalesce(agg.revenue, 0.0) AS revenue
+        FROM months LEFT JOIN agg ON date_format(months.m, 'yyyy-MM') = agg.month
+        """
+    )

@@ -1,0 +1,119 @@
+"""Scaling measurement: sf0.1 vs a deterministically constructed 8x copy.
+
+Builds an 8x dataset by key-shifted unions of sf0.1 (copy i shifts every
+join/identity key by i * 10**9, so joins stay consistent and each copy's
+keyspace is disjoint; dimension tables nation/region stay single — their
+keys are not shifted anywhere). Documents get a per-copy suffix so the 8x
+near-dup corpus is 8-wide groups: a HARDER pair workload than uniform
+growth. Then runs a query list twice on each tier (warm-vs-warm: the
+second run isolates data scaling from codegen/JIT) and prints one JSON
+line {query: {"sf01": s, "x8": s, "ratio": r}}.
+
+Usage: python scripts/scale8x.py [query ...]   (default: the SCALE.md set)
+Writes the 8x dataset under .scale8x/ (gitignored); reuses it if present.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from pandas_to_postgres_spark.plans import REGISTRY  # noqa: E402
+from pandas_to_postgres_spark.session import get_spark  # noqa: E402
+from pandas_to_postgres_spark.sources.parquet import load_table  # noqa: E402
+
+SF01 = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+X8 = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale8x")
+SHIFT = 10**9
+COPIES = 8
+
+#: key columns shifted per copy, by table (dimension keys referenced from
+#: nation/region are NOT shifted so the single dim copy still joins).
+KEYS = {
+    "lineitem": ("l_orderkey", "l_partkey", "l_suppkey"),
+    "orders": ("o_orderkey", "o_custkey"),
+    "customer": ("c_custkey",),
+    "supplier": ("s_suppkey",),
+    "part": ("p_partkey",),
+    "events": ("event_id", "user_id"),
+    "documents": ("doc_id",),
+    "embeddings": ("vec_id",),
+}
+
+DEFAULT_QUERIES = [
+    "pricing_summary",
+    "join_order_revenue",
+    "window_topn_orders",
+    "asof_join_events",
+    "dedup_exact",
+    "minhash_neardup",
+    "span_dedup_docs",
+    "tfidf_top_terms",
+    "source_cap_docs",
+    "q21_waiting_suppliers",
+]
+
+
+def build_x8(spark) -> None:
+    if os.path.isdir(X8) and os.listdir(X8):
+        return
+    shutil.rmtree(X8, ignore_errors=True)
+    os.makedirs(X8, exist_ok=True)
+    for table in ("region", "nation"):
+        load_table(spark, SF01, table).write.mode("overwrite").parquet(
+            f"{X8}/{table}.parquet"
+        )
+    for table, keys in KEYS.items():
+        base = load_table(spark, SF01, table)
+        copies = []
+        for i in range(COPIES):
+            c = base
+            for k in keys:
+                c = c.withColumn(k, F.col(k) + F.lit(i * SHIFT))
+            if table == "documents" and "text" in c.columns:
+                # distinct suffix per copy -> 8-wide near-dup groups
+                c = c.withColumn(
+                    "text", F.concat(F.col("text"), F.lit(f" copytag{i}"))
+                )
+            copies.append(c)
+        out = copies[0]
+        for c in copies[1:]:
+            out = out.unionByName(c)
+        out.write.mode("overwrite").parquet(f"{X8}/{table}.parquet")
+
+
+def timed(fn, spark, sf_dir: str) -> float:
+    t0 = time.perf_counter()
+    fn(spark, sf_dir).count()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    queries = sys.argv[1:] or DEFAULT_QUERIES
+    spark = get_spark()
+    build_x8(spark)
+    out = {}
+    for name in queries:
+        fn = REGISTRY[name].fn
+        timed(fn, spark, SF01)          # warm codegen/JIT for this shape
+        s01 = timed(fn, spark, SF01)
+        timed(fn, spark, X8)
+        s8 = timed(fn, spark, X8)
+        out[name] = {
+            "sf01": round(s01, 3),
+            "x8": round(s8, 3),
+            "ratio": round(s8 / s01, 2) if s01 > 0 else None,
+        }
+        print(f"# {name}: {s01:.3f}s -> {s8:.3f}s ({s8 / s01:.2f}x)", file=sys.stderr)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

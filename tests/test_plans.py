@@ -342,3 +342,12 @@ class TestTpchFullShapes:
     def test_q9_q12_single_shuffle(self, spark):
         assert shuffles(plan_of(spark, "q9_nation_profit")) <= 1
         assert shuffles(plan_of(spark, "q12_priority_lines")) <= 1
+
+
+class TestSqlSurfaceShapes:
+    def test_lateral_topk_rewrites_to_window_group_limit(self, spark):
+        plan = plan_of(spark, "lateral_topk_orders")
+        # NOT a per-row subquery: a join + rank window with the per-group
+        # limit pushed below the sort
+        assert "WindowGroupLimit" in plan
+        assert "CartesianProduct" not in plan
