@@ -83,7 +83,7 @@ def etl_copy_to_postgres(spark, sf_dir: str):
         return None
     server = None
     try:
-        server = pglocal.start(port=54331)
+        server = pglocal.start(port=54331, server_opts=pglocal.BULK_LOAD_OPTS)
         conn = pgwire.connect(**server.conn_params)
         conn.autocommit = True
         with conn.cursor() as cur:
@@ -102,14 +102,17 @@ def etl_copy_to_postgres(spark, sf_dir: str):
         conn.close()
         li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
         target = reflect_target_table(server.conn_params, "public", "lineitem")
-        # 4 writers: measured plateau — more connections just contend on
-        # the server's WAL-insert lock for a single target table. First
-        # load warms the scan + Python workers (untimed, mirroring the
-        # query warm-up above): the reference's 197k rows/s is sustained
-        # throughput over a many-table batch, not a cold start.
-        copy_to_postgres(li, server.conn_params, target, num_partitions=4)
+        # 16 writers on a bulk-load-tuned server (pglocal.BULK_LOAD_OPTS:
+        # async commit + load-sized WAL; NOT fsync=off): measured plateau —
+        # untuned default config bottlenecks on per-txn WAL flushes at ~4
+        # writers; tuned, throughput rises to ~16 then contends on the
+        # WAL-insert lock. First load warms the scan + Python workers
+        # (untimed, mirroring the query warm-up above): the reference's
+        # 197k rows/s is sustained throughput over a many-table batch,
+        # not a cold start.
+        copy_to_postgres(li, server.conn_params, target, num_partitions=16)
         t0 = time.perf_counter()
-        copy_to_postgres(li, server.conn_params, target, num_partitions=4)
+        copy_to_postgres(li, server.conn_params, target, num_partitions=16)
         secs = time.perf_counter() - t0
         conn = pgwire.connect(**server.conn_params)
         with conn, conn.cursor() as cur:

@@ -57,11 +57,33 @@ def available() -> Optional[str]:
     return None
 
 
-def start(port: int = 54329, user: str = "spark", dbname: str = "spark") -> LocalPostgres:
+#: production-standard bulk-load server tuning (what a DBA sets on an ETL
+#: target before a big load): async commit (bounded-loss, not corruption),
+#: load-sized WAL/buffer capacity, autovacuum deferred to post-load
+#: ANALYZE. Deliberately NOT fsync=off — that knob fakes benchmark
+#: durability a real target wouldn't give up.
+BULK_LOAD_OPTS = (
+    "-c synchronous_commit=off",
+    "-c shared_buffers=1GB",
+    "-c max_wal_size=8GB",
+    "-c wal_buffers=64MB",
+    "-c checkpoint_timeout=30min",
+    "-c autovacuum=off",
+)
+
+
+def start(
+    port: int = 54329,
+    user: str = "spark",
+    dbname: str = "spark",
+    server_opts: tuple[str, ...] = (),
+) -> LocalPostgres:
     """initdb + start a fresh trust-auth cluster on a unix socket.
 
     The cluster lives in a plain mkdtemp dir (a pytest tmp_path chain is
     0700 root-owned — the 'nobody' server process could not traverse it).
+    ``server_opts`` appends extra ``postgres`` options (e.g.
+    :data:`BULK_LOAD_OPTS`).
     """
     reason = available()
     if reason:
@@ -79,7 +101,7 @@ def start(port: int = 54329, user: str = "spark", dbname: str = "spark") -> Loca
     subprocess.run(
         [
             *run, "pg_ctl", "-D", str(data), "-l", str(base / "log"), "-w",
-            "-o", f"-k {base} -p {port} -c listen_addresses=''",
+            "-o", " ".join((f"-k {base} -p {port} -c listen_addresses=''", *server_opts)),
             "start",
         ],
         check=True,
