@@ -1,0 +1,335 @@
+"""Round-3 analytics operators: entity resolution, time-series repair,
+cohort analysis, robust stats, LM-based quality scoring, semantic dedup.
+
+Each query is registered past the driver's 50-slot window (the window
+composition is held fixed for round-over-round comparability — see
+plans/__init__.py); the oracle check runs in tests/test_correctness.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pandas_to_postgres_spark.functions.agg import davg, davg_sql
+from pandas_to_postgres_spark.functions.text import tokens_expr
+from pandas_to_postgres_spark.operators.kmeans import semantic_near_duplicates
+from pandas_to_postgres_spark.plans.registry import register
+from pandas_to_postgres_spark.sources.parquet import load_table
+
+_RAW_TOKS_SQL = (
+    "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '')"
+)
+
+
+@register(
+    "fuzzy_join_parts",
+    oracle="""
+    WITH names AS (SELECT DISTINCT p_name FROM part),
+    keys AS (
+        SELECT p_name, 'F' || substr(p_name, 1, 1) AS bk FROM names
+        UNION ALL
+        SELECT p_name, 'L' || right(p_name, 1) AS bk FROM names),
+    pairs AS (
+        SELECT DISTINCT a.p_name AS name_a, b.p_name AS name_b
+        FROM keys a JOIN keys b USING (bk)
+        WHERE a.p_name < b.p_name)
+    SELECT name_a, name_b, levenshtein(name_a, name_b) AS edit_dist
+    FROM pairs
+    WHERE levenshtein(name_a, name_b) <= 4
+    """,
+)
+def fuzzy_join_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution: fuzzy self-join of part names under edit distance,
+    with multi-pass blocking (first-char AND last-char keys, unioned) so no
+    all-pairs comparison ever runs — the record-linkage primitive for
+    catalog/vendor-feed reconciliation.
+
+    Scale: names are collapsed to DISTINCT first (the 100 TB fact table
+    never enters the pair space), each blocking pass is an equi-join on its
+    block key, and the two passes union+distinct BEFORE the O(len^2)
+    levenshtein runs once per distinct candidate pair. Recall is the usual
+    blocking contract: a matching pair is found iff it agrees on first OR
+    last character — multi-pass blocking exists precisely to stack such
+    passes until the miss rate is acceptable."""
+    names = load_table(spark, sf_dir, "part").select("p_name").distinct()
+    fkey = F.concat(F.lit("F"), F.substring("p_name", 1, 1))
+    lkey = F.concat(F.lit("L"), F.expr("right(p_name, 1)"))
+    keys = names.select(F.col("p_name"), fkey.alias("bk")).unionAll(
+        names.select(F.col("p_name"), lkey.alias("bk"))
+    )
+    a = keys.select(F.col("p_name").alias("name_a"), "bk")
+    b = keys.select(F.col("p_name").alias("name_b"), "bk")
+    pairs = (
+        a.join(b, "bk")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .select("name_a", "name_b")
+        .distinct()
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return pairs.filter(dist <= 4).select(
+        "name_a", "name_b", dist.alias("edit_dist")
+    )
+
+
+@register(
+    "interpolate_events",
+    oracle=f"""
+    WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day, value FROM events),
+    daily AS (SELECT user_id, day, {davg_sql('value', 6)} AS v
+              FROM ev GROUP BY user_id, day),
+    span AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+             FROM ev GROUP BY user_id),
+    spine AS (SELECT user_id, CAST(d AS DATE) AS day
+              FROM (SELECT user_id,
+                           unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                                  CAST(d1 AS TIMESTAMP),
+                                                  INTERVAL 1 DAY)) AS d
+                    FROM span)),
+    g AS (SELECT s.user_id, s.day, daily.v
+          FROM spine s LEFT JOIN daily
+            ON s.user_id = daily.user_id AND s.day = daily.day),
+    w AS (SELECT user_id, day, v,
+        last_value(v IGNORE NULLS) OVER pw AS prev_v,
+        last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+            OVER pw AS prev_d,
+        first_value(v IGNORE NULLS) OVER nw AS next_v,
+        first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+            OVER nw AS next_d
+      FROM g
+      WINDOW pw AS (PARTITION BY user_id ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             nw AS (PARTITION BY user_id ORDER BY day
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT user_id, CAST(day AS VARCHAR) AS day,
+           floor((CASE WHEN v IS NOT NULL THEN v
+                       WHEN prev_v IS NULL THEN next_v
+                       WHEN next_v IS NULL THEN prev_v
+                       ELSE prev_v + (next_v - prev_v) *
+                            (CAST(datediff('day', prev_d, day) AS DOUBLE)
+                             / datediff('day', prev_d, next_d))
+                  END) * 10000 + 0.5) / 10000 AS value_filled,
+           (v IS NULL) AS interpolated
+    FROM w
+    """,
+)
+def interpolate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series repair: per-user daily averages on a gap-free date spine,
+    missing days filled by LINEAR INTERPOLATION between the nearest observed
+    neighbors (boundary gaps fall back to nearest-value fill).
+
+    Scale shape: one groupBy(user, day) for the dailies, one groupBy(user)
+    + `sequence()` explode for the spine (rows ∝ span length, generated
+    distributed — no driver-side calendar), a co-partitioned left join, and
+    two frame-bounded window passes per user. Nothing global: every stage
+    keys on user_id, so 100 TB of events shards by user. Daily means go
+    through decimal partial sums (order-independent) and the interpolation
+    arithmetic is written identically in both engines, so results are
+    bit-stable across engines and partitionings."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day"), "value"
+    )
+    daily = ev.groupBy("user_id", "day").agg(davg(F.col("value"), 6).alias("v"))
+    span = ev.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = span.select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    g = spine.join(daily, ["user_id", "day"], "left")
+    pw = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    nw = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    prev_v = F.last("v", ignorenulls=True).over(pw)
+    prev_d = F.last(
+        F.when(F.col("v").isNotNull(), F.col("day")), ignorenulls=True
+    ).over(pw)
+    next_v = F.first("v", ignorenulls=True).over(nw)
+    next_d = F.first(
+        F.when(F.col("v").isNotNull(), F.col("day")), ignorenulls=True
+    ).over(nw)
+    filled = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(prev_v.isNull(), next_v)
+        .when(next_v.isNull(), prev_v)
+        .otherwise(
+            prev_v
+            + (next_v - prev_v)
+            * (
+                F.datediff(F.col("day"), prev_d).cast("double")
+                / F.datediff(next_d, prev_d)
+            )
+        )
+    )
+    # dates travel as ISO strings: DuckDB's pandas bridge turns DATE into
+    # datetime64 (midnight timestamp), which would hash-mismatch a true date.
+    # Rounding is floor(x*10^4 + 0.5)/10^4 rather than round(): Spark's
+    # round() decides half-way ties on the double's DECIMAL REPR (BigDecimal
+    # of Double.toString) while DuckDB decides on the binary value, and
+    # midpoints of 6dp dailies land exactly on repr-half boundaries (e.g.
+    # (57.9825+35.912)/2 = 46.94725 → Spark 46.9473, DuckDB 46.9472). The
+    # floor form makes both engines decide on the SAME double, bit-stably.
+    return g.select(
+        "user_id",
+        F.col("day").cast("string").alias("day"),
+        (F.floor(filled * 10000 + F.lit(0.5)) / 10000).alias("value_filled"),
+        F.col("v").isNull().alias("interpolated"),
+    )
+
+
+@register(
+    "cohort_retention",
+    oracle="""
+    WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+    firsts AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id)
+    SELECT CAST(f.cohort_day AS VARCHAR) AS cohort_day,
+           CAST(floor(CAST(datediff('day', f.cohort_day, e.day) AS DOUBLE)
+                      / 7) AS BIGINT) AS week_off,
+           count(DISTINCT e.user_id) AS n_users
+    FROM ev e JOIN firsts f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen day, counted per
+    week-offset of later activity — the product-analytics staple.
+
+    Scale: the firsts frame is a groupBy(user_id) reduction; joining it
+    back to events is an equi-join on the same key (co-partitioned with the
+    reduction that produced it — one shuffle serves both), and the final
+    distinct-count shuffles (cohort_day, week_off, user) triples that
+    partial-dedup map-side. Nothing driver-side, nothing all-pairs."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    week_off = F.floor(
+        F.datediff(F.col("day"), F.col("cohort_day")).cast("double") / 7
+    ).cast("long")
+    return (
+        ev.join(firsts, "user_id")
+        .groupBy(
+            F.col("cohort_day").cast("string").alias("cohort_day"),
+            week_off.alias("week_off"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+@register(
+    "winsorized_stats",
+    oracle=f"""
+    WITH pct AS (
+        SELECT event_type,
+               round(quantile_cont(value, 0.05), 6) AS p05,
+               round(quantile_cont(value, 0.95), 6) AS p95
+        FROM events GROUP BY event_type)
+    SELECT e.event_type,
+           min(p05) AS p05,
+           min(p95) AS p95,
+           {davg_sql('least(greatest(e.value, p05), p95)', 4)} AS win_avg,
+           count(*) AS n
+    FROM events e JOIN pct USING (event_type)
+    GROUP BY e.event_type
+    """,
+)
+def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust statistics: per-group 5%/95% winsorized mean — values are
+    clipped to the exact percentile band before averaging, so a handful of
+    corrupt outliers can't move the metric.
+
+    Scale: the percentile frame is one small per-group aggregate (exact
+    percentile DOES need the group's values together — that is the
+    operator's semantics; for sketch-grade needs `percentiles_price` shows
+    approx_percentile). It then broadcasts back onto the fact scan, and the
+    clipped mean is an ordinary map-side-combinable decimal aggregation.
+    Thresholds are rounded to 6 decimals in BOTH engines before clipping,
+    so band membership is engine-identical."""
+    ev = load_table(spark, sf_dir, "events")
+    pct = ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.05)), 6).alias("p05"),
+        F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95"),
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95"))
+    return (
+        ev.join(F.broadcast(pct), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.min("p05").alias("p05"),
+            F.min("p95").alias("p95"),
+            davg(clipped, 4).alias("win_avg"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "unigram_logprob",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_RAW_TOKS_SQL}) AS tok FROM documents),
+    vocab AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+    totals AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM vocab)
+    SELECT t.doc_id,
+           count(*) AS n_toks,
+           {davg_sql('log10(CAST(v.c AS DOUBLE) / totals.total)', 4)}
+               AS avg_logprob
+    FROM toks t
+    JOIN vocab v USING (tok)
+    CROSS JOIN totals
+    GROUP BY t.doc_id
+    """,
+)
+def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-based quality scoring: fit a corpus unigram model (token → count)
+    in-engine, then score each document by its mean log10 token probability
+    — the cheap first-pass perplexity filter (CCNet-style) that flags
+    gibberish and boilerplate without an external model.
+
+    Scale: the vocab is a map-side-combinable token count; the scalar
+    total rides a broadcast 1-row crossJoin (never a collect); scoring is
+    one equi-join on token (vocab is Zipf-small relative to the corpus and
+    broadcastable after pruning, but the equi-join also shards fine); the
+    per-doc mean goes through decimal sums so scores are reproducible
+    across engines, partitionings and reruns."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(tokens_expr(F.lower(F.col("text")))).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    totals = vocab.agg(F.sum("c").alias("total"))
+    logprob = F.log10(F.col("c").cast("double") / F.col("total"))
+    return (
+        toks.join(vocab, "tok")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            davg(logprob, 4).alias("avg_logprob"),
+        )
+    )
+
+
+@register("semantic_dedup", oracle=None)  # iterative k-means: rows-only check
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): deterministic k-means over the
+    embedding corpus, then cosine near-duplicate pairs WITHIN each learned
+    cluster — semantic dedup without labels and without a global crossJoin.
+
+    Not SQL-expressible (iterative Lloyd refinement), so this slot is
+    rows-only for the driver; determinism and planted-pair recall are
+    pytest-asserted (tests/test_operators.py::TestSemanticDedup), and the
+    underlying `operators/kmeans.py` documents the map-only-assignment /
+    one-shuffle-update iteration shape that holds at 100 TB."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return semantic_near_duplicates(
+        e, vec_col="embedding", id_col="vec_id", k=8, iters=3, threshold=0.3
+    )

@@ -729,3 +729,77 @@ class TestMinhashIncremental:
             if r.id_b >= 1_000_000 and r.id_a < 1_000_000
         }
         assert inc == full_pairs
+
+
+class TestSemanticDedup:
+    """operators/kmeans.py: deterministic Lloyd's + within-cluster near-dup."""
+
+    def _emb(self, spark):
+        from pandas_to_postgres_spark.sources.parquet import load_table
+
+        return load_table(spark, "/root/testdata/sf0.001", "embeddings")
+
+    def test_assignment_partitions_corpus_deterministically(self, spark):
+        from pandas_to_postgres_spark.operators.kmeans import (
+            assign_clusters,
+            kmeans_fit,
+        )
+
+        e = self._emb(spark)
+        cents = kmeans_fit(e, "embedding", "vec_id", k=4, iters=2)
+        assert len(cents) == 4 and len(cents[0]) == 64
+        a1 = assign_clusters(e, "embedding", cents).select("vec_id", "cluster")
+        a2 = assign_clusters(e, "embedding", cents).select("vec_id", "cluster")
+        rows1 = sorted(map(tuple, a1.collect()))
+        rows2 = sorted(map(tuple, a2.collect()))
+        assert rows1 == rows2
+        # every row lands in exactly one valid cluster
+        assert all(0 <= c < 4 for _, c in rows1)
+        assert len(rows1) == e.count()
+
+    def test_lloyd_iterations_do_not_increase_inertia(self, spark):
+        import math
+
+        from pandas_to_postgres_spark.operators.kmeans import (
+            assign_clusters,
+            kmeans_fit,
+        )
+        from pyspark.sql import functions as F
+
+        e = self._emb(spark)
+
+        def inertia(cents):
+            assigned = assign_clusters(e, "embedding", cents)
+            dist = None
+            # recompute min squared distance via the same expression shape
+            from pandas_to_postgres_spark.operators.kmeans import _sq_dist_to
+
+            d = F.array_min(
+                F.array(*[_sq_dist_to(F.col("embedding"), c) for c in cents])
+            )
+            return assigned.agg(F.sum(d)).collect()[0][0]
+
+        i1 = inertia(kmeans_fit(e, "embedding", "vec_id", k=4, iters=1))
+        i3 = inertia(kmeans_fit(e, "embedding", "vec_id", k=4, iters=3))
+        # Lloyd's is monotone (decimal-mean rounding can wiggle the last ulp)
+        assert i3 <= i1 * (1 + 1e-9)
+
+    def test_pairs_verified_by_numpy_cosine(self, spark):
+        import numpy as np
+
+        from pandas_to_postgres_spark.operators.kmeans import (
+            semantic_near_duplicates,
+        )
+
+        e = self._emb(spark)
+        pairs = semantic_near_duplicates(
+            e, "embedding", "vec_id", k=4, iters=2, threshold=0.3
+        ).collect()
+        assert pairs, "expected near-dup pairs at threshold 0.3"
+        vecs = {r["vec_id"]: np.array(r["embedding"]) for r in e.collect()}
+        for r in pairs[:50]:
+            a, b = vecs[r["id_a"]], vecs[r["id_b"]]
+            cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+            assert abs(cos - r["cosine"]) < 1e-4
+            assert cos >= 0.3 - 1e-6
+            assert r["id_a"] < r["id_b"]

@@ -351,3 +351,35 @@ class TestSqlSurfaceShapes:
         # limit pushed below the sort
         assert "WindowGroupLimit" in plan
         assert "CartesianProduct" not in plan
+
+
+class TestAnalyticsShapes:
+    def test_fuzzy_join_blocks_are_equi_joins(self, spark):
+        # multi-pass blocking must stay an equi-join on the block key —
+        # a cartesian/BNLJ pair space would be the 100 TB killer
+        plan = plan_of(spark, "fuzzy_join_parts")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        # names are collapsed to distinct BEFORE pairing
+        assert plan.count("HashAggregate") >= 2
+
+    def test_winsorized_percentiles_broadcast_back(self, spark):
+        plan = plan_of(spark, "winsorized_stats")
+        assert "BroadcastHashJoin" in plan
+
+    def test_unigram_scalar_total_is_broadcast_not_collect(self, spark):
+        # the corpus-total scalar rides a broadcast nested-loop of a
+        # 1-row aggregate — never a driver-side collect
+        plan = plan_of(spark, "unigram_logprob")
+        assert "BroadcastNestedLoopJoin" in plan
+
+    def test_interpolation_shuffle_bound(self, spark):
+        # dailies agg + spine agg + join + two user-keyed windows must all
+        # ride user_id partitionings: a handful of exchanges, nothing global
+        plan = plan_of(spark, "interpolate_events")
+        assert shuffles(plan) <= 5
+        assert "CartesianProduct" not in plan
+
+    def test_cohort_firsts_join_shares_user_partitioning(self, spark):
+        plan = plan_of(spark, "cohort_retention")
+        assert shuffles(plan) <= 4
