@@ -333,3 +333,129 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_near_duplicates(
         e, vec_col="embedding", id_col="vec_id", k=8, iters=3, threshold=0.3
     )
+
+
+@register(
+    "skew_profile",
+    oracle="""
+    WITH freq AS (
+        SELECT o_custkey AS key, count(*) AS cnt
+        FROM orders GROUP BY o_custkey),
+    stats AS (
+        SELECT CAST(max(cnt) AS BIGINT) AS max_cnt,
+               round(CAST(sum(CAST(cnt AS DECIMAL(18,6))) AS DOUBLE)
+                     / count(*), 4) AS avg_cnt,
+               count(*) AS n_keys
+        FROM freq),
+    top AS (SELECT key, cnt FROM freq ORDER BY cnt DESC, key LIMIT 10)
+    SELECT top.key, top.cnt, stats.max_cnt, stats.avg_cnt, stats.n_keys,
+           round(top.cnt / stats.avg_cnt, 4) AS skew_factor
+    FROM top CROSS JOIN stats
+    ORDER BY top.cnt DESC, top.key
+    """,
+)
+def skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics: per-key frequency of the orders→customer
+    join key, the corpus-wide max/avg, and each hot key's skew factor —
+    the pre-flight check that decides whether a 100 TB join needs salting
+    (`operators/skew.salt_join`) or AQE skew-split.
+
+    Scale: one map-side-combinable groupBy; the stats frame is a 1-row
+    aggregate broadcast back via crossJoin; the hot-key list is
+    TakeOrderedAndProject. Nothing driver-side — this runs as a cheap
+    side-query on the same scan the real join will read."""
+    o = load_table(spark, sf_dir, "orders")
+    freq = o.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    stats = freq.agg(
+        F.max("cnt").alias("max_cnt"),
+        (
+            F.sum(F.col("cnt").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("__avg_raw"),
+        F.count(F.lit(1)).alias("n_keys"),
+    ).select(
+        "max_cnt", F.round("__avg_raw", 4).alias("avg_cnt"), "n_keys"
+    )
+    top = freq.orderBy(F.col("cnt").desc(), F.col("key")).limit(10)
+    return (
+        top.crossJoin(F.broadcast(stats))
+        .select(
+            "key", "cnt", "max_cnt", "avg_cnt", "n_keys",
+            F.round(F.col("cnt") / F.col("avg_cnt"), 4).alias("skew_factor"),
+        )
+        .orderBy(F.col("cnt").desc(), F.col("key"))
+    )
+
+
+@register(
+    "dq_checks_orders",
+    oracle="""
+    SELECT 'null_custkey' AS check_name,
+           CAST(count(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT) AS violations
+    FROM orders
+    UNION ALL
+    SELECT 'nonpositive_totalprice',
+           CAST(count(*) FILTER (WHERE o_totalprice <= 0) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'bad_status',
+           CAST(count(*) FILTER (
+               WHERE o_orderstatus NOT IN ('O', 'F', 'P')) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'future_orderdate',
+           CAST(count(*) FILTER (
+               WHERE o_orderdate > DATE '2030-01-01') AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'orphan_custkey', CAST(count(*) AS BIGINT)
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL
+    """,
+)
+def dq_checks_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate (Deequ-style): null / range / domain / freshness
+    checks computed in ONE scan via conditional aggregation, plus a
+    referential-integrity check (orders whose customer is missing) as an
+    anti-join count — the pre-load validation a pipeline runs before
+    promoting a batch.
+
+    Scale: the four scan checks are a single map-side-combinable aggregate
+    over one pass of the fact table (not four scans); the FK check
+    anti-joins against the (much smaller) dim side, which Spark broadcasts
+    here and hash-joins at 100 TB. The union is of five 1-row frames —
+    negligible."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+
+    def cnt(cond):
+        return F.count(F.when(cond, F.lit(1))).alias("violations")
+
+    scan = o.agg(
+        cnt(F.col("o_custkey").isNull()).alias("null_custkey"),
+        cnt(F.col("o_totalprice") <= 0).alias("nonpositive_totalprice"),
+        cnt(~F.col("o_orderstatus").isin("O", "F", "P")).alias("bad_status"),
+        cnt(F.col("o_orderdate") > F.lit("2030-01-01").cast("date")).alias(
+            "future_orderdate"
+        ),
+    )
+    checks = None
+    for name in (
+        "null_custkey",
+        "nonpositive_totalprice",
+        "bad_status",
+        "future_orderdate",
+    ):
+        row = scan.select(
+            F.lit(name).alias("check_name"), F.col(name).alias("violations")
+        )
+        checks = row if checks is None else checks.unionAll(row)
+    orphans = (
+        o.filter(F.col("o_custkey").isNotNull())
+        .join(c, o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("violations"))
+        .select(F.lit("orphan_custkey").alias("check_name"), "violations")
+    )
+    return checks.unionAll(orphans)

@@ -383,3 +383,13 @@ class TestAnalyticsShapes:
     def test_cohort_firsts_join_shares_user_partitioning(self, spark):
         plan = plan_of(spark, "cohort_retention")
         assert shuffles(plan) <= 4
+
+    def test_skew_profile_topk_is_take_ordered(self, spark):
+        plan = plan_of(spark, "skew_profile")
+        assert "TakeOrderedAndProject" in plan
+
+    def test_dq_scan_checks_are_one_pass(self, spark):
+        # the four conditional checks share ONE aggregate over one scan —
+        # not four scans; only the FK anti-join reads the dim side
+        plan = plan_of(spark, "dq_checks_orders")
+        assert "LeftAnti" in plan
