@@ -459,3 +459,169 @@ def dq_checks_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("orphan_custkey").alias("check_name"), "violations")
     )
     return checks.unionAll(orphans)
+
+
+@register(
+    "rollup_incremental",
+    oracle="""
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type,
+           count(*) AS n,
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total,
+           min(value) AS min_v, max(value) AS max_v
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for a daily rollup: a STORED aggregate
+    state (days before the cutover) is merged with a NEW batch's state
+    without touching stored raw rows — the continuous-aggregate refresh
+    pattern. The oracle is the full recompute over all raw events, so the
+    driver check IS the incremental == full equivalence proof.
+
+    Every measure is merge-decomposable: counts add, decimal sums add
+    (order-independent), min/min and max/max combine. The merge is a
+    groupBy over the UNION of two state frames keyed identically to the
+    states themselves — at 100 TB the stored state is orders of magnitude
+    smaller than raw history, and the batch state is one map-side-combined
+    pass over the new day only."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "event_type", "value"
+    )
+    cut = F.lit("2024-01-20").cast("date")
+
+    def state(df: DataFrame) -> DataFrame:
+        # partial-aggregate state: everything needed to finalize later
+        return df.groupBy("day", "event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_dec"),
+            F.min("value").alias("min_v"),
+            F.max("value").alias("max_v"),
+        )
+
+    stored = state(ev.filter(F.col("day") < cut))
+    batch = state(ev.filter(F.col("day") >= cut))
+    merged = (
+        stored.unionAll(batch)
+        .groupBy("day", "event_type")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sum_dec").alias("sum_dec"),
+            F.min("min_v").alias("min_v"),
+            F.max("max_v").alias("max_v"),
+        )
+    )
+    return merged.select(
+        F.col("day").cast("string").alias("day"),
+        "event_type",
+        "n",
+        F.round(F.col("sum_dec"), 2).cast("double").alias("total"),
+        "min_v",
+        "max_v",
+    )
+
+
+@register("hll_shard_merge", oracle=None)  # sketch estimate: no SQL twin
+def hll_shard_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (Apache DataSketches HLL, built
+    into Spark 3.5+): per-shard `hll_sketch_agg` states union-merged with
+    `hll_union_agg` into per-event-type distinct-user estimates — the
+    store-and-merge pattern that lets 1000 executors (or 1000 daily
+    snapshots) maintain distinct counts without ever re-scanning history.
+
+    The estimate has no DuckDB twin (different sketch family), so the
+    driver slot is rows-only; pytest asserts the merged estimate EQUALS
+    the single-pass estimate bit-for-bit (the sketch is deterministic and
+    merge-associative) and is within 5% of the exact count. KMV
+    (`kmv_distinct_parts`) remains the cross-engine-checkable sketch."""
+    ev = load_table(spark, sf_dir, "events")
+    shards = ev.withColumn("__shard", F.col("user_id") % 4)
+    per_shard = shards.groupBy("event_type", "__shard").agg(
+        F.expr("hll_sketch_agg(user_id)").alias("sk")
+    )
+    return (
+        per_shard.groupBy("event_type")
+        .agg(
+            F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias(
+                "approx_users"
+            )
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "snapshot_diff",
+    oracle="""
+    WITH snap_a AS (
+        SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+        WHERE o_orderkey % 97 <> 0),
+    snap_b AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 100 = 0
+                    THEN round(o_totalprice * 1.1, 2)
+                    ELSE o_totalprice END AS o_totalprice,
+               o_orderstatus
+        FROM orders
+        WHERE o_orderkey % 89 <> 0)
+    SELECT CASE WHEN a.o_orderkey IS NULL THEN 'added'
+                WHEN b.o_orderkey IS NULL THEN 'removed'
+                WHEN a.o_totalprice <> b.o_totalprice
+                  OR a.o_orderstatus <> b.o_orderstatus THEN 'changed'
+                ELSE 'unchanged' END AS change,
+           count(*) AS n,
+           CAST(round(sum(CAST(coalesce(b.o_totalprice, 0)
+                                - coalesce(a.o_totalprice, 0)
+                               AS DECIMAL(18,6))), 2) AS DOUBLE) AS price_delta
+    FROM snap_a a FULL OUTER JOIN snap_b b USING (o_orderkey)
+    GROUP BY 1
+    """,
+)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (data-versioning primitive): classify every key across
+    two table versions as added / removed / changed / unchanged via ONE
+    full-outer join, with the net measure delta per class — the audit step
+    between pipeline runs, and the input to an incremental downstream
+    refresh. The two versions are derived deterministically from `orders`
+    (version B drops some keys, adds back others, perturbs some prices).
+
+    Scale: a single full-outer equi-join on the key — both sides shard by
+    o_orderkey, AQE picks SMJ at real scale — followed by a 4-row
+    map-side-combined aggregate. No collect, no all-pairs; the diff never
+    materializes unchanged rows downstream (they reduce to one counter)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    snap_a = o.filter(F.col("o_orderkey") % 97 != 0)
+    snap_b = o.filter(F.col("o_orderkey") % 89 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 100 == 0,
+            F.round(F.col("o_totalprice") * 1.1, 2),
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    a = snap_a.alias("a")
+    b = snap_b.alias("b")
+    j = a.join(b, F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer")
+    change = (
+        F.when(F.col("a.o_orderkey").isNull(), F.lit("added"))
+        .when(F.col("b.o_orderkey").isNull(), F.lit("removed"))
+        .when(
+            (F.col("a.o_totalprice") != F.col("b.o_totalprice"))
+            | (F.col("a.o_orderstatus") != F.col("b.o_orderstatus")),
+            F.lit("changed"),
+        )
+        .otherwise(F.lit("unchanged"))
+    )
+    delta = F.coalesce(F.col("b.o_totalprice"), F.lit(0.0)) - F.coalesce(
+        F.col("a.o_totalprice"), F.lit(0.0)
+    )
+    return j.groupBy(change.alias("change")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(delta.cast("decimal(18,6)")), 2)
+        .cast("double")
+        .alias("price_delta"),
+    )

@@ -803,3 +803,35 @@ class TestSemanticDedup:
             assert abs(cos - r["cosine"]) < 1e-4
             assert cos >= 0.3 - 1e-6
             assert r["id_a"] < r["id_b"]
+
+
+class TestHllShardMerge:
+    def test_merge_equals_single_pass_and_tracks_exact(self, spark):
+        from pyspark.sql import functions as F
+
+        from pandas_to_postgres_spark.plans import REGISTRY
+        from pandas_to_postgres_spark.sources.parquet import load_table
+
+        sf = "/root/testdata/sf0.001"
+        merged = {
+            r["event_type"]: r["approx_users"]
+            for r in REGISTRY["hll_shard_merge"].fn(spark, sf).collect()
+        }
+        ev = load_table(spark, sf, "events")
+        single = {
+            r["event_type"]: r["approx_users"]
+            for r in ev.groupBy("event_type")
+            .agg(F.expr("hll_sketch_estimate(hll_sketch_agg(user_id))").alias("approx_users"))
+            .collect()
+        }
+        # the sketch is deterministic and merge-associative: shard-merge
+        # must EQUAL the single-pass estimate, not just approximate it
+        assert merged == single
+        exact = {
+            r["event_type"]: r["n"]
+            for r in ev.groupBy("event_type")
+            .agg(F.countDistinct("user_id").alias("n"))
+            .collect()
+        }
+        for et, est in merged.items():
+            assert abs(est - exact[et]) <= 0.05 * exact[et] + 1
