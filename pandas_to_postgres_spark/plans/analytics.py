@@ -304,7 +304,10 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         "doc_id", F.explode(tokens_expr(F.lower(F.col("text")))).alias("tok")
     )
-    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    # cache: the vocab (Zipf-small relative to the corpus) feeds both the
+    # scoring join AND the totals scalar — uncached, the totals branch
+    # re-scans and re-tokenizes the whole corpus a third time
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c")).cache()
     totals = vocab.agg(F.sum("c").alias("total"))
     logprob = F.log10(F.col("c").cast("double") / F.col("total"))
     return (
@@ -365,9 +368,11 @@ def skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject. Nothing driver-side — this runs as a cheap
     side-query on the same scan the real join will read."""
     o = load_table(spark, sf_dir, "orders")
+    # cache: the key-cardinality freq frame feeds both the hot-key top-N
+    # and the 1-row stats aggregate — uncached, the fact scans twice
     freq = o.groupBy(F.col("o_custkey").alias("key")).agg(
         F.count(F.lit(1)).alias("cnt")
-    )
+    ).cache()
     stats = freq.agg(
         F.max("cnt").alias("max_cnt"),
         (

@@ -60,3 +60,38 @@ def stream_to_batch_sink(
     if available_now:
         ws = ws.trigger(availableNow=True)
     return ws.start()
+
+
+def stream_to_postgres_exactly_once(
+    stream: DataFrame,
+    conn_params: dict,
+    target,
+    checkpoint_dir: str,
+    epoch_table: str = "stream_epochs",
+    num_partitions: Optional[int] = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Stream → Postgres with exactly-once tables: each micro-batch is
+    staged by parallel COPY and atomically published together with its
+    epoch-ledger row (`sinks/postgres_copy.load_batch_exactly_once`), so
+    Structured Streaming's at-least-once redelivery (same ``batch_id``
+    after failure) never duplicates or partially exposes a batch.
+
+    Scale: the data plane is the same N-writer COPY used for bulk loads —
+    per-executor connections into an unlocked stage table; only the
+    publish (a metadata-sized transaction: INSERT..SELECT + ledger row +
+    DROP) serializes per batch. The checkpoint directory carries the
+    source offsets; the ledger carries the sink state — together they
+    survive a restart of either side."""
+    from pandas_to_postgres_spark.sinks.postgres_copy import (  # noqa: PLC0415
+        load_batch_exactly_once,
+    )
+
+    def _writer(batch_df: DataFrame, batch_id: int) -> None:
+        load_batch_exactly_once(
+            batch_df, conn_params, target, batch_id, epoch_table, num_partitions
+        )
+
+    return stream_to_batch_sink(
+        stream, _writer, checkpoint_dir, available_now=available_now
+    )

@@ -223,3 +223,81 @@ class TestReferenceApiToPostgres:
             n, first, maxkey = cur.fetchall()[0]
         conn.close()
         assert n == "25" and first == first.upper() and maxkey == "24"
+
+
+class TestExactlyOnceStreaming:
+    def test_stream_publishes_once_and_replays_are_noops(self, spark, schema, tmp_path):
+        from pandas_to_postgres_spark.sinks.postgres_copy import (
+            TargetTable,
+            load_batch_exactly_once,
+        )
+        from pandas_to_postgres_spark.sources.parquet import normalize_event_ts
+        from pandas_to_postgres_spark.streaming.sink import (
+            stream_to_postgres_exactly_once,
+        )
+
+        conn_params = schema
+        with pgwire.connect(**conn_params) as conn, conn.cursor() as cur:
+            cur.execute(
+                """CREATE TABLE ev_sink (
+                       event_id BIGINT, user_id BIGINT, event_type TEXT,
+                       value DOUBLE PRECISION)"""
+            )
+        target = TargetTable(
+            schema="public",
+            name="ev_sink",
+            columns=["event_id", "user_id", "event_type", "value"],
+        )
+        sf = "/root/testdata/sf0.001"
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        static = spark.read.parquet(f"{sf}/events.parquet")
+        stream = (
+            spark.readStream.schema(static.schema)
+            .format("parquet")
+            .load(f"{sf}/events.parque[t]")
+        )
+        q = stream_to_postgres_exactly_once(
+            stream.select("event_id", "user_id", "event_type", "value"),
+            conn_params,
+            target,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            num_partitions=4,
+        )
+        q.awaitTermination(120)
+        expected = static.count()
+        conn = pgwire.connect(**conn_params)
+        with conn, conn.cursor() as cur:
+            cur.execute("SELECT count(*) FROM ev_sink")
+            assert int(cur.fetchall()[0][0]) == expected
+            cur.execute("SELECT count(*) FROM stream_epochs WHERE table_name = 'ev_sink'")
+            n_epochs = int(cur.fetchall()[0][0])
+            assert n_epochs >= 1
+        conn.close()
+
+        # replay every published epoch by hand: all must be no-ops
+        batch = spark.read.parquet(f"{sf}/events.parquet").select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        conn = pgwire.connect(**conn_params)
+        with conn, conn.cursor() as cur:
+            cur.execute("SELECT batch_id FROM stream_epochs WHERE table_name = 'ev_sink'")
+            epochs = [int(r[0]) for r in cur.fetchall()]
+        conn.close()
+        for bid in epochs:
+            assert load_batch_exactly_once(batch, conn_params, target, bid) == 0
+        conn = pgwire.connect(**conn_params)
+        with conn, conn.cursor() as cur:
+            cur.execute("SELECT count(*) FROM ev_sink")
+            assert int(cur.fetchall()[0][0]) == expected  # unchanged
+            cur.execute("SELECT count(*) FROM pg_tables WHERE tablename LIKE 'ev_sink__stage_%'")
+            assert int(cur.fetchall()[0][0]) == 0  # no stage leftovers
+        conn.close()
+
+        # a genuinely new epoch appends exactly once
+        n = load_batch_exactly_once(batch.limit(10), conn_params, target, max(epochs) + 1000)
+        assert n == 10
+        conn = pgwire.connect(**conn_params)
+        with conn, conn.cursor() as cur:
+            cur.execute("SELECT count(*) FROM ev_sink")
+            assert int(cur.fetchall()[0][0]) == expected + 10
+        conn.close()
