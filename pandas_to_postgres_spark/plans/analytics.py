@@ -332,7 +332,9 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pytest-asserted (tests/test_operators.py::TestSemanticDedup), and the
     underlying `operators/kmeans.py` documents the map-only-assignment /
     one-shuffle-update iteration shape that holds at 100 TB."""
-    e = load_table(spark, sf_dir, "embeddings")
+    # cache: the fit re-reads the corpus once per Lloyd iteration (plus the
+    # final assignment) — at 100 TB you persist the vectors once the same way
+    e = load_table(spark, sf_dir, "embeddings").cache()
     return semantic_near_duplicates(
         e, vec_col="embedding", id_col="vec_id", k=8, iters=3, threshold=0.3
     )
