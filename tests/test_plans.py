@@ -393,3 +393,19 @@ class TestAnalyticsShapes:
         # not four scans; only the FK anti-join reads the dim side
         plan = plan_of(spark, "dq_checks_orders")
         assert "LeftAnti" in plan
+
+    def test_kmeans_assignment_never_shuffles_corpus(self, spark):
+        from pandas_to_postgres_spark.operators.kmeans import assign_clusters
+        from pandas_to_postgres_spark.sources.parquet import load_table
+
+        e = load_table(spark, SF_SMOKE, "embeddings")
+        cents = [[0.0] * 64, [1.0] * 64]
+        plan = (
+            assign_clusters(e, "embedding", cents)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # centroid matrix broadcasts; corpus partitioning untouched
+        assert "BroadcastNestedLoopJoin" in plan
+        assert shuffles(plan) == 0

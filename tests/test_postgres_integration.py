@@ -301,3 +301,46 @@ class TestExactlyOnceStreaming:
             cur.execute("SELECT count(*) FROM ev_sink")
             assert int(cur.fetchall()[0][0]) == expected + 10
         conn.close()
+
+    def test_orphan_stage_from_crashed_batch_is_recovered(self, spark, schema):
+        """A crash AFTER staging but BEFORE publish leaves an orphan stage
+        table and no ledger row; the replayed batch must rebuild the stage
+        and publish exactly once."""
+        from pandas_to_postgres_spark.sinks.postgres_copy import (
+            TargetTable,
+            load_batch_exactly_once,
+        )
+
+        conn_params = schema
+        with pgwire.connect(**conn_params) as conn, conn.cursor() as cur:
+            cur.execute(
+                """CREATE TABLE IF NOT EXISTS ev_sink2 (
+                       event_id BIGINT, user_id BIGINT, event_type TEXT,
+                       value DOUBLE PRECISION)"""
+            )
+            # simulate the crash artifact: stale stage with garbage rows
+            cur.execute("DROP TABLE IF EXISTS ev_sink2__stage_7")
+            cur.execute("CREATE TABLE ev_sink2__stage_7 (LIKE ev_sink2)")
+            cur.execute(
+                "INSERT INTO ev_sink2__stage_7 VALUES (999, 999, 'stale', 0.0)"
+            )
+        target = TargetTable(
+            schema="public",
+            name="ev_sink2",
+            columns=["event_id", "user_id", "event_type", "value"],
+        )
+        batch = (
+            spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+            .select("event_id", "user_id", "event_type", "value")
+            .limit(20)
+        )
+        assert load_batch_exactly_once(batch, conn_params, target, 7) == 20
+        conn = pgwire.connect(**conn_params)
+        with conn, conn.cursor() as cur:
+            cur.execute("SELECT count(*) FROM ev_sink2")
+            assert int(cur.fetchall()[0][0]) == 20  # stale rows never published
+            cur.execute(
+                "SELECT count(*) FROM ev_sink2 WHERE event_type = 'stale'"
+            )
+            assert int(cur.fetchall()[0][0]) == 0
+        conn.close()
