@@ -632,3 +632,88 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("price_delta"),
     )
+
+
+@register(
+    "pmi_collocations",
+    oracle=f"""
+    WITH tokd AS (SELECT doc_id, {_RAW_TOKS_SQL} AS tk FROM documents),
+    uni AS (SELECT unnest(tk) AS w FROM tokd),
+    bi AS (SELECT unnest(
+               list_transform(range(1, greatest(len(tk) - 1, 0) + 1),
+                              i -> tk[i] || ' ' || tk[i + 1])) AS bigram
+           FROM tokd),
+    uc AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+    bc AS (SELECT bigram, count(*) AS c_ab FROM bi GROUP BY bigram),
+    tot AS (SELECT (SELECT CAST(sum(c) AS BIGINT) FROM uc) AS n_uni,
+                   (SELECT CAST(sum(c_ab) AS BIGINT) FROM bc) AS n_bi)
+    SELECT bigram, c_ab,
+           round(log10((CAST(c_ab AS DOUBLE) / n_bi)
+                       / ((CAST(a.c AS DOUBLE) / n_uni)
+                          * (CAST(b.c AS DOUBLE) / n_uni))), 4) AS pmi
+    FROM bc
+    JOIN uc a ON a.w = split_part(bigram, ' ', 1)
+    JOIN uc b ON b.w = split_part(bigram, ' ', 2)
+    CROSS JOIN tot
+    WHERE c_ab >= 5
+    ORDER BY pmi DESC, bigram
+    LIMIT 50
+    """,
+)
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top bigrams by pointwise mutual information
+    (PMI = log p(ab) / (p(a)p(b)) with a min-support cut) — the phrase /
+    multi-word-expression discovery primitive for tokenizer and stopword
+    curation.
+
+    Scale: unigram and bigram counts are map-side-combinable aggregates
+    over one tokenized scan each; the two scalar totals ride ONE broadcast
+    1-row frame; the unigram vocab joins back onto the (much smaller
+    post-support-cut) bigram frame; the top-50 is TakeOrderedAndProject on
+    the ROUNDED score with a bigram tie-break, so the cut is
+    deterministic cross-engine."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(tokens_expr(F.lower(F.col("text"))).alias("tk"))
+    uni = toks.select(F.explode("tk").alias("w"))
+    k = F.size("tk") - 1
+    bigrams = F.when(
+        k >= 1,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.concat_ws(" ", F.slice(F.col("tk"), i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bi = toks.select(F.explode(bigrams).alias("bigram"))
+    uc = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    bc = (
+        bi.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= 5)
+    )
+    # n_bi counts ALL bigrams (pre-support-cut): p(ab) is a corpus
+    # probability, not a probability among surviving bigrams
+    tot = uc.agg(F.sum("c").alias("n_uni")).crossJoin(
+        bi.agg(F.count(F.lit(1)).alias("n_bi"))
+    )
+    a = uc.select(F.col("w").alias("__w1"), F.col("c").alias("__c1"))
+    b = uc.select(F.col("w").alias("__w2"), F.col("c").alias("__c2"))
+    pmi = F.round(
+        F.log10(
+            (F.col("c_ab").cast("double") / F.col("n_bi"))
+            / (
+                (F.col("__c1").cast("double") / F.col("n_uni"))
+                * (F.col("__c2").cast("double") / F.col("n_uni"))
+            )
+        ),
+        4,
+    )
+    return (
+        bc.withColumn("__w1", F.split("bigram", " ")[0])
+        .withColumn("__w2", F.split("bigram", " ")[1])
+        .join(a, "__w1")
+        .join(b, "__w2")
+        .crossJoin(F.broadcast(tot))
+        .select("bigram", "c_ab", pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), F.col("bigram"))
+        .limit(50)
+    )
