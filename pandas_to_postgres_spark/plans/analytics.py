@@ -717,3 +717,86 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi").desc(), F.col("bigram"))
         .limit(50)
     )
+
+
+@register(
+    "interval_overlap_join",
+    oracle="""
+    WITH p AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               min(ts) AS a_start, max(ts) AS a_end
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id, CAST(ts AS DATE)),
+    err AS (
+        SELECT event_id, ts AS b_start,
+               ts + INTERVAL 15 MINUTE AS b_end
+        FROM events WHERE event_type = 'error')
+    SELECT err.event_id,
+           count(*) AS n_overlaps,
+           CAST(sum(datediff('microsecond',
+                             greatest(a_start, b_start),
+                             least(a_end, b_end))) AS BIGINT)
+               AS total_overlap_usecs
+    FROM p JOIN err ON a_start <= b_end AND b_start <= a_end
+    GROUP BY err.event_id
+    """,
+)
+def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval overlap join (the temporal non-equi join): per-user daily
+    purchase-activity intervals joined against 15-minute error windows
+    wherever the two time ranges overlap, aggregated to overlap count and
+    total overlapping seconds per error.
+
+    Scale shape — the part that matters: a naive `a_start <= b_end AND
+    b_start <= a_end` theta-join is a cartesian product in Spark
+    (BroadcastNestedLoopJoin), quadratic at 100 TB. Instead each interval
+    EXPLODES into the hour buckets it covers (bounded: intervals are
+    day-capped, windows 15 min → ≤ 2 buckets), the join is an EQUI-join
+    on the bucket timestamp, the exact overlap predicate filters the
+    bucket collisions, and `distinct` removes multi-bucket duplicates.
+    Candidate pairs scale with temporal co-locality (pairs per hour), not
+    |A|x|B| — the same bucket-join trick `range_join_bins` and the LSH
+    family use for their non-equi predicates. The oracle is the direct
+    inequality join, so the driver check proves the bucketed rewrite
+    exact."""
+    ev = load_table(spark, sf_dir, "events")
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(F.min("ts").alias("a_start"), F.max("ts").alias("a_end"))
+    )
+    err = ev.filter(F.col("event_type") == "error").select(
+        "event_id",
+        F.col("ts").alias("b_start"),
+        F.expr("ts + INTERVAL 15 MINUTE").alias("b_end"),
+    )
+    hour = "interval 1 hour"
+    a_b = p.withColumn(
+        "hb",
+        F.explode(
+            F.expr(f"sequence(date_trunc('hour', a_start), date_trunc('hour', a_end), {hour})")
+        ),
+    )
+    b_b = err.withColumn(
+        "hb",
+        F.explode(
+            F.expr(f"sequence(date_trunc('hour', b_start), date_trunc('hour', b_end), {hour})")
+        ),
+    )
+    pairs = (
+        a_b.join(b_b, "hb")
+        .filter((F.col("a_start") <= F.col("b_end")) & (F.col("b_start") <= F.col("a_end")))
+        .select("user_id", "day", "event_id", "a_start", "a_end", "b_start", "b_end")
+        .distinct()
+    )
+    # MICROSECOND, not SECOND: Spark's timestampdiff truncates elapsed
+    # time while DuckDB's datediff counts boundary crossings — they differ
+    # by one around sub-second offsets. At microsecond resolution (the
+    # timestamps' native unit) both are the exact elapsed count.
+    overlap = F.expr(
+        "timestampdiff(MICROSECOND, greatest(a_start, b_start), least(a_end, b_end))"
+    )
+    return pairs.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("n_overlaps"),
+        F.sum(overlap).alias("total_overlap_usecs"),
+    )

@@ -409,3 +409,11 @@ class TestAnalyticsShapes:
         # centroid matrix broadcasts; corpus partitioning untouched
         assert "BroadcastNestedLoopJoin" in plan
         assert shuffles(plan) == 0
+
+    def test_interval_overlap_is_bucketed_equi_join_not_cartesian(self, spark):
+        # the whole point of the operator: the non-equi overlap predicate
+        # rides an hour-bucket EQUI-join, never a nested-loop pair space
+        plan = plan_of(spark, "interval_overlap_join")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "Generate explode" in plan
