@@ -800,3 +800,97 @@ def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_overlaps"),
         F.sum(overlap).alias("total_overlap_usecs"),
     )
+
+
+@register(
+    "ab_test_chisq",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                         IN ('0','1','2','3','4','5','6','7')
+                    THEN 0 ELSE 1 END AS bucket,
+               CASE WHEN sum(CASE WHEN event_type = 'purchase'
+                                   THEN 1 ELSE 0 END) >= 14
+                    THEN 1 ELSE 0 END AS converted
+        FROM events GROUP BY user_id),
+    cells AS (
+        SELECT CAST(count(*) FILTER (WHERE bucket = 0 AND converted = 1) AS BIGINT) AS a,
+               CAST(count(*) FILTER (WHERE bucket = 0 AND converted = 0) AS BIGINT) AS b,
+               CAST(count(*) FILTER (WHERE bucket = 1 AND converted = 1) AS BIGINT) AS c,
+               CAST(count(*) FILTER (WHERE bucket = 1 AND converted = 0) AS BIGINT) AS d
+        FROM per_user)
+    SELECT a AS conv_ctrl, b AS nonconv_ctrl, c AS conv_test, d AS nonconv_test,
+           CASE WHEN CAST(a + b AS DOUBLE) * (c + d) * (a + c) * (b + d) = 0
+                THEN 0.0
+                ELSE floor((CAST(a + b + c + d AS DOUBLE)
+                       * (CAST(a AS DOUBLE) * d - CAST(b AS DOUBLE) * c)
+                       * (CAST(a AS DOUBLE) * d - CAST(b AS DOUBLE) * c)
+                       / (CAST(a + b AS DOUBLE) * (c + d) * (a + c) * (b + d)))
+                      * 10000 + 0.5) / 10000
+           END AS chisq
+    FROM cells
+    """,
+)
+def ab_test_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B-test evaluation: users deterministically hash-split into
+    control/test buckets (md5 first hex digit — the engine-reproducible
+    membership idiom used by the sampling operators), per-user conversion
+    = at least 14 purchase events (a median-ish split of this corpus), and the 2x2 contingency chi-square statistic
+    computed in-engine.
+
+    Scale: one groupBy(user) for per-user conversion, then ONE global
+    conditional aggregate for all four cells — two map-side-combinable
+    passes, a 1-row result, nothing driver-side. The statistic uses the
+    closed 2x2 form N(ad-bc)^2 / ((a+b)(c+d)(a+c)(b+d)) with identical
+    double arithmetic in both engines and floor-based rounding (see
+    interpolate_events for why round() diverges cross-engine)."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.when(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 1).isin(
+            *"01234567"
+        ),
+        F.lit(0),
+    ).otherwise(F.lit(1))
+    per_user = ev.groupBy("user_id").agg(
+        (
+            F.sum((F.col("event_type") == "purchase").cast("int")) >= 14
+        ).cast("int").alias("converted")
+    ).withColumn("bucket", bucket)
+
+    def cell(bk, cv):
+        return F.count(
+            F.when((F.col("bucket") == bk) & (F.col("converted") == cv), F.lit(1))
+        )
+
+    cells = per_user.agg(
+        cell(0, 1).alias("a"), cell(0, 0).alias("b"),
+        cell(1, 1).alias("c"), cell(1, 0).alias("d"),
+    )
+    ad_bc = F.col("a").cast("double") * F.col("d") - F.col("b").cast("double") * F.col("c")
+    chisq = (
+        (F.col("a") + F.col("b") + F.col("c") + F.col("d")).cast("double")
+        * ad_bc * ad_bc
+        / (
+            (F.col("a") + F.col("b")).cast("double")
+            * (F.col("c") + F.col("d"))
+            * (F.col("a") + F.col("c"))
+            * (F.col("b") + F.col("d"))
+        )
+    )
+    denom = (
+        (F.col("a") + F.col("b")).cast("double")
+        * (F.col("c") + F.col("d"))
+        * (F.col("a") + F.col("c"))
+        * (F.col("b") + F.col("d"))
+    )
+    guarded = F.when(denom == 0, F.lit(0.0)).otherwise(
+        F.floor(chisq * 10000 + F.lit(0.5)) / 10000
+    )
+    return cells.select(
+        F.col("a").alias("conv_ctrl"),
+        F.col("b").alias("nonconv_ctrl"),
+        F.col("c").alias("conv_test"),
+        F.col("d").alias("nonconv_test"),
+        guarded.alias("chisq"),
+    )
