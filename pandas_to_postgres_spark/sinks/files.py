@@ -102,3 +102,30 @@ def compact_dataset(
         df.write.mode("overwrite").parquet(out_path)
     out = spark.read.parquet(out_path)
     return len([f for f in out.inputFiles()])
+
+
+def write_sorted(
+    df: DataFrame,
+    path: str,
+    order_cols: Sequence[str],
+    num_files: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Globally-sorted parquet export WITHOUT a single-reducer sort.
+
+    ``repartitionByRange`` samples the order keys and assigns each task a
+    disjoint key range (range partitioner — file i's keys all precede
+    file i+1's), then ``sortWithinPartitions`` orders inside each task.
+    Reading files in part-number order yields the total order, but no
+    executor ever sees more than 1/num_files of the data and there is no
+    driver-side or single-task global sort — the standard final step for
+    a training corpus that must stream in a fixed order.
+
+    Parquet row-group min/max stats on the sort column additionally give
+    downstream range scans file- and row-group-level skipping."""
+    (
+        df.repartitionByRange(num_files, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -302,3 +302,36 @@ class TestTopNPerGroup:
         order = (F.col("score").desc(), F.col("id").asc())
         got = top_n_per_group(df, ("grp",), order, n=1, salt_col="id")
         assert [r.id for r in got.collect()] == [49]
+
+
+class TestSortedExport:
+    def test_files_hold_disjoint_ordered_ranges(self, spark, tmp_path):
+        import glob
+        import os
+
+        import pyarrow.parquet as pq
+
+        from pandas_to_postgres_spark.sinks.files import write_sorted
+        from pandas_to_postgres_spark.sources.parquet import load_table
+
+        out = str(tmp_path / "sorted")
+        li = load_table(spark, "/root/testdata/sf0.001", "lineitem").select(
+            "l_orderkey", "l_extendedprice"
+        )
+        write_sorted(li, out, ["l_orderkey"], num_files=4)
+        parts = sorted(glob.glob(os.path.join(out, "part-*.parquet")))
+        assert len(parts) >= 2  # range partitioner actually split
+        ranges = []
+        total = 0
+        for p in parts:
+            t = pq.read_table(p, columns=["l_orderkey"])
+            col = t.column("l_orderkey").to_pylist()
+            total += len(col)
+            assert col == sorted(col)  # sorted within the file
+            if col:
+                ranges.append((col[0], col[-1]))
+        # disjoint, ascending ranges across files in part order ⇒ reading
+        # part files in order yields the global order
+        for (a0, a1), (b0, b1) in zip(ranges, ranges[1:]):
+            assert a1 <= b0
+        assert total == li.count()
