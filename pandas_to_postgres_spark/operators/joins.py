@@ -146,3 +146,45 @@ def range_join(
     non-equi conditions."""
     r = F.broadcast(right) if broadcast_right else right
     return left.join(r, on=condition, how=how)
+
+
+def interval_overlap_pairs(
+    a: DataFrame,
+    b: DataFrame,
+    a_start: str,
+    a_end: str,
+    b_start: str,
+    b_end: str,
+    unit: str = "hour",
+) -> DataFrame:
+    """All (a-row, b-row) pairs whose time intervals overlap
+    (``a_start <= b_end AND b_start <= a_end``), WITHOUT the cartesian
+    product a direct theta-join costs: each interval explodes into the
+    ``unit`` buckets it covers, the join is an equi-join on the bucket,
+    the exact predicate filters bucket collisions, and ``distinct``
+    removes multi-bucket duplicates.
+
+    Candidate pairs scale with temporal co-locality (pairs per bucket),
+    not |A| x |B|; pick ``unit`` close to the typical interval length —
+    too coarse and buckets over-collide, too fine and long intervals
+    explode into many rows. Column names must be disjoint between the
+    two sides (Spark resolves names case-insensitively)."""
+    step = f"interval 1 {unit}"
+
+    def bucketed(df: DataFrame, start: str, end: str) -> DataFrame:
+        seq = (
+            f"sequence(date_trunc('{unit}', {start}), "
+            f"date_trunc('{unit}', {end}), {step})"
+        )
+        return df.withColumn("__bkt", F.explode(F.expr(seq)))
+
+    out_cols = a.columns + b.columns
+    return (
+        bucketed(a, a_start, a_end)
+        .join(bucketed(b, b_start, b_end), "__bkt")
+        .filter(
+            (F.col(a_start) <= F.col(b_end)) & (F.col(b_start) <= F.col(a_end))
+        )
+        .select(*out_cols)
+        .distinct()
+    )

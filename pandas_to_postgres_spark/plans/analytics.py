@@ -14,6 +14,7 @@ from pyspark.sql.window import Window
 
 from pandas_to_postgres_spark.functions.agg import davg, davg_sql
 from pandas_to_postgres_spark.functions.text import tokens_expr
+from pandas_to_postgres_spark.operators.joins import interval_overlap_pairs
 from pandas_to_postgres_spark.operators.kmeans import semantic_near_duplicates
 from pandas_to_postgres_spark.plans.registry import register
 from pandas_to_postgres_spark.sources.parquet import load_table
@@ -770,24 +771,8 @@ def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("b_start"),
         F.expr("ts + INTERVAL 15 MINUTE").alias("b_end"),
     )
-    hour = "interval 1 hour"
-    a_b = p.withColumn(
-        "hb",
-        F.explode(
-            F.expr(f"sequence(date_trunc('hour', a_start), date_trunc('hour', a_end), {hour})")
-        ),
-    )
-    b_b = err.withColumn(
-        "hb",
-        F.explode(
-            F.expr(f"sequence(date_trunc('hour', b_start), date_trunc('hour', b_end), {hour})")
-        ),
-    )
-    pairs = (
-        a_b.join(b_b, "hb")
-        .filter((F.col("a_start") <= F.col("b_end")) & (F.col("b_start") <= F.col("a_end")))
-        .select("user_id", "day", "event_id", "a_start", "a_end", "b_start", "b_end")
-        .distinct()
+    pairs = interval_overlap_pairs(
+        p, err, "a_start", "a_end", "b_start", "b_end", unit="hour"
     )
     # MICROSECOND, not SECOND: Spark's timestampdiff truncates elapsed
     # time while DuckDB's datediff counts boundary crossings — they differ

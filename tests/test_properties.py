@@ -255,3 +255,57 @@ def test_prefix_jaccard_equals_allpairs(spark, docs, threshold):
         .collect()
     }
     assert got == want
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    a_iv=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=600),
+            st.integers(min_value=0, max_value=600),
+        ),
+        min_size=0,
+        max_size=12,
+    ),
+    b_iv=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=600),
+            st.integers(min_value=0, max_value=600),
+        ),
+        min_size=0,
+        max_size=12,
+    ),
+)
+def test_interval_overlap_bucketing_equals_nested_loop(spark, a_iv, b_iv):
+    """The hour-bucketed equi-join rewrite must return EXACTLY the pairs a
+    naive theta-join returns, for arbitrary interval sets (touching
+    endpoints, zero-length intervals, bucket-boundary straddles)."""
+    from pandas_to_postgres_spark.operators.joins import interval_overlap_pairs
+
+    def frame(ivs, ida, s, e):
+        rows = [
+            (i, BASE + datetime.timedelta(minutes=min(x, y)),
+             BASE + datetime.timedelta(minutes=max(x, y)))
+            for i, (x, y) in enumerate(ivs)
+        ]
+        return spark.createDataFrame(rows, f"{ida} int, {s} timestamp, {e} timestamp")
+
+    a = frame(a_iv, "aid", "a_start", "a_end")
+    b = frame(b_iv, "bid", "b_start", "b_end")
+    got = {
+        (r["aid"], r["bid"])
+        for r in interval_overlap_pairs(
+            a, b, "a_start", "a_end", "b_start", "b_end", unit="hour"
+        ).collect()
+    }
+    want = {
+        (r["aid"], r["bid"])
+        for r in a.crossJoin(b)
+        .filter("a_start <= b_end AND b_start <= a_end")
+        .collect()
+    }
+    assert got == want
