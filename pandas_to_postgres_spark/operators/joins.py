@@ -168,13 +168,24 @@ def interval_overlap_pairs(
     not |A| x |B|; pick ``unit`` close to the typical interval length —
     too coarse and buckets over-collide, too fine and long intervals
     explode into many rows. Column names must be disjoint between the
-    two sides (Spark resolves names case-insensitively)."""
+    two sides (Spark resolves names case-insensitively), and input rows
+    must be distinct (the multi-bucket dedup is a ``distinct`` over the
+    output columns, so two fully-identical input rows collapse to one
+    pair — carry a unique id column if multiplicity matters).
+
+    Inverted intervals (start > end, e.g. clock skew) are handled with
+    full recall: buckets span least(start,end)..greatest(start,end) —
+    ``sequence`` with a positive step would otherwise throw — while the
+    exact predicate keeps the original columns. If the predicate holds,
+    the value spans always intersect (min_a <= a_start <= b_end <= max_b
+    and min_b <= b_start <= a_end <= max_a), so bucketing on spans never
+    loses a qualifying pair."""
     step = f"interval 1 {unit}"
 
     def bucketed(df: DataFrame, start: str, end: str) -> DataFrame:
         seq = (
-            f"sequence(date_trunc('{unit}', {start}), "
-            f"date_trunc('{unit}', {end}), {step})"
+            f"sequence(date_trunc('{unit}', least({start}, {end})), "
+            f"date_trunc('{unit}', greatest({start}, {end})), {step})"
         )
         return df.withColumn("__bkt", F.explode(F.expr(seq)))
 

@@ -685,16 +685,17 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<string>"))
     bi = toks.select(F.explode(bigrams).alias("bigram"))
-    uc = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
-    bc = (
-        bi.groupBy("bigram")
-        .agg(F.count(F.lit(1)).alias("c_ab"))
-        .filter(F.col("c_ab") >= 5)
-    )
+    # cache the two VOCAB-sized count frames: uc feeds the n_uni total
+    # plus both join sides, bc_all feeds the support cut plus the n_bi
+    # total — uncached, each reference re-scans and re-tokenizes the
+    # corpus (same economics as unigram_logprob's vocab cache)
+    uc = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c")).cache()
+    bc_all = bi.groupBy("bigram").agg(F.count(F.lit(1)).alias("c_ab")).cache()
+    bc = bc_all.filter(F.col("c_ab") >= 5)
     # n_bi counts ALL bigrams (pre-support-cut): p(ab) is a corpus
     # probability, not a probability among surviving bigrams
     tot = uc.agg(F.sum("c").alias("n_uni")).crossJoin(
-        bi.agg(F.count(F.lit(1)).alias("n_bi"))
+        bc_all.agg(F.sum("c_ab").alias("n_bi"))
     )
     a = uc.select(F.col("w").alias("__w1"), F.col("c").alias("__c1"))
     b = uc.select(F.col("w").alias("__w2"), F.col("c").alias("__c2"))
@@ -853,21 +854,15 @@ def ab_test_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
         cell(1, 1).alias("c"), cell(1, 0).alias("d"),
     )
     ad_bc = F.col("a").cast("double") * F.col("d") - F.col("b").cast("double") * F.col("c")
-    chisq = (
-        (F.col("a") + F.col("b") + F.col("c") + F.col("d")).cast("double")
-        * ad_bc * ad_bc
-        / (
-            (F.col("a") + F.col("b")).cast("double")
-            * (F.col("c") + F.col("d"))
-            * (F.col("a") + F.col("c"))
-            * (F.col("b") + F.col("d"))
-        )
-    )
     denom = (
         (F.col("a") + F.col("b")).cast("double")
         * (F.col("c") + F.col("d"))
         * (F.col("a") + F.col("c"))
         * (F.col("b") + F.col("d"))
+    )
+    chisq = (
+        (F.col("a") + F.col("b") + F.col("c") + F.col("d")).cast("double")
+        * ad_bc * ad_bc / denom
     )
     guarded = F.when(denom == 0, F.lit(0.0)).otherwise(
         F.floor(chisq * 10000 + F.lit(0.5)) / 10000

@@ -328,19 +328,25 @@ def load_batch_exactly_once(
 
     1. replay check: if ``(table, batch_id)`` is already in the epoch
        ledger, the batch was fully published — skip (returns 0).
-    2. stage: parallel COPY into a per-epoch stage table (the scalable
-       data plane — N writers, no lock on the target).
-    3. publish: ONE transaction moves stage rows into the target, inserts
-       the ledger row, and drops the stage. A crash before commit leaves
-       only an orphan stage table (re-created on replay); a crash after
-       commit is caught by the replay check. The target never exposes a
-       partial batch.
+    2. stage: each Spark task COPYs its partition into its OWN stage
+       table ``<target>__stage_<batch>_p<partition>``, and the task's
+       DROP-IF-EXISTS + CREATE + COPY run in ONE transaction. This is
+       what makes staging idempotent under Spark TASK retries and
+       speculative execution: a re-run (or concurrent speculative)
+       attempt of the same partition serializes on the DROP's table lock
+       and replaces the previous attempt's table instead of appending to
+       a shared stage — with a single shared stage table, a task that
+       died after its COPY committed would double its partition.
+    3. publish: ONE transaction moves every per-partition stage's rows
+       into the target, inserts the ledger row, and drops the stages. A
+       crash before commit leaves only orphan stage tables (replaced on
+       replay); a crash after commit is caught by the replay check. The
+       target never exposes a partial batch.
 
     Returns the number of rows published (0 on replay)."""
     psycopg2 = _psycopg2()
     ledger = f'"{target.schema}"."{epoch_table}"'
-    stage_name = f"{target.name}__stage_{batch_id}"
-    stage = TargetTable(schema=target.schema, name=stage_name, columns=target.columns)
+    stage_prefix = f"{target.name}__stage_{int(batch_id)}_p"
 
     ctl = psycopg2.connect(**conn_params)
     ctl.autocommit = True
@@ -354,34 +360,94 @@ def load_batch_exactly_once(
                         PRIMARY KEY (table_name, batch_id))"""
             )
             cur.execute(
-                f"SELECT 1 FROM {ledger} WHERE table_name = '{target.name}' "
-                f"AND batch_id = {int(batch_id)}"
+                f"SELECT 1 FROM {ledger} WHERE table_name = %s AND batch_id = %s",
+                (target.name, int(batch_id)),
             )
             if cur.fetchall():
                 return 0  # replayed epoch: already published atomically
-            cur.execute(f"DROP TABLE IF EXISTS {stage.qualified}")
+            # drop ALL stage tables from prior crashed attempts of this
+            # batch: a retry may run with fewer partitions, and publish
+            # discovers stages by prefix — a stale higher-numbered
+            # partition table would otherwise be published alongside
             cur.execute(
-                f"CREATE TABLE {stage.qualified} "
-                f"(LIKE {target.qualified} INCLUDING DEFAULTS)"
+                "SELECT tablename FROM pg_tables "
+                "WHERE schemaname = %s AND tablename LIKE %s",
+                (target.schema, f"{target.name}__stage_".replace("_", r"\_") + "%"),
             )
+            for (st,) in cur.fetchall():
+                cur.execute(f'DROP TABLE "{target.schema}"."{st}"')
     finally:
         ctl.close()
 
-    n = append_to_postgres(batch_df, conn_params, stage, num_partitions)
+    cols = [c for c in target.columns if c in batch_df.columns]
+    df = batch_df.select(*cols)
+    if num_partitions is not None:
+        df = df.repartition(num_partitions)
+    params = dict(conn_params)
+    schema, tgt_qualified = target.schema, target.qualified
+    col_list = ", ".join(f'"{c}"' for c in cols)
+
+    def _stage_partition(batches: Iterator) -> Iterator:
+        import itertools  # noqa: PLC0415
+
+        import pyarrow as pa  # noqa: PLC0415
+        from pyspark import TaskContext  # noqa: PLC0415
+
+        try:
+            import psycopg2 as pg  # noqa: PLC0415
+        except ImportError:
+            from pandas_to_postgres_spark.sinks import pgwire as pg  # noqa: PLC0415
+
+        first = next(batches, None)
+        n = 0
+        if first is not None:
+            pid = TaskContext.get().partitionId()
+            stage_q = f'"{schema}"."{stage_prefix}{pid}"'
+            stream = _ArrowCsvStream(itertools.chain([first], batches))
+            conn = pg.connect(**params)
+            try:
+                # ONE transaction: replace-this-partition's-stage + COPY.
+                # Retried/speculative attempts block on the DROP lock and
+                # the last committer wins — never an append.
+                with conn, conn.cursor() as cur:
+                    cur.execute(f"DROP TABLE IF EXISTS {stage_q}")
+                    cur.execute(
+                        f"CREATE TABLE {stage_q} "
+                        f"(LIKE {tgt_qualified} INCLUDING DEFAULTS)"
+                    )
+                    cur.copy_expert(
+                        f"COPY {stage_q} ({col_list}) FROM STDIN WITH CSV",
+                        stream,
+                    )
+            finally:
+                conn.close()
+            n = stream.rows
+        yield pa.RecordBatch.from_pydict({"rows": pa.array([n], pa.int64())})
+
+    out = df.mapInArrow(_stage_partition, "rows long").agg({"rows": "sum"}).collect()
+    n = int(out[0][0] or 0)
 
     pub = psycopg2.connect(**conn_params)
     try:
         with pub, pub.cursor() as cur:  # ONE transaction: all-or-nothing
-            cols = ", ".join(f'"{c}"' for c in target.columns)
             cur.execute(
-                f"INSERT INTO {target.qualified} ({cols}) "
-                f"SELECT {cols} FROM {stage.qualified}"
+                "SELECT tablename FROM pg_tables "
+                "WHERE schemaname = %s AND tablename LIKE %s",
+                (target.schema, stage_prefix.replace("_", r"\_") + "%"),
             )
+            stages = sorted(r[0] for r in cur.fetchall())
+            for st in stages:
+                cur.execute(
+                    f'INSERT INTO {tgt_qualified} ({col_list}) '
+                    f'SELECT {col_list} FROM "{target.schema}"."{st}"'
+                )
             cur.execute(
                 f"INSERT INTO {ledger} (table_name, batch_id, n_rows) "
-                f"VALUES ('{target.name}', {int(batch_id)}, {n})"
+                f"VALUES (%s, %s, %s)",
+                (target.name, int(batch_id), n),
             )
-            cur.execute(f"DROP TABLE {stage.qualified}")
+            for st in stages:
+                cur.execute(f'DROP TABLE "{target.schema}"."{st}"')
     finally:
         pub.close()
     return n

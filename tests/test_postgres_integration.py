@@ -318,11 +318,12 @@ class TestExactlyOnceStreaming:
                        event_id BIGINT, user_id BIGINT, event_type TEXT,
                        value DOUBLE PRECISION)"""
             )
-            # simulate the crash artifact: stale stage with garbage rows
-            cur.execute("DROP TABLE IF EXISTS ev_sink2__stage_7")
-            cur.execute("CREATE TABLE ev_sink2__stage_7 (LIKE ev_sink2)")
+            # simulate the crash artifact: stale per-partition stage with
+            # garbage rows (partition 0 of a died batch-7 attempt)
+            cur.execute("DROP TABLE IF EXISTS ev_sink2__stage_7_p0")
+            cur.execute("CREATE TABLE ev_sink2__stage_7_p0 (LIKE ev_sink2)")
             cur.execute(
-                "INSERT INTO ev_sink2__stage_7 VALUES (999, 999, 'stale', 0.0)"
+                "INSERT INTO ev_sink2__stage_7_p0 VALUES (999, 999, 'stale', 0.0)"
             )
         target = TargetTable(
             schema="public",

@@ -287,9 +287,11 @@ def test_interval_overlap_bucketing_equals_nested_loop(spark, a_iv, b_iv):
     from pandas_to_postgres_spark.operators.joins import interval_overlap_pairs
 
     def frame(ivs, ida, s, e):
+        # intervals are NOT normalized: inverted (start > end) rows must
+        # flow through — the operator guards them with least/greatest
         rows = [
-            (i, BASE + datetime.timedelta(minutes=min(x, y)),
-             BASE + datetime.timedelta(minutes=max(x, y)))
+            (i, BASE + datetime.timedelta(minutes=x),
+             BASE + datetime.timedelta(minutes=y))
             for i, (x, y) in enumerate(ivs)
         ]
         return spark.createDataFrame(rows, f"{ida} int, {s} timestamp, {e} timestamp")
