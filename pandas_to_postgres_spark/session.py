@@ -26,6 +26,8 @@ def get_spark(app_name: str = "pandas_to_postgres_spark") -> SparkSession:
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Python DataSource filter pushdown (sources/pg_datasource.py)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # parquet scans: vectorized reader on, sane split size for local runs
         .config("spark.sql.files.maxPartitionBytes", "128m")

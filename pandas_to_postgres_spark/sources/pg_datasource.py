@@ -1,0 +1,215 @@
+"""Spark 4 Python DataSource: read FROM PostgreSQL over the pure-Python
+wire client — `spark.read.format("pgwire")`.
+
+The reference only loads INTO Postgres; this closes the loop so a loaded
+table can be read back, verified, or joined as a Spark source without a
+JDBC driver (none ships in this container — the same gap `sinks/pgwire.py`
+fills on the write side).
+
+Scale shape:
+
+- **Partitioned reads**: with ``partitionColumn`` + ``numPartitions``,
+  partition i issues ``WHERE mod(abs(<col>), N) = i`` — N executors each
+  pull a disjoint slice over their own connection, the same
+  one-connection-per-task discipline as the COPY sink. NULL keys ride
+  partition 0.
+- **Filter pushdown** (`pushFilters`, Spark 4.1): EqualTo / GreaterThan /
+  LessThan / >= / <= on plain columns are compiled into the WHERE clause
+  so the SERVER prunes rows before they cross the wire; everything else is
+  returned to Spark for post-scan evaluation (the API contract).
+- Schema comes from ``information_schema.columns`` at plan time; pgwire
+  returns text, and each column is converted by declared type in the
+  reader (BIGINT/INT → int, DOUBLE/REAL → float, BOOLEAN → 't'/'f',
+  DATE/TIMESTAMP → datetime, NUMERIC → Decimal).
+
+Usage::
+
+    spark.dataSource.register(PostgresDataSource)
+    df = (spark.read.format("pgwire")
+          .option("host", sockdir).option("port", 5432)
+          .option("user", "spark").option("dbname", "spark")
+          .option("table", "lineitem")
+          .option("partitionColumn", "l_orderkey")
+          .option("numPartitions", "8")
+          .load())
+"""
+
+from __future__ import annotations
+
+import datetime
+from decimal import Decimal
+from typing import Iterator, List
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+
+#: information_schema data_type → (Spark DDL type, python converter)
+_PG_TYPES = {
+    "bigint": ("bigint", int),
+    "integer": ("int", int),
+    "smallint": ("smallint", int),
+    "double precision": ("double", float),
+    "real": ("float", float),
+    "numeric": ("decimal(38,18)", Decimal),
+    "text": ("string", str),
+    "character varying": ("string", str),
+    "character": ("string", str),
+    "boolean": ("boolean", lambda v: v == "t"),
+    "date": ("date", datetime.date.fromisoformat),
+    "timestamp without time zone": (
+        "timestamp_ntz",
+        datetime.datetime.fromisoformat,
+    ),
+}
+
+
+def _connect(options):
+    from pandas_to_postgres_spark.sinks import pgwire  # noqa: PLC0415
+
+    kwargs = {"user": options.get("user", "spark"), "dbname": options.get("dbname", "spark")}
+    if options.get("host"):
+        kwargs["host"] = options["host"]
+    if options.get("port"):
+        kwargs["port"] = int(options["port"])
+    return pgwire.connect(**kwargs)
+
+
+def _sql_literal(v) -> str:
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return f"'{v.isoformat()}'"
+    return str(v)
+
+
+class PostgresReaderNoPushdown(DataSourceReader):
+    """Partitioned reader WITHOUT pushFilters: merely DEFINING pushFilters
+    makes Spark raise [DATA_SOURCE_PUSHDOWN_DISABLED] at plan time when
+    ``spark.sql.python.filterPushdown.enabled`` is false (the default) —
+    so sessions without the conf get this class and evaluate filters
+    Spark-side."""
+
+    def __init__(self, options, columns, converters):
+        self.options = dict(options)
+        self.columns = columns
+        self.converters = converters
+        self.pushed: List[str] = []
+
+    def partitions(self):
+        n = int(self.options.get("numpartitions", "1"))
+        return [InputPartition(i) for i in range(max(1, n))]
+
+    def _where(self, pid: int) -> str:
+        preds = list(self.pushed)
+        n = int(self.options.get("numpartitions", "1"))
+        pcol = self.options.get("partitioncolumn")
+        if n > 1 and pcol:
+            part = f'mod(abs("{pcol}"), {n}) = {pid}'
+            if pid == 0:  # NULL keys ride partition 0
+                part = f'({part} OR "{pcol}" IS NULL)'
+            preds.append(part)
+        return (" WHERE " + " AND ".join(preds)) if preds else ""
+
+    def read(self, partition: InputPartition) -> Iterator[tuple]:
+        schema = self.options.get("schema", "public")
+        table = self.options["table"]
+        cols = ", ".join(f'"{c}"' for c in self.columns)
+        sql = (
+            f'SELECT {cols} FROM "{schema}"."{table}"'
+            + self._where(partition.value)
+        )
+        conn = _connect(self.options)
+        try:
+            with conn, conn.cursor() as cur:
+                cur.execute(sql)
+                convs = self.converters
+                for row in cur.fetchall():
+                    yield tuple(
+                        None if v is None else conv(v)
+                        for v, conv in zip(row, convs)
+                    )
+        finally:
+            conn.close()
+
+
+class PostgresReader(PostgresReaderNoPushdown):
+    _OPS = {
+        EqualTo: "=",
+        GreaterThan: ">",
+        GreaterThanOrEqual: ">=",
+        LessThan: "<",
+        LessThanOrEqual: "<=",
+    }
+
+    def pushFilters(self, filters):  # noqa: N802 - API name
+        for f in filters:
+            op = self._OPS.get(type(f))
+            # only plain top-level columns ride the WHERE clause
+            if op is not None and len(f.attribute) == 1:
+                col = f.attribute[0]
+                self.pushed.append(f'"{col}" {op} {_sql_literal(f.value)}')
+            else:
+                yield f
+
+class PostgresDataSource(DataSource):
+    """``spark.read.format("pgwire")`` — see module docstring."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "pgwire"
+
+    def _columns(self):
+        conn = _connect(self.options)
+        try:
+            with conn, conn.cursor() as cur:
+                cur.execute(
+                    "SELECT column_name, data_type FROM information_schema.columns"
+                    " WHERE table_schema = %s AND table_name = %s"
+                    " ORDER BY ordinal_position",
+                    (self.options.get("schema", "public"), self.options["table"]),
+                )
+                rows = cur.fetchall()
+        finally:
+            conn.close()
+        if not rows:
+            raise ValueError(f"table {self.options['table']!r} does not exist")
+        cols, ddl, convs = [], [], []
+        for name, dtype in rows:
+            spark_t, conv = _PG_TYPES.get(dtype, ("string", str))
+            cols.append(name)
+            ddl.append(f"{name} {spark_t}")
+            convs.append(conv)
+        return cols, ", ".join(ddl), convs
+
+    def schema(self) -> str:
+        self._cols, ddl, self._convs = self._columns()
+        return ddl
+
+    def reader(self, schema) -> PostgresReaderNoPushdown:
+        if not hasattr(self, "_cols"):
+            self.schema()
+        # runs driver-side: pick the pushdown-capable reader only when the
+        # session allows it — defining pushFilters under a session with
+        # spark.sql.python.filterPushdown.enabled=false is a plan-time error
+        from pyspark.sql import SparkSession  # noqa: PLC0415
+
+        sess = SparkSession.getActiveSession()
+        enabled = (
+            sess is not None
+            and str(
+                sess.conf.get("spark.sql.python.filterPushdown.enabled", "false")
+            ).lower()
+            == "true"
+        )
+        cls = PostgresReader if enabled else PostgresReaderNoPushdown
+        return cls(self.options, self._cols, self._convs)

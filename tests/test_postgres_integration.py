@@ -345,3 +345,92 @@ class TestExactlyOnceStreaming:
             )
             assert int(cur.fetchall()[0][0]) == 0
         conn.close()
+
+
+class TestPostgresDataSource:
+    """spark.read.format("pgwire"): the Spark 4 Python DataSource reading
+    back from a REAL server — schema inference, typed conversion,
+    modulo-partitioned parallel reads, and WHERE-clause filter pushdown."""
+
+    def _seed(self, conn_params):
+        conn = pgwire.connect(**conn_params)
+        conn.autocommit = True
+        with conn.cursor() as cur:
+            cur.execute("DROP TABLE IF EXISTS ds_src")
+            cur.execute(
+                """CREATE TABLE ds_src (
+                       id BIGINT, name TEXT, val DOUBLE PRECISION,
+                       flag BOOLEAN, d DATE, ts TIMESTAMP)"""
+            )
+            for i in range(50):
+                cur.execute(
+                    "INSERT INTO ds_src VALUES (%s, %s, %s, %s, %s, %s)",
+                    (
+                        i,
+                        f"row'{i}",
+                        i * 1.5,
+                        i % 2 == 0,
+                        f"2024-01-{1 + i % 28:02d}",
+                        f"2024-01-01 10:00:{i % 60:02d}.25",
+                    ),
+                )
+            # NULLs everywhere incl. the partition key
+            cur.execute(
+                "INSERT INTO ds_src VALUES (NULL, NULL, NULL, NULL, NULL, NULL)"
+            )
+        conn.close()
+
+    def _reader(self, spark, conn_params, **opts):
+        from pandas_to_postgres_spark.sources.pg_datasource import (
+            PostgresDataSource,
+        )
+
+        spark.dataSource.register(PostgresDataSource)
+        r = (
+            spark.read.format("pgwire")
+            .option("host", conn_params["host"])
+            .option("port", str(conn_params["port"]))
+            .option("user", conn_params["user"])
+            .option("dbname", conn_params["dbname"])
+            .option("table", "ds_src")
+        )
+        for k, v in opts.items():
+            r = r.option(k, v)
+        return r.load()
+
+    def test_schema_types_and_roundtrip(self, spark, schema):
+        import datetime
+
+        self._seed(schema)
+        df = self._reader(spark, schema)
+        assert dict(df.dtypes) == {
+            "id": "bigint", "name": "string", "val": "double",
+            "flag": "boolean", "d": "date", "ts": "timestamp_ntz",
+        }
+        rows = {r["id"]: r for r in df.collect()}
+        assert len(rows) == 51 and None in rows
+        assert rows[3]["name"] == "row'3" and rows[3]["val"] == 4.5
+        assert rows[4]["flag"] is True and rows[5]["flag"] is False
+        assert rows[7]["d"] == datetime.date(2024, 1, 8)
+        assert rows[9]["ts"] == datetime.datetime(2024, 1, 1, 10, 0, 9, 250000)
+
+    def test_partitioned_read_equals_single_and_covers_nulls(self, spark, schema):
+        self._seed(schema)
+        single = sorted(map(str, self._reader(spark, schema).collect()))
+        parted = self._reader(
+            spark, schema, partitionColumn="id", numPartitions="4"
+        )
+        assert parted.rdd.getNumPartitions() == 4
+        assert sorted(map(str, parted.collect())) == single
+
+    def test_filter_pushdown_prunes_on_server(self, spark, schema):
+        self._seed(schema)
+        df = self._reader(
+            spark, schema, partitionColumn="id", numPartitions="3"
+        ).filter("val > 30.0 AND flag = true")
+        got = sorted(r["id"] for r in df.collect())
+        assert got == [i for i in range(50) if i * 1.5 > 30.0 and i % 2 == 0]
+        # the >/= predicates are compiled into the WHERE clause (pushed),
+        # visible as a plan WITHOUT a Spark-side Filter over those columns
+        # only when fully pushed; at minimum the scan stays correct with
+        # partition predicates AND pushed filters combined
