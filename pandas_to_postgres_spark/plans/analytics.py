@@ -874,3 +874,53 @@ def ab_test_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d").alias("nonconv_test"),
         guarded.alias("chisq"),
     )
+
+
+@register(
+    "sessionize_events",
+    oracle="""
+    WITH marked AS (
+        SELECT event_id, user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR datediff('microsecond', lag(ts) OVER w, ts)
+                            > 30 * 60 * 1000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT event_id, user_id,
+           CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS BIGINT)
+               AS session_seq
+    FROM marked
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level sessionization: every event gets its user's session
+    NUMBER (1, 2, ...) under a 30-minute inactivity gap — the
+    gaps-and-islands assignment that lets downstream joins/filters work
+    per session (the aggregate twin, `session_windows`, only emits
+    session summaries via `F.session_window`).
+
+    Scale: both window passes (the lag mark and the running sum) share
+    ONE (user_id, (ts, event_id)) sort and partitioning — a single
+    exchange keyed by user; ties broken by event_id so the assignment is
+    deterministic under any partitioning."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.withColumn("__prev", F.lag("ts").over(w)).withColumn(
+        "__new",
+        (
+            F.col("__prev").isNull()
+            | (
+                F.expr("timestampdiff(MICROSECOND, __prev, ts)")
+                > 30 * 60 * 1000000
+            )
+        ).cast("int"),
+    )
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return marked.select(
+        "event_id",
+        "user_id",
+        F.sum("__new").over(run).alias("session_seq"),
+    )

@@ -417,3 +417,10 @@ class TestAnalyticsShapes:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
         assert "Generate explode" in plan
+
+    def test_sessionize_windows_share_one_sort(self, spark):
+        # the lag mark and the running session counter must ride ONE
+        # (user, ts, event_id) sort + exchange, not two
+        plan = plan_of(spark, "sessionize_events")
+        assert plan.count("Sort [user_id") <= 2  # lag pass + sum pass, same key
+        assert shuffles(plan) == 1
