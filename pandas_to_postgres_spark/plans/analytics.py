@@ -924,3 +924,39 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.sum("__new").over(run).alias("session_seq"),
     )
+
+
+@register(
+    "feature_hash_docs",
+    oracle=f"""
+    SELECT doc_id,
+           strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1 AS bucket,
+           count(*) AS cnt
+    FROM (SELECT doc_id, unnest({_RAW_TOKS_SQL}) AS tok FROM documents)
+    GROUP BY 1, 2
+    """,
+)
+def feature_hash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (the hashing trick): each token maps to one of 16
+    buckets via its md5 first hex digit, yielding a fixed-width
+    bag-of-words count vector per document in (doc_id, bucket, cnt) form —
+    the memory-bounded text featurizer that needs no vocabulary pass.
+
+    The bucket function is md5-hex in BOTH engines (xxhash64 has no DuckDB
+    twin; instr-over-hex-digit gives an identical 0..15 value
+    cross-engine). Scale: map-only token→bucket projection into one
+    map-side-combinable groupBy — no vocabulary state, no joins, width
+    fixed regardless of corpus size (the trick's whole point)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(tokens_expr(F.lower(F.col("text")))).alias("tok")
+    )
+    bucket = (
+        F.instr(
+            F.lit("0123456789abcdef"), F.substring(F.md5(F.col("tok")), 1, 1)
+        )
+        - 1
+    ).cast("long")
+    return toks.groupBy("doc_id", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
