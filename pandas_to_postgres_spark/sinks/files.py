@@ -129,3 +129,29 @@ def write_sorted(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def overwrite_partitions(
+    df: DataFrame,
+    path: str,
+    partition_cols: Sequence[str],
+) -> None:
+    """Dynamic partition overwrite: replace ONLY the partitions present in
+    ``df``, leaving all other partition directories untouched — the
+    idempotent daily-job write (re-running a day replaces that day, never
+    truncates history). Static overwrite mode (Spark's default) would drop
+    the WHOLE dataset first; this scopes the overwrite to the incoming
+    partition values via ``spark.sql.sources.partitionOverwriteMode=dynamic``,
+    set per-write and restored after."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            df.repartition(*partition_cols)
+            .write.mode("overwrite")
+            .partitionBy(*partition_cols)
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

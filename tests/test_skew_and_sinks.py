@@ -335,3 +335,40 @@ class TestSortedExport:
         for (a0, a1), (b0, b1) in zip(ranges, ranges[1:]):
             assert a1 <= b0
         assert total == li.count()
+
+
+class TestDynamicPartitionOverwrite:
+    def test_rerun_replaces_only_its_partitions(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from pandas_to_postgres_spark.sinks.files import overwrite_partitions
+        from pandas_to_postgres_spark.sources.parquet import load_table
+
+        out = str(tmp_path / "daily")
+        ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+            "event_id", "value", F.to_date("ts").cast("string").alias("day")
+        )
+        overwrite_partitions(ev, out, ["day"])
+        before = spark.read.parquet(out)
+        n_days = before.select("day").distinct().count()
+        total = before.count()
+        one_day = before.select("day").orderBy("day").first()["day"]
+        n_day_before = before.filter(F.col("day") == one_day).count()
+
+        # re-run ONE day with modified rows: only that day changes
+        redo = ev.filter(F.col("day") == one_day).withColumn(
+            "value", F.lit(-1.0)
+        )
+        overwrite_partitions(redo, out, ["day"])
+        after = spark.read.parquet(out)
+        assert after.count() == total
+        assert after.select("day").distinct().count() == n_days
+        day_rows = after.filter(F.col("day") == one_day)
+        assert day_rows.count() == n_day_before
+        assert day_rows.filter(F.col("value") != -1.0).count() == 0
+        assert after.filter((F.col("day") != one_day) & (F.col("value") == -1.0)).count() == 0
+        # conf restored
+        assert (
+            spark.conf.get("spark.sql.sources.partitionOverwriteMode").upper()
+            == "STATIC"
+        )
