@@ -140,18 +140,15 @@ def overwrite_partitions(
     ``df``, leaving all other partition directories untouched — the
     idempotent daily-job write (re-running a day replaces that day, never
     truncates history). Static overwrite mode (Spark's default) would drop
-    the WHOLE dataset first; this scopes the overwrite to the incoming
-    partition values via ``spark.sql.sources.partitionOverwriteMode=dynamic``,
-    set per-write and restored after."""
-    spark = df.sparkSession
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        (
-            df.repartition(*partition_cols)
-            .write.mode("overwrite")
-            .partitionBy(*partition_cols)
-            .parquet(path)
-        )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    the WHOLE dataset first; the WRITER-scoped
+    ``option("partitionOverwriteMode", "dynamic")`` (takes precedence over
+    the session conf since Spark 2.4) scopes the overwrite to the incoming
+    partition values without mutating session state — a save/set/restore
+    of the global conf would race concurrent writes on the same session."""
+    (
+        df.repartition(*partition_cols)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )

@@ -255,10 +255,22 @@ def reflect_target_table(conn_params: dict, schema: str, name: str) -> TargetTab
     )
 
 
-def parallel_copy(df: DataFrame, conn_params: dict, sql: str) -> int:
+def parallel_copy(
+    df: DataFrame,
+    conn_params: dict,
+    sql: Optional[str] = None,
+    task_plan=None,
+) -> int:
     """The parallel COPY data plane: one streaming ``COPY ... FROM STDIN``
     per Spark partition, rows travelling JVM→Python as Arrow record
     batches. Returns the total row count copied.
+
+    ``sql`` is the COPY statement every task runs; alternatively
+    ``task_plan(partition_id) -> (setup_sqls, copy_sql)`` lets each task
+    run per-partition DDL and COPY into its own table IN ONE TRANSACTION
+    (the exactly-once stager uses this — see
+    :func:`load_batch_exactly_once`). Exactly one of the two must be
+    given.
 
     Executor-side each task opens its own connection (the reference's
     "engine contains process specific stuff" rebuild, `hdf_to_postgres.py:
@@ -267,12 +279,15 @@ def parallel_copy(df: DataFrame, conn_params: dict, sql: str) -> int:
     row-iterator foreachPartition formulation end-to-end. Memory is
     bounded by the Arrow batch size
     (spark.sql.execution.arrow.maxRecordsPerBatch)."""
+    if (sql is None) == (task_plan is None):
+        raise ValueError("pass exactly one of sql / task_plan")
     params = dict(conn_params)
 
     def _copy_batches(batches: Iterator) -> Iterator:
         import itertools  # noqa: PLC0415
 
         import pyarrow as pa  # noqa: PLC0415
+        from pyspark import TaskContext  # noqa: PLC0415
 
         try:
             import psycopg2 as pg  # noqa: PLC0415
@@ -282,11 +297,21 @@ def parallel_copy(df: DataFrame, conn_params: dict, sql: str) -> int:
         first = next(batches, None)
         n = 0
         if first is not None:  # empty partition: never open a connection
+            if task_plan is not None:
+                pid = TaskContext.get().partitionId()
+                setup_sqls, copy_stmt = task_plan(pid)
+            else:
+                setup_sqls, copy_stmt = [], sql
             stream = _ArrowCsvStream(itertools.chain([first], batches))
             conn = pg.connect(**params)
             try:
+                # setup + COPY share one transaction: a retried or
+                # speculative task attempt serializes on its DDL locks
+                # and REPLACES its previous attempt's work
                 with conn, conn.cursor() as cur:
-                    cur.copy_expert(sql, stream)
+                    for s in setup_sqls:
+                        cur.execute(s)
+                    cur.copy_expert(copy_stmt, stream)
             finally:
                 conn.close()
             n = stream.rows
@@ -365,16 +390,15 @@ def load_batch_exactly_once(
             )
             if cur.fetchall():
                 return 0  # replayed epoch: already published atomically
-            # drop ALL stage tables from prior crashed attempts of this
-            # batch: a retry may run with fewer partitions, and publish
+            # drop stage tables from prior crashed attempts OF THIS BATCH
+            # ONLY: a retry may run with fewer partitions, and publish
             # discovers stages by prefix — a stale higher-numbered
-            # partition table would otherwise be published alongside
-            cur.execute(
-                "SELECT tablename FROM pg_tables "
-                "WHERE schemaname = %s AND tablename LIKE %s",
-                (target.schema, f"{target.name}__stage_".replace("_", r"\_") + "%"),
-            )
-            for (st,) in cur.fetchall():
+            # partition table would otherwise be published alongside.
+            # Other batches' stages are untouched: concurrent loaders for
+            # other batch_ids of the same target must not lose in-flight
+            # work. The regex (not just LIKE) keeps user tables that merely
+            # share the naming shape (e.g. '<t>__stage_7_preview') safe.
+            for st in _this_batch_stages(cur, target, stage_prefix):
                 cur.execute(f'DROP TABLE "{target.schema}"."{st}"')
     finally:
         ctl.close()
@@ -383,59 +407,25 @@ def load_batch_exactly_once(
     df = batch_df.select(*cols)
     if num_partitions is not None:
         df = df.repartition(num_partitions)
-    params = dict(conn_params)
     schema, tgt_qualified = target.schema, target.qualified
     col_list = ", ".join(f'"{c}"' for c in cols)
 
-    def _stage_partition(batches: Iterator) -> Iterator:
-        import itertools  # noqa: PLC0415
+    def _task_plan(pid: int):
+        stage_q = f'"{schema}"."{stage_prefix}{pid}"'
+        return (
+            [
+                f"DROP TABLE IF EXISTS {stage_q}",
+                f"CREATE TABLE {stage_q} (LIKE {tgt_qualified} INCLUDING DEFAULTS)",
+            ],
+            f"COPY {stage_q} ({col_list}) FROM STDIN WITH CSV",
+        )
 
-        import pyarrow as pa  # noqa: PLC0415
-        from pyspark import TaskContext  # noqa: PLC0415
-
-        try:
-            import psycopg2 as pg  # noqa: PLC0415
-        except ImportError:
-            from pandas_to_postgres_spark.sinks import pgwire as pg  # noqa: PLC0415
-
-        first = next(batches, None)
-        n = 0
-        if first is not None:
-            pid = TaskContext.get().partitionId()
-            stage_q = f'"{schema}"."{stage_prefix}{pid}"'
-            stream = _ArrowCsvStream(itertools.chain([first], batches))
-            conn = pg.connect(**params)
-            try:
-                # ONE transaction: replace-this-partition's-stage + COPY.
-                # Retried/speculative attempts block on the DROP lock and
-                # the last committer wins — never an append.
-                with conn, conn.cursor() as cur:
-                    cur.execute(f"DROP TABLE IF EXISTS {stage_q}")
-                    cur.execute(
-                        f"CREATE TABLE {stage_q} "
-                        f"(LIKE {tgt_qualified} INCLUDING DEFAULTS)"
-                    )
-                    cur.copy_expert(
-                        f"COPY {stage_q} ({col_list}) FROM STDIN WITH CSV",
-                        stream,
-                    )
-            finally:
-                conn.close()
-            n = stream.rows
-        yield pa.RecordBatch.from_pydict({"rows": pa.array([n], pa.int64())})
-
-    out = df.mapInArrow(_stage_partition, "rows long").agg({"rows": "sum"}).collect()
-    n = int(out[0][0] or 0)
+    n = parallel_copy(df, conn_params, task_plan=_task_plan)
 
     pub = psycopg2.connect(**conn_params)
     try:
         with pub, pub.cursor() as cur:  # ONE transaction: all-or-nothing
-            cur.execute(
-                "SELECT tablename FROM pg_tables "
-                "WHERE schemaname = %s AND tablename LIKE %s",
-                (target.schema, stage_prefix.replace("_", r"\_") + "%"),
-            )
-            stages = sorted(r[0] for r in cur.fetchall())
+            stages = _this_batch_stages(cur, target, stage_prefix)
             for st in stages:
                 cur.execute(
                     f'INSERT INTO {tgt_qualified} ({col_list}) '
@@ -451,6 +441,21 @@ def load_batch_exactly_once(
     finally:
         pub.close()
     return n
+
+
+def _this_batch_stages(cur, target: TargetTable, stage_prefix: str) -> list:
+    """Stage tables of THIS batch only: prefix LIKE narrowed by an exact
+    ``<prefix><digits>`` regex, so neither other batches' in-flight stages
+    nor user tables that happen to share the prefix shape are touched."""
+    import re  # noqa: PLC0415
+
+    cur.execute(
+        "SELECT tablename FROM pg_tables "
+        "WHERE schemaname = %s AND tablename LIKE %s",
+        (target.schema, stage_prefix.replace("_", r"\_") + "%"),
+    )
+    pat = re.compile(re.escape(stage_prefix) + r"\d+$")
+    return sorted(r[0] for r in cur.fetchall() if pat.fullmatch(r[0]))
 
 
 def copy_to_postgres(

@@ -13,10 +13,15 @@ Scale shape:
   pull a disjoint slice over their own connection, the same
   one-connection-per-task discipline as the COPY sink. NULL keys ride
   partition 0.
-- **Filter pushdown** (`pushFilters`, Spark 4.1): EqualTo / GreaterThan /
-  LessThan / >= / <= on plain columns are compiled into the WHERE clause
-  so the SERVER prunes rows before they cross the wire; everything else is
-  returned to Spark for post-scan evaluation (the API contract).
+- **Filter pushdown** (`pushFilters`, Spark 4.1): opt in with
+  ``option("pushdown", "true")`` on a session where
+  ``spark.sql.python.filterPushdown.enabled=true`` (the option exists
+  because ``reader()`` runs in Spark's session-less planning worker and
+  cannot read the conf). EqualTo on any type and inequalities on
+  NON-string values compile into the WHERE clause so the SERVER prunes
+  rows before they cross the wire; string inequalities stay Spark-side
+  (server collation vs binary ordering), as does everything else the API
+  hands back.
 - Schema comes from ``information_schema.columns`` at plan time; pgwire
   returns text, and each column is converted by declared type in the
   reader (BIGINT/INT → int, DOUBLE/REAL → float, BOOLEAN → 't'/'f',
@@ -96,8 +101,8 @@ class PostgresReaderNoPushdown(DataSourceReader):
     """Partitioned reader WITHOUT pushFilters: merely DEFINING pushFilters
     makes Spark raise [DATA_SOURCE_PUSHDOWN_DISABLED] at plan time when
     ``spark.sql.python.filterPushdown.enabled`` is false (the default) —
-    so sessions without the conf get this class and evaluate filters
-    Spark-side."""
+    so readers built without ``option("pushdown", "true")`` use this class
+    and evaluate filters Spark-side."""
 
     def __init__(self, options, columns, converters):
         self.options = dict(options)
@@ -152,14 +157,34 @@ class PostgresReader(PostgresReaderNoPushdown):
     }
 
     def pushFilters(self, filters):  # noqa: N802 - API name
+        import pyspark.sql.datasource as _ds  # noqa: PLC0415
+
+        null_ops = {
+            getattr(_ds, "IsNull", ()): "IS NULL",
+            getattr(_ds, "IsNotNull", ()): "IS NOT NULL",
+        }
         for f in filters:
+            if type(f) in null_ops and len(f.attribute) == 1:
+                self.pushed.append(f'"{f.attribute[0]}" {null_ops[type(f)]}')
+                continue
             op = self._OPS.get(type(f))
-            # only plain top-level columns ride the WHERE clause
-            if op is not None and len(f.attribute) == 1:
+            # only plain top-level columns ride the WHERE clause — and
+            # inequality only on NON-string values: string ordering on the
+            # server follows the database collation (often linguistic,
+            # e.g. en_US.UTF-8) while Spark compares binary codepoints, so
+            # a pushed "name > 'a'" could return rows Spark would exclude.
+            # Equality is collation-safe under Postgres's default
+            # deterministic collations.
+            if (
+                op is not None
+                and len(f.attribute) == 1
+                and (op == "=" or not isinstance(f.value, str))
+            ):
                 col = f.attribute[0]
                 self.pushed.append(f'"{col}" {op} {_sql_literal(f.value)}')
             else:
                 yield f
+
 
 class PostgresDataSource(DataSource):
     """``spark.read.format("pgwire")`` — see module docstring."""
@@ -196,20 +221,28 @@ class PostgresDataSource(DataSource):
         return ddl
 
     def reader(self, schema) -> PostgresReaderNoPushdown:
-        if not hasattr(self, "_cols"):
-            self.schema()
-        # runs driver-side: pick the pushdown-capable reader only when the
-        # session allows it — defining pushFilters under a session with
-        # spark.sql.python.filterPushdown.enabled=false is a plan-time error
-        from pyspark.sql import SparkSession  # noqa: PLC0415
-
-        sess = SparkSession.getActiveSession()
-        enabled = (
-            sess is not None
-            and str(
-                sess.conf.get("spark.sql.python.filterPushdown.enabled", "false")
-            ).lower()
-            == "true"
-        )
+        all_cols, _, all_convs = self._columns()
+        # honor a user-supplied .schema(...): Spark skips calling schema()
+        # and hands the user's StructType here — project and convert ONLY
+        # those fields (in the user's order), instead of yielding
+        # full-width tuples against a narrower expected schema
+        conv_by_name = dict(zip(all_cols, all_convs))
+        cols, convs = [], []
+        for name in schema.fieldNames():
+            if name not in conv_by_name:
+                raise ValueError(
+                    f"column {name!r} not in table "
+                    f"{self.options['table']!r} ({all_cols})"
+                )
+            cols.append(name)
+            convs.append(conv_by_name[name])
+        # reader() runs in Spark's spawned planning worker, which has NO
+        # SparkSession/SparkContext — the conf is unreadable here, so the
+        # pushdown-capable reader is opted into via option("pushdown",
+        # "true") (requires spark.sql.python.filterPushdown.enabled=true
+        # on the session, else Spark raises DATA_SOURCE_PUSHDOWN_DISABLED
+        # at plan time). A getActiveSession()-based probe would silently
+        # always pick the no-pushdown reader.
+        enabled = str(self.options.get("pushdown", "false")).lower() == "true"
         cls = PostgresReader if enabled else PostgresReaderNoPushdown
-        return cls(self.options, self._cols, self._convs)
+        return cls(self.options, cols, convs)

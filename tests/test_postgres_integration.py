@@ -426,11 +426,103 @@ class TestPostgresDataSource:
     def test_filter_pushdown_prunes_on_server(self, spark, schema):
         self._seed(schema)
         df = self._reader(
-            spark, schema, partitionColumn="id", numPartitions="3"
+            spark, schema, partitionColumn="id", numPartitions="3",
+            pushdown="true",
         ).filter("val > 30.0 AND flag = true")
         got = sorted(r["id"] for r in df.collect())
         assert got == [i for i in range(50) if i * 1.5 > 30.0 and i % 2 == 0]
-        # the >/= predicates are compiled into the WHERE clause (pushed),
-        # visible as a plan WITHOUT a Spark-side Filter over those columns
-        # only when fully pushed; at minimum the scan stays correct with
-        # partition predicates AND pushed filters combined
+        # pushdown ENGAGED: both predicates were accepted by pushFilters,
+        # so the optimized plan carries no Spark-side Filter at all —
+        # without the option (or with a string inequality) it would
+        optimized = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "Filter" not in optimized
+
+    def test_string_inequality_stays_spark_side(self, spark, schema):
+        self._seed(schema)
+        df = self._reader(spark, schema, pushdown="true").filter("name > 'row'")
+        # collation-unsafe pushdown refused -> Spark evaluates it
+        optimized = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "Filter" in optimized
+        assert df.count() == 50  # every non-null name starts with 'row'
+
+    def test_user_supplied_schema_projects_columns(self, spark, schema):
+        self._seed(schema)
+        from pandas_to_postgres_spark.sources.pg_datasource import (
+            PostgresDataSource,
+        )
+
+        spark.dataSource.register(PostgresDataSource)
+        conn_params = schema
+        df = (
+            spark.read.format("pgwire")
+            .schema("val double, id bigint")  # subset, reordered
+            .option("host", conn_params["host"])
+            .option("port", str(conn_params["port"]))
+            .option("user", conn_params["user"])
+            .option("dbname", conn_params["dbname"])
+            .option("table", "ds_src")
+            .load()
+        )
+        assert df.columns == ["val", "id"]
+        rows = {r["id"]: r["val"] for r in df.collect()}
+        assert rows[4] == 6.0 and rows[None] is None
+
+
+class TestExactlyOnceIsolation:
+    def test_other_batches_and_lookalike_tables_survive(self, spark, schema):
+        """Batch-scoped cleanup: another batch's in-flight stage and a user
+        table that merely shares the stage naming shape must be neither
+        dropped nor published."""
+        from pandas_to_postgres_spark.sinks.postgres_copy import (
+            TargetTable,
+            load_batch_exactly_once,
+        )
+
+        conn_params = schema
+        conn = pgwire.connect(**conn_params)
+        conn.autocommit = True
+        with conn.cursor() as cur:
+            cur.execute(
+                """CREATE TABLE IF NOT EXISTS ev_sink3 (
+                       event_id BIGINT, user_id BIGINT, event_type TEXT,
+                       value DOUBLE PRECISION)"""
+            )
+            for tbl in ("ev_sink3__stage_9_p0", "ev_sink3__stage_8_preview"):
+                cur.execute(f"DROP TABLE IF EXISTS {tbl}")
+            # batch 9's in-flight stage (a CONCURRENT loader's work)
+            cur.execute("CREATE TABLE ev_sink3__stage_9_p0 (LIKE ev_sink3)")
+            cur.execute(
+                "INSERT INTO ev_sink3__stage_9_p0 VALUES (111, 1, 'inflight', 1.0)"
+            )
+            # user table that merely matches the LIKE prefix shape
+            cur.execute("CREATE TABLE ev_sink3__stage_8_preview (x INT)")
+        conn.close()
+
+        target = TargetTable(
+            schema="public",
+            name="ev_sink3",
+            columns=["event_id", "user_id", "event_type", "value"],
+        )
+        batch = (
+            spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+            .select("event_id", "user_id", "event_type", "value")
+            .limit(8)
+        )
+        assert load_batch_exactly_once(batch, conn_params, target, 8) == 8
+
+        conn = pgwire.connect(**conn_params)
+        with conn, conn.cursor() as cur:
+            cur.execute("SELECT count(*) FROM ev_sink3")
+            assert int(cur.fetchall()[0][0]) == 8  # only batch 8's rows
+            cur.execute(
+                "SELECT count(*) FROM ev_sink3 WHERE event_type = 'inflight'"
+            )
+            assert int(cur.fetchall()[0][0]) == 0  # batch 9 not published
+            cur.execute("SELECT count(*) FROM ev_sink3__stage_9_p0")
+            assert int(cur.fetchall()[0][0]) == 1  # batch 9 stage intact
+            cur.execute(
+                "SELECT count(*) FROM pg_tables "
+                "WHERE tablename = 'ev_sink3__stage_8_preview'"
+            )
+            assert int(cur.fetchall()[0][0]) == 1  # lookalike untouched
+        conn.close()

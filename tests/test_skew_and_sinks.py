@@ -367,8 +367,10 @@ class TestDynamicPartitionOverwrite:
         assert day_rows.count() == n_day_before
         assert day_rows.filter(F.col("value") != -1.0).count() == 0
         assert after.filter((F.col("day") != one_day) & (F.col("value") == -1.0)).count() == 0
-        # conf restored
+        # writer-scoped option: the session conf is never touched
         assert (
-            spark.conf.get("spark.sql.sources.partitionOverwriteMode").upper()
+            spark.conf.get(
+                "spark.sql.sources.partitionOverwriteMode", "STATIC"
+            ).upper()
             == "STATIC"
         )
