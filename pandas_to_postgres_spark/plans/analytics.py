@@ -960,3 +960,105 @@ def feature_hash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return toks.groupBy("doc_id", bucket.alias("bucket")).agg(
         F.count(F.lit(1)).alias("cnt")
     )
+
+
+@register(
+    "funnel_latency",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        FROM events GROUP BY user_id),
+    lat AS (
+        SELECT CAST(datediff('microsecond', t_signup, t_purchase) AS BIGINT)
+                   AS us
+        FROM per_user
+        WHERE t_signup IS NOT NULL AND t_purchase IS NOT NULL
+          AND t_purchase >= t_signup)
+    SELECT count(*) AS n_converted,
+           round(quantile_cont(us, 0.5) / 1000000, 2) AS p50_secs,
+           round(quantile_cont(us, 0.9) / 1000000, 2) AS p90_secs
+    FROM lat
+    """,
+)
+def funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel time-to-convert: per-user latency from FIRST signup to FIRST
+    subsequent purchase, summarized as converted-user count and p50/p90
+    latency — the activation-speed metric product analytics tracks.
+
+    Scale: one conditional-min groupBy(user) pass (map-side combinable),
+    then a single small exact-percentile aggregate over one latency value
+    per converted user (user-cardinality, not event-cardinality).
+    Latencies are exact integer MICROSECONDS in both engines (see
+    interval_overlap_join for why coarser units diverge cross-engine);
+    only the final percentile divides into seconds, rounded identically."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(
+            "t_signup"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    lat = (
+        per_user.filter(
+            F.col("t_signup").isNotNull()
+            & F.col("t_purchase").isNotNull()
+            & (F.col("t_purchase") >= F.col("t_signup"))
+        )
+        .select(
+            F.expr("timestampdiff(MICROSECOND, t_signup, t_purchase)").alias("us")
+        )
+    )
+    return lat.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(F.percentile("us", F.lit(0.5)) / 1000000, 2).alias("p50_secs"),
+        F.round(F.percentile("us", F.lit(0.9)) / 1000000, 2).alias("p90_secs"),
+    )
+
+
+@register(
+    "histogram_totalprice",
+    oracle="""
+    WITH bounds AS (
+        SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders)
+    SELECT least(CAST(floor((o_totalprice - lo)
+                            / ((hi - lo) / 20)) AS BIGINT), 19) AS bin,
+           count(*) AS n,
+           min(o_totalprice) AS bin_min,
+           max(o_totalprice) AS bin_max
+    FROM orders CROSS JOIN bounds
+    GROUP BY 1
+    """,
+)
+def histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (20 bins) of order totals: the distribution
+    profile behind data exploration and equi-width bucketing decisions.
+
+    Scale: pass 1 is a 1-row min/max aggregate, broadcast back via
+    crossJoin; pass 2 bins map-only and counts map-side-combinably. The
+    bin expression is identical double arithmetic in both engines, and
+    the top edge folds into the last bin (least(..., 19)) exactly as the
+    SQL does, so bucket membership is engine-identical."""
+    o = load_table(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    bin_expr = F.least(
+        F.floor(
+            (F.col("o_totalprice") - F.col("lo"))
+            / ((F.col("hi") - F.col("lo")) / 20)
+        ),
+        F.lit(19),
+    ).cast("long")
+    return (
+        o.crossJoin(F.broadcast(bounds))
+        .groupBy(bin_expr.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("bin_min"),
+            F.max("o_totalprice").alias("bin_max"),
+        )
+    )
