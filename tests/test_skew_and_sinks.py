@@ -374,3 +374,58 @@ class TestDynamicPartitionOverwrite:
             ).upper()
             == "STATIC"
         )
+
+
+class TestMortonLayout:
+    def test_key_matches_python_reference(self, spark):
+        from pyspark.sql import functions as F
+
+        from pandas_to_postgres_spark.functions.vectors import morton_key_expr
+
+        def py_morton(a, b, bits=16):
+            k = 0
+            for i in range(bits):
+                k |= ((a >> i) & 1) << (2 * i + 1)
+                k |= ((b >> i) & 1) << (2 * i)
+            return k
+
+        rows = [(a, b) for a in (0, 1, 5, 255, 65535) for b in (0, 2, 7, 1000)]
+        df = spark.createDataFrame(rows, "a long, b long").withColumn(
+            "k", morton_key_expr(F.col("a"), F.col("b"))
+        )
+        for r in df.collect():
+            assert r["k"] == py_morton(r["a"], r["b"]), (r["a"], r["b"])
+
+    def test_zorder_write_clusters_both_dimensions(self, spark, tmp_path):
+        import glob
+        import os
+
+        import pyarrow.parquet as pq
+        from pyspark.sql import functions as F
+
+        from pandas_to_postgres_spark.functions.vectors import morton_key_expr
+        from pandas_to_postgres_spark.sinks.files import write_sorted
+
+        # balanced 64x64 grid (the operator's documented precondition:
+        # dimensions pre-scaled to comparable bit widths — an unbalanced
+        # pair lets the wider dimension's high bits dominate every split)
+        out = str(tmp_path / "zorder")
+        grid = spark.range(64 * 64).select(
+            (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y")
+        )
+        df = grid.withColumn(
+            "zkey", morton_key_expr(F.col("x"), F.col("y"), bits=6)
+        )
+        write_sorted(df, out, ["zkey"], num_files=16)
+        parts = sorted(glob.glob(os.path.join(out, "part-*.parquet")))
+        assert len(parts) >= 8
+        # per-file min/max span of BOTH dims shrinks vs the global span
+        # (63) — that per-file tightness is what row-group/file skipping
+        # prunes on; a single-column sort only clusters its leading key
+        for col in ("x", "y"):
+            spans = []
+            for p in parts:
+                v = pq.read_table(p, columns=[col]).column(col).to_pylist()
+                spans.append(max(v) - min(v))
+            avg_span = sum(spans) / len(spans)
+            assert avg_span <= 32, (col, spans)
