@@ -1062,3 +1062,84 @@ def histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_totalprice").alias("bin_max"),
         )
     )
+
+
+@register(
+    "daily_percentile_bands",
+    oracle="""
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+           count(*) AS n,
+           round(quantile_cont(value, 0.5), 4) AS p50,
+           round(quantile_cont(value, 0.95), 4) AS p95
+    FROM events
+    GROUP BY 1
+    """,
+)
+def daily_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series percentile bands: per-day p50/p95 of the event value —
+    the latency/SLO dashboard shape (daily median + tail).
+
+    Scale: exact percentiles group by DAY, so each group is one day's
+    values — the groups shard across the cluster and no day ever needs
+    another day's data; for sketch-grade needs at extreme cardinality,
+    `percentiles_price` shows approx_percentile. Day keys travel as ISO
+    strings (DATE diverges through the oracle's pandas bridge)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.to_date("ts").cast("string").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+            F.round(F.percentile("value", F.lit(0.95)), 4).alias("p95"),
+        )
+    )
+
+
+@register(
+    "dedup_shrinkage_report",
+    oracle="""
+    WITH h AS (SELECT md5(text) AS hh, n_chars FROM documents),
+    per AS (SELECT hh, count(*) AS copies,
+                   CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS chars
+            FROM h GROUP BY hh)
+    SELECT count(*) AS distinct_texts,
+           CAST(sum(copies) AS BIGINT) AS total_docs,
+           CAST(coalesce(sum(copies) FILTER (WHERE copies > 1), 0) AS BIGINT)
+               AS docs_in_dup_groups,
+           CAST(count(*) FILTER (WHERE copies > 1) AS BIGINT) AS dup_groups,
+           CAST(sum(chars) - sum(chars / copies) AS BIGINT)
+               AS removable_chars
+    FROM per
+    """,
+)
+def dedup_shrinkage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup planning report: how much would exact dedup shrink the
+    corpus — distinct texts, docs inside duplicate groups, group count,
+    and removable characters (keeping one copy per group) — the
+    before-you-run-it sizing every dedup pass starts with.
+
+    Scale: ONE map-side-combinable groupBy on the content hash (the same
+    key `dedup_exact` keys on) followed by a 1-row summary aggregate;
+    integer character arithmetic throughout (chars/copies is exact here:
+    every copy of a text has the same n_chars, so the sum is divisible)."""
+    d = load_table(spark, sf_dir, "documents")
+    per = (
+        d.select(F.md5("text").alias("hh"), "n_chars")
+        .groupBy("hh")
+        .agg(
+            F.count(F.lit(1)).alias("copies"),
+            F.sum(F.col("n_chars").cast("long")).alias("chars"),
+        )
+    )
+    dup = F.col("copies") > 1
+    return per.agg(
+        F.count(F.lit(1)).alias("distinct_texts"),
+        F.sum("copies").alias("total_docs"),
+        F.sum(F.when(dup, F.col("copies")).otherwise(0)).alias(
+            "docs_in_dup_groups"
+        ),
+        F.count(F.when(dup, F.lit(1))).alias("dup_groups"),
+        F.sum(
+            F.col("chars") - (F.col("chars") / F.col("copies")).cast("long")
+        ).alias("removable_chars"),
+    )
