@@ -520,3 +520,76 @@ def copy_to_postgres(
         if analyze:
             cur.execute(analyze_sql(load_target))
     ddl.close()
+
+
+def upsert_to_postgres(
+    df: DataFrame,
+    conn_params: dict,
+    target: TargetTable,
+    key_cols: Sequence[str],
+    num_partitions: Optional[int] = None,
+) -> int:
+    """Incremental MERGE (SCD1 upsert) into Postgres: stage the batch via
+    the parallel COPY data plane, then ONE transaction applies
+    ``INSERT ... SELECT ... ON CONFLICT (keys) DO UPDATE`` and drops the
+    stage — new keys insert, existing keys take the batch's values, and
+    readers never see a half-applied batch.
+
+    The reference only full-refreshes (TRUNCATE + COPY); this is the
+    incremental twin a CDC pipeline needs (`operators/cdc.upsert` is the
+    Spark-side equivalent for parquet-held state). The target must carry a
+    unique constraint/index on ``key_cols`` (ON CONFLICT's arbiter).
+    Duplicate keys WITHIN the batch would make ON CONFLICT fire twice in
+    one command (a Postgres error), so the stage is deduplicated to the
+    last row per key by ctid order — pre-deduplicate upstream with
+    `operators/cdc.upsert` semantics when "last" must mean event order.
+
+    Scale: the data plane is the same N-writer COPY as every other load;
+    the merge itself is one set-based SQL statement on the server.
+    Returns the number of batch rows applied."""
+    cols = [c for c in target.columns if c in df.columns]
+    df = df.select(*cols)
+    if num_partitions is not None:
+        df = df.repartition(num_partitions)
+    psycopg2 = _psycopg2()
+    stage = TargetTable(
+        schema=target.schema, name=f"{target.name}__upsert_stage", columns=cols
+    )
+    ctl = psycopg2.connect(**conn_params)
+    ctl.autocommit = True
+    try:
+        with ctl.cursor() as cur:
+            cur.execute(f"DROP TABLE IF EXISTS {stage.qualified}")
+            cur.execute(
+                f"CREATE TABLE {stage.qualified} "
+                f"(LIKE {target.qualified} INCLUDING DEFAULTS)"
+            )
+    finally:
+        ctl.close()
+
+    n = parallel_copy(df, conn_params, copy_sql(stage))
+
+    col_list = ", ".join(f'"{c}"' for c in cols)
+    keys = ", ".join(f'"{c}"' for c in key_cols)
+    sets = ", ".join(
+        f'"{c}" = EXCLUDED."{c}"' for c in cols if c not in key_cols
+    )
+    key_eq = " AND ".join(f's."{c}" = d."{c}"' for c in key_cols)
+    pub = psycopg2.connect(**conn_params)
+    try:
+        with pub, pub.cursor() as cur:  # ONE transaction
+            cur.execute(
+                # last physical row per key wins within the batch
+                f"DELETE FROM {stage.qualified} s WHERE EXISTS ("
+                f"SELECT 1 FROM {stage.qualified} d "
+                f"WHERE {key_eq} AND d.ctid > s.ctid)"
+            )
+            cur.execute(
+                f"INSERT INTO {target.qualified} ({col_list}) "
+                f"SELECT {col_list} FROM {stage.qualified} "
+                f"ON CONFLICT ({keys}) DO UPDATE SET {sets}"
+            )
+            cur.execute(f"DROP TABLE {stage.qualified}")
+    finally:
+        pub.close()
+    return n

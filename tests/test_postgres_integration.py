@@ -646,3 +646,56 @@ class TestStreamCheckpointResume:
         assert n1 == static.count() and e1 >= 1
         drain()  # restart on the same checkpoint: a no-op
         assert counts() == (n1, e1)
+
+
+class TestUpsertSink:
+    def test_upsert_inserts_new_and_updates_existing(self, spark, schema):
+        from pandas_to_postgres_spark.sinks.postgres_copy import (
+            TargetTable,
+            append_to_postgres,
+            upsert_to_postgres,
+        )
+
+        conn_params = schema
+        conn = pgwire.connect(**conn_params)
+        conn.autocommit = True
+        with conn.cursor() as cur:
+            cur.execute("DROP TABLE IF EXISTS kv_up")
+            cur.execute(
+                """CREATE TABLE kv_up (
+                       k BIGINT, v TEXT, score DOUBLE PRECISION,
+                       CONSTRAINT kv_up_pk PRIMARY KEY (k))"""
+            )
+        conn.close()
+        target = TargetTable(
+            schema="public", name="kv_up", columns=["k", "v", "score"]
+        )
+        base = spark.createDataFrame(
+            [(i, f"v{i}", float(i)) for i in range(100)],
+            "k long, v string, score double",
+        )
+        assert append_to_postgres(base, conn_params, target, 4) == 100
+
+        # batch: 50 updates (even keys), 20 inserts, plus an intra-batch
+        # dup for k=0 where the LAST row must win
+        batch = spark.createDataFrame(
+            [(i, f"new{i}", -1.0) for i in range(0, 100, 2)]
+            + [(i, f"v{i}", float(i)) for i in range(100, 120)]
+            + [(0, "loser", 9.9), (0, "winner", -1.0)],
+            "k long, v string, score double",
+        ).coalesce(1)  # one partition → deterministic stage ctid order
+        upsert_to_postgres(batch, conn_params, target, ["k"], num_partitions=None)
+
+        conn = pgwire.connect(**conn_params)
+        with conn, conn.cursor() as cur:
+            cur.execute("SELECT count(*) FROM kv_up")
+            assert int(cur.fetchall()[0][0]) == 120
+            cur.execute("SELECT v FROM kv_up WHERE k = 2")
+            assert cur.fetchall() == [("new2",)]
+            cur.execute("SELECT v FROM kv_up WHERE k = 1")
+            assert cur.fetchall() == [("v1",)]  # odd keys untouched
+            cur.execute("SELECT v FROM kv_up WHERE k = 0")
+            assert cur.fetchall() == [("winner",)]
+            cur.execute("SELECT v FROM kv_up WHERE k = 110")
+            assert cur.fetchall() == [("v110",)]  # fresh insert
+        conn.close()
