@@ -1,0 +1,332 @@
+"""Corpus-quality and behavior-analytics queries (round 3 batch).
+
+Four operators a training-data pipeline runs constantly, each with a DuckDB
+oracle twin:
+
+- ``token_entropy_docs`` — per-document token Shannon entropy + type-token
+  ratio (the Gopher-style repetitiveness signal), computed MAP-ONLY via a
+  higher-order fold over the sorted token array: no explode, no shuffle
+  before the final top-k.
+- ``event_transitions`` — first-order Markov transition matrix over the
+  event stream (behavior modeling / anomaly baselines).
+- ``embedding_outliers`` — distance-to-label-centroid outlier mining over
+  the embedding table (mislabel / contamination detection for curated
+  embedding sets).
+- ``equidepth_histogram`` — exact-percentile equi-depth (equal-frequency)
+  histogram, the equi-width twin of ``histogram_totalprice``.
+
+All floating aggregation goes through DECIMAL partial sums
+(``functions/agg.py`` rationale) so results are bit-identical across
+engines, partition counts, and reruns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pandas_to_postgres_spark.functions.text import tokens_expr
+from pandas_to_postgres_spark.plans.registry import register
+from pandas_to_postgres_spark.sources.parquet import load_table
+
+#: DuckDB twin of ``tokens_expr(F.lower(col))`` (see plans/analytics.py).
+_TOKS = "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '')"
+
+# Per-run decimal term and accumulator types for the entropy fold. The
+# accumulator precision leaves headroom so `acc + term` (which Spark types
+# one precision digit wider) casts back EXACTLY — at decimal(38,_) the
+# widened addition would instead drop a scale digit and break bitwise
+# parity with the oracle's decimal sum.
+_DEC_TERM = "decimal(18,10)"
+_DEC_ACC = "decimal(27,10)"
+
+
+@register(
+    "token_entropy_docs",
+    oracle=f"""
+    WITH tokd AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    u AS (SELECT doc_id, unnest(tk) AS w FROM tokd WHERE len(tk) >= 1),
+    g AS (SELECT doc_id, w, count(*) AS c FROM u GROUP BY doc_id, w),
+    e AS (SELECT doc_id,
+                 CAST(sum(c) AS BIGINT) AS n_tokens,
+                 count(*) AS n_distinct,
+                 sum(CAST(c * log2(c) AS DECIMAL(18,10))) AS s
+          FROM g GROUP BY doc_id)
+    SELECT doc_id, n_tokens, n_distinct,
+           round(log2(n_tokens) - CAST(s AS DOUBLE) / n_tokens, 4) AS entropy,
+           round(CAST(n_distinct AS DOUBLE) / n_tokens, 4) AS ttr
+    FROM e
+    ORDER BY entropy, doc_id
+    LIMIT 50
+    """,
+)
+def token_entropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token Shannon entropy and type-token ratio; the 50
+    most repetitive (lowest-entropy) documents — the Gopher/C4-style
+    "repetition" quality signal used to drop boilerplate and spam.
+
+    Scale: a document's tokens already live in ONE array cell, so the
+    count-by-token step needs no explode and no shuffle — a higher-order
+    ``aggregate`` folds the SORTED token array through run-length state
+    (prev token, run length, decimal sum of c*log2(c), distinct count),
+    making the whole entropy computation a map-only projection; the only
+    cluster operation is the final TakeOrderedAndProject top-50
+    (plan-asserted in tests/test_plans.py). The oracle takes the
+    relational route (unnest → two GROUP BYs) — both sum the same
+    per-count decimal terms, and decimal addition is order-independent,
+    so the engines agree bitwise before the final round.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tk = F.array_sort(tokens_expr(F.lower(F.col("text"))))
+    zero_term = F.lit(0).cast(_DEC_TERM)
+    zero_acc = F.lit(0).cast(_DEC_ACC)
+
+    def runterm(r):
+        # r * log2(r) as decimal; r == 0 contributes 0 (guards 0*log2(0)=NaN)
+        rd = r.cast("double")
+        return F.when(r > 0, (rd * F.log2(rd)).cast(_DEC_TERM)).otherwise(zero_term)
+
+    def add(acc_s, r):
+        # cast the widened sum back to the accumulator type (exact: see _DEC_ACC)
+        return (acc_s + runterm(r)).cast(_DEC_ACC)
+
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        zero_acc.alias("s"),
+        F.lit(0).cast("long").alias("d"),
+    )
+
+    def step(acc, x):
+        same = acc["prev"].eqNullSafe(x)
+        return F.struct(
+            x.alias("prev"),
+            F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+            F.when(same, acc["s"]).otherwise(add(acc["s"], acc["run"])).alias("s"),
+            F.when(same, acc["d"]).otherwise(acc["d"] + 1).alias("d"),
+        )
+
+    def finish(acc):
+        return F.struct(add(acc["s"], acc["run"]).alias("s"), acc["d"].alias("d"))
+
+    st = F.aggregate(tk, init, step, finish)
+    n = F.size(tk)
+    per = (
+        d.select(
+            "doc_id",
+            n.cast("long").alias("n_tokens"),
+            st.alias("__st"),
+        )
+        .filter(F.col("n_tokens") >= 1)
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.col("__st.d").alias("n_distinct"),
+            F.round(
+                F.log2(F.col("n_tokens").cast("double"))
+                - F.col("__st.s").cast("double") / F.col("n_tokens"),
+                4,
+            ).alias("entropy"),
+            F.round(F.col("__st.d").cast("double") / F.col("n_tokens"), 4).alias(
+                "ttr"
+            ),
+        )
+    )
+    return per.orderBy("entropy", "doc_id").limit(50)
+
+
+@register(
+    "event_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM events),
+    c AS (SELECT prev_type, event_type, count(*) AS n_trans
+          FROM seq WHERE prev_type IS NOT NULL
+          GROUP BY prev_type, event_type)
+    SELECT prev_type, event_type, n_trans,
+           round(CAST(n_trans AS DOUBLE)
+                 / CAST(sum(n_trans) OVER (PARTITION BY prev_type) AS DOUBLE),
+                 4) AS p
+    FROM c
+    """,
+)
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over the event stream:
+    count and conditional probability of event_type B directly following
+    A for the same user — the baseline model for session simulation and
+    sequence-anomaly detection.
+
+    Scale: ONE shuffle (user_id) feeds the lag window; the transition
+    count is a map-side-combinable aggregate whose cardinality is
+    |event_type|^2 (tiny), so the row-normalizing window runs over a
+    dimension-sized frame. Ties in ts break on event_id, so the lag
+    sequence — and therefore every count — is deterministic.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "event_type", F.lag("event_type").over(w).alias("prev_type")
+        )
+        .filter(F.col("prev_type").isNotNull())
+    )
+    counts = pairs.groupBy("prev_type", "event_type").agg(
+        F.count(F.lit(1)).alias("n_trans")
+    )
+    wp = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "event_type",
+        "n_trans",
+        F.round(
+            F.col("n_trans").cast("double")
+            / F.sum("n_trans").over(wp).cast("double"),
+            4,
+        ).alias("p"),
+    )
+
+
+@register(
+    "embedding_outliers",
+    oracle="""
+    WITH dv AS (SELECT vec_id, label,
+                       generate_subscripts(embedding, 1) AS i,
+                       CAST(unnest(embedding) AS DOUBLE) AS x
+                FROM embeddings),
+    cent AS (SELECT label, i,
+                    CAST(sum(CAST(x AS DECIMAL(25,10))) AS DOUBLE) / count(*) AS c
+             FROM dv GROUP BY label, i),
+    d AS (SELECT dv.vec_id, dv.label,
+                 round(sqrt(CAST(sum(CAST((dv.x - cent.c) * (dv.x - cent.c)
+                                          AS DECIMAL(20,12))) AS DOUBLE)), 4)
+                   AS dist
+          FROM dv JOIN cent ON cent.label = dv.label AND cent.i = dv.i
+          GROUP BY dv.vec_id, dv.label),
+    r AS (SELECT label, vec_id, dist,
+                 row_number() OVER (PARTITION BY label
+                                    ORDER BY dist DESC, vec_id) AS rk
+          FROM d)
+    SELECT label, vec_id, dist FROM r WHERE rk <= 5
+    """,
+)
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance-to-centroid outlier mining: the 5 vectors farthest from
+    their label's mean embedding, per label — the standard first pass for
+    mislabeled / contaminated examples in a curated embedding set.
+
+    Scale: the centroid aggregate shuffles (label, dim)-keyed partial
+    sums (map-side combinable, output = labels x dims rows); the
+    centroid table then folds to one array per label and BROADCASTS, so
+    the distance pass is map-only over the corpus — ``zip_with`` squares
+    the per-dimension deltas into decimals, ``aggregate`` folds them in
+    array order. The top-5-per-label rank applies a partial
+    WindowGroupLimit BEFORE its exchange (plan-asserted), so the one
+    corpus-side shuffle carries ≤ 5 x labels rows per input partition,
+    not the corpus. Decimal partial sums make
+    both the centroid and the distance bit-identical to the oracle's
+    relational computation regardless of summation order.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    per_dim = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(
+            F.sum(F.col("x").cast("double").cast("decimal(25,10)")).alias("sx"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .select(
+            "label",
+            "pos",
+            (F.col("sx").cast("double") / F.col("cnt")).alias("c"),
+        )
+    )
+    cvec = (
+        per_dim.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select("label", F.transform("pc", lambda s: s["c"]).alias("cvec"))
+    )
+    sq = F.zip_with(
+        F.col("embedding"),
+        F.col("cvec"),
+        lambda x, c: (
+            (x.cast("double") - c) * (x.cast("double") - c)
+        ).cast("decimal(20,12)"),
+    )
+    # accumulator precision leaves headroom so `a + b` casts back exactly
+    # (at decimal(38,_) the widened addition drops a scale digit instead)
+    d2 = F.aggregate(
+        sq,
+        F.lit(0).cast("decimal(32,12)"),
+        lambda a, b: (a + b).cast("decimal(32,12)"),
+    )
+    w = Window.partitionBy("label").orderBy(F.col("dist").desc(), "vec_id")
+    return (
+        emb.join(F.broadcast(cvec), "label")
+        .select(
+            "label",
+            "vec_id",
+            F.round(F.sqrt(d2.cast("double")), 4).alias("dist"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("label", "vec_id", "dist")
+    )
+
+
+@register(
+    "equidepth_histogram",
+    oracle="""
+    WITH edges AS (
+      SELECT list_transform(
+               quantile_cont(o_totalprice, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+               e -> round(e, 4)) AS ed
+      FROM orders)
+    SELECT len(list_filter(ed, e -> o_totalprice > e)) AS bin,
+           count(*) AS n_orders,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi
+    FROM orders, edges
+    GROUP BY bin
+    """,
+)
+def equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-frequency) histogram of order totals: exact
+    decile edges, then per-bin count and range — the equi-width twin of
+    ``histogram_totalprice`` and the shape optimizers use for selectivity
+    estimation.
+
+    Scale: pass 1 computes the 9 edges as ONE 1-row aggregate (exact
+    ``percentile`` here so the oracle can reproduce the edges bitwise —
+    at 100 TB swap in ``approx_percentile``, the binning pass is
+    unchanged); the 1-row edge array rides a broadcast nested-loop join
+    onto the scan, bin assignment is a map-only higher-order filter
+    (count of edges below the value), and the per-bin rollup is a
+    map-side-combinable aggregate over ≤10 groups. Edges are rounded to
+    4dp in BOTH engines before comparison so the strict ``>`` binning
+    predicate agrees bitwise.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    edges = o.agg(
+        F.transform(
+            F.percentile(
+                F.col("o_totalprice"),
+                F.lit([i / 10.0 for i in range(1, 10)]),
+            ),
+            lambda e: F.round(e, 4),
+        ).alias("ed")
+    )
+    binned = o.join(F.broadcast(edges)).select(
+        "o_totalprice",
+        F.size(
+            F.filter(F.col("ed"), lambda e: F.col("o_totalprice") > e)
+        ).alias("bin"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.min("o_totalprice"), 2).alias("lo"),
+        F.round(F.max("o_totalprice"), 2).alias("hi"),
+    )

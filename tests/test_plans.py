@@ -424,3 +424,39 @@ class TestAnalyticsShapes:
         plan = plan_of(spark, "sessionize_events")
         assert plan.count("Sort [user_id") <= 2  # lag pass + sum pass, same key
         assert shuffles(plan) == 1
+
+
+class TestQualityQueryShapes:
+    def test_token_entropy_is_map_only_take_ordered(self, spark):
+        # the entropy fold must stay a projection over the scan: no
+        # explode, no shuffle — the only cluster op is the final top-50
+        plan = plan_of(spark, "token_entropy_docs")
+        assert shuffles(plan) == 0
+        assert "TakeOrderedAndProject" in plan
+        assert "Generate" not in plan  # no explode fell back in
+        assert plan.count("Scan parquet") == 1
+
+    def test_embedding_outliers_broadcasts_centroids_and_group_limits(self, spark):
+        plan = plan_of(spark, "embedding_outliers")
+        # centroid side broadcasts onto the corpus scan
+        assert "BroadcastHashJoin" in plan
+        # the top-5-per-label rank prunes BEFORE its exchange: a partial
+        # WindowGroupLimit must sit below the final one
+        assert plan.count("WindowGroupLimit") == 2
+        # corpus-side shuffles: the (label, dim) centroid partial agg, the
+        # label fold, and the group-limited rank exchange — nothing else
+        assert shuffles(plan) <= 3
+
+    def test_equidepth_edges_ride_a_broadcast(self, spark):
+        # the 1-row edge array must broadcast onto the scan; binning is a
+        # map-only higher-order filter and the rollup has <= 10 groups
+        plan = plan_of(spark, "equidepth_histogram")
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_event_transitions_single_user_shuffle(self, spark):
+        # lag window shuffles on user_id once; the transition-count agg is
+        # map-side combinable over a |event_type|^2 frame
+        plan = plan_of(spark, "event_transitions")
+        assert shuffles(plan) <= 3
+        assert plan.count("Scan parquet") == 1
