@@ -330,3 +330,31 @@ def equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("o_totalprice"), 2).alias("lo"),
         F.round(F.max("o_totalprice"), 2).alias("hi"),
     )
+
+
+@register("pca_embeddings", oracle=None)  # eigendecomposition: no SQL twin
+def pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitened PCA of the embedding corpus (k=8), summarized per label:
+    vector count and the mean of the first two whitened components —
+    the dimensionality-reduction front end for SemDeDup k-means and ANN
+    (distances drop from d to k multiplies after projection).
+
+    Scale: the fit is ONE mapInPandas pass of per-batch sufficient
+    statistics (d + d^2 doubles per partition to the driver, independent
+    of corpus size) + a driver-side d x d eigensolve; the projection is a
+    second map-only mapInPandas with the (k x d) matrix as a closure
+    constant — the corpus never shuffles until the tiny per-label rollup.
+    No SQL oracle (eigendecomposition is not SQL-expressible); pytest
+    cross-checks the model against full-batch numpy PCA and asserts the
+    whitened covariance is ~identity (tests/test_operators.py).
+    """
+    from pandas_to_postgres_spark.functions.agg import davg
+    from pandas_to_postgres_spark.operators.pca import pca_fit_transform
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pcs = pca_fit_transform(emb, "embedding", k=8, whiten=True)
+    return pcs.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        davg(F.col("pc")[0], 3).alias("pc0_mean"),
+        davg(F.col("pc")[1], 3).alias("pc1_mean"),
+    )

@@ -835,3 +835,75 @@ class TestHllShardMerge:
         }
         for et, est in merged.items():
             assert abs(est - exact[et]) <= 0.05 * exact[et] + 1
+
+
+class TestPca:
+    """fit/transform vs full-batch numpy PCA; whitening; determinism."""
+
+    def _emb(self, spark):
+        return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    def test_matches_fullbatch_numpy(self, spark):
+        import numpy as np
+
+        from pandas_to_postgres_spark.operators.pca import fit_pca, transform_pca
+
+        emb = self._emb(spark)
+        model = fit_pca(emb, "embedding", k=4)
+        rows = emb.orderBy("vec_id").select("vec_id", "embedding").collect()
+        X = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+        cov = np.cov(X, rowvar=False)
+        evals, evecs = np.linalg.eigh(cov)
+        order = np.argsort(evals)[::-1][:4]
+        ref = evecs[:, order].T
+        for i in range(4):
+            j = int(np.argmax(np.abs(ref[i])))
+            if ref[i, j] < 0:
+                ref[i] = -ref[i]
+        assert np.allclose(model.explained_var, evals[order], rtol=1e-6)
+        assert np.allclose(model.components, ref, atol=1e-6)
+        # projection matches numpy projection
+        got = {
+            r["vec_id"]: np.asarray(r["pc"])
+            for r in transform_pca(emb, "embedding", model)
+            .select("vec_id", "pc")
+            .collect()
+        }
+        want = (X - model.mean) @ model.components.T
+        for idx, r in enumerate(rows):
+            assert np.allclose(got[r["vec_id"]], want[idx], atol=1e-8)
+
+    def test_whitened_covariance_is_identity(self, spark):
+        import numpy as np
+
+        from pandas_to_postgres_spark.operators.pca import pca_fit_transform
+
+        emb = self._emb(spark)
+        pcs = pca_fit_transform(emb, "embedding", k=6, whiten=True)
+        P = np.stack(
+            [np.asarray(r["pc"]) for r in pcs.select("pc").collect()]
+        )
+        cov = np.cov(P, rowvar=False)
+        assert np.allclose(cov, np.eye(6), atol=1e-6)
+
+    def test_partition_count_invariance(self, spark):
+        import numpy as np
+
+        from pandas_to_postgres_spark.operators.pca import fit_pca
+
+        emb = self._emb(spark)
+        m3 = fit_pca(emb.repartition(3), "embedding", k=3)
+        m11 = fit_pca(emb.repartition(11), "embedding", k=3)
+        # moments are rounded before the eigensolve, so the fitted basis
+        # must not wobble with partition count
+        assert np.allclose(m3.components, m11.components, atol=1e-9)
+        assert np.allclose(m3.explained_var, m11.explained_var, atol=1e-9)
+
+    def test_passthrough_columns_and_k_clamp(self, spark):
+        from pandas_to_postgres_spark.operators.pca import pca_fit_transform
+
+        emb = self._emb(spark)
+        out = pca_fit_transform(emb, "embedding", k=9999)
+        assert set(out.columns) == {"vec_id", "embedding", "label", "pc"}
+        row = out.select("pc").first()
+        assert len(row["pc"]) == len(emb.select("embedding").first()[0])
