@@ -358,3 +358,62 @@ def pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         davg(F.col("pc")[0], 3).alias("pc0_mean"),
         davg(F.col("pc")[1], 3).alias("pc1_mean"),
     )
+
+
+@register(
+    "mixture_gini",
+    oracle="""
+    WITH s AS (SELECT lang, source, CAST(sum(n_chars) AS BIGINT) AS chars
+               FROM documents GROUP BY lang, source),
+    r AS (SELECT lang, chars,
+                 row_number() OVER (PARTITION BY lang
+                                    ORDER BY chars, source) AS i,
+                 count(*) OVER (PARTITION BY lang) AS n
+          FROM s)
+    SELECT lang,
+           CAST(max(n) AS BIGINT) AS n_sources,
+           CAST(sum(chars) AS BIGINT) AS total_chars,
+           round(CAST(sum((2 * i - n - 1) * chars) AS DOUBLE)
+                 / (CAST(max(n) AS DOUBLE) * CAST(sum(chars) AS DOUBLE)),
+                 4) AS gini
+    FROM r GROUP BY lang
+    """,
+)
+def mixture_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture balance audit: the Gini coefficient of per-source
+    character mass within each language (0 = perfectly balanced sources,
+    ->1 = one source dominates) — the one-number skew alarm for training
+    mixtures before reweighting (`mix_sources` is the fix; this is the
+    detector).
+
+    Scale: ONE map-side-combinable (lang, source) rollup shrinks the
+    corpus to dimension cardinality; ranking and the Gini sum then run
+    on that tiny frame. All arithmetic before the final division is
+    INTEGER (sorted-rank Gini formula: sum((2i - n - 1) x_i) / (n sum x))
+    so both engines agree exactly; ties in chars rank deterministically
+    by source, and any tie ordering yields the same Gini (equal x under
+    permuted coefficients sum identically).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    s = d.groupBy("lang", "source").agg(
+        F.sum(F.col("n_chars").cast("long")).alias("chars")
+    )
+    wi = Window.partitionBy("lang").orderBy("chars", "source")
+    wn = Window.partitionBy("lang")
+    r = s.select(
+        "lang",
+        "chars",
+        F.row_number().over(wi).alias("i"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return r.groupBy("lang").agg(
+        F.max("n").alias("n_sources"),
+        F.sum("chars").alias("total_chars"),
+        F.round(
+            F.sum((2 * F.col("i") - F.col("n") - 1) * F.col("chars")).cast(
+                "double"
+            )
+            / (F.max("n").cast("double") * F.sum("chars").cast("double")),
+            4,
+        ).alias("gini"),
+    )

@@ -429,3 +429,66 @@ class TestMortonLayout:
                 spans.append(max(v) - min(v))
             avg_span = sum(spans) / len(spans)
             assert avg_span <= 32, (col, spans)
+
+
+class TestManifestPruning:
+    """File-level data skipping: footer-harvested manifest + pruned reads."""
+
+    def _write(self, spark, n_files=8):
+        from pandas_to_postgres_spark.sinks.files import write_sorted
+        from pandas_to_postgres_spark.sources.manifest import write_manifest
+
+        li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        write_sorted(li, TMP, ["l_orderkey"], num_files=n_files)
+        manifest = write_manifest(TMP, ["l_orderkey", "l_quantity"])
+        return li, manifest
+
+    def test_pruned_read_equals_full_filter_and_skips_files(self, spark):
+        from pandas_to_postgres_spark.sources.manifest import (
+            prune_files,
+            read_pruned,
+        )
+
+        li, manifest = self._write(spark)
+        keys = sorted(r[0] for r in li.select("l_orderkey").distinct().collect())
+        lo, hi = keys[2], keys[min(10, len(keys) - 1)]
+        keep, total = prune_files(manifest, "l_orderkey", lo, hi)
+        # sorted layout => a narrow range survives in few files
+        assert total == 8 and 0 < len(keep) < total
+        got = read_pruned(spark, TMP, "l_orderkey", lo, hi)
+        want = li.filter((F.col("l_orderkey") >= lo) & (F.col("l_orderkey") <= hi))
+        assert got.count() == want.count() > 0
+        assert (
+            sorted(r[0] for r in got.select("l_orderkey").collect())
+            == sorted(r[0] for r in want.select("l_orderkey").collect())
+        )
+
+    def test_unknown_column_is_conservative(self, spark):
+        from pandas_to_postgres_spark.sources.manifest import prune_files
+
+        _, manifest = self._write(spark)
+        keep, total = prune_files(manifest, "no_such_col", 0, 1)
+        assert len(keep) == total  # no stats -> keep everything
+
+    def test_empty_survivor_set_returns_typed_empty_frame(self, spark):
+        from pandas_to_postgres_spark.sources.manifest import read_pruned
+
+        li, _ = self._write(spark)
+        got = read_pruned(spark, TMP, "l_orderkey", -10, -5)
+        assert got.count() == 0
+        assert got.schema == spark.read.parquet(TMP).schema
+
+    def test_unsorted_layout_still_correct(self, spark):
+        from pandas_to_postgres_spark.sources.manifest import (
+            read_pruned,
+            write_manifest,
+        )
+
+        li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        li.repartition(6).write.mode("overwrite").parquet(TMP)
+        write_manifest(TMP, ["l_orderkey"])
+        keys = sorted(r[0] for r in li.select("l_orderkey").distinct().collect())
+        lo, hi = keys[0], keys[3]
+        got = read_pruned(spark, TMP, "l_orderkey", lo, hi)
+        want = li.filter((F.col("l_orderkey") >= lo) & (F.col("l_orderkey") <= hi))
+        assert got.count() == want.count() > 0
