@@ -147,3 +147,41 @@ def chunk_text(df, text_col: str, id_col: str, width: int = 200, carry_cols=()):
             F.col(text_col), ((F.col("chunk_idx") - 1) * width + 1).cast("int"), width
         ).alias("chunk"),
     )
+
+
+def chunk_text_overlap(
+    df, text_col: str, id_col: str, width: int = 200, stride: int = 150, carry_cols=()
+):
+    """Strided character chunking with overlap (the RAG / context-window
+    prep shape): windows start every ``stride`` chars and span ``width``,
+    so consecutive chunks share ``width - stride`` characters of context.
+    ``stride == width`` degenerates to :func:`chunk_text`'s disjoint
+    windows. Chunks index 1..n with n = ceil((len - width) / stride) + 1
+    for len > width, else 1 — every document yields at least one chunk
+    (possibly empty/short) so nothing silently disappears.
+
+    Same scale shape as :func:`chunk_text`: a per-row generate
+    (sequence+explode) that inherits the scan's partitioning — zero
+    shuffles; output grows by ~width/stride x relative to the corpus.
+    """
+    if stride < 1 or width < 1:
+        raise ValueError("width and stride must be >= 1")
+    ln = F.length(text_col)
+    n_chunks = F.when(
+        ln <= width, F.lit(1).cast("long")
+    ).otherwise(F.ceil((ln - width) / F.lit(float(stride))).cast("long") + 1)
+    return df.select(
+        F.col(id_col),
+        *[F.col(c) for c in carry_cols],
+        F.explode(F.sequence(F.lit(1).cast("long"), n_chunks)).alias("chunk_idx"),
+        F.col(text_col),
+    ).select(
+        F.col(id_col),
+        "chunk_idx",
+        *[F.col(c) for c in carry_cols],
+        F.substring(
+            F.col(text_col),
+            ((F.col("chunk_idx") - 1) * stride + 1).cast("int"),
+            width,
+        ).alias("chunk"),
+    )

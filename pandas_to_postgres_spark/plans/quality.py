@@ -1,7 +1,6 @@
-"""Corpus-quality and behavior-analytics queries (round 3 batch).
-
-Four operators a training-data pipeline runs constantly, each with a DuckDB
-oracle twin:
+"""Corpus-quality, behavior-analytics, and corpus-infrastructure queries
+(round 3 batch). Operators a training-data pipeline runs constantly, each
+with a DuckDB oracle twin where SQL-expressible:
 
 - ``token_entropy_docs`` — per-document token Shannon entropy + type-token
   ratio (the Gopher-style repetitiveness signal), computed MAP-ONLY via a
@@ -14,6 +13,11 @@ oracle twin:
   embedding sets).
 - ``equidepth_histogram`` — exact-percentile equi-depth (equal-frequency)
   histogram, the equi-width twin of ``histogram_totalprice``.
+- ``pca_embeddings`` — whitened PCA summary (operators/pca.py).
+- ``mixture_gini`` — per-language source-balance Gini audit.
+- ``inverted_index`` — token → posting-list build (retrieval index).
+- ``negative_pairs`` — deterministic bucketed negative sampling for
+  contrastive training.
 
 All floating aggregation goes through DECIMAL partial sums
 (``functions/agg.py`` rationale) so results are bit-identical across
@@ -417,3 +421,159 @@ def mixture_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("gini"),
     )
+
+
+@register(
+    "inverted_index",
+    oracle=f"""
+    WITH tokd AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    u AS (SELECT DISTINCT doc_id, unnest(tk) AS token FROM tokd),
+    g AS (SELECT token, count(*) AS df FROM u GROUP BY token),
+    capped AS (SELECT token, doc_id,
+                      row_number() OVER (PARTITION BY token ORDER BY doc_id)
+                        AS pn
+               FROM u),
+    p AS (SELECT token, string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+            AS postings
+          FROM capped WHERE pn <= 100 GROUP BY token)
+    SELECT g.token, g.df, p.postings FROM g JOIN p ON p.token = g.token
+    """,
+)
+def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: token → document frequency + the first 100
+    doc ids of its sorted posting list (comma-joined string so the value
+    hash is representation-stable cross-engine). Posting-list TRUNCATION
+    is the index-build skew guard: a stopword's list is capped, never
+    materialized whole.
+
+    Scale: dedup to distinct (doc, token) pairs happens inside the
+    explode projection; df is a map-side-combinable count; the cap is a
+    row_number window whose partial WindowGroupLimit prunes each
+    partition to <= 100 rows per token BEFORE the exchange, so the
+    posting collect never sees an unbounded group (the same
+    pre-exchange-prune shape as `embedding_outliers`' top-5). Both
+    token-keyed exchanges move bounded data: the df exchange carries
+    per-partition PARTIAL counts (one row per token per partition), the
+    posting exchange carries the group-limited pairs — neither ever
+    ships a stopword's full posting list; the final join unites two
+    vocabulary-sized frames.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    pairs = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(tokens_expr(F.lower(F.col("text"))))
+        ).alias("token"),
+    )
+    g = pairs.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    wcap = Window.partitionBy("token").orderBy("doc_id")
+    p = (
+        pairs.withColumn("pn", F.row_number().over(wcap))
+        .filter(F.col("pn") <= 100)
+        .groupBy("token")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("doc_id")), ",").alias(
+                "postings"
+            )
+        )
+    )
+    return g.join(p, "token").select("token", "df", "postings")
+
+
+@register(
+    "negative_pairs",
+    oracle="""
+    WITH e AS (SELECT vec_id, label,
+                      substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) AS b
+               FROM embeddings),
+    pool AS (SELECT *, row_number() OVER (
+                 PARTITION BY b ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+               AS pn
+             FROM e),
+    cand AS (SELECT b, vec_id AS neg_id, label AS neg_label
+             FROM pool WHERE pn <= 50),
+    ranked AS (
+      SELECT a.vec_id AS anchor_id, c.neg_id,
+             row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY md5(CAST(a.vec_id AS VARCHAR) || '|'
+                            || CAST(c.neg_id AS VARCHAR)), c.neg_id) AS rk
+      FROM e a JOIN cand c ON c.b = a.b AND c.neg_label <> a.label)
+    SELECT anchor_id, neg_id, rk FROM ranked WHERE rk <= 2
+    """,
+)
+def negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: for every
+    anchor vector, 2 pseudo-random different-label negatives, chosen by
+    md5 order so the sample is engine- and rerun-reproducible (the same
+    md5-keyed determinism contract as `weighted_sample_docs` /
+    `corpus_shuffle`).
+
+    Scale: anchors and candidates meet on a 16-way md5 hash bucket — and
+    the candidate pool per bucket is CAPPED at 50 by md5 rank BEFORE the
+    join, so the pair space is anchors x 50, linear in the corpus (an
+    uncapped bucket join would stay quadratic, just 16x smaller). The cap
+    is the LSH `max_bucket` idea applied to sampling: a uniform hash pool
+    is statistically interchangeable with the full bucket.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    # 16 buckets = the first hex char of the id's md5 (string-typed so the
+    # bucketing expression is engine-portable verbatim)
+    b = F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1)
+    e = emb.select("vec_id", "label", b.alias("b"))
+    wpool = Window.partitionBy("b").orderBy(
+        F.md5(F.col("vec_id").cast("string")), "vec_id"
+    )
+    cand = (
+        e.withColumn("pn", F.row_number().over(wpool))
+        .filter(F.col("pn") <= 50)
+        .select(
+            F.col("b"),
+            F.col("vec_id").alias("neg_id"),
+            F.col("label").alias("neg_label"),
+        )
+    )
+    pairh = F.md5(
+        F.concat(
+            F.col("vec_id").cast("string"), F.lit("|"), F.col("neg_id").cast("string")
+        )
+    )
+    wrk = Window.partitionBy("vec_id").orderBy(pairh, "neg_id")
+    return (
+        e.join(cand, "b")
+        .filter(F.col("neg_label") != F.col("label"))
+        .withColumn("rk", F.row_number().over(wrk))
+        .filter(F.col("rk") <= 2)
+        .select(F.col("vec_id").alias("anchor_id"), "neg_id", "rk")
+    )
+
+
+@register(
+    "chunk_overlap_docs",
+    oracle="""
+    WITH n AS (SELECT doc_id, text,
+                      CASE WHEN len(text) <= 200 THEN 1
+                           ELSE CAST(ceil((len(text) - 200) / 150.0) AS BIGINT) + 1
+                      END AS n_chunks
+               FROM documents),
+    w AS (SELECT doc_id, text, unnest(range(1, n_chunks + 1)) AS chunk_idx
+          FROM n)
+    SELECT doc_id, chunk_idx,
+           substr(text, CAST((chunk_idx - 1) * 150 + 1 AS BIGINT), 200) AS chunk
+    FROM w
+    """,
+)
+def chunk_overlap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strided overlap chunking of the corpus (width 200, stride 150 →
+    consecutive chunks share 50 chars of context) — the retrieval /
+    context-window prep shape where disjoint chunks would cut answers in
+    half at boundaries; `chunk_documents` is the disjoint twin.
+
+    Scale: a per-row generate (sequence+explode) inheriting the scan's
+    partitioning — zero shuffles, output ~width/stride x the corpus
+    (plan-asserted map-only).
+    """
+    from pandas_to_postgres_spark.functions.text import chunk_text_overlap
+
+    d = load_table(spark, sf_dir, "documents")
+    return chunk_text_overlap(d, "text", "doc_id", width=200, stride=150)

@@ -907,3 +907,46 @@ class TestPca:
         assert set(out.columns) == {"vec_id", "embedding", "label", "pc"}
         row = out.select("pc").first()
         assert len(row["pc"]) == len(emb.select("embedding").first()[0])
+
+
+class TestChunkOverlap:
+    def test_overlap_invariant_and_degenerate_stride(self, spark):
+        from pandas_to_postgres_spark.functions.text import (
+            chunk_text,
+            chunk_text_overlap,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "abcdefghijklmnopqrstuvwxyz"), (2, "short"), (3, "")],
+            "id long, text string",
+        )
+        out = {
+            (r["id"], r["chunk_idx"]): r["chunk"]
+            for r in chunk_text_overlap(df, "text", "id", width=10, stride=6).collect()
+        }
+        # doc 1 (26 chars): n = ceil((26-10)/6)+1 = 4 windows at 1,7,13,19
+        assert out[(1, 1)] == "abcdefghij"
+        assert out[(1, 2)] == "ghijklmnop"
+        assert out[(1, 3)] == "mnopqrstuv"
+        assert out[(1, 4)] == "stuvwxyz"
+        # consecutive windows share width - stride = 4 chars
+        assert out[(1, 1)][-4:] == out[(1, 2)][:4]
+        # short and empty docs yield exactly one chunk
+        assert out[(2, 1)] == "short" and out[(3, 1)] == ""
+        # stride == width degenerates to disjoint chunk_text
+        a = sorted(
+            (r["id"], r["chunk_idx"], r["chunk"])
+            for r in chunk_text_overlap(df, "text", "id", width=10, stride=10).collect()
+        )
+        b = sorted(
+            (r["id"], r["chunk_idx"], r["chunk"])
+            for r in chunk_text(df, "text", "id", width=10).collect()
+        )
+        assert a == b
+
+    def test_rejects_bad_params(self, spark):
+        from pandas_to_postgres_spark.functions.text import chunk_text_overlap
+
+        df = spark.createDataFrame([(1, "x")], "id long, text string")
+        with pytest.raises(ValueError):
+            chunk_text_overlap(df, "text", "id", width=10, stride=0)

@@ -460,3 +460,27 @@ class TestQualityQueryShapes:
         plan = plan_of(spark, "event_transitions")
         assert shuffles(plan) <= 3
         assert plan.count("Scan parquet") == 1
+
+    def test_inverted_index_caps_postings_before_exchange(self, spark):
+        # posting-list truncation must prune map-side: a partial
+        # WindowGroupLimit below the exchange, and never an unbounded
+        # collect of raw pairs through a shuffle
+        plan = plan_of(spark, "inverted_index")
+        assert plan.count("WindowGroupLimit") == 2
+        assert shuffles(plan) <= 3
+
+    def test_negative_pairs_is_capped_bucket_join_not_cartesian(self, spark):
+        # the candidate pool caps at 50 per bucket BEFORE the join: pair
+        # space stays anchors x 50, and the bucket key makes it an
+        # equi-join, never a cartesian/BNLJ
+        plan = plan_of(spark, "negative_pairs")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert plan.count("WindowGroupLimit") >= 2  # pool cap prunes map-side
+
+    def test_chunk_overlap_is_map_only(self, spark):
+        # strided chunking must stay a per-row generate over the scan
+        plan = plan_of(spark, "chunk_overlap_docs")
+        assert shuffles(plan) == 0
+        assert "Generate" in plan
+        assert plan.count("Scan parquet") == 1
