@@ -577,3 +577,44 @@ def chunk_overlap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return chunk_text_overlap(d, "text", "doc_id", width=200, stride=150)
+
+
+@register(
+    "weighted_reservoir",
+    oracle="""
+    SELECT doc_id, n_chars,
+           round(ln(CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)
+                          AS BIGINT) AS DOUBLE) / 4503599627370496.0)
+                 / greatest(CAST(n_chars AS DOUBLE), 1.0), 9) AS es_key
+    FROM documents
+    ORDER BY es_key DESC, doc_id
+    LIMIT 200
+    """,
+)
+def weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, Efraimidis–Spirakis (2006):
+    each document draws a deterministic uniform u from its id's md5 and
+    competes with key u^(1/w) (computed in the log domain: ln(u)/w); the
+    top-200 keys are an exact weight-proportional sample. Complements
+    `weighted_sample_docs` (Bernoulli, random SIZE) with a FIXED-size
+    sample — the reservoir shape — while staying engine-reproducible:
+    the uniform is the first 13 md5 hex digits over 16^13 (= 2^52, both
+    exact in a double), so reruns and engines agree.
+
+    Scale: the key is a map-only projection and the top-200 is
+    TakeOrderedAndProject — no global sort, no shuffle of the corpus;
+    merging per-shard top-200s gives the exact global top-200 (the
+    classic distributed-reservoir merge property of ES keys).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    v = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10
+    ).cast("long")
+    u = v / F.lit(float(16**13))
+    w = F.greatest(F.col("n_chars").cast("double"), F.lit(1.0))
+    key = F.round(F.log(u) / w, 9)
+    return (
+        d.select("doc_id", "n_chars", key.alias("es_key"))
+        .orderBy(F.col("es_key").desc(), "doc_id")
+        .limit(200)
+    )

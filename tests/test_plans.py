@@ -484,3 +484,10 @@ class TestQualityQueryShapes:
         assert shuffles(plan) == 0
         assert "Generate" in plan
         assert plan.count("Scan parquet") == 1
+
+    def test_weighted_reservoir_is_map_only_take_ordered(self, spark):
+        # the ES key is a projection; the fixed-size sample must be
+        # TakeOrderedAndProject, never a global sort
+        plan = plan_of(spark, "weighted_reservoir")
+        assert shuffles(plan) == 0
+        assert "TakeOrderedAndProject" in plan
