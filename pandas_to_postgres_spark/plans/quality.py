@@ -618,3 +618,33 @@ def weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("es_key").desc(), "doc_id")
         .limit(200)
     )
+
+
+@register(
+    "heavy_hitters_docs",
+    oracle=f"""
+    WITH tokd AS (SELECT {_TOKS} AS tk FROM documents),
+    u AS (SELECT unnest(tk) AS item FROM tokd)
+    SELECT item, CAST(count(*) AS BIGINT) AS est FROM u GROUP BY item
+    """,
+)
+def heavy_hitters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra–Gries heavy hitters over the token stream (capacity 64) —
+    the mergeable frequent-items sketch for UNBOUNDED universes (all
+    n-grams, URLs, join keys) where exact groupBy would shuffle one
+    partial row per distinct item per partition. Here capacity exceeds
+    the fixture's vocabulary, so the sketch degenerates to exact counts
+    and the oracle is plain GROUP BY; pytest exercises the approximate
+    regime (planted skew, guarantee bounds) in
+    tests/test_operators.TestHeavyHitters.
+
+    Scale: per-partition MG tables are map-only; the ONE shuffle carries
+    ≤ partitions x 64 summary rows regardless of vocabulary size.
+    """
+    from pandas_to_postgres_spark.operators.heavy_hitters import heavy_hitters
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(tokens_expr(F.lower(F.col("text")))).alias("token")
+    )
+    return heavy_hitters(toks, "token", k=64)

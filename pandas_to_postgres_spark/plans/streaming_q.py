@@ -185,3 +185,21 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pandas_to_postgres_spark.streaming.events import session_window_counts
 
     return session_window_counts(spark, sf_dir)
+
+
+@register(
+    "stream_dedup_within_wm",
+    oracle="SELECT DISTINCT event_id FROM events",
+)
+def stream_dedup_within_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9: Spark 3.5+ ``dropDuplicatesWithinWatermark`` — dedup on
+    event_id ALONE (timestamp excluded from the key, so retried ids with
+    jittered timestamps collapse) with state still evicted by the
+    watermark. Output is the surviving id set; pytest exercises the
+    planted-jittered-duplicate stream, the driver checks the id set
+    against batch DISTINCT."""
+    from pandas_to_postgres_spark.streaming.events import (
+        streaming_dedup_within_watermark,
+    )
+
+    return streaming_dedup_within_watermark(spark, sf_dir)

@@ -152,3 +152,30 @@ def overwrite_partitions(
         .partitionBy(*partition_cols)
         .parquet(path)
     )
+
+
+def write_parquet_observed(
+    df: DataFrame,
+    path: str,
+    null_cols: Sequence[str] = (),
+    mode: str = "overwrite",
+) -> dict:
+    """Parquet write with IN-FLIGHT load metrics via ``df.observe``:
+    row count and per-column null counts are accumulated on the rows as
+    they stream through the write — no second scan, unlike the
+    count()-after-write pattern that re-reads the whole input (at 100 TB
+    the difference is the job's entire scan cost, twice). Returns the
+    metrics dict, e.g. ``{"rows": n, "nulls_x": k}`` — the hook for load
+    auditing and freshness/completeness gates (`dq_checks_orders` is the
+    query-side twin; this is the sink-side one).
+    """
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation("load_metrics")
+    metrics = [F.count(F.lit(1)).alias("rows")] + [
+        F.count(F.when(F.col(c).isNull(), 1)).alias(f"nulls_{c}")
+        for c in null_cols
+    ]
+    df.observe(obs, *metrics).write.mode(mode).parquet(path)
+    return obs.get

@@ -318,3 +318,46 @@ def stream_stream_purchase_clicks(
     )
     q.awaitTermination()
     return spark.table(table)
+
+
+def streaming_dedup_within_watermark(
+    spark: SparkSession, sf_dir: str, watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming dedup on event_id ALONE via Spark 3.5+
+    ``dropDuplicatesWithinWatermark`` — the API for the real-world case
+    classic ``dropDuplicates`` cannot bound: the same id re-sent with a
+    JITTERED timestamp (retries, at-least-once producers). With ts out of
+    the dedup key, plain dropDuplicates would keep every id in state
+    forever; WithinWatermark instead guarantees dedup among arrivals
+    whose event times fall within the watermark delay of each other and
+    EVICTS ids once the watermark passes them — state is again
+    O(watermark horizon), not O(stream).
+
+    Output is the surviving event_id set (which copy wins is processing-
+    order dependent; the id set is not), so the AvailableNow drain of
+    this static source equals batch DISTINCT event_id — the oracle.
+    """
+    path = f"{sf_dir}/events.parquet"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .format("parquet")
+        .load(f"{sf_dir}/events.parque[t]")
+    )
+    stream = normalize_event_ts(stream)
+    deduped = (
+        stream.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id")
+    )
+    table = f"stream_dedup_wm_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(table)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(table)

@@ -362,6 +362,33 @@ class TestStreamingDedup:
             (2, "2024-01-01 10:05:00"),
         ]
 
+    def test_jittered_duplicates_collapse_within_watermark(self, spark, tmp_path):
+        import datetime
+
+        from pandas_to_postgres_spark.streaming.events import (
+            streaming_dedup_within_watermark,
+        )
+
+        ts = datetime.datetime(2024, 1, 1, 10, 0, 0)
+        jit = datetime.datetime(2024, 1, 1, 10, 5, 0)  # retried id, new ts
+        rows = [
+            (1, ts, 10, "click", 1.0, "{}"),
+            (1, jit, 10, "click", 1.0, "{}"),  # same id, jittered ts → dropped
+            (2, ts, 11, "view", 2.0, "{}"),
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / "events.parquet")
+        )
+        out = streaming_dedup_within_watermark(spark, str(tmp_path))
+        # classic dropDuplicates([event_id, ts]) keeps BOTH copies of id 1
+        # (different ts); WithinWatermark on event_id alone collapses them
+        assert sorted(r.event_id for r in out.collect()) == [1, 2]
+
 
 class TestMultimodalResizeFrames:
     def _media(self, spark):
@@ -950,3 +977,36 @@ class TestChunkOverlap:
         df = spark.createDataFrame([(1, "x")], "id long, text string")
         with pytest.raises(ValueError):
             chunk_text_overlap(df, "text", "id", width=10, stride=0)
+
+
+class TestHeavyHitters:
+    def test_exact_when_capacity_covers_universe(self, spark):
+        from pandas_to_postgres_spark.operators.heavy_hitters import heavy_hitters
+
+        df = spark.createDataFrame(
+            [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 2, "item string"
+        )
+        got = {r.item: r.est for r in heavy_hitters(df, "item", k=10).collect()}
+        assert got == {"a": 5, "b": 3, "c": 2}
+
+    def test_guarantees_in_approximate_regime(self, spark):
+        from pandas_to_postgres_spark.operators.heavy_hitters import heavy_hitters
+
+        # 1000 noise singletons + one item at 20% frequency, k=9:
+        # threshold n/(k+1) = 1250/10 = 125 < 250 -> "hot" MUST survive,
+        # and its estimate must be within n/(k+1) of the truth
+        rows = [("hot",)] * 250 + [(f"noise{i}",) for i in range(1000)]
+        df = spark.createDataFrame(rows, "item string").repartition(8)
+        got = {r.item: r.est for r in heavy_hitters(df, "item", k=9).collect()}
+        n = 1250
+        assert "hot" in got
+        assert 250 - n // 10 <= got["hot"] <= 250
+        # every reported count is a lower bound
+        assert all(v <= 250 for v in got.values())
+
+    def test_rejects_bad_k(self, spark):
+        from pandas_to_postgres_spark.operators.heavy_hitters import heavy_hitters
+
+        df = spark.createDataFrame([("a",)], "item string")
+        with pytest.raises(ValueError):
+            heavy_hitters(df, "item", k=0)

@@ -492,3 +492,16 @@ class TestManifestPruning:
         got = read_pruned(spark, TMP, "l_orderkey", lo, hi)
         want = li.filter((F.col("l_orderkey") >= lo) & (F.col("l_orderkey") <= hi))
         assert got.count() == want.count() > 0
+
+
+class TestObservedWrite:
+    def test_metrics_match_without_second_scan(self, spark):
+        from pandas_to_postgres_spark.sinks.files import write_parquet_observed
+
+        df = spark.createDataFrame(
+            [(1, "a"), (2, None), (3, None), (4, "d")], "id long, v string"
+        )
+        got = write_parquet_observed(df, TMP, null_cols=["v"])
+        assert got == {"rows": 4, "nulls_v": 2}
+        # the write really happened and holds the same rows
+        assert spark.read.parquet(TMP).count() == 4
