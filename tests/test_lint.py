@@ -1,0 +1,61 @@
+"""Plan-linter tests: each anti-pattern is planted, the linter must flag
+it; each good plan must come back clean of errors."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pandas_to_postgres_spark.plans.lint import assert_scalable, lint_plan
+
+
+def codes(df, severity=None):
+    fs = lint_plan(df)
+    return {f.code for f in fs if severity is None or f.severity == severity}
+
+
+class TestPlanLint:
+    def _two(self, spark):
+        a = spark.range(100).withColumnRenamed("id", "a")
+        b = spark.range(100).withColumnRenamed("id", "b")
+        return a, b
+
+    def test_cartesian_flagged(self, spark):
+        a, b = self._two(spark)
+        df = a.crossJoin(b).filter(F.col("a") * 2 < F.col("b"))
+        assert "cartesian" in codes(df) or "bnlj" in codes(df)
+
+    def test_row_python_udf_flagged(self, spark):
+        bad = F.udf(lambda x: x + 1, "bigint")
+        df = spark.range(10).select(bad("id").alias("v"))
+        assert "python_udf" in codes(df, "error")
+        with pytest.raises(AssertionError):
+            assert_scalable(df)
+
+    def test_global_window_flagged_single_partition(self, spark):
+        w = Window.orderBy("id")  # no partitionBy -> SinglePartition
+        df = spark.range(100).withColumn("rn", F.row_number().over(w))
+        assert "single_partition" in codes(df, "warn")
+
+    def test_global_sort_flagged_but_topk_clean(self, spark):
+        df = spark.range(1000).orderBy(F.col("id").desc())
+        assert "global_sort" in codes(df, "warn")
+        topk = spark.range(1000).orderBy(F.col("id").desc()).limit(5)
+        assert "global_sort" not in codes(topk)
+
+    def test_good_plans_have_no_errors(self, spark):
+        li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        agg = (
+            li.filter(F.col("l_quantity") > 10)
+            .groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        assert codes(agg, "error") == set()
+        assert_scalable(agg)  # must not raise
+
+    def test_registry_headliners_pass_the_gate(self, spark):
+        # the linter's gate must agree with the hand-written plan tests on
+        # the bench headliners (BNLJ/arrow infos allowed, no errors)
+        from pandas_to_postgres_spark.plans import REGISTRY
+
+        for name in ("pricing_summary", "join_order_revenue", "topk_lineitems"):
+            assert_scalable(REGISTRY[name].fn(spark, "/root/testdata/sf0.001"))
