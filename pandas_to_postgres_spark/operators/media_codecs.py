@@ -1,0 +1,214 @@
+"""REAL media decoders for uncompressed formats — no PIL/ffmpeg needed.
+
+`operators/multimodal.py` gates compressed-format decoding (JPEG/PNG/MP4)
+behind ``NotImplementedError`` because those codecs' libraries are not in
+this container. But uncompressed containers need no codec library at all:
+
+- **WAV** (RIFF PCM)  — stdlib ``wave`` + numpy ``frombuffer``
+- **BMP** (24-bit uncompressed) — ``struct`` header parse + numpy reshape
+- **PPM** (P6 binary) — 3-token ASCII header + raw RGB bytes
+
+so for these formats the decode step is REAL: actual pixels and samples
+come out, get featurized with numpy, and flow through the same
+Arrow-batched ``mapInPandas`` plumbing the fake path exercises. The
+honest gate stays exactly where it belongs — on formats whose decoders
+genuinely are not present.
+
+Scale: same rules as multimodal.py — payloads are decoded WHERE THEY SIT
+(map-only, one Arrow batch at a time, bounded by maxPartitionBytes) and
+never shuffled; only the small feature rows move.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+from typing import Iterator, Tuple
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+
+# ---------- encoders (test/synthesis helpers — also pure stdlib/numpy) ----
+
+def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """float samples in [-1, 1] → 16-bit mono PCM WAV bytes."""
+    pcm = np.clip(samples, -1.0, 1.0)
+    pcm16 = (pcm * 32767.0).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(pcm16.tobytes())
+    return buf.getvalue()
+
+
+def encode_bmp(rgb: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB → 24-bit uncompressed BMP bytes."""
+    h, w, _ = rgb.shape
+    row_size = (w * 3 + 3) & ~3  # rows pad to 4 bytes
+    img_size = row_size * h
+    header = struct.pack(
+        "<2sIHHI", b"BM", 14 + 40 + img_size, 0, 0, 14 + 40
+    ) + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    out = bytearray(header)
+    bgr = rgb[:, :, ::-1]
+    pad = b"\x00" * (row_size - w * 3)
+    for y in range(h - 1, -1, -1):  # BMP stores bottom-up
+        out += bgr[y].tobytes() + pad
+    return bytes(out)
+
+
+def encode_ppm(rgb: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB → binary P6 PPM bytes."""
+    h, w, _ = rgb.shape
+    return f"P6\n{w} {h}\n255\n".encode() + rgb.tobytes()
+
+
+# ---------- real decoders -------------------------------------------------
+
+def decode_wav(payload: bytes) -> Tuple[np.ndarray, int]:
+    """WAV bytes → (float64 mono samples in [-1, 1], sample rate)."""
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        rate = w.getframerate()
+        n = w.getnframes()
+        width = w.getsampwidth()
+        channels = w.getnchannels()
+        raw = w.readframes(n)
+    if width != 2:
+        raise NotImplementedError(f"only 16-bit PCM supported, got width={width}")
+    samples = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32767.0
+    if channels > 1:
+        samples = samples.reshape(-1, channels).mean(axis=1)
+    return samples, rate
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """24-bit uncompressed BMP bytes → (h, w, 3) uint8 RGB."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size, w, h, _, bpp, comp = struct.unpack_from("<IiiHHI", payload, 14)
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(f"only 24-bit uncompressed BMP (bpp={bpp}, comp={comp})")
+    row_size = (w * 3 + 3) & ~3
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=row_size * abs(h), offset=data_off
+    ).reshape(abs(h), row_size)
+    bgr = rows[:, : w * 3].reshape(abs(h), w, 3)
+    if h > 0:
+        bgr = bgr[::-1]  # bottom-up storage → top-down
+    return bgr[:, :, ::-1].copy()  # BGR → RGB
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary P6 PPM bytes → (h, w, 3) uint8 RGB."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    # header = magic, width, height, maxval — whitespace/comment separated
+    tokens, pos = [], 2
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while payload[pos : pos + 1] not in (b"\n", b""):
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = tokens
+    if maxval != 255:
+        raise NotImplementedError("only maxval=255 PPM supported")
+    return (
+        np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+        .reshape(h, w, 3)
+        .copy()
+    )
+
+
+# ---------- Spark surface -------------------------------------------------
+
+REAL_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("byte_len", T.LongType()),
+        # audio: [duration_s, rms, zero_cross_rate]; image: [h, w, mean_r,
+        # mean_g, mean_b] — padded to 5 with zeros for a uniform schema
+        T.StructField("feature", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def _featurize_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        ids, mimes, lens, feats = [], [], [], []
+        for doc_id, payload, mime in zip(
+            pdf["doc_id"], pdf["payload"], pdf["mime"]
+        ):
+            b = bytes(payload)
+            if mime == "audio/wav":
+                samples, rate = decode_wav(b)
+                zc = float(np.mean(np.abs(np.diff(np.signbit(samples))))) if len(samples) > 1 else 0.0
+                f = [
+                    len(samples) / rate,
+                    float(np.sqrt(np.mean(samples**2))) if len(samples) else 0.0,
+                    zc,
+                    0.0,
+                    0.0,
+                ]
+            elif mime == "image/bmp":
+                rgb = decode_bmp(b)
+                f = [float(rgb.shape[0]), float(rgb.shape[1])] + [
+                    float(m) for m in rgb.reshape(-1, 3).mean(axis=0)
+                ]
+            elif mime == "image/x-portable-pixmap":
+                rgb = decode_ppm(b)
+                f = [float(rgb.shape[0]), float(rgb.shape[1])] + [
+                    float(m) for m in rgb.reshape(-1, 3).mean(axis=0)
+                ]
+            else:
+                # the honest gate: compressed formats need libs absent here
+                raise NotImplementedError(
+                    f"no codec for {mime!r} in this container (PIL/ffmpeg absent)"
+                )
+            ids.append(doc_id)
+            mimes.append(mime)
+            lens.append(len(b))
+            feats.append([round(x, 6) for x in f])
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "mime": mimes,
+                "byte_len": pd.Series(lens, dtype="int64"),
+                "feature": feats,
+            }
+        )
+
+
+def extract_features_real(media_df: DataFrame) -> DataFrame:
+    """(doc_id, payload, mime) → real decoded features via mapInPandas.
+
+    Input needs columns ``doc_id``, ``payload`` (binary), ``mime``
+    (string). Decoding is map-only; payloads never shuffle.
+    """
+    return media_df.select("doc_id", "payload", "mime").mapInPandas(
+        _featurize_real, schema=REAL_FEATURE_SCHEMA
+    )
+
+
+def resize_rgb(rgb: "np.ndarray", width: int, height: int) -> "np.ndarray":
+    """Nearest-neighbor resize of a decoded (h, w, 3) RGB array — real
+    pixel resampling with numpy indexing alone (bilinear would also be
+    pure numpy; nearest keeps the test goldens exact)."""
+    h, w, _ = rgb.shape
+    rows = (np.arange(height) * h // height).clip(0, h - 1)
+    cols = (np.arange(width) * w // width).clip(0, w - 1)
+    return rgb[rows][:, cols]
