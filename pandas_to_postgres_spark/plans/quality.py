@@ -705,3 +705,115 @@ def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = d.mapInPandas(synth, schema=payload_schema)
     return extract_features_real(media)
+
+
+@register(
+    "variant_events",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS k_min,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS k_max,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS k_sum
+    FROM events GROUP BY event_type
+    """,
+)
+def variant_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT type: ``parse_json`` shreds the props string into
+    the binary semi-structured VariantType once, ``variant_get`` then
+    extracts typed paths WITHOUT re-parsing text per access — the
+    engine-native JSON answer (`json_extract_events` is the classic
+    string-path twin; at many extractions per row variant wins because
+    the parse happens once).
+
+    Scale: parse + extraction are map-only projections feeding one
+    map-side-combinable aggregate keyed by event_type (dimension-sized).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+            F.sum("k").alias("k_sum"),
+        )
+    )
+
+
+@register(
+    "collation_distinct_names",
+    oracle="""
+    WITH cased AS (SELECT CASE WHEN p_partkey % 2 = 0 THEN upper(p_name)
+                               ELSE p_name END AS name
+                   FROM part)
+    SELECT count(DISTINCT name) AS n_binary,
+           count(DISTINCT lower(name)) AS n_ci
+    FROM cased
+    """,
+)
+def collation_distinct_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 collations: a deterministically mixed-case name column
+    (even part keys uppercased) counted distinct under BINARY vs
+    UTF8_LCASE collation — the collated count collapses case variants
+    the way a linguistic/CI comparison should, without rewriting every
+    predicate as lower(x) = lower(y). The oracle mirrors CI semantics
+    with lower() since DuckDB's default collation is binary.
+
+    Scale: one scan, two partial-merged distinct aggregates; collation
+    comparisons stay JVM-side (no UDF). Also the reminder from
+    sinks/postgres_copy's notes: server-side collations ORDER differently
+    than Spark's binary codepoints — never push string inequalities to a
+    collated Postgres.
+    """
+    p = load_table(spark, sf_dir, "part")
+    name = F.when(
+        F.col("p_partkey") % 2 == 0, F.upper(F.col("p_name"))
+    ).otherwise(F.col("p_name"))
+    cased = p.select(name.alias("name"))
+    return cased.agg(
+        F.count_distinct(F.col("name")).alias("n_binary"),
+        F.count_distinct(F.collate(F.col("name"), "UTF8_LCASE")).alias("n_ci"),
+    )
+
+
+@register(
+    "sql_udf_revenue",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def sql_udf_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL UDFs (CREATE FUNCTION ... RETURN <expr>): the discount
+    formula is declared once as a catalog-registered SQL function and
+    reused by name — unlike Python UDFs, the body INLINES into the plan
+    at resolution time, so it stays inside whole-stage codegen with zero
+    serialization cost (the plan is identical to writing the expression
+    inline; X2-X5 cover the Python-runtime UDF tiers).
+
+    Scale: map-only expression + one decimal-partial-summed aggregate on
+    a 3-value key.
+    """
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem_for_sql_udf"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION disc_price(p DOUBLE, d DOUBLE) "
+        "RETURNS DOUBLE RETURN p * (1 - d)"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(round(sum(CAST(disc_price(l_extendedprice, l_discount)
+                                   AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+        FROM lineitem_for_sql_udf GROUP BY l_returnflag
+        """
+    )
