@@ -817,3 +817,43 @@ def sql_udf_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem_for_sql_udf GROUP BY l_returnflag
         """
     )
+
+
+@register(
+    "bloom_semi_lineitem",
+    oracle="""
+    SELECT l_returnflag, count(*) AS n_lines,
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE)
+             AS sum_qty
+    FROM lineitem
+    WHERE l_orderkey IN (
+        SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
+    GROUP BY l_returnflag
+    """,
+)
+def bloom_semi_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter runtime prefilter ahead of an exact semi-join
+    (operators/bloom.py): the urgent-order keys build a 2^20-bit bitset
+    (map-side bit_or partials, ONE bitmap-bounded shuffle), the 1-row
+    bitmap broadcasts, and lineitem is pruned MAP-SIDE before the real
+    semi-join — the explicit, reusable form of Spark's InjectRuntimeFilter
+    for shapes the automatic rule misses. False positives are cleared by
+    the final semi-join, so the oracle is the plain SQL semi-join.
+
+    Scale: the semi-join's exchange carries only the pruned fraction of
+    the fact (selectivity + FPR, here ~20% instead of 100%); the bitmap
+    stays 1 row at ANY dim size — only num_bits grows.
+    """
+    from pandas_to_postgres_spark.functions.agg import dsum
+    from pandas_to_postgres_spark.operators.bloom import bloom_semi_join
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    kept = bloom_semi_join(li, orders, "l_orderkey", "o_orderkey")
+    return kept.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        dsum(F.col("l_quantity")).alias("sum_qty"),
+    )

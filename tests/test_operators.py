@@ -1101,3 +1101,81 @@ class TestRealMediaCodecs:
         assert np.array_equal(small[1, 2], rgb[2, 4])
         # decode -> resize -> encode survives a round-trip
         assert np.array_equal(decode_bmp(encode_bmp(small)), small)
+
+
+class TestBloom:
+    def _frames(self, spark):
+        from tests.conftest import SF_SMOKE
+
+        import pyspark.sql.functions as F
+
+        orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+        return li, orders
+
+    def test_semi_join_is_exact(self, spark):
+        from pandas_to_postgres_spark.operators.bloom import bloom_semi_join
+
+        li, orders = self._frames(spark)
+        got = bloom_semi_join(li, orders, "l_orderkey", "o_orderkey")
+        want = li.join(
+            orders.select("o_orderkey"),
+            li.l_orderkey == orders.o_orderkey,
+            "left_semi",
+        )
+        assert sorted(map(str, got.collect())) == sorted(map(str, want.collect()))
+
+    def test_no_false_negatives_even_when_undersized(self, spark):
+        # a deliberately tiny bitmap saturates: every true member must
+        # still pass the prefilter (Bloom filters never drop members)
+        from pandas_to_postgres_spark.operators.bloom import (
+            bloom_build,
+            bloom_prefilter,
+        )
+
+        li, orders = self._frames(spark)
+        keys = orders.select("o_orderkey")
+        bloom = bloom_build(keys, "o_orderkey", num_bits=256, num_hashes=3)
+        pruned = bloom_prefilter(li, "l_orderkey", bloom, num_bits=256, num_hashes=3)
+        true_members = li.join(keys, li.l_orderkey == keys.o_orderkey, "left_semi")
+        assert pruned.count() >= true_members.count()
+        missing = true_members.exceptAll(pruned)
+        assert missing.count() == 0
+
+    def test_prefilter_prunes_at_proper_sizing(self, spark):
+        from pandas_to_postgres_spark.operators.bloom import (
+            bloom_build,
+            bloom_prefilter,
+        )
+
+        li, orders = self._frames(spark)
+        bloom = bloom_build(orders.select("o_orderkey"), "o_orderkey")
+        pruned_n = bloom_prefilter(li, "l_orderkey", bloom).count()
+        total = li.count()
+        true_n = li.join(
+            orders.select("o_orderkey"),
+            li.l_orderkey == orders.o_orderkey,
+            "left_semi",
+        ).count()
+        # at 2^20 bits / 5 hashes the FP margin over the true members is
+        # tiny; generously allow 1% of the fact
+        assert pruned_n < total
+        assert pruned_n - true_n <= total * 0.01
+
+    def test_int_key_probes_bigint_filter(self, spark):
+        # canonical key cast: int probe column vs bigint build column
+        from pandas_to_postgres_spark.operators.bloom import bloom_semi_join
+
+        import pyspark.sql.functions as F
+
+        li, orders = self._frames(spark)
+        li_int = li.withColumn("l_orderkey", F.col("l_orderkey").cast("int"))
+        got = bloom_semi_join(li_int, orders, "l_orderkey", "o_orderkey").count()
+        want = li.join(
+            orders.select("o_orderkey"),
+            li.l_orderkey == orders.o_orderkey,
+            "left_semi",
+        ).count()
+        assert got == want

@@ -491,3 +491,36 @@ class TestQualityQueryShapes:
         plan = plan_of(spark, "weighted_reservoir")
         assert shuffles(plan) == 0
         assert "TakeOrderedAndProject" in plan
+
+
+class TestBloomShape:
+    def test_probe_is_broadcast_no_fact_shuffle_and_jvm_only(self, spark):
+        import pyspark.sql.functions as F
+
+        from pandas_to_postgres_spark.operators.bloom import (
+            bloom_build,
+            bloom_prefilter,
+        )
+
+        orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+        bloom = bloom_build(orders.select("o_orderkey"), "o_orderkey")
+        pruned = bloom_prefilter(li, "l_orderkey", bloom)
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        # the 1-row bitmap broadcasts; the fact side must not exchange
+        # before the membership filter — every hash shuffle in this plan
+        # belongs to the bitmap build, whose row counts are bounded by
+        # num_bits/64 (2048-16384 words), never by dim or fact size
+        assert "BroadcastNestedLoopJoin" in plan
+        assert shuffles(plan) <= 3
+        # membership test is pure JVM expression work
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+
+    def test_registered_query_passes_scale_gate(self, spark):
+        from pandas_to_postgres_spark.plans.lint import assert_scalable
+
+        df = REGISTRY["bloom_semi_lineitem"].fn(spark, SF_SMOKE)
+        assert_scalable(df)
