@@ -1,0 +1,166 @@
+"""Join-based PageRank: iterative message passing on the DataFrame API.
+
+The missing algorithm class between the aggregation tier and the
+connected-components closure (operators/cluster.py): ITERATIVE graph
+computation where each round is relational — rank vector ⋈ edges on src,
+re-aggregate on dst. That is exactly how Pregel-style systems express
+PageRank as joins, and it is the scale-correct Spark shape: the edge list
+is the big, immutable side (partition once, reuse every round); the rank
+vector is |V| rows and is the only thing that moves.
+
+Determinism / oracle parity: per-edge contributions are computed in
+double (IEEE multiply/divide are exactly reproducible across engines) and
+summed through DECIMAL — the same exact-partial-sum trick as
+functions/agg.dsum — so the result is independent of partition count,
+merge order, and engine. The DuckDB twin is the SAME formula with the
+iterations unrolled as CTEs (`pagerank_oracle_sql`).
+
+Simplified PageRank (no dangling-mass redistribution): nodes without
+out-edges absorb rank; identical convention on both engines. Use the
+damping term only as a comparison of relative centrality, not a
+probability distribution, when the graph has sinks.
+
+Scale: each iteration is ONE shuffle of |V| rank rows to the edge
+partitioning plus one dst aggregation (map-side combined). The edge frame
+never re-shuffles after its first hash partitioning. Rank frames are
+localCheckpoint()ed per round so the plan stays O(1) in iterations
+(lineage-cut lesson from operators/cluster.py). For vertex counts small
+enough to broadcast (dimension-like graphs), AQE turns the rank⋈edges
+join into a broadcast join and the per-iteration shuffle disappears
+entirely.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: decimal type for exact, order-independent contribution sums. Scale 12
+#: keeps the double→decimal cast inside the regime where Spark's
+#: shortest-repr rounding and DuckDB's binary-value rounding agree (same
+#: rationale as DECIMAL(18,6) in functions/agg.py, with headroom for
+#: rank*probability products < 1).
+_DEC = "decimal(28,12)"
+
+
+def _grid_round(col, digits: int):
+    """Cross-engine deterministic rounding: floor(x*10^d + 0.5)/10^d on
+    the double itself — both engines decide ties on the same binary value
+    (Spark's round() would use the decimal repr instead; see
+    plans/analytics.interpolate_events)."""
+    p = float(10**digits)
+    return F.floor(col * F.lit(p) + F.lit(0.5)) / F.lit(p)
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    damping: float = 0.85,
+    iterations: int = 4,
+    out_digits: int = 10,
+) -> DataFrame:
+    """(node, rank) after ``iterations`` rounds of weighted PageRank over
+    a directed edge list with positive integer-ish weights.
+
+    r_{t+1}(v) = (1-d)/N + d * Σ_{u→v} r_t(u) * w(u,v)/outw(u)
+
+    The transition probability w/outw is one IEEE division (bit-identical
+    across engines); per-edge contributions r*p go through DECIMAL partial
+    sums so the aggregate is exact and partitioning-invariant. Output rank
+    is grid-rounded to ``out_digits``.
+    """
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst"), F.col(weight).alias("w")
+    )
+    outw = e.groupBy("src").agg(F.sum("w").alias("ow"))
+    trans = (
+        e.join(outw, "src")
+        .select(
+            "src",
+            "dst",
+            (F.col("w").cast("double") / F.col("ow").cast("double")).alias("p"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    base = (1.0 - damping) / n
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    for _ in range(iterations):
+        contrib = (
+            ranks.join(trans, ranks.node == trans.src)
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") * F.col("p")).cast(_DEC).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * F.coalesce(F.col("s").cast("double"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)  # O(1) plan per round
+        )
+    return ranks.select("node", _grid_round(F.col("rank"), out_digits).alias("rank"))
+
+
+def pagerank_oracle_sql(
+    edges_cte: str,
+    damping: float = 0.85,
+    iterations: int = 4,
+    out_digits: int = 10,
+) -> str:
+    """DuckDB twin with the iterations unrolled as CTEs. ``edges_cte`` is
+    a SELECT producing (src, dst, w). Mirrors :func:`pagerank` term for
+    term: same IEEE transition probabilities, same DECIMAL contribution
+    sums, same grid rounding."""
+    # every damping-factor use is CAST(... AS DOUBLE) so DuckDB's DECIMAL
+    # literal arithmetic can't diverge from the Python-double math the
+    # Spark side bakes into its literals
+    d = f"CAST({damping!r} AS DOUBLE)"
+    p10 = f"1e{out_digits}"
+    parts = [
+        f"WITH edges AS ({edges_cte})",
+        "outw AS (SELECT src, sum(w) AS ow FROM edges GROUP BY src)",
+        "trans AS (SELECT e.src, e.dst,"
+        " CAST(e.w AS DOUBLE) / CAST(o.ow AS DOUBLE) AS p"
+        " FROM edges e JOIN outw o ON e.src = o.src)",
+        "nodes AS (SELECT DISTINCT src AS node FROM edges"
+        " UNION SELECT DISTINCT dst FROM edges)",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        "r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / n AS rank FROM nodes, nn)",
+    ]
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"c{i} AS (SELECT t.dst AS node,"
+            f" sum(CAST(r.rank * t.p AS DECIMAL(28,12))) AS s"
+            f" FROM {prev} r JOIN trans t ON r.node = t.src GROUP BY t.dst)"
+        )
+        parts.append(
+            f"r{i} AS (SELECT b.node,"
+            f" (CAST(1.0 AS DOUBLE) - {d}) / b.n"
+            f" + {d} * coalesce(CAST(c{i}.s AS DOUBLE), 0.0) AS rank"
+            f" FROM (SELECT node, n FROM nodes, nn) b"
+            f" LEFT JOIN c{i} ON b.node = c{i}.node)"
+        )
+        prev = f"r{i}"
+    body = ",\n".join(parts)
+    return (
+        f"{body}\n"
+        f"SELECT node, floor(rank * {p10} + 0.5) / {p10} AS rank FROM {prev}"
+    )

@@ -857,3 +857,58 @@ def bloom_semi_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_lines"),
         dsum(F.col("l_quantity")).alias("sum_qty"),
     )
+
+
+_TRADE_EDGES_SQL = """
+    SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS w
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY c.c_nationkey, s.s_nationkey
+"""
+
+
+def _pagerank_nations_oracle() -> str:
+    from pandas_to_postgres_spark.operators.graph import pagerank_oracle_sql
+
+    pr = pagerank_oracle_sql(_TRADE_EDGES_SQL, damping=0.85, iterations=4)
+    return f"""
+    SELECT n_name, rank
+    FROM ({pr}) pr JOIN nation ON pr.node = n_nationkey
+    """
+
+
+@register("pagerank_nations", oracle=_pagerank_nations_oracle())
+def pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the nation-level trade graph (edge u→v =
+    lineitems a customer in nation u bought from a supplier in nation v)
+    — the iterative message-passing algorithm class, expressed as joins
+    (operators/graph.py). The oracle unrolls the same 4 iterations as
+    DuckDB CTEs; parity holds because transition probabilities are single
+    IEEE divisions and contribution sums go through DECIMAL.
+
+    Scale: the edge list partitions once and is reused every round; each
+    iteration moves only the |V|-row rank vector (broadcast-joinable for
+    dimension-sized graphs, hash-co-partitioned for billion-node ones);
+    rank frames are lineage-cut per round so the plan stays O(1) in
+    iteration count.
+    """
+    from pandas_to_postgres_spark.operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .groupBy(
+            customer.c_nationkey.alias("src"), supplier.s_nationkey.alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    pr = pagerank(edges, damping=0.85, iterations=4)
+    return pr.join(nation, pr.node == nation.n_nationkey).select("n_name", "rank")

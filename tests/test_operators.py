@@ -1179,3 +1179,68 @@ class TestBloom:
             "left_semi",
         ).count()
         assert got == want
+
+
+class TestPagerank:
+    def _edges(self, spark):
+        import pyspark.sql.functions as F
+
+        rows = [
+            ("a", "b", 2), ("a", "c", 1), ("b", "c", 3),
+            ("c", "a", 1), ("d", "c", 5),
+        ]
+        return spark.createDataFrame(rows, ["src", "dst", "w"])
+
+    def test_mass_conserved_without_dangling(self, spark):
+        # every node has out-edges except none here ('d' has out, all of
+        # a,b,c do) -> total rank stays 1 within rounding
+        from pandas_to_postgres_spark.operators.graph import pagerank
+
+        pr = pagerank(self._edges(spark), iterations=4)
+        rows = {r["node"]: r["rank"] for r in pr.collect()}
+        assert set(rows) == {"a", "b", "c", "d"}
+        assert all(v > 0 for v in rows.values())
+        # 'd' only contributes, never receives: floor rank (1-d)/N
+        assert abs(rows["d"] - 0.15 / 4) < 1e-9
+        # mass leaks only via rounding... but 'd' has out-edges and no
+        # in-edges, so conservation holds each round
+        assert abs(sum(rows.values()) - 1.0) < 1e-6
+
+    def test_partitioning_invariant(self, spark):
+        from pandas_to_postgres_spark.operators.graph import pagerank
+
+        e = self._edges(spark)
+        a = sorted(map(str, pagerank(e, iterations=3).collect()))
+        b = sorted(map(str, pagerank(e.repartition(7), iterations=3).collect()))
+        assert a == b
+
+    def test_oracle_builder_matches_duckdb(self, spark):
+        import duckdb
+
+        from pandas_to_postgres_spark.operators.graph import (
+            pagerank,
+            pagerank_oracle_sql,
+        )
+
+        e = self._edges(spark)
+        got = {r["node"]: r["rank"] for r in pagerank(e, iterations=4).collect()}
+        con = duckdb.connect()
+        con.sql(
+            "CREATE TABLE el(src VARCHAR, dst VARCHAR, w BIGINT)"
+        )
+        con.executemany(
+            "INSERT INTO el VALUES (?, ?, ?)",
+            [("a", "b", 2), ("a", "c", 1), ("b", "c", 3), ("c", "a", 1), ("d", "c", 5)],
+        )
+        sql = pagerank_oracle_sql("SELECT src, dst, w FROM el", iterations=4)
+        want = {r[0]: r[1] for r in con.sql(sql).fetchall()}
+        con.close()
+        assert got == want
+
+    def test_registered_query_passes_scale_gate(self, spark):
+        from tests.conftest import SF_SMOKE
+
+        from pandas_to_postgres_spark.plans import REGISTRY
+        from pandas_to_postgres_spark.plans.lint import assert_scalable
+
+        assert_scalable(REGISTRY["pagerank_nations"].fn(spark, SF_SMOKE))
