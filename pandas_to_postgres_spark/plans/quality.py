@@ -912,3 +912,80 @@ def pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pr = pagerank(edges, damping=0.85, iterations=4)
     return pr.join(nation, pr.node == nation.n_nationkey).select("n_name", "rank")
+
+
+#: DuckDB twin of the PQ pipeline (operators/pq.py): same md5-sampled
+#: codebook, same floor-rounded encode distances, same ADC lookups.
+_PQ_SQ = (
+    "list_sum(list_transform(generate_series(1, 8), i -> "
+    "(embedding[mi*8 + i] - cw[mi*8 + i]) * (embedding[mi*8 + i] - cw[mi*8 + i])))"
+)
+
+_PQ_ORACLE = f"""
+WITH seeds AS (
+  SELECT embedding AS v, md5(CAST(vec_id AS VARCHAR)) AS h, vec_id AS sid
+  FROM embeddings ORDER BY h, sid LIMIT 16
+),
+book AS (SELECT list(v ORDER BY h, sid) AS sv FROM seeds),
+codes AS (
+  SELECT vec_id,
+         list_transform(generate_series(0, 7), mi ->
+           list_position(
+             list_transform(sv, cw -> floor({_PQ_SQ} * 1e9 + 0.5)),
+             list_min(list_transform(sv, cw -> floor({_PQ_SQ} * 1e9 + 0.5)))
+           ) - 1
+         ) AS pq_codes
+  FROM embeddings, book
+),
+q AS (
+  SELECT vec_id AS qid,
+         list_transform(generate_series(0, 7), mi ->
+           list_transform(sv, cw -> {_PQ_SQ})) AS qtab
+  FROM embeddings, book WHERE vec_id < 5
+),
+scored AS (
+  SELECT q.qid, c.vec_id,
+         floor(list_sum(list_transform(generate_series(0, 7), mi ->
+           qtab[mi + 1][c.pq_codes[mi + 1] + 1])) * 1e6 + 0.5) / 1e6 AS adc_dist
+  FROM q CROSS JOIN codes c
+),
+ranked AS (
+  SELECT qid, vec_id, adc_dist,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY adc_dist, vec_id)
+              AS BIGINT) AS rank
+  FROM scored
+)
+SELECT qid, vec_id, adc_dist, rank FROM ranked WHERE rank <= 5
+"""
+
+
+@register("simsearch_pq", oracle=_PQ_ORACLE)
+def simsearch_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4, memory-bounded tier: Product Quantization ANN (Jégou et al.,
+    TPAMI 2011; operators/pq.py). The corpus is encoded to 8 one-byte
+    codes (64x smaller than the raw 64-dim doubles); queries precompute
+    an 8x16 ADC distance table and score corpus rows with table LOOKUPS
+    only — the raw embedding column is never read at search time. The
+    deterministic md5-sampled codebook makes every stage (encode argmin,
+    ADC sums) bit-reproducible, so the WHOLE pipeline oracle-checks
+    against the DuckDB twin — unlike the engine-pruned IVF/LSH tiers
+    (rows-only), this ANN variant is value-verified.
+
+    Scale: codebook + encode are map-only over a broadcast 1-row book;
+    search scans codes (8 B/row) instead of vectors (512 B/row); ranking
+    is a per-query window over the rounded distance.
+    """
+    from pandas_to_postgres_spark.operators.pq import (
+        pq_codebook,
+        pq_encode,
+        pq_search,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    book = pq_codebook(e, "vec_id", "embedding")
+    codes = pq_encode(e, "vec_id", "embedding", book)
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    out = pq_search(q, codes, book, "qid", "vec_id", "qvec")
+    return out.withColumn("rank", F.col("rank").cast("long"))

@@ -1244,3 +1244,109 @@ class TestPagerank:
         from pandas_to_postgres_spark.plans.lint import assert_scalable
 
         assert_scalable(REGISTRY["pagerank_nations"].fn(spark, SF_SMOKE))
+
+
+class TestProductQuantization:
+    def _emb(self, spark):
+        from tests.conftest import SF_SMOKE
+
+        return spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+
+    def test_encode_matches_numpy_reference(self, spark):
+        import hashlib
+
+        import numpy as np
+
+        from pandas_to_postgres_spark.operators.pq import pq_codebook, pq_encode
+
+        e = self._emb(spark)
+        book = pq_codebook(e, "vec_id", "embedding")
+        got = {
+            r["vec_id"]: list(r["pq_codes"])
+            for r in pq_encode(e, "vec_id", "embedding", book).collect()
+        }
+        pdf = e.toPandas()
+        V = np.stack(pdf["embedding"].values)
+        ids = pdf["vec_id"].values
+        keyed = sorted(
+            zip(
+                [hashlib.md5(str(i).encode()).hexdigest() for i in ids], ids, V
+            ),
+            key=lambda t: (t[0], t[1]),
+        )
+        seeds = np.stack([t[2] for t in keyed[:16]])
+        m, sub = 8, 8
+        for rid, v in zip(ids, V):
+            want = []
+            for mi in range(m):
+                sv = v[mi * sub : (mi + 1) * sub]
+                d = np.floor(
+                    ((seeds[:, mi * sub : (mi + 1) * sub] - sv) ** 2).sum(axis=1)
+                    * 1e9
+                    + 0.5
+                )
+                want.append(int(np.argmin(d)))
+            assert got[rid] == want, rid
+
+    def test_codes_are_byte_range(self, spark):
+        from pandas_to_postgres_spark.operators.pq import pq_codebook, pq_encode
+
+        e = self._emb(spark)
+        book = pq_codebook(e, "vec_id", "embedding")
+        codes = pq_encode(e, "vec_id", "embedding", book)
+        import pyspark.sql.functions as F
+
+        bad = codes.filter(
+            F.exists("pq_codes", lambda c: (c < 0) | (c >= 16))
+        ).count()
+        assert bad == 0
+
+    def test_partitioning_invariant(self, spark):
+        from pandas_to_postgres_spark.operators.pq import (
+            pq_codebook,
+            pq_encode,
+            pq_search,
+        )
+
+        import pyspark.sql.functions as F
+
+        e = self._emb(spark)
+        q = e.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+        )
+
+        def run(corpus):
+            book = pq_codebook(corpus, "vec_id", "embedding")
+            codes = pq_encode(corpus, "vec_id", "embedding", book)
+            return sorted(
+                map(str, pq_search(q, codes, book, "qid", "vec_id", "qvec").collect())
+            )
+
+        assert run(e) == run(e.repartition(13))
+
+    def test_search_never_reads_vectors(self, spark):
+        # the ADC scoring subtree reads pq_codes, not the embedding column:
+        # corpus embeddings appear in the plan only under the encode stage
+        from pandas_to_postgres_spark.operators.pq import (
+            pq_codebook,
+            pq_encode,
+            pq_search,
+        )
+
+        import pyspark.sql.functions as F
+
+        e = self._emb(spark)
+        book = pq_codebook(e, "vec_id", "embedding")
+        codes = pq_encode(e, "vec_id", "embedding", book).localCheckpoint(
+            eager=True
+        )  # materialized code table, as a real index would be
+        q = e.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+        )
+        out = pq_search(q, codes, book, "qid", "vec_id", "qvec")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # corpus side of the search is the checkpointed codes scan; no
+        # parquet scan of the embeddings table feeds the ADC cross join
+        # (the query/book sides do read it — they are 5 rows and 1 row)
+        assert plan.count("Scan ExistingRDD") >= 1
+        assert "BatchEvalPython" not in plan
