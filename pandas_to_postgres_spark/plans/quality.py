@@ -989,3 +989,129 @@ def simsearch_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = pq_search(q, codes, book, "qid", "vec_id", "qvec")
     return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@register(
+    "ols_price_qty",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             count(*) AS n,
+             CAST(sum(CAST(l_quantity      AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(24,6)))
+                  AS DOUBLE) AS sxy,
+             CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(18,6)))
+                  AS DOUBLE) AS sxx,
+             CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,6)))
+                  AS DOUBLE) AS syy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           floor((n * sxy - sx * sy) / (n * sxx - sx * sx) * 1e8 + 0.5) / 1e8
+             AS slope,
+           floor((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+                 * 1e8 + 0.5) / 1e8 AS intercept,
+           floor(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)) * 1e8 + 0.5) / 1e8
+             AS r2
+    FROM s
+    """,
+)
+def ols_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped OLS linear regression (extendedprice ~ quantity per return
+    flag) via the normal equations over one map-side-combined aggregate:
+    the five moment sums go through DECIMAL so they are exact and
+    partitioning-invariant, and the closed-form slope/intercept/R² are
+    then derived with plain IEEE arithmetic — identical expression on
+    both engines, grid-rounded. No MLlib, no iteration, no collect: a
+    regression over 100 TB is ONE aggregation pass at scan speed.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity")
+    y = F.col("l_extendedprice")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x.cast("decimal(18,6)")).cast("double").alias("sx"),
+        F.sum(y.cast("decimal(18,6)")).cast("double").alias("sy"),
+        F.sum((x * y).cast("decimal(24,6)")).cast("double").alias("sxy"),
+        F.sum((x * x).cast("decimal(18,6)")).cast("double").alias("sxx"),
+        F.sum((y * y).cast("decimal(28,6)")).cast("double").alias("syy"),
+    )
+    n, sx, sy, sxy, sxx, syy = (
+        F.col("n"), F.col("sx"), F.col("sy"),
+        F.col("sxy"), F.col("sxx"), F.col("syy"),
+    )
+    cov_n = n * sxy - sx * sy
+    var_n = n * sxx - sx * sx
+    slope = cov_n / var_n
+
+    def grid8(c):
+        return F.floor(c * F.lit(1e8) + F.lit(0.5)) / F.lit(1e8)
+
+    return s.select(
+        "l_returnflag",
+        "n",
+        grid8(slope).alias("slope"),
+        grid8((sy - slope * sx) / n).alias("intercept"),
+        grid8((cov_n * cov_n) / (var_n * (n * syy - sy * sy))).alias("r2"),
+    )
+
+
+@register(
+    "ewma_events",
+    oracle="""
+    WITH L AS (
+      SELECT event_id, user_id, value,
+             list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS lst
+      FROM events)
+    SELECT event_id, user_id, value,
+           floor(
+             list_sum(list_transform(lst, (x, i) -> x * pow(0.5, len(lst) - i)))
+             / list_sum(list_transform(lst, (x, i) -> pow(0.5, len(lst) - i)))
+             * 1e8 + 0.5) / 1e8 AS ewma
+    FROM L
+    """,
+)
+def ewma_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of event values per user
+    (trailing 10-row frame, pandas ewm adjust=True semantics: weighted
+    mean with w_i = (1-a)^lag). a = 0.5 on purpose: every weight is an
+    exact power of two, so the per-term scalings are EXACT in IEEE
+    arithmetic and only the final 10-term sums carry rounding — which the
+    1e-8 grid round absorbs identically on both engines.
+
+    Scale: one window shuffle on user_id (the same exchange the lag/lead
+    family already pays); the fold is a map-only HOF over a bounded
+    10-element frame — no second pass, no Python.
+    """
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, 0)
+    )
+    e = load_table(spark, sf_dir, "events")
+    lst = F.col("lst")
+    n = F.size(lst)
+    num = F.aggregate(
+        F.transform(lst, lambda x, i: x * F.pow(F.lit(0.5), n - 1 - i)),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    den = F.aggregate(
+        F.transform(lst, lambda x, i: F.pow(F.lit(0.5), (n - 1 - i).cast("double"))),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    return (
+        e.withColumn("lst", F.collect_list("value").over(w))
+        .select(
+            "event_id",
+            "user_id",
+            "value",
+            (F.floor(num / den * F.lit(1e8) + F.lit(0.5)) / F.lit(1e8)).alias(
+                "ewma"
+            ),
+        )
+    )
