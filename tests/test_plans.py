@@ -524,3 +524,36 @@ class TestBloomShape:
 
         df = REGISTRY["bloom_semi_lineitem"].fn(spark, SF_SMOKE)
         assert_scalable(df)
+
+
+class TestDynamicPartitionPruning:
+    def test_partitioned_fact_join_installs_runtime_partition_filter(
+        self, spark, tmp_path
+    ):
+        # hive-partitioned layout + filtered dim join -> Spark installs a
+        # dynamicpruning PartitionFilter on the fact scan: at 100 TB the
+        # fact directories for non-matching partitions are never listed,
+        # the partition-elimination twin of the bloom row prefilter
+        import pyspark.sql.functions as F
+
+        from pandas_to_postgres_spark.sinks.files import (
+            write_parquet_partitioned,
+        )
+
+        orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+        path = str(tmp_path / "orders_by_prio")
+        write_parquet_partitioned(orders, path, ["o_orderpriority"])
+        fact = spark.read.parquet(path)
+        dim = spark.createDataFrame(
+            [("1-URGENT", 1), ("2-HIGH", 2), ("5-LOW", 5)], ["prio", "tier"]
+        ).filter(F.col("tier") == 1)
+        joined = (
+            fact.join(dim, fact.o_orderpriority == dim.prio)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruning" in plan.lower(), plan
+        # and the result is the pruned partition only
+        rows = joined.collect()
+        assert [r["o_orderpriority"] for r in rows] == ["1-URGENT"]
