@@ -1115,3 +1115,50 @@ def ewma_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "argmax_per_segment",
+    oracle="""
+    SELECT c_mktsegment,
+           arg_max(o_orderkey,
+                   CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) * 100000000
+                   + o_orderkey) AS top_order,
+           arg_min(o_orderkey,
+                   CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) * 100000000
+                   + o_orderkey) AS bottom_order,
+           CAST(round(max(o_totalprice), 2) AS DOUBLE) AS top_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def argmax_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax-as-AGGREGATE (max_by/min_by): the priciest and cheapest
+    order per market segment WITHOUT a window — at scale the rank-window
+    formulation materializes and sorts every group, while max_by is a
+    map-side-combinable aggregate carrying one candidate per partition
+    per group. Ties are impossible by construction: the ordering key is
+    the composite cents*1e8 + orderkey (floor(x*100+0.5) avoids the
+    cast-truncate-vs-round engine divergence; the 1e8 spacing assumes
+    orderkeys below 1e8 — switch to a zero-padded string key beyond
+    that).
+
+    Scale: one broadcast-joinable dim join + one 5-group aggregate; no
+    Exchange carries more than partial per-group candidates.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    key = (
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        * F.lit(100000000)
+        + F.col("o_orderkey")
+    )
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.max_by("o_orderkey", key).alias("top_order"),
+            F.min_by("o_orderkey", key).alias("bottom_order"),
+            F.round(F.max("o_totalprice"), 2).cast("double").alias("top_price"),
+        )
+    )

@@ -5,6 +5,7 @@ import pytest
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from pandas_to_postgres_spark.plans import PRIORITY
 from pandas_to_postgres_spark.plans.lint import assert_scalable, lint_plan
 
 
@@ -59,3 +60,23 @@ class TestPlanLint:
 
         for name in ("pricing_summary", "join_order_revenue", "topk_lineitems"):
             assert_scalable(REGISTRY[name].fn(spark, "/root/testdata/sf0.001"))
+
+
+#: intentional Python-runtime coverage queries: the X5 UDTF slot IS the
+#: row-Python table function tier, so its BatchEvalPythonUDTF node is the
+#: point of the query, not a hot-path defect.
+_GATE_ALLOW = {
+    "udtf_sentences": ("python_udf",),
+}
+
+
+@pytest.mark.parametrize("name", sorted(set(PRIORITY)))
+def test_driver_window_passes_scale_gate(spark, name):
+    """Every query in the driver-checked 50-slot window must clear the
+    physical-plan scale lint (no cartesian products, no row-Python in the
+    hot path) — the blanket form of the hand-written plan tests, so a new
+    slot can't ship a scale anti-pattern unnoticed."""
+    from pandas_to_postgres_spark.plans import REGISTRY
+
+    df = REGISTRY[name].fn(spark, "/root/testdata/sf0.001")
+    assert_scalable(df, allow=_GATE_ALLOW.get(name, ()))
