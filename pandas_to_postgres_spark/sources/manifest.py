@@ -26,6 +26,19 @@ never yields wrong results, it just prunes less. The manifest is a plain
 JSON file rewritten atomically (tmp + rename) on each publish — the
 single-table, single-writer case; real multi-writer tables need a log,
 which is the jump to an actual table format, not more code here.
+
+Snapshots / time travel (``publish_snapshot`` / ``read_snapshot``):
+each publish freezes the CURRENT file list (plus stats) as an immutable
+``_manifest-v{N}.json``; appends create new part files and a new version,
+and any older version remains exactly readable — the Iceberg-style
+snapshot-isolation contract, minus the multi-writer log. Readers resolve
+"latest" by listing manifest names (at object-store scale a version-hint
+file avoids the listing; local single-writer doesn't need it). Physical
+cleanup is explicit and separate (``expire_snapshots``): retire old
+manifests, then delete only files no RETAINED snapshot references —
+readers of retained versions are never broken by a publish, only by an
+expire, which is the same contract as Iceberg's expire_snapshots +
+remove_orphan_files.
 """
 
 from __future__ import annotations
@@ -132,3 +145,131 @@ def read_pruned(
     if not keep:
         pred = pred & F.lit(False)
     return df.filter(pred)
+
+
+# ------------------------------------------------------- snapshots
+
+_SNAP_RE = r"_manifest-v(\d+)\.json$"
+
+
+def _collect_entries(path: str, stat_cols: Sequence[str]) -> list[dict]:
+    files = sorted(
+        f
+        for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith((".", "_"))
+    )
+    return [
+        {
+            "path": f,
+            "bytes": os.path.getsize(os.path.join(path, f)),
+            "stats": _file_stats(os.path.join(path, f), stat_cols),
+        }
+        for f in files
+    ]
+
+
+def snapshot_versions(path: str) -> list[int]:
+    """Ascending list of published snapshot versions."""
+    import re
+
+    out = []
+    for f in os.listdir(path):
+        m = re.match(_SNAP_RE, f)
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def publish_snapshot(path: str, stat_cols: Sequence[str]) -> dict:
+    """Freeze the current file list (with footer stats) as the next
+    immutable ``_manifest-v{N}.json``. Files already listed by an earlier
+    snapshot keep serving that snapshot — a publish never rewrites or
+    invalidates prior versions. Atomic via tmp + rename."""
+    versions = snapshot_versions(path)
+    version = (versions[-1] if versions else 0) + 1
+    manifest = {
+        "version": version,
+        "stat_cols": list(stat_cols),
+        "files": _collect_entries(path, stat_cols),
+    }
+    name = f"_manifest-v{version}.json"
+    tmp = os.path.join(path, name + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh, default=str)
+    os.replace(tmp, os.path.join(path, name))
+    return manifest
+
+
+def load_snapshot(path: str, version: int | None = None) -> dict:
+    """Load a snapshot manifest; latest when ``version`` is None."""
+    versions = snapshot_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no snapshots published under {path}")
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise ValueError(f"snapshot v{v} not found (have {versions})")
+    with open(os.path.join(path, f"_manifest-v{v}.json")) as fh:
+        return json.load(fh)
+
+
+def read_snapshot(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Time-travel scan: exactly the files the chosen snapshot froze —
+    rows appended after its publish are invisible, regardless of what
+    part files sit in the directory now."""
+    snap = load_snapshot(path, version)
+    paths = [os.path.join(path, e["path"]) for e in snap["files"]]
+    return spark.read.parquet(*paths)
+
+
+def read_snapshot_pruned(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    lo: Any,
+    hi: Any,
+    version: int | None = None,
+) -> DataFrame:
+    """Time travel + file skipping in one: prune the chosen snapshot's
+    file list by the manifest stats, re-apply the exact predicate on top
+    (superset guarantee, as in :func:`read_pruned`)."""
+    from pyspark.sql import functions as F
+
+    snap = load_snapshot(path, version)
+    keep, _total = prune_files(snap, col, lo, hi)
+    entries = keep or snap["files"][:1]
+    paths = [os.path.join(path, e["path"]) for e in entries]
+    df = spark.read.parquet(*paths)
+    pred = (F.col(col) >= lo) & (F.col(col) <= hi)
+    if not keep:
+        pred = pred & F.lit(False)
+    return df.filter(pred)
+
+
+def expire_snapshots(path: str, keep_latest: int = 1) -> dict:
+    """Retire all but the newest ``keep_latest`` snapshots, then delete
+    part files referenced by NO retained snapshot (orphan cleanup). The
+    only operation that can break a time-travel reader — which is the
+    point: publishes are non-destructive, space reclamation is explicit.
+    Returns {"expired_versions": [...], "deleted_files": [...]}."""
+    if keep_latest < 1:
+        raise ValueError("keep_latest must be >= 1")
+    versions = snapshot_versions(path)
+    retained = versions[-keep_latest:]
+    expired = [v for v in versions if v not in retained]
+    referenced: set[str] = set()
+    for v in retained:
+        referenced.update(e["path"] for e in load_snapshot(path, v)["files"])
+    deleted = []
+    for f in sorted(os.listdir(path)):
+        if (
+            f.endswith(".parquet")
+            and not f.startswith((".", "_"))
+            and f not in referenced
+        ):
+            os.remove(os.path.join(path, f))
+            deleted.append(f)
+    for v in expired:
+        os.remove(os.path.join(path, f"_manifest-v{v}.json"))
+    return {"expired_versions": expired, "deleted_files": deleted}

@@ -505,3 +505,89 @@ class TestObservedWrite:
         assert got == {"rows": 4, "nulls_v": 2}
         # the write really happened and holds the same rows
         assert spark.read.parquet(TMP).count() == 4
+
+
+class TestSnapshots:
+    """Snapshot isolation + time travel + explicit expiry on the manifest
+    source (the Iceberg contract minus the multi-writer log)."""
+
+    def _publish_two(self, spark, tmp_path):
+        import pyspark.sql.functions as F
+
+        from pandas_to_postgres_spark.sources.manifest import publish_snapshot
+
+        path = str(tmp_path / "tbl")
+        base = spark.range(100).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        base.coalesce(2).write.mode("overwrite").parquet(path)
+        publish_snapshot(path, ["k"])
+        extra = spark.range(100, 150).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        extra.coalesce(1).write.mode("append").parquet(path)
+        publish_snapshot(path, ["k"])
+        return path
+
+    def test_time_travel_reads_are_isolated(self, spark, tmp_path):
+        from pandas_to_postgres_spark.sources.manifest import (
+            read_snapshot,
+            snapshot_versions,
+        )
+
+        path = self._publish_two(spark, tmp_path)
+        assert snapshot_versions(path) == [1, 2]
+        assert read_snapshot(spark, path, version=1).count() == 100
+        assert read_snapshot(spark, path, version=2).count() == 150
+        assert read_snapshot(spark, path).count() == 150  # latest
+        # v1 stays frozen even though newer part files sit in the dir
+        v1_max = read_snapshot(spark, path, version=1).agg({"k": "max"}).first()[0]
+        assert v1_max == 99
+
+    def test_snapshot_pruning_keeps_superset_guarantee(self, spark, tmp_path):
+        from pandas_to_postgres_spark.sources.manifest import (
+            read_snapshot_pruned,
+        )
+
+        path = self._publish_two(spark, tmp_path)
+        got = read_snapshot_pruned(spark, path, "k", 120, 130, version=2)
+        assert got.count() == 11
+        # same range against v1 (appended keys absent there)
+        assert read_snapshot_pruned(spark, path, "k", 120, 130, version=1).count() == 0
+
+    def test_expire_deletes_only_unreferenced_files(self, spark, tmp_path):
+        import os
+
+        from pandas_to_postgres_spark.sources.manifest import (
+            expire_snapshots,
+            read_snapshot,
+            snapshot_versions,
+        )
+
+        path = self._publish_two(spark, tmp_path)
+        res = expire_snapshots(path, keep_latest=1)
+        assert res["expired_versions"] == [1]
+        # v2 references every file (append-only history) -> nothing deleted
+        assert res["deleted_files"] == []
+        assert snapshot_versions(path) == [2]
+        assert read_snapshot(spark, path).count() == 150
+        # now simulate a rewrite: new compacted file + publish, then expire
+        read_snapshot(spark, path).coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / "compacted")
+        )
+        # drop the old parts by overwriting the dir with the compacted copy
+        for f in os.listdir(path):
+            if f.endswith(".parquet"):
+                os.remove(os.path.join(path, f))
+        for f in os.listdir(str(tmp_path / "compacted")):
+            if f.endswith(".parquet"):
+                os.rename(
+                    os.path.join(str(tmp_path / "compacted"), f),
+                    os.path.join(path, "compacted-" + f),
+                )
+        from pandas_to_postgres_spark.sources.manifest import publish_snapshot
+
+        publish_snapshot(path, ["k"])
+        res2 = expire_snapshots(path, keep_latest=1)
+        assert res2["expired_versions"] == [2]
+        assert read_snapshot(spark, path).count() == 150
