@@ -1162,3 +1162,52 @@ def argmax_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("o_totalprice"), 2).cast("double").alias("top_price"),
         )
     )
+
+
+@register(
+    "ansi_safe_math",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS n_rows,
+           CAST(count(TRY_CAST(CASE WHEN o_orderkey % 3 = 0 THEN o_orderpriority
+                                    ELSE substr(o_orderpriority, 1, 1) END
+                               AS BIGINT)) AS BIGINT) AS n_parsed,
+           CAST(sum(TRY_CAST(CASE WHEN o_orderkey % 3 = 0 THEN o_orderpriority
+                                  ELSE substr(o_orderpriority, 1, 1) END
+                             AS BIGINT)) AS BIGINT) AS prio_sum,
+           CAST(sum(CASE WHEN o_orderkey % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_div_null,
+           CAST(round(sum(CAST(o_totalprice / nullif(o_orderkey % 5, 0)
+                               AS DECIMAL(18,6))), 2) AS DOUBLE) AS safe_div_sum
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def ansi_safe_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 runs ANSI mode by default: a bad cast or division by zero
+    is a runtime ERROR mid-job — at 100 TB that is hours of work lost to
+    one malformed row. The try_* family (try_cast/try_divide) is the
+    per-expression opt-out that keeps ANSI's integrity everywhere else
+    while mapping failures to NULL exactly where dirty input is expected.
+    The oracle mirrors with TRY_CAST and nullif-guarded division.
+
+    Scale: map-only expressions + one small-key aggregate; no error
+    handling path, no row-level Python.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    raw = F.when(
+        F.col("o_orderkey") % 3 == 0, F.col("o_orderpriority")
+    ).otherwise(F.substring(F.col("o_orderpriority"), 1, 1))
+    parsed = raw.try_cast("bigint")
+    div = F.try_divide(F.col("o_totalprice"), F.col("o_orderkey") % 5)
+    return orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(parsed).alias("n_parsed"),
+        F.sum(parsed).alias("prio_sum"),
+        F.sum(F.when(F.col("o_orderkey") % 5 == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_div_null"),
+        F.round(F.sum(div.cast("decimal(18,6)")), 2)
+        .cast("double")
+        .alias("safe_div_sum"),
+    )

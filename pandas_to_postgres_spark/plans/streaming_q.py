@@ -203,3 +203,31 @@ def stream_dedup_within_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return streaming_dedup_within_watermark(spark, sf_dir)
+
+
+@register(
+    "stream_trending_topk",
+    oracle="""
+    WITH counts AS (
+      SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S')
+                 AS window_start,
+             event_type, count(*) AS n
+      FROM events GROUP BY 1, 2),
+    ranked AS (
+      SELECT window_start, event_type, n,
+             CAST(row_number() OVER (PARTITION BY window_start
+                                     ORDER BY n DESC, event_type) AS BIGINT)
+                 AS rank
+      FROM counts)
+    SELECT window_start, event_type, n, rank FROM ranked WHERE rank <= 3
+    """,
+)
+def stream_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 composition: trending top-3 event types per tumbling hour —
+    the stream maintains watermark-bounded (window x type) counts, the
+    rank reads the drained sink (rank windows are illegal inside a
+    streaming agg; ranking the emitted aggregate is the dashboard-side
+    formulation and touches windows x types rows, never events)."""
+    from pandas_to_postgres_spark.streaming.events import trending_event_types
+
+    return trending_event_types(spark, sf_dir)

@@ -361,3 +361,34 @@ def streaming_dedup_within_watermark(
     )
     q.awaitTermination()
     return spark.table(table)
+
+
+def trending_event_types(
+    spark: SparkSession,
+    sf_dir: str,
+    window_duration: str = "1 hour",
+    watermark: str = "1 hour",
+    k: int = 3,
+) -> DataFrame:
+    """Per-window trending top-k: the STREAM maintains the (window x type)
+    counts — the part that must be incremental and watermark-bounded —
+    and the rank is applied to the drained sink table, exactly how a
+    trending dashboard reads a streaming state store (rank windows are
+    not allowed inside a streaming aggregation; ranking the emitted
+    aggregate is both the legal and the cheap formulation: the sink holds
+    windows x types rows, not events).
+
+    Ties break by event_type so the top-k is deterministic and
+    oracle-comparable. Returns (window_start, event_type, n, rank).
+    """
+    from pyspark.sql.window import Window
+
+    counts = windowed_event_counts(spark, sf_dir, window_duration, watermark)
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("n").desc(), F.col("event_type")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("window_start", "event_type", "n", "rank")
+    )
