@@ -1211,3 +1211,103 @@ def ansi_safe_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("safe_div_sum"),
     )
+
+
+@register(
+    "grouped_split_events",
+    oracle="""
+    SELECT CASE WHEN CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 2)
+                     AS INT) < 205
+                THEN 'train' ELSE 'test' END AS split,
+           count(DISTINCT user_id) AS n_users,
+           count(*) AS n_events
+    FROM events GROUP BY 1
+    """,
+)
+def grouped_split_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe GROUP-level split: the unit of assignment is the
+    user, not the row, so every event of a user lands in the same side —
+    the split a model evaluated on held-out USERS needs (`train_test_split`
+    is the row-level variant). Assignment hashes the group key (first md5
+    byte < 205 ≈ 80/20): membership is a pure function of the key, so
+    reruns, engines, and NEW events of an existing user all agree —
+    id-modulo would instead inherit any structure in id assignment.
+
+    Scale: map-only split column + one aggregate; the distinct-user count
+    is the only shuffle-heavy part and is partial-aggregated per split.
+    """
+    e = load_table(spark, sf_dir, "events")
+    byte0 = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 2), 16, 10
+    ).cast("int")
+    split = F.when(byte0 < 205, "train").otherwise("test")
+    return e.groupBy(split.alias("split")).agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "robust_outliers_events",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, percentile_cont(0.5) WITHIN GROUP (ORDER BY value)
+                 AS med
+      FROM events GROUP BY event_type),
+    mad AS (
+      SELECT e.event_type,
+             percentile_cont(0.5) WITHIN GROUP (ORDER BY abs(e.value - m.med))
+                 AS mad
+      FROM events e JOIN med m ON e.event_type = m.event_type
+      GROUP BY e.event_type)
+    SELECT e.event_type,
+           floor(m.med * 1e6 + 0.5) / 1e6 AS med,
+           floor(d.mad * 1e6 + 0.5) / 1e6 AS mad,
+           CAST(sum(CASE WHEN 0.6745 * abs(e.value - m.med) / d.mad > 3.5
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM events e
+    JOIN med m ON e.event_type = m.event_type
+    JOIN mad d ON e.event_type = d.event_type
+    GROUP BY e.event_type, m.med, d.mad
+    """,
+)
+def robust_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) outlier mining per event type: the classic
+    modified z-score 0.6745·|x−med|/MAD > 3.5 — unlike mean/stddev
+    z-scores (grouped_map_zscore), a heavy-tailed burst can't drag the
+    threshold because median and MAD have 50% breakdown points. Exact
+    medians on both engines (interpolation parity already proven by
+    percentiles_price); the outlier comparison runs on identical doubles
+    so no rounding is needed there, only on the reported med/MAD.
+
+    Scale: two small per-type aggregates, each broadcast back — the wide
+    events scan is read twice but never shuffled on rows (percentile agg
+    shuffles per-type partials only).
+    """
+    e = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    j = e.join(F.broadcast(med), "event_type")
+    mad = j.groupBy("event_type").agg(
+        F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)).alias(
+            "mad"
+        )
+    )
+    j2 = j.join(F.broadcast(mad), "event_type")
+    flag = (
+        F.lit(0.6745) * F.abs(F.col("value") - F.col("med")) / F.col("mad")
+        > 3.5
+    )
+
+    def grid6(c):
+        return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+    return j2.groupBy("event_type", "med", "mad").agg(
+        F.sum(F.when(flag, 1).otherwise(0)).cast("long").alias("n_outliers")
+    ).select(
+        "event_type",
+        grid6(F.col("med")).alias("med"),
+        grid6(F.col("mad")).alias("mad"),
+        "n_outliers",
+    )
