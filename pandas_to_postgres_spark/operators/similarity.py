@@ -81,11 +81,20 @@ def topk_cosine_ivf(
     nprobe/N of the corpus instead of all of it. Recall is tunable with
     ``nprobe``; exactness returns at nprobe = #clusters.
     """
-    # centroids: element-wise mean via posexplode + groupBy (codegen-friendly)
+    # centroids: element-wise mean via posexplode + groupBy (codegen-friendly).
+    # The mean goes through DECIMAL partial sums (functions/agg.py rationale)
+    # so centroids — and therefore probe selection — are exact,
+    # partitioning-invariant, and reproducible in the DuckDB oracle; a bare
+    # avg(double) would drift with partial-merge order.
     centroids = (
         corpus.select(F.col(cluster_col), F.posexplode(F.col(corpus_vec)).alias("__i", "__x"))
         .groupBy(cluster_col, "__i")
-        .agg(F.avg("__x").alias("__m"))
+        .agg(
+            (
+                F.sum(F.col("__x").cast("decimal(18,12)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("__m")
+        )
         .groupBy(cluster_col)
         .agg(F.array_sort(F.collect_list(F.struct("__i", "__m"))).alias("__ims"))
         .select(
@@ -99,7 +108,12 @@ def topk_cosine_ivf(
     )
     probes = (
         q.crossJoin(F.broadcast(centroids))
-        .withColumn("__csim", cosine_expr(F.col("__qv"), F.col("__centroid")))
+        # rounded, label-tiebroken probe rank: robust to FP fold-order
+        # noise, so the probe set is oracle-reproducible (same rationale
+        # as the rounded final cosine rank)
+        .withColumn(
+            "__csim", F.round(cosine_expr(F.col("__qv"), F.col("__centroid")), 5)
+        )
         .withColumn("__pr", F.row_number().over(probe_w))
         .filter(F.col("__pr") <= nprobe)
         .select("__qid", "__qv", cluster_col)
@@ -125,21 +139,34 @@ def topk_cosine_ivf(
     )
 
 
+def lsh_planes(num_planes: int = 8, dim: int = 64) -> list[list[float]]:
+    """The deterministic ±1 hyperplanes (seeded numpy, fixed at plan
+    time) — exposed so the DuckDB oracle can embed the IDENTICAL plane
+    literals and replay the same buckets."""
+    import numpy as np  # driver-side only
+
+    return [
+        [
+            float(x)
+            for x in np.random.default_rng(seed=1000 + j).choice(
+                [-1.0, 1.0], size=dim
+            )
+        ]
+        for j in range(num_planes)
+    ]
+
+
 def hyperplane_lsh_bucket_expr(vec_col: str, num_planes: int = 8, dim: int = 64):
     """Deterministic random-hyperplane LSH bucket id for a vector column.
 
-    Plane j's i-th coordinate is a pseudo-random ±1 derived from
-    ``xxhash64(lit(j), lit(i))`` — fixed at plan time, identical across runs
-    and executors. Bucket = sign-bit string of the ``num_planes`` dot
-    products. All JVM-side.
+    Plane j is a pseudo-random ±1 vector (``lsh_planes``), fixed at plan
+    time, identical across runs and executors. Bucket = sign-bit string of
+    the ``num_planes`` dot products. All JVM-side.
     """
+    planes = lsh_planes(num_planes, dim)
     bucket = F.lit(0).cast("long")
     for j in range(num_planes):
-        # deterministic ±1 plane baked into the plan as a literal array
-        import numpy as np  # local, driver-side only
-
-        rng = np.random.default_rng(seed=1000 + j)
-        plane = [float(x) for x in rng.choice([-1.0, 1.0], size=dim)]
+        plane = planes[j]
         dot = F.aggregate(
             F.zip_with(
                 F.col(vec_col),

@@ -453,11 +453,58 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("simsearch_ivf")  # rows-only: probe pruning is engine-side logic
+_IVF_ORACLE = """
+    WITH cent AS (
+      SELECT label, i,
+             CAST(sum(CAST(embedding[i] AS DECIMAL(18,12))) AS DOUBLE)
+               / count(*) AS m
+      FROM embeddings, range(1, 65) t(i)
+      GROUP BY label, i),
+    cvec AS (SELECT label, list(m ORDER BY i) AS centroid FROM cent GROUP BY label),
+    q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+    psim AS (
+      SELECT q.qid, c.label, q.qe,
+             round((SELECT sum(CAST(q.qe[i] AS DOUBLE) * CAST(c.centroid[i] AS DOUBLE))
+                    FROM range(1, 65) t(i))
+                   / (sqrt((SELECT sum(CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))
+                            FROM range(1, 65) t(i)))
+                      * sqrt((SELECT sum(CAST(c.centroid[i] AS DOUBLE) * CAST(c.centroid[i] AS DOUBLE))
+                              FROM range(1, 65) t(i)))), 5) AS csim
+      FROM q CROSS JOIN cvec c),
+    probes AS (
+      SELECT qid, label, qe FROM (
+        SELECT qid, label, qe,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY csim DESC, label ASC) AS pr
+        FROM psim) x
+      WHERE pr <= 3),
+    scored AS (
+      SELECT p.qid, e.vec_id,
+             round((SELECT sum(CAST(p.qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))
+                    FROM range(1, 65) t(i))
+                   / (sqrt((SELECT sum(CAST(p.qe[i] AS DOUBLE) * CAST(p.qe[i] AS DOUBLE))
+                            FROM range(1, 65) t(i)))
+                      * sqrt((SELECT sum(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))
+                              FROM range(1, 65) t(i)))), 5) AS cosine
+      FROM probes p JOIN embeddings e ON e.label = p.label),
+    ranked AS (
+      SELECT qid, vec_id, cosine,
+             CAST(row_number() OVER (PARTITION BY qid
+                                     ORDER BY cosine DESC, vec_id) AS BIGINT)
+                 AS rnk
+      FROM scored)
+    SELECT qid, vec_id, cosine, rnk FROM ranked WHERE rnk <= 5
+    """
+
+
+@register("simsearch_ivf", oracle=_IVF_ORACLE)
 def simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D4b: IVF-style ANN — label partitions as inverted lists, per-cluster
-    mean centroids as the coarse quantizer, nprobe=3. Deterministic; recall
-    vs the exact brute force is asserted in tests/."""
+    mean centroids as the coarse quantizer, nprobe=3. Fully deterministic —
+    centroids are DECIMAL-exact means, probe ranking uses the rounded
+    centroid cosine with label tie-break — so the engine-side probe pruning
+    replays exactly in the DuckDB oracle (rows-only until round 3; recall
+    vs exact brute force additionally asserted in tests/)."""
     from pandas_to_postgres_spark.operators.similarity import topk_cosine_ivf
 
     e = load_table(spark, sf_dir, "embeddings")
@@ -474,11 +521,51 @@ def simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------------------ D2
 
-@register("simsearch_lsh")  # rows-only: hyperplane buckets have no SQL oracle
+def _lsh_oracle(num_planes: int = 4, dim: int = 64) -> str:
+    """DuckDB twin of the hyperplane-LSH search: embeds the IDENTICAL
+    plane literals (operators/similarity.lsh_planes), replays the sign
+    buckets, and ranks within-bucket cosines exactly like the Spark op."""
+    from pandas_to_postgres_spark.operators.similarity import lsh_planes
+
+    planes = lsh_planes(num_planes, dim)
+    bucket_terms = []
+    for j, plane in enumerate(planes):
+        lit = "[" + ", ".join(repr(x) for x in plane) + "]"
+        bucket_terms.append(
+            f"(CASE WHEN (SELECT sum(CAST(embedding[i] AS DOUBLE) * ({lit}[i])) "
+            f"FROM range(1, {dim + 1}) t(i)) > 0 THEN {1 << j} ELSE 0 END)"
+        )
+    bucket = " + ".join(bucket_terms)
+    return f"""
+    WITH buck AS (
+      SELECT vec_id, embedding, {bucket} AS b FROM embeddings),
+    q AS (SELECT vec_id AS qid, embedding AS qe, b FROM buck WHERE vec_id < 5),
+    scored AS (
+      SELECT q.qid, e.vec_id,
+             round((SELECT sum(CAST(q.qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))
+                    FROM range(1, {dim + 1}) t(i))
+                   / (sqrt((SELECT sum(CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))
+                            FROM range(1, {dim + 1}) t(i)))
+                      * sqrt((SELECT sum(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))
+                              FROM range(1, {dim + 1}) t(i)))), 5) AS cosine
+      FROM q JOIN buck e ON q.b = e.b),
+    ranked AS (
+      SELECT qid, vec_id, cosine,
+             CAST(row_number() OVER (PARTITION BY qid
+                                     ORDER BY cosine DESC, vec_id) AS BIGINT)
+                 AS rnk
+      FROM scored)
+    SELECT qid, vec_id, cosine, rnk FROM ranked WHERE rnk <= 5
+    """
+
+
+@register("simsearch_lsh", oracle=_lsh_oracle())
 def simsearch_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D4c: random-hyperplane LSH ANN — deterministic sign-bucket equi-join
     replaces the crossJoin (the 100 TB pruning path; recall tunable via
-    num_planes). Recall vs exact brute force is asserted in
+    num_planes). The planes are plan-time literals, so the DuckDB oracle
+    embeds the same values and replays the buckets exactly (rows-only
+    until round 3); recall vs exact brute force additionally asserted in
     tests/test_operators.py."""
     from pandas_to_postgres_spark.operators.similarity import topk_cosine_lsh
 

@@ -48,10 +48,11 @@ class TestWindow:
 
     def test_window_queries_have_oracles_except_documented(self):
         # rows-only entries in the window must be the known non-SQL ops
+        # (simsearch_ivf gained a DuckDB oracle in round 3: decimal-exact
+        # centroids + rounded probe ranks made the pruning replayable)
         rows_only = {n for n in PRIORITY if REGISTRY[n].oracle is None}
         assert rows_only == {
-            "minhash_neardup", "simhash_docs", "simsearch_ivf",
-            "multimodal_pipeline",
+            "minhash_neardup", "simhash_docs", "multimodal_pipeline",
         }
 
 
