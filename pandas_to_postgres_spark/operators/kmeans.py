@@ -181,8 +181,12 @@ def semantic_near_duplicates(
                 row = S[bi, i + 1 :]  # strict upper triangle: id_a < id_b
                 hits = np.nonzero(row >= threshold)[0]
                 for j in hits:
+                    # grid round (floor(x*1e5+0.5)): the cross-engine-
+                    # deterministic form — Python's round() is half-even,
+                    # the DuckDB oracle's round() half-away; this rule is
+                    # identical on both (see operators/graph._grid_round)
                     outs.append((cl, int(ids[i]), int(ids[i + 1 + j]),
-                                 round(float(row[j]), 5)))
+                                 float(np.floor(row[j] * 1e5 + 0.5) / 1e5)))
         return pd.DataFrame(outs, columns=["cluster", "id_a", "id_b", "cosine"])
 
     return (
