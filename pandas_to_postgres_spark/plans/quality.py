@@ -1311,3 +1311,68 @@ def robust_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         grid6(F.col("mad")).alias("mad"),
         "n_outliers",
     )
+
+
+@register(
+    "bitmap_audience_overlap",
+    oracle="""
+    WITH a AS (SELECT DISTINCT user_id FROM events
+               WHERE event_type = 'purchase' AND value > 18),
+    b AS (SELECT DISTINCT user_id FROM events
+          WHERE event_type = 'click' AND value > 18),
+    u AS (SELECT user_id FROM a UNION SELECT user_id FROM b)
+    SELECT (SELECT count(*) FROM a) AS n_purchasers,
+           (SELECT count(*) FROM b) AS n_clickers,
+           (SELECT count(*) FROM u) AS n_union,
+           CAST((SELECT count(*) FROM a) + (SELECT count(*) FROM b)
+                - (SELECT count(*) FROM u) AS BIGINT) AS n_both
+    """,
+)
+def bitmap_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience set algebra with Spark 3.5+ BITMAP aggregates: high-value
+    purchasers vs high-value clickers, their union, and their overlap via
+    inclusion-exclusion — computed entirely on per-bucket roaring-style
+    bitmaps (`bitmap_bucket_number`/`bitmap_bit_position` shard the id
+    space into 32768-bit buckets, `bitmap_construct_agg` builds each
+    bucket map-side, `bitmap_count`/`bitmap_or_agg` do cardinality and
+    union WITHOUT touching ids again).
+
+    Scale: count-distinct becomes a shuffle of ≤ one 4 KB bitmap per
+    bucket per audience instead of one row per distinct id, and
+    precomputed audience bitmaps answer overlap/union queries in
+    O(buckets) — the precomputed-audience pattern ad-tech engines use.
+    The oracle is plain DISTINCT set algebra.
+    """
+    e = load_table(spark, sf_dir, "events")
+
+    def audience(ev_type):
+        return (
+            e.filter((F.col("event_type") == ev_type) & (F.col("value") > 18))
+            .select(
+                F.lit(ev_type).alias("aud"),
+                F.bitmap_bucket_number(F.col("user_id")).alias("bkt"),
+                F.bitmap_bit_position(F.col("user_id")).alias("pos"),
+            )
+        )
+
+    per_bucket = (
+        audience("purchase")
+        .unionByName(audience("click"))
+        .groupBy("aud", "bkt")
+        .agg(F.bitmap_construct_agg("pos").alias("bm"))
+    )
+    counts = per_bucket.groupBy("aud").agg(
+        F.sum(F.bitmap_count("bm")).alias("n")
+    )
+    union_n = (
+        per_bucket.groupBy("bkt")
+        .agg(F.bitmap_or_agg("bm").alias("u"))
+        .agg(F.sum(F.bitmap_count("u")).alias("n_union"))
+    )
+    wide = counts.groupBy().pivot("aud", ["purchase", "click"]).sum("n")
+    return wide.crossJoin(union_n).select(
+        F.col("purchase").alias("n_purchasers"),
+        F.col("click").alias("n_clickers"),
+        F.col("n_union"),
+        (F.col("purchase") + F.col("click") - F.col("n_union")).alias("n_both"),
+    )
