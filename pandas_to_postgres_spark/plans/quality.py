@@ -1376,3 +1376,64 @@ def bitmap_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_union"),
         (F.col("purchase") + F.col("click") - F.col("n_union")).alias("n_both"),
     )
+
+
+_SIMHASH_ORACLE = f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 300
+      UNION ALL
+      SELECT doc_id + 1000000, regexp_replace(text, '\\s+\\S+$', '')
+      FROM documents WHERE doc_id < 300),
+    tok AS (SELECT doc_id, unnest({_TOKS}) AS tk FROM corpus),
+    h AS (SELECT doc_id,
+                 CAST('0x' || substr(md5(tk), 1, 15) AS BIGINT) AS hv
+          FROM tok),
+    votes AS (
+      SELECT doc_id, b.b,
+             sum(((hv >> b.b) & 1) * 2 - 1) AS v
+      FROM h, range(0, 60) b(b) GROUP BY doc_id, b.b),
+    fp AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b)
+                           ELSE 0 END) AS BIGINT) AS f
+      FROM votes GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, f, j.j, (f >> (15 * j.j)) & 32767 AS band
+      FROM fp, range(0, 4) j(j)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                      a.f AS fa, b.f AS fb
+      FROM bands a JOIN bands b
+        ON a.j = b.j AND a.band = b.band AND a.doc_id < b.doc_id)
+    SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(fa, fb)) <= 3
+    """
+
+
+@register("simhash_hamming_pairs", oracle=_SIMHASH_ORACLE)
+def simhash_hamming_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manku-style SimHash near-dup detection (WWW'07), value-checked:
+    md5-basis 60-bit fingerprints (oracle-replayable, unlike the
+    xxhash64 throughput variant `simhash_docs`), 4x15-bit bands with the
+    pigeonhole recall guarantee (Hamming <= 3 implies an exact match on
+    >= 1 band), bit_count-xor verification. Demonstrated on documents ∪
+    perturbed twins (last word dropped) so planted near-identical
+    fingerprints exist at every scale factor.
+
+    Scale: fingerprints are map-only; candidates come from an equi-join
+    on (band_idx, band_value) — pair space bounded by band buckets,
+    never |corpus|²; widen bands as the corpus grows.
+    """
+    from pandas_to_postgres_spark.operators.dedup import simhash_hamming_pairs
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id", "text")
+    )
+    perturbed = d.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.regexp_replace(F.col("text"), r"\s+\S+$", "").alias("text"),
+    )
+    corpus = d.unionByName(perturbed)
+    return simhash_hamming_pairs(corpus, "text", "doc_id")
