@@ -1437,3 +1437,145 @@ def simhash_hamming_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = d.unionByName(perturbed)
     return simhash_hamming_pairs(corpus, "text", "doc_id")
+
+
+@register(
+    "psi_drift_events",
+    oracle="""
+    WITH ref AS (SELECT least(floor(value / 50), 9) AS bin
+                 FROM events WHERE event_type = 'click'),
+    cur AS (SELECT least(floor(value / 50), 9) AS bin
+            FROM events WHERE event_type = 'view'),
+    rc AS (SELECT bin, count(*) AS c FROM ref GROUP BY bin),
+    cc AS (SELECT bin, count(*) AS c FROM cur GROUP BY bin),
+    tot AS (SELECT (SELECT count(*) FROM ref) AS nr,
+                   (SELECT count(*) FROM cur) AS nc),
+    bins AS (
+      SELECT CAST(b.b AS BIGINT) AS bin,
+             CAST(coalesce(rc.c, 0) + 1 AS BIGINT) AS n_ref,
+             CAST(coalesce(cc.c, 0) + 1 AS BIGINT) AS n_cur
+      FROM range(0, 10) b(b)
+      LEFT JOIN rc ON rc.bin = b.b
+      LEFT JOIN cc ON cc.bin = b.b)
+    SELECT bin, n_ref, n_cur,
+           floor((CAST(n_ref AS DOUBLE) / (nr + 10)
+                  - CAST(n_cur AS DOUBLE) / (nc + 10))
+                 * ln((CAST(n_ref AS DOUBLE) / (nr + 10))
+                      / (CAST(n_cur AS DOUBLE) / (nc + 10))) * 1e8 + 0.5)
+             / 1e8 AS psi_term
+    FROM bins, tot
+    """,
+)
+def psi_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between two event-value distributions
+    (click vs view) — the standard ML-monitoring drift score: per-bin
+    term (p−q)·ln(p/q) over 10 equi-width bins with Laplace +1 smoothing
+    (no empty-bin infinities); Σ terms > 0.2 is the usual retrain alarm.
+
+    Scale: two filtered map-only bin projections + dimension-sized
+    aggregates; nothing shuffles more than 10 bins per side.
+    """
+    e = load_table(spark, sf_dir, "events")
+
+    def binned(ev_type):
+        return e.filter(F.col("event_type") == ev_type).select(
+            F.least(F.floor(F.col("value") / 50), F.lit(9)).alias("bin")
+        )
+
+    ref, cur = binned("click"), binned("view")
+    nr, nc = ref.count(), cur.count()
+    rc = ref.groupBy("bin").agg(F.count(F.lit(1)).alias("rc"))
+    cc = cur.groupBy("bin").agg(F.count(F.lit(1)).alias("cc"))
+    bins = (
+        spark.range(10)
+        .select(F.col("id").alias("bin"))
+        .join(rc, "bin", "left")
+        .join(cc, "bin", "left")
+        .select(
+            "bin",
+            (F.coalesce("rc", F.lit(0)) + 1).alias("n_ref"),
+            (F.coalesce("cc", F.lit(0)) + 1).alias("n_cur"),
+        )
+    )
+    p = F.col("n_ref").cast("double") / F.lit(float(nr + 10))
+    q = F.col("n_cur").cast("double") / F.lit(float(nc + 10))
+    term = (p - q) * F.log(p / q)
+    return bins.select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        (F.floor(term * F.lit(1e8) + F.lit(0.5)) / F.lit(1e8)).alias("psi_term"),
+    )
+
+
+@register(
+    "ks_drift_events",
+    oracle="""
+    WITH pts AS (
+      SELECT value,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c1,
+             CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c2
+      FROM events WHERE event_type IN ('click', 'view') GROUP BY value),
+    cum AS (
+      SELECT sum(c1) OVER (ORDER BY value) AS k1,
+             sum(c2) OVER (ORDER BY value) AS k2
+      FROM pts),
+    tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2
+            FROM pts)
+    SELECT n1, n2,
+           CAST(max(abs(k1 * n2 - k2 * n1)) AS BIGINT) AS max_scaled_diff,
+           floor(CAST(max(abs(k1 * n2 - k2 * n1)) AS DOUBLE) / (n1 * n2)
+                 * 1e8 + 0.5) / 1e8 AS ks_stat
+    FROM cum, tot GROUP BY n1, n2
+    """,
+)
+def ks_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic between the click and view
+    value distributions — the nonparametric drift test (PSI's binless
+    sibling): D = max |ECDF₁ − ECDF₂|, computed in EXACT integer
+    arithmetic (|k₁·n₂ − k₂·n₁| over cumulative counts) so the max is
+    engine-identical before any division.
+
+    Scale note: the cumulative window runs over the post-groupBy frame —
+    ONE row per distinct value, not per event (pre-round continuous data
+    to fixed precision to bound it); for truly unbounded value domains
+    use the bucketed offset pattern (operators/sampling.py) instead of
+    the single global window.
+    """
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    pts = e.groupBy("value").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("c1"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("long")
+        .alias("c2"),
+    )
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    cum = pts.select(
+        F.sum("c1").over(w).alias("k1"), F.sum("c2").over(w).alias("k2")
+    )
+    tot = pts.agg(
+        F.sum("c1").cast("long").alias("n1"), F.sum("c2").cast("long").alias("n2")
+    )
+    d = cum.crossJoin(F.broadcast(tot)).select(
+        "n1",
+        "n2",
+        F.abs(F.col("k1") * F.col("n2") - F.col("k2") * F.col("n1")).alias("sd"),
+    )
+    return d.groupBy("n1", "n2").agg(
+        F.max("sd").cast("long").alias("max_scaled_diff"),
+        (
+            F.floor(
+                F.max("sd").cast("double")
+                / (F.col("n1") * F.col("n2"))
+                * F.lit(1e8)
+                + F.lit(0.5)
+            )
+            / F.lit(1e8)
+        ).alias("ks_stat"),
+    )
