@@ -1579,3 +1579,100 @@ def ks_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1e8)
         ).alias("ks_stat"),
     )
+
+
+_KNN_ORACLE = """
+    WITH pairs AS (
+      SELECT q.vec_id AS qid, q.label AS qlabel, e.vec_id AS nid,
+             e.label AS nlabel,
+             round((SELECT sum(CAST(q.embedding[i] AS DOUBLE)
+                               * CAST(e.embedding[i] AS DOUBLE))
+                    FROM range(1, 65) t(i))
+                   / (sqrt((SELECT sum(CAST(q.embedding[i] AS DOUBLE)
+                                       * CAST(q.embedding[i] AS DOUBLE))
+                            FROM range(1, 65) t(i)))
+                      * sqrt((SELECT sum(CAST(e.embedding[i] AS DOUBLE)
+                                         * CAST(e.embedding[i] AS DOUBLE))
+                              FROM range(1, 65) t(i)))), 5) AS cosine
+      FROM embeddings q JOIN embeddings e ON q.vec_id <> e.vec_id),
+    nn AS (
+      SELECT qid, qlabel, nlabel FROM (
+        SELECT qid, qlabel, nlabel,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY cosine DESC, nid) AS rnk
+        FROM pairs) x WHERE rnk <= 10),
+    votes AS (
+      SELECT qid, qlabel, nlabel, count(*) AS c
+      FROM nn GROUP BY qid, qlabel, nlabel),
+    win AS (
+      SELECT qid, qlabel, nlabel AS knn_label, CAST(c AS BIGINT) AS n_votes
+      FROM (SELECT qid, qlabel, nlabel, c,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY c DESC, nlabel) AS r
+            FROM votes) y WHERE r = 1)
+    SELECT qid AS vec_id, qlabel AS label, knn_label, n_votes
+    FROM win WHERE knn_label <> qlabel
+    """
+
+
+@register("knn_label_disagreement", oracle=_KNN_ORACLE)
+def knn_label_disagreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mislabel mining by k-NN disagreement (the confident-learning
+    heuristic): a vector whose 10 nearest neighbors mostly carry a
+    DIFFERENT label is a labeling-error candidate — the stronger sibling
+    of centroid-distance outliers (`embedding_outliers`), since it uses
+    local structure instead of one global center per class. Majority
+    ties break to the smallest label; neighbor ranking uses the rounded
+    cosine with id tie-break (the proven oracle-stable rule).
+
+    Scale: this correctness tier runs the exact all-pairs form with the
+    query side broadcast (corpus never shuffles). At 100 TB swap the
+    candidate generation for the IVF / LSH / PQ tiers in
+    operators/similarity.py — the voting stage is unchanged.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    from pandas_to_postgres_spark.functions.vectors import cosine_expr
+
+    q = F.broadcast(
+        e.select(
+            F.col("vec_id").alias("qid"),
+            F.col("label").alias("qlabel"),
+            F.col("embedding").alias("qv"),
+        )
+    )
+    pairs = (
+        q.crossJoin(
+            e.select(
+                F.col("vec_id").alias("nid"),
+                F.col("label").alias("nlabel"),
+                F.col("embedding").alias("nv"),
+            )
+        )
+        .filter(F.col("qid") != F.col("nid"))
+        .select(
+            "qid",
+            "qlabel",
+            "nid",
+            "nlabel",
+            F.round(cosine_expr(F.col("qv"), F.col("nv")), 5).alias("cosine"),
+        )
+    )
+    wn = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid"))
+    nn = pairs.withColumn("rnk", F.row_number().over(wn)).filter(
+        F.col("rnk") <= 10
+    )
+    votes = nn.groupBy("qid", "qlabel", "nlabel").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wv = Window.partitionBy("qid").orderBy(F.col("c").desc(), F.col("nlabel"))
+    win = (
+        votes.withColumn("r", F.row_number().over(wv))
+        .filter(F.col("r") == 1)
+        .select(
+            F.col("qid").alias("vec_id"),
+            F.col("qlabel").alias("label"),
+            F.col("nlabel").alias("knn_label"),
+            F.col("c").cast("long").alias("n_votes"),
+        )
+    )
+    return win.filter(F.col("knn_label") != F.col("label"))
