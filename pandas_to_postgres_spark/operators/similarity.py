@@ -263,3 +263,53 @@ def merge_topk(
         u.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def jl_matrix(out_dim: int = 16, dim: int = 64) -> list[list[float]]:
+    """Deterministic ±1 Johnson-Lindenstrauss projection matrix (seeded
+    numpy, Achlioptas 2003 sign variant) — exposed so the DuckDB oracle
+    can embed the identical literals."""
+    import numpy as np  # driver-side only
+
+    return [
+        [
+            float(x)
+            for x in np.random.default_rng(seed=7000 + j).choice(
+                [-1.0, 1.0], size=dim
+            )
+        ]
+        for j in range(out_dim)
+    ]
+
+
+def jl_project(
+    df: DataFrame,
+    vec_col: str,
+    out_col: str = "proj",
+    out_dim: int = 16,
+    dim: int = 64,
+) -> DataFrame:
+    """Map-only JL dimensionality reduction: out[j] = dot(v, R_j)/√k with
+    a deterministic ±1 matrix. The distance-preserving (1±ε) squeeze that
+    makes downstream ANN / dedup 4x cheaper per vector — the streaming,
+    data-independent alternative to PCA (operators/pca.py), which needs a
+    fit pass.
+
+    The k x d matrix rides a broadcast 1-row frame (the broadcast-data
+    pattern: one compiled plan regardless of matrix values, corpus
+    partitioning untouched)."""
+    spark = df.sparkSession
+    mat = spark.createDataFrame(
+        [(jl_matrix(out_dim, dim),)], "__jl array<array<double>>"
+    )
+    scale = float(out_dim) ** 0.5
+    proj = F.transform(
+        F.col("__jl"),
+        lambda row: F.aggregate(
+            F.zip_with(F.col(vec_col), row, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / F.lit(scale),
+    )
+    return df.crossJoin(F.broadcast(mat)).withColumn(out_col, proj).drop("__jl")

@@ -1676,3 +1676,164 @@ def knn_label_disagreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return win.filter(F.col("knn_label") != F.col("label"))
+
+
+@register(
+    "auc_purchase_score",
+    oracle="""
+    WITH pts AS (
+      SELECT value,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS p,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n
+      FROM events WHERE event_type IN ('purchase', 'click') GROUP BY value),
+    cum AS (
+      SELECT p, n,
+             coalesce(sum(n) OVER (ORDER BY value
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) AS n_below
+      FROM pts),
+    tot AS (SELECT CAST(sum(p) AS BIGINT) AS n_pos,
+                   CAST(sum(n) AS BIGINT) AS n_neg FROM pts)
+    SELECT n_pos, n_neg,
+           CAST(sum(p * (2 * n_below + n)) AS BIGINT) AS u2,
+           floor(CAST(sum(p * (2 * n_below + n)) AS DOUBLE)
+                 / (2.0 * n_pos * n_neg) * 1e8 + 0.5) / 1e8 AS auc
+    FROM cum, tot GROUP BY n_pos, n_neg
+    """,
+)
+def auc_purchase_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC of the event value as a purchase-vs-click discriminator,
+    via the Mann-Whitney rank identity with midrank tie handling —
+    computed in EXACT integer arithmetic: 2U = Σ_v p_v·(2·negs_below + n_v)
+    over distinct score values, so the statistic is engine-identical
+    before the single final division (same doubled-integer trick as
+    `ks_drift_events`). The classifier-evaluation metric, computed
+    in-engine with no sort of the raw events.
+
+    Scale: one groupBy on score value, then a cumulative window over one
+    row per DISTINCT score — bound it by fixed-precision rounding for
+    continuous scores, or bucket offsets (operators/sampling.py) beyond
+    that.
+    """
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    pts = e.groupBy("value").agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("p"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("n"),
+    )
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, -1)
+    cum = pts.select(
+        "p",
+        "n",
+        F.coalesce(F.sum("n").over(w), F.lit(0)).alias("n_below"),
+    )
+    tot = pts.agg(
+        F.sum("p").cast("long").alias("n_pos"),
+        F.sum("n").cast("long").alias("n_neg"),
+    )
+    u2 = F.sum(F.col("p") * (2 * F.col("n_below") + F.col("n")))
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("n_pos", "n_neg")
+        .agg(
+            u2.cast("long").alias("u2"),
+            (
+                F.floor(
+                    u2.cast("double")
+                    / (F.lit(2.0) * F.col("n_pos") * F.col("n_neg"))
+                    * F.lit(1e8)
+                    + F.lit(0.5)
+                )
+                / F.lit(1e8)
+            ).alias("auc"),
+        )
+    )
+
+
+def _jl_oracle(out_dim: int = 16, dim: int = 64) -> str:
+    """DuckDB twin of the JL projection: identical ±1 matrix literals
+    (operators/similarity.jl_matrix), same /√k scaling, grid rounding."""
+    from pandas_to_postgres_spark.operators.similarity import jl_matrix
+
+    mat = jl_matrix(out_dim, dim)
+    rows = " UNION ALL ".join(
+        f"SELECT {j} AS j, [" + ", ".join(repr(x) for x in mat[j]) + "] AS r"
+        for j in range(out_dim)
+    )
+    scale = repr(float(out_dim) ** 0.5)
+    return f"""
+    WITH mat AS ({rows}),
+    proj AS (
+      SELECT e.vec_id, m.j,
+             (SELECT sum(CAST(e.embedding[i] AS DOUBLE) * m.r[i])
+              FROM range(1, {dim + 1}) t(i)) / {scale} AS pj
+      FROM embeddings e CROSS JOIN mat m),
+    agg AS (
+      SELECT vec_id, list(pj ORDER BY j) AS pr
+      FROM proj GROUP BY vec_id),
+    norms AS (
+      SELECT e.vec_id,
+             sqrt((SELECT sum(CAST(e.embedding[i] AS DOUBLE)
+                              * CAST(e.embedding[i] AS DOUBLE))
+                   FROM range(1, {dim + 1}) t(i))) AS on_
+      FROM embeddings e)
+    SELECT a.vec_id,
+           floor(pr[1] * 1e6 + 0.5) / 1e6 AS p1,
+           floor(pr[2] * 1e6 + 0.5) / 1e6 AS p2,
+           floor(pr[3] * 1e6 + 0.5) / 1e6 AS p3,
+           floor(pr[4] * 1e6 + 0.5) / 1e6 AS p4,
+           floor(sqrt(list_sum(list_transform(pr, x -> x * x))) / n.on_
+                 * 1e6 + 0.5) / 1e6 AS norm_ratio
+    FROM agg a JOIN norms n ON a.vec_id = n.vec_id
+    """
+
+
+@register("jl_projection_check", oracle=_jl_oracle())
+def jl_projection_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection 64→16 dims (Achlioptas ±1
+    signs, /√k scaling) with a per-vector norm-preservation audit — the
+    map-only, data-independent squeeze that cuts downstream ANN / dedup
+    cost 4x per vector where PCA (operators/pca.py) needs a fit pass.
+    norm_ratio concentrates around 1 (the JL lemma); systematic drift
+    means the projection is mis-scaled.
+
+    Scale: the k x d matrix rides a broadcast 1-row frame (one compiled
+    plan, corpus partitioning untouched); everything else is per-row
+    expression work.
+    """
+    from pandas_to_postgres_spark.operators.similarity import jl_project
+
+    e = load_table(spark, sf_dir, "embeddings")
+    pr = jl_project(e, "embedding")
+
+    def grid6(c):
+        return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+    def sq_norm(col):
+        # cast BEFORE squaring: the parquet embedding column is
+        # array<float>, and float*float squares in 32-bit (1e-7 relative
+        # error) where the oracle casts to DOUBLE first — measured 9e-9
+        # norm_ratio divergence, enough to straddle the 1e-6 grid
+        return F.aggregate(
+            col,
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+
+    return pr.select(
+        "vec_id",
+        grid6(F.element_at("proj", 1)).alias("p1"),
+        grid6(F.element_at("proj", 2)).alias("p2"),
+        grid6(F.element_at("proj", 3)).alias("p3"),
+        grid6(F.element_at("proj", 4)).alias("p4"),
+        grid6(
+            F.sqrt(sq_norm(F.col("proj"))) / F.sqrt(sq_norm(F.col("embedding")))
+        ).alias("norm_ratio"),
+    )
