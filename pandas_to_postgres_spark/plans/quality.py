@@ -1837,3 +1837,123 @@ def jl_projection_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(sq_norm(F.col("proj"))) / F.sqrt(sq_norm(F.col("embedding")))
         ).alias("norm_ratio"),
     )
+
+
+@register(
+    "activity_streaks",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+    grp AS (
+      SELECT user_id, d,
+             CAST(d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+                           AS INT) AS DATE) AS anchor
+      FROM days),
+    runs AS (
+      SELECT user_id, count(*) AS len FROM grp GROUP BY user_id, anchor),
+    best AS (
+      SELECT user_id, CAST(max(len) AS BIGINT) AS longest_streak,
+             CAST(count(*) AS BIGINT) AS n_streaks
+      FROM runs GROUP BY user_id)
+    SELECT user_id, longest_streak, n_streaks FROM best
+    """,
+)
+def activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each user's longest run of CONSECUTIVE active
+    days and how many distinct streaks they had — the engagement metric
+    time-gap sessionization can't express (a streak survives overnight
+    gaps; a session doesn't). Uses the date-minus-row_number anchor
+    trick: consecutive days share an anchor, so runs become a plain
+    groupBy.
+
+    Scale: one distinct on (user, day) — days compress events ~orders of
+    magnitude — then one user-keyed window and two dimension-sized
+    aggregates.
+    """
+    e = load_table(spark, sf_dir, "events")
+    days = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    grp = days.withColumn(
+        "anchor", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    runs = grp.groupBy("user_id", "anchor").agg(F.count(F.lit(1)).alias("len"))
+    return runs.groupBy("user_id").agg(
+        F.max("len").cast("long").alias("longest_streak"),
+        F.count(F.lit(1)).cast("long").alias("n_streaks"),
+    )
+
+
+@register(
+    "basket_lift_pairs",
+    oracle="""
+    WITH ob AS (
+      SELECT DISTINCT l_orderkey, p_brand
+      FROM lineitem JOIN part ON l_partkey = p_partkey),
+    n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM ob),
+    bc AS (SELECT p_brand, count(*) AS c FROM ob GROUP BY p_brand),
+    pairs AS (
+      SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, count(*) AS c_ab
+      FROM ob a JOIN ob b
+        ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+      GROUP BY a.p_brand, b.p_brand),
+    scored AS (
+      SELECT p.brand_a, p.brand_b, CAST(p.c_ab AS BIGINT) AS n_both,
+             floor(CAST(p.c_ab AS DOUBLE) * n.n_orders
+                   / (ca.c * CAST(cb.c AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS lift
+      FROM pairs p
+      JOIN bc ca ON ca.p_brand = p.brand_a
+      JOIN bc cb ON cb.p_brand = p.brand_b
+      CROSS JOIN n)
+    SELECT brand_a, brand_b, n_both, lift
+    FROM scored
+    ORDER BY lift DESC, brand_a, brand_b
+    LIMIT 20
+    """,
+)
+def basket_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining at the brand level: for brand
+    pairs co-occurring in an order, lift = P(A∧B) / (P(A)·P(B)) — the
+    classic cross-sell signal (PMI's transactional sibling:
+    `pmi_collocations` does tokens-in-documents, this does
+    items-in-baskets). Top 20 by lift, deterministically tie-broken.
+
+    Scale: baskets are first reduced to DISTINCT (order, brand) rows, so
+    the within-order pair join is bounded by brands-per-order (single
+    digits), never lines²; brand totals are a dimension-sized aggregate.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    ob = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    n_orders = ob.select("l_orderkey").distinct().count()
+    bc = ob.groupBy("p_brand").agg(F.count(F.lit(1)).alias("c"))
+    a = ob.select(F.col("l_orderkey"), F.col("p_brand").alias("brand_a"))
+    b = ob.select(F.col("l_orderkey"), F.col("p_brand").alias("brand_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    ca = bc.select(F.col("p_brand").alias("brand_a"), F.col("c").alias("ca"))
+    cb = bc.select(F.col("p_brand").alias("brand_b"), F.col("c").alias("cb"))
+    lift = (
+        F.col("c_ab").cast("double")
+        * F.lit(n_orders)
+        / (F.col("ca") * F.col("cb").cast("double"))
+    )
+    return (
+        pairs.join(F.broadcast(ca), "brand_a")
+        .join(F.broadcast(cb), "brand_b")
+        .select(
+            "brand_a",
+            "brand_b",
+            F.col("c_ab").cast("long").alias("n_both"),
+            (F.floor(lift * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "brand_a", "brand_b")
+        .limit(20)
+    )
