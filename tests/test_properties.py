@@ -311,3 +311,105 @@ def test_interval_overlap_bucketing_equals_nested_loop(spark, a_iv, b_iv):
         .collect()
     }
     assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    dim_keys=st.lists(
+        st.integers(min_value=-(2**40), max_value=2**40), min_size=1, max_size=20
+    ),
+    fact_keys=st.lists(
+        st.integers(min_value=-(2**40), max_value=2**40), min_size=1, max_size=40
+    ),
+    num_bits=st.sampled_from([64, 256, 1024]),
+    num_hashes=st.integers(min_value=1, max_value=6),
+)
+def test_bloom_semi_join_exact_for_any_keys_and_sizing(
+    spark, dim_keys, fact_keys, num_bits, num_hashes
+):
+    """Bloom prefilter exactness is sizing-independent: however saturated
+    the bitmap, no false negative may drop a true member, and the final
+    semi-join must equal the plain semi-join exactly — for negative keys,
+    duplicates, and disjoint key sets alike."""
+    from pandas_to_postgres_spark.operators.bloom import bloom_semi_join
+
+    dim = spark.createDataFrame([(k,) for k in dim_keys], "dk long")
+    fact = spark.createDataFrame(
+        [(k, i) for i, k in enumerate(fact_keys)], "fk long, payload long"
+    )
+    got = sorted(
+        map(tuple, bloom_semi_join(fact, dim, "fk", "dk", num_bits, num_hashes).collect())
+    )
+    dk = dim.select("dk")
+    want = sorted(
+        map(tuple, fact.join(dk, fact.fk == dk.dk, "left_semi").collect())
+    )
+    assert got == want
+
+
+def _pagerank_reference(edges, damping=0.85, iterations=4):
+    """Pure-Python replica of operators/graph.pagerank's formula (IEEE
+    transition probabilities, exact contribution sums via math.fsum is
+    NOT used — plain sum matches the decimal-exactness only to ~1e-12,
+    enough for the grid comparison)."""
+    from collections import defaultdict
+
+    outw = defaultdict(float)
+    for s, d, w in edges:
+        outw[s] += w
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    n = len(nodes)
+    r = {v: 1.0 / n for v in nodes}
+    for _ in range(iterations):
+        contrib = defaultdict(list)
+        for s, d, w in edges:
+            contrib[d].append(r[s] * (float(w) / outw[s]))
+        r = {
+            v: (1.0 - damping) / n + damping * sum(sorted(contrib.get(v, [0.0])))
+            for v in nodes
+        }
+    return {v: r[v] for v in nodes}
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=6),
+            st.integers(min_value=0, max_value=6),
+            st.integers(min_value=1, max_value=9),
+        ),
+        min_size=1,
+        max_size=15,
+        unique_by=lambda e: (e[0], e[1]),
+    )
+)
+def test_pagerank_matches_reference_and_conserves_mass(spark, edges):
+    """On any random weighted digraph: ranks are positive, total rank is
+    ≤ 1 + ε (equal when no node is dangling — dangling nodes absorb), and
+    every rank agrees with a pure-Python replica of the formula to well
+    inside the output grid."""
+    from pandas_to_postgres_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame(edges, "src int, dst int, w int")
+    got = {r["node"]: r["rank"] for r in pagerank(df, iterations=4).collect()}
+    ref = _pagerank_reference(edges)
+    assert set(got) == set(ref)
+    assert all(v > 0 for v in got.values())
+    srcs = {s for s, _, _ in edges}
+    dangling = set(ref) - srcs
+    total = sum(got.values())
+    if not dangling:
+        assert abs(total - 1.0) < 1e-6
+    else:
+        assert total <= 1.0 + 1e-6
+    for v in ref:
+        assert abs(got[v] - ref[v]) < 1e-9, (v, got[v], ref[v])
