@@ -21,13 +21,30 @@ def duck():
     con.close()
 
 
+#: queries allowed to carry error-severity lint findings: the X5 UDTF
+#: coverage slot IS the row-Python table-function tier.
+_LINT_ALLOW = {
+    "udtf_sentences": ("python_udf",),
+}
+
+
+def _lint_gate(name, df):
+    from pandas_to_postgres_spark.plans.lint import assert_scalable
+
+    assert_scalable(df, allow=_LINT_ALLOW.get(name, ()))
+
+
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
 def test_oracle_match(spark, duck, name):
     spec = REGISTRY[name]
-    got = spec.fn(spark, SF_SMOKE).toPandas()
+    df = spec.fn(spark, SF_SMOKE)
+    got = df.toPandas()
     want = duck.sql(spec.oracle).df()
     diag = compare(got, want)
     assert diag is None, f"{name}: {diag}"
+    # every oracle-checked query must also clear the physical-plan scale
+    # lint — the plan was just executed, so this is nearly free
+    _lint_gate(name, df)
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)
@@ -36,6 +53,7 @@ def test_rows_only_runs(spark, name):
     df = spec.fn(spark, SF_SMOKE)
     n = df.count()
     assert n >= 0
+    _lint_gate(name, df)
     # determinism: running twice yields the identical multiset
     a = sorted(map(str, df.collect()))
     b = sorted(map(str, spec.fn(spark, SF_SMOKE).collect()))
