@@ -1993,3 +1993,63 @@ def basket_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lift").desc(), "brand_a", "brand_b")
         .limit(20)
     )
+
+
+@register(
+    "benford_price_audit",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                         1, 1) AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice >= 1),
+    c AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+    tot AS (SELECT sum(n) AS t FROM c)
+    SELECT g.g AS digit,
+           CAST(coalesce(c.n, 0) AS BIGINT) AS n,
+           floor(CAST(coalesce(c.n, 0) AS DOUBLE) / tot.t * 1e6 + 0.5) / 1e6
+               AS observed,
+           floor(log10(1.0 + 1.0 / g.g) * 1e6 + 0.5) / 1e6 AS benford,
+           floor(abs(CAST(coalesce(c.n, 0) AS DOUBLE) / tot.t
+                     - log10(1.0 + 1.0 / g.g)) * 1e6 + 0.5) / 1e6 AS dev
+    FROM range(1, 10) g(g) LEFT JOIN c ON c.digit = g.g CROSS JOIN tot
+    """,
+)
+def benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the classic
+    forensic-accounting / data-fabrication screen: naturally occurring
+    multi-scale amounts follow P(d) = log10(1 + 1/d), and a synthetic or
+    tampered column deviates visibly (TPC-H's uniform price generator,
+    for instance, should FAIL this audit — the deviations themselves are
+    the interesting output). Per-digit observed vs expected frequency
+    with absolute deviation.
+
+    Scale: one map-only digit projection + a 9-row aggregate; nothing
+    else moves.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    d = o.select(
+        F.substring(
+            F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
+        )
+        .cast("long")
+        .alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    total = d.count()
+
+    def grid6(col):
+        return F.floor(col * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+    digits = spark.range(1, 10).select(F.col("id").alias("digit"))
+    benford = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    obs = F.coalesce(F.col("n"), F.lit(0)).cast("double") / F.lit(float(total))
+    return (
+        digits.join(c, "digit", "left")
+        .select(
+            "digit",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+            grid6(obs).alias("observed"),
+            grid6(benford).alias("benford"),
+            grid6(F.abs(obs - benford)).alias("dev"),
+        )
+    )
