@@ -53,3 +53,15 @@ def davg_sql(expr: str, scale: int = 4) -> str:
     return (
         f"round(CAST(sum(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE) / count(*), {scale})"
     )
+
+
+def grid_round(c: Column, digits: int) -> Column:
+    """Cross-engine deterministic rounding: floor(x*10^d + 0.5)/10^d on
+    the double itself. Spark's round()/bround() decide half-way ties on
+    the double's DECIMAL REPR while DuckDB rounds the binary value, so
+    they can disagree on repr-half boundaries; this rule ties both
+    engines to the same binary comparison. The DuckDB mirror is the
+    literally identical expression: ``floor(x * 1e{d} + 0.5) / 1e{d}``.
+    """
+    p = float(10**digits)
+    return F.floor(c * F.lit(p) + F.lit(0.5)) / F.lit(p)

@@ -46,14 +46,26 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _canon_key(col: Column, dtype: str) -> Column:
-    """Hash-stable canonical form: xxhash64 output depends on the input
-    TYPE, so both sides of a probe must hash the same type. Integers widen
-    to long; everything else hashes as string."""
+def _key_family(dtype: str) -> str:
+    """'long' for integer-valued families (including scale-0 decimals),
+    'string' for everything else."""
     base = dtype.lower()
     if base in ("tinyint", "smallint", "int", "integer", "bigint", "long"):
-        return col.cast("long")
-    return col.cast("string")
+        return "long"
+    if base.startswith("decimal") and base.rstrip(")").endswith(",0"):
+        return "long"
+    return "string"
+
+
+def _canon_key(col: Column, dtype: str) -> Column:
+    """Hash-stable canonical form: xxhash64 output depends on the input
+    TYPE, so both sides of a probe must hash the same type. Integer-valued
+    families (incl. decimal(p,0)) widen to long; everything else hashes as
+    string. Build and probe MUST land in the same family —
+    :func:`bloom_semi_join` enforces this, because a silent family
+    mismatch would hash the two sides differently and the prefilter would
+    drop TRUE members (an unrecoverable false negative)."""
+    return col.cast(_key_family(dtype))
 
 
 def _positions(key: Column, num_bits: int, num_hashes: int) -> Column:
@@ -165,8 +177,20 @@ def bloom_semi_join(
     carries only the pruned fraction of the fact.
 
     The canonical key cast is applied to BOTH sides before hashing, so an
-    int fact key probes a bigint dim key correctly.
+    int fact key probes a bigint (or decimal(p,0)) dim key correctly.
+    Mixed FAMILIES — a long fact key against a fractional-decimal or
+    string dim key — are rejected loudly: they would hash differently on
+    the two sides and the prefilter would silently drop true matches.
     """
+    fact_family = _key_family(dict(fact.dtypes)[fact_key])
+    dim_family = _key_family(dict(dim.dtypes)[dim_key])
+    if fact_family != dim_family:
+        raise TypeError(
+            f"bloom_semi_join key families differ: {fact_key} hashes as "
+            f"{fact_family}, {dim_key} as {dim_family} — cast one side so "
+            "both land in the same family, or the prefilter will drop "
+            "true matches"
+        )
     dim_keys = dim.select(dim_key)
     bloom = bloom_build(dim_keys, dim_key, num_bits, num_hashes)
     pruned = bloom_prefilter(fact, fact_key, bloom, num_bits, num_hashes)

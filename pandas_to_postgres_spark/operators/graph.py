@@ -35,21 +35,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# the grid-round rule is load-bearing for every oracle in this repo —
+# one shared definition (functions/agg.grid_round), not per-module copies
+from pandas_to_postgres_spark.functions.agg import grid_round as _grid_round
+
 #: decimal type for exact, order-independent contribution sums. Scale 12
 #: keeps the double→decimal cast inside the regime where Spark's
 #: shortest-repr rounding and DuckDB's binary-value rounding agree (same
 #: rationale as DECIMAL(18,6) in functions/agg.py, with headroom for
 #: rank*probability products < 1).
 _DEC = "decimal(28,12)"
-
-
-def _grid_round(col, digits: int):
-    """Cross-engine deterministic rounding: floor(x*10^d + 0.5)/10^d on
-    the double itself — both engines decide ties on the same binary value
-    (Spark's round() would use the decimal repr instead; see
-    plans/analytics.interpolate_events)."""
-    p = float(10**digits)
-    return F.floor(col * F.lit(p) + F.lit(0.5)) / F.lit(p)
 
 
 def pagerank(

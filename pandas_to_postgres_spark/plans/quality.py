@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from pandas_to_postgres_spark.functions.agg import grid_round
 from pandas_to_postgres_spark.functions.text import tokens_expr
 from pandas_to_postgres_spark.plans.registry import register
 from pandas_to_postgres_spark.sources.parquet import load_table
@@ -1047,7 +1048,7 @@ def ols_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     slope = cov_n / var_n
 
     def grid8(c):
-        return F.floor(c * F.lit(1e8) + F.lit(0.5)) / F.lit(1e8)
+        return grid_round(c, 8)
 
     return s.select(
         "l_returnflag",
@@ -1301,7 +1302,7 @@ def robust_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def grid6(c):
-        return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+        return grid_round(c, 6)
 
     return j2.groupBy("event_type", "med", "mad").agg(
         F.sum(F.when(flag, 1).otherwise(0)).cast("long").alias("n_outliers")
@@ -1472,39 +1473,41 @@ def psi_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     term (p−q)·ln(p/q) over 10 equi-width bins with Laplace +1 smoothing
     (no empty-bin infinities); Σ terms > 0.2 is the usual retrain alarm.
 
-    Scale: two filtered map-only bin projections + dimension-sized
-    aggregates; nothing shuffles more than 10 bins per side.
+    Scale: ONE scan — both sides' bin counts come from a single
+    conditional aggregate, and the totals are window sums over the
+    10-row bin frame (no separate count() jobs re-reading the table).
     """
-    e = load_table(spark, sf_dir, "events")
-
-    def binned(ev_type):
-        return e.filter(F.col("event_type") == ev_type).select(
-            F.least(F.floor(F.col("value") / 50), F.lit(9)).alias("bin")
-        )
-
-    ref, cur = binned("click"), binned("view")
-    nr, nc = ref.count(), cur.count()
-    rc = ref.groupBy("bin").agg(F.count(F.lit(1)).alias("rc"))
-    cc = cur.groupBy("bin").agg(F.count(F.lit(1)).alias("cc"))
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    counts = e.select(
+        "event_type",
+        F.least(F.floor(F.col("value") / 50), F.lit(9)).alias("bin"),
+    ).groupBy("bin").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("rc"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("cc"),
+    )
     bins = (
         spark.range(10)
         .select(F.col("id").alias("bin"))
-        .join(rc, "bin", "left")
-        .join(cc, "bin", "left")
+        .join(counts, "bin", "left")
         .select(
             "bin",
             (F.coalesce("rc", F.lit(0)) + 1).alias("n_ref"),
             (F.coalesce("cc", F.lit(0)) + 1).alias("n_cur"),
         )
     )
-    p = F.col("n_ref").cast("double") / F.lit(float(nr + 10))
-    q = F.col("n_cur").cast("double") / F.lit(float(nc + 10))
+    wtot = Window.partitionBy()
+    nr = F.sum(F.col("n_ref") - 1).over(wtot)
+    nc = F.sum(F.col("n_cur") - 1).over(wtot)
+    p = F.col("n_ref").cast("double") / (nr + 10).cast("double")
+    q = F.col("n_cur").cast("double") / (nc + 10).cast("double")
     term = (p - q) * F.log(p / q)
     return bins.select(
         "bin",
         "n_ref",
         "n_cur",
-        (F.floor(term * F.lit(1e8) + F.lit(0.5)) / F.lit(1e8)).alias("psi_term"),
+        grid_round(term, 8).alias("psi_term"),
     )
 
 
@@ -1523,20 +1526,26 @@ def psi_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
              sum(c2) OVER (ORDER BY value) AS k2
       FROM pts),
     tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2
-            FROM pts)
+            FROM pts),
+    sd AS (SELECT abs(CAST(k1 AS DECIMAL(38,0)) * n2
+                      - CAST(k2 AS DECIMAL(38,0)) * n1) AS d
+           FROM cum, tot)
     SELECT n1, n2,
-           CAST(max(abs(k1 * n2 - k2 * n1)) AS BIGINT) AS max_scaled_diff,
-           floor(CAST(max(abs(k1 * n2 - k2 * n1)) AS DOUBLE) / (n1 * n2)
+           CAST(max(sd.d) AS DOUBLE) AS max_scaled_diff,
+           floor(CAST(max(sd.d) AS DOUBLE)
+                 / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
                  * 1e8 + 0.5) / 1e8 AS ks_stat
-    FROM cum, tot GROUP BY n1, n2
+    FROM sd, tot GROUP BY n1, n2
     """,
 )
 def ks_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample Kolmogorov–Smirnov statistic between the click and view
     value distributions — the nonparametric drift test (PSI's binless
-    sibling): D = max |ECDF₁ − ECDF₂|, computed in EXACT integer
-    arithmetic (|k₁·n₂ − k₂·n₁| over cumulative counts) so the max is
-    engine-identical before any division.
+    sibling): D = max |ECDF₁ − ECDF₂|, with the scaled gap |k₁·n₂ − k₂·n₁|
+    computed EXACTLY in DECIMAL(38,0) — a BIGINT product would overflow
+    (and under ANSI default, abort the job) once n₁·n₂ exceeds 2⁶³,
+    i.e. ~3e9 rows per side; decimal keeps the max exact to 10³⁸ and the
+    reported double is integer-exact below 2⁵³.
 
     Scale note: the cumulative window runs over the post-groupBy frame —
     ONE row per distinct value, not per event (pre-round continuous data
@@ -1565,14 +1574,17 @@ def ks_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = cum.crossJoin(F.broadcast(tot)).select(
         "n1",
         "n2",
-        F.abs(F.col("k1") * F.col("n2") - F.col("k2") * F.col("n1")).alias("sd"),
+        F.abs(
+            F.col("k1").cast("decimal(38,0)") * F.col("n2")
+            - F.col("k2").cast("decimal(38,0)") * F.col("n1")
+        ).alias("sd"),
     )
     return d.groupBy("n1", "n2").agg(
-        F.max("sd").cast("long").alias("max_scaled_diff"),
+        F.max("sd").cast("double").alias("max_scaled_diff"),
         (
             F.floor(
                 F.max("sd").cast("double")
-                / (F.col("n1") * F.col("n2"))
+                / (F.col("n1").cast("double") * F.col("n2").cast("double"))
                 * F.lit(1e8)
                 + F.lit(0.5)
             )
@@ -1663,7 +1675,12 @@ def knn_label_disagreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     bexpr = hyperplane_lsh_bucket_expr("embedding", num_planes=4, dim=64)
-    buck = e.select("vec_id", "label", "embedding", bexpr.alias("b"))
+    # materialize: the bucket expression is an interpreted 4x64 HOF fold;
+    # without the checkpoint, projection collapse inlines it into the q
+    # side, the capped side, AND the cap window — the simhash lesson
+    buck = e.select(
+        "vec_id", "label", "embedding", bexpr.alias("b")
+    ).localCheckpoint(eager=False)
     wb = Window.partitionBy("b").orderBy("vec_id")
     capped = (
         buck.withColumn("rn", F.row_number().over(wb))
@@ -1733,20 +1750,25 @@ def knn_label_disagreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT CAST(sum(p) AS BIGINT) AS n_pos,
                    CAST(sum(n) AS BIGINT) AS n_neg FROM pts)
     SELECT n_pos, n_neg,
-           CAST(sum(p * (2 * n_below + n)) AS BIGINT) AS u2,
-           floor(CAST(sum(p * (2 * n_below + n)) AS DOUBLE)
-                 / (2.0 * n_pos * n_neg) * 1e8 + 0.5) / 1e8 AS auc
+           CAST(sum(CAST(p AS DECIMAL(38,0)) * (2 * n_below + n)) AS DOUBLE)
+               AS u2,
+           floor(CAST(sum(CAST(p AS DECIMAL(38,0)) * (2 * n_below + n))
+                      AS DOUBLE)
+                 / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
+                 * 1e8 + 0.5) / 1e8 AS auc
     FROM cum, tot GROUP BY n_pos, n_neg
     """,
 )
 def auc_purchase_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROC-AUC of the event value as a purchase-vs-click discriminator,
     via the Mann-Whitney rank identity with midrank tie handling —
-    computed in EXACT integer arithmetic: 2U = Σ_v p_v·(2·negs_below + n_v)
-    over distinct score values, so the statistic is engine-identical
-    before the single final division (same doubled-integer trick as
-    `ks_drift_events`). The classifier-evaluation metric, computed
-    in-engine with no sort of the raw events.
+    2U = Σ_v p_v·(2·negs_below + n_v) over distinct score values,
+    accumulated EXACTLY in DECIMAL(38,0) (the BIGINT form would overflow
+    — and under ANSI default, abort — once n_pos·n_neg exceeds 2⁶³,
+    ~3e9 rows per side; see `ks_drift_events`), so the statistic is
+    engine-identical before the single final division. The
+    classifier-evaluation metric, computed in-engine with no sort of the
+    raw events.
 
     Scale: one groupBy on score value, then a cumulative window over one
     row per DISTINCT score — bound it by fixed-precision rounding for
@@ -1774,16 +1796,22 @@ def auc_purchase_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("p").cast("long").alias("n_pos"),
         F.sum("n").cast("long").alias("n_neg"),
     )
-    u2 = F.sum(F.col("p") * (2 * F.col("n_below") + F.col("n")))
+    u2 = F.sum(
+        F.col("p").cast("decimal(38,0)") * (2 * F.col("n_below") + F.col("n"))
+    )
     return (
         cum.crossJoin(F.broadcast(tot))
         .groupBy("n_pos", "n_neg")
         .agg(
-            u2.cast("long").alias("u2"),
+            u2.cast("double").alias("u2"),
             (
                 F.floor(
                     u2.cast("double")
-                    / (F.lit(2.0) * F.col("n_pos") * F.col("n_neg"))
+                    / (
+                        F.lit(2.0)
+                        * F.col("n_pos").cast("double")
+                        * F.col("n_neg").cast("double")
+                    )
                     * F.lit(1e8)
                     + F.lit(0.5)
                 )
@@ -1850,7 +1878,7 @@ def jl_projection_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     pr = jl_project(e, "embedding")
 
     def grid6(c):
-        return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+        return grid_round(c, 6)
 
     def sq_norm(col):
         # cast BEFORE squaring: the parquet embedding column is
@@ -1964,7 +1992,11 @@ def basket_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "p_brand")
         .distinct()
     )
-    n_orders = ob.select("l_orderkey").distinct().count()
+    # basket total rides a broadcast 1-row frame — no separate driver
+    # count() job re-reading the join
+    n_orders_f = ob.agg(
+        F.countDistinct("l_orderkey").alias("n_orders")
+    )
     bc = ob.groupBy("p_brand").agg(F.count(F.lit(1)).alias("c"))
     a = ob.select(F.col("l_orderkey"), F.col("p_brand").alias("brand_a"))
     b = ob.select(F.col("l_orderkey"), F.col("p_brand").alias("brand_b"))
@@ -1978,12 +2010,13 @@ def basket_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb = bc.select(F.col("p_brand").alias("brand_b"), F.col("c").alias("cb"))
     lift = (
         F.col("c_ab").cast("double")
-        * F.lit(n_orders)
+        * F.col("n_orders")
         / (F.col("ca") * F.col("cb").cast("double"))
     )
     return (
         pairs.join(F.broadcast(ca), "brand_a")
         .join(F.broadcast(cb), "brand_b")
+        .crossJoin(F.broadcast(n_orders_f))
         .select(
             "brand_a",
             "brand_b",
@@ -2035,14 +2068,15 @@ def benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("digit")
     )
     c = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
-    total = d.count()
+    # total = window sum over the ≤9-row digit frame: no second scan job
+    total = F.sum(F.coalesce(F.col("n"), F.lit(0))).over(Window.partitionBy())
 
     def grid6(col):
-        return F.floor(col * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+        return grid_round(col, 6)
 
     digits = spark.range(1, 10).select(F.col("id").alias("digit"))
     benford = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
-    obs = F.coalesce(F.col("n"), F.lit(0)).cast("double") / F.lit(float(total))
+    obs = F.coalesce(F.col("n"), F.lit(0)).cast("double") / total.cast("double")
     return (
         digits.join(c, "digit", "left")
         .select(

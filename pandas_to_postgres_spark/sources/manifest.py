@@ -86,22 +86,10 @@ def write_manifest(path: str, stat_cols: Sequence[str]) -> dict:
     (non-recursive — partitioned layouts keep their partition pruning;
     this targets flat exports like ``write_sorted``'s). Atomic publish via
     tmp + rename. Returns the manifest dict."""
-    files = sorted(
-        f
-        for f in os.listdir(path)
-        if f.endswith(".parquet") and not f.startswith((".", "_"))
-    )
-    entries = []
-    for f in files:
-        full = os.path.join(path, f)
-        entries.append(
-            {
-                "path": f,
-                "bytes": os.path.getsize(full),
-                "stats": _file_stats(full, stat_cols),
-            }
-        )
-    manifest = {"stat_cols": list(stat_cols), "files": entries}
+    manifest = {
+        "stat_cols": list(stat_cols),
+        "files": _collect_entries(path, stat_cols),
+    }
     tmp = os.path.join(path, MANIFEST_NAME + ".tmp")
     with open(tmp, "w") as fh:
         json.dump(manifest, fh, default=str)
@@ -220,6 +208,11 @@ def read_snapshot(
     part files sit in the directory now."""
     snap = load_snapshot(path, version)
     paths = [os.path.join(path, e["path"]) for e in snap["files"]]
+    if not paths:
+        raise ValueError(
+            f"snapshot v{snap['version']} of {path} froze zero files — "
+            "published on an empty directory; there is no schema to read"
+        )
     return spark.read.parquet(*paths)
 
 
@@ -237,6 +230,11 @@ def read_snapshot_pruned(
     from pyspark.sql import functions as F
 
     snap = load_snapshot(path, version)
+    if not snap["files"]:
+        raise ValueError(
+            f"snapshot v{snap['version']} of {path} froze zero files — "
+            "published on an empty directory; there is no schema to read"
+        )
     keep, _total = prune_files(snap, col, lo, hi)
     entries = keep or snap["files"][:1]
     paths = [os.path.join(path, e["path"]) for e in entries]
@@ -249,26 +247,34 @@ def read_snapshot_pruned(
 
 def expire_snapshots(path: str, keep_latest: int = 1) -> dict:
     """Retire all but the newest ``keep_latest`` snapshots, then delete
-    part files referenced by NO retained snapshot (orphan cleanup). The
-    only operation that can break a time-travel reader — which is the
-    point: publishes are non-destructive, space reclamation is explicit.
+    part files that are provably superseded: referenced by an EXPIRED
+    snapshot and by no retained one. The only operation that can break a
+    time-travel reader — which is the point: publishes are
+    non-destructive, space reclamation is explicit.
+
+    Deliberately NOT deleted (the Iceberg remove_orphan_files race):
+    files referenced by NO manifest at all — they may be a writer's
+    freshly-appended data awaiting its publish — and files the legacy
+    ``_manifest.json`` still references (``read_pruned`` readers).
     Returns {"expired_versions": [...], "deleted_files": [...]}."""
     if keep_latest < 1:
         raise ValueError("keep_latest must be >= 1")
     versions = snapshot_versions(path)
     retained = versions[-keep_latest:]
     expired = [v for v in versions if v not in retained]
-    referenced: set[str] = set()
+    keep_refs: set[str] = set()
     for v in retained:
-        referenced.update(e["path"] for e in load_snapshot(path, v)["files"])
+        keep_refs.update(e["path"] for e in load_snapshot(path, v)["files"])
+    if os.path.exists(os.path.join(path, MANIFEST_NAME)):
+        keep_refs.update(e["path"] for e in load_manifest(path)["files"])
+    expired_refs: set[str] = set()
+    for v in expired:
+        expired_refs.update(e["path"] for e in load_snapshot(path, v)["files"])
     deleted = []
-    for f in sorted(os.listdir(path)):
-        if (
-            f.endswith(".parquet")
-            and not f.startswith((".", "_"))
-            and f not in referenced
-        ):
-            os.remove(os.path.join(path, f))
+    for f in sorted(expired_refs - keep_refs):
+        full = os.path.join(path, f)
+        if os.path.exists(full):
+            os.remove(full)
             deleted.append(f)
     for v in expired:
         os.remove(os.path.join(path, f"_manifest-v{v}.json"))

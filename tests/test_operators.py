@@ -1350,3 +1350,29 @@ class TestProductQuantization:
         # (the query/book sides do read it — they are 5 rows and 1 row)
         assert plan.count("Scan ExistingRDD") >= 1
         assert "BatchEvalPython" not in plan
+
+
+class TestBloomKeyFamilies:
+    def test_mixed_key_families_are_rejected_loudly(self, spark):
+        # a string dim key probed by a long fact key would hash on
+        # different families and silently drop true matches — must raise
+        import pytest as _pytest
+
+        from pandas_to_postgres_spark.operators.bloom import bloom_semi_join
+
+        fact = spark.createDataFrame([(1,), (2,)], "fk long")
+        dim = spark.createDataFrame([("1",), ("2",)], "dk string")
+        with _pytest.raises(TypeError, match="key families differ"):
+            bloom_semi_join(fact, dim, "fk", "dk")
+
+    def test_decimal_scale0_key_joins_long_fact(self, spark):
+        import pyspark.sql.functions as F
+
+        from pandas_to_postgres_spark.operators.bloom import bloom_semi_join
+
+        fact = spark.createDataFrame([(1, "a"), (2, "b"), (5, "c")], "fk long, v string")
+        dim = spark.createDataFrame([(1,), (5,)], "dk long").select(
+            F.col("dk").cast("decimal(18,0)").alias("dk")
+        )
+        got = sorted(r["fk"] for r in bloom_semi_join(fact, dim, "fk", "dk").collect())
+        assert got == [1, 5]

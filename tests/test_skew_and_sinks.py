@@ -591,3 +591,35 @@ class TestSnapshots:
         res2 = expire_snapshots(path, keep_latest=1)
         assert res2["expired_versions"] == [2]
         assert read_snapshot(spark, path).count() == 150
+
+
+class TestSnapshotExpiryRace:
+    def test_expire_never_deletes_unpublished_appends(self, spark, tmp_path):
+        # a writer's freshly-appended (not yet published) files must
+        # survive expiry — the Iceberg remove_orphan_files race
+        import os
+
+        import pyspark.sql.functions as F
+
+        from pandas_to_postgres_spark.sources.manifest import (
+            expire_snapshots,
+            publish_snapshot,
+            read_snapshot,
+        )
+
+        path = str(tmp_path / "tbl")
+        spark.range(10).select(F.col("id").alias("k")).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(path)
+        publish_snapshot(path, ["k"])
+        publish_snapshot(path, ["k"])  # v2, same files
+        # unpublished append lands AFTER the last publish
+        spark.range(10, 20).select(F.col("id").alias("k")).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+        before = {f for f in os.listdir(path) if f.endswith(".parquet")}
+        res = expire_snapshots(path, keep_latest=1)
+        after = {f for f in os.listdir(path) if f.endswith(".parquet")}
+        assert res["deleted_files"] == []
+        assert after == before  # nothing deleted, append intact
+        assert read_snapshot(spark, path).count() == 10  # v2 unchanged
