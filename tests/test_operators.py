@@ -1376,3 +1376,45 @@ class TestBloomKeyFamilies:
         )
         got = sorted(r["fk"] for r in bloom_semi_join(fact, dim, "fk", "dk").collect())
         assert got == [1, 5]
+
+
+class TestPqPlantedDuplicates:
+    def test_exact_duplicate_vectors_share_codes_and_rank_first(self, spark):
+        # identical vectors quantize to identical codes, so a planted
+        # duplicate must be its twin's nearest ADC neighbor (dist 0,
+        # lowest-id tie-break) — recall guaranteed by construction,
+        # robust to any testdata regeneration
+        import pyspark.sql.functions as F
+
+        from tests.conftest import SF_SMOKE
+
+        from pandas_to_postgres_spark.operators.pq import (
+            pq_codebook,
+            pq_encode,
+            pq_search,
+        )
+
+        e = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").select(
+            "vec_id", "embedding"
+        )
+        twins = e.filter(F.col("vec_id") < 3).select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+        )
+        corpus = e.unionByName(twins)
+        book = pq_codebook(corpus, "vec_id", "embedding")
+        codes = pq_encode(corpus, "vec_id", "embedding", book)
+        qs = corpus.filter(F.col("vec_id") >= 1_000_000).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+        )
+        out = pq_search(qs, codes, book, "qid", "vec_id", "qvec", k=2)
+        by_q = {}
+        for r in out.collect():
+            by_q.setdefault(r["qid"], {})[r["rank"]] = (r["vec_id"], r["adc_dist"])
+        for qid, ranks in by_q.items():
+            # identical vectors share codes, so the ADC distance (the
+            # quantization residual — nonzero) ties EXACTLY between the
+            # original twin and the query's own corpus entry; the lower
+            # id wins rank 1
+            assert ranks[1][0] == qid - 1_000_000, (qid, ranks)
+            assert ranks[2][0] == qid, (qid, ranks)
+            assert ranks[1][1] == ranks[2][1]
