@@ -231,3 +231,59 @@ def stream_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pandas_to_postgres_spark.streaming.events import trending_event_types
 
     return trending_event_types(spark, sf_dir)
+
+
+@register(
+    "stream_psi_monitor",
+    oracle="""
+    WITH binned AS (
+      SELECT strftime(time_bucket(INTERVAL '1 day', ts), '%Y-%m-%d %H:%M:%S')
+                 AS window_start,
+             least(floor(value / 50), 9) AS bin
+      FROM events),
+    counts AS (SELECT window_start, bin, count(*) AS n
+               FROM binned GROUP BY 1, 2),
+    wins AS (SELECT DISTINCT window_start FROM counts),
+    bins AS (SELECT b.b AS bin FROM range(0, 10) b(b)),
+    cur AS (
+      SELECT w.window_start, bins.bin,
+             CAST(coalesce(c.n, 0) + 1 AS BIGINT) AS n_cur
+      FROM wins w CROSS JOIN bins
+      LEFT JOIN counts c
+        ON c.window_start = w.window_start AND c.bin = bins.bin),
+    ref AS (
+      SELECT bins.bin, CAST(coalesce(r.rn, 0) + 1 AS BIGINT) AS n_ref
+      FROM bins LEFT JOIN
+           (SELECT bin, sum(n) AS rn FROM counts GROUP BY bin) r
+        ON r.bin = bins.bin),
+    rt AS (SELECT CAST(sum(n_ref) AS BIGINT) AS rt FROM ref),
+    ct AS (SELECT window_start, CAST(sum(n_cur) AS BIGINT) AS wt
+           FROM cur GROUP BY window_start),
+    terms AS (
+      SELECT cur.window_start,
+             (CAST(n_cur AS DOUBLE) / CAST(wt AS DOUBLE)
+              - CAST(n_ref AS DOUBLE) / CAST(rt.rt AS DOUBLE))
+             * ln((CAST(n_cur AS DOUBLE) / CAST(wt AS DOUBLE))
+                  / (CAST(n_ref AS DOUBLE) / CAST(rt.rt AS DOUBLE))) AS t
+      FROM cur
+      JOIN ct ON ct.window_start = cur.window_start
+      JOIN ref ON ref.bin = cur.bin
+      CROSS JOIN rt)
+    SELECT window_start,
+           floor(CAST(sum(CAST(t AS DECIMAL(18,12))) AS DOUBLE) * 1e8 + 0.5)
+             / 1e8 AS psi
+    FROM terms GROUP BY window_start
+    """,
+)
+def stream_psi_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 + drift composition: continuous PSI monitoring — the stream
+    maintains watermark-bounded per-day value histograms (windows x bins
+    state rows), and each drained window's distribution is PSI-scored
+    against the stream-wide reference (a production monitor freezes a
+    training-time reference instead — same joins). Complements the batch
+    `psi_drift_events` with the always-on form every deployed model
+    wants; term sums go through DECIMAL so the per-window score is
+    partition-invariant."""
+    from pandas_to_postgres_spark.streaming.events import windowed_bin_psi
+
+    return windowed_bin_psi(spark, sf_dir)

@@ -392,3 +392,96 @@ def trending_event_types(
         .filter(F.col("rank") <= k)
         .select("window_start", "event_type", "n", "rank")
     )
+
+
+def windowed_bin_psi(
+    spark: SparkSession,
+    sf_dir: str,
+    window_duration: str = "1 day",
+    watermark: str = "1 hour",
+    bin_width: float = 50.0,
+    num_bins: int = 10,
+) -> DataFrame:
+    """Continuous drift monitoring: the STREAM maintains per-window value
+    histograms (the incremental, watermark-bounded part); after the drain
+    each window's distribution is scored against the whole stream's with
+    the PSI formula (Laplace +1 smoothing). A production monitor compares
+    against a FROZEN training-time reference instead of the stream total —
+    same joins, different reference frame.
+
+    Returns one row per window: (window_start, psi). Scale: streaming
+    state is windows x bins rows; the scoring joins are bins-sized.
+    """
+    path = f"{sf_dir}/events.parquet"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .format("parquet")
+        .load(f"{sf_dir}/events.parque[t]")
+    )
+    stream = normalize_event_ts(stream)
+    bin_col = F.least(
+        F.floor(F.col("value") / bin_width), F.lit(num_bins - 1)
+    ).alias("bin")
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_duration).alias("w"), bin_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "bin",
+            "n",
+        )
+    )
+    import uuid
+
+    table = f"stream_psi_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(table)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # materialize: the window spine derives FROM the drained table and
+    # joins back to it — on the raw memory-sink relation that is a
+    # conflicting-reference self-join; the checkpointed copy self-joins
+    # cleanly (and is windows x bins tiny)
+    drained = spark.table(table).localCheckpoint(eager=True)
+
+    from pyspark.sql.window import Window as W
+
+    from pandas_to_postgres_spark.functions.agg import grid_round
+
+    # dense (window x bin) spine so empty bins smooth to 1 on both sides
+    windows = drained.select("window_start").distinct()
+    bins = spark.range(num_bins).select(F.col("id").alias("bin"))
+    spine = windows.crossJoin(F.broadcast(bins))
+    cur = spine.join(drained, ["window_start", "bin"], "left").select(
+        "window_start",
+        "bin",
+        (F.coalesce("n", F.lit(0)) + 1).alias("n_cur"),
+    )
+    ref = (
+        drained.groupBy("bin")
+        .agg(F.sum("n").alias("rn"))
+        .join(bins, "bin", "right")
+        .select("bin", (F.coalesce("rn", F.lit(0)) + 1).alias("n_ref"))
+    )
+    ref_tot = ref.agg(F.sum("n_ref").alias("rt"))
+    joined = cur.join(F.broadcast(ref), "bin").crossJoin(F.broadcast(ref_tot))
+    w_win = W.partitionBy("window_start")
+    p = F.col("n_cur").cast("double") / F.sum("n_cur").over(w_win).cast("double")
+    q_ = F.col("n_ref").cast("double") / F.col("rt").cast("double")
+    term = (p - q_) * F.log(p / q_)
+    return (
+        joined.select("window_start", term.alias("t"))
+        .groupBy("window_start")
+        .agg(
+            grid_round(
+                F.sum(F.col("t").cast("decimal(18,12)")).cast("double"), 8
+            ).alias("psi")
+        )
+    )
