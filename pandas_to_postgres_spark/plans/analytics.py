@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from pandas_to_postgres_spark.functions.agg import davg, davg_sql
+from pandas_to_postgres_spark.functions.agg import davg, davg_sql, grid_round
 from pandas_to_postgres_spark.functions.text import tokens_expr
 from pandas_to_postgres_spark.operators.joins import interval_overlap_pairs
 from pandas_to_postgres_spark.operators.kmeans import semantic_near_duplicates
@@ -1206,4 +1206,243 @@ def dedup_shrinkage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             F.col("chars") - (F.col("chars") / F.col("copies")).cast("long")
         ).alias("removable_chars"),
+    )
+
+
+@register(
+    "seasonality_anomalies",
+    oracle="""
+    WITH cells AS (
+      -- Spark dayofweek is 1=Sunday..7, DuckDB's is 0=Sunday..6: shift
+      SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+             CAST(hour(ts) AS BIGINT) AS hod,
+             count(*) AS n
+      FROM events GROUP BY 1, 2),
+    stats AS (
+      SELECT CAST(sum(n) AS BIGINT) AS total, count(*) AS n_cells FROM cells)
+    SELECT dow, hod, CAST(n AS BIGINT) AS n,
+           floor(CAST(n AS DOUBLE) / (CAST(total AS DOUBLE) / n_cells)
+                 * 1e6 + 0.5) / 1e6 AS load_ratio,
+           n > 2.0 * (CAST(total AS DOUBLE) / n_cells) AS is_hot
+    FROM cells, stats
+    """,
+)
+def seasonality_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-week seasonality baseline: event volume per (day-of-week,
+    hour-of-day) cell vs the uniform expectation, flagging hot cells at
+    2x — the traffic-shape profile that capacity planning and
+    anomaly-detection baselines start from (percentile bands answer "how
+    wide is normal"; this answers "WHEN is normal busy").
+
+    Scale: one map-only cell projection + a 168-cell aggregate; the
+    expectation rides a window-free cross join with a 1-row stats frame.
+    """
+    e = load_table(spark, sf_dir, "events")
+    cells = e.groupBy(
+        F.dayofweek("ts").cast("long").alias("dow"),
+        F.hour("ts").cast("long").alias("hod"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    stats = cells.agg(
+        F.sum("n").cast("long").alias("total"),
+        F.count(F.lit(1)).alias("n_cells"),
+    )
+    expect = F.col("total").cast("double") / F.col("n_cells")
+    ratio = F.col("n").cast("double") / expect
+    return cells.crossJoin(F.broadcast(stats)).select(
+        "dow",
+        "hod",
+        F.col("n").cast("long").alias("n"),
+        grid_round(ratio, 6).alias("load_ratio"),
+        (F.col("n") > F.lit(2.0) * expect).alias("is_hot"),
+    )
+
+
+@register(
+    "cohort_ltv_curves",
+    oracle="""
+    WITH firsts AS (
+      SELECT o_custkey,
+             min(date_trunc('month', o_orderdate)) AS cohort
+      FROM orders GROUP BY o_custkey),
+    aged AS (
+      SELECT f.cohort,
+             (year(o.o_orderdate) - year(f.cohort)) * 12
+             + (month(o.o_orderdate) - month(f.cohort)) AS age,
+             o.o_totalprice AS rev
+      FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey),
+    sizes AS (SELECT cohort, count(*) AS n_users FROM firsts GROUP BY cohort),
+    per_age AS (
+      SELECT cohort, age,
+             sum(CAST(rev AS DECIMAL(18,6))) AS rev_d
+      FROM aged GROUP BY cohort, age),
+    cum AS (
+      SELECT cohort, age,
+             sum(rev_d) OVER (PARTITION BY cohort ORDER BY age) AS cum_rev
+      FROM per_age)
+    SELECT strftime(c.cohort, '%Y-%m') AS cohort, c.age, s.n_users,
+           floor(CAST(c.cum_rev AS DOUBLE) / s.n_users * 1e4 + 0.5) / 1e4
+               AS ltv_per_user
+    FROM cum c JOIN sizes s ON c.cohort = s.cohort
+    """,
+)
+def cohort_ltv_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-lifetime-value curves: cumulative revenue per user by
+    months-since-first-order, per acquisition cohort — the retention
+    matrix's revenue-weighted sibling (`cohort_retention` counts WHO came
+    back; this integrates what they were WORTH). Decimal partial sums
+    keep the cumulative revenue exact; the curve divides by fixed cohort
+    size (a real LTV denominator, not survivors).
+
+    Scale: two passes over orders (first-order minima, then the cohort
+    join — the firsts frame is one row per customer, broadcast-joinable
+    until customers outgrow executors, then a plain shuffle join); the
+    cumulative window runs per cohort over month-count-sized frames.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    firsts = o.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("cohort")
+    )
+    aged = o.join(firsts, "o_custkey").select(
+        "cohort",
+        (
+            (F.year("o_orderdate") - F.year("cohort")) * 12
+            + (F.month("o_orderdate") - F.month("cohort"))
+        ).alias("age"),
+        F.col("o_totalprice").alias("rev"),
+    )
+    sizes = firsts.groupBy("cohort").agg(F.count(F.lit(1)).alias("n_users"))
+    per_age = aged.groupBy("cohort", "age").agg(
+        F.sum(F.col("rev").cast("decimal(18,6)")).alias("rev_d")
+    )
+    w = Window.partitionBy("cohort").orderBy("age")
+    cum = per_age.withColumn("cum_rev", F.sum("rev_d").over(w))
+    return cum.join(sizes, "cohort").select(
+        F.date_format("cohort", "yyyy-MM").alias("cohort"),
+        "age",
+        "n_users",
+        grid_round(
+            F.col("cum_rev").cast("double") / F.col("n_users"), 4
+        ).alias("ltv_per_user"),
+    )
+
+
+@register(
+    "pareto_abc_parts",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey,
+             sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+                 AS r
+      FROM lineitem GROUP BY l_partkey),
+    tot AS (SELECT sum(r) AS t, count(*) AS n_parts FROM rev),
+    ranked AS (
+      SELECT r, sum(r) OVER (ORDER BY r DESC, l_partkey) AS cum
+      FROM rev),
+    classed AS (
+      SELECT CASE WHEN CAST(cum AS DOUBLE) / CAST(t AS DOUBLE) <= 0.8 THEN 'A'
+                  WHEN CAST(cum AS DOUBLE) / CAST(t AS DOUBLE) <= 0.95 THEN 'B'
+                  ELSE 'C' END AS abc_class,
+             r
+      FROM ranked, tot)
+    SELECT abc_class,
+           count(*) AS n_parts,
+           CAST(round(sum(r), 2) AS DOUBLE) AS revenue,
+           floor(CAST(sum(r) AS DOUBLE)
+                 / (SELECT CAST(t AS DOUBLE) FROM tot) * 1e6 + 0.5) / 1e6
+               AS revenue_share
+    FROM classed GROUP BY abc_class
+    """,
+)
+def pareto_abc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC inventory analysis: parts classed A (first 80% of
+    cumulative revenue), B (to 95%), C (tail) with class sizes and
+    shares — the classic concentration report ("20% of parts drive 80%
+    of revenue"). Revenue ranks through DECIMAL sums so the cumulative
+    boundary is exact and tie-broken by part key.
+
+    Scale note: the cumulative window runs over one row per PART
+    (dimension-sized, not fact-sized). For billion-item catalogs use the
+    bucketed-offset prefix-sum pattern (operators/sampling.py) instead
+    of one global window.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(18,6)"
+            )
+        ).alias("r")
+    )
+    tot = rev.agg(
+        F.sum("r").alias("t"), F.count(F.lit(1)).alias("n_parts_total")
+    )
+    w = Window.orderBy(F.col("r").desc(), F.col("l_partkey"))
+    ranked = rev.withColumn("cum", F.sum("r").over(w)).crossJoin(
+        F.broadcast(tot)
+    )
+    share = F.col("cum").cast("double") / F.col("t").cast("double")
+    classed = ranked.select(
+        F.when(share <= 0.8, "A").when(share <= 0.95, "B").otherwise("C").alias(
+            "abc_class"
+        ),
+        "r",
+        "t",
+    )
+    return classed.groupBy("abc_class").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.round(F.sum("r"), 2).cast("double").alias("revenue"),
+        grid_round(
+            F.sum("r").cast("double") / F.first("t").cast("double"), 6
+        ).alias("revenue_share"),
+    )
+
+
+@register(
+    "rfm_segments",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             max(o_orderdate) AS last_order,
+             count(*) AS freq,
+             sum(CAST(o_totalprice AS DECIMAL(18,6))) AS monetary
+      FROM orders GROUP BY o_custkey),
+    scored AS (
+      SELECT ntile(5) OVER (ORDER BY last_order DESC, o_custkey) AS r_score,
+             ntile(5) OVER (ORDER BY freq DESC, o_custkey) AS f_score,
+             ntile(5) OVER (ORDER BY monetary DESC, o_custkey) AS m_score
+      FROM per_cust)
+    SELECT r_score, f_score, m_score,
+           count(*) AS n_customers
+    FROM scored GROUP BY r_score, f_score, m_score
+    """,
+)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation, the classic CRM scoring: every customer gets
+    recency / frequency / monetary quintiles (1 = best, customer-key
+    tie-break so quintile boundaries are deterministic) and the output is
+    the 125-cell segment census marketing teams target from.
+
+    Scale note: the three ntile windows each run over one row per
+    CUSTOMER; quintiles of a billion customers want the equi-depth
+    histogram boundaries (`equidepth_histogram`) + a map-only bucket
+    lookup instead of global windows.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("monetary"),
+    )
+    def q(col):
+        return F.ntile(5).over(
+            Window.orderBy(F.col(col).desc(), F.col("o_custkey"))
+        )
+
+    scored = per_cust.select(
+        q("last_order").alias("r_score"),
+        q("freq").alias("f_score"),
+        q("monetary").alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_customers")
     )
