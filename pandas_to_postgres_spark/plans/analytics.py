@@ -1446,3 +1446,141 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count(F.lit(1)).alias("n_customers")
     )
+
+
+@register(
+    "attribution_linear",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type, ts, event_id,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS grp_after
+      FROM events),
+    touches AS (
+      SELECT user_id, event_type,
+             grp_after - CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+               AS grp
+      FROM seq),
+    converted AS (
+      SELECT t.user_id, t.grp, t.event_type
+      FROM touches t
+      JOIN (SELECT DISTINCT user_id, grp_after AS grp FROM seq
+            WHERE event_type = 'purchase') c
+        ON c.user_id = t.user_id AND c.grp = t.grp + 1
+      WHERE t.event_type <> 'purchase'),
+    sized AS (
+      SELECT user_id, grp, event_type,
+             count(*) OVER (PARTITION BY user_id, grp) AS n_touches
+      FROM converted)
+    SELECT event_type,
+           count(*) AS n_touches,
+           floor(CAST(sum(CAST(1.0 / n_touches AS DECIMAL(18,12)))
+                      AS DOUBLE) * 1e6 + 0.5) / 1e6 AS credit
+    FROM sized GROUP BY event_type
+    """,
+)
+def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: every non-purchase touch between
+    two purchases of the same user shares the following conversion's
+    credit equally (1/n each); output is total credit per touch type —
+    the marketing-attribution workhorse between last-touch (a plain
+    argmax) and data-driven models. Per-touch credits are IEEE 1/n
+    doubles cast to DECIMAL for exact, order-free summation.
+
+    Scale: one user-keyed window pass builds conversion groups; the
+    converted-group join and the group-size window run on
+    (user, group)-sized frames.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    is_p = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    seq = e.select(
+        "user_id",
+        "event_type",
+        F.sum(is_p).over(w).alias("grp_after"),
+    )
+    touches = seq.select(
+        "user_id",
+        "event_type",
+        (F.col("grp_after") - is_p).alias("grp"),
+    )
+    conv_groups = (
+        seq.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("grp_after").alias("cgrp"))
+        .distinct()
+    )
+    converted = touches.filter(F.col("event_type") != "purchase").join(
+        conv_groups,
+        (touches.user_id == conv_groups.user_id)
+        & (conv_groups.cgrp == touches.grp + 1),
+    ).select(touches.user_id, "grp", "event_type")
+    wg = Window.partitionBy("user_id", "grp")
+    sized = converted.withColumn("n_touches", F.count(F.lit(1)).over(wg))
+    credit = F.sum(
+        (F.lit(1.0) / F.col("n_touches")).cast("decimal(18,12)")
+    ).cast("double")
+    return sized.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        grid_round(credit, 6).alias("credit"),
+    )
+
+
+@register(
+    "duplicate_payment_candidates",
+    oracle="""
+    SELECT a.o_orderkey AS key_a, b.o_orderkey AS key_b,
+           a.o_custkey AS custkey,
+           CAST(a.o_totalprice AS DOUBLE) AS amount,
+           CAST(abs(date_diff('day', a.o_orderdate, b.o_orderdate))
+                AS BIGINT) AS days_apart
+    FROM orders a JOIN orders b
+      ON a.o_custkey = b.o_custkey
+     AND a.o_totalprice = b.o_totalprice
+     AND a.o_orderkey < b.o_orderkey
+    WHERE abs(date_diff('day', a.o_orderdate, b.o_orderdate)) <= 30
+    """,
+)
+def duplicate_payment_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-payment screening (the accounts-payable audit classic):
+    same customer, same exact amount, orders within 30 days — candidate
+    double-charges / double-entries for human review.
+
+    Scale: the self-join blocks on (custkey, totalprice) EQUALITY, so the
+    pair space is bounded by per-(customer, amount) group sizes — tiny
+    for organic data, and exactly the skew a fraudster's repeated amounts
+    would create, surfacing where it matters; the date band is a residual
+    filter, not a join explosion.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    a = o.select(
+        F.col("o_orderkey").alias("key_a"),
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_totalprice").alias("amount"),
+        F.col("o_orderdate").alias("d_a"),
+    )
+    b = o.select(
+        F.col("o_orderkey").alias("key_b"),
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_totalprice").alias("amount"),
+        F.col("o_orderdate").alias("d_b"),
+    )
+    days = F.abs(F.datediff(F.col("d_a"), F.col("d_b")))
+    return (
+        a.join(b, ["custkey", "amount"])
+        .filter((F.col("key_a") < F.col("key_b")) & (days <= 30))
+        .select(
+            "key_a",
+            "key_b",
+            "custkey",
+            F.col("amount").cast("double").alias("amount"),
+            days.cast("long").alias("days_apart"),
+        )
+    )
