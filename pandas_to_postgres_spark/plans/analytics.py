@@ -1584,3 +1584,183 @@ def duplicate_payment_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             days.cast("long").alias("days_apart"),
         )
     )
+
+
+@register(
+    "conversion_paths",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type, ts, event_id,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS grp_after
+      FROM events),
+    touches AS (
+      SELECT user_id, event_type, ts, event_id,
+             grp_after - CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+               AS grp
+      FROM seq WHERE event_type <> 'purchase'),
+    converted AS (
+      SELECT t.user_id, t.grp, t.event_type, t.ts, t.event_id
+      FROM touches t
+      JOIN (SELECT DISTINCT user_id, grp_after AS grp FROM seq
+            WHERE event_type = 'purchase') c
+        ON c.user_id = t.user_id AND c.grp = t.grp + 1),
+    paths AS (
+      SELECT user_id, grp,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      FROM converted GROUP BY user_id, grp)
+    SELECT path, count(*) AS n_conversions
+    FROM paths GROUP BY path
+    ORDER BY n_conversions DESC, path LIMIT 25
+    """,
+)
+def conversion_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top conversion paths: the ordered touch-type sequence each user
+    took between purchases, counted across all conversions — the journey
+    report attribution models summarize away (attribution_linear says
+    WHICH channels get credit; this says in WHAT ORDER they fire).
+
+    Scale: the same one-window conversion-group scaffold as attribution;
+    path assembly is a per-(user, group) sort_array over in-group rows,
+    and the path census is a map-side-combinable string groupBy capped
+    by TakeOrderedAndProject(25).
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    is_p = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    seq = e.select(
+        "user_id", "event_type", "ts", "event_id",
+        F.sum(is_p).over(w).alias("grp_after"),
+    )
+    touches = seq.filter(F.col("event_type") != "purchase").select(
+        "user_id", "event_type", "ts", "event_id",
+        (F.col("grp_after")).alias("grp"),
+    )
+    conv_groups = (
+        seq.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("grp_after").alias("cgrp"))
+        .distinct()
+    )
+    converted = touches.join(
+        conv_groups,
+        (touches.user_id == conv_groups.user_id)
+        & (conv_groups.cgrp == touches.grp + 1),
+    ).select(touches.user_id, "grp", "event_type", "ts", "event_id")
+    paths = (
+        converted.groupBy("user_id", "grp")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda s: s.getField("event_type"),
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_conversions"))
+        .orderBy(F.col("n_conversions").desc(), "path")
+        .limit(25)
+    )
+
+
+@register(
+    "triangle_count_brands",
+    oracle="""
+    WITH ob AS (
+      SELECT DISTINCT l_orderkey, p_brand
+      FROM lineitem JOIN part ON l_partkey = p_partkey),
+    edges AS (
+      SELECT DISTINCT a.p_brand AS u, b.p_brand AS v
+      FROM ob a JOIN ob b
+        ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand),
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM edges e1
+      JOIN edges e2 ON e2.u = e1.v
+      JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v),
+    deg AS (
+      SELECT n, count(*) AS d FROM (
+        SELECT u AS n FROM edges UNION ALL SELECT v FROM edges) x
+      GROUP BY n),
+    pern AS (
+      SELECT n, count(*) AS t FROM (
+        SELECT a AS n FROM tri UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri) y GROUP BY n)
+    SELECT d.n AS brand, CAST(coalesce(p.t, 0) AS BIGINT) AS n_triangles,
+           CAST(d.d AS BIGINT) AS degree,
+           floor(CASE WHEN d.d >= 2
+                      THEN CAST(coalesce(p.t, 0) AS DOUBLE)
+                           / (d.d * (d.d - 1) / 2.0)
+                      ELSE 0.0 END * 1e6 + 0.5) / 1e6 AS clustering
+    FROM deg d LEFT JOIN pern p ON p.n = d.n
+    """,
+)
+def triangle_count_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting + local clustering coefficient over the brand
+    co-purchase graph — the third classic distributed graph algorithm
+    here (after connected components and PageRank): triangles measure
+    community density, and the per-node clustering coefficient
+    (triangles / possible wedges) is the standard cohesion score.
+
+    Scale shape: the canonical ordered-edge formulation — every edge
+    stored once as u < v, triangles found by joining edge lists twice
+    and closing the wedge with a third equi-join; with degree-ordered
+    vertices this is the O(E^1.5) bound of the classic MapReduce
+    algorithm (Suri & Vassilvitskii, WWW'11). All three joins are
+    equi-joins on vertex keys — no pair explosion beyond true wedges.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    ob = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    a = ob.select(F.col("l_orderkey"), F.col("p_brand").alias("u"))
+    b = ob.select(F.col("l_orderkey"), F.col("p_brand").alias("v"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+        .localCheckpoint(eager=False)  # three self-join references below
+    )
+    e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = edges.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = edges.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"]).select("a", "b", "c")
+    deg = (
+        edges.select(F.col("u").alias("n"))
+        .unionByName(edges.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    pern = (
+        tri.select(F.col("a").alias("n"))
+        .unionByName(tri.select(F.col("b").alias("n")))
+        .unionByName(tri.select(F.col("c").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    wedges = F.col("d") * (F.col("d") - 1) / 2.0
+    cc = F.when(
+        F.col("d") >= 2,
+        F.coalesce(F.col("t"), F.lit(0)).cast("double") / wedges,
+    ).otherwise(F.lit(0.0))
+    return deg.join(pern, "n", "left").select(
+        F.col("n").alias("brand"),
+        F.coalesce(F.col("t"), F.lit(0)).cast("long").alias("n_triangles"),
+        F.col("d").cast("long").alias("degree"),
+        grid_round(cc, 6).alias("clustering"),
+    )
