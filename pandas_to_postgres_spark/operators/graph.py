@@ -159,3 +159,75 @@ def pagerank_oracle_sql(
         f"{body}\n"
         f"SELECT node, floor(rank * {p10} + 0.5) / {p10} AS rank FROM {prev}"
     )
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int,
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(node, degree) after ``rounds`` of k-core peeling: each round
+    drops every vertex whose degree within the surviving subgraph is
+    below ``k`` (Matula & Beck 1983). Run with ``rounds`` high enough to
+    reach the fixpoint and this IS the k-core; a FIXED round count makes
+    the operator's output a pure function of the input, so the DuckDB
+    oracle can unroll the identical rounds (the same pinned-iteration
+    trick as pagerank/Lloyd) — :func:`kcore` below runs to convergence
+    for in-engine use.
+
+    Scale: each round is one degree aggregation over surviving edges +
+    two semi-joins filtering the edge list; edges only ever SHRINK, and
+    each round's survivor frame is lineage-cut so the plan stays O(1)
+    in round count.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(rounds):
+        deg = (
+            e.select(F.col("u").alias("n"))
+            .unionByName(e.select(F.col("v").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        alive = deg.filter(F.col("d") >= k).select("n").localCheckpoint(
+            eager=True
+        )
+        e = (
+            e.join(alive, e.u == alive.n, "left_semi")
+            .join(alive, F.col("v") == alive.n, "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        e.select(F.col("u").alias("n"))
+        .unionByName(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .filter(F.col("degree") >= k)
+        .select(F.col("n").alias("node"), "degree")
+    )
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """k-core to the fixpoint: peel until no vertex falls below ``k``
+    (raises if not converged within ``max_rounds`` — real graphs peel in
+    a handful of rounds; the bound is a runaway guard)."""
+    prev = None
+    for rounds in range(1, max_rounds + 1):
+        out = kcore_peel(edges, k, rounds, src, dst)
+        n = out.count()
+        if prev is not None and n == prev:
+            return out
+        prev = n
+    raise RuntimeError(f"k-core did not converge within {max_rounds} rounds")

@@ -2087,3 +2087,87 @@ def benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             grid6(F.abs(obs - benford)).alias("dev"),
         )
     )
+
+
+def _kcore_oracle(k: int = 10, rounds: int = 4, frac: float = 0.022) -> str:
+    """DuckDB twin of the fixed-round k-core peel: identical rounds
+    unrolled as CTEs (the pagerank/Lloyd pinned-iteration trick)."""
+    parts = [
+        """WITH ob AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey, p_brand
+      FROM lineitem JOIN part ON l_partkey = p_partkey)""",
+        """nord AS (SELECT count(DISTINCT l_orderkey) AS n FROM ob)""",
+        f"""e0 AS MATERIALIZED (
+      SELECT a.p_brand AS u, b.p_brand AS v
+      FROM ob a JOIN ob b
+        ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand, nord
+      GROUP BY a.p_brand, b.p_brand, nord.n
+      HAVING count(*) >= {frac!r} * nord.n)""",
+    ]
+    prev = "e0"
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"d{r} AS MATERIALIZED (SELECT n, count(*) AS d FROM ("
+            f"SELECT u AS n FROM {prev} UNION ALL SELECT v FROM {prev}) x"
+            f" GROUP BY n)"
+        )
+        parts.append(f"a{r} AS (SELECT n FROM d{r} WHERE d >= {k})")
+        parts.append(
+            f"e{r} AS MATERIALIZED (SELECT e.u, e.v FROM {prev} e"
+            f" JOIN a{r} x ON e.u = x.n JOIN a{r} y ON e.v = y.n)"
+        )
+        prev = f"e{r}"
+    parts.append(
+        f"fin AS (SELECT n, count(*) AS degree FROM ("
+        f"SELECT u AS n FROM {prev} UNION ALL SELECT v FROM {prev}) z"
+        f" GROUP BY n)"
+    )
+    body = ",\n".join(parts)
+    return (
+        f"{body}\n"
+        f"SELECT n AS node, CAST(degree AS BIGINT) AS degree FROM fin"
+        f" WHERE degree >= {k}"
+    )
+
+
+@register("kcore_brands", oracle=_kcore_oracle())
+def kcore_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (Matula & Beck 1983) of the thresholded
+    brand co-purchase graph — the fourth distributed graph algorithm
+    (after connected components, PageRank, triangles): iteratively peel
+    vertices with in-subgraph degree < k until the dense core remains,
+    the standard community-core / influence-seed primitive. The
+    registered query pins FOUR peel rounds so the DuckDB oracle unrolls
+    the identical iterations; `operators/graph.kcore` runs to the
+    fixpoint for in-engine use (pytest asserts the pinned form HAS
+    converged on this graph, so the output here IS the true core).
+
+    Scale: each round is one degree aggregate + two semi-joins over an
+    edge list that only shrinks; survivor frames are lineage-cut per
+    round.
+    """
+    from pandas_to_postgres_spark.operators.graph import kcore_peel
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    ob = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    a = ob.select(F.col("l_orderkey"), F.col("p_brand").alias("u"))
+    b = ob.select(F.col("l_orderkey"), F.col("p_brand").alias("v"))
+    nord = ob.agg(F.countDistinct("l_orderkey").alias("n"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .crossJoin(F.broadcast(nord))
+        # RELATIVE support threshold (2.2% of baskets) so edge density —
+        # and therefore a non-degenerate peel — survives any scale factor
+        .filter(F.col("c") >= F.lit(0.022) * F.col("n"))
+        .select("u", "v")
+    )
+    out = kcore_peel(edges, k=10, rounds=4, src="u", dst="v")
+    return out.select("node", F.col("degree").cast("long").alias("degree"))
