@@ -26,6 +26,7 @@ from pandas_to_postgres_spark.plans import coverage  # noqa: F401,E402
 from pandas_to_postgres_spark.plans import tpch_full  # noqa: F401,E402
 from pandas_to_postgres_spark.plans import analytics  # noqa: F401,E402
 from pandas_to_postgres_spark.plans import quality  # noqa: F401,E402
+from pandas_to_postgres_spark.plans import retrieval  # noqa: F401,E402
 
 #: The driver-checked window, in order. 26 LLM/streaming/UDF slots + 24
 #: relational slots = 50. Every SURVEY.md §2 row maps to at least one entry

@@ -1,0 +1,348 @@
+"""Round-3 retrieval / layout operators: BM25 ranked search, bigram
+language-model statistics, running distinct counts, and Z-order curve
+layout with a locality audit.
+
+Registered past the driver's 50-slot window (composition held fixed for
+round-over-round comparability — see plans/__init__.py); oracle checks run
+in tests/test_correctness.py.
+
+All four keep their hot arithmetic integer-exact (scaled-micro BIGINTs,
+integer division) so the Spark and DuckDB results are bit-identical with
+no FP-summation-order exposure.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pandas_to_postgres_spark.functions.text import tokens_expr
+from pandas_to_postgres_spark.plans.registry import register
+from pandas_to_postgres_spark.sources.parquet import load_table
+
+_RAW_TOKS_SQL = (
+    "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '')"
+)
+
+#: BM25 query terms: one common, one mid, one rarer term of the synthetic
+#: vocabulary so the ranking actually discriminates.
+_BM25_TERMS = ("spark", "vector", "window")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@register(
+    "bm25_docs",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, {_RAW_TOKS_SQL} AS toks FROM documents),
+    dl AS (SELECT doc_id, length(toks) AS dl FROM tok),
+    stats AS (
+      SELECT count(*) AS n_docs,
+             CAST(CAST(sum(CAST(dl AS BIGINT)) AS BIGINT) AS DOUBLE)
+                 / count(*) AS avgdl
+      FROM dl),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM (SELECT doc_id, unnest(toks) AS term FROM tok)
+      WHERE term IN ('spark', 'vector', 'window')
+      GROUP BY doc_id, term),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    -- every fractional literal is CAST(... AS DOUBLE) so DuckDB's decimal
+    -- literal typing cannot diverge from Spark's double arithmetic
+    scored AS (
+      SELECT tf.doc_id,
+             CAST(floor(
+               ln((CAST(stats.n_docs - df.df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                  / (CAST(df.df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                  + CAST(1.0 AS DOUBLE))
+               * (tf.tf * CAST(2.2 AS DOUBLE))
+               / (tf.tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+                  + CAST(0.75 AS DOUBLE) * dl.dl / stats.avgdl))
+               * CAST(1e6 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+               AS term_micro
+      FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats)
+    SELECT doc_id, CAST(sum(term_micro) AS BIGINT) AS score_micro
+    FROM scored GROUP BY doc_id
+    ORDER BY score_micro DESC, doc_id LIMIT 20
+    """,
+)
+def bm25_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval over the documents table (Robertson/Sparck
+    Jones probabilistic idf, k1=1.2 b=0.75) for a fixed 3-term query.
+
+    Scale shape (100 TB): document length is a map-only projection (no
+    explode); term frequencies explode ONLY the rows that contain a query
+    term (the isin filter sits under the explode via an array_intersect
+    pre-filter, so non-matching documents never widen); df and the corpus
+    stats are vocabulary- and 1-row-sized frames that broadcast onto the
+    tf frame; the final ranking is TakeOrderedAndProject. The one real
+    shuffle is the (doc_id, term) tf aggregate, bounded by query-term
+    postings — never by corpus token count.
+
+    FP determinism: the per-(doc, term) partial score is floored to a
+    scaled-micro BIGINT before the per-document sum, so aggregation order
+    cannot perturb the result; DuckDB mirrors the identical expression
+    tree. Reference has no retrieval surface (it is an ETL loader);
+    this extends SURVEY.md §2.11 D3/D4 text analysis to ranked search.
+    """
+    terms = list(_BM25_TERMS)
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", tokens_expr(F.lower(F.col("text"))).alias("toks")
+    )
+    dl = tok.select("doc_id", F.size("toks").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum("dl").cast("bigint").cast("double") / F.count(F.lit(1))
+        ).alias("avgdl"),
+    )
+    # only query-term occurrences reach the explode: the token array is
+    # pre-filtered in place (duplicates kept — tf needs them), so a
+    # document with no query term is dropped before widening and a
+    # matching one widens by its query-term occurrence count only
+    qarr = F.array(*[F.lit(t) for t in terms])
+    kept = F.filter("toks", lambda t: F.array_contains(qarr, t))
+    tf = (
+        tok.select("doc_id", kept.alias("kept"))
+        .filter(F.size("kept") > 0)
+        .select("doc_id", F.explode("kept").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    term_micro = F.floor(
+        F.log(
+            (F.col("n_docs") - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+            + F.lit(1.0)
+        )
+        * (F.col("tf") * F.lit(2.2))
+        / (
+            F.col("tf")
+            + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.col("avgdl"))
+        )
+        * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("bigint")
+    return (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", term_micro.alias("term_micro"))
+        .groupBy("doc_id")
+        .agg(F.sum("term_micro").cast("bigint").alias("score_micro"))
+        .orderBy(F.col("score_micro").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+@register(
+    "bigram_condprob",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, {_RAW_TOKS_SQL} AS toks FROM documents),
+    big AS (
+      SELECT toks[g.g] AS w1, toks[g.g + 1] AS w2
+      FROM tok CROSS JOIN LATERAL (
+        SELECT unnest(generate_series(1, length(toks) - 1)) AS g) g
+      WHERE length(toks) >= 2),
+    n12 AS (SELECT w1, w2, count(*) AS n12 FROM big GROUP BY w1, w2),
+    n1 AS (SELECT w1, CAST(sum(n12) AS BIGINT) AS n1 FROM n12 GROUP BY w1)
+    SELECT n12.w1, n12.w2, CAST(n12.n12 AS BIGINT) AS n12, n1.n1,
+           CAST(n12.n12 * 1000000 // n1.n1 AS BIGINT) AS p_micro
+    FROM n12 JOIN n1 USING (w1)
+    ORDER BY n12 DESC, w1, w2 LIMIT 30
+    """,
+)
+def bigram_condprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model statistics: corpus-wide bigram counts and the
+    conditional probability P(w2 | w1) as an exact integer-division micro
+    ratio — the count layer of a KenLM-style n-gram model build.
+
+    Scale shape: bigram pairing is a map-only ``transform(sequence(...))``
+    over each token array (no posexplode + self-join — adjacent pairs are
+    assembled inside the row before the single explode); the only
+    shuffles are the (w1, w2) and w1 count aggregates, both map-side
+    combined and bounded by vocabulary^2 observed, not corpus size. The
+    conditional probability divides two exact BIGINTs with integer
+    division, so both engines agree bit-for-bit. Top-30 is
+    TakeOrderedAndProject. Extends unigram_logprob (SURVEY.md §2.11 D3).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    big = (
+        docs.select(tokens_expr(F.lower(F.col("text"))).alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1),"
+                    " i -> struct(toks[i - 1] AS w1, toks[i] AS w2))"
+                )
+            ).alias("bg")
+        )
+        .select("bg.w1", "bg.w2")
+    )
+    n12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
+    n1 = n12.groupBy("w1").agg(F.sum("n12").cast("bigint").alias("n1"))
+    return (
+        n12.join(n1, "w1")
+        .select(
+            "w1",
+            "w2",
+            F.col("n12").cast("bigint").alias("n12"),
+            "n1",
+            # exact BIGINT floor division — no FP anywhere in the ratio
+            F.expr("CAST(n12 * 1000000 AS BIGINT) DIV n1")
+            .cast("bigint")
+            .alias("p_micro"),
+        )
+        .orderBy(F.col("n12").desc(), "w1", "w2")
+        .limit(30)
+    )
+
+
+@register(
+    "cumulative_distinct_users",
+    oracle="""
+    WITH firsts AS (
+      SELECT event_type, user_id, min(CAST(ts AS DATE)) AS first_day
+      FROM events GROUP BY event_type, user_id),
+    news AS (
+      SELECT event_type, first_day AS day, count(*) AS new_users
+      FROM firsts GROUP BY event_type, first_day),
+    days AS (
+      SELECT DISTINCT event_type, CAST(ts AS DATE) AS day FROM events)
+    SELECT d.event_type, CAST(d.day AS VARCHAR) AS day,
+           CAST(sum(coalesce(n.new_users, 0)) OVER (
+             PARTITION BY d.event_type ORDER BY d.day) AS BIGINT)
+             AS cum_users
+    FROM days d LEFT JOIN news n
+      ON n.event_type = d.event_type AND n.day = d.day
+    ORDER BY d.event_type, d.day
+    """,
+)
+def cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running DISTINCT user count per event type by day — the metric SQL
+    cannot express as ``count(distinct) OVER`` (Spark rejects DISTINCT in
+    window functions), decomposed into the first-touch identity: a user
+    enters the running distinct set exactly once, on their first day.
+
+    Scale shape: ``min(day)`` per (event_type, user) is ONE map-side-
+    combined shuffle on the natural key; everything after operates on
+    frames bounded by |users| and then |event_type x days| — the running
+    sum's window partition holds only a few hundred day rows per type, so
+    there is no giant-partition window hazard. A naive implementation
+    (per-day semi-joins or an exploding dedup set in a stateful op) would
+    rescan the corpus per day; this form reads it once at any scale.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.select(
+        "event_type", "user_id", F.col("ts").cast("date").alias("day")
+    )
+    firsts = ev.groupBy("event_type", "user_id").agg(
+        F.min("day").alias("first_day")
+    )
+    news = firsts.groupBy("event_type", F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    days = ev.select("event_type", "day").distinct()
+    w = Window.partitionBy("event_type").orderBy("day")
+    return (
+        days.join(news, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            # dates ship as ISO strings — the driver's pandas bridge turns a
+            # DuckDB DATE into datetime64 and the value hashes diverge
+            F.col("day").cast("string").alias("day"),
+            F.sum(F.coalesce("new_users", F.lit(0)))
+            .over(w)
+            .cast("bigint")
+            .alias("cum_users"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+def _z_terms_sql(x: str, y: str, bits: int = 16) -> str:
+    """Unrolled Morton interleave of two masked ints — identical text for
+    Spark SQL and DuckDB (both support &, |, <<, >> on BIGINT)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+_Z_EXPR = _z_terms_sql("(l_partkey & 65535)", "(l_suppkey & 65535)")
+
+
+@register(
+    "zorder_layout_lineitem",
+    oracle=f"""
+    WITH z AS (
+      SELECT l_partkey, l_suppkey,
+             CAST({_Z_EXPR} AS BIGINT) AS zval
+      FROM lineitem),
+    b AS (
+      SELECT zval >> 22 AS bucket,
+             count(*) AS n,
+             max(l_partkey) - min(l_partkey) AS part_spread,
+             max(l_suppkey) - min(l_suppkey) AS supp_spread
+      FROM z GROUP BY bucket)
+    SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(sum(n) AS BIGINT) AS n_rows,
+           CAST(max(n) AS BIGINT) AS max_bucket_rows,
+           CAST(sum(part_spread) // count(*) AS BIGINT) AS avg_part_spread,
+           CAST(sum(supp_spread) // count(*) AS BIGINT) AS avg_supp_spread,
+           CAST(max(part_spread) AS BIGINT) AS max_part_spread,
+           CAST(max(supp_spread) AS BIGINT) AS max_supp_spread
+    FROM b
+    """,
+)
+def zorder_layout_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) layout audit: interleave the low 16 bits of
+    (l_partkey, l_suppkey), bucket the curve into 1024 ranges, and report
+    how tightly each bucket bounds BOTH dimensions — the property that
+    makes multi-column min/max data skipping work.
+
+    The write path this audits (100 TB): ``df.repartitionByRange(n,
+    zval).sortWithinPartitions(zval).write.parquet(...)`` gives every
+    output file a narrow [min, max] envelope on every interleaved column
+    simultaneously, so footer/manifest pruning (sources/manifest.py)
+    eliminates files for predicates on EITHER key — linear layouts only
+    skip on the leading sort key. The audit here is the layout's quality
+    metric: avg per-bucket spread ≪ the key's global range proves 2-D
+    locality. The interleave itself is a compile-time-unrolled integer
+    expression (32 shift/mask terms — whole-stage-codegen'd, no UDF, no
+    shuffle); the bucket aggregate is map-side combined into <= 1024
+    groups; all outputs are exact integers.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    z = li.select(
+        "l_partkey",
+        "l_suppkey",
+        F.expr(_Z_EXPR).cast("bigint").alias("zval"),
+    )
+    b = z.groupBy(F.expr("zval >> 22").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.max("l_partkey") - F.min("l_partkey")).alias("part_spread"),
+        (F.max("l_suppkey") - F.min("l_suppkey")).alias("supp_spread"),
+    )
+    return b.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.sum("n").cast("bigint").alias("n_rows"),
+        F.max("n").cast("bigint").alias("max_bucket_rows"),
+        # DIV: exact BIGINT floor division (a double ratio truncated back
+        # to bigint could land one off an engine boundary)
+        F.expr("CAST(sum(part_spread) DIV count(1) AS BIGINT)").alias(
+            "avg_part_spread"
+        ),
+        F.expr("CAST(sum(supp_spread) DIV count(1) AS BIGINT)").alias(
+            "avg_supp_spread"
+        ),
+        F.max("part_spread").cast("bigint").alias("max_part_spread"),
+        F.max("supp_spread").cast("bigint").alias("max_supp_spread"),
+    )
