@@ -346,3 +346,176 @@ def zorder_layout_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("part_spread").cast("bigint").alias("max_part_spread"),
         F.max("supp_spread").cast("bigint").alias("max_supp_spread"),
     )
+
+
+@register(
+    "skyline_parts",
+    oracle="""
+    WITH p AS (
+      SELECT p_retailprice AS price, p_size AS size, count(*) AS n
+      FROM part GROUP BY p_retailprice, p_size)
+    SELECT price, size, CAST(n AS BIGINT) AS n_parts
+    FROM p a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM p b
+      WHERE b.price <= a.price AND b.size >= a.size
+        AND (b.price < a.price OR b.size > a.size))
+    ORDER BY price, size
+    """,
+)
+def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto frontier) query: the parts not dominated on
+    (minimize retail price, maximize size) — the classic multi-criteria
+    shortlist (Borzsony/Kossmann/Stocker, ICDE'01).
+
+    Scale shape — NO self-join and NO global sort: dominance collapses to
+    a prefix-max scan. Work happens on the DISTINCT (price, size) value
+    grid (a map-side-combined aggregate bounds it by the value domain,
+    not row count). The grid is bucketed by a monotone price bucket; each
+    bucket computes a LOCAL running max(size) window, and cross-bucket
+    order arrives as a broadcast per-bucket prefix-max frame (tens of
+    rows) — the same bucketed-global-order pattern as
+    ``operators/sampling.budget_prefix_select``, so no SinglePartition
+    window exists in the plan. A pair survives iff no strictly-prior pair
+    carries size >= its own (on distinct pairs that is exactly
+    non-dominance). The oracle states dominance declaratively via
+    NOT EXISTS; values are raw column doubles — no arithmetic, no FP
+    exposure.
+    """
+    p = (
+        load_table(spark, sf_dir, "part")
+        .groupBy(
+            F.col("p_retailprice").alias("price"),
+            F.col("p_size").alias("size"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    p = p.withColumn("bucket", F.expr("CAST(price AS BIGINT) DIV 10"))
+    # local running max over rows strictly before, within bucket
+    w_local = (
+        Window.partitionBy("bucket")
+        .orderBy(F.col("price").asc(), F.col("size").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = p.withColumn("lmax", F.max("size").over(w_local))
+    # tiny per-bucket max frame -> prefix max over STRICTLY earlier buckets
+    bmax = p.groupBy("bucket").agg(F.max("size").alias("bmax"))
+    w_b = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    prefix = bmax.select(
+        "bucket", F.max("bmax").over(w_b).alias("pmax")
+    )
+    return (
+        local.join(F.broadcast(prefix), "bucket")
+        .filter(
+            F.coalesce(F.greatest("lmax", "pmax"), F.lit(-(2**31)))
+            < F.col("size")
+        )
+        .select("price", "size", F.col("n").cast("bigint").alias("n_parts"))
+        .orderBy("price", "size")
+    )
+
+
+#: count-min sketch geometry: depth 4 x width 1024 (eps ~ e/1024, delta ~
+#: e^-4). md5-derived row hashes so DuckDB can replay the exact sketch.
+_CMS_D = 4
+_CMS_W = 1024
+
+_CMS_BUCKET_SPARK = (
+    "CAST(conv(substr(md5(concat(CAST({s} AS STRING), '|', term)), 1, 15),"
+    " 16, 10) AS BIGINT) % 1024"
+)
+_CMS_BUCKET_DUCK = (
+    "CAST(('0x' || substr(md5(CAST({s} AS VARCHAR) || '|' || term), 1, 15))"
+    " AS BIGINT) % 1024"
+)
+
+
+@register(
+    "cms_token_audit",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest({_RAW_TOKS_SQL}) AS term FROM documents),
+    exact AS (SELECT term, count(*) AS exact_n FROM tok GROUP BY term),
+    cells AS (
+      SELECT s.s AS seed, {_CMS_BUCKET_DUCK.format(s='s.s')} AS bucket,
+             count(*) AS cell
+      FROM tok CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS s) s
+      GROUP BY seed, bucket),
+    est AS (
+      SELECT e.term, e.exact_n, min(c.cell) AS cms_est
+      FROM exact e
+      CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS s) s
+      JOIN cells c
+        ON c.seed = s.s
+       AND c.bucket = {_CMS_BUCKET_DUCK.format(s='s.s')}
+      GROUP BY e.term, e.exact_n)
+    SELECT term, CAST(exact_n AS BIGINT) AS exact_n,
+           CAST(cms_est AS BIGINT) AS cms_est,
+           CAST(cms_est - exact_n AS BIGINT) AS overcount
+    FROM est
+    ORDER BY exact_n DESC, term LIMIT 30
+    """,
+)
+def cms_token_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (Cormode/Muthukrishnan '05) over corpus tokens,
+    with an exact-count audit of its overestimate: build a depth-4 x
+    width-1024 sketch, probe it for the top-30 true-heaviest tokens, and
+    report estimate minus truth (>= 0 by the CMS one-sided guarantee).
+
+    Scale shape: the sketch is 4 x 1024 BIGINT cells REGARDLESS of corpus
+    size — each token occurrence contributes to 4 (seed, bucket) partial
+    counts that map-side combine, so the sketch shuffle is bounded by
+    4096 rows per partition and the merged sketch is mergeable across
+    shards, days, or streams by cell-wise addition (the same
+    decomposition as hll_shard_merge / Misra-Gries heavy_hitters_docs —
+    CMS completes the sketch family with point-frequency estimates).
+    Probing broadcasts the 4096-cell sketch onto the probe frame. Hashes
+    are md5-derived in the shared Spark/DuckDB dialect, so the oracle
+    replays the sketch bit-for-bit; all arithmetic is integer-exact.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(tokens_expr(F.lower(F.col("text")))).alias("term")
+    )
+    exact = tok.groupBy("term").agg(F.count(F.lit(1)).alias("exact_n"))
+    # 4 (seed, bucket) pairs assembled in-row, ONE posexplode, then a
+    # map-side-combined count into <= 4096 cells
+    cells = (
+        tok.select(
+            F.posexplode(
+                F.expr(
+                    "transform(sequence(0, 3), s -> "
+                    + _CMS_BUCKET_SPARK.format(s="s")
+                    + ")"
+                )
+            ).alias("seed", "bucket")
+        )
+        .groupBy("seed", "bucket")
+        .agg(F.count(F.lit(1)).alias("cell"))
+    )
+    probes = exact.select(
+        "term",
+        "exact_n",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, 3), s -> "
+                + _CMS_BUCKET_SPARK.format(s="s")
+                + ")"
+            )
+        ).alias("seed", "bucket"),
+    )
+    return (
+        probes.join(F.broadcast(cells), ["seed", "bucket"])
+        .groupBy("term", "exact_n")
+        .agg(F.min("cell").alias("cms_est"))
+        .select(
+            "term",
+            F.col("exact_n").cast("bigint").alias("exact_n"),
+            F.col("cms_est").cast("bigint").alias("cms_est"),
+            (F.col("cms_est") - F.col("exact_n"))
+            .cast("bigint")
+            .alias("overcount"),
+        )
+        .orderBy(F.col("exact_n").desc(), "term")
+        .limit(30)
+    )
