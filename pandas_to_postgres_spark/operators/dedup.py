@@ -845,3 +845,127 @@ def simhash_hamming_pairs(
         cand.select("id_a", "id_b", ham.cast("long").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# ------------------------------------------- value-checked MinHash (D2)
+
+#: Carter-Wegman affine family for the REPLAYABLE MinHash tier: 32 (a, b)
+#: pairs from a fixed LCG, baked as literals (the "deterministic planes"
+#: convention — no runtime randomness, any engine reproduces them).
+def _minhash_lcg(n: int, seed: int) -> list:
+    x = seed
+    out = []
+    for _ in range(n):
+        x = (1103515245 * x + 12345) % (1 << 31)
+        out.append((x % (1 << 30)) | 1)  # odd, < 2^30, never 0
+    return out
+
+
+MINHASH_MD5_A = _minhash_lcg(32, 7)
+MINHASH_MD5_B = _minhash_lcg(32, 42)
+_MH_P = 2147483647  # 2^31 - 1
+_MH_M = 1 << 30     # 30-bit basis: a*m + b < 2^60 + 2^30, no BIGINT overflow
+
+
+def minhash_md5_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    jaccard_threshold_micro: int = 500000,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs on an md5 hash basis — the VALUE-CHECKED
+    twin of ``minhash_near_duplicates`` (same pipeline shape; xxhash64 has
+    no SQL replay, md5 does — the same split as ``simhash_expr`` vs
+    ``simhash60_md5_expr``).
+
+    Signatures: shingle → md5 → 60-bit int → 30-bit basis m; family j is
+    the Carter-Wegman affine hash (a_j * m + b_j) mod (2^31 - 1) with the
+    baked ``MINHASH_MD5_A/B`` literals; sig_j = min over shingles. Bands:
+    8 bands x 4 rows, band key = the '|'-joined signature slice (a plain
+    string — replayable, unlike an engine hash). Candidates: bucket
+    equi-join with a ``max_bucket`` deterministic cap. Verification: exact
+    Jaccard over the 60-bit md5 shingle sets, kept as an integer micro
+    ratio (inter*1e6 // union) compared against the threshold WITHOUT
+    division — every value in the result is integer-exact cross-engine.
+
+    Shape mirrors the throughput tier: tokenize→shingle→hash is ONE
+    compiled SQL expression projected once and cached (HOF lambdas via the
+    Column API interpret per element; md5-per-shingle must not recompute
+    per family reference); signatures are map-only; the only corpus-sized
+    shuffles are the banded (band, key, id) exchange and the verify
+    semi-join. 100 TB: identical argument to minhash_near_duplicates —
+    bucketed candidates with a skew cap, no all-pairs anywhere.
+    """
+    toks_sql = f"filter(split(trim(lower({text_col})), '\\\\s+'), t -> t != '')"
+    sh_sql = (
+        "array_distinct(CASE WHEN size(__toks) >= 3 THEN "
+        "transform(sequence(0, size(__toks) - 3), "
+        "i -> concat_ws(' ', __toks[i], __toks[i+1], __toks[i+2])) "
+        "ELSE array(concat_ws(' ', __toks)) END)"
+    )
+    ms_sql = (
+        "transform(__sh, s -> CAST(conv(substr(md5(s), 1, 15), 16, 10)"
+        " AS BIGINT))"
+    )
+    a_lit = "array(" + ",".join(str(v) for v in MINHASH_MD5_A) + ")"
+    b_lit = "array(" + ",".join(str(v) for v in MINHASH_MD5_B) + ")"
+    sig_sql = (
+        f"transform(sequence(0, 31), j -> array_min(transform(__ms, "
+        f"m -> ({a_lit}[j] * (m % {_MH_M}) + {b_lit}[j]) % {_MH_P})))"
+    )
+    band_sql = (
+        "transform(sequence(0, 7), b -> concat_ws('|', "
+        "transform(slice(__sig, b * 4 + 1, 4), x -> CAST(x AS STRING))))"
+    )
+    hashed = (
+        df.select(F.col(id_col), F.expr(toks_sql).alias("__toks"))
+        .select(F.col(id_col), F.expr(sh_sql).alias("__sh"))
+        .select(F.col(id_col), F.expr(ms_sql).alias("__ms"))
+        .cache()
+    )
+    banded = hashed.select(
+        F.col(id_col), F.expr(sig_sql).alias("__sig")
+    ).select(
+        F.col(id_col),
+        F.posexplode(F.expr(band_sql)).alias("band_idx", "band_key"),
+    )
+    wb = Window.partitionBy("band_idx", "band_key").orderBy(F.col(id_col))
+    capped = banded.withColumn("__bn", F.row_number().over(wb)).filter(
+        F.col("__bn") <= max_bucket
+    )
+    cand = (
+        capped.select("band_idx", "band_key", F.col(id_col).alias("id_a"))
+        .join(
+            capped.select(
+                "band_idx", "band_key", F.col(id_col).alias("id_b")
+            ),
+            ["band_idx", "band_key"],
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    a = hashed.select(F.col(id_col).alias("id_a"), F.col("__ms").alias("ms_a"))
+    b = hashed.select(F.col(id_col).alias("id_b"), F.col("__ms").alias("ms_b"))
+    inter = F.size(F.array_intersect("ms_a", "ms_b")).cast("bigint")
+    uni = (
+        F.size("ms_a").cast("bigint") + F.size("ms_b").cast("bigint") - inter
+    )
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("__i", inter)
+        .withColumn("__u", uni)
+        .filter(
+            F.col("__i") * F.lit(1000000)
+            >= F.lit(jaccard_threshold_micro) * F.col("__u")
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.expr("CAST(__i * 1000000 AS BIGINT) DIV __u")
+            .cast("bigint")
+            .alias("jaccard_micro"),
+        )
+    )

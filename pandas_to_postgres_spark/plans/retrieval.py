@@ -519,3 +519,88 @@ def cms_token_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("exact_n").desc(), "term")
         .limit(30)
     )
+
+
+def _minhash_checked_oracle() -> str:
+    from pandas_to_postgres_spark.operators.dedup import (
+        MINHASH_MD5_A,
+        MINHASH_MD5_B,
+    )
+
+    a_lit = "[" + ",".join(str(v) for v in MINHASH_MD5_A) + "]"
+    b_lit = "[" + ",".join(str(v) for v in MINHASH_MD5_B) + "]"
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, {_RAW_TOKS_SQL} AS toks FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN length(toks) >= 3 THEN
+               list_transform(generate_series(1, length(toks) - 2),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+             ELSE [array_to_string(toks, ' ')] END) AS sh
+      FROM tok),
+    ms AS (
+      SELECT doc_id,
+             list_transform(sh, s ->
+               CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)) AS ms
+      FROM sh),
+    sig AS (
+      SELECT doc_id,
+             list_transform(generate_series(0, 31), j ->
+               list_min(list_transform(ms, m ->
+                 ({a_lit}[j+1] * (m % 1073741824) + {b_lit}[j+1])
+                 % 2147483647))) AS sig
+      FROM ms),
+    keys AS (
+      SELECT doc_id,
+             list_transform(generate_series(0, 7), b ->
+               array_to_string(list_transform(
+                 sig[b*4+1 : b*4+4], x -> CAST(x AS VARCHAR)), '|')) AS ks
+      FROM sig),
+    banded AS (
+      SELECT doc_id, g.g AS band_idx, ks[g.g + 1] AS band_key
+      FROM keys CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS g) g),
+    capped AS (
+      SELECT doc_id, band_idx, band_key
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY band_idx, band_key ORDER BY doc_id) AS rn
+            FROM banded)
+      WHERE rn <= 200),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM capped a JOIN capped b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+      WHERE a.doc_id < b.doc_id),
+    verified AS (
+      SELECT c.id_a, c.id_b,
+             length(list_intersect(ma.ms, mb.ms)) AS i,
+             length(ma.ms) + length(mb.ms)
+               - length(list_intersect(ma.ms, mb.ms)) AS u
+      FROM cand c
+      JOIN ms ma ON ma.doc_id = c.id_a
+      JOIN ms mb ON mb.doc_id = c.id_b)
+    SELECT id_a, id_b,
+           CAST(i * 1000000 // u AS BIGINT) AS jaccard_micro
+    FROM verified
+    WHERE i * 1000000 >= 500000 * u
+    """
+
+
+@register("minhash_lsh_checked", oracle=_minhash_checked_oracle())
+def minhash_lsh_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The VALUE-CHECKED MinHash-LSH tier: same signatures → banded
+    buckets → exact-Jaccard-verify pipeline as the flagship
+    ``minhash_neardup``, built on an md5 hash basis with Carter-Wegman
+    affine families baked as literals, so DuckDB replays the ENTIRE
+    pipeline — signatures, band keys, bucket capping, candidate pairs,
+    and the integer-micro Jaccard — bit-for-bit. Closes the last
+    rows-only gap in the dedup family's checking story (the split mirrors
+    ``simhash_docs`` [throughput, xxhash64] vs ``simhash_hamming_pairs``
+    [checked, md5]). See ``operators/dedup.minhash_md5_pairs`` for the
+    scale argument (identical to the throughput tier: map-only
+    signatures, capped bucket join, verify on candidates only).
+    """
+    from pandas_to_postgres_spark.operators.dedup import minhash_md5_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_md5_pairs(docs, "text", "doc_id")

