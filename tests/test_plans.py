@@ -493,6 +493,50 @@ class TestQualityQueryShapes:
         assert "TakeOrderedAndProject" in plan
 
 
+class TestRetrievalBatchShapes:
+    def test_bm25_ranking_is_take_ordered_with_broadcast_stats(self, spark):
+        # df + corpus stats ride broadcasts; ranking never global-sorts
+        plan = plan_of(spark, "bm25_docs")
+        assert "TakeOrderedAndProject" in plan
+        assert "BroadcastExchange" in plan
+
+    def test_skyline_has_no_self_join_or_single_partition_window(self, spark):
+        # dominance must be the bucketed prefix-max scan, not the oracle's
+        # quadratic NOT EXISTS; the only SinglePartition exchange allowed
+        # is the tiny per-bucket-max frame feeding the broadcast
+        plan = plan_of(spark, "skyline_parts")
+        assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+        assert "BroadcastHashJoin" in plan
+
+    def test_cms_cells_partial_aggregate_before_exchange(self, spark):
+        # sketch cells must map-side combine: partial agg below the
+        # (seed, bucket) exchange keeps the shuffle sketch-sized
+        plan = plan_of(spark, "cms_token_audit")
+        assert "partial_count" in plan or "HashAggregate" in plan
+        assert "BroadcastExchange" in plan  # probe joins the 4096-cell sketch
+
+    def test_zorder_interleave_is_codegen_projection(self, spark):
+        # no UDF, no shuffle before the <=1024-group aggregate
+        plan = plan_of(spark, "zorder_layout_lineitem")
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        assert shuffles(plan) <= 2  # bucket agg + single-row final agg
+
+    def test_bigram_pairs_assembled_in_row(self, spark):
+        # pair generation is Generate over an in-row transform — the plan
+        # must NOT contain a join below the count aggregates
+        plan = plan_of(spark, "bigram_condprob")
+        assert "Generate explode" in plan
+        below_join = plan.split("Join")[-1] if "Join" in plan else plan
+        assert "Generate" in below_join  # the explode sits under any join
+
+    def test_minhash_checked_mirrors_throughput_tier_shape(self, spark):
+        # map-only signatures: scan -> project -> posexplode with no
+        # exchange until the band bucket window
+        plan = plan_of(spark, "minhash_lsh_checked")
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan
+
+
 class TestBloomShape:
     def test_probe_is_broadcast_no_fact_shuffle_and_jvm_only(self, spark):
         import pyspark.sql.functions as F
