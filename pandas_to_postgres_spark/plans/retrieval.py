@@ -604,3 +604,143 @@ def minhash_lsh_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return minhash_md5_pairs(docs, "text", "doc_id")
+
+
+_KMV_K = 256
+_KMV_H = 1 << 48  # 12-hex md5 prefix: (k-1)*H and all downstream products
+                  # stay far inside BIGINT — the whole estimator is
+                  # integer-exact (the 60-bit single-set tier needs doubles)
+
+
+@register(
+    "kmv_set_ops",
+    oracle=f"""
+    WITH a AS (
+      SELECT DISTINCT CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)),
+                            1, 12)) AS BIGINT) AS h
+      FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1995
+      ORDER BY h LIMIT {_KMV_K}),
+    b AS (
+      SELECT DISTINCT CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)),
+                            1, 12)) AS BIGINT) AS h
+      FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1996
+      ORDER BY h LIMIT {_KMV_K}),
+    u AS (
+      SELECT h FROM (SELECT h FROM a UNION SELECT h FROM b)
+      ORDER BY h LIMIT {_KMV_K}),
+    ustat AS (
+      SELECT count(*) AS n_u, max(h) AS kth,
+             CAST(sum(CASE WHEN h IN (SELECT h FROM a)
+                            AND h IN (SELECT h FROM b)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS matches
+      FROM u),
+    exact AS (
+      SELECT CAST(count(*) AS BIGINT) AS exact_union,
+             CAST(sum(CASE WHEN y95 = 1 AND y96 = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS exact_inter
+      FROM (SELECT o_custkey,
+                   max(CASE WHEN year(CAST(o_orderdate AS DATE)) = 1995
+                       THEN 1 ELSE 0 END) AS y95,
+                   max(CASE WHEN year(CAST(o_orderdate AS DATE)) = 1996
+                       THEN 1 ELSE 0 END) AS y96
+            FROM orders
+            WHERE year(CAST(o_orderdate AS DATE)) IN (1995, 1996)
+            GROUP BY o_custkey))
+    SELECT exact.exact_union, exact.exact_inter,
+           CAST(CASE WHEN ustat.n_u < {_KMV_K} THEN ustat.n_u
+                ELSE ({_KMV_K - 1} * {_KMV_H}::BIGINT) // ustat.kth
+                END AS BIGINT) AS est_union,
+           CAST((ustat.matches *
+                 (CASE WHEN ustat.n_u < {_KMV_K} THEN ustat.n_u
+                  ELSE ({_KMV_K - 1} * {_KMV_H}::BIGINT) // ustat.kth END))
+                // ustat.n_u AS BIGINT) AS est_inter,
+           ustat.matches
+    FROM exact CROSS JOIN ustat
+    """,
+)
+def kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch-style SET ALGEBRA on KMV sketches: estimate the union
+    and intersection cardinality of two audiences (customers ordering in
+    1995 vs 1996) from two k=256 minimum-values sketches, next to the
+    exact answer as the audit — extends `kmv_distinct_parts` (single-set
+    cardinality) with the merge/intersect operations an audience-overlap
+    system runs on precomputed sketches.
+
+    Estimators (Beyer et al., SIGMOD'07): union from the merged sketch's
+    k-th minimum; intersection via the Jaccard fraction of merged-sketch
+    members present in both input sketches. The 48-bit md5-prefix hash
+    space keeps every product inside BIGINT, so the whole estimator —
+    including the two floor divisions — is integer-exact cross-engine
+    (zero FP anywhere). DuckDB replays the identical sketches value by
+    value.
+
+    Scale: each sketch is TakeOrderedAndProject over a distinct-hash
+    projection — per-partition local top-k, k values to the merge, O(k)
+    memory at any row count; the sketches (256 rows each, cached) then
+    drive the set algebra with no further corpus access. The exact audit
+    is the expensive path (one full groupBy) and exists only to report
+    the estimator's error; production reads sketches alone.
+    """
+    k, hsp = _KMV_K, _KMV_H
+    orders = load_table(spark, sf_dir, "orders")
+    yr = F.year(F.col("o_orderdate").cast("date"))
+    h = F.conv(
+        F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 12), 16, 10
+    ).cast("bigint")
+    sk_a = (
+        orders.filter(yr == 1995).select(h.alias("h")).distinct()
+        .orderBy("h").limit(k).cache()
+    )
+    sk_b = (
+        orders.filter(yr == 1996).select(h.alias("h")).distinct()
+        .orderBy("h").limit(k).cache()
+    )
+    u = sk_a.union(sk_b).distinct().orderBy("h").limit(k)
+    in_a = F.broadcast(sk_a.withColumnRenamed("h", "ha"))
+    in_b = F.broadcast(sk_b.withColumnRenamed("h", "hb"))
+    ustat = (
+        u.join(in_a, F.col("h") == F.col("ha"), "left")
+        .join(in_b, F.col("h") == F.col("hb"), "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_u"),
+            F.max("h").alias("kth"),
+            F.sum(
+                F.when(
+                    F.col("ha").isNotNull() & F.col("hb").isNotNull(), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("matches"),
+        )
+    )
+    exact = (
+        orders.filter(yr.isin(1995, 1996))
+        .groupBy("o_custkey")
+        .agg(
+            F.max(F.when(yr == 1995, 1).otherwise(0)).alias("y95"),
+            F.max(F.when(yr == 1996, 1).otherwise(0)).alias("y96"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("exact_union"),
+            F.sum(
+                F.when((F.col("y95") == 1) & (F.col("y96") == 1), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("exact_inter"),
+        )
+    )
+    est_union = F.expr(
+        f"CAST(CASE WHEN n_u < {k} THEN n_u"
+        f" ELSE CAST({k - 1} * {hsp} AS BIGINT) DIV kth END AS BIGINT)"
+    )
+    return (
+        exact.crossJoin(F.broadcast(ustat))
+        .withColumn("est_union", est_union)
+        .withColumn(
+            "est_inter",
+            F.expr("CAST(matches * est_union DIV n_u AS BIGINT)"),
+        )
+        .select(
+            "exact_union", "exact_inter", "est_union", "est_inter", "matches"
+        )
+    )
