@@ -287,3 +287,33 @@ def stream_psi_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pandas_to_postgres_spark.streaming.events import windowed_bin_psi
 
     return windowed_bin_psi(spark, sf_dir)
+
+
+@register(
+    "stream_scd2_enrich",
+    oracle="""
+    WITH dim AS (
+      SELECT c_custkey, c_mktsegment AS tier,
+             TIMESTAMP '1970-01-01 00:00:00' AS vf,
+             TIMESTAMP '2024-01-05 12:00:00' AS vt
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, c_mktsegment || '+',
+             TIMESTAMP '2024-01-05 12:00:00',
+             TIMESTAMP '2100-01-01 00:00:00'
+      FROM customer)
+    SELECT event_id, user_id, tier
+    FROM events JOIN dim
+      ON user_id = c_custkey AND ts >= vf AND ts < vt
+    """,
+)
+def stream_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 + SCD2 composition: streaming point-in-time dimension lookup —
+    each event enriched with the dimension version valid at its event
+    time via a stream-static join with a validity-range condition;
+    oracle-checked against the equivalent batch range join."""
+    from pandas_to_postgres_spark.streaming.events import (
+        stream_scd2_enrich as _impl,
+    )
+
+    return _impl(spark, sf_dir)

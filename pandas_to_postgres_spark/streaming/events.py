@@ -485,3 +485,73 @@ def windowed_bin_psi(
             ).alias("psi")
         )
     )
+
+
+def stream_scd2_enrich(
+    spark: SparkSession,
+    sf_dir: str,
+    change_ts: str = "2024-01-05 12:00:00",
+) -> DataFrame:
+    """Streaming POINT-IN-TIME dimension lookup: each event is enriched
+    with the SCD2 dimension version valid AT THE EVENT'S TIMESTAMP — the
+    temporal join every warehouse runs against slowly-changing dimensions,
+    executed inside Structured Streaming as a stream-static join whose
+    condition is (key equality AND valid_from <= ts < valid_to).
+
+    The versioned dimension here is derived deterministically from the
+    customer table (version 1 carries the market segment until
+    ``change_ts``, version 2 carries the post-change label after), so the
+    batch oracle replays the exact same lookup with a plain range join.
+
+    Scale: the static SCD2 side is re-read per micro-batch under
+    stream-static join rules — NO streaming state is kept for it (append
+    mode, no watermark required for a stream-static inner join); Catalyst
+    plans the key equality as the join condition and the validity range
+    as a post-join filter, so the per-batch cost is one broadcast (or
+    shuffled-hash at big-dim scale) equi-join. Exactly one version
+    matches per event because SCD2 intervals partition time.
+    """
+    path = f"{sf_dir}/events.parquet"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .format("parquet")
+        .load(f"{sf_dir}/events.parque[t]")
+    )
+    stream = normalize_event_ts(stream)
+    from pandas_to_postgres_spark.sources.parquet import load_table
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    chg = F.lit(change_ts).cast("timestamp")
+    v1 = cust.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("tier"),
+        F.lit("1970-01-01").cast("timestamp").alias("valid_from"),
+        chg.alias("valid_to"),
+    )
+    v2 = cust.select(
+        "c_custkey",
+        F.concat(F.col("c_mktsegment"), F.lit("+")).alias("tier"),
+        chg.alias("valid_from"),
+        F.lit("2100-01-01").cast("timestamp").alias("valid_to"),
+    )
+    dim = v1.unionByName(v2)
+    joined = stream.join(
+        dim,
+        (stream.user_id == dim.c_custkey)
+        & (stream.ts >= dim.valid_from)
+        & (stream.ts < dim.valid_to),
+    ).select("event_id", "user_id", "tier")
+    table = f"stream_scd2_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(table)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(table)
