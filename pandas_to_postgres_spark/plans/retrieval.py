@@ -744,3 +744,99 @@ def kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_union", "exact_inter", "est_union", "est_inter", "matches"
         )
     )
+
+
+@register(
+    "prorate_order_totals",
+    oracle="""
+    WITH li AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS item_c
+      FROM lineitem WHERE l_orderkey < 2000),
+    o AS (
+      SELECT o_orderkey,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS total_c
+      FROM orders WHERE o_orderkey < 2000),
+    s AS (
+      SELECT l_orderkey, CAST(sum(item_c) AS BIGINT) AS sum_c
+      FROM li GROUP BY l_orderkey),
+    base AS (
+      SELECT li.l_orderkey, li.l_linenumber, o.total_c,
+             (o.total_c * li.item_c) // s.sum_c AS fl,
+             (o.total_c * li.item_c) % s.sum_c AS rem
+      FROM li JOIN s USING (l_orderkey)
+      JOIN o ON o.o_orderkey = li.l_orderkey),
+    ranked AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY l_orderkey
+                                ORDER BY rem DESC, l_linenumber) AS rn,
+             CAST(total_c - sum(fl) OVER (PARTITION BY l_orderkey) AS BIGINT)
+               AS deficit
+      FROM base)
+    SELECT l_orderkey, l_linenumber,
+           CAST(fl + CASE WHEN rn <= deficit THEN 1 ELSE 0 END AS BIGINT)
+             AS alloc_cents
+    FROM ranked
+    """,
+)
+def prorate_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder proration (Hamilton apportionment): allocate each
+    order's total across its line items proportional to extended price,
+    in EXACT integer cents, such that the per-order allocations sum to
+    the order total to the cent — the reconciliation-grade allocation
+    every revenue/cost-distribution pipeline needs (naive `round(share *
+    total)` leaves per-order drift; the driver's FP rules would also make
+    it engine-dependent).
+
+    Method: floor allocation ``total*item DIV sum``, then the per-order
+    deficit (always < line count) goes one cent each to the lines with
+    the LARGEST integer remainder ``(total*item) mod sum`` — remainder
+    comparison, ranking, and the final adjustment are all
+    BIGINT-arithmetic, so both engines agree bit-for-bit.
+
+    Scale: one equi-join on the order key plus two per-order window
+    passes whose partitions are line-count sized (≤ 7 here, bounded by
+    basket size in general) — the shape shuffles on the natural key once;
+    no global ordering anywhere. The invariant (per-order sum equals
+    order total exactly) is asserted in tests/test_operators.py.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 2000)
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    cents = lambda c: F.floor(c * 100 + F.lit(0.5)).cast("bigint")  # noqa: E731
+    li = li.select(
+        "l_orderkey", "l_linenumber", cents(F.col("l_extendedprice")).alias("item_c")
+    )
+    o = o.select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        cents(F.col("o_totalprice")).alias("total_c"),
+    )
+    s = li.groupBy("l_orderkey").agg(F.sum("item_c").cast("bigint").alias("sum_c"))
+    base = (
+        li.join(s, "l_orderkey")
+        .join(o, "l_orderkey")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "total_c",
+            F.expr("(total_c * item_c) DIV sum_c").alias("fl"),
+            F.expr("(total_c * item_c) % sum_c").alias("rem"),
+        )
+    )
+    w_ord = Window.partitionBy("l_orderkey")
+    w_rank = w_ord.orderBy(F.col("rem").desc(), "l_linenumber")
+    ranked = base.select(
+        "l_orderkey",
+        "l_linenumber",
+        "fl",
+        F.row_number().over(w_rank).alias("rn"),
+        (F.col("total_c") - F.sum("fl").over(w_ord)).cast("bigint").alias("deficit"),
+    )
+    return ranked.select(
+        "l_orderkey",
+        "l_linenumber",
+        (
+            F.col("fl") + F.when(F.col("rn") <= F.col("deficit"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("alloc_cents"),
+    )

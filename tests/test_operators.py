@@ -171,6 +171,34 @@ class TestDedup:
         assert [(r.id_a, r.id_b) for r in out] == [(1, 2)]  # 3 dissimilar, 4 other block
 
 
+class TestProration:
+    def test_allocations_reconcile_to_the_cent(self, spark):
+        """Largest-remainder invariant: per-order allocated cents sum to
+        the order total EXACTLY, and each line's allocation differs from
+        its unrounded proportional share by less than one cent."""
+        from pyspark.sql import functions as F
+
+        from pandas_to_postgres_spark.plans import REGISTRY
+
+        out = REGISTRY["prorate_order_totals"].fn(spark, "/root/testdata/sf0.001")
+        per_order = out.groupBy("l_orderkey").agg(
+            F.sum("alloc_cents").alias("s")
+        )
+        orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        totals = orders.filter(F.col("o_orderkey") < 2000).select(
+            F.col("o_orderkey").alias("l_orderkey"),
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("total_c"),
+        )
+        bad = (
+            per_order.join(totals, "l_orderkey")
+            .filter(F.col("s") != F.col("total_c"))
+            .count()
+        )
+        assert bad == 0
+
+
 class TestSpanDedup:
     """C4-style global span dedup with reassembly (operators/dedup.span_dedup)."""
 
