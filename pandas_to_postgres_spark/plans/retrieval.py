@@ -840,3 +840,135 @@ def prorate_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("alloc_cents"),
     )
+
+
+@register(
+    "weighted_median_price",
+    oracle="""
+    WITH x AS (
+      SELECT p.p_brand,
+             l.l_extendedprice AS price,
+             CAST(l.l_quantity AS BIGINT) AS w
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+    g AS (
+      SELECT p_brand, price, CAST(sum(w) AS BIGINT) AS w
+      FROM x GROUP BY p_brand, price),
+    c AS (
+      SELECT p_brand, price, w,
+             CAST(sum(w) OVER (PARTITION BY p_brand ORDER BY price)
+                  AS BIGINT) AS cw,
+             CAST(sum(w) OVER (PARTITION BY p_brand) AS BIGINT) AS tw
+      FROM g)
+    SELECT p_brand, min(price) AS weighted_median
+    FROM c WHERE 2 * cw >= tw
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+)
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median (lower weighted median: smallest price whose
+    cumulative quantity-weight reaches half the total) of extended price
+    per brand — the robust center a quantity-weighted distribution needs
+    (plain median treats a 1-unit and a 50-unit line the same; `median()`
+    with weights is not a SQL aggregate in either engine).
+
+    Exactness: the crossing condition compares ``2*cw >= tw`` in BIGINT —
+    no division, no FP; the reported median is a raw column value.
+
+    Scale shape: weights first collapse onto DISTINCT (brand, price)
+    grid cells (map-side-combined aggregate — the window then runs over
+    value-domain-sized partitions, not row-count-sized ones); one
+    cumulative window per brand; the crossing pick is an ordinary min
+    aggregate, no second sort. Same global-order discipline as the
+    equi-depth histogram tier.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    x = li.join(part, li.l_partkey == part.p_partkey).select(
+        "p_brand",
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_quantity").cast("bigint").alias("w"),
+    )
+    g = x.groupBy("p_brand", "price").agg(F.sum("w").cast("bigint").alias("w"))
+    w_cum = Window.partitionBy("p_brand").orderBy("price")
+    w_tot = Window.partitionBy("p_brand")
+    c = g.select(
+        "p_brand",
+        "price",
+        F.sum("w").over(w_cum).cast("bigint").alias("cw"),
+        F.sum("w").over(w_tot).cast("bigint").alias("tw"),
+    )
+    return (
+        c.filter(F.lit(2) * F.col("cw") >= F.col("tw"))
+        .groupBy("p_brand")
+        .agg(F.min("price").alias("weighted_median"))
+        .orderBy("p_brand")
+    )
+
+
+@register(
+    "yoy_revenue_growth",
+    oracle="""
+    WITH m AS (
+      SELECT year(CAST(o_orderdate AS DATE)) AS yr,
+             month(CAST(o_orderdate AS DATE)) AS mo,
+             sum(CAST(o_totalprice AS DECIMAL(18,6))) AS rev_d
+      FROM orders GROUP BY yr, mo)
+    SELECT cur.yr, cur.mo,
+           CAST(round(cur.rev_d, 2) AS DOUBLE) AS revenue,
+           CAST(round(prev.rev_d, 2) AS DOUBLE) AS revenue_prior,
+           CAST(floor((CAST(cur.rev_d AS DOUBLE) - CAST(prev.rev_d AS DOUBLE))
+                      / CAST(prev.rev_d AS DOUBLE) * 1e4 + 0.5)
+                AS BIGINT) AS growth_bps
+    FROM m cur JOIN m prev ON prev.yr = cur.yr - 1 AND prev.mo = cur.mo
+    ORDER BY cur.yr, cur.mo
+    """,
+)
+def yoy_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year monthly revenue growth with calendar alignment —
+    the period-over-period report shape (this-month vs same-month-last-
+    year), expressed as a self-join of the month-level aggregate on
+    (year-1, month) rather than a 12-row lag (lag assumes a gapless
+    month spine; the join is correct under missing months).
+
+    Exactness: monthly revenue is a DECIMAL-accumulated sum (order-
+    independent) cast to double once; growth is reported in basis points
+    via the shared floor(x*1e4+0.5) grid rule — one double division,
+    deterministic cross-engine.
+
+    Scale: ONE scan aggregates to |years x 12| rows; the self-join is on
+    a frame that small (broadcast); nothing else touches the fact table.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    # keep the monthly sum DECIMAL until after the round: rounding the
+    # exact decimal (then casting) sidesteps the Spark-vs-DuckDB
+    # round(double) repr-tie divergence (see functions/agg.grid_round)
+    m = o.groupBy(
+        F.year(d).alias("yr"), F.month(d).alias("mo")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("rev_d"))
+    cur = m.select("yr", "mo", F.col("rev_d").alias("rev_c"))
+    prev = m.select(
+        (F.col("yr") + 1).alias("yr"), "mo", F.col("rev_d").alias("rev_p")
+    )
+    return (
+        cur.join(F.broadcast(prev), ["yr", "mo"])
+        .select(
+            "yr",
+            "mo",
+            F.round("rev_c", 2).cast("double").alias("revenue"),
+            F.round("rev_p", 2).cast("double").alias("revenue_prior"),
+            F.floor(
+                (
+                    F.col("rev_c").cast("double")
+                    - F.col("rev_p").cast("double")
+                )
+                / F.col("rev_p").cast("double")
+                * F.lit(1e4)
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("growth_bps"),
+        )
+        .orderBy("yr", "mo")
+    )
