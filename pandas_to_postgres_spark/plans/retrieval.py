@@ -972,3 +972,95 @@ def yoy_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("yr", "mo")
     )
+
+
+@register(
+    "golden_record_customers",
+    oracle="""
+    WITH v AS (
+      SELECT c_custkey AS entity_id, 1 AS prio,
+             c_name, c_nationkey, c_acctbal, c_mktsegment
+      FROM customer
+      UNION ALL
+      -- CRM feed: fresher segment, but account balance unknown
+      SELECT c_custkey, 3,
+             c_name, c_nationkey, NULL, c_mktsegment || '*'
+      FROM customer WHERE c_custkey % 3 = 0
+      UNION ALL
+      -- legacy feed: name cased differently, nation unknown
+      SELECT c_custkey, 2,
+             upper(c_name), NULL, c_acctbal, NULL
+      FROM customer WHERE c_custkey % 2 = 0)
+    SELECT entity_id,
+           arg_max(c_name, CASE WHEN c_name IS NOT NULL
+                           THEN prio ELSE -1 END) AS name,
+           arg_max(c_nationkey, CASE WHEN c_nationkey IS NOT NULL
+                                THEN prio ELSE -1 END) AS nationkey,
+           arg_max(c_acctbal, CASE WHEN c_acctbal IS NOT NULL
+                              THEN prio ELSE -1 END) AS acctbal,
+           arg_max(c_mktsegment, CASE WHEN c_mktsegment IS NOT NULL
+                                 THEN prio ELSE -1 END) AS mktsegment,
+           CAST(count(*) AS BIGINT) AS n_versions
+    FROM v GROUP BY entity_id
+    """,
+)
+def golden_record_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship / golden-record merge — the last step of entity
+    resolution (after matching, cf. `fuzzy_join_parts` /
+    `cluster_representatives`): fuse each entity's versions from multiple
+    source systems into ONE record by per-COLUMN precedence, taking each
+    field from the highest-priority source that has it non-null (MDM
+    "best of breed" survivorship, not whole-row wins).
+
+    The multi-source input is derived deterministically from customer
+    (a higher-priority CRM feed with fresher segment but no balance, a
+    lower-priority legacy feed with cased names and no nation), so the
+    oracle replays the same fusion with DuckDB's arg_max.
+
+    Scale shape: survivorship is ONE map-side-combined aggregate —
+    `max_by(col, nullaware_priority)` per column — over the union of
+    source scans: no per-column joins, no window, one shuffle on the
+    entity key regardless of how many sources or columns participate
+    (the same max_by-beats-rank argument as `argmax_per_segment`).
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    v1 = cust.select(
+        F.col("c_custkey").alias("entity_id"),
+        F.lit(1).alias("prio"),
+        "c_name", "c_nationkey", "c_acctbal", "c_mktsegment",
+    )
+    v3 = (
+        cust.filter(F.col("c_custkey") % 3 == 0)
+        .select(
+            F.col("c_custkey").alias("entity_id"),
+            F.lit(3).alias("prio"),
+            "c_name",
+            "c_nationkey",
+            F.lit(None).cast("double").alias("c_acctbal"),
+            F.concat("c_mktsegment", F.lit("*")).alias("c_mktsegment"),
+        )
+    )
+    v2 = (
+        cust.filter(F.col("c_custkey") % 2 == 0)
+        .select(
+            F.col("c_custkey").alias("entity_id"),
+            F.lit(2).alias("prio"),
+            F.upper("c_name").alias("c_name"),
+            F.lit(None).cast("int").alias("c_nationkey"),
+            "c_acctbal",
+            F.lit(None).cast("string").alias("c_mktsegment"),
+        )
+    )
+    v = v1.unionByName(v3).unionByName(v2)
+
+    def best(col: str):
+        key = F.when(F.col(col).isNotNull(), F.col("prio")).otherwise(F.lit(-1))
+        return F.max_by(F.col(col), key)
+
+    return v.groupBy("entity_id").agg(
+        best("c_name").alias("name"),
+        best("c_nationkey").alias("nationkey"),
+        best("c_acctbal").alias("acctbal"),
+        best("c_mktsegment").alias("mktsegment"),
+        F.count(F.lit(1)).cast("bigint").alias("n_versions"),
+    )
