@@ -231,3 +231,54 @@ def kcore(
             return out
         prev = n
     raise RuntimeError(f"k-core did not converge within {max_rounds} rounds")
+
+
+def bfs_hops(
+    edges: DataFrame,
+    source: DataFrame,
+    rounds: int,
+    src: str = "u",
+    dst: str = "v",
+) -> DataFrame:
+    """(node, hop) BFS distances from ``source`` (a 1-row (node) frame)
+    after ``rounds`` frontier expansions over an UNDIRECTED edge list —
+    the reachability / shortest-hops primitive (5th of the graph family
+    after connected components, PageRank, triangles, k-core). A FIXED
+    round count makes the output a pure function of the input so the
+    DuckDB oracle unrolls identical rounds (pinned-iteration trick);
+    run with ``rounds`` >= diameter and this IS the full BFS.
+
+    Scale: textbook frontier BFS, not dist-set re-expansion — each round
+    joins ONLY the newly discovered frontier against the edge list
+    (frontier ⋈ edges, then an anti-join against settled nodes), so
+    per-round work is frontier-degree-sized; settled/frontier frames are
+    lineage-cut per round, keeping the plan O(1) in round count. The
+    edge list partitions once on ``u`` and every round's join reuses it.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(
+            edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    dist = source.select(
+        F.col(source.columns[0]).alias("node"), F.lit(0).alias("hop")
+    ).localCheckpoint(eager=True)
+    frontier = dist
+    for r in range(1, rounds + 1):
+        cand = (
+            frontier.join(e, frontier.node == e.u)
+            .select(F.col("v").alias("node"))
+            .distinct()
+        )
+        new = (
+            cand.join(dist, "node", "left_anti")
+            .select("node", F.lit(r).alias("hop"))
+            .localCheckpoint(eager=True)
+        )
+        dist = dist.unionByName(new).localCheckpoint(eager=True)
+        frontier = new
+    return dist

@@ -1064,3 +1064,90 @@ def golden_record_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         best("c_mktsegment").alias("mktsegment"),
         F.count(F.lit(1)).cast("bigint").alias("n_versions"),
     )
+
+
+def _bfs_oracle(rounds: int = 3, frac: float = 0.022) -> str:
+    """Unrolled-CTE twin of the pinned-round frontier BFS over the same
+    thresholded brand co-purchase graph as `kcore_brands`."""
+    parts = [
+        """WITH ob AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey, p_brand
+      FROM lineitem JOIN part ON l_partkey = p_partkey)""",
+        """nord AS (SELECT count(DISTINCT l_orderkey) AS n FROM ob)""",
+        f"""e0 AS MATERIALIZED (
+      SELECT a.p_brand AS u, b.p_brand AS v
+      FROM ob a JOIN ob b
+        ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand, nord
+      GROUP BY a.p_brand, b.p_brand, nord.n
+      HAVING count(*) >= {frac!r} * nord.n)""",
+        """eu AS MATERIALIZED (
+      SELECT u, v FROM e0 UNION SELECT v, u FROM e0)""",
+        """deg AS (SELECT u AS n, count(*) AS d FROM eu GROUP BY u)""",
+        """s AS (SELECT n FROM deg ORDER BY d DESC, n LIMIT 1)""",
+        """d0 AS (SELECT n, 0 AS hop FROM s)""",
+    ]
+    prev_d, prev_f = "d0", "d0"
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"c{r} AS (SELECT DISTINCT eu.v AS n FROM {prev_f} f"
+            f" JOIN eu ON f.n = eu.u)"
+        )
+        parts.append(
+            f"n{r} AS (SELECT c.n, {r} AS hop FROM c{r} c"
+            f" WHERE c.n NOT IN (SELECT n FROM {prev_d}))"
+        )
+        parts.append(
+            f"d{r} AS (SELECT n, hop FROM {prev_d}"
+            f" UNION ALL SELECT n, hop FROM n{r})"
+        )
+        prev_d, prev_f = f"d{r}", f"n{r}"
+    body = ",\n".join(parts)
+    return (
+        f"{body}\nSELECT n AS node, CAST(hop AS BIGINT) AS hop"
+        f" FROM {prev_d} ORDER BY hop, node"
+    )
+
+
+@register("bfs_brand_hops", oracle=_bfs_oracle())
+def bfs_brand_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS hop distances over the thresholded brand co-purchase graph
+    (same relative-support edge build as `kcore_brands`) from a
+    DATA-ADAPTIVE source — the highest-degree brand (ties to the
+    smallest name), so the query is robust to testdata regeneration (a
+    hard-pinned source brand might fall out of the thresholded graph at
+    some scale factor). Three pinned frontier rounds; the oracle unrolls
+    the identical rounds as CTEs. See `operators/graph.bfs_hops` for the
+    frontier-only scale argument.
+    """
+    from pandas_to_postgres_spark.operators.graph import bfs_hops
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    ob = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    a = ob.select(F.col("l_orderkey"), F.col("p_brand").alias("u"))
+    b = ob.select(F.col("l_orderkey"), F.col("p_brand").alias("v"))
+    nord = ob.agg(F.countDistinct("l_orderkey").alias("n"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .crossJoin(F.broadcast(nord))
+        .filter(F.col("c") >= F.lit(0.022) * F.col("n"))
+        .select("u", "v")
+    )
+    eu = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = eu.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    source = (
+        deg.orderBy(F.col("d").desc(), "u").limit(1).select(F.col("u"))
+    )
+    out = bfs_hops(edges, source, rounds=3)
+    return out.select("node", F.col("hop").cast("bigint").alias("hop")).orderBy(
+        "hop", "node"
+    )
