@@ -1151,3 +1151,83 @@ def bfs_brand_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("node", F.col("hop").cast("bigint").alias("hop")).orderBy(
         "hop", "node"
     )
+
+
+@register(
+    "cusum_changepoint_events",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY event_type, CAST(ts AS DATE)),
+    tot AS (
+      SELECT event_type, CAST(sum(x) AS BIGINT) AS t,
+             CAST(count(*) AS BIGINT) AS nd
+      FROM daily GROUP BY event_type),
+    p AS (
+      SELECT d.event_type, d.day, d.x,
+             CAST(sum(d.x * tot.nd - tot.t) OVER (
+               PARTITION BY d.event_type ORDER BY d.day) AS BIGINT) AS pre,
+             tot.t
+      FROM daily d JOIN tot USING (event_type)),
+    m AS (
+      SELECT event_type, day, x, t, pre,
+             CAST(min(pre) OVER (PARTITION BY event_type ORDER BY day)
+                  AS BIGINT) AS mn
+      FROM p)
+    SELECT event_type, day, x,
+           CAST(pre - least(0, mn) AS BIGINT) AS cusum_scaled,
+           pre - least(0, mn) > t AS is_alert
+    FROM m ORDER BY event_type, day
+    """,
+)
+def cusum_changepoint_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift detector (Page 1954) over daily event counts
+    per type — the classic sequential changepoint alarm: s_i = max(0,
+    s_{i-1} + (x_i - mean)), alert when accumulated excess tops one
+    mean-day. The recursion LOOKS inherently sequential; the reflection
+    identity s_i = prefix_i - min(0, min_{j<=i} prefix_j) turns it into a
+    running sum plus a running min — two stock window functions, no
+    stateful fold, no UDF.
+
+    Exactness: deviations are scaled by the day count (x*nd - t), so the
+    whole statistic — prefix sums, running min, threshold compare — is
+    BIGINT; both engines agree bit-for-bit (a float mean would make every
+    prefix sum order-sensitive).
+
+    Scale: one map-side-combined daily aggregate, a broadcast of the
+    per-type totals, and one window pass over |type x days| rows (the
+    windows share a single (event_type, day) sort). The detector is
+    restartable: persist (prefix, running-min) at a cut date and both
+    windows resume from those two numbers.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type", F.col("ts").cast("date").cast("string").alias("day")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+    tot = daily.groupBy("event_type").agg(
+        F.sum("x").cast("bigint").alias("t"),
+        F.count(F.lit(1)).cast("bigint").alias("nd"),
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    p = (
+        daily.join(F.broadcast(tot), "event_type")
+        .withColumn(
+            "pre",
+            F.sum(F.col("x") * F.col("nd") - F.col("t"))
+            .over(w)
+            .cast("bigint"),
+        )
+        .withColumn("mn", F.min("pre").over(w).cast("bigint"))
+    )
+    cusum = (F.col("pre") - F.least(F.lit(0), F.col("mn"))).cast("bigint")
+    return p.select(
+        "event_type",
+        "day",
+        "x",
+        cusum.alias("cusum_scaled"),
+        (cusum > F.col("t")).alias("is_alert"),
+    ).orderBy("event_type", "day")
