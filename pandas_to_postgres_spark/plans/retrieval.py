@@ -1231,3 +1231,112 @@ def cusum_changepoint_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         cusum.alias("cusum_scaled"),
         (cusum > F.col("t")).alias("is_alert"),
     ).orderBy("event_type", "day")
+
+
+#: join-size sketches use width 4096 (vs 1024 for point queries): the
+#: inner-product estimator's additive error is e/w * |A|*|B|, so width
+#: buys accuracy linearly and 4x4096 BIGINT cells are still trivial state
+_CMS_KEY_SPARK = (
+    "CAST(conv(substr(md5(concat(CAST({s} AS STRING), '|',"
+    " CAST(l_partkey AS STRING))), 1, 15), 16, 10) AS BIGINT) % 4096"
+)
+_CMS_KEY_DUCK = (
+    "CAST(('0x' || substr(md5(CAST({s} AS VARCHAR) || '|' ||"
+    " CAST(l_partkey AS VARCHAR)), 1, 15)) AS BIGINT) % 4096"
+)
+
+
+@register(
+    "join_size_estimate",
+    oracle=f"""
+    WITH a AS (SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'),
+    b AS (SELECT l_partkey FROM lineitem WHERE l_linestatus = 'F'),
+    exact AS (
+      SELECT CAST(sum(ca.n * cb.n) AS BIGINT) AS exact_size
+      FROM (SELECT l_partkey, count(*) AS n FROM a GROUP BY l_partkey) ca
+      JOIN (SELECT l_partkey, count(*) AS n FROM b GROUP BY l_partkey) cb
+      USING (l_partkey)),
+    seeds AS (SELECT unnest(generate_series(0, 3)) AS s),
+    cells_a AS (
+      SELECT s.s AS seed, {_CMS_KEY_DUCK.format(s='s.s')} AS bucket,
+             count(*) AS n
+      FROM a CROSS JOIN seeds s GROUP BY seed, bucket),
+    cells_b AS (
+      SELECT s.s AS seed, {_CMS_KEY_DUCK.format(s='s.s')} AS bucket,
+             count(*) AS n
+      FROM b CROSS JOIN seeds s GROUP BY seed, bucket),
+    per_row AS (
+      SELECT ca.seed, CAST(sum(ca.n * cb.n) AS BIGINT) AS ip
+      FROM cells_a ca JOIN cells_b cb
+        ON ca.seed = cb.seed AND ca.bucket = cb.bucket
+      GROUP BY ca.seed)
+    SELECT exact.exact_size,
+           CAST(min(per_row.ip) AS BIGINT) AS cms_estimate,
+           CAST(min(per_row.ip) - exact.exact_size AS BIGINT) AS overcount
+    FROM exact CROSS JOIN per_row
+    GROUP BY exact.exact_size
+    """,
+)
+def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation from count-min sketches (the
+    AMS/CMS inner-product estimator, Cormode-Muthukrishnan '05 §4.2):
+    |A ⋈_k B| = Σ_k a_k·b_k is estimated by min over sketch rows of the
+    bucketwise inner product Σ_b cmsA[r,b]·cmsB[r,b] — what a cost-based
+    optimizer consults BEFORE running a join, computed here next to the
+    exact answer as the audit (the estimate is one-sided: always >=
+    exact, like every CMS query).
+
+    The two join sides are the returned ('R') and finished ('F') slices
+    of lineitem on l_partkey — overlapping multiplicity on both sides,
+    so the inner product is non-trivial.
+
+    Exactness & scale: each sketch is 4x1024 BIGINT cells from one
+    map-side-combined aggregate (sketch-sized shuffle regardless of
+    corpus); the inner product joins two 4096-row frames; everything is
+    integer arithmetic — both engines agree exactly. At 100 TB the
+    sketches are maintained incrementally (cell-wise addition per ingest
+    batch, same mergeability as `cms_token_audit`) and the estimate costs
+    O(sketch), never a scan.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "R").select("l_partkey")
+    b = li.filter(F.col("l_linestatus") == "F").select("l_partkey")
+    ca = a.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("na"))
+    cb = b.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("nb"))
+    exact = (
+        ca.join(cb, "l_partkey")
+        .agg(F.sum(F.col("na") * F.col("nb")).cast("bigint").alias("exact_size"))
+    )
+
+    def cells(side: DataFrame) -> DataFrame:
+        return (
+            side.select(
+                F.posexplode(
+                    F.expr(
+                        "transform(sequence(0, 3), s -> "
+                        + _CMS_KEY_SPARK.format(s="s")
+                        + ")"
+                    )
+                ).alias("seed", "bucket")
+            )
+            .groupBy("seed", "bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+    per_row = (
+        cells(a).withColumnRenamed("n", "na")
+        .join(cells(b).withColumnRenamed("n", "nb"), ["seed", "bucket"])
+        .groupBy("seed")
+        .agg(F.sum(F.col("na") * F.col("nb")).cast("bigint").alias("ip"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(per_row))
+        .groupBy("exact_size")
+        .agg(F.min("ip").cast("bigint").alias("cms_estimate"))
+        .select(
+            "exact_size",
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("exact_size"))
+            .cast("bigint")
+            .alias("overcount"),
+        )
+    )
