@@ -1340,3 +1340,104 @@ def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("overcount"),
         )
     )
+
+
+@register(
+    "vocab_drift_langs",
+    oracle=f"""
+    WITH tok AS (
+      SELECT lang, unnest({_RAW_TOKS_SQL}) AS term FROM documents),
+    c AS (
+      SELECT term,
+             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS b
+      FROM tok GROUP BY term),
+    tot AS (
+      SELECT CAST(sum(a) AS BIGINT) AS ta, CAST(sum(b) AS BIGINT) AS tb,
+             CAST(count(*) AS BIGINT) AS v
+      FROM c),
+    z AS (
+      SELECT c.term, c.a, c.b,
+             (ln((c.a + CAST(0.01 AS DOUBLE))
+                 / ((tot.ta + CAST(0.01 AS DOUBLE) * tot.v) - c.a
+                    - CAST(0.01 AS DOUBLE)))
+              - ln((c.b + CAST(0.01 AS DOUBLE))
+                   / ((tot.tb + CAST(0.01 AS DOUBLE) * tot.v) - c.b
+                      - CAST(0.01 AS DOUBLE))))
+             / sqrt(1.0 / (c.a + CAST(0.01 AS DOUBLE))
+                    + 1.0 / (c.b + CAST(0.01 AS DOUBLE))) AS zr
+      FROM c CROSS JOIN tot)
+    SELECT term, a AS n_en, b AS n_rest,
+           CAST(floor(zr * 1e6 + 0.5) AS BIGINT) AS z_micro
+    FROM z
+    ORDER BY CAST(floor(abs(zr) * 1e6 + 0.5) AS BIGINT) DESC, term
+    LIMIT 20
+    """,
+)
+def vocab_drift_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Fightin' Words' vocabulary drift (Monroe/Colaresi/Quinn 2008):
+    log-odds ratio with an informative Dirichlet prior, z-scored, between
+    the English slice of the corpus and everything else — the principled
+    token-level answer to "how does this source's language differ?",
+    and the text-native sibling of the numeric PSI/KS drift tier
+    (training-data mixture monitoring flags exactly this before a model
+    regresses).
+
+    Determinism: counts are integers from ONE conditional aggregate; the
+    z computation is a fixed tree of IEEE ln/sqrt/divide (bit-stable
+    cross-engine); ranking and the top-20 cut both use the GRID-ROUNDED
+    |z| (never the raw double), so the boundary row is decided by the
+    same integer in both engines, with the term as the tiebreak.
+
+    Scale: one token explode → one map-side-combined (term) aggregate
+    (vocabulary-sized shuffle); corpus totals ride a broadcast 1-row
+    frame; top-20 is TakeOrderedAndProject.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "lang", F.explode(tokens_expr(F.lower(F.col("text")))).alias("term")
+    )
+    c = tok.groupBy("term").agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("bigint")
+        .alias("a"),
+        F.sum(F.when(F.col("lang") == "en", 0).otherwise(1))
+        .cast("bigint")
+        .alias("b"),
+    )
+    tot = c.agg(
+        F.sum("a").cast("bigint").alias("ta"),
+        F.sum("b").cast("bigint").alias("tb"),
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+    )
+    al = F.lit(0.01)
+    zr = (
+        F.log(
+            (F.col("a") + al)
+            / ((F.col("ta") + al * F.col("v")) - F.col("a") - al)
+        )
+        - F.log(
+            (F.col("b") + al)
+            / ((F.col("tb") + al * F.col("v")) - F.col("b") - al)
+        )
+    ) / F.sqrt(
+        F.lit(1.0) / (F.col("a") + al) + F.lit(1.0) / (F.col("b") + al)
+    )
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .withColumn("zr", zr)
+        .select(
+            "term",
+            F.col("a").alias("n_en"),
+            F.col("b").alias("n_rest"),
+            F.floor(F.col("zr") * F.lit(1e6) + F.lit(0.5))
+            .cast("bigint")
+            .alias("z_micro"),
+            F.floor(F.abs(F.col("zr")) * F.lit(1e6) + F.lit(0.5))
+            .cast("bigint")
+            .alias("__za"),
+        )
+        .orderBy(F.col("__za").desc(), "term")
+        .limit(20)
+        .drop("__za")
+    )
