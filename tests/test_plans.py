@@ -537,6 +537,47 @@ class TestRetrievalBatchShapes:
         assert "BatchEvalPython" not in plan
 
 
+class TestContinuationBatchShapes:
+    def test_kmv_sketches_are_take_ordered(self, spark):
+        # per-partition local top-k, never a global sort of the hash space
+        plan = plan_of(spark, "kmv_set_ops")
+        assert "TakeOrderedAndProject" in plan
+        assert "BroadcastExchange" in plan  # sketch membership probes
+
+    def test_cusum_windows_share_one_sort(self, spark):
+        # running sum + running min must ride the SAME (type, day) sort:
+        # exactly one window exchange for the whole statistic
+        plan = plan_of(spark, "cusum_changepoint_events")
+        assert plan.count("Window") <= 2  # one Window node (+AQE echo)
+        assert "BroadcastExchange" in plan  # per-type totals
+
+    def test_golden_record_is_one_aggregate_no_joins(self, spark):
+        # survivorship = union + single max_by aggregate; per-column
+        # joins would show as Join nodes
+        plan = plan_of(spark, "golden_record_customers")
+        assert "Join" not in plan
+        assert "max_by" in plan or "HashAggregate" in plan
+
+    def test_join_size_estimate_shuffles_are_sketch_sized(self, spark):
+        # cells aggregates partial-combine before their exchanges; the
+        # inner product joins two 4096-row frames
+        plan = plan_of(spark, "join_size_estimate")
+        assert "partial_count" in plan or "HashAggregate" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_vocab_drift_is_take_ordered_with_broadcast_totals(self, spark):
+        plan = plan_of(spark, "vocab_drift_langs")
+        assert "TakeOrderedAndProject" in plan
+        assert "BroadcastExchange" in plan
+
+    def test_weighted_median_window_runs_on_value_grid(self, spark):
+        # the grid collapse (brand, price) aggregate must sit BELOW the
+        # cumulative window: a partial agg exists under the Window sort
+        plan = plan_of(spark, "weighted_median_price")
+        assert "Window" in plan
+        assert "partial_" in plan or "HashAggregate" in plan
+
+
 class TestBloomShape:
     def test_probe_is_broadcast_no_fact_shuffle_and_jvm_only(self, spark):
         import pyspark.sql.functions as F
