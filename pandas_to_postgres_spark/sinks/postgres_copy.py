@@ -458,6 +458,74 @@ def _this_batch_stages(cur, target: TargetTable, stage_prefix: str) -> list:
     return sorted(r[0] for r in cur.fetchall() if pat.fullmatch(r[0]))
 
 
+def staged_full_refresh(
+    df: DataFrame, conn_params: dict, target: TargetTable
+) -> int:
+    """Task-retry-safe, ATOMIC full refresh: per-partition stage tables
+    (the same idempotent DROP+CREATE+COPY-in-one-transaction trick as
+    ``load_batch_exactly_once``), then ONE publish transaction that
+    TRUNCATEs the target, inserts every stage, and drops the stages.
+
+    Two upgrades over the direct TRUNCATE → parallel-COPY path:
+
+    - a Spark TASK RETRY (or speculative attempt) REPLACES its
+      partition's stage instead of appending into the target — the
+      direct path double-loads a partition if a task dies after its COPY
+      transaction committed but before reporting success to the driver
+      (rare locally; a real failure mode across a 1000-executor run);
+    - readers never observe the truncated-but-half-loaded table: old
+      rows vanish and new rows appear in the same commit (TRUNCATE is
+      transactional in Postgres).
+
+    The trade: rows are written twice server-side (stage + publish) —
+    the cost profile the exactly-once streaming sink already accepts.
+    Returns the number of rows published.
+    """
+    psycopg2 = _psycopg2()
+    stage_prefix = f"{target.name}__fullstage_p"
+    cols = list(target.columns)
+    schema, tgt_q = target.schema, target.qualified
+    col_list = ", ".join(f'"{c}"' for c in cols)
+    ctl = psycopg2.connect(**conn_params)
+    ctl.autocommit = True
+    try:
+        with ctl.cursor() as cur:
+            # stale stages from a crashed prior refresh: replaced anyway
+            # per-partition, but a retry with FEWER partitions must not
+            # publish a dead higher-numbered stage
+            for st in _this_batch_stages(cur, target, stage_prefix):
+                cur.execute(f'DROP TABLE "{schema}"."{st}"')
+    finally:
+        ctl.close()
+
+    def _task_plan(pid: int):
+        stage_q = f'"{schema}"."{stage_prefix}{pid}"'
+        return (
+            [
+                f"DROP TABLE IF EXISTS {stage_q}",
+                f"CREATE TABLE {stage_q} (LIKE {tgt_q} INCLUDING DEFAULTS)",
+            ],
+            f"COPY {stage_q} ({col_list}) FROM STDIN WITH CSV",
+        )
+
+    n = parallel_copy(df, conn_params, task_plan=_task_plan)
+    pub = psycopg2.connect(**conn_params)
+    try:
+        with pub, pub.cursor() as cur:  # ONE txn: all-or-nothing swap
+            stages = _this_batch_stages(cur, target, stage_prefix)
+            cur.execute(truncate_sql(target))
+            for st in stages:
+                cur.execute(
+                    f"INSERT INTO {tgt_q} ({col_list}) "
+                    f'SELECT {col_list} FROM "{schema}"."{st}"'
+                )
+            for st in stages:
+                cur.execute(f'DROP TABLE "{schema}"."{st}"')
+    finally:
+        pub.close()
+    return n
+
+
 def copy_to_postgres(
     df: DataFrame,
     conn_params: dict,
@@ -467,12 +535,18 @@ def copy_to_postgres(
     freeze: bool = False,
     maintenance_work_mem: Optional[str] = None,
     analyze: bool = True,
+    staged: bool = False,
 ) -> None:
     """Full-refresh bulk load: constraint drop → TRUNCATE → parallel
     per-partition COPY → constraint recreate → ANALYZE.
 
     The end-to-end shape of ``BaseCopy.copy()``
     (`copy_hdf.py:55-80`) with the chunk loop replaced by Spark partitions.
+
+    ``staged=True`` routes the data plane through
+    :func:`staged_full_refresh` — task-retry-safe and atomic for readers
+    at the cost of a second server-side write; the default direct path
+    keeps the reference's TRUNCATE-then-COPY semantics and single write.
     """
     psycopg2 = _psycopg2()
     cols = [c for c in target.columns if c in df.columns]
@@ -507,6 +581,8 @@ def copy_to_postgres(
             cur.execute(truncate_sql(load_target))
             for chunk in csv_chunks(rows, cols, csv_chunk_rows):
                 cur.copy_expert(sql, chunk)
+    elif staged:
+        staged_full_refresh(df, conn_params, load_target)
     else:
         with ddl.cursor() as cur:
             cur.execute(truncate_sql(load_target))

@@ -131,6 +131,46 @@ class TestCopyEndToEnd:
         copy_to_postgres(cust, schema, target, num_partitions=2)
         assert self._counts(schema, "SELECT count(*) FROM customer")[0] == ("500",)
 
+    def test_staged_full_refresh_is_atomic_and_leaves_no_stages(self, spark, schema):
+        """staged=True: old rows are replaced in one commit, counts are
+        exact, and no __fullstage_p* tables survive the publish."""
+        cust = spark.createDataFrame(
+            [(i, f"old#{i}", float(i)) for i in range(1, 101)],
+            "c_custkey long, c_name string, c_acctbal double",
+        )
+        target = reflect_target_table(schema, "public", "customer")
+        copy_to_postgres(cust, schema, target, num_partitions=3)
+        # keep keys 1..500 present: the freeze test's orders FK
+        # references this domain
+        new = spark.createDataFrame(
+            [(i, f"new#{i}", float(i) * 2) for i in range(1, 501)],
+            "c_custkey long, c_name string, c_acctbal double",
+        )
+        copy_to_postgres(new, schema, target, num_partitions=4, staged=True)
+        assert self._counts(schema, "SELECT count(*) FROM customer")[0] == ("500",)
+        assert self._counts(
+            schema, "SELECT count(*) FROM customer WHERE c_name LIKE 'old%'"
+        )[0] == ("0",)
+        # publish dropped every stage table
+        assert self._counts(
+            schema,
+            "SELECT count(*) FROM pg_tables "
+            "WHERE tablename LIKE 'customer\\_\\_fullstage\\_p%'",
+        )[0] == ("0",)
+        # a leftover stage from a crashed attempt is replaced, not published
+        conn = pgwire.connect(**schema)
+        with conn, conn.cursor() as cur:
+            cur.execute(
+                "CREATE TABLE customer__fullstage_p99 (LIKE customer)"
+            )
+            cur.execute(
+                "INSERT INTO customer__fullstage_p99 "
+                "SELECT * FROM customer LIMIT 5"
+            )
+        conn.close()
+        copy_to_postgres(new, schema, target, num_partitions=2, staged=True)
+        assert self._counts(schema, "SELECT count(*) FROM customer")[0] == ("500",)
+
     def test_freeze_single_transaction_path(self, spark, schema):
         orders = spark.createDataFrame(
             [(i, 1 + i % 500, "F" if i % 2 else "O", float(i)) for i in range(1, 301)],
