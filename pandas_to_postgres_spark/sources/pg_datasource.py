@@ -45,8 +45,12 @@ import datetime
 from decimal import Decimal
 from typing import Iterator, List
 
+from dataclasses import dataclass
+from typing import Optional
+
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     EqualTo,
     GreaterThan,
@@ -54,6 +58,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 
 #: information_schema data_type → (Spark DDL type, python converter)
@@ -220,6 +225,13 @@ class PostgresDataSource(DataSource):
         self._cols, ddl, self._convs = self._columns()
         return ddl
 
+    def writer(self, schema, overwrite: bool):
+        """``df.write.format("pgwire").mode("append"|"overwrite")`` —
+        staged, atomic, retry-safe write path (see PostgresArrowWriter)."""
+        return PostgresArrowWriter(
+            self.options, [f.name for f in schema.fields], overwrite
+        )
+
     def reader(self, schema) -> PostgresReaderNoPushdown:
         all_cols, _, all_convs = self._columns()
         # honor a user-supplied .schema(...): Spark skips calling schema()
@@ -246,3 +258,114 @@ class PostgresDataSource(DataSource):
         enabled = str(self.options.get("pushdown", "false")).lower() == "true"
         cls = PostgresReader if enabled else PostgresReaderNoPushdown
         return cls(self.options, cols, convs)
+
+
+@dataclass
+class PgWriteCommit(WriterCommitMessage):
+    """Per-task commit message: which stage table holds the partition."""
+
+    stage: Optional[str]
+    n_rows: int
+
+
+class PostgresArrowWriter(DataSourceArrowWriter):
+    """``df.write.format("pgwire")`` — the WRITE half of the Python
+    DataSource, mapping Spark's writer commit protocol onto the staged
+    COPY pattern (`sinks/postgres_copy.staged_full_refresh`):
+
+    - ``write`` (per task): CREATE a task-private stage table + COPY the
+      partition's Arrow batches into it, both in ONE transaction; the
+      stage name is attempt-unique, so a retried or speculative attempt
+      can never double-write, and its name is the commit message.
+    - ``commit`` (driver, all tasks succeeded): ONE transaction —
+      TRUNCATE on overwrite mode, INSERT every message's stage, drop
+      stages. Readers see the old table until the commit.
+    - ``abort`` (driver, any task failed): drop the stages.
+
+    The commit/abort cleanup drops every ``<table>__dsw_*`` stage
+    (including orphans of attempts that died before messaging), which
+    assumes ONE concurrent writer per target table — same single-writer
+    contract as every full-refresh loader here.
+
+    Scale: identical data plane to `parallel_copy` (one connection per
+    task, pyarrow C++ CSV serialization, memory bounded by the Arrow
+    batch size); the commit transaction is server-side set operations.
+    """
+
+    def __init__(self, options, columns, overwrite: bool):
+        self.options = dict(options)
+        self.columns = list(columns)
+        self.overwrite = overwrite
+        self.schema_name = options.get("schema", "public")
+        self.table = options["table"]
+
+    def _q(self, name: str) -> str:
+        return f'"{self.schema_name}"."{name}"'
+
+    def write(self, iterator) -> PgWriteCommit:
+        import itertools  # noqa: PLC0415
+        import uuid  # noqa: PLC0415
+
+        from pandas_to_postgres_spark.sinks.postgres_copy import (  # noqa: PLC0415
+            _ArrowCsvStream,
+        )
+
+        first = next(iterator, None)
+        if first is None:
+            return PgWriteCommit(stage=None, n_rows=0)
+        stage = f"{self.table}__dsw_{uuid.uuid4().hex[:12]}"
+        col_list = ", ".join(f'"{c}"' for c in self.columns)
+        stream = _ArrowCsvStream(itertools.chain([first], iterator))
+        conn = _connect(self.options)
+        try:
+            with conn, conn.cursor() as cur:
+                cur.execute(
+                    f"CREATE TABLE {self._q(stage)} "
+                    f"(LIKE {self._q(self.table)} INCLUDING DEFAULTS)"
+                )
+                cur.copy_expert(
+                    f"COPY {self._q(stage)} ({col_list}) FROM STDIN WITH CSV",
+                    stream,
+                )
+        finally:
+            conn.close()
+        return PgWriteCommit(stage=stage, n_rows=stream.rows)
+
+    def _all_stages(self, cur) -> list:
+        import re  # noqa: PLC0415
+
+        prefix = f"{self.table}__dsw_"
+        cur.execute(
+            "SELECT tablename FROM pg_tables"
+            " WHERE schemaname = %s AND tablename LIKE %s",
+            (self.schema_name, prefix.replace("_", r"\_") + "%"),
+        )
+        pat = re.compile(re.escape(prefix) + r"[0-9a-f]+$")
+        return sorted(r[0] for r in cur.fetchall() if pat.fullmatch(r[0]))
+
+    def commit(self, messages) -> None:
+        col_list = ", ".join(f'"{c}"' for c in self.columns)
+        conn = _connect(self.options)
+        try:
+            with conn, conn.cursor() as cur:  # ONE txn: atomic publish
+                if self.overwrite:
+                    cur.execute(f"TRUNCATE {self._q(self.table)}")
+                for m in messages:
+                    if m is not None and m.stage:
+                        cur.execute(
+                            f"INSERT INTO {self._q(self.table)} ({col_list})"
+                            f" SELECT {col_list} FROM {self._q(m.stage)}"
+                        )
+                for st in self._all_stages(cur):
+                    cur.execute(f"DROP TABLE {self._q(st)}")
+        finally:
+            conn.close()
+
+    def abort(self, messages) -> None:
+        conn = _connect(self.options)
+        try:
+            with conn, conn.cursor() as cur:
+                for st in self._all_stages(cur):
+                    cur.execute(f"DROP TABLE {self._q(st)}")
+        finally:
+            conn.close()

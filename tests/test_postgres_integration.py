@@ -739,3 +739,100 @@ class TestUpsertSink:
             cur.execute("SELECT v FROM kv_up WHERE k = 110")
             assert cur.fetchall() == [("v110",)]  # fresh insert
         conn.close()
+
+
+class TestPostgresDataSourceWriter:
+    """df.write.format("pgwire"): the WRITE half of the Python DataSource —
+    staged per-task COPY + atomic commit against a REAL server."""
+
+    def _writer(self, df, conn_params, table, mode):
+        from pandas_to_postgres_spark.sources.pg_datasource import (
+            PostgresDataSource,
+        )
+
+        df.sparkSession.dataSource.register(PostgresDataSource)
+        (
+            df.write.format("pgwire")
+            .option("host", conn_params["host"])
+            .option("port", str(conn_params["port"]))
+            .option("user", conn_params["user"])
+            .option("dbname", conn_params["dbname"])
+            .option("table", table)
+            .mode(mode)
+            .save()
+        )
+
+    def _q(self, conn_params, sql):
+        conn = pgwire.connect(**conn_params)
+        with conn, conn.cursor() as cur:
+            cur.execute(sql)
+            out = cur.fetchall()
+        conn.close()
+        return out
+
+    def test_append_overwrite_and_stage_cleanup(self, spark, schema):
+        conn = pgwire.connect(**schema)
+        conn.autocommit = True
+        with conn.cursor() as cur:
+            cur.execute("DROP TABLE IF EXISTS dsw_tgt")
+            cur.execute(
+                "CREATE TABLE dsw_tgt (id BIGINT, name TEXT,"
+                " val DOUBLE PRECISION)"
+            )
+            # orphan stage from a hypothetical crashed attempt: the next
+            # commit must sweep it WITHOUT publishing it
+            cur.execute("CREATE TABLE dsw_tgt__dsw_deadbeef01 (LIKE dsw_tgt)")
+            cur.execute(
+                "INSERT INTO dsw_tgt__dsw_deadbeef01 VALUES (999, 'ghost', 0)"
+            )
+        conn.close()
+
+        df = spark.createDataFrame(
+            [(i, f"n{i}", i * 0.5) for i in range(1, 201)],
+            "id long, name string, val double",
+        ).repartition(4)
+        self._writer(df, schema, "dsw_tgt", "append")
+        assert self._q(schema, "SELECT count(*) FROM dsw_tgt")[0] == ("200",)
+        assert self._q(
+            schema, "SELECT count(*) FROM dsw_tgt WHERE name = 'ghost'"
+        )[0] == ("0",)
+        # no stage (or orphan) survives the commit
+        assert self._q(
+            schema,
+            "SELECT count(*) FROM pg_tables"
+            " WHERE tablename LIKE 'dsw\\_tgt\\_\\_dsw\\_%'",
+        )[0] == ("0",)
+
+        # append mode appends; overwrite mode replaces atomically
+        self._writer(df.limit(50), schema, "dsw_tgt", "append")
+        assert self._q(schema, "SELECT count(*) FROM dsw_tgt")[0] == ("250",)
+        self._writer(df.limit(30), schema, "dsw_tgt", "overwrite")
+        assert self._q(schema, "SELECT count(*) FROM dsw_tgt")[0] == ("30",)
+
+    def test_write_then_read_roundtrip(self, spark, schema):
+        from pandas_to_postgres_spark.sources.pg_datasource import (
+            PostgresDataSource,
+        )
+
+        conn = pgwire.connect(**schema)
+        conn.autocommit = True
+        with conn.cursor() as cur:
+            cur.execute("DROP TABLE IF EXISTS dsw_rt")
+            cur.execute("CREATE TABLE dsw_rt (id BIGINT, val DOUBLE PRECISION)")
+        conn.close()
+        df = spark.createDataFrame(
+            [(i, float(i) * 1.25) for i in range(100)], "id long, val double"
+        )
+        self._writer(df, schema, "dsw_rt", "append")
+        spark.dataSource.register(PostgresDataSource)
+        back = (
+            spark.read.format("pgwire")
+            .option("host", schema["host"])
+            .option("port", str(schema["port"]))
+            .option("user", schema["user"])
+            .option("dbname", schema["dbname"])
+            .option("table", "dsw_rt")
+            .load()
+        )
+        got = sorted((r.id, r.val) for r in back.collect())
+        assert got == [(i, i * 1.25) for i in range(100)]
