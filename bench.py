@@ -134,6 +134,35 @@ def etl_copy_to_postgres(spark, sf_dir: str):
             pglocal.stop(server)
 
 
+def stream_throughput(spark, sf_dir: str):
+    """Structured Streaming tier: drain the events table through the
+    windowed aggregation (watermark + 10-minute tumbling windows, the
+    §2.9 workhorse) with an AvailableNow trigger and report sustained
+    rows/s of STREAM INPUT processed. min-of-2 like every other tier;
+    returns None if the streaming path is unavailable."""
+    try:
+        from pandas_to_postgres_spark.streaming.events import (
+            windowed_event_counts,
+        )
+
+        rows = None
+        secs = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            out = windowed_event_counts(spark, sf_dir)
+            out.count()
+            secs = min(secs, time.perf_counter() - t0)
+            if rows is None:
+                import pyarrow.parquet as pq  # noqa: PLC0415
+
+                rows = pq.ParquetFile(
+                    f"{sf_dir}/events.parquet"
+                ).metadata.num_rows
+        return secs, rows
+    except Exception:
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("bench")
@@ -200,6 +229,11 @@ def main() -> None:
         # round 1, which had no Postgres tier
         line["pg_copy_rows_per_sec"] = round(pg_rows / pg_secs)
         line["pg_copy_rows"] = pg_rows
+    st = stream_throughput(spark, sf_dir)
+    if st is not None:
+        st_secs, st_rows = st
+        line["stream_rows_per_sec"] = round(st_rows / st_secs)
+        line["stream_rows"] = st_rows
     print(json.dumps(line))
 
 
