@@ -1441,3 +1441,82 @@ def vocab_drift_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .drop("__za")
     )
+
+
+@register(
+    "calibration_bins_score",
+    oracle="""
+    WITH pts AS (
+      SELECT value,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events WHERE event_type IN ('purchase', 'click')),
+    st AS (SELECT min(value) AS mn, max(value) AS mx FROM pts),
+    z AS (
+      SELECT least(CAST(floor((pts.value - st.mn) / (st.mx - st.mn) * 10)
+                        AS BIGINT), 9) AS bin,
+             (pts.value - st.mn) / (st.mx - st.mn) AS conf,
+             pts.y
+      FROM pts CROSS JOIN st)
+    SELECT bin,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(y) AS BIGINT) AS n_pos,
+           CAST(CAST(sum(y) AS BIGINT) * 1000000 // count(*) AS BIGINT)
+             AS rate_micro,
+           round(CAST(sum(CAST(conf AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(*), 4) AS mean_conf
+    FROM z GROUP BY bin ORDER BY bin
+    """,
+)
+def calibration_bins_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration / reliability curve of the event-value score as a
+    purchase-vs-click predictor: min-max-normalized score, 10 fixed
+    confidence bins, each reporting observed positive rate vs mean
+    predicted confidence — the companion diagnostic to
+    `auc_purchase_score` (AUC measures ranking; calibration measures
+    whether the score's MAGNITUDE means what it claims; the gap per bin
+    is the reliability-diagram deviation whose weighted sum is ECE).
+
+    Determinism: the bin index and observed rate are integer-exact
+    (BIGINT floor division); mean confidence goes through the shared
+    DECIMAL-accumulated davg so partial-agg merge order cannot move it.
+    The min/max normalization constants ride a broadcast 1-row frame.
+
+    Scale: one scan → 10-group map-side-combined aggregate. The same
+    shape at any corpus size; no window, no sort.
+    """
+    from pandas_to_postgres_spark.functions.agg import davg
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    pts = ev.select(
+        "value",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    st = pts.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    z = pts.crossJoin(F.broadcast(st)).select(
+        F.least(
+            F.floor(
+                (F.col("value") - F.col("mn"))
+                / (F.col("mx") - F.col("mn"))
+                * F.lit(10)
+            ).cast("bigint"),
+            F.lit(9).cast("bigint"),
+        ).alias("bin"),
+        (
+            (F.col("value") - F.col("mn")) / (F.col("mx") - F.col("mn"))
+        ).alias("conf"),
+        "y",
+    )
+    return (
+        z.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("y").cast("bigint").alias("n_pos"),
+            F.expr(
+                "CAST(CAST(sum(y) AS BIGINT) * 1000000 DIV count(1) AS BIGINT)"
+            ).alias("rate_micro"),
+            davg(F.col("conf"), 4).alias("mean_conf"),
+        )
+        .orderBy("bin")
+    )
