@@ -1520,3 +1520,140 @@ def calibration_bins_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+@register(
+    "dedup_threshold_pr",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000,
+             substr(text, 1, CAST((n_chars * 6) // 10 AS INT))
+      FROM documents),
+    tokd AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                         t -> t <> '') AS toks
+      FROM corpus),
+    sized AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN length(toks) >= 3 THEN
+               list_transform(generate_series(1, length(toks) - 2),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+             ELSE [array_to_string(toks, ' ')] END) AS tk
+      FROM tokd),
+    szd AS (SELECT doc_id, tk, length(tk) AS sz FROM sized),
+    tok AS (SELECT doc_id, sz, unnest(tk) AS t FROM szd),
+    dfreq AS (SELECT t, count(*) AS dfc FROM tok GROUP BY t),
+    ranked AS (
+      SELECT tok.doc_id, tok.sz, tok.t,
+             row_number() OVER (PARTITION BY tok.doc_id
+                                ORDER BY dfreq.dfc, tok.t) AS rn
+      FROM tok JOIN dfreq USING (t)),
+    pref AS (
+      SELECT doc_id, t FROM ranked
+      WHERE rn <= sz - ceil(0.4 * sz) + 1),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM pref a JOIN pref b ON a.t = b.t AND a.doc_id < b.doc_id),
+    ver AS (
+      SELECT id_a, id_b,
+             CAST(len(list_intersect(x.tk, y.tk)) * 1000000
+                  // (len(x.tk) + len(y.tk)
+                      - len(list_intersect(x.tk, y.tk))) AS BIGINT) AS jm,
+             (id_b = id_a + 1000000) AS planted
+      FROM cand
+      JOIN szd x ON x.doc_id = cand.id_a
+      JOIN szd y ON y.doc_id = cand.id_b
+      WHERE len(list_intersect(x.tk, y.tk)) * 1000000
+            >= 400000 * (len(x.tk) + len(y.tk)
+                         - len(list_intersect(x.tk, y.tk)))),
+    nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    th AS (SELECT unnest(generate_series(4, 9)) * 100000 AS t)
+    SELECT th.t AS threshold_micro,
+           CAST(sum(CASE WHEN ver.jm >= th.t AND ver.planted
+                    THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           CAST(sum(CASE WHEN ver.jm >= th.t AND NOT ver.planted
+                    THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           CAST(sum(CASE WHEN ver.jm >= th.t AND ver.planted
+                         THEN 1 ELSE 0 END) * 1000000
+                // max(nd.n_docs) AS BIGINT) AS recall_micro
+    FROM th CROSS JOIN nd LEFT JOIN ver ON true
+    GROUP BY th.t
+    ORDER BY th.t
+    """,
+)
+def dedup_threshold_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold sweep of the exact dedup verifier against PLANTED ground
+    truth: every document gets a 60%-length truncated twin (integer
+    arithmetic for the cut — a double 0.6*n would ceil() differently per
+    engine), exact prefix-filtered trigram Jaccard finds candidate pairs
+    at tau >= 0.4, and six thresholds report TP / FP / recall — the
+    operating-point curve a dedup pipeline owner reads before picking
+    tau (the same evaluation discipline as `calibration_bins_score`, but
+    for the similarity-join family; recall's denominator is the planted
+    pair count = |documents|).
+
+    Exactness: pair Jaccard is the integer micro ratio; the sweep
+    compares BIGINTs; recall uses integer floor division. Recall < 1 at
+    tau = 0.4 is a finding, not a bug: truncation pushes some twins'
+    true trigram Jaccard below 0.4 (they are genuinely not
+    0.4-duplicates).
+
+    Scale: candidates come from the SIGMOD'10 prefix filter (exact
+    recall by construction, candidate space bounded by rare-shingle df);
+    the sweep itself is a 6-row literal crossJoin over the verified-pair
+    frame — threshold count never multiplies corpus work.
+    """
+    from pandas_to_postgres_spark.operators.dedup import ngram_jaccard_prefix
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "n_chars"
+    )
+    trunc = d.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.expr(
+            "substring(text, 1, CAST((n_chars * 6) DIV 10 AS INT))"
+        ).alias("text"),
+    )
+    corpus = d.select("doc_id", "text").unionByName(trunc)
+    pairs = ngram_jaccard_prefix(
+        corpus, text_col="text", id_col="doc_id", threshold=0.4, n=3
+    )
+    # jaccard (4dp double) -> integer micro on the SAME grid both engines
+    ver = pairs.select(
+        F.floor(F.col("jaccard") * F.lit(1e6) + F.lit(0.5))
+        .cast("bigint")
+        .alias("jm"),
+        (F.col("id_b") == F.col("id_a") + F.lit(1_000_000)).alias("planted"),
+    )
+    nd = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    th = spark.range(4, 10).select(
+        (F.col("id") * F.lit(100000)).cast("bigint").alias("t")
+    )
+    return (
+        th.crossJoin(F.broadcast(nd))
+        .join(ver, F.lit(True), "left")
+        .groupBy("t")
+        .agg(
+            F.sum(
+                F.when((F.col("jm") >= F.col("t")) & F.col("planted"), 1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("tp"),
+            F.sum(
+                F.when((F.col("jm") >= F.col("t")) & ~F.col("planted"), 1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("fp"),
+            F.expr(
+                "CAST(CAST(sum(CASE WHEN jm >= t AND planted THEN 1 ELSE 0 "
+                "END) AS BIGINT) * 1000000 DIV max(n_docs) AS BIGINT)"
+            ).alias("recall_micro"),
+        )
+        .select(F.col("t").alias("threshold_micro"), "tp", "fp", "recall_micro")
+        .orderBy("threshold_micro")
+    )
