@@ -1657,3 +1657,80 @@ def dedup_threshold_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("t").alias("threshold_micro"), "tp", "fp", "recall_micro")
         .orderBy("threshold_micro")
     )
+
+
+@register(
+    "burstiness_users",
+    oracle="""
+    WITH g AS (
+      SELECT user_id,
+             CAST(epoch_us(ts) // 1000000
+                  - lag(epoch_us(ts) // 1000000) OVER (
+                      PARTITION BY user_id ORDER BY ts, event_id)
+                  AS BIGINT) AS gap
+      FROM events),
+    s AS (
+      SELECT user_id,
+             CAST(count(gap) AS BIGINT) AS n,
+             CAST(sum(gap) AS BIGINT) AS sg,
+             CAST(sum(gap * gap) AS BIGINT) AS sg2
+      FROM g WHERE gap IS NOT NULL GROUP BY user_id
+      HAVING count(gap) >= 2)
+    SELECT user_id, n,
+           CAST(sg // n AS BIGINT) AS mean_gap_s,
+           CAST(floor((sqrt(CAST(n * sg2 - sg * sg AS DOUBLE)) / n
+                       - CAST(sg AS DOUBLE) / n)
+                      / (sqrt(CAST(n * sg2 - sg * sg AS DOUBLE)) / n
+                         + CAST(sg AS DOUBLE) / n)
+                      * 1e6 + 0.5) AS BIGINT) AS burstiness_micro
+    FROM s
+    ORDER BY n DESC, user_id LIMIT 20
+    """,
+)
+def burstiness_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival burstiness (Goh & Barabási 2008): B = (σ−μ)/(σ+μ)
+    of each user's event gaps — B→−1 periodic, 0 Poisson, →+1 bursty;
+    the temporal-signature feature bot-detection and engagement models
+    use, which plain rate/streak metrics can't see.
+
+    Exactness: gaps are integer seconds; Σg and Σg² accumulate in BIGINT
+    (order-free), so the variance numerator n·Σg² − (Σg)² is EXACT
+    before the one sqrt; μ and σ then take identical IEEE paths in both
+    engines and B lands on the shared micro grid. (A double-accumulated
+    variance would be partial-merge-order dependent — the same trap
+    `functions/agg` exists for, solved here with integers instead of
+    DECIMAL because gaps are naturally integral.)
+
+    Scale: the lag rides the SAME per-user window exchange the
+    lag/EWMA family pays (one shuffle), then a map-side-combined
+    per-user aggregate; top-20 is TakeOrderedAndProject.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 1000000")
+    g = ev.select(
+        "user_id", (sec - F.lag(sec).over(w)).cast("bigint").alias("gap")
+    ).filter(F.col("gap").isNotNull())
+    s = (
+        g.groupBy("user_id")
+        .agg(
+            F.count("gap").cast("bigint").alias("n"),
+            F.sum("gap").cast("bigint").alias("sg"),
+            F.sum(F.col("gap") * F.col("gap")).cast("bigint").alias("sg2"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    sigma = F.sqrt((F.col("n") * F.col("sg2") - F.col("sg") * F.col("sg")).cast("double")) / F.col("n")
+    mu = F.col("sg").cast("double") / F.col("n")
+    return (
+        s.select(
+            "user_id",
+            "n",
+            F.expr("CAST(sg DIV n AS BIGINT)").alias("mean_gap_s"),
+            F.floor((sigma - mu) / (sigma + mu) * F.lit(1e6) + F.lit(0.5))
+            .cast("bigint")
+            .alias("burstiness_micro"),
+        )
+        .orderBy(F.col("n").desc(), "user_id")
+        .limit(20)
+    )
