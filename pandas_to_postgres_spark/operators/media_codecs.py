@@ -7,6 +7,9 @@ this container. But uncompressed containers need no codec library at all:
 - **WAV** (RIFF PCM)  — stdlib ``wave`` + numpy ``frombuffer``
 - **BMP** (24-bit uncompressed) — ``struct`` header parse + numpy reshape
 - **PPM** (P6 binary) — 3-token ASCII header + raw RGB bytes
+- **PNG** (8-bit RGB/RGBA, non-interlaced) — stdlib ``zlib`` inflate +
+  a real unfilter pass for all five PNG filter types (so COMPRESSED
+  lossless images decode too; see ``decode_png``)
 
 so for these formats the decode step is REAL: actual pixels and samples
 come out, get featurized with numpy, and flow through the same
@@ -174,8 +177,13 @@ def _featurize_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 f = [float(rgb.shape[0]), float(rgb.shape[1])] + [
                     float(m) for m in rgb.reshape(-1, 3).mean(axis=0)
                 ]
+            elif mime == "image/png":
+                rgb = decode_png(b)[:, :, :3]
+                f = [float(rgb.shape[0]), float(rgb.shape[1])] + [
+                    float(m) for m in rgb.reshape(-1, 3).mean(axis=0)
+                ]
             else:
-                # the honest gate: compressed formats need libs absent here
+                # the honest gate: JPEG/MP4 etc. need libs absent here
                 raise NotImplementedError(
                     f"no codec for {mime!r} in this container (PIL/ffmpeg absent)"
                 )
@@ -212,3 +220,103 @@ def resize_rgb(rgb: "np.ndarray", width: int, height: int) -> "np.ndarray":
     rows = (np.arange(height) * h // height).clip(0, h - 1)
     cols = (np.arange(width) * w // width).clip(0, w - 1)
     return rgb[rows][:, cols]
+
+
+# ---------- PNG (stdlib zlib — a COMPRESSED format with no codec lib) ----
+
+def encode_png(rgb: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB → non-interlaced 8-bit truecolor PNG bytes.
+
+    Pure stdlib: zlib DEFLATE + struct chunk framing + CRC32. Scanlines
+    use filter 0 (None) — any PNG reader decodes the output.
+    """
+    import zlib  # noqa: PLC0415
+
+    h, w, _ = rgb.shape
+    raw = b"".join(b"\x00" + rgb[y].tobytes() for y in range(h))
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Non-interlaced 8-bit RGB/RGBA PNG bytes → (h, w, 3|4) uint8.
+
+    A REAL decoder for the most common lossless image format, with no
+    imaging library: chunk walk → zlib inflate → per-scanline UNFILTER
+    implementing all five PNG filter types (None/Sub/Up/Average/Paeth,
+    RFC 2083 §6). Sub uses a per-channel cumulative sum mod 256
+    (left-recursion vectorized); Average/Paeth fall back to a per-pixel
+    loop (correct for foreign PNGs; our own encoder emits filter 0, so
+    the engine's hot path never enters the loop). Interlaced, paletted,
+    and 16-bit images raise — honestly out of scope, not silently wrong.
+    """
+    import zlib  # noqa: PLC0415
+
+    if not payload.startswith(b"\x89PNG\r\n\x1a\n"):
+        raise ValueError("not a PNG payload")
+    pos, idat, meta = 8, [], None
+    while pos < len(payload):
+        (ln,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+        if tag == b"IHDR":
+            meta = struct.unpack(">IIBBBBB", data)
+        elif tag == b"IDAT":
+            idat.append(data)
+        elif tag == b"IEND":
+            break
+    if meta is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color, comp, filt, interlace = meta
+    if depth != 8 or color not in (2, 6) or interlace != 0:
+        raise NotImplementedError(
+            "only 8-bit non-interlaced RGB/RGBA PNG supported"
+        )
+    ch = 3 if color == 2 else 4
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int64)
+        if ft == 0:
+            rec = line
+        elif ft == 2:  # Up
+            rec = (line + prev) % 256
+        elif ft == 1:  # Sub: per-channel prefix sum mod 256
+            rec = np.cumsum(line.reshape(w, ch), axis=0) % 256
+            rec = rec.reshape(stride)
+        else:  # Average (3) / Paeth (4): left-dependent, per-pixel loop
+            rec = np.zeros(stride, dtype=np.int64)
+            for x in range(stride):
+                a = rec[x - ch] if x >= ch else 0
+                b = int(prev[x])
+                if ft == 3:
+                    rec[x] = (line[x] + (a + b) // 2) % 256
+                else:
+                    c = int(prev[x - ch]) if x >= ch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    rec[x] = (line[x] + pred) % 256
+        out[y] = rec.astype(np.uint8)
+        prev = out[y]
+    return out.reshape(h, w, ch).copy()

@@ -654,14 +654,15 @@ def heavy_hitters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("multimodal_real_decode", oracle=None)  # binary codec path: no SQL twin
 def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL (not faked) media decode through the multimodal plumbing:
-    every document synthesizes a deterministic 16-bit PCM WAV payload
-    (tone frequency keyed by doc_id, duration by n_chars), and
-    `operators/media_codecs.extract_features_real` decodes the ACTUAL
-    samples back out with the stdlib wave module + numpy — no PIL/ffmpeg
-    involved, so nothing here is a stub. Output: per-doc duration, RMS
-    and zero-crossing features of the decoded audio. Compressed formats
-    (PNG/JPEG/MP4) remain honestly gated behind NotImplementedError in
-    the same dispatcher.
+    odd doc_ids synthesize a deterministic 16-bit PCM WAV payload (tone
+    frequency keyed by doc_id, duration by n_chars), EVEN doc_ids a
+    deterministic PNG image (gradient pattern keyed by doc_id, size by
+    n_chars) — and `operators/media_codecs.extract_features_real`
+    decodes the ACTUAL samples/pixels back out with stdlib wave/zlib +
+    numpy, no PIL/ffmpeg involved. PNG is a genuinely COMPRESSED format
+    (DEFLATE + scanline filters), so the decode path here is not a
+    header parse. JPEG/MP4 remain honestly gated behind
+    NotImplementedError in the same dispatcher.
 
     Scale: synthesis and decode are both map-only mapInPandas stages —
     payloads are created and consumed inside the same partition, never
@@ -674,6 +675,7 @@ def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import types as T
 
     from pandas_to_postgres_spark.operators.media_codecs import (
+        encode_png,
         encode_wav,
         extract_features_real,
     )
@@ -690,17 +692,35 @@ def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = []
+            payloads, mimes = [], []
             for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
-                freq = 200.0 + (int(doc_id) % 20) * 50.0
-                n = 800 + (int(n_chars) % 800)  # 0.1-0.2 s at 8 kHz
-                t = np.arange(n) / 8000.0
-                payloads.append(encode_wav(0.4 * np.sin(2 * np.pi * freq * t)))
+                if int(doc_id) % 2 == 0:
+                    h = 8 + (int(n_chars) % 24)
+                    w = 8 + (int(doc_id) % 24)
+                    yy, xx = np.mgrid[0:h, 0:w]
+                    rgb = np.stack(
+                        [
+                            (yy * 7 + int(doc_id)) % 256,
+                            (xx * 11) % 256,
+                            (yy + xx) % 256,
+                        ],
+                        axis=-1,
+                    ).astype(np.uint8)
+                    payloads.append(encode_png(rgb))
+                    mimes.append("image/png")
+                else:
+                    freq = 200.0 + (int(doc_id) % 20) * 50.0
+                    n = 800 + (int(n_chars) % 800)  # 0.1-0.2 s at 8 kHz
+                    t = np.arange(n) / 8000.0
+                    payloads.append(
+                        encode_wav(0.4 * np.sin(2 * np.pi * freq * t))
+                    )
+                    mimes.append("audio/wav")
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "payload": payloads,
-                    "mime": ["audio/wav"] * len(payloads),
+                    "mime": mimes,
                 }
             )
 

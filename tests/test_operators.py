@@ -1111,6 +1111,56 @@ class TestRealMediaCodecs:
                 abs(rows[i].feature[2 + c] - means[c]) < 1e-4 for c in range(3)
             )
 
+    def test_png_real_decode_roundtrip_and_foreign_filters(self, spark):
+        """PNG is now a REAL codec (stdlib zlib): our encoder round-trips
+        through Spark, and the decoder unfilters all five PNG filter
+        types so foreign PNGs decode too."""
+        import struct
+        import zlib
+
+        import numpy as np
+
+        from pandas_to_postgres_spark.operators.media_codecs import (
+            decode_png,
+            encode_png,
+            extract_features_real,
+        )
+
+        rng = np.random.default_rng(11)
+        rgb = rng.integers(0, 256, size=(6, 4, 3), dtype=np.uint8)
+        assert np.array_equal(decode_png(encode_png(rgb)), rgb)
+        df = spark.createDataFrame(
+            [(1, bytearray(encode_png(rgb)), "image/png")],
+            "doc_id long, payload binary, mime string",
+        )
+        (row,) = extract_features_real(df).collect()
+        means = rgb.reshape(-1, 3).mean(axis=0)
+        assert row.feature[0] == 6.0 and row.feature[1] == 4.0
+        assert all(abs(row.feature[2 + c] - means[c]) < 1e-4 for c in range(3))
+        # foreign PNG using Up-filtered scanlines (filter 2) decodes too
+        h, w = rgb.shape[0], rgb.shape[1]
+        prev = np.zeros(w * 3, dtype=np.int64)
+        rows_ = []
+        for y in range(h):
+            cur = rgb[y].reshape(-1).astype(np.int64)
+            rows_.append(b"\x02" + bytes(((cur - prev) % 256).astype(np.uint8)))
+            prev = cur
+        raw = b"".join(rows_)
+
+        def chunk(tag, data):
+            return (
+                struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+            )
+
+        png = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+        assert np.array_equal(decode_png(png), rgb)
+
     def test_compressed_formats_stay_gated(self, spark):
         from py4j.protocol import Py4JJavaError
 
@@ -1119,7 +1169,7 @@ class TestRealMediaCodecs:
         )
 
         df = spark.createDataFrame(
-            [(1, bytearray(b"\x89PNG..."), "image/png")],
+            [(1, bytearray(b"\xff\xd8\xff..."), "image/jpeg")],
             "doc_id long, payload binary, mime string",
         )
         with pytest.raises((Py4JJavaError, Exception)) as ei:
