@@ -182,6 +182,30 @@ def _featurize_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 f = [float(rgb.shape[0]), float(rgb.shape[1])] + [
                     float(m) for m in rgb.reshape(-1, 3).mean(axis=0)
                 ]
+            elif mime == "text/gzip":
+                txt = decode_gzip_text(b)
+                toks = [t for t in txt.split() if t]
+                f = [
+                    float(len(txt)),
+                    float(len(toks)),
+                    float(len(set(toks))),
+                    0.0,
+                    0.0,
+                ]
+            elif mime == "audio/basic":  # G.711 mu-law
+                samples = decode_mulaw(b)
+                zc = (
+                    float(np.mean(np.abs(np.diff(np.signbit(samples)))))
+                    if len(samples) > 1
+                    else 0.0
+                )
+                f = [
+                    len(samples) / 8000.0,
+                    float(np.sqrt(np.mean(samples**2))) if len(samples) else 0.0,
+                    zc,
+                    0.0,
+                    0.0,
+                ]
             else:
                 # the honest gate: JPEG/MP4 etc. need libs absent here
                 raise NotImplementedError(
@@ -320,3 +344,42 @@ def decode_png(payload: bytes) -> np.ndarray:
         out[y] = rec.astype(np.uint8)
         prev = out[y]
     return out.reshape(h, w, ch).copy()
+
+
+# ---------- gzip text + G.711 mu-law audio (compressed, stdlib/numpy) ----
+
+def encode_gzip_text(text: str) -> bytes:
+    """UTF-8 text → gzip bytes (mtime pinned to 0 so output is
+    deterministic — the default stamps wall-clock into the header)."""
+    import gzip  # noqa: PLC0415
+    import io as _io  # noqa: PLC0415
+
+    buf = _io.BytesIO()
+    with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+        gz.write(text.encode("utf-8"))
+    return buf.getvalue()
+
+
+def decode_gzip_text(payload: bytes) -> str:
+    """gzip bytes → UTF-8 text — the compressed-text case a real corpus
+    actually ships (WARC/.jsonl.gz shards)."""
+    import gzip  # noqa: PLC0415
+
+    return gzip.decompress(payload).decode("utf-8")
+
+
+def encode_mulaw(samples: np.ndarray) -> bytes:
+    """float samples in [-1, 1] → G.711 mu-law bytes (ITU-T G.711, the
+    8-bit logarithmic telephony codec) — pure numpy companding."""
+    x = np.clip(samples, -1.0, 1.0)
+    mu = 255.0
+    y = np.sign(x) * np.log1p(mu * np.abs(x)) / np.log1p(mu)  # [-1, 1]
+    return ((y + 1.0) * 127.5 + 0.5).astype(np.uint8).tobytes()
+
+
+def decode_mulaw(payload: bytes) -> np.ndarray:
+    """G.711 mu-law bytes → float samples in [-1, 1] — a REAL lossy
+    compressed audio decode (logarithmic expansion), no codec library."""
+    y = np.frombuffer(payload, dtype=np.uint8).astype(np.float64) / 127.5 - 1.0
+    mu = 255.0
+    return np.sign(y) * ((1.0 + mu) ** np.abs(y) - 1.0) / mu

@@ -1161,6 +1161,34 @@ class TestRealMediaCodecs:
         )
         assert np.array_equal(decode_png(png), rgb)
 
+    def test_gzip_text_and_mulaw_real_decode(self, spark):
+        """Two more genuinely compressed formats decode for real: gzip'd
+        text (the .jsonl.gz corpus-shard case) and G.711 mu-law audio
+        (8-bit logarithmic companding, max quantization error < 2%)."""
+        import numpy as np
+
+        from pandas_to_postgres_spark.operators.media_codecs import (
+            decode_mulaw,
+            encode_gzip_text,
+            encode_mulaw,
+            extract_features_real,
+        )
+
+        t = np.arange(1600) / 8000.0
+        tone = 0.3 * np.sin(2 * np.pi * 200 * t)
+        assert float(np.max(np.abs(decode_mulaw(encode_mulaw(tone)) - tone))) < 0.02
+        df = spark.createDataFrame(
+            [
+                (1, bytearray(encode_gzip_text("alpha beta beta gamma")), "text/gzip"),
+                (2, bytearray(encode_mulaw(tone)), "audio/basic"),
+            ],
+            "doc_id long, payload binary, mime string",
+        )
+        rows = {r.doc_id: r for r in extract_features_real(df).collect()}
+        assert rows[1].feature[:3] == [21.0, 4.0, 3.0]  # chars, tokens, distinct
+        assert abs(rows[2].feature[0] - 0.2) < 1e-9  # 1600 samples @ 8 kHz
+        assert abs(rows[2].feature[1] - 0.3 / 2 ** 0.5) < 0.01  # sine RMS
+
     def test_compressed_formats_stay_gated(self, spark):
         from py4j.protocol import Py4JJavaError
 
