@@ -413,3 +413,83 @@ def test_pagerank_matches_reference_and_conserves_mass(spark, edges):
         assert total <= 1.0 + 1e-6
     for v in ref:
         assert abs(got[v] - ref[v]) < 1e-9, (v, got[v], ref[v])
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+@given(
+    baskets=st.lists(
+        st.tuples(
+            # order total in cents, and per-line weights (cents)
+            st.integers(min_value=1, max_value=10_000_000),
+            st.lists(
+                st.integers(min_value=1, max_value=1_000_000),
+                min_size=1,
+                max_size=7,
+            ),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_proration_reconciles_for_any_weights(spark, baskets):
+    """Largest-remainder invariants under arbitrary integer weights:
+    per-order allocations sum EXACTLY to the order total, and every
+    line's allocation is within one cent of its unrounded proportional
+    share (the Hamilton-method guarantee). All generated baskets run as
+    ONE Spark job."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    li_rows, o_rows = [], []
+    for ok, (total_c, weights) in enumerate(baskets):
+        o_rows.append((ok, total_c))
+        for ln, w in enumerate(weights):
+            li_rows.append((ok, ln, w))
+    li = spark.createDataFrame(
+        li_rows, "l_orderkey long, l_linenumber long, item_c long"
+    )
+    o = spark.createDataFrame(o_rows, "l_orderkey long, total_c long")
+    s = li.groupBy("l_orderkey").agg(F.sum("item_c").alias("sum_c"))
+    base = (
+        li.join(s, "l_orderkey")
+        .join(o, "l_orderkey")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "total_c",
+            "item_c",
+            "sum_c",
+            F.expr("(total_c * item_c) DIV sum_c").alias("fl"),
+            F.expr("(total_c * item_c) % sum_c").alias("rem"),
+        )
+    )
+    w_ord = Window.partitionBy("l_orderkey")
+    w_rank = w_ord.orderBy(F.col("rem").desc(), "l_linenumber")
+    out = base.select(
+        "l_orderkey",
+        "total_c",
+        "item_c",
+        "sum_c",
+        (
+            F.col("fl")
+            + F.when(
+                F.row_number().over(w_rank)
+                <= F.col("total_c") - F.sum("fl").over(w_ord),
+                1,
+            ).otherwise(0)
+        ).alias("alloc"),
+    ).collect()
+    by_order = {}
+    for r in out:
+        by_order.setdefault(r.l_orderkey, []).append(r)
+        share = r.total_c * r.item_c / r.sum_c
+        assert abs(r.alloc - share) < 1.0  # within one cent of exact share
+    for ok, (total_c, _) in enumerate(baskets):
+        assert sum(r.alloc for r in by_order[ok]) == total_c
