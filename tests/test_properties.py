@@ -493,3 +493,92 @@ def test_proration_reconciles_for_any_weights(spark, baskets):
         assert abs(r.alloc - share) < 1.0  # within one cent of exact share
     for ok, (total_c, _) in enumerate(baskets):
         assert sum(r.alloc for r in by_order[ok]) == total_c
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    devs=st.lists(
+        st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=60
+    )
+)
+def test_cusum_reflection_identity(devs):
+    """The window rewrite `cusum_changepoint_events` rests on: the
+    sequential recursion s_i = max(0, s_{i-1} + d_i) equals
+    prefix_i - min(0, min_{j<=i} prefix_j). Pure-integer property over
+    arbitrary deviation sequences — no Spark needed to prove the
+    algebra the plan relies on."""
+    s = 0
+    seq = []
+    for d in devs:
+        s = max(0, s + d)
+        seq.append(s)
+    prefix, mn, rewritten = 0, 0, []
+    for d in devs:
+        prefix += d
+        mn = min(mn, prefix)
+        rewritten.append(prefix - min(0, mn))
+    assert seq == rewritten
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+@given(
+    groups=st.lists(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=50),  # price (as int)
+                st.integers(min_value=1, max_value=20),  # weight
+            ),
+            min_size=1,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_weighted_median_crossing_matches_reference(spark, groups):
+    """The 2*cw >= tw crossing pick in `weighted_median_price` equals
+    the reference lower weighted median (smallest value whose cumulative
+    weight reaches half the total) for arbitrary weighted multisets —
+    including duplicate values, which the grid collapse merges. All
+    generated groups run as ONE Spark job."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    rows = []
+    for gid, members in enumerate(groups):
+        for price, w in members:
+            rows.append((gid, float(price), w))
+    df = spark.createDataFrame(rows, "gid long, price double, w long")
+    g = df.groupBy("gid", "price").agg(F.sum("w").alias("w"))
+    w_cum = Window.partitionBy("gid").orderBy("price")
+    w_tot = Window.partitionBy("gid")
+    c = g.select(
+        "gid",
+        "price",
+        F.sum("w").over(w_cum).alias("cw"),
+        F.sum("w").over(w_tot).alias("tw"),
+    )
+    got = {
+        r.gid: r.wm
+        for r in c.filter(F.lit(2) * F.col("cw") >= F.col("tw"))
+        .groupBy("gid")
+        .agg(F.min("price").alias("wm"))
+        .collect()
+    }
+    for gid, members in enumerate(groups):
+        tw = sum(w for _, w in members)
+        cum = 0
+        expect = None
+        for price, w in sorted(members):
+            cum += w
+            if 2 * cum >= tw:
+                expect = float(price)
+                break
+        assert got[gid] == expect
