@@ -1734,3 +1734,201 @@ def burstiness_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "user_id")
         .limit(20)
     )
+
+
+@register(
+    "rolling_corr_events",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS y
+      FROM events GROUP BY CAST(ts AS DATE)),
+    w AS (
+      SELECT day, x, y,
+             CAST(count(*) OVER win AS BIGINT) AS n,
+             CAST(sum(x) OVER win AS BIGINT) AS sx,
+             CAST(sum(y) OVER win AS BIGINT) AS sy,
+             CAST(sum(x * y) OVER win AS BIGINT) AS sxy,
+             CAST(sum(x * x) OVER win AS BIGINT) AS sx2,
+             CAST(sum(y * y) OVER win AS BIGINT) AS sy2
+      FROM d
+      WINDOW win AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+    SELECT day, n,
+           CASE WHEN (n * sx2 - sx * sx) > 0 AND (n * sy2 - sy * sy) > 0
+           THEN CAST(floor(
+             CAST(n * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n * sx2 - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * sy2 - sy * sy AS DOUBLE)))
+             * 1e6 + 0.5) AS BIGINT)
+           ELSE NULL END AS corr_micro
+    FROM w WHERE n >= 3 ORDER BY day
+    """,
+)
+def rolling_corr_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day Pearson correlation between the purchase and click
+    daily-count series — the co-movement monitor (did the funnel's
+    stages decouple this week?). Every moment (Σx, Σy, Σxy, Σx², Σy²)
+    accumulates in BIGINT over integer counts, so both variance terms
+    and the covariance numerator are EXACT; the two sqrts and one
+    division take identical IEEE paths and the result lands on the
+    micro grid. Zero-variance windows yield NULL, not a crash or a
+    fake 0.
+
+    Scale: one map-side-combined daily aggregate, then ONE window over
+    |days| rows computing all five moments in the same frame — the
+    7-day trailing window never touches raw events. (The day-level
+    global window is fine: |days| rows per series; shard by series key
+    when monitoring many metrics.)
+    """
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.col("ts").cast("date").cast("string").alias("day")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("y"),
+    )
+    win = Window.orderBy("day").rowsBetween(-6, 0)
+    w = d.select(
+        "day",
+        F.count(F.lit(1)).over(win).cast("bigint").alias("n"),
+        F.sum("x").over(win).cast("bigint").alias("sx"),
+        F.sum("y").over(win).cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(win).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(win).cast("bigint").alias("sx2"),
+        F.sum(F.col("y") * F.col("y")).over(win).cast("bigint").alias("sy2"),
+    )
+    varx = F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")
+    vary = F.col("n") * F.col("sy2") - F.col("sy") * F.col("sy")
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    r = F.floor(
+        num / (F.sqrt(varx.cast("double")) * F.sqrt(vary.cast("double")))
+        * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("bigint")
+    return (
+        w.filter(F.col("n") >= 3)
+        .select(
+            "day",
+            "n",
+            F.when((varx > 0) & (vary > 0), r).alias("corr_micro"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "seasonal_backtest_events",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+               AS a_micro
+      FROM events GROUP BY CAST(ts AS DATE)),
+    f AS (
+      SELECT day, a_micro,
+             lag(a_micro, 7) OVER (ORDER BY day) AS f_micro
+      FROM d)
+    SELECT day, a_micro, f_micro,
+           CAST(2000000 * abs(f_micro - a_micro)
+                // (abs(f_micro) + abs(a_micro)) AS BIGINT) AS smape_micro
+    FROM f WHERE f_micro IS NOT NULL
+      AND abs(f_micro) + abs(a_micro) > 0
+    ORDER BY day
+    """,
+)
+def seasonal_backtest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict each day's total event
+    value with the value seven days earlier (the baseline every real
+    forecasting system must beat) and score each prediction with sMAPE —
+    the standard scale-free backtest error. Daily totals become exact
+    micro BIGINTs through DECIMAL accumulation, so the lag, the absolute
+    errors, and the sMAPE ratio (integer floor division) are bit-exact
+    cross-engine — no FP anywhere.
+
+    Scale: one daily aggregate, one lag window over |days| rows. The
+    backtest never re-reads events; horizon changes are a lag offset.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.col("ts").cast("date").cast("string").alias("day")
+    ).agg(
+        (F.sum(F.col("value").cast("decimal(18,6)")) * F.lit(1000000))
+        .cast("bigint")
+        .alias("a_micro")
+    )
+    w = Window.orderBy("day")
+    f = d.select(
+        "day", "a_micro", F.lag("a_micro", 7).over(w).alias("f_micro")
+    )
+    return (
+        f.filter(
+            F.col("f_micro").isNotNull()
+            & (F.abs("f_micro") + F.abs("a_micro") > 0)
+        )
+        .select(
+            "day",
+            "a_micro",
+            "f_micro",
+            F.expr(
+                "CAST(2000000 * abs(f_micro - a_micro)"
+                " DIV (abs(f_micro) + abs(a_micro)) AS BIGINT)"
+            ).alias("smape_micro"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "hhi_concentration",
+    oracle="""
+    WITH c AS (
+      SELECT c_mktsegment, o_custkey, count(*) AS n
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment, o_custkey)
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(n) AS BIGINT) AS n_orders,
+           CAST(sum(n * n) * 1000000
+                // (CAST(sum(n) AS BIGINT) * CAST(sum(n) AS BIGINT))
+                AS BIGINT) AS hhi_micro
+    FROM c GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration index per market segment: HHI
+    = Σ share² over customers' order shares — the standard market- /
+    supplier-concentration screen (1/n_customers = perfectly even, 1 =
+    single-customer dependence). The ratio Σn² · 10⁶ // (Σn)² is pure
+    BIGINT (move to DECIMAL(38,0) when Σn² can exceed 2⁶³ — same
+    escalation rule as the AUC/KS statistics).
+
+    Scale: two map-side-combined aggregates (customer grain, then
+    segment grain) on the same join — no window, no sort.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    c = (
+        o.join(cust, o.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment", "o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum("n").cast("bigint").alias("n_orders"),
+            F.expr(
+                "CAST(sum(n * n) * 1000000 DIV"
+                " (CAST(sum(n) AS BIGINT) * CAST(sum(n) AS BIGINT))"
+                " AS BIGINT)"
+            ).alias("hhi_micro"),
+        )
+        .orderBy("c_mktsegment")
+    )
