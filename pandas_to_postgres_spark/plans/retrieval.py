@@ -1932,3 +1932,66 @@ def hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "table_digest_lineitem",
+    oracle="""
+    WITH h AS (
+      SELECT CAST(('0x' || substr(md5(
+               CAST(l_orderkey AS VARCHAR) || '|' ||
+               CAST(l_linenumber AS VARCHAR) || '|' ||
+               CAST(l_partkey AS VARCHAR) || '|' ||
+               CAST(l_suppkey AS VARCHAR) || '|' ||
+               l_returnflag || '|' || l_linestatus || '|' ||
+               CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                    AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      FROM lineitem)
+    SELECT CAST(h % 256 AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(bit_xor(h) AS BIGINT) AS digest
+    FROM h GROUP BY h % 256 ORDER BY bucket
+    """,
+)
+def table_digest_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed content digest for TABLE RECONCILIATION: every row hashes
+    to a 60-bit md5 value over a canonical serialization (integers,
+    flags, and money floored to exact cents — raw double-to-string
+    formatting is NOT engine-portable and is deliberately absent), rows
+    land in 256 hash buckets, and each bucket reports (count, XOR of row
+    hashes). Two replicas of a table — across clusters, engines, or a
+    migration — compare 256 rows instead of re-scanning each other: a
+    mismatched bucket pinpoints WHERE to drill (recurse on the bucket's
+    prefix for a Merkle-style descent), identical digests certify
+    equality up to hash collisions. `snapshot_diff` finds WHICH rows
+    changed between local snapshots; this answers the cheaper remote
+    question "are we even different?" with O(buckets) transfer.
+
+    Exactness: XOR is order- and partition-independent and BIGINT-exact;
+    both engines replay the identical md5 serialization. Scale: one
+    map-side-combinable aggregate into <=256 groups — scan-bound, zero
+    wide shuffles, digest size independent of row count.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    ser = F.concat_ws(
+        "|",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+        F.col("l_partkey").cast("string"),
+        F.col("l_suppkey").cast("string"),
+        F.col("l_returnflag"),
+        F.col("l_linestatus"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .cast("string"),
+    )
+    h = F.conv(F.substring(F.md5(ser), 1, 15), 16, 10).cast("bigint")
+    return (
+        li.select(h.alias("h"))
+        .groupBy((F.col("h") % 256).cast("bigint").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.expr("CAST(bit_xor(h) AS BIGINT)").alias("digest"),
+        )
+        .orderBy("bucket")
+    )
