@@ -1995,3 +1995,116 @@ def table_digest_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "mann_kendall_trend",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+               AS v
+      FROM events GROUP BY CAST(ts AS DATE)),
+    n_ AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+    s_ AS (
+      SELECT CAST(sum(CASE WHEN b.v > a.v THEN 1
+                           WHEN b.v < a.v THEN -1 ELSE 0 END) AS BIGINT) AS s
+      FROM d a JOIN d b ON a.day < b.day),
+    ties AS (
+      SELECT coalesce(CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT), 0)
+               AS tie_term
+      FROM (SELECT count(*) AS t FROM d GROUP BY v HAVING count(*) > 1)),
+    var_ AS (
+      SELECT CAST(n_.n * (n_.n - 1) * (2 * n_.n + 5) - ties.tie_term
+                  AS BIGINT) AS var18
+      FROM n_ CROSS JOIN ties)
+    SELECT n_.n, s_.s, var_.var18,
+           CAST(floor(
+             (s_.s - CASE WHEN s_.s > 0 THEN 1
+                          WHEN s_.s < 0 THEN -1 ELSE 0 END)
+             / sqrt(CAST(var_.var18 AS DOUBLE) / 18.0)
+             * 1e6 + 0.5) AS BIGINT) AS z_micro
+    FROM n_ CROSS JOIN s_ CROSS JOIN var_
+    """,
+)
+def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotonic-trend test on the daily event-value series
+    — the distribution-free "is this metric drifting?" answer that
+    complements CUSUM (level shifts) and KS/PSI (distribution changes):
+    S = Σ_{i<j} sign(x_j − x_i), tie-corrected variance, and the
+    continuity-corrected z statistic.
+
+    Exactness: daily totals are DECIMAL-derived micro BIGINTs; S, the
+    tie term, and 18·Var(S) are all pure integer arithmetic (both
+    engines identical), with the single sqrt/division at the very end on
+    the micro grid.
+
+    Scale: the pair sum is a self-join over the DAY-GRAIN frame — |days|²
+    comparisons per series, which is the statistic's definition and is
+    tiny at any corpus size (the corpus-sized work is one map-side-
+    combined daily aggregate); per-series sharding applies unchanged
+    when monitoring many metrics.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.col("ts").cast("date").cast("string").alias("day")
+    ).agg(
+        (F.sum(F.col("value").cast("decimal(18,6)")) * F.lit(1000000))
+        .cast("bigint")
+        .alias("v")
+    )
+    n_ = d.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    a = d.select(F.col("day").alias("da"), F.col("v").alias("va"))
+    b = d.select(F.col("day").alias("db"), F.col("v").alias("vb"))
+    s_ = (
+        a.join(b, F.col("da") < F.col("db"))
+        .agg(
+            F.sum(
+                F.when(F.col("vb") > F.col("va"), 1)
+                .when(F.col("vb") < F.col("va"), -1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("s")
+        )
+    )
+    ties = (
+        d.groupBy("v")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+                ).cast("bigint"),
+                F.lit(0).cast("bigint"),
+            ).alias("tie_term")
+        )
+    )
+    out = (
+        n_.crossJoin(F.broadcast(s_))
+        .crossJoin(F.broadcast(ties))
+        .withColumn(
+            "var18",
+            (
+                F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+                - F.col("tie_term")
+            ).cast("bigint"),
+        )
+    )
+    sign_s = (
+        F.when(F.col("s") > 0, 1).when(F.col("s") < 0, -1).otherwise(0)
+    )
+    return out.select(
+        "n",
+        "s",
+        "var18",
+        F.floor(
+            (F.col("s") - sign_s)
+            / F.sqrt(F.col("var18").cast("double") / F.lit(18.0))
+            * F.lit(1e6)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("z_micro"),
+    )
