@@ -2108,3 +2108,81 @@ def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("z_micro"),
     )
+
+
+@register(
+    "theilsen_slope",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+             row_number() OVER (ORDER BY CAST(ts AS DATE)) AS di,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+               AS v
+      FROM events GROUP BY CAST(ts AS DATE)),
+    sl AS (
+      SELECT CAST(b.v - a.v AS DOUBLE) / (b.di - a.di) AS slope
+      FROM d a JOIN d b ON a.di < b.di),
+    r AS (
+      SELECT slope,
+             row_number() OVER (ORDER BY slope) AS rn,
+             count(*) OVER () AS m
+      FROM sl)
+    SELECT CAST(max(m) AS BIGINT) AS n_pairs,
+           CAST(floor(max(CASE WHEN rn = (m + 1) // 2 THEN slope END)
+                      + 0.5) AS BIGINT) AS slope_micro_per_day
+    FROM r
+    """,
+)
+def theilsen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen slope of the daily event-value series: the (lower)
+    median of all pairwise slopes — the robust trend MAGNITUDE that
+    pairs with `mann_kendall_trend`'s direction test (29% breakdown
+    point; a single corrupt day cannot drag it, unlike OLS).
+
+    Determinism: day values are DECIMAL-derived micro BIGINTs and day
+    indexes are dense ranks, so every pairwise slope is ONE exact-
+    integer-over-integer IEEE division — bit-identical cross-engine —
+    and the median pick selects by rank over those doubles (lower median
+    at rank (m+1) DIV 2; equal slopes order equally in both engines).
+
+    Scale: pairing is over the DAY-GRAIN frame (the estimator's own
+    O(|days|²) definition — 435 pairs for a month); corpus-sized work is
+    one map-side-combined daily aggregate. Per-series sharding applies
+    unchanged; for very long series the repeated-median variant bounds
+    the pair space per point.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.col("ts").cast("date").cast("string").alias("day")
+    ).agg(
+        (F.sum(F.col("value").cast("decimal(18,6)")) * F.lit(1000000))
+        .cast("bigint")
+        .alias("v")
+    )
+    d = d.withColumn("di", F.row_number().over(Window.orderBy("day")))
+    a = d.select(F.col("di").alias("ia"), F.col("v").alias("va"))
+    b = d.select(F.col("di").alias("ib"), F.col("v").alias("vb"))
+    sl = a.join(b, F.col("ia") < F.col("ib")).select(
+        (
+            (F.col("vb") - F.col("va")).cast("double")
+            / (F.col("ib") - F.col("ia"))
+        ).alias("slope")
+    )
+    r = sl.select(
+        "slope",
+        F.row_number().over(Window.orderBy("slope")).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("m"),
+    )
+    return r.agg(
+        F.max("m").cast("bigint").alias("n_pairs"),
+        F.floor(
+            F.max(
+                F.when(
+                    F.col("rn") == F.expr("(m + 1) DIV 2"), F.col("slope")
+                )
+            )
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("slope_micro_per_day"),
+    )
