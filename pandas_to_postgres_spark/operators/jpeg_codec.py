@@ -1,0 +1,517 @@
+"""Baseline JPEG codec in pure numpy + stdlib — no libjpeg, no PIL.
+
+Scope (honest subset): baseline sequential DCT (SOF0), 8-bit, Huffman
+coding, grayscale (1 component) and YCbCr 4:4:4 (3 components, no chroma
+subsampling). Progressive (SOF2), arithmetic coding, and subsampled
+chroma (the common 4:2:0 layout) raise ``NotImplementedError`` — decoded
+wrong would be worse than gated.
+
+Validation strategy (PIL is absent, so no external reference decoder
+exists in this container):
+
+- **DC-only bitstreams are hand-computable**: a block whose AC
+  coefficients are all zero decodes to a flat 8x8 patch of value
+  ``round(DC * q / 8) + 128`` (the 2-D IDCT of a constant), so
+  `tests` construct minimal JPEGs bit by bit from the spec and assert
+  the decoder's pixels against arithmetic done by hand — an
+  INDEPENDENT check, not a round-trip through our own encoder.
+- Round-trip encoder→decoder tests then bound the lossy error (PSNR)
+  on real gradients/noise, and a marker-level test asserts the encoder
+  emits spec-correct segment framing.
+
+References: ITU-T T.81 (the JPEG spec): Annex F (Huffman procedure),
+Annex K (example quantization/Huffman tables), §A.3.3 (IDCT).
+
+Scale: decode runs inside the same map-only Arrow featurizer as every
+other codec (`media_codecs.extract_features_real`) — payloads decode
+where they sit and never shuffle.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+# ---------------------------------------------------------------- tables
+
+#: zig-zag order: index i of the scan → (row, col) in the 8x8 block
+ZIGZAG = [
+    (0, 0), (0, 1), (1, 0), (2, 0), (1, 1), (0, 2), (0, 3), (1, 2),
+    (2, 1), (3, 0), (4, 0), (3, 1), (2, 2), (1, 3), (0, 4), (0, 5),
+    (1, 4), (2, 3), (3, 2), (4, 1), (5, 0), (6, 0), (5, 1), (4, 2),
+    (3, 3), (2, 4), (1, 5), (0, 6), (0, 7), (1, 6), (2, 5), (3, 4),
+    (4, 3), (5, 2), (6, 1), (7, 0), (7, 1), (6, 2), (5, 3), (4, 4),
+    (3, 5), (2, 6), (1, 7), (2, 7), (3, 6), (4, 5), (5, 4), (6, 3),
+    (7, 2), (7, 3), (6, 4), (5, 5), (4, 6), (3, 7), (4, 7), (5, 6),
+    (6, 5), (7, 4), (7, 5), (6, 6), (5, 7), (6, 7), (7, 6), (7, 7),
+]
+
+#: ITU-T T.81 Annex K.1 — example luminance/chrominance quant tables
+QUANT_LUMA = np.array([
+    [16, 11, 10, 16, 24, 40, 51, 61],
+    [12, 12, 14, 19, 26, 58, 60, 55],
+    [14, 13, 16, 24, 40, 57, 69, 56],
+    [14, 17, 22, 29, 51, 87, 80, 62],
+    [18, 22, 37, 56, 68, 109, 103, 77],
+    [24, 35, 55, 64, 81, 104, 113, 92],
+    [49, 64, 78, 87, 103, 121, 120, 101],
+    [72, 92, 95, 98, 112, 100, 103, 99],
+], dtype=np.int32)
+
+QUANT_CHROMA = np.array([
+    [17, 18, 24, 47, 99, 99, 99, 99],
+    [18, 21, 26, 66, 99, 99, 99, 99],
+    [24, 26, 56, 99, 99, 99, 99, 99],
+    [47, 66, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+], dtype=np.int32)
+
+#: Annex K.3 — standard Huffman table specs: (bits[1..16], values)
+HUFF_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+HUFF_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+HUFF_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+HUFF_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+#: 8x8 DCT-II basis matrix: C[u, x] = a(u) cos((2x+1)uπ/16)
+_C = np.zeros((8, 8))
+for _u in range(8):
+    _a = np.sqrt(0.125) if _u == 0 else 0.5
+    for _x in range(8):
+        _C[_u, _x] = _a * np.cos((2 * _x + 1) * _u * np.pi / 16.0)
+
+
+def idct2(block: np.ndarray) -> np.ndarray:
+    """2-D type-III DCT (the JPEG IDCT) of an 8x8 coefficient block."""
+    return _C.T @ block @ _C
+
+
+def dct2(block: np.ndarray) -> np.ndarray:
+    """2-D type-II DCT of an 8x8 spatial block."""
+    return _C @ block @ _C.T
+
+
+# --------------------------------------------------------- Huffman utils
+
+def build_decode_table(bits: List[int], values: List[int]) -> Dict[Tuple[int, int], int]:
+    """(code_length, code) → symbol, per T.81 Annex C code assignment."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = values[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def build_encode_table(bits: List[int], values: List[int]) -> Dict[int, Tuple[int, int]]:
+    """symbol → (code_length, code)."""
+    return {v: k for k, v in build_decode_table(bits, values).items()}
+
+
+class BitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00 unstuffing."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.bitbuf = 0
+        self.nbits = 0
+
+    def _fill(self):
+        while self.nbits <= 24:
+            if self.pos >= len(self.data):
+                self.bitbuf = (self.bitbuf << 8) | 0  # pad (spec: 1s or 0s ok past EOI)
+                self.nbits += 8
+                continue
+            byte = self.data[self.pos]
+            self.pos += 1
+            if byte == 0xFF:
+                nxt = self.data[self.pos] if self.pos < len(self.data) else 0
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed byte
+                else:
+                    # a real marker: stop consuming, pad with zeros
+                    self.pos -= 1
+                    self.bitbuf = (self.bitbuf << 8) | 0
+                    self.nbits += 8
+                    continue
+            self.bitbuf = (self.bitbuf << 8) | byte
+            self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.bitbuf >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def read_huffman(self, table: Dict[Tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code in JPEG stream")
+
+
+def extend(v: int, t: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map t-bit magnitude v to signed value."""
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def magnitude_bits(v: int) -> Tuple[int, int]:
+    """signed value → (category t, t-bit code) per F.1.2.1."""
+    v = int(v)
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    t = a.bit_length()
+    code = v if v > 0 else v + (1 << t) - 1
+    return t, code
+
+
+class BitWriter:
+    """MSB-first bit writer with 0xFF byte stuffing."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write_bits(self, code: int, length: int):
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)
+                self.acc = 0
+                self.nbits = 0
+
+    def flush(self):
+        if self.nbits:
+            self.acc = (self.acc << (8 - self.nbits)) | ((1 << (8 - self.nbits)) - 1)
+            self.out.append(self.acc)
+            if self.acc == 0xFF:
+                self.out.append(0x00)
+            self.acc = 0
+            self.nbits = 0
+
+
+# ----------------------------------------------------------------- decode
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline JPEG bytes → (h, w) grayscale or (h, w, 3) RGB uint8.
+
+    Supports SOF0, 8-bit, 1 or 3 components WITHOUT chroma subsampling
+    (all sampling factors 1x1); anything else raises NotImplementedError.
+    """
+    if not payload.startswith(b"\xff\xd8"):
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    quant: Dict[int, np.ndarray] = {}
+    huff_dc: Dict[int, dict] = {}
+    huff_ac: Dict[int, dict] = {}
+    frame = None
+    restart_interval = 0
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("bad marker alignment")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue  # standalone
+        (seglen,) = struct.unpack(">H", payload[pos : pos + 2])
+        seg = payload[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0x0F
+                p += 1
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables")
+                tbl = np.zeros((8, 8), dtype=np.int32)
+                for i in range(64):
+                    r, c = ZIGZAG[i]
+                    tbl[r, c] = seg[p + i]
+                quant[tq] = tbl
+                p += 64
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0x0F
+                p += 1
+                bits = list(seg[p : p + 16])
+                p += 16
+                nv = sum(bits)
+                values = list(seg[p : p + nv])
+                p += nv
+                tbl = build_decode_table(bits, values)
+                (huff_dc if tc == 0 else huff_ac)[th] = tbl
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
+            if prec != 8:
+                raise NotImplementedError("only 8-bit precision")
+            comps = []
+            for i in range(nc):
+                cid, sampling, tq = seg[6 + 3 * i : 9 + 3 * i]
+                hi, vi = sampling >> 4, sampling & 0x0F
+                if (hi, vi) != (1, 1):
+                    raise NotImplementedError(
+                        "chroma subsampling (e.g. 4:2:0) not supported —"
+                        " only 4:4:4 / grayscale baseline"
+                    )
+                comps.append({"id": cid, "tq": tq})
+            frame = {"h": h, "w": w, "comps": comps}
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError("non-baseline JPEG (progressive/etc.)")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[0:2])
+        elif marker == 0xDA:  # SOS — entropy data follows
+            ns = seg[0]
+            scan = []
+            for i in range(ns):
+                cs, tables = seg[1 + 2 * i], seg[2 + 2 * i]
+                scan.append({"cs": cs, "td": tables >> 4, "ta": tables & 0x0F})
+            data_start = pos + seglen
+            return _decode_scan(
+                payload, data_start, frame, scan, quant, huff_dc, huff_ac,
+                restart_interval,
+            )
+        pos += seglen
+    raise ValueError("no SOS marker found")
+
+
+def _decode_scan(payload, data_start, frame, scan, quant, huff_dc, huff_ac,
+                 restart_interval):
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    nc = len(comps)
+    bh, bw = (h + 7) // 8, (w + 7) // 8
+    planes = [np.zeros((bh * 8, bw * 8)) for _ in range(nc)]
+    rd = BitReader(payload[data_start:])
+    pred = [0] * nc
+    mcu = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                # re-align to byte + skip RSTn, reset DC predictions
+                rd.nbits = 0
+                while rd.pos < len(rd.data) and rd.data[rd.pos] != 0xFF:
+                    rd.pos += 1
+                if rd.pos + 1 < len(rd.data) and 0xD0 <= rd.data[rd.pos + 1] <= 0xD7:
+                    rd.pos += 2
+                pred = [0] * nc
+            for ci in range(nc):
+                sc = scan[ci]
+                dc_tbl = huff_dc[sc["td"]]
+                ac_tbl = huff_ac[sc["ta"]]
+                q = quant[comps[ci]["tq"]]
+                coeff = np.zeros((8, 8), dtype=np.int32)
+                t = rd.read_huffman(dc_tbl)
+                diff = extend(rd.read_bits(t), t)
+                pred[ci] += diff
+                coeff[0, 0] = pred[ci]
+                k = 1
+                while k < 64:
+                    rs = rd.read_huffman(ac_tbl)
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r == 15:
+                            k += 16  # ZRL
+                            continue
+                        break  # EOB
+                    k += r
+                    if k > 63:
+                        raise ValueError("AC run past end of block")
+                    val = extend(rd.read_bits(s), s)
+                    rr, cc = ZIGZAG[k]
+                    coeff[rr, cc] = val
+                    k += 1
+                block = idct2((coeff * q).astype(np.float64)) + 128.0
+                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+            mcu += 1
+    planes = [np.clip(np.round(p[:h, :w]), 0, 255) for p in planes]
+    if nc == 1:
+        return planes[0].astype(np.uint8)
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(
+        np.uint8
+    )
+
+
+# ----------------------------------------------------------------- encode
+
+def _encode_component_block(wtr, coeff, q, dc_enc, ac_enc, pred):
+    qc = np.round(coeff / q).astype(np.int32)
+    zz = [qc[r, c] for r, c in ZIGZAG]
+    diff = zz[0] - pred
+    t, code = magnitude_bits(diff)
+    ln, c = dc_enc[t]
+    wtr.write_bits(c, ln)
+    if t:
+        wtr.write_bits(code, t)
+    run = 0
+    last_nz = 0
+    for k in range(1, 64):
+        if zz[k] != 0:
+            last_nz = k
+    for k in range(1, last_nz + 1):
+        if zz[k] == 0:
+            run += 1
+            continue
+        while run > 15:
+            ln, c = ac_enc[0xF0]  # ZRL
+            wtr.write_bits(c, ln)
+            run -= 16
+        t, code = magnitude_bits(int(zz[k]))
+        ln, c = ac_enc[(run << 4) | t]
+        wtr.write_bits(c, ln)
+        wtr.write_bits(code, t)
+        run = 0
+    if last_nz < 63:
+        ln, c = ac_enc[0x00]  # EOB
+        wtr.write_bits(c, ln)
+    return int(zz[0])
+
+
+def encode_jpeg(img: np.ndarray) -> bytes:
+    """(h, w) grayscale or (h, w, 3) RGB uint8 → baseline JPEG bytes
+    (4:4:4, Annex K tables, no subsampling)."""
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    if gray:
+        planes = [img.astype(np.float64)]
+        qtabs = [QUANT_LUMA]
+    else:
+        rgb = img.astype(np.float64)
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        planes = [y, cb, cr]
+        qtabs = [QUANT_LUMA, QUANT_CHROMA, QUANT_CHROMA]
+    out = bytearray(b"\xff\xd8")  # SOI
+
+    def segment(marker: int, body: bytes):
+        out.extend(struct.pack(">BBH", 0xFF, marker, len(body) + 2))
+        out.extend(body)
+
+    # DQT (two tables for color, one for gray)
+    for tq, tbl in enumerate([QUANT_LUMA] if gray else [QUANT_LUMA, QUANT_CHROMA]):
+        body = bytes([tq]) + bytes(int(tbl[r, c]) for r, c in ZIGZAG)
+        segment(0xDB, body)
+    # SOF0
+    nc = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for i in range(nc):
+        tq = 0 if i == 0 else 1
+        sof += bytes([i + 1, 0x11, 0 if gray else tq])
+    segment(0xC0, sof)
+    # DHT
+    specs = [(0x00, HUFF_DC_LUMA), (0x10, HUFF_AC_LUMA)]
+    if not gray:
+        specs += [(0x01, HUFF_DC_CHROMA), (0x11, HUFF_AC_CHROMA)]
+    for tc_th, (bits, values) in specs:
+        segment(0xC4, bytes([tc_th] + bits + values))
+    # SOS
+    sos = bytes([nc])
+    for i in range(nc):
+        sos += bytes([i + 1, 0x00 if i == 0 else 0x11])
+    sos += bytes([0, 63, 0])
+    segment(0xDA, sos)
+    # entropy-coded data
+    dc_luma = build_encode_table(*HUFF_DC_LUMA)
+    ac_luma = build_encode_table(*HUFF_AC_LUMA)
+    dc_chroma = build_encode_table(*HUFF_DC_CHROMA)
+    ac_chroma = build_encode_table(*HUFF_AC_CHROMA)
+    wtr = BitWriter()
+    bh, bw = (h + 7) // 8, (w + 7) // 8
+    padded = []
+    for p in planes:
+        pp = np.empty((bh * 8, bw * 8))
+        pp[:h, :w] = p
+        pp[h:, :w] = p[h - 1 : h, :]  # edge-replicate padding
+        pp[:, w:] = pp[:, w - 1 : w]
+        padded.append(pp - 128.0)
+    pred = [0] * nc
+    for by in range(bh):
+        for bx in range(bw):
+            for ci in range(nc):
+                blk = padded[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                dc_enc = dc_luma if ci == 0 else dc_chroma
+                ac_enc = ac_luma if ci == 0 else ac_chroma
+                q = qtabs[ci]
+                pred[ci] = _encode_component_block(
+                    wtr, dct2(blk), q, dc_enc, ac_enc, pred[ci]
+                )
+    wtr.flush()
+    out.extend(wtr.out)
+    out.extend(b"\xff\xd9")  # EOI
+    return bytes(out)

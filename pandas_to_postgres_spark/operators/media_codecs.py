@@ -10,6 +10,11 @@ this container. But uncompressed containers need no codec library at all:
 - **PNG** (8-bit RGB/RGBA, non-interlaced) — stdlib ``zlib`` inflate +
   a real unfilter pass for all five PNG filter types (so COMPRESSED
   lossless images decode too; see ``decode_png``)
+- **JPEG** (baseline SOF0, grayscale / 4:4:4) — a full Huffman + IDCT
+  decoder and matching encoder in pure numpy (``jpeg_codec.py``),
+  validated against hand-assembled T.81 bitstreams; subsampled
+  (4:2:0) and progressive JPEG raise NotImplementedError inside the
+  codec rather than decode wrong
 
 so for these formats the decode step is REAL: actual pixels and samples
 come out, get featurized with numpy, and flow through the same
@@ -206,8 +211,22 @@ def _featurize_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     0.0,
                     0.0,
                 ]
+            elif mime == "image/jpeg":
+                from pandas_to_postgres_spark.operators.jpeg_codec import (  # noqa: PLC0415
+                    decode_jpeg,
+                )
+
+                px = decode_jpeg(b)
+                if px.ndim == 2:
+                    m = float(px.mean())
+                    f = [float(px.shape[0]), float(px.shape[1]), m, m, m]
+                else:
+                    f = [float(px.shape[0]), float(px.shape[1])] + [
+                        float(v) for v in px.reshape(-1, 3).mean(axis=0)
+                    ]
             else:
-                # the honest gate: JPEG/MP4 etc. need libs absent here
+                # the honest gate: video etc. need libs absent here
+                # (subsampled/progressive JPEG raises inside jpeg_codec)
                 raise NotImplementedError(
                     f"no codec for {mime!r} in this container (PIL/ffmpeg absent)"
                 )

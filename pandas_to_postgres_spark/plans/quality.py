@@ -656,7 +656,8 @@ def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL (not faked) media decode through the multimodal plumbing:
     odd doc_ids synthesize a deterministic 16-bit PCM WAV payload (tone
     frequency keyed by doc_id, duration by n_chars), EVEN doc_ids a
-    deterministic PNG image (gradient pattern keyed by doc_id, size by
+    deterministic gradient image — PNG (doc_id % 4 == 0) or baseline
+    JPEG (doc_id % 4 == 2; full pure-numpy Huffman+IDCT decode, size by
     n_chars) — and `operators/media_codecs.extract_features_real`
     decodes the ACTUAL samples/pixels back out with stdlib wave/zlib +
     numpy, no PIL/ffmpeg involved. PNG is a genuinely COMPRESSED format
@@ -674,6 +675,7 @@ def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql import types as T
 
+    from pandas_to_postgres_spark.operators.jpeg_codec import encode_jpeg
     from pandas_to_postgres_spark.operators.media_codecs import (
         encode_png,
         encode_wav,
@@ -706,8 +708,12 @@ def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                         ],
                         axis=-1,
                     ).astype(np.uint8)
-                    payloads.append(encode_png(rgb))
-                    mimes.append("image/png")
+                    if int(doc_id) % 4 == 0:
+                        payloads.append(encode_png(rgb))
+                        mimes.append("image/png")
+                    else:
+                        payloads.append(encode_jpeg(rgb))
+                        mimes.append("image/jpeg")
                 else:
                     freq = 200.0 + (int(doc_id) % 20) * 50.0
                     n = 800 + (int(n_chars) % 800)  # 0.1-0.2 s at 8 kHz
