@@ -1,10 +1,11 @@
 """Baseline JPEG codec in pure numpy + stdlib — no libjpeg, no PIL.
 
-Scope (honest subset): baseline sequential DCT (SOF0), 8-bit, Huffman
-coding, grayscale (1 component) and YCbCr 4:4:4 (3 components, no chroma
-subsampling). Progressive (SOF2), arithmetic coding, and subsampled
-chroma (the common 4:2:0 layout) raise ``NotImplementedError`` — decoded
-wrong would be worse than gated.
+Scope: baseline sequential DCT (SOF0), 8-bit, Huffman coding;
+grayscale and YCbCr with ANY integer sampling factors — 4:4:4, 4:2:2,
+and the ubiquitous 4:2:0 all decode through one MCU-interleaved path
+(subsampled chroma decodes at native resolution, then nearest-neighbor
+upsamples). Progressive (SOF2) and arithmetic coding raise
+``NotImplementedError`` — decoded wrong would be worse than gated.
 
 Validation strategy (PIL is absent, so no external reference decoder
 exists in this container):
@@ -319,12 +320,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             for i in range(nc):
                 cid, sampling, tq = seg[6 + 3 * i : 9 + 3 * i]
                 hi, vi = sampling >> 4, sampling & 0x0F
-                if (hi, vi) != (1, 1):
-                    raise NotImplementedError(
-                        "chroma subsampling (e.g. 4:2:0) not supported —"
-                        " only 4:4:4 / grayscale baseline"
-                    )
-                comps.append({"id": cid, "tq": tq})
+                if not (1 <= hi <= 4 and 1 <= vi <= 4):
+                    raise ValueError("illegal sampling factors")
+                comps.append({"id": cid, "tq": tq, "hi": hi, "vi": vi})
             frame = {"h": h, "w": w, "comps": comps}
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
@@ -346,19 +344,52 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     raise ValueError("no SOS marker found")
 
 
+def _decode_block(rd, dc_tbl, ac_tbl, q, pred_val):
+    """One entropy-coded 8x8 block → (spatial block + 128, new DC pred)."""
+    coeff = np.zeros((8, 8), dtype=np.int32)
+    t = rd.read_huffman(dc_tbl)
+    pred_val += extend(rd.read_bits(t), t)
+    coeff[0, 0] = pred_val
+    k = 1
+    while k < 64:
+        rs = rd.read_huffman(ac_tbl)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:
+                k += 16  # ZRL
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise ValueError("AC run past end of block")
+        val = extend(rd.read_bits(s), s)
+        rr, cc = ZIGZAG[k]
+        coeff[rr, cc] = val
+        k += 1
+    return idct2((coeff * q).astype(np.float64)) + 128.0, pred_val
+
+
 def _decode_scan(payload, data_start, frame, scan, quant, huff_dc, huff_ac,
                  restart_interval):
+    """MCU-interleaved scan decode with arbitrary integer sampling
+    factors — 4:4:4, 4:2:2, and the ubiquitous 4:2:0 all take this one
+    path; subsampled chroma planes are decoded at their native
+    resolution and nearest-neighbor upsampled (np.repeat) afterwards."""
     h, w, comps = frame["h"], frame["w"], frame["comps"]
     nc = len(comps)
-    bh, bw = (h + 7) // 8, (w + 7) // 8
-    planes = [np.zeros((bh * 8, bw * 8)) for _ in range(nc)]
+    hmax = max(c["hi"] for c in comps)
+    vmax = max(c["vi"] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = [
+        np.zeros((mcuy * 8 * c["vi"], mcux * 8 * c["hi"])) for c in comps
+    ]
     rd = BitReader(payload[data_start:])
     pred = [0] * nc
     mcu = 0
-    for by in range(bh):
-        for bx in range(bw):
+    for my in range(mcuy):
+        for mx in range(mcux):
             if restart_interval and mcu and mcu % restart_interval == 0:
-                # re-align to byte + skip RSTn, reset DC predictions
                 rd.nbits = 0
                 while rd.pos < len(rd.data) and rd.data[rd.pos] != 0xFF:
                     rd.pos += 1
@@ -370,31 +401,24 @@ def _decode_scan(payload, data_start, frame, scan, quant, huff_dc, huff_ac,
                 dc_tbl = huff_dc[sc["td"]]
                 ac_tbl = huff_ac[sc["ta"]]
                 q = quant[comps[ci]["tq"]]
-                coeff = np.zeros((8, 8), dtype=np.int32)
-                t = rd.read_huffman(dc_tbl)
-                diff = extend(rd.read_bits(t), t)
-                pred[ci] += diff
-                coeff[0, 0] = pred[ci]
-                k = 1
-                while k < 64:
-                    rs = rd.read_huffman(ac_tbl)
-                    r, s = rs >> 4, rs & 0x0F
-                    if s == 0:
-                        if r == 15:
-                            k += 16  # ZRL
-                            continue
-                        break  # EOB
-                    k += r
-                    if k > 63:
-                        raise ValueError("AC run past end of block")
-                    val = extend(rd.read_bits(s), s)
-                    rr, cc = ZIGZAG[k]
-                    coeff[rr, cc] = val
-                    k += 1
-                block = idct2((coeff * q).astype(np.float64)) + 128.0
-                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+                hi, vi = comps[ci]["hi"], comps[ci]["vi"]
+                for byy in range(vi):
+                    for bxx in range(hi):
+                        block, pred[ci] = _decode_block(
+                            rd, dc_tbl, ac_tbl, q, pred[ci]
+                        )
+                        y0 = (my * vi + byy) * 8
+                        x0 = (mx * hi + bxx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
             mcu += 1
-    planes = [np.clip(np.round(p[:h, :w]), 0, 255) for p in planes]
+    up = []
+    for ci, p in enumerate(planes):
+        fy = vmax // comps[ci]["vi"]
+        fx = hmax // comps[ci]["hi"]
+        if fy > 1 or fx > 1:
+            p = np.repeat(np.repeat(p, fy, axis=0), fx, axis=1)
+        up.append(p)
+    planes = [np.clip(np.round(p[:h, :w]), 0, 255) for p in up]
     if nc == 1:
         return planes[0].astype(np.uint8)
     y, cb, cr = planes

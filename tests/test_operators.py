@@ -1241,29 +1241,58 @@ class TestRealMediaCodecs:
         )
         assert (decode_jpeg(jpg) == 208).all()
 
-    def test_jpeg_subsampled_and_video_stay_gated(self, spark):
+    def test_jpeg_420_mcu_decode_and_remaining_gates(self, spark):
+        """The ubiquitous 4:2:0 layout decodes through the MCU-interleaved
+        path: a hand-assembled DC-only 16x16 MCU (4 luma + Cb + Cr
+        blocks, spec arithmetic only) yields the hand-computed flat
+        color. Progressive JPEG and video remain honestly gated."""
         import struct
 
         import numpy as np
         import pytest as _pytest
 
-        from pandas_to_postgres_spark.operators.jpeg_codec import decode_jpeg
+        from pandas_to_postgres_spark.operators.jpeg_codec import (
+            HUFF_AC_CHROMA,
+            HUFF_AC_LUMA,
+            HUFF_DC_CHROMA,
+            HUFF_DC_LUMA,
+            decode_jpeg,
+        )
         from pandas_to_postgres_spark.operators.media_codecs import (
             extract_features_real,
         )
 
-        # 4:2:0 SOF (sampling 0x22 on luma) must raise, not decode wrong
         def seg(marker, body):
             return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
 
-        sof420 = seg(
+        dqt = seg(0xDB, bytes([0]) + bytes([16] * 64))
+        sof = seg(
             0xC0,
             struct.pack(">BHHB", 8, 16, 16, 3)
-            + bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]),
+            + bytes([1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0]),
         )
-        jpg = b"\xff\xd8" + seg(0xDB, bytes([0]) + bytes([16] * 64)) + sof420
+        dht = (
+            seg(0xC4, bytes([0x00] + HUFF_DC_LUMA[0] + HUFF_DC_LUMA[1]))
+            + seg(0xC4, bytes([0x10] + HUFF_AC_LUMA[0] + HUFF_AC_LUMA[1]))
+            + seg(0xC4, bytes([0x01] + HUFF_DC_CHROMA[0] + HUFF_DC_CHROMA[1]))
+            + seg(0xC4, bytes([0x11] + HUFF_AC_CHROMA[0] + HUFF_AC_CHROMA[1]))
+        )
+        sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+        # Y1: DC diff 40 (cat-6 '1110'+101000) + EOB '1010'; Y2-4: DC 0
+        # ('00') + EOB; Cb/Cr: chroma DC 0 ('00') + chroma EOB ('00')
+        data = bytes([0xEA, 0x28, 0xA2, 0x8A, 0x00])
+        jpg = b"\xff\xd8" + dqt + sof + dht + sos + data + b"\xff\xd9"
+        out = decode_jpeg(jpg)
+        assert out.shape == (16, 16, 3) and (out == 208).all()
+
+        # progressive (SOF2) stays gated
+        sof2 = seg(
+            0xC2,
+            struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]),
+        )
         with _pytest.raises(NotImplementedError):
-            decode_jpeg(jpg + b"\xff\xd9")
+            decode_jpeg(b"\xff\xd8" + dqt + sof2 + b"\xff\xd9")
+
         # video remains dispatcher-gated
         from py4j.protocol import Py4JJavaError
 
