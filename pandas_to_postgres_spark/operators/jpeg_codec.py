@@ -17,8 +17,8 @@ exists in this container):
   the decoder's pixels against arithmetic done by hand — an
   INDEPENDENT check, not a round-trip through our own encoder.
 - Round-trip encoder→decoder tests then bound the lossy error (PSNR)
-  on real gradients/noise, and a marker-level test asserts the encoder
-  emits spec-correct segment framing.
+  on real gradients; a hand-assembled 4:2:0 DC-only MCU validates the
+  subsampled interleave the same spec-arithmetic way.
 
 References: ITU-T T.81 (the JPEG spec): Annex F (Huffman procedure),
 Annex K (example quantization/Huffman tables), §A.3.3 (IDCT).
