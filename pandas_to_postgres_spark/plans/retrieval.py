@@ -2186,3 +2186,95 @@ def theilsen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("slope_micro_per_day"),
     )
+
+
+@register("multimodal_thumbnail", oracle=None)  # binary codec path: no SQL twin
+def multimodal_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full REAL image-processing loop inside one map-only stage:
+    synthesize a deterministic JPEG per document (gradient keyed by
+    doc_id), DECODE it (pure-numpy Huffman + IDCT,
+    `operators/jpeg_codec.py`), nearest-neighbor RESIZE to a 16x16
+    thumbnail, and RE-ENCODE as PNG — the decode→transform→encode
+    pipeline every multimodal training-data prep runs, with zero stubbed
+    steps and zero imaging libraries. Output per doc: original and
+    thumbnail dimensions + payload sizes and the thumbnail's mean
+    luminance (deterministic — rows-only checked by the driver,
+    golden-tested in pytest via the codec unit suite).
+
+    Scale: synthesis, decode, resize, and re-encode all happen inside
+    ONE mapInPandas over the documents scan — payloads are created and
+    consumed in the same task, never shuffled; only the small stat rows
+    move. At 100 TB this is the D5 scale argument verbatim
+    (`operators/multimodal.py`): Arrow-batched, partition-local,
+    output-bounded.
+    """
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("src_h", T.LongType()),
+            T.StructField("src_w", T.LongType()),
+            T.StructField("src_bytes", T.LongType()),
+            T.StructField("thumb_bytes", T.LongType()),
+            T.StructField("thumb_mean_y", T.DoubleType()),
+        ]
+    )
+
+    def pipeline(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pandas_to_postgres_spark.operators.jpeg_codec import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+        from pandas_to_postgres_spark.operators.media_codecs import (
+            encode_png,
+            resize_rgb,
+        )
+
+        for pdf in batches:
+            rows = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                h = 16 + (int(n_chars) % 48)
+                w = 16 + (int(doc_id) % 48)
+                yy, xx = np.mgrid[0:h, 0:w]
+                rgb = np.stack(
+                    [
+                        (yy * 5 + int(doc_id)) % 256,
+                        (xx * 9) % 256,
+                        (yy * 2 + xx * 3) % 256,
+                    ],
+                    axis=-1,
+                ).astype(np.uint8)
+                jpg = encode_jpeg(rgb)
+                decoded = decode_jpeg(jpg)
+                thumb = resize_rgb(decoded, 16, 16)
+                png = encode_png(thumb)
+                lum = (
+                    0.299 * thumb[..., 0]
+                    + 0.587 * thumb[..., 1]
+                    + 0.114 * thumb[..., 2]
+                )
+                rows.append(
+                    (
+                        int(doc_id),
+                        h,
+                        w,
+                        len(jpg),
+                        len(png),
+                        round(float(lum.mean()), 4),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "src_h", "src_w", "src_bytes",
+                    "thumb_bytes", "thumb_mean_y",
+                ],
+            )
+
+    return d.mapInPandas(pipeline, schema=schema)
