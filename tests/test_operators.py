@@ -1241,6 +1241,37 @@ class TestRealMediaCodecs:
         )
         assert (decode_jpeg(jpg) == 208).all()
 
+    def test_jpeg_restart_markers_reset_dc_prediction(self, spark):
+        """DRI/RSTn handling: a hand-assembled 2-MCU stream with a
+        restart interval of 1 must re-align to the byte boundary, skip
+        RST0, and RESET the DC predictor — block 2's DC is absolute, not
+        differential (left block 208, right block 176 by spec
+        arithmetic)."""
+        import struct
+
+        import numpy as np
+
+        from pandas_to_postgres_spark.operators.jpeg_codec import (
+            HUFF_AC_LUMA,
+            HUFF_DC_LUMA,
+            decode_jpeg,
+        )
+
+        def seg(marker, body):
+            return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+        dqt = seg(0xDB, bytes([0]) + bytes([16] * 64))
+        sof = seg(0xC0, struct.pack(">BHHB", 8, 8, 16, 1) + bytes([1, 0x11, 0]))
+        dht = seg(
+            0xC4, bytes([0x00] + HUFF_DC_LUMA[0] + HUFF_DC_LUMA[1])
+        ) + seg(0xC4, bytes([0x10] + HUFF_AC_LUMA[0] + HUFF_AC_LUMA[1]))
+        dri = seg(0xDD, struct.pack(">H", 1))
+        sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        data = bytes([0xEA, 0x2B]) + b"\xff\xd0" + bytes([0xD8, 0xAF])
+        jpg = b"\xff\xd8" + dqt + sof + dri + dht + sos + data + b"\xff\xd9"
+        out = decode_jpeg(jpg)
+        assert (out[:, :8] == 208).all() and (out[:, 8:] == 176).all()
+
     def test_jpeg_420_mcu_decode_and_remaining_gates(self, spark):
         """The ubiquitous 4:2:0 layout decodes through the MCU-interleaved
         path: a hand-assembled DC-only 16x16 MCU (4 luma + Cb + Cr
