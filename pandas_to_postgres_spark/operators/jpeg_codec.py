@@ -25,7 +25,11 @@ Annex K (example quantization/Huffman tables), §A.3.3 (IDCT).
 
 Scale: decode runs inside the same map-only Arrow featurizer as every
 other codec (`media_codecs.extract_features_real`) — payloads decode
-where they sit and never shuffle.
+where they sit and never shuffle. Throughput is pure-Python-bit-reader
+bound (~0.3 s decode / 0.6 s encode for a 256x256 RGB image); at corpus
+scale the parallelism dimension is payloads-per-task across executors,
+and a cluster with a real libjpeg should swap the per-payload decode
+fn — the Spark-side plumbing, schemas, and batch shapes are identical.
 """
 
 from __future__ import annotations
