@@ -2278,3 +2278,65 @@ def multimodal_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return d.mapInPandas(pipeline, schema=schema)
+
+
+@register(
+    "sliding_distinct_types",
+    oracle="""
+    WITH base AS (
+      SELECT DISTINCT user_id,
+             datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS dayidx,
+             event_type
+      FROM events)
+    SELECT DISTINCT user_id,
+           CAST(DATE '1970-01-01' + CAST(dayidx AS INT) AS VARCHAR) AS day,
+           CAST(count(DISTINCT event_type) OVER (
+             PARTITION BY user_id ORDER BY dayidx
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS n_types
+    FROM base
+    ORDER BY user_id, day
+    """,
+)
+def sliding_distinct_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day DISTINCT event-type count per user — the sliding
+    distinct-count window SQL promises but Spark's window functions
+    refuse (``count(DISTINCT) OVER`` is unsupported), bridged with
+    ``size(collect_set() OVER range-window)``: set semantics give
+    exactness, and the per-window state is bounded by event-TYPE
+    cardinality (a handful), not event count — the difference between
+    this and a naive collect_list is what makes it safe at scale.
+
+    Shape: events first collapse to DISTINCT (user, day, type) rows (a
+    map-side-combined aggregate — the window then runs over at most
+    |types| rows per user-day, never raw events); one RANGE window on
+    the integer day index handles calendar gaps correctly (ROWS would
+    silently span missing days). DuckDB's native DISTINCT window
+    aggregate replays it declaratively.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+        ).alias("dayidx"),
+        "event_type",
+    ).distinct()
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("dayidx")
+        .rangeBetween(-6, 0)
+    )
+    return (
+        base.select(
+            "user_id",
+            F.date_add(F.lit("1970-01-01").cast("date"), F.col("dayidx"))
+            .cast("string")
+            .alias("day"),
+            F.size(F.collect_set("event_type").over(w))
+            .cast("bigint")
+            .alias("n_types"),
+        )
+        .distinct()
+        .orderBy("user_id", "day")
+    )
