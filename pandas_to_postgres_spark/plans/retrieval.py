@@ -2215,6 +2215,10 @@ def multimodal_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import types as T
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    # the codec work is Python-CPU-bound: spread it across cores even
+    # when the small documents file arrives as one scan split (a real
+    # 100 TB corpus is many splits and needs no repartition)
+    d = d.repartition(d.sparkSession.sparkContext.defaultParallelism)
     schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
@@ -2239,8 +2243,10 @@ def multimodal_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
-                h = 16 + (int(n_chars) % 48)
-                w = 16 + (int(doc_id) % 48)
+                # small frames keep the pure-Python codec proportionate
+                # (a libjpeg swap-in lifts this limit; see jpeg_codec.py)
+                h = 8 + (int(n_chars) % 16)
+                w = 8 + (int(doc_id) % 16)
                 yy, xx = np.mgrid[0:h, 0:w]
                 rgb = np.stack(
                     [
@@ -2252,7 +2258,7 @@ def multimodal_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).astype(np.uint8)
                 jpg = encode_jpeg(rgb)
                 decoded = decode_jpeg(jpg)
-                thumb = resize_rgb(decoded, 16, 16)
+                thumb = resize_rgb(decoded, 8, 8)
                 png = encode_png(thumb)
                 lum = (
                     0.299 * thumb[..., 0]
@@ -2340,3 +2346,141 @@ def sliding_distinct_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("user_id", "day")
     )
+
+
+@register(
+    "diversified_topk_docs",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, source, CAST(n_chars AS BIGINT) AS score,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS rs
+      FROM documents)
+    SELECT doc_id, source, score
+    FROM ranked WHERE rs <= 2
+    ORDER BY score DESC, doc_id LIMIT 20
+    """,
+)
+def diversified_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversified top-k: the 20 highest-scoring documents subject to AT
+    MOST 2 PER SOURCE — the curation shortlist shape (best examples for
+    review/eval sets) where a plain top-k would let one prolific source
+    monopolize the list. Score here is document length; swap any quality
+    expression.
+
+    Shape: per-source cap first (a rank window whose partitions are
+    source-sized and whose output is ≤ 2·|sources| rows), THEN the
+    global top-k over that tiny survivor frame as
+    TakeOrderedAndProject — order matters: global-rank-first would need
+    the full sort; cap-first bounds everything after the one window
+    shuffle. Deterministic tiebreaks (doc_id) at both levels keep the
+    boundary rows engine-stable.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), "doc_id"
+    )
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            F.col("n_chars").cast("bigint").alias("score"),
+            F.row_number().over(w).alias("rs"),
+        )
+        .filter(F.col("rs") <= 2)
+        .select("doc_id", "source", "score")
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+@register(
+    "spearman_value_hour",
+    oracle="""
+    WITH base AS (
+      SELECT event_type, value AS x,
+             CAST(hour(ts) AS BIGINT) AS y
+      FROM events),
+    rk AS (
+      SELECT event_type,
+             CAST(2 * rank() OVER (PARTITION BY event_type ORDER BY x)
+                  + count(*) OVER (PARTITION BY event_type, x) - 1
+                  AS BIGINT) AS rx,
+             CAST(2 * rank() OVER (PARTITION BY event_type ORDER BY y)
+                  + count(*) OVER (PARTITION BY event_type, y) - 1
+                  AS BIGINT) AS ry
+      FROM base),
+    m AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(rx) AS BIGINT) AS sx,
+             CAST(sum(ry) AS BIGINT) AS sy,
+             CAST(sum(rx * ry) AS BIGINT) AS sxy,
+             CAST(sum(rx * rx) AS BIGINT) AS sx2,
+             CAST(sum(ry * ry) AS BIGINT) AS sy2
+      FROM rk GROUP BY event_type)
+    SELECT event_type, n,
+           CAST(floor(
+             CAST(n * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n * sx2 - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * sy2 - sy * sy AS DOUBLE)))
+             * 1e6 + 0.5) AS BIGINT) AS rho_micro
+    FROM m ORDER BY event_type
+    """,
+)
+def spearman_value_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between event value and hour-of-day per
+    event type — the NONPARAMETRIC monotone-association test (is value
+    drifting by time of day in ANY monotone way?), complementing the
+    parametric `rolling_corr_events`. Tie handling is the textbook
+    average-rank rule made exact: doubled average rank = 2·min_rank +
+    tie_count − 1 is an INTEGER, so every Pearson-on-ranks moment
+    accumulates in BIGINT and the one sqrt/divide happens at the end on
+    the micro grid (the naive 1 − 6Σd²/... shortcut is WRONG under ties
+    and is deliberately not used).
+
+    Shape: two rank windows sharing the per-type partitioning, then one
+    map-side-combined moment aggregate. Ranks are per-type-sized
+    windows; n·Σ(r²) stays < 2⁶³ up to ~10⁷ rows per group — beyond
+    that, DECIMAL(38,0) (the shared escalation rule).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        F.col("value").alias("x"),
+        F.hour("ts").cast("bigint").alias("y"),
+    )
+    wx = Window.partitionBy("event_type").orderBy("x")
+    wxc = Window.partitionBy("event_type", "x")
+    wy = Window.partitionBy("event_type").orderBy("y")
+    wyc = Window.partitionBy("event_type", "y")
+    rk = base.select(
+        "event_type",
+        (
+            2 * F.rank().over(wx) + F.count(F.lit(1)).over(wxc) - 1
+        ).cast("bigint").alias("rx"),
+        (
+            2 * F.rank().over(wy) + F.count(F.lit(1)).over(wyc) - 1
+        ).cast("bigint").alias("ry"),
+    )
+    m = rk.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("rx").cast("bigint").alias("sx"),
+        F.sum("ry").cast("bigint").alias("sy"),
+        F.sum(F.col("rx") * F.col("ry")).cast("bigint").alias("sxy"),
+        F.sum(F.col("rx") * F.col("rx")).cast("bigint").alias("sx2"),
+        F.sum(F.col("ry") * F.col("ry")).cast("bigint").alias("sy2"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.sqrt(
+        (F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")).cast("double")
+    ) * F.sqrt(
+        (F.col("n") * F.col("sy2") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return m.select(
+        "event_type",
+        "n",
+        F.floor(num / den * F.lit(1e6) + F.lit(0.5))
+        .cast("bigint")
+        .alias("rho_micro"),
+    ).orderBy("event_type")
