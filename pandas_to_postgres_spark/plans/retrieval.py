@@ -2484,3 +2484,69 @@ def spearman_value_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("rho_micro"),
     ).orderBy("event_type")
+
+
+@register(
+    "trimmed_mean_price",
+    oracle="""
+    WITH r AS (
+      SELECT p_brand, l_extendedprice AS price,
+             row_number() OVER (PARTITION BY p_brand
+                                ORDER BY l_extendedprice) AS rn,
+             count(*) OVER (PARTITION BY p_brand) AS n
+      FROM lineitem JOIN part ON l_partkey = p_partkey)
+    SELECT p_brand,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           round(CAST(sum(CAST(price AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(*), 4) AS trimmed_mean
+    FROM r
+    WHERE rn > n // 10 AND rn <= n - n // 10
+    GROUP BY p_brand ORDER BY p_brand
+    """,
+)
+def trimmed_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 10% two-sided TRIMMED mean of extended price per brand —
+    the drop-the-tails robust center (`winsorized_stats` CLAMPS the
+    tails instead; trimming discards them, the classic Tukey choice when
+    outliers are erroneous rather than extreme-but-real).
+
+    Correctness subtlety: rows are trimmed by count (floor(n/10) per
+    side) via a rank whose tie order is engine-arbitrary — harmless,
+    because tied rows carry EQUAL values, so the kept multiset of
+    values (and therefore the DECIMAL-accumulated mean) is identical
+    whichever duplicates the rank drops. The mean follows the shared
+    davg discipline (exact decimal sum, one division, round).
+
+    Shape: one rank window per brand (the same per-brand partitioning
+    the window family pays) and a map-side-combined aggregate over the
+    kept rows.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(part, li.l_partkey == part.p_partkey).select(
+        "p_brand", F.col("l_extendedprice").alias("price")
+    )
+    w = Window.partitionBy("p_brand").orderBy("price")
+    wc = Window.partitionBy("p_brand")
+    r = j.select(
+        "p_brand",
+        "price",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    kept = r.filter(
+        (F.col("rn") > F.expr("n DIV 10"))
+        & (F.col("rn") <= F.col("n") - F.expr("n DIV 10"))
+    )
+    return (
+        kept.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            F.round(
+                F.sum(F.col("price").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("trimmed_mean"),
+        )
+        .orderBy("p_brand")
+    )
