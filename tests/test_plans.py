@@ -578,6 +578,38 @@ class TestContinuationBatchShapes:
         assert "partial_" in plan or "HashAggregate" in plan
 
 
+class TestFinalBatchShapes:
+    def test_sliding_distinct_window_runs_on_collapsed_grain(self, spark):
+        # the range window must sit ABOVE the (user, day, type) distinct
+        # aggregate — never over raw event rows
+        plan = plan_of(spark, "sliding_distinct_types")
+        assert "Window" in plan
+        assert "HashAggregate" in plan
+
+    def test_spearman_rank_windows_share_partitioning(self, spark):
+        # two rank windows + moment agg; no cartesian anywhere
+        plan = plan_of(spark, "spearman_value_hour")
+        assert "CartesianProduct" not in plan
+        assert "Window" in plan
+
+    def test_diversified_topk_is_cap_then_take_ordered(self, spark):
+        plan = plan_of(spark, "diversified_topk_docs")
+        assert "TakeOrderedAndProject" in plan
+        assert "WindowGroupLimit" in plan or "Window" in plan
+
+    def test_trimmed_mean_single_brand_window_pass(self, spark):
+        plan = plan_of(spark, "trimmed_mean_price")
+        assert "Window" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_mann_kendall_pairing_stays_on_day_grain(self, spark):
+        # the self-join must consume the day-level aggregate, not events:
+        # every join input comes from a HashAggregate subtree
+        plan = plan_of(spark, "mann_kendall_trend")
+        assert "HashAggregate" in plan
+        assert "CartesianProduct" not in plan or "BroadcastNestedLoopJoin" in plan
+
+
 class TestBloomShape:
     def test_probe_is_broadcast_no_fact_shuffle_and_jvm_only(self, spark):
         import pyspark.sql.functions as F
