@@ -2550,3 +2550,80 @@ def trimmed_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+@register(
+    "mean_ci_segments",
+    oracle="""
+    WITH c AS (
+      SELECT c_mktsegment,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders JOIN customer ON o_custkey = c_custkey),
+    m AS (
+      SELECT c_mktsegment,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(cents AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s,
+             CAST(sum(CAST(cents AS DECIMAL(38,0))
+                      * CAST(cents AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s2
+      FROM c GROUP BY c_mktsegment)
+    SELECT c_mktsegment, n,
+           -- HUGEINT floor division: DECIMAL // BIGINT detours through
+           -- DOUBLE in DuckDB and can round up off the true floor
+           CAST(CAST(s AS HUGEINT) // n AS BIGINT) AS mean_cents,
+           CAST(floor(
+             1.959964 * sqrt(CAST(n * s2 - s * s AS DOUBLE)
+                             / (CAST(n AS DOUBLE) * (n - 1)))
+             / sqrt(CAST(n AS DOUBLE)) * 100.0 + 0.5) AS BIGINT)
+             AS ci_halfwidth_hundredth_cents
+    FROM m ORDER BY c_mktsegment
+    """,
+)
+def mean_ci_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean order value per market segment with a 95% normal-theory
+    confidence half-width — the error bar every reporting surface needs
+    next to the point estimate. Moments are EXACT: cents are integers,
+    Σx and Σx² accumulate in DECIMAL(38,0) (Σx² exceeds BIGINT at ~10⁴
+    rows of 10⁵-dollar orders — the same escalation the AUC/KS tier
+    documents), so the variance numerator n·Σx² − (Σx)² is exact and
+    partition-order-free; the two sqrts and one multiply by z happen
+    once at the end on the grid.
+
+    Shape: one join + one map-side-combined aggregate; no window, no
+    sort. (The DECIMAL(38,0) products stay 24 digits here — inside
+    Spark's decimal precision cap; ANSI would error, not corrupt, if a
+    larger corpus crossed it.)
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    c = o.join(cust, o.o_custkey == cust.c_custkey).select(
+        "c_mktsegment",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    dec = F.col("cents").cast("decimal(38,0)")
+    m = c.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(dec).cast("decimal(38,0)").alias("s"),
+        F.sum(dec * dec).cast("decimal(38,0)").alias("s2"),
+    )
+    var_num = (F.col("n") * F.col("s2") - F.col("s") * F.col("s")).cast(
+        "double"
+    )
+    sd = F.sqrt(
+        var_num / (F.col("n").cast("double") * (F.col("n") - 1))
+    )
+    return m.select(
+        "c_mktsegment",
+        "n",
+        F.expr("CAST(s DIV n AS BIGINT)").alias("mean_cents"),
+        F.floor(
+            F.lit(1.959964)
+            * sd
+            / F.sqrt(F.col("n").cast("double"))
+            * F.lit(100.0)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("ci_halfwidth_hundredth_cents"),
+    ).orderBy("c_mktsegment")
