@@ -336,6 +336,7 @@ def ngram_jaccard_prefix(
     threshold: float = 0.8,
     n: int = 1,
     max_token_df: Optional[int] = None,
+    with_sizes: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity self-join via **prefix filtering**
     (the MapReduce set-similarity join of Vernica/Carey/Li, SIGMOD 2010;
@@ -363,6 +364,13 @@ def ngram_jaccard_prefix(
     results — with it set, pairs whose every shared rare shingle exceeds
     the cap can be missed (documented recall trade, same spirit as
     ``max_bucket`` in the MinHash path).
+
+    ``with_sizes=True`` appends exact BIGINT ``inter_sz``/``union_sz``
+    columns so downstream consumers (e.g. ``dedup_threshold_pr``) can put
+    pair similarity on an exact integer grid (``inter*1e6 DIV union``)
+    instead of re-deriving it from the 4-dp-rounded double — the rounded
+    double can drift up to ~50 micro from the exact ratio, flipping pairs
+    whose true Jaccard sits within 5e-5 of a threshold.
     """
     sh = shingles_expr(text_col, n)
     # cached: the tokenized table feeds candidate generation (via explode),
@@ -394,17 +402,50 @@ def ngram_jaccard_prefix(
         .select("id_a", "id_b")
         .distinct()
     )
-    return (
-        cand.join(toks.select(F.col("__id").alias("id_a"), F.col("__tk").alias("__tka")), "id_a")
-        .join(toks.select(F.col("__id").alias("id_b"), F.col("__tk").alias("__tkb")), "id_b")
+    # Size-ratio prefilter (Arasu/Ganti/Kaushik length filter): for sets of
+    # sizes sa <= sb the best possible Jaccard is sa/sb (A ⊆ B), so any pair
+    # with min_sz < ceil(t * max_sz) cannot reach the threshold. Checking two
+    # cached BIGINTs is ~free; array_intersect/array_union walk both shingle
+    # arrays per pair — on output-dense corpora (the sf0.1 synthetic
+    # vocabulary qualifies 11.7M pairs) skipping the walk is the whole win.
+    # Exactness unchanged: the condition is necessary, never sufficient —
+    # every surviving pair still gets the exact verify below.
+    verified = (
+        cand.join(
+            toks.select(
+                F.col("__id").alias("id_a"),
+                F.col("__tk").alias("__tka"),
+                F.col("__sz").alias("__sza"),
+            ),
+            "id_a",
+        )
+        .join(
+            toks.select(
+                F.col("__id").alias("id_b"),
+                F.col("__tk").alias("__tkb"),
+                F.col("__sz").alias("__szb"),
+            ),
+            "id_b",
+        )
+        .filter(
+            # 1e-9 slack: a pair at EXACTLY min/max == t must survive the
+            # prefilter (the product t*max can round up by half an ulp);
+            # the slack only lets borderline pairs through to the exact
+            # verify — it can never add a false positive to the output.
+            F.least("__sza", "__szb").cast("double")
+            >= F.lit(threshold - 1e-9) * F.greatest("__sza", "__szb").cast("double")
+        )
+        .withColumn("__isz", F.size(F.array_intersect("__tka", "__tkb")).cast("bigint"))
+        .withColumn("__usz", (F.col("__sza") + F.col("__szb")).cast("bigint") - F.col("__isz"))
         .withColumn(
-            "jaccard",
-            F.size(F.array_intersect("__tka", "__tkb")).cast("double")
-            / F.size(F.array_union("__tka", "__tkb")).cast("double"),
+            "jaccard", F.col("__isz").cast("double") / F.col("__usz").cast("double")
         )
         .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
     )
+    out = ["id_a", "id_b", F.round("jaccard", 4).alias("jaccard")]
+    if with_sizes:
+        out += [F.col("__isz").alias("inter_sz"), F.col("__usz").alias("union_sz")]
+    return verified.select(*out)
 
 
 # ------------------------------------------------------------ SimHash

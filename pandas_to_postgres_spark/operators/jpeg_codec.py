@@ -269,8 +269,11 @@ class BitWriter:
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """Baseline JPEG bytes → (h, w) grayscale or (h, w, 3) RGB uint8.
 
-    Supports SOF0, 8-bit, 1 or 3 components WITHOUT chroma subsampling
-    (all sampling factors 1x1); anything else raises NotImplementedError.
+    Supports SOF0, 8-bit, 1 or 3 components with ARBITRARY integer
+    sampling factors 1-4 (4:4:4, 4:2:2, and the ubiquitous 4:2:0 all
+    decode through the MCU-interleaved path in `_decode_scan`, asserted
+    by `test_jpeg_420_mcu_decode`). Only progressive/arithmetic/16-bit
+    variants remain gated behind NotImplementedError.
     """
     if not payload.startswith(b"\xff\xd8"):
         raise ValueError("not a JPEG payload (missing SOI)")
@@ -381,6 +384,15 @@ def _decode_scan(payload, data_start, frame, scan, quant, huff_dc, huff_ac,
     resolution and nearest-neighbor upsampled (np.repeat) afterwards."""
     h, w, comps = frame["h"], frame["w"], frame["comps"]
     nc = len(comps)
+    # Match each frame component's scan entry by the SOS component
+    # selector (cs == SOF component id), NOT positional index: a foreign
+    # baseline JPEG whose scan order differs from the frame order would
+    # otherwise silently decode with swapped planes/Huffman tables.
+    scan_by_cs = {s["cs"]: s for s in scan}
+    try:
+        scan = [scan_by_cs[c["id"]] for c in comps]
+    except KeyError as e:
+        raise ValueError(f"SOS missing component id {e.args[0]}") from None
     hmax = max(c["hi"] for c in comps)
     vmax = max(c["vi"] for c in comps)
     mcux = (w + 8 * hmax - 1) // (8 * hmax)

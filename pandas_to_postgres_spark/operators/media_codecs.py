@@ -10,10 +10,11 @@ this container. But uncompressed containers need no codec library at all:
 - **PNG** (8-bit RGB/RGBA, non-interlaced) — stdlib ``zlib`` inflate +
   a real unfilter pass for all five PNG filter types (so COMPRESSED
   lossless images decode too; see ``decode_png``)
-- **JPEG** (baseline SOF0, grayscale / 4:4:4) — a full Huffman + IDCT
-  decoder and matching encoder in pure numpy (``jpeg_codec.py``),
-  validated against hand-assembled T.81 bitstreams; subsampled
-  (4:2:0) and progressive JPEG raise NotImplementedError inside the
+- **JPEG** (baseline SOF0, grayscale / 4:4:4 / 4:2:2 / 4:2:0 — any
+  integer sampling factors) — a full Huffman + IDCT decoder and
+  matching encoder in pure numpy (``jpeg_codec.py``), validated
+  against hand-assembled T.81 bitstreams; only progressive /
+  arithmetic / 16-bit JPEG raises NotImplementedError inside the
   codec rather than decode wrong
 
 so for these formats the decode step is REAL: actual pixels and samples
@@ -226,7 +227,7 @@ def _featurize_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     ]
             else:
                 # the honest gate: video etc. need libs absent here
-                # (subsampled/progressive JPEG raises inside jpeg_codec)
+                # (progressive/arithmetic JPEG raises inside jpeg_codec)
                 raise NotImplementedError(
                     f"no codec for {mime!r} in this container (PIL/ffmpeg absent)"
                 )

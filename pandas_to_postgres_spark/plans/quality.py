@@ -662,8 +662,10 @@ def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     decodes the ACTUAL samples/pixels back out with stdlib wave/zlib +
     numpy, no PIL/ffmpeg involved. PNG is a genuinely COMPRESSED format
     (DEFLATE + scanline filters), so the decode path here is not a
-    header parse. JPEG/MP4 remain honestly gated behind
-    NotImplementedError in the same dispatcher.
+    header parse. Baseline JPEG (any integer subsampling, incl. 4:2:0)
+    decodes for real through `jpeg_codec`; only progressive/arithmetic
+    JPEG and MP4 remain honestly gated behind NotImplementedError in
+    the same dispatcher.
 
     Scale: synthesis and decode are both map-only mapInPandas stages —
     payloads are created and consumed inside the same partition, never

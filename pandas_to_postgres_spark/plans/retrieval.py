@@ -1619,13 +1619,15 @@ def dedup_threshold_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = d.select("doc_id", "text").unionByName(trunc)
     pairs = ngram_jaccard_prefix(
-        corpus, text_col="text", id_col="doc_id", threshold=0.4, n=3
+        corpus, text_col="text", id_col="doc_id", threshold=0.4, n=3,
+        with_sizes=True,
     )
-    # jaccard (4dp double) -> integer micro on the SAME grid both engines
+    # EXACT integer micro ratio i*1e6 DIV u — the same arithmetic the
+    # oracle runs. (Deriving jm from the 4-dp-rounded double drifted up
+    # to ~50 micro, flipping pairs whose true Jaccard sits within 5e-5
+    # of a 100000-micro threshold between engines.)
     ver = pairs.select(
-        F.floor(F.col("jaccard") * F.lit(1e6) + F.lit(0.5))
-        .cast("bigint")
-        .alias("jm"),
+        F.expr("CAST(inter_sz * 1000000 DIV union_sz AS BIGINT)").alias("jm"),
         (F.col("id_b") == F.col("id_a") + F.lit(1_000_000)).alias("planted"),
     )
     nd = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
@@ -2193,7 +2195,7 @@ def multimodal_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full REAL image-processing loop inside one map-only stage:
     synthesize a deterministic JPEG per document (gradient keyed by
     doc_id), DECODE it (pure-numpy Huffman + IDCT,
-    `operators/jpeg_codec.py`), nearest-neighbor RESIZE to a 16x16
+    `operators/jpeg_codec.py`), nearest-neighbor RESIZE to an 8x8
     thumbnail, and RE-ENCODE as PNG — the decode→transform→encode
     pipeline every multimodal training-data prep runs, with zero stubbed
     steps and zero imaging libraries. Output per doc: original and

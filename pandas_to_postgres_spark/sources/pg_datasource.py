@@ -282,10 +282,17 @@ class PostgresArrowWriter(DataSourceArrowWriter):
       stages. Readers see the old table until the commit.
     - ``abort`` (driver, any task failed): drop the stages.
 
-    The commit/abort cleanup drops every ``<table>__dsw_*`` stage
-    (including orphans of attempts that died before messaging), which
-    assumes ONE concurrent writer per target table — same single-writer
-    contract as every full-refresh loader here.
+    Stage names carry a per-JOB uuid prefix (minted driver-side in
+    ``__init__`` and shipped to tasks inside the pickled writer), so the
+    commit/abort sweep only ever sees ITS OWN job's stages — a
+    concurrent writer to the same table can neither have staged data
+    dropped out from under it nor drop ours. The commit transaction
+    additionally takes ``pg_advisory_xact_lock(hashtext(schema.table))``
+    so two simultaneous publishes serialize instead of deadlocking on
+    TRUNCATE + INSERT ordering. Residual caveat: a stage created by a
+    zombie/speculative task AFTER its job's sweep, or by a job whose
+    driver died before commit/abort, is an orphan — bounded cleanup is
+    ``DROP TABLE`` of ``<table>__dsw_%`` at a quiet moment.
 
     Scale: identical data plane to `parallel_copy` (one connection per
     task, pyarrow C++ CSV serialization, memory bounded by the Arrow
@@ -293,11 +300,16 @@ class PostgresArrowWriter(DataSourceArrowWriter):
     """
 
     def __init__(self, options, columns, overwrite: bool):
+        import uuid  # noqa: PLC0415
+
         self.options = dict(options)
         self.columns = list(columns)
         self.overwrite = overwrite
         self.schema_name = options.get("schema", "public")
         self.table = options["table"]
+        # job-scoped stage namespace: minted once on the driver, pickled
+        # into every task — concurrent writers never see each other's stages
+        self.job_id = uuid.uuid4().hex[:8]
 
     def _q(self, name: str) -> str:
         return f'"{self.schema_name}"."{name}"'
@@ -313,7 +325,7 @@ class PostgresArrowWriter(DataSourceArrowWriter):
         first = next(iterator, None)
         if first is None:
             return PgWriteCommit(stage=None, n_rows=0)
-        stage = f"{self.table}__dsw_{uuid.uuid4().hex[:12]}"
+        stage = f"{self.table}__dsw_{self.job_id}_{uuid.uuid4().hex[:12]}"
         col_list = ", ".join(f'"{c}"' for c in self.columns)
         stream = _ArrowCsvStream(itertools.chain([first], iterator))
         conn = _connect(self.options)
@@ -334,7 +346,7 @@ class PostgresArrowWriter(DataSourceArrowWriter):
     def _all_stages(self, cur) -> list:
         import re  # noqa: PLC0415
 
-        prefix = f"{self.table}__dsw_"
+        prefix = f"{self.table}__dsw_{self.job_id}_"
         cur.execute(
             "SELECT tablename FROM pg_tables"
             " WHERE schemaname = %s AND tablename LIKE %s",
@@ -348,6 +360,12 @@ class PostgresArrowWriter(DataSourceArrowWriter):
         conn = _connect(self.options)
         try:
             with conn, conn.cursor() as cur:  # ONE txn: atomic publish
+                # serialize concurrent publishes to the same target
+                # (released automatically at txn end)
+                cur.execute(
+                    "SELECT pg_advisory_xact_lock(hashtext(%s))",
+                    (f"{self.schema_name}.{self.table}",),
+                )
                 if self.overwrite:
                     cur.execute(f"TRUNCATE {self._q(self.table)}")
                 for m in messages:

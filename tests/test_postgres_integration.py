@@ -770,6 +770,13 @@ class TestPostgresDataSourceWriter:
         conn.close()
         return out
 
+    def _q_exec(self, conn_params, sql):
+        conn = pgwire.connect(**conn_params)
+        conn.autocommit = True
+        with conn.cursor() as cur:
+            cur.execute(sql)
+        conn.close()
+
     def test_append_overwrite_and_stage_cleanup(self, spark, schema):
         conn = pgwire.connect(**schema)
         conn.autocommit = True
@@ -779,11 +786,15 @@ class TestPostgresDataSourceWriter:
                 "CREATE TABLE dsw_tgt (id BIGINT, name TEXT,"
                 " val DOUBLE PRECISION)"
             )
-            # orphan stage from a hypothetical crashed attempt: the next
-            # commit must sweep it WITHOUT publishing it
-            cur.execute("CREATE TABLE dsw_tgt__dsw_deadbeef01 (LIKE dsw_tgt)")
+            # stage owned by a DIFFERENT job (its id is not ours): the next
+            # commit must neither publish it NOR drop it — it could be a
+            # concurrent writer's live stage (job-scoped sweep contract)
             cur.execute(
-                "INSERT INTO dsw_tgt__dsw_deadbeef01 VALUES (999, 'ghost', 0)"
+                "CREATE TABLE dsw_tgt__dsw_deadbeef_cafe0123babe (LIKE dsw_tgt)"
+            )
+            cur.execute(
+                "INSERT INTO dsw_tgt__dsw_deadbeef_cafe0123babe"
+                " VALUES (999, 'ghost', 0)"
             )
         conn.close()
 
@@ -796,12 +807,14 @@ class TestPostgresDataSourceWriter:
         assert self._q(
             schema, "SELECT count(*) FROM dsw_tgt WHERE name = 'ghost'"
         )[0] == ("0",)
-        # no stage (or orphan) survives the commit
+        # none of THIS job's stages survive the commit; the foreign job's
+        # stage is untouched (exactly one stage table remains: the ghost's)
         assert self._q(
             schema,
             "SELECT count(*) FROM pg_tables"
             " WHERE tablename LIKE 'dsw\\_tgt\\_\\_dsw\\_%'",
-        )[0] == ("0",)
+        )[0] == ("1",)
+        self._q_exec(schema, "DROP TABLE dsw_tgt__dsw_deadbeef_cafe0123babe")
 
         # append mode appends; overwrite mode replaces atomically
         self._writer(df.limit(50), schema, "dsw_tgt", "append")
