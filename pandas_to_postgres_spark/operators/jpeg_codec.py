@@ -1,10 +1,17 @@
 """Baseline JPEG codec in pure numpy + stdlib — no libjpeg, no PIL.
 
-Scope: baseline sequential DCT (SOF0), 8-bit, Huffman coding;
-grayscale and YCbCr with ANY integer sampling factors — 4:4:4, 4:2:2,
-and the ubiquitous 4:2:0 all decode through one MCU-interleaved path
-(subsampled chroma decodes at native resolution, then nearest-neighbor
-upsamples). Progressive (SOF2) and arithmetic coding raise
+Scope: baseline sequential DCT (SOF0) AND progressive DCT (SOF2),
+8-bit, Huffman coding; grayscale and YCbCr with ANY integer sampling
+factors — 4:4:4, 4:2:2, and the ubiquitous 4:2:0 all decode through
+one MCU-interleaved path (subsampled chroma decodes at native
+resolution, then nearest-neighbor upsamples). Progressive handles all
+four scan kinds of T.81 G.1.2 — DC first/refine (successive
+approximation) and AC first/refine (spectral selection, EOB runs,
+correction bits) — accumulating coefficients across scans and
+reconstructing with one vectorized batched IDCT. A progressive
+ENCODER (`encode_jpeg_progressive`: DC successive approximation + two
+spectral AC bands) exists for synthesis/round-trip testing. Only
+arithmetic coding, lossless, hierarchical, and 16-bit precision raise
 ``NotImplementedError`` — decoded wrong would be worse than gated.
 
 Validation strategy (PIL is absent, so no external reference decoder
@@ -283,6 +290,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     huff_ac: Dict[int, dict] = {}
     frame = None
     restart_interval = 0
+    coefs = None  # progressive: per-component zig-zag coefficient buffers
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("bad marker alignment")
@@ -319,7 +327,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 p += nv
                 tbl = build_decode_table(bits, values)
                 (huff_dc if tc == 0 else huff_ac)[th] = tbl
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             if prec != 8:
                 raise NotImplementedError("only 8-bit precision")
@@ -330,10 +338,13 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 if not (1 <= hi <= 4 and 1 <= vi <= 4):
                     raise ValueError("illegal sampling factors")
                 comps.append({"id": cid, "tq": tq, "hi": hi, "vi": vi})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            frame = {"h": h, "w": w, "comps": comps,
+                     "progressive": marker == 0xC2}
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
-            raise NotImplementedError("non-baseline JPEG (progressive/etc.)")
+            raise NotImplementedError(
+                "unsupported JPEG variant (arithmetic/lossless/hierarchical)"
+            )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[0:2])
         elif marker == 0xDA:  # SOS — entropy data follows
@@ -342,12 +353,23 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             for i in range(ns):
                 cs, tables = seg[1 + 2 * i], seg[2 + 2 * i]
                 scan.append({"cs": cs, "td": tables >> 4, "ta": tables & 0x0F})
+            ss, se, ahl = seg[1 + 2 * ns : 4 + 2 * ns]
             data_start = pos + seglen
-            return _decode_scan(
-                payload, data_start, frame, scan, quant, huff_dc, huff_ac,
-                restart_interval,
+            if not frame.get("progressive"):
+                return _decode_scan(
+                    payload, data_start, frame, scan, quant, huff_dc,
+                    huff_ac, restart_interval,
+                )
+            if coefs is None:
+                coefs = _alloc_coefs(frame)
+            pos = _decode_progressive_scan(
+                payload, data_start, frame, scan, huff_dc, huff_ac,
+                restart_interval, coefs, ss, se, ahl >> 4, ahl & 0x0F,
             )
+            continue
         pos += seglen
+    if frame is not None and frame.get("progressive") and coefs is not None:
+        return _reconstruct_progressive(frame, coefs, quant)
     raise ValueError("no SOS marker found")
 
 
@@ -427,6 +449,12 @@ def _decode_scan(payload, data_start, frame, scan, quant, huff_dc, huff_ac,
                         x0 = (mx * hi + bxx) * 8
                         planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
             mcu += 1
+    return _planes_to_image(planes, comps, h, w, hmax, vmax)
+
+
+def _planes_to_image(planes, comps, h, w, hmax, vmax):
+    """Shared decode tail: nearest-neighbor upsample subsampled planes,
+    crop to (h, w), YCbCr→RGB for 3 components."""
     up = []
     for ci, p in enumerate(planes):
         fy = vmax // comps[ci]["vi"]
@@ -435,7 +463,7 @@ def _decode_scan(payload, data_start, frame, scan, quant, huff_dc, huff_ac,
             p = np.repeat(np.repeat(p, fy, axis=0), fx, axis=1)
         up.append(p)
     planes = [np.clip(np.round(p[:h, :w]), 0, 255) for p in up]
-    if nc == 1:
+    if len(planes) == 1:
         return planes[0].astype(np.uint8)
     y, cb, cr = planes
     r = y + 1.402 * (cr - 128.0)
@@ -444,6 +472,235 @@ def _decode_scan(payload, data_start, frame, scan, quant, huff_dc, huff_ac,
     return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(
         np.uint8
     )
+
+
+# ----------------------------------------------------- progressive decode
+
+#: zig-zag index k → flat row*8+col, as numpy index arrays (de-zigzag)
+_ZZ_ROWS = np.array([r for r, c in ZIGZAG])
+_ZZ_COLS = np.array([c for r, c in ZIGZAG])
+
+
+def _geometry(frame):
+    comps = frame["comps"]
+    h, w = frame["h"], frame["w"]
+    hmax = max(c["hi"] for c in comps)
+    vmax = max(c["vi"] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    dims = []
+    for c in comps:
+        cw = (w * c["hi"] + hmax - 1) // hmax  # ceil(w*hi/hmax)
+        ch = (h * c["vi"] + vmax - 1) // vmax
+        dims.append(((ch + 7) // 8, (cw + 7) // 8))  # non-interleaved blocks
+    return hmax, vmax, mcux, mcuy, dims
+
+
+def _alloc_coefs(frame):
+    """Per-component (bh_pad, bw_pad, 64) int32 zig-zag coefficient buffers,
+    MCU-padded so interleaved scans can write their padding blocks."""
+    hmax, vmax, mcux, mcuy, _ = _geometry(frame)
+    return [
+        np.zeros((mcuy * c["vi"], mcux * c["hi"], 64), dtype=np.int32)
+        for c in frame["comps"]
+    ]
+
+
+def _entropy_end(payload, start):
+    """First marker (non-stuffed, non-RST) at or after ``start``."""
+    p = start
+    n = len(payload)
+    while p < n:
+        if payload[p] == 0xFF and p + 1 < n:
+            nxt = payload[p + 1]
+            if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+                p += 2
+                continue
+            return p
+        p += 1
+    return n
+
+
+def _resync(rd, npred):
+    """Byte-align at a restart marker and reset DC predictors."""
+    rd.nbits = 0
+    rd.bitbuf = 0
+    while rd.pos < len(rd.data) and rd.data[rd.pos] != 0xFF:
+        rd.pos += 1
+    if rd.pos + 1 < len(rd.data) and 0xD0 <= rd.data[rd.pos + 1] <= 0xD7:
+        rd.pos += 2
+    return [0] * npred
+
+
+def _refine_nonzero(rd, coef, k, p1):
+    """AC refinement correction bit for an already-nonzero coefficient
+    (T.81 G.1.2.3 / libjpeg decode_mcu_AC_refine inner step)."""
+    if rd.read_bit() and (coef[k] & p1) == 0:
+        coef[k] += p1 if coef[k] >= 0 else -p1
+
+
+def _decode_ac_first(rd, coef, ss, se, al, ac_tbl, eobrun):
+    """One block of an AC first scan (Ah=0): EOB-run coding, T.81 G.1.2.2."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = rd.read_huffman(ac_tbl)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:
+                k += 16  # ZRL
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += rd.read_bits(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("AC run past spectral band")
+        coef[k] = extend(rd.read_bits(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _decode_ac_refine(rd, coef, ss, se, al, ac_tbl, eobrun):
+    """One block of an AC refinement scan (Ah=Al+1): new ±1<<Al
+    coefficients plus correction bits for history-nonzero ones
+    (T.81 G.1.2.3; control flow mirrors libjpeg's decode_mcu_AC_refine)."""
+    p1 = 1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = rd.read_huffman(ac_tbl)
+            r, s = rs >> 4, rs & 0x0F
+            val = 0
+            if s:
+                if s != 1:
+                    raise ValueError("AC refinement magnitude must be 1")
+                val = p1 if rd.read_bit() else -p1
+            elif r != 15:
+                eobrun = 1 << r
+                if r:
+                    eobrun += rd.read_bits(r)
+                break
+            # advance over r zero-history coefficients, emitting correction
+            # bits for every nonzero one passed on the way
+            while k <= se:
+                if coef[k] != 0:
+                    _refine_nonzero(rd, coef, k, p1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                coef[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if coef[k] != 0:
+                _refine_nonzero(rd, coef, k, p1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_progressive_scan(payload, data_start, frame, scan, huff_dc,
+                             huff_ac, restart_interval, coefs, ss, se,
+                             ah, al):
+    """Decode ONE progressive scan into the coefficient buffers; returns
+    the stream position of the next marker. Four scan kinds (T.81 G.1.2):
+    DC first (diff-coded, <<Al), DC refine (one bit per block), AC first
+    (EOB-run coded, single component), AC refine (correction bits).
+    Interleaved (multi-component, DC only) scans walk MCU order incl.
+    padding blocks; single-component scans walk the component's own
+    non-padded block raster."""
+    comps = frame["comps"]
+    by_id = {c["id"]: ci for ci, c in enumerate(comps)}
+    members = [by_id[s["cs"]] for s in scan]  # frame comp index per scan slot
+    hmax, vmax, mcux, mcuy, dims = _geometry(frame)
+    rd = BitReader(payload[data_start:])
+    eobrun = 0
+    pred = [0] * len(scan)
+    if ss == 0:  # DC scan (first or refine); may be interleaved
+        units = []  # (scan_slot, by, bx) in scan order
+        if len(scan) > 1:
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    mcu = []
+                    for si, ci in enumerate(members):
+                        hi, vi = comps[ci]["hi"], comps[ci]["vi"]
+                        for byy in range(vi):
+                            for bxx in range(hi):
+                                mcu.append((si, my * vi + byy, mx * hi + bxx))
+                    units.append(mcu)
+        else:
+            bh, bw = dims[members[0]]
+            units = [[(0, by, bx)] for by in range(bh) for bx in range(bw)]
+        n_done = 0
+        for unit in units:
+            if restart_interval and n_done and n_done % restart_interval == 0:
+                pred = _resync(rd, len(scan))
+            for si, by, bx in unit:
+                ci = members[si]
+                coef = coefs[ci][by, bx]
+                if ah == 0:
+                    t = rd.read_huffman(huff_dc[scan[si]["td"]])
+                    pred[si] += extend(rd.read_bits(t), t)
+                    coef[0] = pred[si] << al
+                else:
+                    if rd.read_bit():
+                        coef[0] |= 1 << al
+            n_done += 1
+    else:  # AC scan — always single-component (T.81 G.1.1)
+        if len(scan) != 1:
+            raise ValueError("interleaved AC scan in progressive JPEG")
+        ci = members[0]
+        ac_tbl = huff_ac[scan[0]["ta"]]
+        bh, bw = dims[ci]
+        n_done = 0
+        for by in range(bh):
+            for bx in range(bw):
+                if (restart_interval and n_done
+                        and n_done % restart_interval == 0):
+                    _resync(rd, 0)
+                    eobrun = 0
+                coef = coefs[ci][by, bx]
+                if ah == 0:
+                    eobrun = _decode_ac_first(
+                        rd, coef, ss, se, al, ac_tbl, eobrun
+                    )
+                else:
+                    eobrun = _decode_ac_refine(
+                        rd, coef, ss, se, al, ac_tbl, eobrun
+                    )
+                n_done += 1
+    return _entropy_end(payload, data_start)
+
+
+def _reconstruct_progressive(frame, coefs, quant):
+    """Accumulated zig-zag coefficients → pixels: vectorized de-zigzag,
+    dequantize, batched IDCT, then the shared upsample/color tail."""
+    comps = frame["comps"]
+    h, w = frame["h"], frame["w"]
+    hmax = max(c["hi"] for c in comps)
+    vmax = max(c["vi"] for c in comps)
+    planes = []
+    for ci, c in enumerate(comps):
+        bh, bw, _ = coefs[ci].shape
+        flat = coefs[ci].reshape(bh * bw, 64).astype(np.float64)
+        q = quant[c["tq"]]
+        blocks = np.zeros((bh * bw, 8, 8))
+        blocks[:, _ZZ_ROWS, _ZZ_COLS] = flat
+        blocks *= q  # quant table is already in natural (row, col) order
+        spatial = np.einsum("ai,nab,bj->nij", _C, blocks, _C) + 128.0
+        plane = (
+            spatial.reshape(bh, bw, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(bh * 8, bw * 8)
+        )
+        planes.append(plane)
+    return _planes_to_image(planes, comps, h, w, hmax, vmax)
 
 
 # ----------------------------------------------------------------- encode
@@ -554,4 +811,147 @@ def encode_jpeg(img: np.ndarray) -> bytes:
     wtr.flush()
     out.extend(wtr.out)
     out.extend(b"\xff\xd9")  # EOI
+    return bytes(out)
+
+
+def encode_jpeg_progressive(img: np.ndarray) -> bytes:
+    """(h, w) grayscale or (h, w, 3) RGB uint8 → PROGRESSIVE JPEG bytes
+    (SOF2, 4:4:4, Annex K tables).
+
+    Scan script (a classic minimal progression):
+      1. interleaved DC first, Ah=0 Al=1 (all components, diff-coded
+         with the point transform's arithmetic shift)
+      2. DC refinement, Ah=1 Al=0 (one raw bit per block)
+      3. per component: AC first Ss=1..5  Al=0
+      4. per component: AC first Ss=6..63 Al=0
+    All AC coefficients arrive at full precision (Al=0) across two
+    spectral bands, so the decoded image is EXACTLY the baseline
+    decode of the same quantized coefficients — the property the
+    golden tests assert.
+    """
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    if gray:
+        planes = [img.astype(np.float64)]
+        qtabs = [QUANT_LUMA]
+    else:
+        rgb = img.astype(np.float64)
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        planes = [y, cb, cr]
+        qtabs = [QUANT_LUMA, QUANT_CHROMA, QUANT_CHROMA]
+    nc = len(planes)
+    bh, bw = (h + 7) // 8, (w + 7) // 8
+    # quantized zig-zag coefficients per component/block (same math as the
+    # baseline encoder: pad, center, DCT, round-divide by the quant table)
+    zz_all = []
+    for ci, p in enumerate(planes):
+        pp = np.empty((bh * 8, bw * 8))
+        pp[:h, :w] = p
+        pp[h:, :w] = p[h - 1 : h, :]
+        pp[:, w:] = pp[:, w - 1 : w]
+        pp -= 128.0
+        comp = np.empty((bh, bw, 64), dtype=np.int64)
+        for by in range(bh):
+            for bx in range(bw):
+                qc = np.round(
+                    dct2(pp[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8])
+                    / qtabs[ci]
+                ).astype(np.int64)
+                comp[by, bx] = qc[_ZZ_ROWS, _ZZ_COLS]
+        zz_all.append(comp)
+
+    out = bytearray(b"\xff\xd8")
+
+    def segment(marker: int, body: bytes):
+        out.extend(struct.pack(">BBH", 0xFF, marker, len(body) + 2))
+        out.extend(body)
+
+    for tq, tbl in enumerate(
+        [QUANT_LUMA] if gray else [QUANT_LUMA, QUANT_CHROMA]
+    ):
+        segment(0xDB, bytes([tq]) + bytes(int(tbl[r, c]) for r, c in ZIGZAG))
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for i in range(nc):
+        sof += bytes([i + 1, 0x11, 0 if gray or i == 0 else 1])
+    segment(0xC2, sof)  # SOF2: progressive
+    specs = [(0x00, HUFF_DC_LUMA), (0x10, HUFF_AC_LUMA)]
+    if not gray:
+        specs += [(0x01, HUFF_DC_CHROMA), (0x11, HUFF_AC_CHROMA)]
+    for tc_th, (bits, values) in specs:
+        segment(0xC4, bytes([tc_th] + bits + values))
+    dc_enc = [build_encode_table(*(HUFF_DC_LUMA if ci == 0 or gray
+                                   else HUFF_DC_CHROMA)) for ci in range(nc)]
+    ac_enc = [build_encode_table(*(HUFF_AC_LUMA if ci == 0 or gray
+                                   else HUFF_AC_CHROMA)) for ci in range(nc)]
+
+    def sos_header(comp_ids, ss, se, ah, al):
+        body = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            td = 0 if cid == 1 or gray else 1
+            body += bytes([cid, (td << 4) | td])
+        body += bytes([ss, se, (ah << 4) | al])
+        segment(0xDA, body)
+
+    # scan 1: interleaved DC first, Al=1 (diff of the shifted DC values)
+    sos_header(list(range(1, nc + 1)), 0, 0, 0, 1)
+    wtr = BitWriter()
+    pred = [0] * nc
+    for by in range(bh):
+        for bx in range(bw):
+            for ci in range(nc):
+                v = int(zz_all[ci][by, bx, 0]) >> 1  # arithmetic shift
+                t, code = magnitude_bits(v - pred[ci])
+                ln, c = dc_enc[ci][t]
+                wtr.write_bits(c, ln)
+                if t:
+                    wtr.write_bits(code, t)
+                pred[ci] = v
+    wtr.flush()
+    out.extend(wtr.out)
+
+    # scan 2: DC refinement, Al=0 (bit 0 of each DC, two's complement)
+    sos_header(list(range(1, nc + 1)), 0, 0, 1, 0)
+    wtr = BitWriter()
+    for by in range(bh):
+        for bx in range(bw):
+            for ci in range(nc):
+                wtr.write_bits(int(zz_all[ci][by, bx, 0]) & 1, 1)
+    wtr.flush()
+    out.extend(wtr.out)
+
+    # scans 3+4 per component: AC first over two spectral bands, Al=0
+    for ci in range(nc):
+        for ss, se in ((1, 5), (6, 63)):
+            sos_header([ci + 1], ss, se, 0, 0)
+            wtr = BitWriter()
+            for by in range(bh):
+                for bx in range(bw):
+                    zz = zz_all[ci][by, bx]
+                    last_nz = 0
+                    for k in range(ss, se + 1):
+                        if zz[k] != 0:
+                            last_nz = k
+                    run = 0
+                    for k in range(ss, last_nz + 1):
+                        if zz[k] == 0:
+                            run += 1
+                            continue
+                        while run > 15:
+                            ln, c = ac_enc[ci][0xF0]
+                            wtr.write_bits(c, ln)
+                            run -= 16
+                        t, code = magnitude_bits(int(zz[k]))
+                        ln, c = ac_enc[ci][(run << 4) | t]
+                        wtr.write_bits(c, ln)
+                        wtr.write_bits(code, t)
+                        run = 0
+                    if last_nz < se:
+                        ln, c = ac_enc[ci][0x00]  # EOB (EOBRUN=1)
+                        wtr.write_bits(c, ln)
+            wtr.flush()
+            out.extend(wtr.out)
+    out.extend(b"\xff\xd9")
     return bytes(out)

@@ -10,12 +10,13 @@ this container. But uncompressed containers need no codec library at all:
 - **PNG** (8-bit RGB/RGBA, non-interlaced) — stdlib ``zlib`` inflate +
   a real unfilter pass for all five PNG filter types (so COMPRESSED
   lossless images decode too; see ``decode_png``)
-- **JPEG** (baseline SOF0, grayscale / 4:4:4 / 4:2:2 / 4:2:0 — any
-  integer sampling factors) — a full Huffman + IDCT decoder and
-  matching encoder in pure numpy (``jpeg_codec.py``), validated
-  against hand-assembled T.81 bitstreams; only progressive /
-  arithmetic / 16-bit JPEG raises NotImplementedError inside the
-  codec rather than decode wrong
+- **JPEG** (baseline SOF0 AND progressive SOF2; grayscale / 4:4:4 /
+  4:2:2 / 4:2:0 — any integer sampling factors) — a full Huffman +
+  IDCT decoder and matching encoders in pure numpy
+  (``jpeg_codec.py``), validated against hand-assembled T.81
+  bitstreams incl. successive-approximation and EOB-run scans; only
+  arithmetic / lossless / 16-bit JPEG raises NotImplementedError
+  inside the codec rather than decode wrong
 
 so for these formats the decode step is REAL: actual pixels and samples
 come out, get featurized with numpy, and flow through the same

@@ -656,16 +656,17 @@ def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL (not faked) media decode through the multimodal plumbing:
     odd doc_ids synthesize a deterministic 16-bit PCM WAV payload (tone
     frequency keyed by doc_id, duration by n_chars), EVEN doc_ids a
-    deterministic gradient image — PNG (doc_id % 4 == 0) or baseline
-    JPEG (doc_id % 4 == 2; full pure-numpy Huffman+IDCT decode, size by
-    n_chars) — and `operators/media_codecs.extract_features_real`
-    decodes the ACTUAL samples/pixels back out with stdlib wave/zlib +
-    numpy, no PIL/ffmpeg involved. PNG is a genuinely COMPRESSED format
-    (DEFLATE + scanline filters), so the decode path here is not a
-    header parse. Baseline JPEG (any integer subsampling, incl. 4:2:0)
-    decodes for real through `jpeg_codec`; only progressive/arithmetic
-    JPEG and MP4 remain honestly gated behind NotImplementedError in
-    the same dispatcher.
+    deterministic gradient image — PNG (doc_id % 4 == 0), PROGRESSIVE
+    JPEG (doc_id % 8 == 2; SOF2, DC successive approximation + two
+    spectral AC bands), or baseline JPEG (doc_id % 8 == 6) — and
+    `operators/media_codecs.extract_features_real` decodes the ACTUAL
+    samples/pixels back out with stdlib wave/zlib + numpy, no
+    PIL/ffmpeg involved. PNG is a genuinely COMPRESSED format (DEFLATE
+    + scanline filters), so the decode path here is not a header
+    parse; both JPEG flavors run the full pure-numpy Huffman+IDCT
+    decode (`jpeg_codec`, any integer subsampling incl. 4:2:0). Only
+    arithmetic/lossless JPEG and MP4 remain honestly gated behind
+    NotImplementedError in the same dispatcher.
 
     Scale: synthesis and decode are both map-only mapInPandas stages —
     payloads are created and consumed inside the same partition, never
@@ -677,7 +678,10 @@ def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql import types as T
 
-    from pandas_to_postgres_spark.operators.jpeg_codec import encode_jpeg
+    from pandas_to_postgres_spark.operators.jpeg_codec import (
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
     from pandas_to_postgres_spark.operators.media_codecs import (
         encode_png,
         encode_wav,
@@ -713,6 +717,9 @@ def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                     if int(doc_id) % 4 == 0:
                         payloads.append(encode_png(rgb))
                         mimes.append("image/png")
+                    elif int(doc_id) % 8 == 2:
+                        payloads.append(encode_jpeg_progressive(rgb))
+                        mimes.append("image/jpeg")
                     else:
                         payloads.append(encode_jpeg(rgb))
                         mimes.append("image/jpeg")

@@ -1316,13 +1316,13 @@ class TestRealMediaCodecs:
         out = decode_jpeg(jpg)
         assert out.shape == (16, 16, 3) and (out == 208).all()
 
-        # progressive (SOF2) stays gated
-        sof2 = seg(
-            0xC2,
+        # arithmetic-coded JPEG (SOF9) stays gated (progressive now decodes)
+        sof9 = seg(
+            0xC9,
             struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]),
         )
         with _pytest.raises(NotImplementedError):
-            decode_jpeg(b"\xff\xd8" + dqt + sof2 + b"\xff\xd9")
+            decode_jpeg(b"\xff\xd8" + dqt + sof9 + b"\xff\xd9")
 
         # video remains dispatcher-gated
         from py4j.protocol import Py4JJavaError
@@ -1334,6 +1334,251 @@ class TestRealMediaCodecs:
         with pytest.raises((Py4JJavaError, Exception)) as ei:
             extract_features_real(df).collect()
         assert "no codec" in str(ei.value)
+
+    def test_jpeg_progressive_matches_baseline_decode(self, spark):
+        """Progressive encode→decode equals BASELINE decode of the same
+        quantized coefficients pixel-for-pixel: the scan script delivers
+        DC via successive approximation (Al=1 then refine) and all AC at
+        full precision across two spectral bands, so any divergence in
+        multi-scan assembly, spectral selection, or non-interleaved
+        block order shows as a pixel diff."""
+        import numpy as np
+
+        from pandas_to_postgres_spark.operators.jpeg_codec import (
+            decode_jpeg,
+            encode_jpeg,
+            encode_jpeg_progressive,
+        )
+
+        rng = np.random.RandomState(11)
+        for shape in [(8, 8), (23, 17), (33, 29, 3)]:
+            img = (rng.rand(*shape) * 255).astype(np.uint8)
+            base = decode_jpeg(encode_jpeg(img))
+            prog = decode_jpeg(encode_jpeg_progressive(img))
+            assert np.array_equal(base, prog), shape
+
+    def _pseg(self, marker, body):
+        import struct
+
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    def _pjpg_gray_header(self, h, w, huff_segs):
+        import struct
+
+        dqt = self._pseg(0xDB, bytes([0]) + bytes([16] * 64))
+        sof = self._pseg(
+            0xC2, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+        )
+        return b"\xff\xd8" + dqt + sof + huff_segs
+
+    def test_jpeg_progressive_dc_successive_approximation(self):
+        """Hand-assembled 8x8 grayscale, DC=9 delivered over TWO scans:
+        first scan codes 9>>1 = 4 at Al=1 ('100' cat-3 + '100'), the
+        refinement scan sends the low bit (1). Decoded flat patch =
+        round(9*16/8) + 128 = 146 by spec arithmetic."""
+        import numpy as np
+
+        from pandas_to_postgres_spark.operators.jpeg_codec import (
+            HUFF_DC_LUMA,
+            BitWriter,
+            build_encode_table,
+            decode_jpeg,
+        )
+
+        dht = self._pseg(0xC4, bytes([0x00] + HUFF_DC_LUMA[0] + HUFF_DC_LUMA[1]))
+        dc = build_encode_table(*HUFF_DC_LUMA)
+        s1 = self._pseg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x01]))  # Ah=0 Al=1
+        w1 = BitWriter()
+        ln, c = dc[3]
+        w1.write_bits(c, ln)
+        w1.write_bits(4, 3)  # +4
+        w1.flush()
+        s2 = self._pseg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x10]))  # Ah=1 Al=0
+        w2 = BitWriter()
+        w2.write_bits(1, 1)  # refinement bit: 9 & 1
+        w2.flush()
+        jpg = (
+            self._pjpg_gray_header(8, 8, dht)
+            + s1 + bytes(w1.out) + s2 + bytes(w2.out) + b"\xff\xd9"
+        )
+        out = decode_jpeg(jpg)
+        assert out.shape == (8, 8) and (out == 146).all()
+
+    def test_jpeg_progressive_ac_refinement(self):
+        """Hand-assembled AC successive approximation: first AC scan at
+        Al=1 plants coefficient zz[1] = 2<<1 = 4; the refinement scan
+        (Ah=1, Al=0) must (a) apply a correction bit turning 4 into 5
+        and (b) materialize a NEW coefficient -1 at zz[3] — the two
+        hard paths of T.81 G.1.2.3. Expected pixels computed by direct
+        IDCT arithmetic on the final dequantized coefficients."""
+        import numpy as np
+
+        from pandas_to_postgres_spark.operators.jpeg_codec import (
+            HUFF_AC_LUMA,
+            HUFF_DC_LUMA,
+            ZIGZAG,
+            BitWriter,
+            build_encode_table,
+            decode_jpeg,
+            idct2,
+        )
+
+        dht = self._pseg(
+            0xC4, bytes([0x00] + HUFF_DC_LUMA[0] + HUFF_DC_LUMA[1])
+        ) + self._pseg(0xC4, bytes([0x10] + HUFF_AC_LUMA[0] + HUFF_AC_LUMA[1]))
+        dc = build_encode_table(*HUFF_DC_LUMA)
+        ac = build_encode_table(*HUFF_AC_LUMA)
+
+        # scan 1: DC first Al=0, DC=8 (cat-4, code 8)
+        sdc = self._pseg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x00]))
+        w = BitWriter()
+        ln, c = dc[4]
+        w.write_bits(c, ln)
+        w.write_bits(8, 4)
+        w.flush()
+        dc_data = bytes(w.out)
+        # scan 2: AC first Ss=1 Se=63 Al=1 — zz[1] arrives as +2 (<<1 = 4)
+        sac1 = self._pseg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x01]))
+        w = BitWriter()
+        ln, c = ac[0x02]  # run 0, size 2
+        w.write_bits(c, ln)
+        w.write_bits(2, 2)  # +2
+        ln, c = ac[0x00]  # EOB
+        w.write_bits(c, ln)
+        w.flush()
+        ac1_data = bytes(w.out)
+        # scan 3: AC refine Ah=1 Al=0 — symbol (r=1,s=1), sign bit 0
+        # (new value -1 at the 2nd zero-history slot, zz[3]), then the
+        # correction bit 1 for zz[1] passed on the way (4 -> 5); EOB
+        sac2 = self._pseg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x10]))
+        w = BitWriter()
+        ln, c = ac[0x11]
+        w.write_bits(c, ln)
+        w.write_bits(0, 1)  # sign: negative
+        w.write_bits(1, 1)  # correction bit for zz[1]
+        ln, c = ac[0x00]
+        w.write_bits(c, ln)
+        w.flush()
+        ac2_data = bytes(w.out)
+        jpg = (
+            self._pjpg_gray_header(8, 8, dht)
+            + sdc + dc_data + sac1 + ac1_data + sac2 + ac2_data + b"\xff\xd9"
+        )
+        out = decode_jpeg(jpg)
+        coeff = np.zeros((8, 8))
+        coeff[ZIGZAG[0]] = 8 * 16
+        coeff[ZIGZAG[1]] = 5 * 16
+        coeff[ZIGZAG[3]] = -1 * 16
+        want = np.clip(np.round(idct2(coeff) + 128.0), 0, 255).astype(np.uint8)
+        assert np.array_equal(out, want)
+
+    def test_jpeg_progressive_eob_run_spans_blocks(self):
+        """An EOB run (EOBRUN=2 via symbol r=1 + one extra bit) coded in
+        block 1 must also blank block 2 entirely — the cross-block state
+        baseline JPEG doesn't have. Custom 2-bit Huffman table supplies
+        the 0x10 EOBn symbol Annex K's baseline table lacks."""
+        import numpy as np
+
+        from pandas_to_postgres_spark.operators.jpeg_codec import (
+            HUFF_DC_LUMA,
+            ZIGZAG,
+            BitWriter,
+            build_decode_table,
+            build_encode_table,
+            decode_jpeg,
+            idct2,
+        )
+
+        ac_bits = [0, 4] + [0] * 14
+        ac_vals = [0x02, 0x10, 0x00, 0xF0]
+        dht = self._pseg(
+            0xC4, bytes([0x00] + HUFF_DC_LUMA[0] + HUFF_DC_LUMA[1])
+        ) + self._pseg(0xC4, bytes([0x10] + ac_bits + ac_vals))
+        dc = build_encode_table(*HUFF_DC_LUMA)
+        ac = build_encode_table(ac_bits, ac_vals)
+
+        sdc = self._pseg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x00]))
+        w = BitWriter()
+        for _ in range(2):  # two blocks, DC diff 0
+            ln, c = dc[0]
+            w.write_bits(c, ln)
+        w.flush()
+        dc_data = bytes(w.out)
+        sac = self._pseg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x00]))
+        w = BitWriter()
+        ln, c = ac[0x02]  # block 1: zz[1] = +3
+        w.write_bits(c, ln)
+        w.write_bits(3, 2)
+        ln, c = ac[0x10]  # EOBRUN: r=1 -> 2 + 1 extra bit 0 - 1 = ...
+        w.write_bits(c, ln)
+        w.write_bits(0, 1)  # EOBRUN = (1<<1) + 0 = 2: rest of blk1 + blk2
+        w.flush()
+        ac_data = bytes(w.out)
+        jpg = (
+            self._pjpg_gray_header(8, 16, dht)
+            + sdc + dc_data + sac + ac_data + b"\xff\xd9"
+        )
+        out = decode_jpeg(jpg)
+        coeff = np.zeros((8, 8))
+        coeff[ZIGZAG[1]] = 3 * 16
+        want0 = np.clip(np.round(idct2(coeff) + 128.0), 0, 255)
+        assert np.array_equal(out[:, :8], want0.astype(np.uint8))
+        assert (out[:, 8:] == 128).all()
+
+    def test_jpeg_progressive_420_interleaved_dc(self):
+        """Progressive + 4:2:0: the interleaved DC scan walks MCU order
+        (4 luma blocks then Cb then Cr) with per-component predictor
+        chains; AC never arrives, so the image is the pure DC preview.
+        Y block 1 carries DC diff +40 -> 208; Y block 2 diff -40 returns
+        the per-component predictor chain to 0, so the rest is 128
+        (gray, since Cb=Cr=128 cancels the color conversion)."""
+        import struct
+
+        import numpy as np
+
+        from pandas_to_postgres_spark.operators.jpeg_codec import (
+            HUFF_DC_CHROMA,
+            HUFF_DC_LUMA,
+            BitWriter,
+            build_encode_table,
+            decode_jpeg,
+        )
+
+        dqt = self._pseg(0xDB, bytes([0]) + bytes([16] * 64))
+        sof = self._pseg(
+            0xC2,
+            struct.pack(">BHHB", 8, 16, 16, 3)
+            + bytes([1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0]),
+        )
+        dht = self._pseg(
+            0xC4, bytes([0x00] + HUFF_DC_LUMA[0] + HUFF_DC_LUMA[1])
+        ) + self._pseg(
+            0xC4, bytes([0x01] + HUFF_DC_CHROMA[0] + HUFF_DC_CHROMA[1])
+        )
+        dcl = build_encode_table(*HUFF_DC_LUMA)
+        dcc = build_encode_table(*HUFF_DC_CHROMA)
+        sos = self._pseg(
+            0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 0, 0x00])
+        )
+        w = BitWriter()
+        ln, c = dcl[6]  # Y1: diff +40 (cat 6)
+        w.write_bits(c, ln)
+        w.write_bits(40, 6)
+        ln, c = dcl[6]  # Y2: diff -40 (cat 6, code -40 + 63 = 23)
+        w.write_bits(c, ln)
+        w.write_bits(23, 6)
+        for _ in range(2):  # Y3-Y4: diff 0
+            ln, c = dcl[0]
+            w.write_bits(c, ln)
+        for _ in range(2):  # Cb, Cr: diff 0
+            ln, c = dcc[0]
+            w.write_bits(c, ln)
+        w.flush()
+        jpg = b"\xff\xd8" + dqt + sof + dht + sos + bytes(w.out) + b"\xff\xd9"
+        out = decode_jpeg(jpg)
+        assert out.shape == (16, 16, 3)
+        assert (out[:8, :8] == 208).all()
+        assert (out[:8, 8:] == 128).all() and (out[8:, :] == 128).all()
 
     def test_real_resize_nearest(self, spark):
         import numpy as np
