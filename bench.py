@@ -113,6 +113,14 @@ def etl_copy_to_postgres(spark, sf_dir: str):
         # 197k rows/s is sustained throughput over a many-table batch,
         # not a cold start.
         copy_to_postgres(li, server.conn_params, target, num_partitions=16)
+        # bench-only: checkpoint the warm load's WAL/dirty pages NOW so the
+        # timed loads never absorb its deferred writeback — one source of
+        # the 268k-405k rows/s spread recorded across round-3 runs
+        conn = pgwire.connect(**server.conn_params)
+        conn.autocommit = True
+        with conn.cursor() as cur:
+            cur.execute("CHECKPOINT")
+        conn.close()
         # min of 2 measured loads: single-shot COPY timings swing ~2x with
         # page-cache / WAL-checkpoint / JVM-GC phase alignment (measured
         # 177k..430k rows/s for identical code); the minimum is the
