@@ -1,8 +1,8 @@
-"""REAL media decoders for uncompressed formats — no PIL/ffmpeg needed.
+"""REAL media decoders — no PIL/ffmpeg needed.
 
-`operators/multimodal.py` gates compressed-format decoding (JPEG/PNG/MP4)
-behind ``NotImplementedError`` because those codecs' libraries are not in
-this container. But uncompressed containers need no codec library at all:
+`operators/multimodal.py`'s FAKE_DECODE tier stubs formats whose codec
+libraries are not in this container; everything listed here decodes for
+REAL in pure stdlib + numpy:
 
 - **WAV** (RIFF PCM)  — stdlib ``wave`` + numpy ``frombuffer``
 - **BMP** (24-bit uncompressed) — ``struct`` header parse + numpy reshape
@@ -17,6 +17,10 @@ this container. But uncompressed containers need no codec library at all:
   bitstreams incl. successive-approximation and EOB-run scans; only
   arithmetic / lossless / 16-bit JPEG raises NotImplementedError
   inside the codec rather than decode wrong
+- **Motion-JPEG AVI video** (``encode_avi_mjpeg``/``decode_avi_frames``)
+  — a RIFF chunk walk yields one standalone baseline JPEG per frame,
+  decoded by the same ``jpeg_codec``; this makes VIDEO frame sampling
+  real (`multimodal.sample_frames`), not a byte-slicing fake
 
 so for these formats the decode step is REAL: actual pixels and samples
 come out, get featurized with numpy, and flow through the same
@@ -226,9 +230,30 @@ def _featurize_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     f = [float(px.shape[0]), float(px.shape[1])] + [
                         float(v) for v in px.reshape(-1, 3).mean(axis=0)
                     ]
+            elif mime in ("video/avi", "video/x-msvideo"):
+                from pandas_to_postgres_spark.operators.jpeg_codec import (  # noqa: PLC0415
+                    decode_jpeg,
+                )
+
+                fr = decode_avi_frames(b)
+                # sample up to 4 evenly spaced frames for the luma feature
+                # — decode cost stays bounded per payload
+                step = max(len(fr) // 4, 1)
+                sampled = [decode_jpeg(fr[i]) for i in range(0, len(fr), step)]
+                px0 = sampled[0]
+                luma = float(
+                    np.mean([p.mean() for p in sampled])
+                )
+                f = [
+                    float(len(fr)),
+                    float(px0.shape[0]),
+                    float(px0.shape[1]),
+                    luma,
+                    0.0,
+                ]
             else:
-                # the honest gate: video etc. need libs absent here
-                # (progressive/arithmetic JPEG raises inside jpeg_codec)
+                # the honest gate: mp4 etc. need libs absent here
+                # (arithmetic/lossless JPEG raises inside jpeg_codec)
                 raise NotImplementedError(
                     f"no codec for {mime!r} in this container (PIL/ffmpeg absent)"
                 )
@@ -404,3 +429,84 @@ def decode_mulaw(payload: bytes) -> np.ndarray:
     y = np.frombuffer(payload, dtype=np.uint8).astype(np.float64) / 127.5 - 1.0
     mu = 255.0
     return np.sign(y) * ((1.0 + mu) ** np.abs(y) - 1.0) / mu
+
+
+# ------------------------------------------------------- MJPEG-in-AVI video
+
+def encode_avi_mjpeg(frames, fps: int = 10) -> bytes:
+    """List of (h, w, 3) uint8 RGB frames → minimal RIFF AVI container with
+    Motion-JPEG ('MJPG') video: each frame is a standalone baseline JPEG
+    ('00dc' chunk, word-aligned) — the classic intra-only format whose
+    container is a plain chunk walk and whose frames our own
+    `jpeg_codec.encode_jpeg` produces. No ffmpeg anywhere.
+
+    Layout (all little-endian, per the Microsoft AVI RIFF spec):
+    RIFF('AVI ' LIST('hdrl' avih LIST('strl' strh strf)) LIST('movi'
+    00dc...)) — no idx1 (optional for sequential readers, and ours is one).
+    """
+    import struct as _s
+
+    from pandas_to_postgres_spark.operators.jpeg_codec import encode_jpeg
+
+    if not frames:
+        raise ValueError("at least one frame required")
+    h, w = frames[0].shape[:2]
+    payloads = [encode_jpeg(f) for f in frames]
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return fourcc + _s.pack("<I", len(body)) + body + pad
+
+    def lst(listtype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", listtype + body)
+
+    avih = _s.pack(
+        "<14I",
+        1_000_000 // fps,  # dwMicroSecPerFrame
+        0, 0,
+        0x10,  # AVIF_HASINDEX off; 0x10 = AVIF_WASCAPTUREFILE (benign)
+        len(frames), 0, 1, 0, w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MJPG"
+        + _s.pack("<IHHIIIIIIIi", 0, 0, 0, 0, 1, fps, 0, len(frames), 0, 0, -1)
+        + _s.pack("<4h", 0, 0, w, h)
+    )
+    strf = _s.pack(
+        "<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", p) for p in payloads))
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + _s.pack("<I", len(riff_body)) + riff_body
+
+
+def decode_avi_frames(payload: bytes):
+    """RIFF AVI bytes → list of per-frame JPEG byte strings ('00dc'/'00db'
+    chunks inside LIST movi, word-aligned walk). Raises on non-AVI RIFF
+    or a missing movi list — honest failure, never a silent empty."""
+    import struct as _s
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF AVI payload")
+    frames = []
+
+    def walk(start: int, end: int, in_movi: bool):
+        p = start
+        while p + 8 <= end:
+            fourcc = payload[p : p + 4]
+            (size,) = _s.unpack("<I", payload[p + 4 : p + 8])
+            body_start = p + 8
+            body_end = body_start + size
+            if fourcc == b"LIST":
+                listtype = payload[body_start : body_start + 4]
+                walk(body_start + 4, body_end, listtype == b"movi")
+            elif in_movi and fourcc[2:4] in (b"dc", b"db"):
+                frames.append(payload[body_start:body_end])
+            p = body_end + (size % 2)  # word alignment
+
+    walk(12, 8 + _s.unpack("<I", payload[4:8])[0], False)
+    if not frames:
+        raise ValueError("AVI contains no video frame chunks")
+    return frames

@@ -183,21 +183,38 @@ def sample_frames(media_df: DataFrame, every_n: int = 10) -> DataFrame:
     row per sampled frame (doc_id, frame_idx, frame_payload).
 
     The row fan-out happens INSIDE mapInPandas (a generator per Arrow
-    batch), the shape a real ffmpeg frame extractor would use; FAKE_DECODE
-    slices the payload into n_frames equal byte ranges and keeps indices
-    0, every_n, 2*every_n, ... Scale: output rows >> input rows — follow
-    with a repartition before any wide op, and never collect frames.
+    batch), the shape a real ffmpeg frame extractor would use. RIFF AVI
+    payloads take the REAL path regardless of FAKE_DECODE: the container
+    is chunk-walked (`media_codecs.decode_avi_frames`) and every
+    ``every_n``-th frame's actual JPEG bytes are emitted. Other formats:
+    FAKE_DECODE slices the payload into n_frames equal byte ranges and
+    keeps indices 0, every_n, 2*every_n, ... Scale: output rows >> input
+    rows — follow with a repartition before any wide op, and never
+    collect frames.
     """
 
     def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if not FAKE_DECODE:
-            raise NotImplementedError("real frame sampling needs ffmpeg")
+        from pandas_to_postgres_spark.operators.media_codecs import (  # noqa: PLC0415
+            decode_avi_frames,
+        )
+
         for pdf in batches:
             ids, idxs, payloads = [], [], []
             for doc_id, payload, meta in zip(
                 pdf["doc_id"], pdf["payload"], pdf["media_meta"]
             ):
                 b = bytes(payload)
+                if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+                    frames = decode_avi_frames(b)
+                    for i in range(0, len(frames), every_n):
+                        ids.append(doc_id)
+                        idxs.append(i)
+                        payloads.append(frames[i])
+                    continue
+                if not FAKE_DECODE:
+                    raise NotImplementedError(
+                        "real frame sampling for non-AVI video needs ffmpeg"
+                    )
                 n_frames = max(int(meta["n_frames"]), 1)
                 frame_len = max(len(b) // n_frames, 1)
                 for i in range(0, n_frames, every_n):

@@ -743,6 +743,117 @@ def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features_real(media)
 
 
+@register("multimodal_video_frames", oracle=None)  # binary codec: no SQL twin
+def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling, no ffmpeg: every 10th document
+    synthesizes a deterministic Motion-JPEG AVI (3-10 16x16 gradient
+    frames keyed by doc_id/frame index, encoded by our own baseline
+    JPEG encoder into a RIFF container), `multimodal.sample_frames`
+    chunk-walks the container and emits every 2nd frame's ACTUAL JPEG
+    bytes, and each sampled frame is decoded back to pixels for a
+    per-frame mean-luma row. This closes the last multimodal gap the
+    round-3 board listed as env-gated: the container parse, the frame
+    fan-out, and the per-frame decode are all real; only non-MJPEG
+    codecs (H.264 etc.) remain honestly gated.
+
+    Scale: synthesis, container walk, and per-frame decode all happen
+    map-only inside mapInPandas — payloads are created and consumed in
+    the same task; the fan-out rows (doc_id, frame stats) are the only
+    thing that moves. Same D5 argument as every codec query.
+    """
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from pandas_to_postgres_spark.operators.jpeg_codec import decode_jpeg
+    from pandas_to_postgres_spark.operators.media_codecs import (
+        encode_avi_mjpeg,
+    )
+    from pandas_to_postgres_spark.operators.multimodal import sample_frames
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .filter(F.col("doc_id") % 10 == 0)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    media_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField(
+                "media_meta",
+                T.StructType([T.StructField("n_frames", T.IntegerType())]),
+            ),
+        ]
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, metas = [], []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                n_frames = 3 + int(n_chars) % 8
+                yy, xx = np.mgrid[0:16, 0:16]
+                frames = [
+                    np.stack(
+                        [
+                            (yy * 5 + int(doc_id) + fi * 11) % 256,
+                            (xx * 3 + fi * 7) % 256,
+                            (yy + xx + fi) % 256,
+                        ],
+                        axis=-1,
+                    ).astype(np.uint8)
+                    for fi in range(n_frames)
+                ]
+                payloads.append(encode_avi_mjpeg(frames))
+                metas.append({"n_frames": n_frames})
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "media_meta": metas,
+                }
+            )
+
+    media = d.mapInPandas(synth, schema=media_schema)
+    frames = sample_frames(media, every_n=2)
+
+    stat_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("h", T.IntegerType()),
+            T.StructField("w", T.IntegerType()),
+            T.StructField("mean_luma", T.DoubleType()),
+        ]
+    )
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hs, ws, lumas = [], [], []
+            for p in pdf["frame_payload"]:
+                px = decode_jpeg(bytes(p))
+                hs.append(px.shape[0])
+                ws.append(px.shape[1])
+                lumas.append(round(float(px.mean()), 6))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "frame_idx": pdf["frame_idx"],
+                    "h": pd.Series(hs, dtype="int32"),
+                    "w": pd.Series(ws, dtype="int32"),
+                    "mean_luma": lumas,
+                }
+            )
+
+    return frames.mapInPandas(featurize, schema=stat_schema).orderBy(
+        "doc_id", "frame_idx"
+    )
+
+
 @register(
     "variant_events",
     oracle="""
