@@ -908,35 +908,13 @@ _MH_P = 2147483647  # 2^31 - 1
 _MH_M = 1 << 30     # 30-bit basis: a*m + b < 2^60 + 2^30, no BIGINT overflow
 
 
-def minhash_md5_pairs(
-    df: DataFrame,
-    text_col: str,
-    id_col: str,
-    jaccard_threshold_micro: int = 500000,
-    max_bucket: int = 200,
-) -> DataFrame:
-    """MinHash-LSH near-dup pairs on an md5 hash basis — the VALUE-CHECKED
-    twin of ``minhash_near_duplicates`` (same pipeline shape; xxhash64 has
-    no SQL replay, md5 does — the same split as ``simhash_expr`` vs
-    ``simhash60_md5_expr``).
-
-    Signatures: shingle → md5 → 60-bit int → 30-bit basis m; family j is
-    the Carter-Wegman affine hash (a_j * m + b_j) mod (2^31 - 1) with the
-    baked ``MINHASH_MD5_A/B`` literals; sig_j = min over shingles. Bands:
-    8 bands x 4 rows, band key = the '|'-joined signature slice (a plain
-    string — replayable, unlike an engine hash). Candidates: bucket
-    equi-join with a ``max_bucket`` deterministic cap. Verification: exact
-    Jaccard over the 60-bit md5 shingle sets, kept as an integer micro
-    ratio (inter*1e6 // union) compared against the threshold WITHOUT
-    division — every value in the result is integer-exact cross-engine.
-
-    Shape mirrors the throughput tier: tokenize→shingle→hash is ONE
-    compiled SQL expression projected once and cached (HOF lambdas via the
-    Column API interpret per element; md5-per-shingle must not recompute
-    per family reference); signatures are map-only; the only corpus-sized
-    shuffles are the banded (band, key, id) exchange and the verify
-    semi-join. 100 TB: identical argument to minhash_near_duplicates —
-    bucketed candidates with a skew cap, no all-pairs anywhere.
+def md5_minhash_hashed_banded(df, text_col: str, id_col: str):
+    """The replayable md5-basis MinHash front end, shared by the batch
+    pair join (`minhash_md5_pairs`) and the streaming stream-static tier
+    (`streaming/neardup.py`): returns ``(hashed, banded)`` where hashed =
+    (id, __ms 60-bit md5 shingle hashes, cached — feeds signatures AND
+    verification) and banded = (id, band_idx, band_key) with 8 bands x 4
+    rows and plain-string band keys (engine-replayable, unlike xxhash64).
     """
     toks_sql = f"filter(split(trim(lower({text_col})), '\\\\s+'), t -> t != '')"
     sh_sql = (
@@ -971,6 +949,40 @@ def minhash_md5_pairs(
         F.col(id_col),
         F.posexplode(F.expr(band_sql)).alias("band_idx", "band_key"),
     )
+    return hashed, banded
+
+
+def minhash_md5_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    jaccard_threshold_micro: int = 500000,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs on an md5 hash basis — the VALUE-CHECKED
+    twin of ``minhash_near_duplicates`` (same pipeline shape; xxhash64 has
+    no SQL replay, md5 does — the same split as ``simhash_expr`` vs
+    ``simhash60_md5_expr``).
+
+    Signatures: shingle → md5 → 60-bit int → 30-bit basis m; family j is
+    the Carter-Wegman affine hash (a_j * m + b_j) mod (2^31 - 1) with the
+    baked ``MINHASH_MD5_A/B`` literals; sig_j = min over shingles. Bands:
+    8 bands x 4 rows, band key = the '|'-joined signature slice (a plain
+    string — replayable, unlike an engine hash). Candidates: bucket
+    equi-join with a ``max_bucket`` deterministic cap. Verification: exact
+    Jaccard over the 60-bit md5 shingle sets, kept as an integer micro
+    ratio (inter*1e6 // union) compared against the threshold WITHOUT
+    division — every value in the result is integer-exact cross-engine.
+
+    Shape mirrors the throughput tier: tokenize→shingle→hash is ONE
+    compiled SQL expression projected once and cached (HOF lambdas via the
+    Column API interpret per element; md5-per-shingle must not recompute
+    per family reference); signatures are map-only; the only corpus-sized
+    shuffles are the banded (band, key, id) exchange and the verify
+    semi-join. 100 TB: identical argument to minhash_near_duplicates —
+    bucketed candidates with a skew cap, no all-pairs anywhere.
+    """
+    hashed, banded = md5_minhash_hashed_banded(df, text_col, id_col)
     wb = Window.partitionBy("band_idx", "band_key").orderBy(F.col(id_col))
     capped = banded.withColumn("__bn", F.row_number().over(wb)).filter(
         F.col("__bn") <= max_bucket

@@ -317,3 +317,100 @@ def stream_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return _impl(spark, sf_dir)
+
+
+def _stream_neardup_oracle() -> str:
+    """DuckDB replay of the FULL streaming LSH pipeline — valid because
+    the stream side only ever joins the STATIC corpus index, so the
+    result is micro-batch-invariant and equals this batch computation.
+    Same md5-basis MinHash replay as `minhash_lsh_checked`, made
+    asymmetric: corpus side capped at 200/bucket (ordered by doc_id),
+    batch side (60%-truncated planted twins, ids + 1e6) uncapped."""
+    from pandas_to_postgres_spark.operators.dedup import (
+        MINHASH_MD5_A,
+        MINHASH_MD5_B,
+    )
+
+    a_lit = "[" + ",".join(str(v) for v in MINHASH_MD5_A) + "]"
+    b_lit = "[" + ",".join(str(v) for v in MINHASH_MD5_B) + "]"
+    toks = ("list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),"
+            " x -> x <> '')")
+
+    def pipe(src: str, pre: str) -> str:
+        return f"""
+    {pre}tok AS (
+      SELECT doc_id, {toks} AS toks FROM {src}),
+    {pre}sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN length(toks) >= 3 THEN
+               list_transform(generate_series(1, length(toks) - 2),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+             ELSE [array_to_string(toks, ' ')] END) AS sh
+      FROM {pre}tok),
+    {pre}ms AS (
+      SELECT doc_id,
+             list_transform(sh, s ->
+               CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)) AS ms
+      FROM {pre}sh),
+    {pre}sig AS (
+      SELECT doc_id,
+             list_transform(generate_series(0, 31), j ->
+               list_min(list_transform(ms, m ->
+                 ({a_lit}[j+1] * (m % 1073741824) + {b_lit}[j+1])
+                 % 2147483647))) AS sig
+      FROM {pre}ms),
+    {pre}banded AS (
+      SELECT doc_id, g.g AS band_idx,
+             array_to_string(list_transform(
+               sig[g.g*4+1 : g.g*4+4], x -> CAST(x AS VARCHAR)), '|')
+               AS band_key
+      FROM {pre}sig CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS g) g)"""
+
+    return f"""
+    WITH batch AS (
+      SELECT doc_id + 1000000 AS doc_id,
+             substr(text, 1, CAST((n_chars * 6) // 10 AS INT)) AS text
+      FROM documents),
+    {pipe('documents', 'c')},
+    {pipe('batch', 'b')},
+    capped AS (
+      SELECT doc_id, band_idx, band_key
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY band_idx, band_key ORDER BY doc_id) AS rn
+            FROM cbanded)
+      WHERE rn <= 200),
+    cand AS (
+      SELECT DISTINCT b.doc_id AS new_id, c.doc_id AS corpus_id
+      FROM bbanded b JOIN capped c
+        ON b.band_idx = c.band_idx AND b.band_key = c.band_key),
+    verified AS (
+      SELECT cand.new_id, cand.corpus_id,
+             length(list_intersect(mn.ms, mc.ms)) AS i,
+             length(mn.ms) + length(mc.ms)
+               - length(list_intersect(mn.ms, mc.ms)) AS u
+      FROM cand
+      JOIN bms mn ON mn.doc_id = cand.new_id
+      JOIN cms mc ON mc.doc_id = cand.corpus_id)
+    SELECT new_id, corpus_id,
+           CAST(i * 1000000 // u AS BIGINT) AS jaccard_micro
+    FROM verified
+    WHERE i * 1000000 >= 400000 * u
+    """
+
+
+@register("stream_neardup_docs", oracle=_stream_neardup_oracle())
+def stream_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 x §2.11 composition: ONLINE near-dup detection — a stream of
+    new documents (planted 60%-truncated twins) LSH-matched per
+    micro-batch against the static corpus MinHash index via
+    stream-static band joins, verified with exact integer-micro Jaccard
+    (`streaming/neardup.py`). The md5 signature basis makes the ENTIRE
+    streaming pipeline DuckDB-replayable, so this is a value-checked
+    streaming query, not rows-only — and because each new document
+    matches only the static index, the result is provably micro-batch-
+    boundary-invariant (the property the oracle relies on)."""
+    from pandas_to_postgres_spark.streaming.neardup import (
+        stream_neardup_against_corpus,
+    )
+
+    return stream_neardup_against_corpus(spark, sf_dir)
