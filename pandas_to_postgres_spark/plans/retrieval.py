@@ -28,6 +28,21 @@ _RAW_TOKS_SQL = (
 #: BM25 query terms: one common, one mid, one rarer term of the synthetic
 #: vocabulary so the ranking actually discriminates.
 _BM25_TERMS = ("spark", "vector", "window")
+
+#: cosine macros for the hybrid RRF oracle (aliases q / e as used there);
+#: float elements cast to DOUBLE before multiplying (float32 folds drift)
+_BM_DOT = (
+    "(SELECT sum(CAST(q.qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)) "
+    "FROM range(1, 65) t(i))"
+)
+_BM_NORM_Q = (
+    "sqrt((SELECT sum(CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)) "
+    "FROM range(1, 65) t(i)))"
+)
+_BM_NORM_E = (
+    "sqrt((SELECT sum(CAST(e.embedding[i] AS DOUBLE) "
+    "* CAST(e.embedding[i] AS DOUBLE)) FROM range(1, 65) t(i)))"
+)
 _BM25_K1 = 1.2
 _BM25_B = 0.75
 
@@ -137,6 +152,177 @@ def bm25_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score_micro").desc(), "doc_id")
         .limit(20)
     )
+
+
+@register(
+    "hybrid_rrf_docs",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, {_RAW_TOKS_SQL} AS toks FROM documents),
+    dl AS (SELECT doc_id, length(toks) AS dl FROM tok),
+    stats AS (
+      SELECT count(*) AS n_docs,
+             CAST(CAST(sum(CAST(dl AS BIGINT)) AS BIGINT) AS DOUBLE)
+                 / count(*) AS avgdl
+      FROM dl),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM (SELECT doc_id, unnest(toks) AS term FROM tok)
+      WHERE term IN ('spark', 'vector', 'window')
+      GROUP BY doc_id, term),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id,
+             CAST(floor(
+               ln((CAST(stats.n_docs - df.df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                  / (CAST(df.df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                  + CAST(1.0 AS DOUBLE))
+               * (tf.tf * CAST(2.2 AS DOUBLE))
+               / (tf.tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+                  + CAST(0.75 AS DOUBLE) * dl.dl / stats.avgdl))
+               * CAST(1e6 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+               AS term_micro
+      FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats),
+    bm AS (
+      SELECT doc_id, CAST(sum(term_micro) AS BIGINT) AS score_micro
+      FROM scored GROUP BY doc_id
+      ORDER BY score_micro DESC, doc_id LIMIT 50),
+    lex AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id)
+                  AS BIGINT) AS lex_rank
+      FROM bm),
+    cos AS (
+      SELECT e.vec_id AS doc_id,
+             round({_BM_DOT} / ({_BM_NORM_Q} * {_BM_NORM_E}), 5) AS cosine
+      FROM (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) q
+      CROSS JOIN embeddings e),
+    sem AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY cosine DESC, doc_id)
+                  AS BIGINT) AS sem_rank
+      FROM cos QUALIFY sem_rank <= 50),
+    fused AS (
+      SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+             coalesce(lex.lex_rank, 0) AS lex_rank,
+             coalesce(sem.sem_rank, 0) AS sem_rank,
+             CAST(CASE WHEN lex.lex_rank IS NULL THEN 0
+                  ELSE 1000000000 // (60 + lex.lex_rank) END
+                + CASE WHEN sem.sem_rank IS NULL THEN 0
+                  ELSE 1000000000 // (60 + sem.sem_rank) END
+               AS BIGINT) AS rrf_micro
+      FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id)
+    SELECT doc_id, lex_rank, sem_rank, rrf_micro
+    FROM fused ORDER BY rrf_micro DESC, doc_id LIMIT 20
+    """,
+)
+def hybrid_rrf_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via Reciprocal Rank Fusion (Cormack/Clarke/
+    Buettcher, SIGIR 2009): the RAG-ingest ranking shape — a lexical
+    BM25 list and a semantic embedding-cosine list fused as
+    Σ 1/(60 + rank), here on an exact integer grid (1e9 DIV (60+rank))
+    so the fusion is bit-deterministic cross-engine. Documents in only
+    one list contribute one term (rank 0 recorded for the missing side).
+
+    Scale: each list is produced by its already-scale-shaped operator —
+    BM25's one postings-bounded shuffle + TakeOrdered, brute-force
+    cosine over a broadcast single query (the LSH/IVF/PQ tiers swap in
+    unchanged) — and the fusion itself joins two k-row frames (k=50):
+    constant-size work after the retrieval stages, trivially broadcast.
+
+    Reference parity: the reference is a bulk loader with no retrieval
+    surface; this extends §2.11 D3/D4 to the hybrid ranking every
+    modern retrieval pipeline runs (BM25 ∪ dense, RRF fusion).
+    """
+    from pandas_to_postgres_spark.operators.similarity import (
+        topk_cosine_bruteforce,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", tokens_expr(F.lower(F.col("text"))).alias("toks")
+    )
+    dl = tok.select("doc_id", F.size("toks").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("bigint").cast("double") / F.count(F.lit(1))).alias(
+            "avgdl"
+        ),
+    )
+    qarr = F.array(*[F.lit(t) for t in _BM25_TERMS])
+    kept = F.filter("toks", lambda t: F.array_contains(qarr, t))
+    tf = (
+        tok.select("doc_id", kept.alias("kept"))
+        .filter(F.size("kept") > 0)
+        .select("doc_id", F.explode("kept").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    term_micro = F.floor(
+        F.log(
+            (F.col("n_docs") - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+            + F.lit(1.0)
+        )
+        * (F.col("tf") * F.lit(2.2))
+        / (
+            F.col("tf")
+            + F.lit(1.2)
+            * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.col("avgdl"))
+        )
+        * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("bigint")
+    bm = (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", term_micro.alias("term_micro"))
+        .groupBy("doc_id")
+        .agg(F.sum("term_micro").cast("bigint").alias("score_micro"))
+        .orderBy(F.col("score_micro").desc(), "doc_id")
+        .limit(50)  # TakeOrdered; the rank window below sees only k rows
+    )
+    lex = bm.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("score_micro").desc(), F.col("doc_id")))
+        .cast("bigint")
+        .alias("lex_rank"),
+    )
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.lit(0).alias("qid"), F.col("embedding")
+    )
+    sem = topk_cosine_bruteforce(
+        q, e, query_id="qid", corpus_id="vec_id", query_vec="embedding",
+        corpus_vec="embedding", k=50,
+    ).select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("rank").cast("bigint").alias("sem_rank"),
+    )
+    fused = (
+        lex.join(sem, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.coalesce("lex_rank", F.lit(0)).cast("bigint").alias("lex_rank"),
+            F.coalesce("sem_rank", F.lit(0)).cast("bigint").alias("sem_rank"),
+            (
+                F.when(
+                    F.col("lex_rank").isNotNull(),
+                    F.expr("CAST(1000000000 AS BIGINT) DIV (60 + lex_rank)"),
+                ).otherwise(F.lit(0))
+                + F.when(
+                    F.col("sem_rank").isNotNull(),
+                    F.expr("CAST(1000000000 AS BIGINT) DIV (60 + sem_rank)"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("rrf_micro"),
+        )
+    )
+    return fused.orderBy(F.col("rrf_micro").desc(), "doc_id").limit(20)
 
 
 @register(
