@@ -302,19 +302,20 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             continue  # standalone
         (seglen,) = struct.unpack(">H", payload[pos : pos + 2])
         seg = payload[pos + 2 : pos + seglen]
-        if marker == 0xDB:  # DQT
+        if marker == 0xDB:  # DQT (Pq=0: 8-bit entries; Pq=1: 16-bit BE)
             p = 0
             while p < len(seg):
                 pq, tq = seg[p] >> 4, seg[p] & 0x0F
                 p += 1
-                if pq != 0:
-                    raise NotImplementedError("16-bit quant tables")
                 tbl = np.zeros((8, 8), dtype=np.int32)
                 for i in range(64):
                     r, c = ZIGZAG[i]
-                    tbl[r, c] = seg[p + i]
+                    if pq:
+                        tbl[r, c] = (seg[p + 2 * i] << 8) | seg[p + 2 * i + 1]
+                    else:
+                        tbl[r, c] = seg[p + i]
                 quant[tq] = tbl
-                p += 64
+                p += 128 if pq else 64
         elif marker == 0xC4:  # DHT
             p = 0
             while p < len(seg):
@@ -356,10 +357,27 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             ss, se, ahl = seg[1 + 2 * ns : 4 + 2 * ns]
             data_start = pos + seglen
             if not frame.get("progressive"):
-                return _decode_scan(
-                    payload, data_start, frame, scan, quant, huff_dc,
-                    huff_ac, restart_interval,
+                if ns == len(frame["comps"]):
+                    # the common single-scan interleaved baseline image:
+                    # stream straight to pixels, no coefficient buffers
+                    return _decode_scan(
+                        payload, data_start, frame, scan, quant, huff_dc,
+                        huff_ac, restart_interval,
+                    )
+                if ns != 1:
+                    raise NotImplementedError(
+                        "baseline scan with a strict component subset > 1"
+                    )
+                # non-interleaved multi-scan baseline: accumulate each
+                # component's coefficients, reconstruct at EOI (same
+                # buffers + batched-IDCT tail as the progressive path)
+                if coefs is None:
+                    coefs = _alloc_coefs(frame)
+                pos = _decode_baseline_scan_single(
+                    payload, data_start, frame, scan[0], huff_dc, huff_ac,
+                    restart_interval, coefs,
                 )
+                continue
             if coefs is None:
                 coefs = _alloc_coefs(frame)
             pos = _decode_progressive_scan(
@@ -368,7 +386,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             )
             continue
         pos += seglen
-    if frame is not None and frame.get("progressive") and coefs is not None:
+    if frame is not None and coefs is not None:
         return _reconstruct_progressive(frame, coefs, quant)
     raise ValueError("no SOS marker found")
 
@@ -675,6 +693,49 @@ def _decode_progressive_scan(payload, data_start, frame, scan, huff_dc,
                         rd, coef, ss, se, al, ac_tbl, eobrun
                     )
                 n_done += 1
+    return _entropy_end(payload, data_start)
+
+
+def _decode_baseline_scan_single(payload, data_start, frame, sc, huff_dc,
+                                 huff_ac, restart_interval, coefs):
+    """One NON-interleaved baseline scan (ns=1): full DC+AC per block in
+    the component's own block raster, written into the coefficient
+    buffers (T.81 allows a sequential frame to deliver its components in
+    separate scans; reconstruction happens at EOI)."""
+    comps = frame["comps"]
+    by_id = {c["id"]: ci for ci, c in enumerate(comps)}
+    ci = by_id[sc["cs"]]
+    _, _, _, _, dims = _geometry(frame)
+    bh, bw = dims[ci]
+    dc_tbl = huff_dc[sc["td"]]
+    ac_tbl = huff_ac[sc["ta"]]
+    rd = BitReader(payload[data_start:])
+    pred = 0
+    n_done = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if restart_interval and n_done and n_done % restart_interval == 0:
+                _resync(rd, 0)
+                pred = 0
+            coef = coefs[ci][by, bx]
+            t = rd.read_huffman(dc_tbl)
+            pred += extend(rd.read_bits(t), t)
+            coef[0] = pred
+            k = 1
+            while k <= 63:
+                rs = rd.read_huffman(ac_tbl)
+                r, s = rs >> 4, rs & 0x0F
+                if s == 0:
+                    if r == 15:
+                        k += 16  # ZRL
+                        continue
+                    break  # EOB
+                k += r
+                if k > 63:
+                    raise ValueError("AC run past end of block")
+                coef[k] = extend(rd.read_bits(s), s)
+                k += 1
+            n_done += 1
     return _entropy_end(payload, data_start)
 
 

@@ -1627,6 +1627,78 @@ class TestRealMediaCodecs:
         assert row.feature[0] == 7.0  # true frame count
         assert row.feature[1] == 16.0 and row.feature[2] == 24.0
 
+    def test_jpeg_16bit_dqt_and_multiscan_baseline(self):
+        """Two formerly-gated variants: (a) a 16-bit (Pq=1) quant table —
+        q=300 everywhere, DC=2 → flat round(2*300/8)+128 = 203; (b) a
+        NON-interleaved multi-scan baseline color image (one scan per
+        component, T.81 sequential multi-scan): Y DC diff 40, Cb=Cr=0 →
+        uniform gray 208."""
+        import struct
+
+        import numpy as np
+
+        from pandas_to_postgres_spark.operators.jpeg_codec import (
+            HUFF_AC_LUMA,
+            HUFF_DC_CHROMA,
+            HUFF_DC_LUMA,
+            BitWriter,
+            build_encode_table,
+            decode_jpeg,
+        )
+
+        dc = build_encode_table(*HUFF_DC_LUMA)
+        dcc = build_encode_table(*HUFF_DC_CHROMA)
+        ac = build_encode_table(*HUFF_AC_LUMA)
+
+        # (a) 16-bit DQT, grayscale single-scan
+        dqt16 = self._pseg(
+            0xDB, bytes([0x10]) + b"".join(struct.pack(">H", 300) for _ in range(64))
+        )
+        sof = self._pseg(
+            0xC0, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+        )
+        dht = self._pseg(
+            0xC4, bytes([0x00] + HUFF_DC_LUMA[0] + HUFF_DC_LUMA[1])
+        ) + self._pseg(0xC4, bytes([0x10] + HUFF_AC_LUMA[0] + HUFF_AC_LUMA[1]))
+        sos = self._pseg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        w = BitWriter()
+        ln, c = dc[2]
+        w.write_bits(c, ln)
+        w.write_bits(2, 2)  # DC diff +2
+        ln, c = ac[0x00]
+        w.write_bits(c, ln)  # EOB
+        w.flush()
+        jpg = b"\xff\xd8" + dqt16 + sof + dht + sos + bytes(w.out) + b"\xff\xd9"
+        assert (decode_jpeg(jpg) == 203).all()
+
+        # (b) multi-scan baseline: 8x8 4:4:4 color, one scan per component
+        dqt8 = self._pseg(0xDB, bytes([0]) + bytes([16] * 64))
+        sof3 = self._pseg(
+            0xC0,
+            struct.pack(">BHHB", 8, 8, 8, 3)
+            + bytes([1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]),
+        )
+        dht3 = dht + self._pseg(
+            0xC4, bytes([0x01] + HUFF_DC_CHROMA[0] + HUFF_DC_CHROMA[1])
+        )
+        parts = bytearray(b"\xff\xd8" + dqt8 + sof3 + dht3)
+        for cid, diff_bits in ((1, (dc, 6, 40)), (2, (dcc, 0, None)), (3, (dcc, 0, None))):
+            td = 0 if cid == 1 else 1
+            parts += self._pseg(0xDA, bytes([1, cid, (td << 4) | 0, 0, 63, 0]))
+            w = BitWriter()
+            tbl, cat, bits = diff_bits
+            ln, c = tbl[cat]
+            w.write_bits(c, ln)
+            if bits is not None:
+                w.write_bits(bits, cat)
+            ln, c = ac[0x00]
+            w.write_bits(c, ln)  # EOB (AC table 0 for every scan)
+            w.flush()
+            parts += bytes(w.out)
+        parts += b"\xff\xd9"
+        out = decode_jpeg(bytes(parts))
+        assert out.shape == (8, 8, 3) and (out == 208).all()
+
     def test_real_resize_nearest(self, spark):
         import numpy as np
 
