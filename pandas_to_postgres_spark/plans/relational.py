@@ -788,6 +788,75 @@ def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "json_corrupt_audit",
+    oracle="""
+    WITH feed AS (
+      SELECT event_type,
+             CASE WHEN event_id % 7 = 0
+                  THEN '{"k": ' || substr(props, 1, 3)
+                  ELSE props END AS props
+      FROM events),
+    parsed AS (
+      SELECT event_type,
+             CASE WHEN json_valid(props) THEN 0 ELSE 1 END AS corrupt,
+             CASE WHEN json_valid(props)
+                  THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+                  END AS k
+      FROM feed)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(corrupt) AS BIGINT) AS n_corrupt,
+           CAST(sum(k) AS BIGINT) AS k_sum_valid
+    FROM parsed GROUP BY event_type
+    """,
+)
+def json_corrupt_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-input robustness audit — the dirty-feed reality every
+    ingest pipeline meets: a deterministic 1-in-7 slice of the JSON
+    props column is corrupted (truncated mid-object), parsed with
+    ``from_json`` under PERMISSIVE semantics (corrupt rows yield a NULL
+    struct instead of failing the job), and the per-type report carries
+    the corruption count alongside the aggregate over the valid rows —
+    the shape of a data-quality gate that quarantines bad records
+    without losing the batch.
+
+    Exactness: corruption selection is integer modulo; valid-row k sums
+    are BIGINT; the oracle mirrors the NULL-struct rule with
+    ``json_valid``. Scale: one map-only parse projection + one
+    map-side-combined aggregate — the audit costs a scan, never a
+    second pass.
+    """
+    e = _t(spark, sf_dir, "events")
+    feed = e.select(
+        "event_type",
+        F.when(
+            F.col("event_id") % 7 == 0,
+            F.concat(F.lit('{"k": '), F.substring("props", 1, 3)),
+        )
+        .otherwise(F.col("props"))
+        .alias("props"),
+    )
+    # PERMISSIVE from_json yields a struct with NULL fields (never a NULL
+    # struct) for malformed input; every well-formed props in this feed
+    # carries k (asserted against the data), so k-NULL ⇔ corrupt — which
+    # is also the only oracle-expressible form: DuckDB's json_extract
+    # ERRORS on malformed JSON, so the oracle must gate on json_valid
+    parsed = feed.select(
+        "event_type",
+        F.from_json("props", "k BIGINT").alias("j"),
+    ).select(
+        "event_type",
+        F.when(F.col("j.k").isNull(), 1).otherwise(0).alias("corrupt"),
+        F.col("j.k").alias("k"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("corrupt").cast("bigint").alias("n_corrupt"),
+        F.sum("k").cast("bigint").alias("k_sum_valid"),
+    )
+
+
+@register(
     "array_ops_embeddings",
     oracle="""
     SELECT vec_id,
