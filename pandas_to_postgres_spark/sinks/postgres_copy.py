@@ -669,3 +669,100 @@ def upsert_to_postgres(
     finally:
         pub.close()
     return n
+
+
+def apply_changes_to_postgres(
+    df: DataFrame,
+    conn_params: dict,
+    target: TargetTable,
+    key_cols: Sequence[str],
+    op_col: str = "op",
+    seq_col: Optional[str] = None,
+    num_partitions: Optional[int] = None,
+) -> int:
+    """Apply a CDC change feed (insert/update/delete) to Postgres in ONE
+    atomic publish — the sink-side completion of `operators/cdc`: rows
+    carry ``op_col`` ∈ {'I','U','D'} (case-insensitive) plus the data
+    columns; the batch stages through the same parallel COPY data plane
+    as every loader here, is collapsed to the LAST change per key
+    (ordered by ``seq_col`` when given — event order — else physical
+    arrival), and one transaction then DELETEs keys whose final op is D
+    and upserts the rest via ``INSERT ... ON CONFLICT DO UPDATE``.
+    Readers never observe a half-applied feed; a retried publish is
+    idempotent because the stage is recreated per call.
+
+    The reference can only TRUNCATE + reload; `upsert_to_postgres` added
+    keyed SCD1 merges; this adds the delete half, which no COPY/refresh
+    path can express. Target must carry a unique constraint/index on
+    ``key_cols`` (the ON CONFLICT arbiter).
+
+    Scale: data plane = N-writer COPY (unchanged); the collapse and both
+    apply statements are set-based server-side SQL over the stage —
+    bounded by batch size, never by target size. Returns the staged row
+    count (pre-collapse)."""
+    data_cols = [
+        c for c in target.columns if c in df.columns and c != op_col
+    ]
+    sel = data_cols + [op_col] + ([seq_col] if seq_col else [])
+    df = df.select(*sel)
+    if num_partitions is not None:
+        df = df.repartition(num_partitions)
+    psycopg2 = _psycopg2()
+    stage = TargetTable(
+        schema=target.schema, name=f"{target.name}__cdc_stage", columns=sel
+    )
+    ctl = psycopg2.connect(**conn_params)
+    ctl.autocommit = True
+    try:
+        with ctl.cursor() as cur:
+            cur.execute(f"DROP TABLE IF EXISTS {stage.qualified}")
+            # stage = target's column types + op (text) + optional seq:
+            # COPY names its columns explicitly, so extra target columns
+            # simply stay NULL in the stage and are never read back
+            cur.execute(
+                f"CREATE TABLE {stage.qualified} AS "
+                f"SELECT *, NULL::text AS \"{op_col}\""
+                + (f", NULL::bigint AS \"{seq_col}\"" if seq_col else "")
+                + f" FROM {target.qualified} WITH NO DATA"
+            )
+    finally:
+        ctl.close()
+
+    n = parallel_copy(df, conn_params, copy_sql(stage))
+
+    keys = ", ".join(f'"{c}"' for c in key_cols)
+    key_eq = " AND ".join(f's."{c}" = d."{c}"' for c in key_cols)
+    order = f'd."{seq_col}" > s."{seq_col}"' if seq_col else "d.ctid > s.ctid"
+    tie = (
+        f' OR (d."{seq_col}" = s."{seq_col}" AND d.ctid > s.ctid)'
+        if seq_col
+        else ""
+    )
+    col_list = ", ".join(f'"{c}"' for c in data_cols)
+    sets = ", ".join(
+        f'"{c}" = EXCLUDED."{c}"' for c in data_cols if c not in key_cols
+    )
+    tkey_eq = " AND ".join(f't."{c}" = s."{c}"' for c in key_cols)
+    pub = psycopg2.connect(**conn_params)
+    try:
+        with pub, pub.cursor() as cur:  # ONE transaction: atomic apply
+            cur.execute(
+                f"DELETE FROM {stage.qualified} s WHERE EXISTS ("
+                f"SELECT 1 FROM {stage.qualified} d "
+                f"WHERE {key_eq} AND ({order}{tie}))"
+            )
+            cur.execute(
+                f"DELETE FROM {target.qualified} t WHERE EXISTS ("
+                f"SELECT 1 FROM {stage.qualified} s "
+                f"WHERE {tkey_eq} AND upper(s.\"{op_col}\") = 'D')"
+            )
+            cur.execute(
+                f"INSERT INTO {target.qualified} ({col_list}) "
+                f"SELECT {col_list} FROM {stage.qualified} "
+                f"WHERE upper(\"{op_col}\") <> 'D' "
+                f"ON CONFLICT ({keys}) DO UPDATE SET {sets}"
+            )
+            cur.execute(f"DROP TABLE {stage.qualified}")
+    finally:
+        pub.close()
+    return n

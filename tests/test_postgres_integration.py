@@ -741,6 +741,82 @@ class TestUpsertSink:
         conn.close()
 
 
+class TestCdcApplySink:
+    def test_apply_changes_insert_update_delete_atomic(self, spark, schema):
+        """CDC delete-apply: an I/U/D feed with a seq column applies
+        atomically — deletes remove rows, upserts land, the LAST change
+        per key (by seq, ctid tie-break) wins, and a key deleted then
+        re-inserted at higher seq survives with the new values."""
+        from pandas_to_postgres_spark.sinks.postgres_copy import (
+            TargetTable,
+            append_to_postgres,
+            apply_changes_to_postgres,
+        )
+
+        conn_params = schema
+        conn = pgwire.connect(**conn_params)
+        conn.autocommit = True
+        with conn.cursor() as cur:
+            cur.execute("DROP TABLE IF EXISTS kv_cdc")
+            cur.execute(
+                """CREATE TABLE kv_cdc (
+                       k BIGINT, v TEXT, score DOUBLE PRECISION,
+                       CONSTRAINT kv_cdc_pk PRIMARY KEY (k))"""
+            )
+        conn.close()
+        target = TargetTable(
+            schema="public", name="kv_cdc", columns=["k", "v", "score"]
+        )
+        base = spark.createDataFrame(
+            [(i, f"v{i}", float(i)) for i in range(50)],
+            "k long, v string, score double",
+        )
+        assert append_to_postgres(base, conn_params, target, 4) == 50
+
+        feed = spark.createDataFrame(
+            # deletes: keys 0-9; update: k=10; insert: k=100;
+            # churn on k=20: update seq 1, delete seq 2 -> gone;
+            # churn on k=30: delete seq 1, re-insert seq 2 -> back new
+            [(k, None, None, "D", 1) for k in range(10)]
+            + [
+                (10, "upd10", -1.0, "U", 1),
+                (100, "new100", 100.0, "I", 1),
+                (20, "upd20", -2.0, "U", 1),
+                (20, None, None, "D", 2),
+                (30, None, None, "D", 1),
+                (30, "back30", 30.5, "I", 2),
+            ],
+            "k long, v string, score double, op string, seq long",
+        )
+        apply_changes_to_postgres(
+            feed, conn_params, target, ["k"], op_col="op", seq_col="seq"
+        )
+        conn = pgwire.connect(**conn_params)
+        with conn, conn.cursor() as cur:
+            cur.execute("SELECT count(*) FROM kv_cdc")
+            # 50 - 10 deletes - k20 + k100 insert (k30 deleted+reborn)
+            assert int(cur.fetchall()[0][0]) == 50 - 10 - 1 + 1
+            cur.execute("SELECT count(*) FROM kv_cdc WHERE k < 10")
+            assert cur.fetchall() == [("0",)]
+            cur.execute("SELECT v FROM kv_cdc WHERE k = 10")
+            assert cur.fetchall() == [("upd10",)]
+            cur.execute("SELECT v FROM kv_cdc WHERE k = 100")
+            assert cur.fetchall() == [("new100",)]
+            cur.execute("SELECT count(*) FROM kv_cdc WHERE k = 20")
+            assert cur.fetchall() == [("0",)]
+            cur.execute("SELECT v, score FROM kv_cdc WHERE k = 30")
+            assert cur.fetchall() == [("back30", "30.5")]
+            cur.execute("SELECT v FROM kv_cdc WHERE k = 25")
+            assert cur.fetchall() == [("v25",)]  # untouched
+            # no stage left behind
+            cur.execute(
+                "SELECT count(*) FROM pg_tables"
+                " WHERE tablename LIKE 'kv\\_cdc\\_\\_cdc\\_%'"
+            )
+            assert cur.fetchall() == [("0",)]
+        conn.close()
+
+
 class TestPostgresDataSourceWriter:
     """df.write.format("pgwire"): the WRITE half of the Python DataSource —
     staged per-task COPY + atomic commit against a REAL server."""
