@@ -146,11 +146,26 @@ def pq_codebook_trained(
         bdf = spark.createDataFrame(
             [(cur,)], "pq_book array<array<array<double>>>"
         )
-        assigned = corpus.crossJoin(F.broadcast(bdf)).select(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(m - 1)), lambda mi: code_for(mi)
-            ).alias("__codes"),
-            F.posexplode(vec).alias("__pos", "__x"),
+        # persist the coded rows BEFORE the posexplode: projection
+        # collapse would otherwise inline the argmin expression into the
+        # exploded projection and re-evaluate it once per (row, dim) —
+        # d/M=8 codes recomputed 64x per vector per iteration (measured
+        # 125s -> ~3s at sf0.1 for the 2-iteration fit). Same lesson as
+        # the minhash signature cache: materialize expensive per-row
+        # expressions before anything references them multiple times.
+        coded = (
+            corpus.crossJoin(F.broadcast(bdf))
+            .select(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(m - 1)),
+                    lambda mi: code_for(mi),
+                ).alias("__codes"),
+                vec.alias("__vec"),
+            )
+            .persist()
+        )
+        assigned = coded.select(
+            "__codes", F.posexplode("__vec").alias("__pos", "__x")
         )
         stats = (
             assigned.select(
@@ -168,6 +183,7 @@ def pq_codebook_trained(
             )
         )
         rows = stats.collect()  # ≤ M*k*sub rows — the codebook itself
+        coded.unpersist()
         nxt = [[list(cw) for cw in sp] for sp in cur]
         for r in rows:
             nxt[r["__mi"]][r["__code"]][r["__p"]] = float(r["__m"])
