@@ -27,6 +27,13 @@ Scale shape:
   reader (BIGINT/INT → int, DOUBLE/REAL → float, BOOLEAN → 't'/'f',
   DATE/TIMESTAMP → datetime, NUMERIC → Decimal).
 
+- **Streaming reads** (``spark.readStream.format("pgwire")``): polling
+  CDC over an append-only table with a monotonic BIGINT
+  ``option("seqColumn", ...)`` — offsets are high-water marks in
+  Spark's checkpoint, each micro-batch's (lo, hi] interval fans out as
+  ``streamPartitions`` modulo-slices, one executor connection each
+  (see PostgresStreamReader).
+
 Usage::
 
     spark.dataSource.register(PostgresDataSource)
@@ -52,6 +59,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     GreaterThan,
     GreaterThanOrEqual,
@@ -232,6 +240,18 @@ class PostgresDataSource(DataSource):
             self.options, [f.name for f in schema.fields], overwrite
         )
 
+    def streamReader(self, schema):
+        """``spark.readStream.format("pgwire")`` — incremental CDC-style
+        reads over a MONOTONIC sequence column (see PostgresStreamReader).
+        Requires ``option("seqColumn", ...)``."""
+        all_cols, _, all_convs = self._columns()
+        cols, convs = [], []
+        for name in schema.fieldNames():
+            idx = all_cols.index(name)
+            cols.append(name)
+            convs.append(all_convs[idx])
+        return PostgresStreamReader(self.options, cols, convs)
+
     def reader(self, schema) -> PostgresReaderNoPushdown:
         all_cols, _, all_convs = self._columns()
         # honor a user-supplied .schema(...): Spark skips calling schema()
@@ -387,3 +407,103 @@ class PostgresArrowWriter(DataSourceArrowWriter):
                     cur.execute(f"DROP TABLE {self._q(st)}")
         finally:
             conn.close()
+
+
+@dataclass
+class PgStreamPartition(InputPartition):
+    """One micro-batch slice: rows with ``lo < seq <= hi`` and
+    ``mod(abs(seq), n_slices) = slice`` — contiguous in offset space,
+    sliced for executor parallelism within the batch."""
+
+    lo: int
+    hi: int
+    slice: int
+    n_slices: int
+
+
+class PostgresStreamReader(DataSourceStreamReader):
+    """Spark 4 streaming Python DataSource reader: incremental reads from
+    an APPEND-ONLY Postgres table ordered by a monotonic BIGINT sequence
+    column (``option("seqColumn", ...)``) — the polling-CDC ingest shape
+    (outbox tables, audit logs, ledger feeds).
+
+    Offsets are ``{"seq": N}`` = "everything with seq <= N has been
+    emitted". ``latestOffset`` polls ``max(seq)`` on the driver;
+    ``partitions(start, end)`` fans the (start, end] interval out as
+    ``streamPartitions`` modulo-slices so each EXECUTOR pulls its share
+    over its own connection (same discipline as the batch reader);
+    ``read`` runs the per-slice SELECT. Exactly-once downstream comes
+    from Spark's offset log + the sink's idempotency, exactly like a
+    file source: a replayed batch re-issues the same (lo, hi] queries,
+    and an append-only feed returns the same rows.
+
+    Contract: ``seqColumn`` values must never decrease once visible (an
+    outbox with a sequence/identity column). Rows that commit OUT of
+    seq order can be missed if a poll observes a later seq first —
+    the standard polling-CDC caveat; use a single-writer outbox or an
+    insert trigger to guarantee visibility order.
+    """
+
+    def __init__(self, options, columns, converters):
+        self.options = dict(options)
+        self.columns = list(columns)
+        self.converters = list(converters)
+        self.table = options["table"]
+        self.schema_name = options.get("schema", "public")
+        self.seq_col = options["seqColumn"]
+        self.n_slices = int(options.get("streamPartitions", "2"))
+        self.start_seq = int(options.get("startSeq", "-1"))
+
+    def _q(self) -> str:
+        return f'"{self.schema_name}"."{self.table}"'
+
+    def initialOffset(self) -> dict:
+        return {"seq": self.start_seq}
+
+    def latestOffset(self) -> dict:
+        conn = _connect(self.options)
+        try:
+            with conn, conn.cursor() as cur:
+                cur.execute(
+                    f'SELECT coalesce(max("{self.seq_col}"), %s) FROM {self._q()}',
+                    (self.start_seq,),
+                )
+                (mx,) = cur.fetchall()[0]
+        finally:
+            conn.close()
+        return {"seq": int(mx)}
+
+    def partitions(self, start: dict, end: dict):
+        if int(end["seq"]) <= int(start["seq"]):
+            return []
+        return [
+            PgStreamPartition(
+                lo=int(start["seq"]),
+                hi=int(end["seq"]),
+                slice=i,
+                n_slices=self.n_slices,
+            )
+            for i in range(self.n_slices)
+        ]
+
+    def read(self, part: PgStreamPartition) -> Iterator[tuple]:
+        col_list = ", ".join(f'"{c}"' for c in self.columns)
+        conn = _connect(self.options)
+        try:
+            with conn, conn.cursor() as cur:
+                cur.execute(
+                    f"SELECT {col_list} FROM {self._q()}"
+                    f' WHERE "{self.seq_col}" > %s AND "{self.seq_col}" <= %s'
+                    f' AND mod(abs("{self.seq_col}"), %s) = %s',
+                    (part.lo, part.hi, part.n_slices, part.slice),
+                )
+                for row in cur.fetchall():
+                    yield tuple(
+                        None if v is None else conv(v)
+                        for v, conv in zip(row, self.converters)
+                    )
+        finally:
+            conn.close()
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in Spark's checkpoint; the source is passive

@@ -741,6 +741,79 @@ class TestUpsertSink:
         conn.close()
 
 
+class TestPostgresStreamSource:
+    def test_incremental_stream_reads_with_checkpoint(self, spark, schema, tmp_path):
+        """spark.readStream.format("pgwire"): incremental polling over a
+        monotonic seq column. First AvailableNow drain pulls the whole
+        feed (across 3 modulo-sliced partitions); new rows inserted
+        after the drain arrive on the NEXT drain over the SAME
+        checkpoint with no duplicates — Spark's offset log carries the
+        high-water mark."""
+        from pandas_to_postgres_spark.sources.pg_datasource import (
+            PostgresDataSource,
+        )
+
+        conn = pgwire.connect(**schema)
+        conn.autocommit = True
+        with conn.cursor() as cur:
+            cur.execute("DROP TABLE IF EXISTS feed_src")
+            cur.execute(
+                "CREATE TABLE feed_src (seq BIGINT, k BIGINT, v TEXT)"
+            )
+            for i in range(100):
+                cur.execute(
+                    "INSERT INTO feed_src VALUES (%s, %s, %s)",
+                    (i, i % 10, f"v{i}"),
+                )
+        conn.close()
+
+        spark.dataSource.register(PostgresDataSource)
+        ckpt = str(tmp_path / "ckpt")
+        out = str(tmp_path / "out")
+
+        def drain():
+            stream = (
+                spark.readStream.format("pgwire")
+                .option("host", schema["host"])
+                .option("port", str(schema["port"]))
+                .option("user", schema["user"])
+                .option("dbname", schema["dbname"])
+                .option("table", "feed_src")
+                .option("seqColumn", "seq")
+                .option("streamPartitions", "3")
+                .load()
+            )
+            q = (
+                stream.writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        drain()
+        got = spark.read.parquet(out)
+        assert got.count() == 100
+        assert got.select("seq").distinct().count() == 100
+
+        conn = pgwire.connect(**schema)
+        conn.autocommit = True
+        with conn.cursor() as cur:
+            for i in range(100, 150):
+                cur.execute(
+                    "INSERT INTO feed_src VALUES (%s, %s, %s)",
+                    (i, i % 10, f"v{i}"),
+                )
+        conn.close()
+        drain()
+        got = spark.read.parquet(out)
+        assert got.count() == 150  # only the delta arrived — no dupes
+        assert got.agg({"seq": "max"}).collect()[0][0] == 149
+        drain()  # third drain with nothing new: a no-op
+        assert spark.read.parquet(out).count() == 150
+
+
 class TestCdcApplySink:
     def test_apply_changes_insert_update_delete_atomic(self, spark, schema):
         """CDC delete-apply: an I/U/D feed with a seq column applies
