@@ -60,6 +60,7 @@ from pyspark.sql.datasource import (
     DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamArrowWriter,
     EqualTo,
     GreaterThan,
     GreaterThanOrEqual,
@@ -238,6 +239,18 @@ class PostgresDataSource(DataSource):
         staged, atomic, retry-safe write path (see PostgresArrowWriter)."""
         return PostgresArrowWriter(
             self.options, [f.name for f in schema.fields], overwrite
+        )
+
+    def streamWriter(self, schema, overwrite: bool):
+        """``df.writeStream.format("pgwire")`` — exactly-once staged
+        append per epoch (see PostgresStreamWriter). Append-only."""
+        if overwrite:
+            raise ValueError(
+                "pgwire streaming sink is append-only; use foreachBatch"
+                " + staged_full_refresh for replace semantics"
+            )
+        return PostgresStreamWriter(
+            self.options, [f.name for f in schema.fields]
         )
 
     def streamReader(self, schema):
@@ -507,3 +520,129 @@ class PostgresStreamReader(DataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         pass  # offsets live in Spark's checkpoint; the source is passive
+
+
+class PostgresStreamWriter(DataSourceStreamArrowWriter):
+    """``df.writeStream.format("pgwire")`` — exactly-once streaming
+    append into Postgres through the writer-commit protocol:
+
+    - ``write`` (per task): stage the partition's Arrow batches into a
+      task-private table (one transaction), exactly like the batch
+      writer — retried/speculative attempts can never double-write.
+    - ``commit`` (per epoch; runs in Spark's separate commit-runner
+      process, so NO writer state survives from the task side — stages
+      are addressed ONLY through the commit messages): ONE transaction
+      takes the advisory lock, consults the epoch LEDGER (same
+      convention as `sinks/postgres_copy.load_batch_exactly_once`) — if
+      this (table, batchId) already committed, the replay only drops
+      its message stages; otherwise it publishes every message stage,
+      records the epoch, and drops them.
+    - ``abort``: drops the failed epoch's message stages. A stage whose
+      task died before messaging is an orphan (same caveat as the batch
+      writer): bounded cleanup is DROP of ``<table>__dsws_%`` at a
+      quiet moment.
+
+    Append-only by design (a streaming sink that TRUNCATEs per epoch
+    would destroy history); use foreachBatch + `staged_full_refresh`
+    for replace semantics.
+    """
+
+    def __init__(self, options, columns):
+        import uuid  # noqa: PLC0415
+
+        self.options = dict(options)
+        self.columns = list(columns)
+        self.schema_name = options.get("schema", "public")
+        self.table = options["table"]
+        self.epoch_table = options.get("epochTable", "stream_epochs")
+        self.query_id = uuid.uuid4().hex[:8]
+
+    def _q(self, name: str) -> str:
+        return f'"{self.schema_name}"."{name}"'
+
+    def write(self, iterator) -> PgWriteCommit:
+        import itertools  # noqa: PLC0415
+        import uuid  # noqa: PLC0415
+
+        from pandas_to_postgres_spark.sinks.postgres_copy import (  # noqa: PLC0415
+            _ArrowCsvStream,
+        )
+
+        first = next(iterator, None)
+        if first is None:
+            return PgWriteCommit(stage=None, n_rows=0)
+        stage = f"{self.table}__dsws_{self.query_id}_{uuid.uuid4().hex[:12]}"
+        col_list = ", ".join(f'"{c}"' for c in self.columns)
+        stream = _ArrowCsvStream(itertools.chain([first], iterator))
+        conn = _connect(self.options)
+        try:
+            with conn, conn.cursor() as cur:
+                cur.execute(
+                    f"CREATE TABLE {self._q(stage)} "
+                    f"(LIKE {self._q(self.table)} INCLUDING DEFAULTS)"
+                )
+                cur.copy_expert(
+                    f"COPY {self._q(stage)} ({col_list}) FROM STDIN WITH CSV",
+                    stream,
+                )
+        finally:
+            conn.close()
+        return PgWriteCommit(stage=stage, n_rows=stream.rows)
+
+    @staticmethod
+    def _stages(messages) -> list:
+        return sorted(
+            {m.stage for m in messages if m is not None and m.stage}
+        )
+
+    def commit(self, messages, batchId) -> None:  # noqa: N803 — API name
+        ledger = self._q(self.epoch_table)
+        col_list = ", ".join(f'"{c}"' for c in self.columns)
+        conn = _connect(self.options)
+        try:
+            with conn, conn.cursor() as cur:
+                cur.execute(
+                    f"""CREATE TABLE IF NOT EXISTS {ledger} (
+                            table_name TEXT NOT NULL,
+                            batch_id BIGINT NOT NULL,
+                            n_rows BIGINT NOT NULL,
+                            PRIMARY KEY (table_name, batch_id))"""
+                )
+            with conn, conn.cursor() as cur:  # ONE publish txn
+                cur.execute(
+                    "SELECT pg_advisory_xact_lock(hashtext(%s))",
+                    (f"{self.schema_name}.{self.table}",),
+                )
+                cur.execute(
+                    f"SELECT 1 FROM {ledger}"
+                    " WHERE table_name = %s AND batch_id = %s",
+                    (self.table, int(batchId)),
+                )
+                replay = bool(cur.fetchall())
+                n = 0
+                if not replay:
+                    for m in messages:
+                        if m is not None and m.stage:
+                            cur.execute(
+                                f"INSERT INTO {self._q(self.table)}"
+                                f" ({col_list}) SELECT {col_list}"
+                                f" FROM {self._q(m.stage)}"
+                            )
+                            n += m.n_rows
+                    cur.execute(
+                        f"INSERT INTO {ledger} VALUES (%s, %s, %s)",
+                        (self.table, int(batchId), n),
+                    )
+                for st in self._stages(messages):
+                    cur.execute(f"DROP TABLE IF EXISTS {self._q(st)}")
+        finally:
+            conn.close()
+
+    def abort(self, messages, batchId) -> None:  # noqa: N803 — API name
+        conn = _connect(self.options)
+        try:
+            with conn, conn.cursor() as cur:
+                for st in self._stages(messages):
+                    cur.execute(f"DROP TABLE IF EXISTS {self._q(st)}")
+        finally:
+            conn.close()

@@ -814,6 +814,95 @@ class TestPostgresStreamSource:
         assert spark.read.parquet(out).count() == 150
 
 
+class TestPostgresStreamSink:
+    def test_stream_pg_to_pg_exactly_once(self, spark, schema, tmp_path):
+        """The full streaming loop: pgwire STREAM source → pgwire STREAM
+        sink. Each AvailableNow drain moves exactly the delta into the
+        target through staged epochs recorded in the ledger; re-drains
+        add nothing."""
+        from pandas_to_postgres_spark.sources.pg_datasource import (
+            PostgresDataSource,
+        )
+
+        conn = pgwire.connect(**schema)
+        conn.autocommit = True
+        with conn.cursor() as cur:
+            cur.execute("DROP TABLE IF EXISTS loop_src")
+            cur.execute("DROP TABLE IF EXISTS loop_tgt")
+            cur.execute("CREATE TABLE loop_src (seq BIGINT, v TEXT)")
+            cur.execute("CREATE TABLE loop_tgt (seq BIGINT, v TEXT)")
+            for i in range(80):
+                cur.execute(
+                    "INSERT INTO loop_src VALUES (%s, %s)", (i, f"v{i}")
+                )
+        conn.close()
+
+        spark.dataSource.register(PostgresDataSource)
+        ckpt = str(tmp_path / "loop_ckpt")
+
+        def drain():
+            stream = (
+                spark.readStream.format("pgwire")
+                .option("host", schema["host"])
+                .option("port", str(schema["port"]))
+                .option("user", schema["user"])
+                .option("dbname", schema["dbname"])
+                .option("table", "loop_src")
+                .option("seqColumn", "seq")
+                .load()
+            )
+            q = (
+                stream.writeStream.format("pgwire")
+                .option("host", schema["host"])
+                .option("port", str(schema["port"]))
+                .option("user", schema["user"])
+                .option("dbname", schema["dbname"])
+                .option("table", "loop_tgt")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        def q1(sql):
+            conn = pgwire.connect(**schema)
+            with conn, conn.cursor() as cur:
+                cur.execute(sql)
+                out = cur.fetchall()
+            conn.close()
+            return out
+
+        drain()
+        assert q1("SELECT count(*), count(DISTINCT seq) FROM loop_tgt") == [
+            ("80", "80")
+        ]
+        conn = pgwire.connect(**schema)
+        conn.autocommit = True
+        with conn.cursor() as cur:
+            for i in range(80, 120):
+                cur.execute(
+                    "INSERT INTO loop_src VALUES (%s, %s)", (i, f"v{i}")
+                )
+        conn.close()
+        drain()
+        assert q1("SELECT count(*), count(DISTINCT seq) FROM loop_tgt") == [
+            ("120", "120")
+        ]
+        drain()  # idle drain: no-op
+        assert q1("SELECT count(*) FROM loop_tgt") == [("120",)]
+        # epochs recorded; no stage tables left behind
+        assert int(
+            q1(
+                "SELECT count(*) FROM stream_epochs"
+                " WHERE table_name = 'loop_tgt'"
+            )[0][0]
+        ) >= 1
+        assert q1(
+            "SELECT count(*) FROM pg_tables"
+            " WHERE tablename LIKE 'loop\\_tgt\\_\\_dsws\\_%'"
+        ) == [("0",)]
+
+
 class TestCdcApplySink:
     def test_apply_changes_insert_update_delete_atomic(self, spark, schema):
         """CDC delete-apply: an I/U/D feed with a seq column applies
