@@ -2431,3 +2431,63 @@ def kcore_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = kcore_peel(edges, k=10, rounds=4, src="u", dst="v")
     return out.select("node", F.col("degree").cast("long").alias("degree"))
+
+
+@register(
+    "k_anonymity_audit",
+    oracle="""
+    WITH cells AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(count(*) AS BIGINT) AS cell_n,
+             CAST(count(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT))
+                  AS BIGINT) AS sens_distinct
+      FROM customer GROUP BY c_nationkey, c_mktsegment)
+    SELECT CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(min(cell_n) AS BIGINT) AS k_anonymity,
+           CAST(sum(CASE WHEN cell_n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS cells_below_k5,
+           CAST(sum(CASE WHEN cell_n < 5 THEN cell_n ELSE 0 END) AS BIGINT)
+               AS rows_at_risk_k5,
+           CAST(min(sens_distinct) AS BIGINT) AS l_diversity
+    FROM cells
+    """,
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy-release audit (Sweeney's k-anonymity + Machanavajjhala's
+    l-diversity): treat (nation, market segment) as the quasi-identifier,
+    the account-balance band (1000-currency floor buckets)
+    as the sensitive attribute, and report the dataset's k (smallest QI
+    cell — any cell below the policy threshold re-identifies its members
+    by linkage), the count of sub-threshold cells with the rows at risk,
+    and l (minimum distinct sensitive values per cell — a k-anonymous
+    cell with one sensitive value still leaks it). The pre-release gate
+    every PII-adjacent training-data export runs.
+
+    Exactness: cell counts and the banded sensitive attribute are
+    integers end to end; the band is floor(bal/1000.0) — one IEEE divide
+    then floor, identical in both engines for negative balances too
+    (integer DIV would truncate toward zero in Spark but floor in
+    DuckDB, flipping bands for the negative-balance customers). Scale: one
+    map-side-combined groupBy over the QI plus a 1-row final aggregate —
+    an audit at scan cost, same shape as `dq_gate`.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    cells = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cell_n"),
+        F.countDistinct(
+            F.expr("CAST(floor(c_acctbal / 1000.0) AS BIGINT)")
+        )
+        .cast("bigint")
+        .alias("sens_distinct"),
+    )
+    return cells.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.min("cell_n").cast("bigint").alias("k_anonymity"),
+        F.sum(F.when(F.col("cell_n") < 5, 1).otherwise(0))
+        .cast("bigint")
+        .alias("cells_below_k5"),
+        F.sum(F.when(F.col("cell_n") < 5, F.col("cell_n")).otherwise(0))
+        .cast("bigint")
+        .alias("rows_at_risk_k5"),
+        F.min("sens_distinct").cast("bigint").alias("l_diversity"),
+    )
