@@ -373,16 +373,21 @@ def ngram_jaccard_prefix(
     whose true Jaccard sits within 5e-5 of a threshold.
     """
     sh = shingles_expr(text_col, n)
-    # cached: the tokenized table feeds candidate generation (via explode),
-    # BOTH sides of the prefix self-join, and BOTH sides of the verify join
-    # — uncached, Catalyst re-derives it from the raw text scan at every
-    # reference (measured 12 scans of the source for this one query). Same
-    # move as minhash_near_duplicates' signature cache: at 100 TB you
-    # persist the narrow (id, shingles) projection once.
+    # materialized once (lazy localCheckpoint): the tokenized table feeds
+    # candidate generation (via explode), BOTH sides of the prefix
+    # self-join, and BOTH sides of the verify join — un-materialized,
+    # Catalyst re-derives it from the raw text scan at every reference
+    # (measured 12 scans of the source for this one query). Same move as
+    # minhash_near_duplicates' signature cache: at 100 TB you persist the
+    # narrow (id, shingles) projection once. localCheckpoint (not .cache())
+    # so the blocks are RELEASED by the ContextCleaner once the result
+    # frame is garbage-collected — .cache() entries are pinned by the
+    # CacheManager forever, a slow leak in a long-lived session running
+    # many queries; eager=False keeps the compute inside the first action.
     toks = (
         df.select(F.col(id_col).alias("__id"), sh.alias("__tk"))
         .withColumn("__sz", F.size("__tk"))
-        .cache()
+        .localCheckpoint(eager=False)
     )
     tok = toks.select("__id", "__sz", F.explode("__tk").alias("__t"))
     dfreq = tok.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
@@ -393,8 +398,13 @@ def ngram_jaccard_prefix(
         F.row_number().over(Window.partitionBy("__id").orderBy("__df", "__t")),
     )
     prefix_len = F.col("__sz") - F.ceil(F.lit(threshold) * F.col("__sz")) + 1
-    # cached: consumed by both sides of the candidate self-join
-    pref = ranked.filter(F.col("__rn") <= prefix_len).select("__id", "__t").cache()
+    # materialized: consumed by both sides of the candidate self-join
+    # (same lazy-localCheckpoint discipline as toks above)
+    pref = (
+        ranked.filter(F.col("__rn") <= prefix_len)
+        .select("__id", "__t")
+        .localCheckpoint(eager=False)
+    )
     cand = (
         pref.select(F.col("__id").alias("id_a"), "__t")
         .join(pref.select(F.col("__id").alias("id_b"), "__t"), "__t")

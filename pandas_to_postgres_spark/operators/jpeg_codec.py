@@ -540,13 +540,34 @@ def _entropy_end(payload, start):
 
 
 def _resync(rd, npred):
-    """Byte-align at a restart marker and reset DC predictors."""
+    """Byte-align at a restart marker and reset DC predictors.
+
+    Skips stuffed ``FF 00`` pad bytes (an encoder that byte-aligned with
+    1-bits emits one immediately before the RST marker) and repeated
+    ``FF`` fill bytes (T.81 B.1.1.2) while searching, mirroring
+    ``_entropy_end`` — otherwise the scan would stop at the stuffed
+    ``FF``, never consume the marker, and decode the pad/marker bytes
+    as entropy data."""
     rd.nbits = 0
     rd.bitbuf = 0
-    while rd.pos < len(rd.data) and rd.data[rd.pos] != 0xFF:
-        rd.pos += 1
-    if rd.pos + 1 < len(rd.data) and 0xD0 <= rd.data[rd.pos + 1] <= 0xD7:
-        rd.pos += 2
+    data, n = rd.data, len(rd.data)
+    while rd.pos < n:
+        if data[rd.pos] != 0xFF:
+            rd.pos += 1
+            continue
+        if rd.pos + 1 >= n:
+            break
+        nxt = data[rd.pos + 1]
+        if nxt == 0x00:  # stuffed pad byte — not a marker
+            rd.pos += 2
+            continue
+        if nxt == 0xFF:  # fill byte run before the marker
+            rd.pos += 1
+            continue
+        if 0xD0 <= nxt <= 0xD7:
+            rd.pos += 2
+        # non-RST marker (EOI / next scan header): leave pos at its 0xFF
+        break
     return [0] * npred
 
 

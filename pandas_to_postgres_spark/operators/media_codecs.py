@@ -161,6 +161,16 @@ REAL_FEATURE_SCHEMA = T.StructType(
 )
 
 
+def sample_indices(n_frames: int, k: int = 4) -> range:
+    """Evenly spaced frame indices, AT MOST ``k`` of them for EVERY
+    frame count — ceil-division stride, so the per-payload decode cost
+    of the video featurizer is bounded (floor division gave step=1 for
+    5-7 frames, decoding up to 7)."""
+    if n_frames <= 0:
+        return range(0)
+    return range(0, n_frames, max(-(-n_frames // k), 1))
+
+
 def _featurize_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         ids, mimes, lens, feats = [], [], [], []
@@ -236,10 +246,9 @@ def _featurize_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 )
 
                 fr = decode_avi_frames(b)
-                # sample up to 4 evenly spaced frames for the luma feature
-                # — decode cost stays bounded per payload
-                step = max(len(fr) // 4, 1)
-                sampled = [decode_jpeg(fr[i]) for i in range(0, len(fr), step)]
+                sampled = [
+                    decode_jpeg(fr[i]) for i in sample_indices(len(fr))
+                ]
                 px0 = sampled[0]
                 luma = float(
                     np.mean([p.mean() for p in sampled])

@@ -345,6 +345,7 @@ def load_batch_exactly_once(
     batch_id: int,
     epoch_table: str = "stream_epochs",
     num_partitions: Optional[int] = None,
+    run_id: str = "",
 ) -> int:
     """Idempotent micro-batch load: stage → atomically publish + record the
     epoch. Structured Streaming re-delivers a failed micro-batch with the
@@ -368,6 +369,14 @@ def load_batch_exactly_once(
        replay); a crash after commit is caught by the replay check. The
        target never exposes a partial batch.
 
+    ``run_id`` namespaces the ledger per STREAMING QUERY: a new query
+    with a fresh checkpoint restarts batch_ids at 0, so without it the
+    old run's ledger rows would match and silently drop every epoch.
+    Pass a stable identity derived from the checkpoint location
+    (`streaming/sink.stream_to_postgres_exactly_once` does this
+    automatically); restarts of the SAME checkpoint must reuse it so
+    replays are still recognized.
+
     Returns the number of rows published (0 on replay)."""
     psycopg2 = _psycopg2()
     ledger = f'"{target.schema}"."{epoch_table}"'
@@ -380,13 +389,15 @@ def load_batch_exactly_once(
             cur.execute(
                 f"""CREATE TABLE IF NOT EXISTS {ledger} (
                         table_name TEXT NOT NULL,
+                        run_id TEXT NOT NULL DEFAULT '',
                         batch_id BIGINT NOT NULL,
                         n_rows BIGINT NOT NULL,
-                        PRIMARY KEY (table_name, batch_id))"""
+                        PRIMARY KEY (table_name, run_id, batch_id))"""
             )
             cur.execute(
-                f"SELECT 1 FROM {ledger} WHERE table_name = %s AND batch_id = %s",
-                (target.name, int(batch_id)),
+                f"SELECT 1 FROM {ledger} WHERE table_name = %s"
+                f" AND run_id = %s AND batch_id = %s",
+                (target.name, run_id, int(batch_id)),
             )
             if cur.fetchall():
                 return 0  # replayed epoch: already published atomically
@@ -432,9 +443,9 @@ def load_batch_exactly_once(
                     f'SELECT {col_list} FROM "{target.schema}"."{st}"'
                 )
             cur.execute(
-                f"INSERT INTO {ledger} (table_name, batch_id, n_rows) "
-                f"VALUES (%s, %s, %s)",
-                (target.name, int(batch_id), n),
+                f"INSERT INTO {ledger} (table_name, run_id, batch_id, n_rows)"
+                f" VALUES (%s, %s, %s, %s)",
+                (target.name, run_id, int(batch_id), n),
             )
             for st in stages:
                 cur.execute(f'DROP TABLE "{target.schema}"."{st}"')
@@ -700,10 +711,19 @@ def apply_changes_to_postgres(
     apply statements are set-based server-side SQL over the stage —
     bounded by batch size, never by target size. Returns the staged row
     count (pre-collapse)."""
-    data_cols = [
-        c for c in target.columns if c in df.columns and c != op_col
+    # op_col / seq_col may themselves be target columns (CDC feeds
+    # commonly persist the sequence in the target): reuse the target's
+    # column in the stage — and persist its value — instead of appending
+    # a duplicate NULL column, which would make the stage DDL fail with
+    # 'column specified more than once'.
+    data_cols = [c for c in target.columns if c in df.columns]
+    extras = [
+        (c, typ)
+        for c, typ in ([(op_col, "text")] if op_col else [])
+        + ([(seq_col, "bigint")] if seq_col else [])
+        if c not in data_cols
     ]
-    sel = data_cols + [op_col] + ([seq_col] if seq_col else [])
+    sel = data_cols + [c for c, _ in extras]
     df = df.select(*sel)
     if num_partitions is not None:
         df = df.repartition(num_partitions)
@@ -716,13 +736,15 @@ def apply_changes_to_postgres(
     try:
         with ctl.cursor() as cur:
             cur.execute(f"DROP TABLE IF EXISTS {stage.qualified}")
-            # stage = target's column types + op (text) + optional seq:
-            # COPY names its columns explicitly, so extra target columns
-            # simply stay NULL in the stage and are never read back
+            # stage = target's column types + op (text) + optional seq
+            # (appended only when NOT already target columns): COPY names
+            # its columns explicitly, so extra target columns simply stay
+            # NULL in the stage and are never read back
             cur.execute(
-                f"CREATE TABLE {stage.qualified} AS "
-                f"SELECT *, NULL::text AS \"{op_col}\""
-                + (f", NULL::bigint AS \"{seq_col}\"" if seq_col else "")
+                f"CREATE TABLE {stage.qualified} AS SELECT *"
+                + "".join(
+                    f', NULL::{typ} AS "{c}"' for c, typ in extras
+                )
                 + f" FROM {target.qualified} WITH NO DATA"
             )
     finally:

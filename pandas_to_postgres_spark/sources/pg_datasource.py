@@ -534,9 +534,19 @@ class PostgresStreamWriter(DataSourceStreamArrowWriter):
       are addressed ONLY through the commit messages): ONE transaction
       takes the advisory lock, consults the epoch LEDGER (same
       convention as `sinks/postgres_copy.load_batch_exactly_once`) — if
-      this (table, batchId) already committed, the replay only drops
-      its message stages; otherwise it publishes every message stage,
-      records the epoch, and drops them.
+      this (table, run, batchId) already committed, the replay only
+      drops its message stages; otherwise it publishes every message
+      stage, records the epoch, and drops them.
+
+    The ledger is namespaced by ``option("runId", ...)`` — a stable
+    per-query identity the caller derives from the CHECKPOINT location
+    (restarts of the same checkpoint must pass the same runId so epoch
+    replays are recognized; a NEW query with a fresh checkpoint must
+    pass a new runId so its batchIds 0,1,2... don't collide with a
+    previous run's ledger rows and silently drop every epoch). When
+    runId is omitted it defaults to '' with a warning: safe for the
+    first query against a table, unsafe for the second — clear
+    ``stream_epochs`` or pass runId.
     - ``abort``: drops the failed epoch's message stages. A stage whose
       task died before messaging is an orphan (same caveat as the batch
       writer): bounded cleanup is DROP of ``<table>__dsws_%`` at a
@@ -549,12 +559,26 @@ class PostgresStreamWriter(DataSourceStreamArrowWriter):
 
     def __init__(self, options, columns):
         import uuid  # noqa: PLC0415
+        import warnings  # noqa: PLC0415
 
         self.options = dict(options)
         self.columns = list(columns)
         self.schema_name = options.get("schema", "public")
         self.table = options["table"]
         self.epoch_table = options.get("epochTable", "stream_epochs")
+        self.run_id = options.get("runId", "")
+        if not self.run_id:
+            warnings.warn(
+                "pgwire streaming sink: no runId option — the epoch "
+                "ledger is shared across queries, so starting a NEW "
+                "query (fresh checkpoint) against a previously-written "
+                "table would match the old run's batchIds and silently "
+                "drop every epoch. Pass option('runId', <id derived "
+                "from the checkpoint location>).",
+                stacklevel=2,
+            )
+        # query_id scopes STAGE table names per writer instance only
+        # (never the ledger — a driver restart mints a new one)
         self.query_id = uuid.uuid4().hex[:8]
 
     def _q(self, name: str) -> str:
@@ -604,9 +628,10 @@ class PostgresStreamWriter(DataSourceStreamArrowWriter):
                 cur.execute(
                     f"""CREATE TABLE IF NOT EXISTS {ledger} (
                             table_name TEXT NOT NULL,
+                            run_id TEXT NOT NULL DEFAULT '',
                             batch_id BIGINT NOT NULL,
                             n_rows BIGINT NOT NULL,
-                            PRIMARY KEY (table_name, batch_id))"""
+                            PRIMARY KEY (table_name, run_id, batch_id))"""
                 )
             with conn, conn.cursor() as cur:  # ONE publish txn
                 cur.execute(
@@ -615,8 +640,9 @@ class PostgresStreamWriter(DataSourceStreamArrowWriter):
                 )
                 cur.execute(
                     f"SELECT 1 FROM {ledger}"
-                    " WHERE table_name = %s AND batch_id = %s",
-                    (self.table, int(batchId)),
+                    " WHERE table_name = %s AND run_id = %s"
+                    " AND batch_id = %s",
+                    (self.table, self.run_id, int(batchId)),
                 )
                 replay = bool(cur.fetchall())
                 n = 0
@@ -630,8 +656,10 @@ class PostgresStreamWriter(DataSourceStreamArrowWriter):
                             )
                             n += m.n_rows
                     cur.execute(
-                        f"INSERT INTO {ledger} VALUES (%s, %s, %s)",
-                        (self.table, int(batchId), n),
+                        f"INSERT INTO {ledger}"
+                        " (table_name, run_id, batch_id, n_rows)"
+                        " VALUES (%s, %s, %s, %s)",
+                        (self.table, self.run_id, int(batchId), n),
                     )
                 for st in self._stages(messages):
                     cur.execute(f"DROP TABLE IF EXISTS {self._q(st)}")

@@ -82,14 +82,30 @@ def stream_to_postgres_exactly_once(
     publish (a metadata-sized transaction: INSERT..SELECT + ledger row +
     DROP) serializes per batch. The checkpoint directory carries the
     source offsets; the ledger carries the sink state — together they
-    survive a restart of either side."""
+    survive a restart of either side.
+
+    The ledger is namespaced by a run id derived from
+    ``checkpoint_dir`` (stable across restarts of the same query,
+    distinct for a fresh checkpoint), so a NEW query writing to a
+    previously-used target cannot match the old run's batch_ids and
+    silently skip its epochs."""
+    import hashlib  # noqa: PLC0415
+
     from pandas_to_postgres_spark.sinks.postgres_copy import (  # noqa: PLC0415
         load_batch_exactly_once,
     )
 
+    run_id = hashlib.sha256(checkpoint_dir.encode()).hexdigest()[:16]
+
     def _writer(batch_df: DataFrame, batch_id: int) -> None:
         load_batch_exactly_once(
-            batch_df, conn_params, target, batch_id, epoch_table, num_partitions
+            batch_df,
+            conn_params,
+            target,
+            batch_id,
+            epoch_table,
+            num_partitions,
+            run_id=run_id,
         )
 
     return stream_to_batch_sink(

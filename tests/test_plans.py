@@ -208,11 +208,15 @@ class TestWindowQueryShapes:
         assert shuffles(plan) == 0
         assert plan.count("Scan parquet") == 1
 
-    def test_ngram_prefix_reuses_cached_tokenization(self, spark):
-        # the tokenized table must come from cache, not a re-derivation
-        # from the raw text scan per reference (12 scans uncached)
+    def test_ngram_prefix_reuses_materialized_tokenization(self, spark):
+        # the tokenized table must come from the materialized checkpoint,
+        # not a re-derivation from the raw text scan per reference (12
+        # scans unmaterialized). localCheckpoint (not cache) so the
+        # blocks are GC-released in long-lived sessions — the plan reads
+        # the checkpoint RDD, so no parquet scan survives at all.
         plan = plan_of(spark, "ngram_jaccard_pairs")
-        assert "InMemoryTableScan" in plan
+        assert "ExistingRDD" in plan
+        assert "Scan parquet" not in plan
 
 
 class TestBudgetSelectShape:

@@ -314,17 +314,28 @@ class TestExactlyOnceStreaming:
             assert n_epochs >= 1
         conn.close()
 
-        # replay every published epoch by hand: all must be no-ops
+        # replay every published epoch by hand (same run_id, as a
+        # restarted query would): all must be no-ops
         batch = spark.read.parquet(f"{sf}/events.parquet").select(
             "event_id", "user_id", "event_type", "value"
         )
         conn = pgwire.connect(**conn_params)
         with conn, conn.cursor() as cur:
-            cur.execute("SELECT batch_id FROM stream_epochs WHERE table_name = 'ev_sink'")
-            epochs = [int(r[0]) for r in cur.fetchall()]
+            cur.execute(
+                "SELECT run_id, batch_id FROM stream_epochs"
+                " WHERE table_name = 'ev_sink'"
+            )
+            ledger = [(r[0], int(r[1])) for r in cur.fetchall()]
         conn.close()
-        for bid in epochs:
-            assert load_batch_exactly_once(batch, conn_params, target, bid) == 0
+        epochs = [bid for _, bid in ledger]
+        assert all(rid for rid, _ in ledger)  # checkpoint-derived run id
+        for rid, bid in ledger:
+            assert (
+                load_batch_exactly_once(
+                    batch, conn_params, target, bid, run_id=rid
+                )
+                == 0
+            )
         conn = pgwire.connect(**conn_params)
         with conn, conn.cursor() as cur:
             cur.execute("SELECT count(*) FROM ev_sink")
@@ -858,6 +869,7 @@ class TestPostgresStreamSink:
                 .option("user", schema["user"])
                 .option("dbname", schema["dbname"])
                 .option("table", "loop_tgt")
+                .option("runId", "loop-run-1")
                 .option("checkpointLocation", ckpt)
                 .trigger(availableNow=True)
                 .start()
@@ -1087,3 +1099,252 @@ class TestPostgresDataSourceWriter:
         )
         got = sorted((r.id, r.val) for r in back.collect())
         assert got == [(i, i * 1.25) for i in range(100)]
+
+
+class TestStreamSinkRunId:
+    def test_fresh_checkpoint_new_runid_publishes(self, spark, schema, tmp_path):
+        """TWO streaming queries against the SAME target, each with a
+        fresh checkpoint (so both emit batchId 0) and distinct runIds:
+        both must publish. Without the run-id namespace the second
+        query's batch 0 would match the first run's ledger row and be
+        silently dropped — data loss in an exactly-once sink."""
+        from pandas_to_postgres_spark.sources.pg_datasource import (
+            PostgresDataSource,
+        )
+
+        conn = pgwire.connect(**schema)
+        conn.autocommit = True
+        with conn.cursor() as cur:
+            cur.execute("DROP TABLE IF EXISTS rid_src")
+            cur.execute("DROP TABLE IF EXISTS rid_tgt")
+            cur.execute("CREATE TABLE rid_src (seq BIGINT, v TEXT)")
+            cur.execute("CREATE TABLE rid_tgt (seq BIGINT, v TEXT)")
+            for i in range(10):
+                cur.execute(
+                    "INSERT INTO rid_src VALUES (%s, %s)", (i, f"v{i}")
+                )
+        conn.close()
+        spark.dataSource.register(PostgresDataSource)
+
+        def drain(ckpt, run_id):
+            stream = (
+                spark.readStream.format("pgwire")
+                .option("host", schema["host"])
+                .option("port", str(schema["port"]))
+                .option("user", schema["user"])
+                .option("dbname", schema["dbname"])
+                .option("table", "rid_src")
+                .option("seqColumn", "seq")
+                .load()
+            )
+            q = (
+                stream.writeStream.format("pgwire")
+                .option("host", schema["host"])
+                .option("port", str(schema["port"]))
+                .option("user", schema["user"])
+                .option("dbname", schema["dbname"])
+                .option("table", "rid_tgt")
+                .option("runId", run_id)
+                .option("checkpointLocation", str(tmp_path / ckpt))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        def q1(sql):
+            conn = pgwire.connect(**schema)
+            with conn, conn.cursor() as cur:
+                cur.execute(sql)
+                out = cur.fetchall()
+            conn.close()
+            return out
+
+        drain("ckpt_a", "run-a")
+        assert q1("SELECT count(*) FROM rid_tgt") == [("10",)]
+        # fresh checkpoint -> the source re-reads everything as batch 0
+        drain("ckpt_b", "run-b")
+        assert q1("SELECT count(*) FROM rid_tgt") == [("20",)]
+        assert q1(
+            "SELECT run_id, batch_id FROM stream_epochs"
+            " WHERE table_name = 'rid_tgt' ORDER BY run_id"
+        ) == [("run-a", "0"), ("run-b", "0")]
+
+
+class TestCdcSeqColInTarget:
+    def test_apply_changes_with_seq_col_in_target_schema(self, spark, schema):
+        """CDC feeds commonly persist the sequence column in the target.
+        When ``seq_col`` is itself a target column the stage must reuse
+        it (not append a duplicate NULL column, which fails CREATE with
+        'column specified more than once') and the final rows must carry
+        the seq of the LAST applied change."""
+        from pandas_to_postgres_spark.sinks.postgres_copy import (
+            TargetTable,
+            append_to_postgres,
+            apply_changes_to_postgres,
+        )
+
+        conn_params = schema
+        conn = pgwire.connect(**conn_params)
+        conn.autocommit = True
+        with conn.cursor() as cur:
+            cur.execute("DROP TABLE IF EXISTS kv_seq")
+            cur.execute(
+                """CREATE TABLE kv_seq (
+                       k BIGINT, v TEXT, seq BIGINT,
+                       CONSTRAINT kv_seq_pk PRIMARY KEY (k))"""
+            )
+        conn.close()
+        target = TargetTable(
+            schema="public", name="kv_seq", columns=["k", "v", "seq"]
+        )
+        base = spark.createDataFrame(
+            [(i, f"v{i}", 0) for i in range(5)],
+            "k long, v string, seq long",
+        )
+        assert append_to_postgres(base, conn_params, target, 2) == 5
+
+        feed = spark.createDataFrame(
+            [
+                (1, "u1", 10, "U"),
+                (1, "u1b", 11, "U"),  # later seq wins
+                (2, None, 12, "D"),
+                (9, "n9", 13, "I"),
+            ],
+            "k long, v string, seq long, op string",
+        )
+        apply_changes_to_postgres(
+            feed, conn_params, target, ["k"], op_col="op", seq_col="seq"
+        )
+        conn = pgwire.connect(**conn_params)
+        with conn, conn.cursor() as cur:
+            cur.execute("SELECT v, seq FROM kv_seq WHERE k = 1")
+            assert cur.fetchall() == [("u1b", "11")]  # seq persisted
+            cur.execute("SELECT count(*) FROM kv_seq WHERE k = 2")
+            assert cur.fetchall() == [("0",)]
+            cur.execute("SELECT v, seq FROM kv_seq WHERE k = 9")
+            assert cur.fetchall() == [("n9", "13")]
+            cur.execute("SELECT v, seq FROM kv_seq WHERE k = 3")
+            assert cur.fetchall() == [("v3", "0")]  # untouched
+        conn.close()
+
+
+class TestCdcLoopEndToEnd:
+    def test_outbox_stream_to_cdc_apply_survives_epoch_retry(
+        self, spark, schema, tmp_path
+    ):
+        """The COMPOSED loop a real user runs: I/U/D changes land in an
+        OUTBOX table (pgwire stream source) -> transform -> CDC apply
+        sink into a target table — with a crash injected AFTER the first
+        apply but BEFORE Spark commits the epoch, so the restarted query
+        REPLAYS the same batch and applies it a second time. The final
+        target state must be exact (the apply is idempotent: same feed
+        -> same collapse -> same deletes/upserts)."""
+        from pandas_to_postgres_spark.sinks.postgres_copy import (
+            TargetTable,
+            append_to_postgres,
+            apply_changes_to_postgres,
+        )
+        from pandas_to_postgres_spark.sources.pg_datasource import (
+            PostgresDataSource,
+        )
+
+        conn = pgwire.connect(**schema)
+        conn.autocommit = True
+        with conn.cursor() as cur:
+            cur.execute("DROP TABLE IF EXISTS ob_src")
+            cur.execute("DROP TABLE IF EXISTS ob_tgt")
+            cur.execute(
+                "CREATE TABLE ob_src (seq BIGINT, k BIGINT, v TEXT, op TEXT)"
+            )
+            cur.execute(
+                """CREATE TABLE ob_tgt (
+                       k BIGINT, v TEXT,
+                       CONSTRAINT ob_tgt_pk PRIMARY KEY (k))"""
+            )
+        conn.close()
+        target = TargetTable(schema="public", name="ob_tgt", columns=["k", "v"])
+        base = spark.createDataFrame(
+            [(i, f"old{i}") for i in range(10)], "k long, v string"
+        )
+        assert append_to_postgres(base, schema, target, 2) == 10
+
+        # the change feed: delete 0-2, update 5, insert 100
+        conn = pgwire.connect(**schema)
+        conn.autocommit = True
+        with conn.cursor() as cur:
+            rows = [
+                (1, 0, None, "D"),
+                (2, 1, None, "D"),
+                (3, 2, None, "D"),
+                (4, 5, "upd5", "U"),
+                (5, 100, "new100", "I"),
+            ]
+            for r in rows:
+                cur.execute("INSERT INTO ob_src VALUES (%s, %s, %s, %s)", r)
+        conn.close()
+
+        spark.dataSource.register(PostgresDataSource)
+        ckpt = str(tmp_path / "ob_ckpt")
+        crash = {"armed": True}
+
+        def run(arm):
+            crash["armed"] = arm
+
+            def apply_batch(bdf, bid):
+                from pyspark.sql import functions as F
+
+                # transform: uppercase the op (exercises a real map stage)
+                feed = bdf.withColumn("op", F.upper("op"))
+                apply_changes_to_postgres(
+                    feed, schema, target, ["k"], op_col="op", seq_col="seq"
+                )
+                if crash["armed"]:
+                    crash["armed"] = False
+                    raise RuntimeError(
+                        "injected crash after apply, before epoch commit"
+                    )
+
+            stream = (
+                spark.readStream.format("pgwire")
+                .option("host", schema["host"])
+                .option("port", str(schema["port"]))
+                .option("user", schema["user"])
+                .option("dbname", schema["dbname"])
+                .option("table", "ob_src")
+                .option("seqColumn", "seq")
+                .load()
+            )
+            q = (
+                stream.writeStream.foreachBatch(apply_batch)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            return q
+
+        from pyspark.errors.exceptions.captured import StreamingQueryException
+
+        q = run(arm=True)
+        with pytest.raises(StreamingQueryException, match="injected crash"):
+            q.awaitTermination()
+        q2 = run(arm=False)  # restart on the SAME checkpoint: replays batch
+        q2.awaitTermination()
+
+        conn = pgwire.connect(**schema)
+        with conn, conn.cursor() as cur:
+            cur.execute("SELECT count(*) FROM ob_tgt")
+            assert cur.fetchall() == [("8",)]  # 10 - 3 deletes + 1 insert
+            cur.execute("SELECT count(*) FROM ob_tgt WHERE k < 3")
+            assert cur.fetchall() == [("0",)]
+            cur.execute("SELECT v FROM ob_tgt WHERE k = 5")
+            assert cur.fetchall() == [("upd5",)]
+            cur.execute("SELECT v FROM ob_tgt WHERE k = 100")
+            assert cur.fetchall() == [("new100",)]
+            cur.execute("SELECT v FROM ob_tgt WHERE k = 7")
+            assert cur.fetchall() == [("old7",)]  # untouched
+            cur.execute(
+                "SELECT count(*) FROM pg_tables"
+                " WHERE tablename LIKE 'ob\\_tgt\\_\\_cdc\\_%'"
+            )
+            assert cur.fetchall() == [("0",)]  # no stage left behind
+        conn.close()

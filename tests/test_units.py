@@ -272,3 +272,46 @@ class TestFormatterKwargs:
         assert seen == [("/a", "/a", 2), ("/b", "/b", 5)]
         assert sunk == [("t", "/a+/b")]
         assert c.rows == 1
+
+
+class TestResyncAndFrameSampling:
+    def test_resync_skips_stuffed_ff00_before_rst(self):
+        """An encoder that byte-aligns with 1-bits emits a stuffed
+        FF 00 pad immediately before the RST marker; _resync must skip
+        it (and FF fill-byte runs) and consume the marker, not stop at
+        the stuffed FF and feed the marker bytes back as entropy data."""
+        from pandas_to_postgres_spark.operators.jpeg_codec import (
+            BitReader,
+            _resync,
+        )
+
+        # stuffed pad -> RST0 -> payload
+        rd = BitReader(b"\xff\x00\xff\xd0\xab")
+        assert _resync(rd, 3) == [0, 0, 0]
+        assert rd.pos == 4 and rd.nbits == 0
+
+        # fill-byte run folded into the marker (T.81 B.1.1.2)
+        rd = BitReader(b"\x12\xff\xff\xff\xd1\xcd")
+        _resync(rd, 0)
+        assert rd.pos == 5
+
+        # non-RST marker: left unconsumed for the caller
+        rd = BitReader(b"\xff\x00\xff\xd9")
+        _resync(rd, 0)
+        assert rd.pos == 2 and rd.data[rd.pos : rd.pos + 2] == b"\xff\xd9"
+
+    def test_video_sample_indices_bounded_for_every_count(self):
+        from pandas_to_postgres_spark.operators.media_codecs import (
+            sample_indices,
+        )
+
+        for n in range(0, 64):
+            idx = list(sample_indices(n))
+            assert len(idx) <= 4, n
+            assert all(0 <= i < n for i in idx)
+            if n:
+                assert idx[0] == 0  # always include the first frame
+        assert list(sample_indices(5)) == [0, 2, 4]  # was 5 decodes
+        assert list(sample_indices(7)) == [0, 2, 4, 6]
+        assert list(sample_indices(8)) == [0, 2, 4, 6]
+        assert list(sample_indices(100)) == [0, 25, 50, 75]
