@@ -4,7 +4,7 @@ Spark has no native HDF5 source. The reference's three strategies
 (`/root/reference/pandas_to_postgres/copy_hdf.py`):
 
 - Small / full-table read (`SmallHDFTableCopy`, `HDFTableCopy`): whole key
-  into pandas → here ``spark.createDataFrame(pd.read_hdf(...))``.
+  into pandas → here ``spark.createDataFrame(read_hdf(...))``.
 - Big / range scan (`BigHDFTableCopy.hdf_to_pg`, `copy_hdf.py:175-230`):
   ``pd.read_hdf(file, key, start, stop)`` slices of ``hdf_chunksize`` rows.
   The distributed generalization: ``spark.range(0, nrows, chunk)`` →
@@ -14,14 +14,16 @@ Spark has no native HDF5 source. The reference's three strategies
   (`copy_hdf.py:169-172`: range reads chosen over ``iterator=True``
   precisely because they are random-access).
 
-Requires the ``tables`` (PyTables) package at runtime (not present in this
-container → functions raise a clear RuntimeError; unit tests cover the
-partition-planning logic, which is pure).
+Backend selection: PyTables (``pd.read_hdf``) when importable, else the
+repo's pure-Python HDF5 parser (`sources/hdf5_reader` + the pandas
+dialect in `sources/hdf5_pandas`) — so every strategy EXECUTES in this
+container too. Both backends honor the same range-read contract.
 
 100 TB notes: the file must be visible to every executor (shared FS). Range
 reads are per-task independent — no shuffle at all; chunk size bounds task
 memory exactly like the reference's ``hdf_chunksize`` (10**7 default,
-`copy_hdf.py:21`).
+`copy_hdf.py:21`). The pure backend mmaps the file per task and touches
+only the superblock, index nodes, and the chunks overlapping its range.
 """
 
 from __future__ import annotations
@@ -34,16 +36,24 @@ from pyspark.sql import DataFrame, SparkSession
 DEFAULT_CHUNK_ROWS = 10**7  # the reference's hdf_chunksize (`copy_hdf.py:21`)
 
 
-def _tables():
+def _has_pytables() -> bool:
     try:
-        import tables  # noqa: PLC0415
+        import tables  # noqa: F401, PLC0415
 
-        return tables
-    except ImportError as e:  # pragma: no cover - environment dependent
-        raise RuntimeError(
-            "HDF5 source requires PyTables ('tables' package), which is not "
-            "installed in this environment"
-        ) from e
+        return True
+    except ImportError:
+        return False
+
+
+def read_hdf_range(
+    file_name: str, key: str, start: int = 0, stop: Optional[int] = None
+) -> pd.DataFrame:
+    """One [start, stop) range read (`copy_hdf.py:211`), backend-agnostic."""
+    if _has_pytables():  # pragma: no cover - environment dependent
+        return pd.read_hdf(file_name, key, start=start, stop=stop)
+    from . import hdf5_pandas  # noqa: PLC0415
+
+    return hdf5_pandas.read_hdf(file_name, key, start=start, stop=stop)
 
 
 def plan_ranges(nrows: int, chunk_rows: int) -> list[tuple[int, int]]:
@@ -63,15 +73,18 @@ def plan_ranges(nrows: int, chunk_rows: int) -> list[tuple[int, int]]:
 def hdf_nrows(file_name: str, key: str) -> int:
     """Row count from HDF metadata without reading data
     (`copy_hdf.py:194-195`: ``store.get_storer(key).nrows``)."""
-    _tables()
-    with pd.HDFStore(file_name, mode="r") as store:
-        return int(store.get_storer(key).nrows)
+    if _has_pytables():  # pragma: no cover - environment dependent
+        with pd.HDFStore(file_name, mode="r") as store:
+            return int(store.get_storer(key).nrows)
+    from . import hdf5_pandas  # noqa: PLC0415
+
+    return hdf5_pandas.get_nrows(file_name, key)
 
 
 def load_hdf_small(spark: SparkSession, file_name: str, key: str) -> DataFrame:
     """S2/S4: whole-key read → Spark DataFrame (Arrow-accelerated)."""
-    _tables()
-    return spark.createDataFrame(pd.read_hdf(file_name, key))
+    pdf = read_hdf_range(file_name, key)
+    return spark.createDataFrame(pdf.reset_index(drop=True))
 
 
 def load_hdf_distributed(
@@ -84,16 +97,15 @@ def load_hdf_distributed(
     """S3: partition-parallel HDF5 range scan.
 
     One Spark task per [start, stop) range; each task opens the file
-    read-only and performs exactly one ``pd.read_hdf(start=, stop=)`` —
-    the reference's `copy_hdf.py:211` executed N-wide.
+    read-only and performs exactly one range read — the reference's
+    `copy_hdf.py:211` executed N-wide.
     """
-    _tables()
     if nrows is None:
         nrows = hdf_nrows(file_name, key)
     ranges = plan_ranges(nrows, chunk_rows)
     # infer the schema from a 1-row probe (schema is identical across ranges)
-    probe = pd.read_hdf(file_name, key, start=0, stop=max(1, min(1, nrows)))
-    schema = spark.createDataFrame(probe).schema
+    probe = read_hdf_range(file_name, key, 0, max(1, min(1, nrows)))
+    schema = spark.createDataFrame(probe.reset_index(drop=True)).schema
 
     ranges_df = spark.createDataFrame(ranges, "start long, stop long").repartition(
         len(ranges)
@@ -103,9 +115,32 @@ def load_hdf_distributed(
         for pdf in batches:
             for start, stop in pdf.itertuples(index=False):
                 if stop > start:
-                    yield pd.read_hdf(file_name, key, start=int(start), stop=int(stop))
+                    yield read_hdf_range(
+                        file_name, key, int(start), int(stop)
+                    ).reset_index(drop=True)
 
     return ranges_df.mapInPandas(read_ranges, schema=schema)
+
+
+def hdf_keys(file_name: str) -> list[str]:
+    """pandas-style keys of every table in the file (``store.keys()``)."""
+    if _has_pytables():  # pragma: no cover - environment dependent
+        with pd.HDFStore(file_name, mode="r") as store:
+            return list(store.keys())
+    from . import hdf5_pandas  # noqa: PLC0415
+
+    return hdf5_pandas.list_keys(file_name)
+
+
+def _group_meta(file_name: str, key: str, metadata_attr: str):
+    if _has_pytables():  # pragma: no cover - environment dependent
+        with pd.HDFStore(file_name, mode="r") as store:
+            storer = store.get_storer(key)
+            attrs = getattr(storer, "attrs", None)
+            return getattr(attrs, metadata_attr, None) if attrs else None
+    from . import hdf5_pandas  # noqa: PLC0415
+
+    return hdf5_pandas.group_attrs(file_name, key).get(metadata_attr)
 
 
 def hdf_metadata(
@@ -122,26 +157,22 @@ def hdf_metadata(
     maps attr → {hdf_key → value}. Keys containing '/meta' are skipped
     (`utilities.py:56-61`).
     """
-    _tables()
     sql_to_hdf: dict[str, set[str]] = {}
     metadata_vars: dict[str, dict[str, object]] = {}
-    with pd.HDFStore(file_name, mode="r") as store:
-        candidate_keys = keys if keys is not None else store.keys()
-        for key in candidate_keys:
-            if "/meta" in key:
-                continue
-            storer = store.get_storer(key)
-            attrs = getattr(storer, "attrs", None)
-            meta = getattr(attrs, metadata_attr, None) if metadata_attr and attrs else None
-            if meta:
-                for mkey in metadata_keys:
-                    if mkey in meta:
-                        metadata_vars.setdefault(mkey, {})[key] = meta[mkey]
-                sql_name = meta.get("sql_table_name") if isinstance(meta, dict) else None
-            else:
-                sql_name = None
-            if sql_name is None:
-                # no routing metadata → key maps to a table of its own name
-                sql_name = key.lstrip("/")
-            sql_to_hdf.setdefault(sql_name, set()).add(key)
+    candidate_keys = keys if keys is not None else hdf_keys(file_name)
+    for key in candidate_keys:
+        if "/meta" in key:
+            continue
+        meta = _group_meta(file_name, key, metadata_attr) if metadata_attr else None
+        if meta:
+            for mkey in metadata_keys:
+                if mkey in meta:
+                    metadata_vars.setdefault(mkey, {})[key] = meta[mkey]
+            sql_name = meta.get("sql_table_name") if isinstance(meta, dict) else None
+        else:
+            sql_name = None
+        if sql_name is None:
+            # no routing metadata → key maps to a table of its own name
+            sql_name = key.lstrip("/")
+        sql_to_hdf.setdefault(sql_name, set()).add(key)
     return sql_to_hdf, metadata_vars

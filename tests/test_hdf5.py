@@ -1,0 +1,256 @@
+"""Executable HDF5 path (SURVEY.md §2.1 S2/S3/S4/S7).
+
+Round-trips real HDF5 bytes — written by the repo's own pure-Python
+writer in the PyTables frame_table dialect — through the pure-Python
+parser, the pandas layer, and the Spark sources. This flips S2–S4/S7
+from planning-logic-only to executed reads in a container without
+PyTables, covering the reference's signature capability
+(`/root/reference/pandas_to_postgres/copy_hdf.py:175-230`).
+"""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pandas_to_postgres_spark import compat
+from pandas_to_postgres_spark.sources import hdf, hdf5_pandas
+from pandas_to_postgres_spark.sources.hdf5_reader import H5File, Hdf5FormatError
+from pandas_to_postgres_spark.sources.hdf5_writer import write_frame_table
+
+
+def _frame(n=500, seed=0):
+    rs = np.random.RandomState(seed)
+    return pd.DataFrame(
+        {
+            "id": np.arange(n, dtype=np.int64),
+            "val": rs.randn(n),
+            "name": [f"item_{i % 23}" for i in range(n)],
+            "ok": (np.arange(n) % 3 == 0),
+        }
+    )
+
+
+@pytest.fixture()
+def h5(tmp_path):
+    p = str(tmp_path / "t.h5")
+    write_frame_table(p, {"data": _frame()}, chunk_rows=64)
+    return p
+
+
+class TestReaderRoundTrip:
+    def test_basic_fields_and_dtypes(self, h5):
+        df = _frame()
+        with H5File(h5) as f:
+            ds = f.dataset("/data/table")
+            assert ds.nrows == len(df)
+            arr = ds.read_raw()
+            assert (arr["id"] == df["id"].values).all()
+            assert np.allclose(arr["val"], df["val"].values)
+            assert [x.decode() for x in arr["name"]] == list(df["name"])
+            assert (arr["ok"].astype(bool) == df["ok"].values).all()
+            assert ds.attrs["CLASS"] == "TABLE"
+            assert ds.attrs["NROWS"] == len(df)
+
+    def test_range_reads_touch_only_overlap(self, h5):
+        with H5File(h5) as f:
+            ds = f.dataset("/data/table")
+            seg = ds.read_raw(100, 260)
+            assert (seg["id"] == np.arange(100, 260)).all()
+            # clamped bounds
+            assert len(ds.read_raw(480, 10_000)) == 20
+            assert len(ds.read_raw(490, 490)) == 0
+
+    def test_compressed_shuffle_deflate(self, tmp_path):
+        p = str(tmp_path / "c.h5")
+        df = _frame(4000, seed=1)
+        write_frame_table(p, {"c": df}, chunk_rows=256, complevel=6)
+        with H5File(p) as f:
+            ds = f.dataset("/c/table")
+            assert [fid for fid, _ in ds.filters] == [2, 1]  # shuffle, deflate
+            arr = ds.read_raw(1000, 1300)
+            assert (arr["id"] == np.arange(1000, 1300)).all()
+            assert np.allclose(arr["val"], df["val"].values[1000:1300])
+        # compression actually shrank the payload
+        plain = str(tmp_path / "p.h5")
+        write_frame_table(plain, {"c": df}, chunk_rows=256)
+        assert os.path.getsize(p) < os.path.getsize(plain) * 0.8
+
+    def test_level1_chunk_btree(self, tmp_path):
+        p = str(tmp_path / "b.h5")
+        df = pd.DataFrame({"a": np.arange(10_000, dtype=np.int64)})
+        write_frame_table(p, {"big": df}, chunk_rows=100)  # 100 chunks > 32
+        with H5File(p) as f:
+            ds = f.dataset("/big/table")
+            assert (ds.read_raw()["a"] == np.arange(10_000)).all()
+            assert (ds.read_raw(9_876, 9_999)["a"] == np.arange(9_876, 9_999)).all()
+
+    def test_nested_groups_and_visit(self, tmp_path):
+        p = str(tmp_path / "n.h5")
+        write_frame_table(
+            p,
+            {
+                "grp/inner": pd.DataFrame({"v": [1.5, 2.5]}),
+                "top": pd.DataFrame({"s": ["x", "yy", "zzz"]}),
+            },
+            chunk_rows=2,
+        )
+        with H5File(p) as f:
+            assert f.list_group("/") == ["grp", "top"]
+            assert f.list_group("/grp") == ["inner"]
+            assert np.allclose(f.dataset("/grp/inner/table").read_raw()["v"], [1.5, 2.5])
+            paths = [pth for pth, _ in f.visit()]
+            assert "/grp/inner/table" in paths and "/top/table" in paths
+
+    def test_empty_frame(self, tmp_path):
+        p = str(tmp_path / "e.h5")
+        write_frame_table(p, {"e": pd.DataFrame({"a": np.array([], dtype=np.int64)})})
+        with H5File(p) as f:
+            ds = f.dataset("/e/table")
+            assert ds.nrows == 0
+            assert len(ds.read_raw()) == 0
+
+    def test_pickled_attr_convention(self, h5):
+        with H5File(h5) as f:
+            ds = f.dataset("/data/table")
+            # non-scalar attrs round-trip through the PyTables pickle slot
+            assert ds.attrs["non_index_axes"] == [(1, ["id", "val", "name", "ok"])]
+            ga = f.attributes("/data")
+            assert ga["pandas_type"] == "frame_table"
+
+    def test_not_hdf5_rejected(self, tmp_path):
+        p = str(tmp_path / "x.bin")
+        with open(p, "wb") as fh:
+            fh.write(b"definitely not hdf5 bytes" * 4)
+        with pytest.raises(Hdf5FormatError):
+            H5File(p)
+
+    def test_missing_key_raises(self, h5):
+        with H5File(h5) as f:
+            with pytest.raises(KeyError):
+                f.dataset("/nope/table")
+
+
+class TestPandasLayer:
+    def test_read_hdf_matches_source(self, h5):
+        df = _frame()
+        got = hdf5_pandas.read_hdf(h5, "data")
+        assert list(got.columns) == ["id", "val", "name", "ok"]
+        assert (got["id"].values == df["id"].values).all()
+        assert np.allclose(got["val"].values, df["val"].values)
+        assert (got["name"].values == df["name"].values).all()
+        assert got["ok"].dtype == bool
+        assert (got["ok"].values == df["ok"].values).all()
+        assert (got.index.values == np.arange(len(df))).all()
+
+    def test_range_and_columns(self, h5):
+        got = hdf5_pandas.read_hdf(h5, "data", start=37, stop=81, columns=["id", "ok"])
+        assert list(got.columns) == ["id", "ok"]
+        assert (got["id"].values == np.arange(37, 81)).all()
+
+    def test_nrows_keys_attrs(self, h5):
+        assert hdf5_pandas.get_nrows(h5, "data") == 500
+        assert hdf5_pandas.list_keys(h5) == ["/data"]
+        ga = hdf5_pandas.group_attrs(h5, "data")
+        assert ga["pandas_type"] == "frame_table"
+
+    def test_block_dialect_decoding(self, tmp_path):
+        """values_block_N members + pickled <field>_kind lists — the
+        ``to_hdf`` default (no data_columns). Synthesized via a numpy
+        structured array with a 2-wide float member."""
+        import pandas_to_postgres_spark.sources.hdf5_writer as w
+
+        n = 40
+        rec = np.zeros(
+            n,
+            dtype=np.dtype(
+                [("index", "<i8"), ("values_block_0", "<f8", (2,)), ("city", "S6")]
+            ),
+        )
+        rec["index"] = np.arange(n)
+        rs = np.random.RandomState(3)
+        rec["values_block_0"] = rs.randn(n, 2)
+        rec["city"] = [f"c{i % 5}".encode() for i in range(n)]
+        attrs = {
+            "CLASS": "TABLE",
+            "NROWS": n,
+            "values_block_0_kind": ["price", "qty"],
+            "city_kind": ["city"],
+            "non_index_axes": [(1, ["price", "qty", "city"])],
+        }
+        b = w._FileBuilder()
+        taddr = b.write_table(rec, attrs, chunk_rows=16, complevel=0)
+        gaddr = b.write_group({"table": taddr}, {"pandas_type": "frame_table"})
+        root = b.write_group({"blk": gaddr}, {})
+        p = str(tmp_path / "blk.h5")
+        with open(p, "wb") as fh:
+            fh.write(b.finish(root))
+
+        got = hdf5_pandas.read_hdf(p, "blk", start=5, stop=25)
+        assert list(got.columns) == ["price", "qty", "city"]
+        assert np.allclose(got["price"].values, rec["values_block_0"][5:25, 0])
+        assert np.allclose(got["qty"].values, rec["values_block_0"][5:25, 1])
+        assert (got["city"].values == [f"c{i % 5}" for i in range(5, 25)]).all()
+
+
+class TestSparkSources:
+    def test_load_hdf_distributed(self, spark, tmp_path):
+        p = str(tmp_path / "d.h5")
+        df = _frame(5000, seed=2)
+        write_frame_table(p, {"data": df}, chunk_rows=512, complevel=4)
+        sdf = hdf.load_hdf_distributed(spark, p, "data", chunk_rows=1000)
+        assert sdf.rdd.getNumPartitions() == 5  # one task per range
+        got = sdf.toPandas().sort_values("id").reset_index(drop=True)
+        assert len(got) == 5000
+        assert (got["id"].values == df["id"].values).all()
+        assert np.allclose(got["val"].values, df["val"].values)
+        assert (got["name"].values == df["name"].values).all()
+        assert (got["ok"].values == df["ok"].values).all()
+
+    def test_load_hdf_small(self, spark, h5):
+        sdf = hdf.load_hdf_small(spark, h5, "data")
+        assert sdf.count() == 500
+        assert set(sdf.columns) == {"id", "val", "name", "ok"}
+
+    def test_hdf_nrows_and_metadata_routing(self, spark, tmp_path):
+        p = str(tmp_path / "m.h5")
+        write_frame_table(
+            p,
+            {
+                "a_slice1": _frame(10),
+                "a_slice2": _frame(10),
+                "meta_only/skipme": _frame(3),
+            },
+            group_meta={
+                "a_slice1": {"pg_meta": {"sql_table_name": "a", "levels": 2}},
+                "a_slice2": {"pg_meta": {"sql_table_name": "a", "levels": 2}},
+            },
+        )
+        assert hdf.hdf_nrows(p, "a_slice1") == 10
+        routing, mvars = hdf.hdf_metadata(
+            p, metadata_attr="pg_meta", metadata_keys=("levels",)
+        )
+        # '/meta' keys skipped (utilities.py:56-61); slices route to one table
+        assert routing == {"a": {"/a_slice1", "/a_slice2"}}
+        assert mvars == {"levels": {"/a_slice1": 2, "/a_slice2": 2}}
+
+    def test_compat_hdf_copy_executes(self, spark, tmp_path):
+        """The reference's HDFTableCopy drive now EXECUTES: two HDF keys
+        union into one sink table (`copy_hdf.py:98-120`)."""
+        p = str(tmp_path / "cc.h5")
+        write_frame_table(
+            p, {"s1": _frame(20, seed=4), "s2": _frame(30, seed=5)}, chunk_rows=16
+        )
+        seen = {}
+        copy = compat.HDFTableCopy(
+            file_name=p,
+            hdf_tables=["s1", "s2"],
+            spark=spark,
+            sink=lambda name, df: seen.__setitem__(name, df.count()),
+            table_name="t",
+            big=True,
+            hdf_chunksize=12,
+        )
+        copy.copy()
+        assert seen == {"t": 50}
