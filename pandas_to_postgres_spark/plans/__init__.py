@@ -28,9 +28,16 @@ from pandas_to_postgres_spark.plans import analytics  # noqa: F401,E402
 from pandas_to_postgres_spark.plans import quality  # noqa: F401,E402
 from pandas_to_postgres_spark.plans import retrieval  # noqa: F401,E402
 
-#: The driver-checked window, in order. 26 LLM/streaming/UDF slots + 24
-#: relational slots = 50. Every SURVEY.md §2 row maps to at least one entry
-#: (see COVERAGE.md for the row → query mapping).
+#: The driver-checked window, in order. Frozen in rounds 2–4; ROTATED in
+#: round 5 (see COVERAGE.md "Round-5 window rotation"): five
+#: frozen-green-for-3-rounds relational slots (join_left_counts,
+#: join_semi_customers, join_anti_parts, window_running_sum,
+#: json_extract_events) moved past the window in favor of five round-3/4
+#: queries that had never had a driver-side oracle run
+#: (simsearch_pq_trained, stream_neardup_docs, hybrid_rrf_docs,
+#: json_corrupt_audit, k_anonymity_audit). Rotated-out queries stay
+#: registered, oracle-tested in pytest, and covered by
+#: scripts/local_correctness.py.
 PRIORITY = [
     # §2.11 D1 — exact + incremental dedup
     "dedup_exact",
@@ -47,6 +54,8 @@ PRIORITY = [
     "simsearch_topk",
     "simsearch_ivf",            # rows-only: probe pruning is engine-side
     "simsearch_topk_incremental",
+    "simsearch_pq_trained",     # r5 rotation: trained-PQ ANN (Lloyd iters)
+    "hybrid_rrf_docs",          # r5 rotation: BM25+cosine RRF fusion
     # §2.11 D5 — multimodal
     "multimodal_pipeline",      # rows-only: fake-decode mapInPandas chain
     # training-data shaping
@@ -69,35 +78,36 @@ PRIORITY = [
     "stream_dedup_events",
     "stream_static_join",
     "stream_stream_join",
+    "stream_neardup_docs",      # r5 rotation: streaming near-dup vs static LSH index
     # §2.1/§2.2/§2.8/§2.10 X1 — scan, filter, normalize
     "pricing_summary",
     "filter_project",
     "normalize_target_schema",
-    # §2.3 — joins J1..J7 (J8 cross join is inside simsearch_topk)
+    # §2.3 — joins J1/J2/J6/J7 (J8 cross join is inside simsearch_topk;
+    # J3/J4/J5 rotated out round 5 — still oracle-green in pytest/local)
     "join_broadcast_rollup",
     "join_order_revenue",
-    "join_left_counts",
-    "join_semi_customers",
-    "join_anti_parts",
     "range_join_bins",
     "asof_join_events",
-    # §2.4 — aggregations
+    # §2.4 — aggregations (+ r5 rotation: k-anonymity/l-diversity audit,
+    # a groupBy-agg shape over quasi-identifiers)
     "distinct_counts",
     "percentiles_price",
     "rollup_cube_gsets",
     "conditional_agg",
     "collect_set_segments",
-    # §2.5/§2.6 — windows, top-k
+    "k_anonymity_audit",
+    # §2.5/§2.6 — windows, top-k (W3 frame agg rotated out round 5)
     "window_topn_orders",
     "window_lag_events",
-    "window_running_sum",
     "topk_lineitems",
     # §2.7 — set ops
     "union_slices",
     "setops_custkeys",
-    # §2.8 — scalar function library
+    # §2.8 — scalar function library (F5 JSON now carried by the corrupt-
+    # feed audit, which subsumes json_extract_events' PERMISSIVE parsing)
     "string_date_funcs",
-    "json_extract_events",
+    "json_corrupt_audit",
     "array_ops_embeddings",
 ]
 

@@ -34,15 +34,20 @@ class TestWindow:
             "stream_foreachbatch_counts", "stream_sliding_counts",
             "stream_stateful_totals", "stream_dedup_events",
             "stream_static_join", "stream_stream_join",
-            # relational families
+            # round-5 rotation: first driver-side oracle runs for the
+            # round-3/4 additions (COVERAGE.md "Round-5 window rotation")
+            "simsearch_pq_trained", "hybrid_rrf_docs", "stream_neardup_docs",
+            "k_anonymity_audit", "json_corrupt_audit",
+            # relational families (J3/J4/J5, W3 frame agg, and
+            # json_extract_events rotated out round 5 — still registered
+            # and oracle-green in tests/test_correctness.py + local runs)
             "pricing_summary", "filter_project", "normalize_target_schema",
-            "join_broadcast_rollup", "join_order_revenue", "join_left_counts",
-            "join_semi_customers", "join_anti_parts", "range_join_bins",
+            "join_broadcast_rollup", "join_order_revenue", "range_join_bins",
             "asof_join_events", "distinct_counts", "percentiles_price",
             "rollup_cube_gsets", "conditional_agg", "collect_set_segments",
-            "window_topn_orders", "window_lag_events", "window_running_sum",
+            "window_topn_orders", "window_lag_events",
             "topk_lineitems", "union_slices", "setops_custkeys",
-            "string_date_funcs", "json_extract_events", "array_ops_embeddings",
+            "string_date_funcs", "array_ops_embeddings",
         }
         assert must_have <= window, sorted(must_have - window)
 
