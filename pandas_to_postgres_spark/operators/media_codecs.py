@@ -14,8 +14,9 @@ REAL in pure stdlib + numpy:
   4:2:2 / 4:2:0 — any integer sampling factors) — a full Huffman +
   IDCT decoder and matching encoders in pure numpy
   (``jpeg_codec.py``), validated against hand-assembled T.81
-  bitstreams incl. successive-approximation and EOB-run scans; only
-  arithmetic / lossless / 16-bit JPEG raises NotImplementedError
+  bitstreams incl. successive-approximation and EOB-run scans;
+  16-bit quantization TABLES (Pq=1) decode fine — only arithmetic /
+  lossless / 16-bit SAMPLE PRECISION JPEG raises NotImplementedError
   inside the codec rather than decode wrong
 - **Motion-JPEG AVI video** (``encode_avi_mjpeg``/``decode_avi_frames``)
   — a RIFF chunk walk yields one standalone baseline JPEG per frame,
