@@ -144,33 +144,81 @@ def etl_copy_to_postgres(spark, sf_dir: str):
             pglocal.stop(server)
 
 
-def stream_throughput(spark, sf_dir: str):
+def stream_throughput(spark, sf_dir: str, runs: int = 3):
     """Structured Streaming tier: drain the events table through the
     windowed aggregation (watermark + 10-minute tumbling windows, the
     §2.9 workhorse) with an AvailableNow trigger and report sustained
-    rows/s of STREAM INPUT processed. min-of-2 like every other tier;
-    returns None if the streaming path is unavailable."""
+    rows/s of STREAM INPUT processed. Returns ([secs...], rows) — one
+    timing per full drain — or None if the streaming path is unavailable."""
     try:
         from pandas_to_postgres_spark.streaming.events import (
             windowed_event_counts,
         )
 
-        rows = None
-        secs = float("inf")
-        for _ in range(2):
+        import pyarrow.parquet as pq  # noqa: PLC0415
+
+        rows = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
+        secs = []
+        for _ in range(runs):
             t0 = time.perf_counter()
             out = windowed_event_counts(spark, sf_dir)
             out.count()
-            secs = min(secs, time.perf_counter() - t0)
-            if rows is None:
-                import pyarrow.parquet as pq  # noqa: PLC0415
-
-                rows = pq.ParquetFile(
-                    f"{sf_dir}/events.parquet"
-                ).metadata.num_rows
+            secs.append(time.perf_counter() - t0)
         return secs, rows
     except Exception:
         return None
+
+
+def stream_throughput_8x(spark, sf_dir: str):
+    """8x-events stream tier: the sf0.1 drain pays ~2s of fixed streaming
+    machinery, so its rows/s is a FLOOR, not a rate (SCALE.md, round-4
+    section). Draining 8 key-shifted copies amortizes the fixed cost and
+    reports a number close to the marginal per-row rate. Builds the 8x
+    events table once under .bench_stream8x/ (events only — the stream
+    tier reads nothing else); returns (secs, rows) min-of-2 or None."""
+    try:
+        import shutil
+
+        import pyarrow.parquet as pq  # noqa: PLC0415
+
+        from pyspark.sql import functions as F
+        from pandas_to_postgres_spark.sources.parquet import load_table
+        from pandas_to_postgres_spark.streaming.events import (
+            windowed_event_counts,
+        )
+
+        x8 = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_stream8x")
+        path = f"{x8}/events.parquet"
+        base_rows = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
+        want = 8 * base_rows
+        # Spark writes a parquet DIRECTORY — count through Spark on reuse
+        have = spark.read.parquet(path).count() if os.path.isdir(path) else -1
+        if have != want:
+            shutil.rmtree(x8, ignore_errors=True)
+            base = load_table(spark, sf_dir, "events")
+            copies = [
+                base.withColumn("event_id", F.col("event_id") + F.lit(i * 10**9))
+                .withColumn("user_id", F.col("user_id") + F.lit(i * 10**9))
+                for i in range(8)
+            ]
+            out = copies[0]
+            for c in copies[1:]:
+                out = out.unionByName(c)
+            out.write.mode("overwrite").parquet(path)
+        secs = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            windowed_event_counts(spark, x8).count()
+            secs = min(secs, time.perf_counter() - t0)
+        return secs, want
+    except Exception:
+        return None
+
+
+def _median(vals):
+    s = sorted(vals)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
 
 
 def main() -> None:
@@ -236,22 +284,41 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "etl_rows_per_sec": round(etl_rows / etl_secs),
     }
-    # best of 2 full tier attempts (fresh server each): a single attempt's
-    # loads share whatever slow phase (checkpoint/writeback alignment) the
-    # machine is in, so min-of-2-loads inside one attempt doesn't de-noise
-    attempts = [p for p in (etl_copy_to_postgres(spark, sf_dir) for _ in range(2)) if p]
-    pg = min(attempts, key=lambda sr: sr[0] / sr[1]) if attempts else None
-    if pg is not None:
-        pg_secs, pg_rows = pg
+    # median of 3 full tier attempts (fresh server each; each attempt is
+    # already min-of-2 loads): single-shot COPY numbers swing up to ~2x
+    # with machine phase (288k vs 432k recorded across round-4 runs), so
+    # the headline field is the MEDIAN attempt with min/max recorded for
+    # dispersion — a single attempt's loads share whatever slow phase the
+    # machine is in, so min-of-2-loads inside one attempt can't de-noise
+    attempts = [p for p in (etl_copy_to_postgres(spark, sf_dir) for _ in range(3)) if p]
+    if attempts:
+        rates = sorted(r / s for s, r in attempts)
         # not added to "value": the headline total stays comparable with
         # round 1, which had no Postgres tier
-        line["pg_copy_rows_per_sec"] = round(pg_rows / pg_secs)
-        line["pg_copy_rows"] = pg_rows
+        line["pg_copy_rows_per_sec"] = round(_median(rates))
+        line["pg_copy_rows_per_sec_min"] = round(rates[0])
+        line["pg_copy_rows_per_sec_max"] = round(rates[-1])
+        line["pg_copy_rows"] = attempts[0][1]
     st = stream_throughput(spark, sf_dir)
     if st is not None:
         st_secs, st_rows = st
-        line["stream_rows_per_sec"] = round(st_rows / st_secs)
+        rates = sorted(st_rows / s for s in st_secs)
+        line["stream_rows_per_sec"] = round(_median(rates))
+        line["stream_rows_per_sec_min"] = round(rates[0])
+        line["stream_rows_per_sec_max"] = round(rates[-1])
         line["stream_rows"] = st_rows
+    # the sf0.1 stream number is a FLOOR (~2s fixed AvailableNow machinery
+    # on a sub-second workload); the 8x drain amortizes it and approaches
+    # the marginal per-row rate SCALE.md measures — emit both so the
+    # recorded artifact stops implying a 47k rows/s ceiling
+    st8 = stream_throughput_8x(spark, sf_dir)
+    if st8 is not None:
+        s8, r8 = st8
+        line["stream_rows_per_sec_8x"] = round(r8 / s8)
+        if st is not None and s8 > min(st_secs):
+            line["stream_rows_per_sec_marginal"] = round(
+                (r8 - st_rows) / (s8 - min(st_secs))
+            )
     print(json.dumps(line))
 
 
