@@ -9,8 +9,11 @@ growth. Then runs a query list twice on each tier (warm-vs-warm: the
 second run isolates data scaling from codegen/JIT) and prints one JSON
 line {query: {"sf01": s, "x8": s, "ratio": r}}.
 
-Usage: python scripts/scale8x.py [query ...]   (default: the SCALE.md set)
-Writes the 8x dataset under .scale8x/ (gitignored); reuses it if present.
+Usage: python scripts/scale8x.py [--copies N] [--tables t1,t2] [query ...]
+(default: 8 copies, all tables, the SCALE.md set). --copies 64 with
+--tables documents builds the 64x near-dup tier (round-5 instruction:
+measure the superlinear-looking rows another octave up). Datasets land
+under .scale{N}x/ (gitignored); reused if present.
 """
 
 from __future__ import annotations
@@ -30,9 +33,13 @@ from pandas_to_postgres_spark.session import get_spark  # noqa: E402
 from pandas_to_postgres_spark.sources.parquet import load_table  # noqa: E402
 
 SF01 = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-X8 = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale8x")
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SHIFT = 10**9
 COPIES = 8
+
+
+def scale_dir(copies: int) -> str:
+    return os.path.join(_REPO, f".scale{copies}x")
 
 #: key columns shifted per copy, by table (dimension keys referenced from
 #: nation/region are NOT shifted so the single dim copy still joins).
@@ -61,32 +68,39 @@ DEFAULT_QUERIES = [
 ]
 
 
-def build_x8(spark) -> None:
-    if os.path.isdir(X8) and os.listdir(X8):
-        return
-    shutil.rmtree(X8, ignore_errors=True)
-    os.makedirs(X8, exist_ok=True)
+def build_scaled(spark, copies: int = COPIES, tables=None) -> str:
+    """Build (or reuse) the N-copy key-shifted dataset; returns its dir.
+    ``tables`` restricts which fact tables are scaled (dims always copy
+    through) — the 64x near-dup tier only needs documents."""
+    xdir = scale_dir(copies)
+    if os.path.isdir(xdir) and os.listdir(xdir):
+        return xdir
+    shutil.rmtree(xdir, ignore_errors=True)
+    os.makedirs(xdir, exist_ok=True)
     for table in ("region", "nation"):
         load_table(spark, SF01, table).write.mode("overwrite").parquet(
-            f"{X8}/{table}.parquet"
+            f"{xdir}/{table}.parquet"
         )
     for table, keys in KEYS.items():
+        if tables is not None and table not in tables:
+            continue
         base = load_table(spark, SF01, table)
-        copies = []
-        for i in range(COPIES):
+        parts = []
+        for i in range(copies):
             c = base
             for k in keys:
                 c = c.withColumn(k, F.col(k) + F.lit(i * SHIFT))
             if table == "documents" and "text" in c.columns:
-                # distinct suffix per copy -> 8-wide near-dup groups
+                # distinct suffix per copy -> N-wide near-dup groups
                 c = c.withColumn(
                     "text", F.concat(F.col("text"), F.lit(f" copytag{i}"))
                 )
-            copies.append(c)
-        out = copies[0]
-        for c in copies[1:]:
+            parts.append(c)
+        out = parts[0]
+        for c in parts[1:]:
             out = out.unionByName(c)
-        out.write.mode("overwrite").parquet(f"{X8}/{table}.parquet")
+        out.write.mode("overwrite").parquet(f"{xdir}/{table}.parquet")
+    return xdir
 
 
 def timed(fn, spark, sf_dir: str) -> float:
@@ -96,22 +110,37 @@ def timed(fn, spark, sf_dir: str) -> float:
 
 
 def main() -> None:
-    queries = sys.argv[1:] or DEFAULT_QUERIES
+    args = sys.argv[1:]
+    copies, tables = COPIES, None
+    queries = []
+    i = 0
+    while i < len(args):
+        if args[i] == "--copies":
+            copies = int(args[i + 1])
+            i += 2
+        elif args[i] == "--tables":
+            tables = set(args[i + 1].split(","))
+            i += 2
+        else:
+            queries.append(args[i])
+            i += 1
+    queries = queries or DEFAULT_QUERIES
     spark = get_spark()
-    build_x8(spark)
+    xdir = build_scaled(spark, copies, tables)
+    xkey = f"x{copies}"
     out = {}
     for name in queries:
         fn = REGISTRY[name].fn
         timed(fn, spark, SF01)          # warm codegen/JIT for this shape
         s01 = timed(fn, spark, SF01)
-        timed(fn, spark, X8)
-        s8 = timed(fn, spark, X8)
+        timed(fn, spark, xdir)
+        sx = timed(fn, spark, xdir)
         out[name] = {
             "sf01": round(s01, 3),
-            "x8": round(s8, 3),
-            "ratio": round(s8 / s01, 2) if s01 > 0 else None,
+            xkey: round(sx, 3),
+            "ratio": round(sx / s01, 2) if s01 > 0 else None,
         }
-        print(f"# {name}: {s01:.3f}s -> {s8:.3f}s ({s8 / s01:.2f}x)", file=sys.stderr)
+        print(f"# {name}: {s01:.3f}s -> {sx:.3f}s ({sx / s01:.2f}x)", file=sys.stderr)
     print(json.dumps(out))
 
 
