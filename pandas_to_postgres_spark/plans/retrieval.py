@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from pandas_to_postgres_spark.functions.agg import dsum, dsum_sql
 from pandas_to_postgres_spark.functions.text import tokens_expr
 from pandas_to_postgres_spark.plans.registry import register
 from pandas_to_postgres_spark.sources.parquet import load_table
@@ -2815,3 +2816,127 @@ def mean_ci_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("ci_halfwidth_hundredth_cents"),
     ).orderBy("c_mktsegment")
+
+
+# ---------------------------------------------------------------- DSIR
+
+#: DSIR hashed feature space: unigrams + bigrams folded into 256 buckets
+#: via the shared md5 dialect, so DuckDB replays the exact model.
+_DSIR_B = 256
+_DSIR_BUCKET_SPARK = (
+    "CAST(conv(substr(md5(f), 1, 15), 16, 10) AS BIGINT) % 256"
+)
+_DSIR_BUCKET_DUCK = "CAST(('0x' || substr(md5(f), 1, 15)) AS BIGINT) % 256"
+
+
+@register(
+    "dsir_select_docs",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang, {_RAW_TOKS_SQL} AS toks FROM documents),
+    feats AS (
+      SELECT doc_id, lang,
+             unnest(list_concat(
+               toks,
+               list_transform(generate_series(1, len(toks) - 1),
+                              i -> toks[i] || ' ' || toks[i + 1]))) AS f
+      FROM tok),
+    hashed AS (
+      SELECT doc_id, lang, {_DSIR_BUCKET_DUCK} AS b FROM feats),
+    src AS (SELECT b, CAST(count(*) AS BIGINT) AS c_s FROM hashed GROUP BY b),
+    tgt AS (SELECT b, CAST(count(*) AS BIGINT) AS c_t
+            FROM hashed WHERE lang = 'en' GROUP BY b),
+    counts AS (
+      SELECT src.b, src.c_s, coalesce(tgt.c_t, 0) AS c_t
+      FROM src LEFT JOIN tgt USING (b)),
+    tot AS (SELECT CAST(sum(c_s) AS BIGINT) AS n_s,
+                   CAST(sum(c_t) AS BIGINT) AS n_t FROM counts),
+    model AS (
+      SELECT counts.b,
+             log10(CAST(counts.c_t + 1 AS DOUBLE) / (tot.n_t + {_DSIR_B}))
+           - log10(CAST(counts.c_s + 1 AS DOUBLE) / (tot.n_s + {_DSIR_B}))
+               AS lam
+      FROM counts CROSS JOIN tot),
+    scored AS (
+      SELECT h.doc_id,
+             CAST(count(*) AS BIGINT) AS n_feats,
+             {dsum_sql('m.lam', 6)} AS dsir_score
+      FROM hashed h JOIN model m USING (b)
+      GROUP BY h.doc_id)
+    SELECT doc_id, n_feats, dsir_score
+    FROM scored
+    ORDER BY dsir_score DESC, doc_id
+    LIMIT 100
+    """,
+)
+def dsir_select_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): fit hashed n-gram
+    (unigram+bigram, 256 buckets) unigram models over a TARGET domain
+    (here ``lang = 'en'``) and the raw SOURCE corpus, score every
+    document by its log-likelihood ratio under the two models, and keep
+    the top-k — the standard recipe for skewing a web-scale crawl toward
+    a target distribution before training.
+
+    Cross-engine determinism: buckets use the shared md5 dialect; the
+    +1-smoothed probabilities are exact-integer ratios lowered to double
+    once; per-document scores go through decimal accumulation (`dsum`)
+    so partition order cannot move them; ties at the k boundary break on
+    doc_id in both engines.
+
+    Scale (100 TB): two corpus passes and nothing else — pass 1 builds
+    the 256-row bucket counts (map-side-combined groupBy; the corpus is
+    NOT cached because re-tokenizing beats materializing a token-
+    exploded 100 TB frame), pass 2 joins the BROADCAST 256-row model
+    onto the feature stream and aggregates per doc (one shuffle on
+    doc_id). Selection is TakeOrderedAndProject, never a global sort.
+    The model frames collect nothing; totals derive from the 256-row
+    counts frame, not a corpus scan.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    ts = tokens_expr(F.lower(F.col("text")))
+    toks = d.select("doc_id", "lang", ts.alias("toks"))
+    # unigrams ++ bigrams; sequence(1, 0) DESCENDS in Spark, so guard
+    # single-token docs before building the bigram index range
+    bigrams = F.when(
+        F.size("toks") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at("toks", i), F.element_at("toks", i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = toks.select(
+        "doc_id", "lang", F.explode(F.concat("toks", bigrams)).alias("f")
+    )
+    hashed = feats.select(
+        "doc_id", "lang", F.expr(_DSIR_BUCKET_SPARK).alias("b")
+    )
+    src = hashed.groupBy("b").agg(F.count(F.lit(1)).alias("c_s"))
+    tgt = (
+        hashed.filter(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("c_t"))
+    )
+    counts = (
+        src.join(tgt, "b", "left").na.fill({"c_t": 0})
+    )
+    tot = counts.agg(
+        F.sum("c_s").alias("n_s"), F.sum("c_t").alias("n_t")
+    )
+    lam = F.log10(
+        (F.col("c_t") + 1).cast("double") / (F.col("n_t") + _DSIR_B)
+    ) - F.log10(
+        (F.col("c_s") + 1).cast("double") / (F.col("n_s") + _DSIR_B)
+    )
+    model = counts.crossJoin(F.broadcast(tot)).select("b", lam.alias("lam"))
+    scored = (
+        hashed.join(F.broadcast(model), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_feats"),
+            dsum(F.col("lam"), 6).alias("dsir_score"),
+        )
+    )
+    return scored.orderBy(F.col("dsir_score").desc(), "doc_id").limit(100)

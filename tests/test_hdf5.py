@@ -254,3 +254,56 @@ class TestSparkSources:
         )
         copy.copy()
         assert seen == {"t": 50}
+
+
+class TestHdfSink:
+    def test_write_dir_roundtrip(self, spark, tmp_path):
+        from pandas_to_postgres_spark.sinks.hdf import load_hdf_dir, write_hdf_dir
+
+        df = _frame(2000, seed=7)
+        sdf = spark.createDataFrame(df).repartition(6)
+        out = str(tmp_path / "hdfdir")
+        nparts = write_hdf_dir(sdf, out, key="t", chunk_rows=128, complevel=4)
+        assert 1 <= nparts <= 6
+        assert len(os.listdir(out)) == nparts
+        back = (
+            load_hdf_dir(spark, out, key="t", chunk_rows=300)
+            .toPandas()
+            .sort_values("id")
+            .reset_index(drop=True)
+        )
+        assert len(back) == 2000
+        assert (back["id"].values == df["id"].values).all()
+        assert np.allclose(back["val"].values, df["val"].values)
+        assert (back["name"].values == df["name"].values).all()
+        assert (back["ok"].values == df["ok"].values).all()
+
+    def test_empty_partitions_skipped(self, spark, tmp_path):
+        from pandas_to_postgres_spark.sinks.hdf import load_hdf_dir, write_hdf_dir
+
+        sdf = spark.createDataFrame(_frame(3)).repartition(8)
+        out = str(tmp_path / "sparse")
+        nparts = write_hdf_dir(sdf, out)
+        assert nparts <= 3  # empty partitions write nothing
+        back = load_hdf_dir(spark, out).toPandas()
+        assert sorted(back["id"]) == [0, 1, 2]
+
+    def test_unsupported_dtype_rejected(self, spark):
+        from pandas_to_postgres_spark.sinks.hdf import write_hdf_dir
+        from pyspark.sql import functions as F
+
+        sdf = spark.range(3).select(F.current_timestamp().alias("ts"))
+        with pytest.raises(TypeError, match="unsupported"):
+            write_hdf_dir(sdf, "/tmp/never-written")
+
+    def test_single_file_guard(self, spark, tmp_path):
+        from pandas_to_postgres_spark.sinks.hdf import write_hdf_single
+        from pandas_to_postgres_spark.sources import hdf5_pandas
+
+        sdf = spark.createDataFrame(_frame(50))
+        p = str(tmp_path / "one.h5")
+        n = write_hdf_single(sdf, p, key="dim")
+        assert n == 50
+        assert hdf5_pandas.get_nrows(p, "dim") == 50
+        with pytest.raises(ValueError, match="max_rows"):
+            write_hdf_single(sdf, p, max_rows=10)
