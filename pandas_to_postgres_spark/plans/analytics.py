@@ -1764,3 +1764,78 @@ def triangle_count_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d").cast("long").alias("degree"),
         grid_round(cc, 6).alias("clustering"),
     )
+
+
+@register(
+    "open_orders_concurrency",
+    oracle="""
+    WITH iv AS (
+      SELECT o.o_orderkey,
+             CAST(min(o.o_orderdate) AS DATE) AS s,
+             CAST(max(l.l_shipdate) AS DATE) AS e
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      GROUP BY o.o_orderkey),
+    deltas AS (
+      SELECT s AS day, 1 AS d FROM iv
+      UNION ALL
+      SELECT e + 1 AS day, -1 AS d FROM iv),
+    daily AS (
+      SELECT day, CAST(sum(d) AS BIGINT) AS net_change
+      FROM deltas GROUP BY day)
+    SELECT CAST(day AS VARCHAR) AS day,
+           net_change,
+           CAST(sum(net_change) OVER (ORDER BY day) AS BIGINT) AS open_orders
+    FROM daily
+    ORDER BY day
+    """,
+)
+def open_orders_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-concurrency sweep line: how many orders are IN FLIGHT
+    (placed but not fully shipped) on each day — the census/active-
+    sessions/inventory-in-transit shape. Each order contributes the
+    interval [orderdate, max(shipdate)]; concurrency is the running sum
+    of +1/-1 boundary deltas, never a per-day interval explosion.
+
+    Scale (100 TB): intervals come from one keyed aggregate (shuffle on
+    o_orderkey); deltas are exactly 2 rows per interval; the running sum
+    is the repo's bucketed prefix-sum pattern — per-day nets cumsum
+    WITHIN months (window partitioned by month) plus a broadcast
+    exclusive month-offset frame, so no corpus-sized single-partition
+    window exists. The month spine is timeline-bounded (~80 rows here;
+    ~1200 for a century), independent of fact cardinality. Day grain is
+    lossless: concurrency only changes at delta days, so the output is
+    the full step function. DATE values cross the oracle bridge as
+    strings (DuckDB's pandas DATE becomes datetime64 otherwise)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    iv = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey")
+        .agg(
+            F.to_date(F.min("o_orderdate")).alias("s"),
+            F.to_date(F.max("l_shipdate")).alias("e"),
+        )
+    )
+    deltas = iv.select(F.col("s").alias("day"), F.lit(1).alias("d")).unionAll(
+        iv.select(F.date_add("e", 1).alias("day"), F.lit(-1).alias("d"))
+    )
+    daily = (
+        deltas.groupBy("day")
+        .agg(F.sum("d").cast("bigint").alias("net_change"))
+        .withColumn("month", F.trunc("day", "month"))
+    )
+    monthly = daily.groupBy("month").agg(F.sum("net_change").alias("mnet"))
+    # exclusive prefix over the timeline-bounded month spine
+    wm = Window.orderBy("month").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = monthly.select(
+        "month",
+        F.coalesce(F.sum("mnet").over(wm), F.lit(0)).cast("bigint").alias("off"),
+    )
+    wd = Window.partitionBy("month").orderBy("day")
+    run = daily.join(F.broadcast(offsets), "month").withColumn(
+        "open_orders",
+        (F.col("off") + F.sum("net_change").over(wd)).cast("bigint"),
+    )
+    return run.select(
+        F.col("day").cast("string").alias("day"), "net_change", "open_orders"
+    ).orderBy("day")
