@@ -147,6 +147,13 @@ class Dataset:
     def read_raw(self, start: int = 0, stop: Optional[int] = None) -> np.ndarray:
         """Rows [start, stop) of the dataset as a numpy array (structured
         for compound types). Touches only the chunks that overlap."""
+        if self.dtype.is_vlen_str:
+            raise Hdf5FormatError(
+                "variable-length string DATASETS are not supported (their "
+                "payloads live in global heaps); vlen strings decode only "
+                "as attributes. PyTables frame_table files use fixed-size "
+                "strings."
+            )
         n = self.nrows
         stop = n if stop is None else min(stop, n)
         start = max(0, start)

@@ -307,3 +307,145 @@ class TestHdfSink:
         assert hdf5_pandas.get_nrows(p, "dim") == 50
         with pytest.raises(ValueError, match="max_rows"):
             write_hdf_single(sdf, p, max_rows=10)
+
+
+class TestV2Dialect:
+    """Hand-assembled superblock-v2 file: OHDR v2 object headers, compact
+    Link messages (v2 groups), v3 attributes, contiguous layout — the
+    newer-libhdf5 paths the frame_table writer (v0/v1 dialect) never
+    emits, so they get their own byte-level fixture."""
+
+    @staticmethod
+    def _build(tmp_path):
+        import struct
+
+        from pandas_to_postgres_spark.sources import hdf5_writer as w
+
+        UNDEF = 0xFFFFFFFFFFFFFFFF
+        buf = bytearray(b"\x00" * 48)  # superblock v2 is 48 bytes
+
+        def alloc(b):
+            while len(buf) % 8:
+                buf.append(0)
+            a = len(buf)
+            buf.extend(b)
+            return a
+
+        def ohdr(messages):
+            body = b"".join(
+                struct.pack("<BHB", m, len(mb), 0) + mb for m, mb in messages
+            )
+            return (
+                b"OHDR" + bytes([2, 0]) + bytes([len(body)]) + body + b"\x00" * 4
+            )
+
+        def attr3(name, dtb, dsb, data):
+            nm = name.encode() + b"\x00"
+            return (
+                bytes([3, 0])
+                + struct.pack("<HHH", len(nm), len(dtb), len(dsb))
+                + bytes([0])
+                + nm
+                + dtb
+                + dsb
+                + data
+            )
+
+        def link(name, target):
+            nm = name.encode()
+            return bytes([1, 0, len(nm)]) + nm + struct.pack("<Q", target)
+
+        vals = np.arange(10, dtype=np.int64)
+        data_addr = alloc(vals.tobytes())
+        dt_i8 = w._dt_int(8)
+        ds_msg = w._dataspace((10,))
+        layout = struct.pack("<BBQQ", 3, 1, data_addr, 80)  # v3 contiguous
+        dset = alloc(
+            ohdr(
+                [
+                    (0x01, ds_msg),
+                    (0x03, dt_i8),
+                    (0x08, layout),
+                    (
+                        0x0C,
+                        attr3(
+                            "UNITS",
+                            w._dt_string(5),
+                            w._dataspace(()),
+                            b"meter",
+                        ),
+                    ),
+                ]
+            )
+        )
+        grp = alloc(ohdr([(0x06, link("t", dset))]))
+        root = alloc(ohdr([(0x06, link("g", grp))]))
+        sb = (
+            b"\x89HDF\r\n\x1a\n"
+            + bytes([2, 8, 8, 0])
+            + struct.pack("<QQQQ", 0, UNDEF, len(buf), root)
+            + b"\x00" * 4
+        )
+        buf[: len(sb)] = sb
+        p = str(tmp_path / "v2.h5")
+        with open(p, "wb") as fh:
+            fh.write(bytes(buf))
+        return p
+
+    def test_v2_superblock_groups_dataset_attr(self, tmp_path):
+        p = self._build(tmp_path)
+        with H5File(p) as f:
+            assert f.list_group("/") == ["g"]
+            assert f.list_group("/g") == ["t"]
+            ds = f.dataset("/g/t")
+            assert (ds.read_raw() == np.arange(10)).all()
+            assert (ds.read_raw(3, 7) == np.arange(3, 7)).all()
+            assert ds.attrs["UNITS"] == "meter"
+
+    def test_vlen_dataset_rejected_clearly(self, tmp_path):
+        """vlen-string DATASETS raise (payloads live in global heaps) —
+        never decode garbage."""
+        import struct
+
+        from pandas_to_postgres_spark.sources import hdf5_writer as w
+
+        buf = bytearray(b"\x00" * 48)
+
+        def alloc(b):
+            while len(buf) % 8:
+                buf.append(0)
+            a = len(buf)
+            buf.extend(b)
+            return a
+
+        def ohdr(messages):
+            body = b"".join(
+                struct.pack("<BHB", m, len(mb), 0) + mb for m, mb in messages
+            )
+            return (
+                b"OHDR" + bytes([2, 0]) + bytes([len(body)]) + body + b"\x00" * 4
+            )
+
+        # vlen-string datatype: class 9 v1, type=string(1), base = S1
+        vlen_dt = struct.pack("<B3sI", 0x19, b"\x01\x00\x00", 16) + w._dt_string(1)
+        layout = struct.pack("<BBQQ", 3, 1, 4096, 16)
+        dset = ohdr([(0x01, w._dataspace((1,))), (0x03, vlen_dt), (0x08, layout)])
+        daddr = alloc(dset)
+        root = alloc(
+            ohdr([(0x06, bytes([1, 0, 1]) + b"v" + struct.pack("<Q", daddr))])
+        )
+        sb = (
+            b"\x89HDF\r\n\x1a\n"
+            + bytes([2, 8, 8, 0])
+            + struct.pack("<QQQQ", 0, 0xFFFFFFFFFFFFFFFF, len(buf), root)
+            + b"\x00" * 4
+        )
+        buf[: len(sb)] = sb
+        p = str(tmp_path / "vlen.h5")
+        with open(p, "wb") as fh:
+            fh.write(bytes(buf))
+        with H5File(p) as f:
+            ds = f.dataset("/v")
+            assert ds.dtype.is_vlen_str
+            with pytest.raises(Hdf5FormatError, match="variable-length"):
+                ds.read_raw()
