@@ -2491,3 +2491,190 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rows_at_risk_k5"),
         F.min("sens_distinct").cast("bigint").alias("l_diversity"),
     )
+
+
+#: Winnowing parameters: token 4-grams, window 5 → any shared run of
+#: >= 4+5-1 = 8 tokens is GUARANTEED to share a fingerprint (Schleimer
+#: et al., SIGMOD'03, the MOSS algorithm). Fingerprints appearing in
+#: more than 50 docs are boilerplate and dropped before pairing.
+_WIN_K, _WIN_W, _WIN_CAP, _WIN_T = 4, 5, 50, 2
+
+_WIN_HASH_SPARK = (
+    "transform(sequence(1, size(__toks) - 3), i -> "
+    "CAST(conv(substr(md5(array_join(slice(__toks, i, 4), ' ')), 1, 15), "
+    "16, 10) AS BIGINT))"
+)
+_WIN_HASH_DUCK = (
+    "CAST(('0x' || substr(md5(array_to_string("
+    "list_slice(toks, pos, pos + 3), ' ')), 1, 15)) AS BIGINT)"
+)
+
+
+@register(
+    "winnow_copy_pairs",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents),
+    posed AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(1, len(toks) - 3)) AS pos
+      FROM tok WHERE len(toks) >= 4),
+    hashed AS (
+      SELECT doc_id, pos, {_WIN_HASH_DUCK} AS h FROM posed),
+    mins AS (
+      SELECT doc_id, pos,
+             count(*) OVER (PARTITION BY doc_id) AS m,
+             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND {_WIN_W - 1} FOLLOWING)
+                 AS fp
+      FROM hashed),
+    fps AS (
+      SELECT DISTINCT doc_id, fp FROM mins
+      WHERE pos <= greatest(m - {_WIN_W}, 0) + 1),
+    kept AS (
+      SELECT fp FROM fps GROUP BY fp HAVING count(*) <= {_WIN_CAP})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS shared_fps
+    FROM fps a JOIN kept USING (fp) JOIN fps b USING (fp)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY doc_a, doc_b
+    HAVING count(*) >= {_WIN_T}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def winnow_copy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing copy detection (Schleimer/Wilkerson/Aiken, SIGMOD'03 —
+    the MOSS algorithm): hash token 4-grams, keep the MINIMUM hash of
+    every 5-hash window as the document's fingerprints, and pair
+    documents sharing >= 2 fingerprints. Unlike MinHash (global
+    resemblance), winnowing detects LOCAL copying — any shared run of
+    >= k+w-1 = 8 tokens is guaranteed to share a fingerprint — so it
+    catches partial plagiarism / quoted-passage contamination that
+    whole-document similarity misses.
+
+    Plan: the k-gram hash array is ONE HOF expression referenced once
+    (posexplode), so it is computed once per doc; winnowing itself is
+    RELATIONAL — a per-doc windowed min over 5 following rows — which
+    keeps the expensive md5 work out of repeated-evaluation territory
+    and shuffles once on doc_id. Fingerprints in > 50 docs are
+    boilerplate and dropped (semi-join on an aggregate, the same
+    ubiquity cap as LSH bucket caps), bounding the pair join's bucket
+    width; the pair aggregate touches (doc, fp) ids only, never text.
+    Cross-engine: md5 dialect hashes, integer mins, integer counts —
+    zero FP anywhere.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    h = (
+        d.select("doc_id", tokens_expr(F.lower(F.col("text"))).alias("__toks"))
+        .filter(F.size("__toks") >= _WIN_K)
+        .select("doc_id", F.expr(_WIN_HASH_SPARK).alias("__h"))
+        .select("doc_id", F.posexplode("__h").alias("pos", "h"))
+    )
+    wdoc = Window.partitionBy("doc_id")
+    wmin = (
+        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, _WIN_W - 1)
+    )
+    mins = h.select(
+        "doc_id",
+        "pos",
+        F.count(F.lit(1)).over(wdoc).alias("m"),
+        F.min("h").over(wmin).alias("fp"),
+    )
+    fps = (
+        mins.filter(F.col("pos") <= F.greatest(F.col("m") - _WIN_W, F.lit(0)))
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    kept = fps.groupBy("fp").count().filter(F.col("count") <= _WIN_CAP).select("fp")
+    a = fps.join(kept, "fp").select(F.col("doc_id").alias("doc_a"), "fp")
+    b = fps.select(F.col("doc_id").alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= _WIN_T)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _gram_select_duck(n: int) -> str:
+    return f"""
+      SELECT source, {n} AS n,
+             unnest(list_transform(generate_series(1, len(toks) - {n} + 1),
+                    i -> array_to_string(list_slice(toks, i, i + {n} - 1), ' ')))
+                 AS gram
+      FROM tok WHERE len(toks) >= {n}"""
+
+
+@register(
+    "ngram_diversity",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents),
+    grams AS ({_gram_select_duck(1)}
+      UNION ALL {_gram_select_duck(2)}
+      UNION ALL {_gram_select_duck(3)})
+    SELECT source, n,
+           CAST(count(DISTINCT gram) AS BIGINT) AS distinct_grams,
+           CAST(count(*) AS BIGINT) AS total_grams,
+           floor(CAST(count(DISTINCT gram) AS DOUBLE) / count(*) * 1e6 + 0.5)
+               / 1e6 AS diversity
+    FROM grams
+    GROUP BY source, n
+    ORDER BY source, n
+    """,
+)
+def ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-n diversity (the self-repetition audit used on generated
+    and scraped corpora; the distinct-1/2/3 metric of Li et al. 2016):
+    per source, the fraction of n-gram occurrences that are distinct for
+    n = 1, 2, 3. Low distinct-3 flags templated/boilerplate sources
+    worth downweighting before training.
+
+    Scale: gram construction is one HOF per n (map-only); the aggregate
+    is count-distinct per (source, n) — Spark plans it as two hash
+    aggregates around the (source, n, gram) shuffle, map-side partials
+    first, so no grouped gram list ever materializes. The ratio is a
+    single double division (no FP accumulation)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", tokens_expr(F.lower(F.col("text"))).alias("toks")
+    )
+    parts = []
+    for n in (1, 2, 3):
+        grams = (
+            toks.filter(F.size("toks") >= n)
+            .select(
+                "source",
+                F.lit(n).alias("n"),
+                F.explode(
+                    F.expr(
+                        f"transform(sequence(1, size(toks) - {n} + 1), "
+                        f"i -> array_join(slice(toks, i, {n}), ' '))"
+                    )
+                ).alias("gram"),
+            )
+        )
+        parts.append(grams)
+    allg = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    return (
+        allg.groupBy("source", "n")
+        .agg(
+            F.countDistinct("gram").cast("bigint").alias("distinct_grams"),
+            F.count(F.lit(1)).cast("bigint").alias("total_grams"),
+        )
+        .withColumn(
+            "diversity",
+            grid_round(
+                F.col("distinct_grams").cast("double") / F.col("total_grams"), 6
+            ),
+        )
+        .orderBy("source", "n")
+    )
