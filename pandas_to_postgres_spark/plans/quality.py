@@ -2678,3 +2678,93 @@ def ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "n")
     )
+
+
+@register(
+    "zipf_fit_tokens",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(list_filter(
+               regexp_split_to_array(lower(trim(text)), '\\s+'),
+               x -> x <> '')) AS tok
+      FROM documents),
+    tc AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+    top AS (SELECT tok, c FROM tc ORDER BY c DESC, tok LIMIT 1000),
+    ranked AS (
+      SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS r FROM top),
+    xy AS (
+      SELECT floor(log10(CAST(r AS DOUBLE)) * 1e9 + 0.5) / 1e9 AS x,
+             floor(log10(CAST(c AS DOUBLE)) * 1e9 + 0.5) / 1e9 AS y
+      FROM ranked),
+    s AS (
+      SELECT count(*) AS n,
+             CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(x * y AS DECIMAL(18,6))) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(x * x AS DECIMAL(18,6))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(y * y AS DECIMAL(18,6))) AS DOUBLE) AS syy
+      FROM xy)
+    SELECT CAST(n AS BIGINT) AS n_terms,
+           floor((n * sxy - sx * sy) / (n * sxx - sx * sx) * 1e8 + 0.5) / 1e8
+               AS slope,
+           floor((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+                 * 1e8 + 0.5) / 1e8 AS intercept,
+           floor(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)) * 1e8 + 0.5)
+               / 1e8 AS r2
+    FROM s
+    """,
+)
+def zipf_fit_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the rank-frequency curve: log10(count) ~
+    log10(rank) OLS on the top-1000 vocabulary — the corpus-health probe
+    that flags synthetic/templated corpora (natural text fits slope ≈ −1
+    with high R²; boilerplate flattens or kinks the curve).
+
+    Scale: the only corpus-sized stage is the map-side-combined token
+    count; the rank window and moment sums run on the TakeOrdered 1000-row
+    vocabulary frame (bounded by the top-k constant, not the corpus).
+    log values are grid-quantized to 1e-9 BEFORE the decimal moment sums
+    so a last-ulp libm difference cannot reach the accumulators; the
+    closed form mirrors `ols_price_qty` (normal equations, grid-rounded).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(tokens_expr(F.lower(F.col("text")))).alias("tok")
+    )
+    tc = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    top = tc.orderBy(F.col("c").desc(), "tok").limit(1000)
+    w = Window.orderBy(F.col("c").desc(), "tok")
+    ranked = top.withColumn("r", F.row_number().over(w))
+    x = grid_round(F.log10(F.col("r").cast("double")), 9)
+    y = grid_round(F.log10(F.col("c").cast("double")), 9)
+    xy = ranked.select(x.alias("x"), y.alias("y"))
+    s = xy.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("decimal(18,6)")).cast("double").alias("sx"),
+        F.sum(F.col("y").cast("decimal(18,6)")).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("syy"),
+    )
+    n, sx, sy, sxy, sxx, syy = (
+        F.col("n"), F.col("sx"), F.col("sy"),
+        F.col("sxy"), F.col("sxx"), F.col("syy"),
+    )
+    cov_n = n * sxy - sx * sy
+    var_n = n * sxx - sx * sx
+    slope = cov_n / var_n
+    return s.select(
+        n.cast("bigint").alias("n_terms"),
+        grid_round(slope, 8).alias("slope"),
+        grid_round((sy - slope * sx) / n, 8).alias("intercept"),
+        grid_round(
+            (cov_n * cov_n) / (var_n * (n * syy - sy * sy)), 8
+        ).alias("r2"),
+    )
