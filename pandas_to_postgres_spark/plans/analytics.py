@@ -1839,3 +1839,165 @@ def open_orders_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run.select(
         F.col("day").cast("string").alias("day"), "net_change", "open_orders"
     ).orderBy("day")
+
+
+@register(
+    "retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             CAST(date_trunc('month', min(ts)) AS DATE) AS cohort
+      FROM events GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort,
+             (CAST(date_part('year',  CAST(date_trunc('month', e.ts) AS DATE))
+                   AS BIGINT) * 12
+              + CAST(date_part('month', CAST(date_trunc('month', e.ts) AS DATE))
+                     AS BIGINT))
+           - (CAST(date_part('year',  f.cohort) AS BIGINT) * 12
+              + CAST(date_part('month', f.cohort) AS BIGINT)) AS month_offset
+      FROM events e JOIN firsts f USING (user_id))
+    SELECT CAST(cohort AS VARCHAR) AS cohort,
+           month_offset,
+           CAST(count(*) AS BIGINT) AS active_users
+    FROM activity
+    GROUP BY cohort, month_offset
+    ORDER BY cohort, month_offset
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity month,
+    counted as active per months-since-signup offset — the product-
+    analytics staple (how many of January's new users were still active
+    in April?).
+
+    Scale: first-touch is one map-side-combined groupBy on user_id; the
+    activity join re-shuffles events on user_id once (at 100 TB both
+    sides hash-partition on the same key, so AQE plans a single
+    co-partitioned exchange pair); the (cohort, offset) aggregate is
+    a distinct-then-count on rows already reduced to (user, cohort,
+    offset). Month arithmetic is pure integers (year*12+month), immune
+    to timezone/interval-length ambiguity, and cohort DATEs cross the
+    oracle bridge as strings."""
+    ev = load_table(spark, sf_dir, "events")
+    months = (
+        F.year(F.col("m")).cast("bigint") * 12
+        + F.month(F.col("m")).cast("bigint")
+    )
+    firsts = (
+        ev.groupBy("user_id")
+        .agg(F.to_date(F.date_trunc("month", F.min("ts"))).alias("cohort"))
+    )
+    act = (
+        ev.select("user_id", F.to_date(F.date_trunc("month", "ts")).alias("m"))
+        .join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort",
+            (
+                months
+                - (
+                    F.year("cohort").cast("bigint") * 12
+                    + F.month("cohort").cast("bigint")
+                )
+            ).alias("month_offset"),
+        )
+        .distinct()
+    )
+    return (
+        act.groupBy("cohort", "month_offset")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("active_users"))
+        .select(
+            F.col("cohort").cast("string").alias("cohort"),
+            "month_offset",
+            "active_users",
+        )
+        .orderBy("cohort", "month_offset")
+    )
+
+
+@register(
+    "chi2_source_lang",
+    oracle="""
+    WITH obs AS (
+      SELECT source, lang, CAST(count(*) AS BIGINT) AS o
+      FROM documents GROUP BY source, lang),
+    rows_ AS (SELECT source, CAST(sum(o) AS BIGINT) AS r FROM obs GROUP BY source),
+    cols_ AS (SELECT lang, CAST(sum(o) AS BIGINT) AS c FROM obs GROUP BY lang),
+    tot AS (SELECT CAST(sum(o) AS BIGINT) AS t FROM obs),
+    cells AS (
+      SELECT obs.source, obs.lang, obs.o, rows_.r, cols_.c, tot.t,
+             CAST((obs.o * tot.t - rows_.r * cols_.c) AS DECIMAL(38,0))
+                 AS dev
+      FROM obs JOIN rows_ USING (source) JOIN cols_ USING (lang) CROSS JOIN tot),
+    terms AS (
+      SELECT CAST(dev AS DOUBLE) * CAST(dev AS DOUBLE)
+             / (CAST(t AS DOUBLE) * r * c) AS term
+      FROM cells),
+    dims AS (
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM rows_) AS n_rows,
+             (SELECT CAST(count(*) AS BIGINT) FROM cols_) AS n_cols)
+    SELECT n_rows, n_cols,
+           (n_rows - 1) * (n_cols - 1) AS dof,
+           (SELECT floor(sum(CAST(term AS DECIMAL(18,6))) * 1e4 + 0.5) / 1e4
+            FROM terms) AS chi2
+    FROM dims
+    """,
+)
+def chi2_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence audit over the source × lang contingency
+    table — does language composition differ by source? (The drift/
+    stratification check run before trusting a per-source sample.)
+    chi2 = Σ (O·T − R·C)² / (T·R·C) — algebraically Σ(O−E)²/E with
+    E = R·C/T, but with the deviation formed in EXACT integer/decimal
+    arithmetic so both engines square the identical value.
+
+    Scale: one map-side-combined groupBy builds the contingency cells;
+    margins and totals are aggregates OF THE CELL FRAME (sources ×
+    langs, bounded by category cardinality, not corpus size); every
+    corpus-sized stage is the single count pass. Term sums go through
+    decimal accumulation; dof is pure integers."""
+    d = load_table(spark, sf_dir, "documents")
+    obs = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("o")
+    )
+    rows_ = obs.groupBy("source").agg(F.sum("o").cast("bigint").alias("r"))
+    cols_ = obs.groupBy("lang").agg(F.sum("o").cast("bigint").alias("c"))
+    tot = obs.agg(F.sum("o").cast("bigint").alias("t"))
+    cells = (
+        obs.join(F.broadcast(rows_), "source")
+        .join(F.broadcast(cols_), "lang")
+        .crossJoin(F.broadcast(tot))
+    )
+    dev = (
+        F.col("o") * F.col("t") - F.col("r") * F.col("c")
+    ).cast("decimal(38,0)")
+    term = (
+        dev.cast("double")
+        * dev.cast("double")
+        / (F.col("t").cast("double") * F.col("r") * F.col("c"))
+    )
+    chi2 = cells.select(term.alias("term")).agg(
+        (
+            F.floor(
+                F.sum(F.col("term").cast("decimal(18,6)")) * F.lit(10000.0)
+                + F.lit(0.5)
+            )
+            / F.lit(10000.0)
+        )
+        .cast("double")
+        .alias("chi2")
+    )
+    dims = obs.agg(
+        F.countDistinct("source").cast("bigint").alias("n_rows"),
+        F.countDistinct("lang").cast("bigint").alias("n_cols"),
+    )
+    return (
+        dims.crossJoin(F.broadcast(chi2))
+        .select(
+            "n_rows",
+            "n_cols",
+            ((F.col("n_rows") - 1) * (F.col("n_cols") - 1)).alias("dof"),
+            "chi2",
+        )
+    )
