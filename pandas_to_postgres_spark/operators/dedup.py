@@ -1032,3 +1032,56 @@ def minhash_md5_pairs(
             .alias("jaccard_micro"),
         )
     )
+
+
+def hamming_pairs_from_fp(
+    fp_frame: DataFrame,
+    id_col: str,
+    fp_col: str,
+    bits: int = 60,
+    max_hamming: int = 3,
+    num_bands: int = 4,
+) -> DataFrame:
+    """Banded Hamming pair join over PRECOMPUTED fingerprints — the
+    band/verify half of `simhash_hamming_pairs`, reusable by any
+    fingerprint source (SimHash text, image dHash, audio chroma hashes).
+    Pigeonhole recall: a pair within Hamming d <= num_bands-1 agrees
+    exactly on >= 1 band, so banding loses nothing at the default
+    (d=3, 4 bands). Returns (id_a, id_b, hamming).
+
+    Scale: the candidate join is an equi-join on (band_idx, band_value);
+    pair space is bounded by band-bucket widths, never |corpus|²; the
+    verify pass touches candidate id/fp rows only.
+    """
+    width = bits // num_bands
+    banded = fp_frame.select(
+        F.col(id_col),
+        F.col(fp_col).alias("__fp"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(num_bands - 1)),
+                lambda j: F.call_function(
+                    "shiftright", F.col(fp_col), (j * width).cast("int")
+                ).bitwiseAND(F.lit((1 << width) - 1)),
+            )
+        ).alias("__j", "__band"),
+    )
+    a = banded.select(
+        F.col("__j"), F.col("__band"),
+        F.col(id_col).alias("id_a"), F.col("__fp").alias("__fa"),
+    )
+    b = banded.select(
+        F.col("__j"), F.col("__band"),
+        F.col(id_col).alias("id_b"), F.col("__fp").alias("__fb"),
+    )
+    cand = (
+        a.join(b, ["__j", "__band"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__fa", "__fb")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("__fa").bitwiseXOR(F.col("__fb")))
+    return (
+        cand.select("id_a", "id_b", ham.cast("long").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

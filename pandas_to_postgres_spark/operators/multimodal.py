@@ -230,3 +230,29 @@ def sample_frames(media_df: DataFrame, every_n: int = 10) -> DataFrame:
             )
 
     return media_df.mapInPandas(_sample, schema=FRAME_SCHEMA)
+
+
+def dhash60(gray: "np.ndarray") -> int:
+    """60-bit difference hash (dHash) of a grayscale image: block-mean
+    resize to 6 rows x 11 columns, one bit per horizontal neighbor
+    comparison (6*10 = 60 bits — the repo's signed-long fingerprint
+    convention, band-compatible with `dedup.hamming_pairs_from_fp`).
+    Perceptual: smooth brightness/contrast shifts preserve gradient
+    signs, so near-identical images land within a few bits."""
+    import numpy as np  # noqa: PLC0415
+
+    h, w = gray.shape
+    rows, cols = 6, 11
+    # block-mean resize via exact integer bucket edges
+    ry = (np.arange(rows + 1) * h) // rows
+    rx = (np.arange(cols + 1) * w) // cols
+    small = np.empty((rows, cols), dtype=np.float64)
+    for r in range(rows):
+        for c in range(cols):
+            small[r, c] = gray[ry[r]:ry[r + 1], rx[c]:rx[c + 1]].mean()
+    bits = (small[:, :-1] > small[:, 1:]).flatten()
+    v = 0
+    for i, b in enumerate(bits):
+        if b:
+            v |= 1 << i
+    return v

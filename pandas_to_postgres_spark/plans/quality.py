@@ -2768,3 +2768,75 @@ def zipf_fit_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             (cov_n * cov_n) / (var_n * (n * syy - sy * sy)), 8
         ).alias("r2"),
     )
+
+
+@register("image_phash_pairs", oracle=None)  # pixels live Python-side: no SQL twin
+def image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup detection: every 5th document
+    synthesizes a deterministic 32x32 gradient image (base pattern keyed
+    by doc_id % 20, per-doc brightness jitter), round-trips it through
+    the REAL 24-bit BMP encoder/decoder, fingerprints the decoded pixels
+    with a 60-bit dHash (block-mean 6x11 resize, horizontal gradient
+    signs — `operators/multimodal.dhash60`), and pairs images within
+    Hamming distance 3 via the banded fingerprint join
+    (`operators/dedup.hamming_pairs_from_fp`). Images sharing a base
+    pattern differ only by jitter, so their gradient signs — and
+    fingerprints — agree; different bases collide nowhere. This welds
+    the multimodal decode path onto the dedup family: the same pipeline
+    runs on real thumbnails at scale.
+
+    Scale: synthesis + BMP round-trip + hashing all happen inside ONE
+    mapInPandas (payloads never shuffle; 8 bytes of fingerprint per
+    image move); the pair stage is the pigeonhole-banded equi-join, so
+    the candidate space is band-bucket-bounded, never |corpus|².
+    Determinism asserted by the rows-only harness (two runs, identical
+    multisets)."""
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from pandas_to_postgres_spark.operators.dedup import hamming_pairs_from_fp
+    from pandas_to_postgres_spark.operators.media_codecs import (
+        decode_bmp,
+        encode_bmp,
+    )
+    from pandas_to_postgres_spark.operators.multimodal import dhash60
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % 5 == 0)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def synth_hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        yy, xx = np.mgrid[0:32, 0:32]
+        for pdf in batches:
+            fps = []
+            for doc_id in pdf["doc_id"]:
+                g = int(doc_id) % 20
+                # oriented stripe base: direction/frequency keyed by the
+                # group — high-contrast edges whose horizontal gradient
+                # SIGNS differ strongly across bases
+                ax, ay = 1 + g % 5, 1 + g // 5
+                base = (((yy * ay + xx * ax) // 4) % 2) * 200 + 20
+                jitter = (int(doc_id) // 20) % 3  # same-group docs differ
+                rgb = np.clip(base + jitter, 0, 255).astype(np.uint8)
+                rgb = np.stack([rgb, rgb, rgb], axis=-1)
+                decoded = decode_bmp(encode_bmp(rgb))  # REAL codec round-trip
+                gray = decoded.astype(np.float64).mean(axis=-1)
+                fps.append(dhash60(gray))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "fp": fps})
+
+    fp_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("fp", T.LongType()),
+        ]
+    )
+    fps = d.mapInPandas(synth_hash, schema=fp_schema)
+    return hamming_pairs_from_fp(
+        fps, id_col="doc_id", fp_col="fp", bits=60, max_hamming=3
+    ).orderBy("id_a", "id_b")

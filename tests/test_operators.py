@@ -2104,3 +2104,59 @@ class TestPqPlantedDuplicates:
             e.repartition(13), "vec_id", "embedding", iters=2
         ).collect()[0]["pq_book"]
         assert b1 == b13
+
+
+class TestImagePhash:
+    def test_dhash60_invariances(self):
+        import numpy as np
+
+        from pandas_to_postgres_spark.operators.multimodal import dhash60
+
+        rng = np.random.RandomState(0)
+        img = rng.rand(32, 32) * 200
+        h = dhash60(img)
+        assert 0 <= h < (1 << 60)
+        # brightness shift preserves every gradient sign
+        assert dhash60(img + 17.0) == h
+        # mild contrast scaling too
+        assert dhash60(img * 1.5) == h
+        # structural change flips bits
+        assert dhash60(img.T.copy()) != h
+
+    def test_hamming_pairs_from_fp_pigeonhole(self, spark):
+        from pandas_to_postgres_spark.operators.dedup import (
+            hamming_pairs_from_fp,
+        )
+
+        base = 0b1010_1100_1111_0000_1010_1100_1111_0000_1010_1100_1111_0000_1010_1100_1111
+        rows = [
+            (1, base),
+            (2, base ^ 0b101),          # hamming 2 -> pair
+            (3, base ^ (1 << 59)),      # hamming 1 -> pair
+            (4, base ^ 0xFFFF0000FFFF), # far -> no pair
+        ]
+        df = spark.createDataFrame(rows, "id long, fp long")
+        got = {
+            (r.id_a, r.id_b, r.hamming)
+            for r in hamming_pairs_from_fp(df, "id", "fp").collect()
+        }
+        assert (1, 2, 2) in got and (1, 3, 1) in got
+        assert not any(4 in (a, b) for a, b, _ in got)
+
+    def test_image_phash_planted_profile(self, spark):
+        """Every same-base pair found (pigeonhole recall), zero
+        cross-base false positives at Hamming <= 3."""
+        from pandas_to_postgres_spark.plans import REGISTRY
+
+        rows = REGISTRY["image_phash_pairs"].fn(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        got = {(r.id_a, r.id_b) for r in rows}
+        docs = [i for i in range(0, 500, 5)]
+        same = {
+            (a, b)
+            for i, a in enumerate(docs)
+            for b in docs[i + 1:]
+            if a % 20 == b % 20
+        }
+        assert got == same
