@@ -2160,3 +2160,28 @@ class TestImagePhash:
             if a % 20 == b % 20
         }
         assert got == same
+
+
+class TestAudioSpectrogram:
+    def test_planted_tone_bins(self, spark):
+        """A doc whose louder tone is f1 = 200 + (doc_id%10)*100 Hz must
+        put the dominant rFFT bin at round(f1 * 256 / 8000)."""
+        from pandas_to_postgres_spark.plans import REGISTRY
+
+        rows = {
+            r.doc_id: r
+            for r in REGISTRY["audio_spectrogram_features"]
+            .fn(spark, "/root/testdata/sf0.001")
+            .collect()
+        }
+        assert len(rows) >= 50
+        for doc_id, r in rows.items():
+            f1 = 200.0 + (doc_id % 10) * 100.0
+            expected_bin = round(f1 * 256 / 8000)
+            assert abs(r.dominant_bin - expected_bin) <= 1, (doc_id, f1, r)
+            # the 0.3-amplitude second tone lives at >= 1200 Hz; with the
+            # 0.6 tone at <= 1100 Hz the low band must dominate
+            assert r.low_frac > r.high_frac
+            # centroid sits between the two tones
+            f2 = 1200.0 + (doc_id % 7) * 150.0
+            assert f1 * 0.8 < r.centroid_hz < f2 * 1.2
