@@ -2571,22 +2571,27 @@ def winnow_copy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", tokens_expr(F.lower(F.col("text"))).alias("__toks"))
         .filter(F.size("__toks") >= _WIN_K)
         .select("doc_id", F.expr(_WIN_HASH_SPARK).alias("__h"))
-        .select("doc_id", F.posexplode("__h").alias("pos", "h"))
+        # m is the array size — known BEFORE the explode, so no second
+        # (count-over-partition) window pass is needed downstream
+        .select("doc_id", F.size("__h").alias("m"), F.posexplode("__h").alias("pos", "h"))
     )
-    wdoc = Window.partitionBy("doc_id")
     wmin = (
         Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, _WIN_W - 1)
     )
     mins = h.select(
         "doc_id",
         "pos",
-        F.count(F.lit(1)).over(wdoc).alias("m"),
+        "m",
         F.min("h").over(wmin).alias("fp"),
     )
     fps = (
         mins.filter(F.col("pos") <= F.greatest(F.col("m") - _WIN_W, F.lit(0)))
         .select("doc_id", "fp")
         .distinct()
+        # three downstream references (both self-join sides + the
+        # ubiquity cap) would otherwise each recompute the tokenize/
+        # hash/winnow pipeline — the (id, fp) frame is tiny vs the text
+        .localCheckpoint(eager=False)
     )
     kept = fps.groupBy("fp").count().filter(F.col("count") <= _WIN_CAP).select("fp")
     a = fps.join(kept, "fp").select(F.col("doc_id").alias("doc_a"), "fp")
