@@ -1,0 +1,190 @@
+"""Spark 4 Python DataSource for HDF5 part-file directories: batch scans
+and STREAMING ingest of PyTables frame_table files, powered by the
+pure-Python parser (`sources/hdf5_reader`) — no PyTables/h5py anywhere.
+
+    spark.dataSource.register(Hdf5DataSource)
+
+    # batch: one Spark task per (file, row-range)
+    df = (spark.read.format("hdf5")
+          .option("path", "/data/landing").option("key", "data").load())
+
+    # streaming: each micro-batch picks up the .h5 files that appeared
+    # since the last checkpointed offset — the file-source contract for a
+    # format Spark has no native reader for
+    stream = (spark.readStream.format("hdf5")
+              .option("path", "/data/landing").option("key", "data").load())
+
+Offsets are the sorted list of file names already emitted, checkpointed
+by Spark; a replayed batch re-reads exactly the same files (HDF5 files
+are immutable once written — the writer writes whole files), so
+exactly-once downstream composes with any idempotent sink. Producers
+must create files ATOMICALLY (write temp + rename), the same contract
+Spark's own file source imposes.
+
+Scale: `latestOffset` is one directory listing on the driver; each
+partition mmaps its file and touches only the chunks overlapping its
+[start, stop) slice; rows cross to Spark as Arrow RecordBatches, never
+Python tuples. `chunkRows` bounds per-task memory exactly like the batch
+scan's `chunk_rows`.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from dataclasses import dataclass
+from typing import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+_PD_TO_SPARK = {
+    "int64": "bigint",
+    "int32": "int",
+    "int16": "smallint",
+    "int8": "tinyint",
+    "uint8": "smallint",
+    "float64": "double",
+    "float32": "float",
+    "bool": "boolean",
+    "object": "string",
+}
+
+
+def _part_files(path: str) -> list:
+    return sorted(
+        os.path.basename(f) for f in glob.glob(os.path.join(path, "*.h5"))
+    )
+
+
+@dataclass
+class H5Partition(InputPartition):
+    """One (file, [start, stop)) slice of one part file."""
+
+    file: str
+    start: int
+    stop: int
+
+
+def _plan_file(path: str, name: str, key: str, chunk_rows: int):
+    from pandas_to_postgres_spark.sources import hdf5_pandas  # noqa: PLC0415
+
+    full = os.path.join(path, name)
+    n = hdf5_pandas.get_nrows(full, key)
+    return [
+        H5Partition(file=name, start=s, stop=min(s + chunk_rows, n))
+        for s in range(0, max(n, 1), chunk_rows)
+        if n > 0
+    ]
+
+
+def _read_partition(path: str, key: str, columns, part: H5Partition):
+    """One slice → one Arrow RecordBatch (never Python row tuples)."""
+    import pyarrow as pa  # noqa: PLC0415
+
+    from pandas_to_postgres_spark.sources import hdf5_pandas  # noqa: PLC0415
+
+    pdf = hdf5_pandas.read_hdf(
+        os.path.join(path, part.file), key, part.start, part.stop
+    ).reset_index(drop=True)
+    yield pa.RecordBatch.from_pandas(pdf[list(columns)], preserve_index=False)
+
+
+class Hdf5Reader(DataSourceReader):
+    def __init__(self, path, key, chunk_rows, columns):
+        self.path, self.key = path, key
+        self.chunk_rows = chunk_rows
+        self.columns = columns
+
+    def partitions(self):
+        parts = []
+        for name in _part_files(self.path):
+            parts.extend(_plan_file(self.path, name, self.key, self.chunk_rows))
+        return parts or [H5Partition(file="", start=0, stop=0)]
+
+    def read(self, part: H5Partition) -> Iterator:
+        if not part.file:
+            return
+        yield from _read_partition(self.path, self.key, self.columns, part)
+
+
+class Hdf5StreamReader(DataSourceStreamReader):
+    """Micro-batch = the .h5 files that appeared since the last offset.
+    Offset = {"seen": [sorted file names]} — files are immutable, so a
+    replayed (start, end] range yields byte-identical rows."""
+
+    def __init__(self, path, key, chunk_rows, columns):
+        self.path, self.key = path, key
+        self.chunk_rows = chunk_rows
+        self.columns = columns
+
+    def initialOffset(self) -> dict:
+        return {"seen": []}
+
+    def latestOffset(self) -> dict:
+        return {"seen": _part_files(self.path)}
+
+    def partitions(self, start: dict, end: dict):
+        new = sorted(set(end["seen"]) - set(start["seen"]))
+        parts = []
+        for name in new:
+            parts.extend(_plan_file(self.path, name, self.key, self.chunk_rows))
+        # Spark requires >= 1 partition per batch; an empty marker keeps
+        # idle polls cheap
+        return parts or [H5Partition(file="", start=0, stop=0)]
+
+    def read(self, part: H5Partition) -> Iterator:
+        if not part.file:
+            return
+        yield from _read_partition(self.path, self.key, self.columns, part)
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing to clean: offsets live in Spark's checkpoint
+
+
+class Hdf5DataSource(DataSource):
+    """``format("hdf5")`` — options: path (directory of .h5 part files),
+    key (default "data"), chunkRows (default 1,000,000)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "hdf5"
+
+    def _opts(self):
+        path = self.options["path"]
+        key = self.options.get("key", "data")
+        chunk_rows = int(self.options.get("chunkrows",
+                                          self.options.get("chunkRows", 10**6)))
+        return path, key, chunk_rows
+
+    def schema(self) -> str:
+        from pandas_to_postgres_spark.sources import hdf5_pandas  # noqa: PLC0415
+
+        path, key, _ = self._opts()
+        files = _part_files(path)
+        if not files:
+            raise ValueError(
+                f"hdf5 source: no *.h5 files under {path!r} to infer a "
+                "schema from — pass .schema(...) explicitly for an empty "
+                "landing directory"
+            )
+        probe = hdf5_pandas.read_hdf(os.path.join(path, files[0]), key, 0, 1)
+        ddl = []
+        for col, dtype in probe.dtypes.items():
+            spark_t = _PD_TO_SPARK.get(str(dtype))
+            if spark_t is None:
+                raise TypeError(f"hdf5 source: unsupported dtype {dtype} ({col})")
+            ddl.append(f"{col} {spark_t}")
+        return ", ".join(ddl)
+
+    def reader(self, schema) -> Hdf5Reader:
+        path, key, chunk_rows = self._opts()
+        return Hdf5Reader(path, key, chunk_rows, schema.fieldNames())
+
+    def streamReader(self, schema) -> Hdf5StreamReader:
+        path, key, chunk_rows = self._opts()
+        return Hdf5StreamReader(path, key, chunk_rows, schema.fieldNames())

@@ -449,3 +449,100 @@ class TestV2Dialect:
             assert ds.dtype.is_vlen_str
             with pytest.raises(Hdf5FormatError, match="variable-length"):
                 ds.read_raw()
+
+
+class TestHdf5DataSource:
+    """Spark 4 Python DataSource over the pure parser: batch scans and
+    streaming ingest of .h5 part directories (`sources/hdf5_stream`)."""
+
+    @staticmethod
+    def _mk(dirpath, name, lo, n, seed):
+        rs = np.random.RandomState(seed)
+        write_frame_table(
+            os.path.join(dirpath, name),
+            {
+                "data": pd.DataFrame(
+                    {
+                        "id": np.arange(lo, lo + n, dtype=np.int64),
+                        "v": rs.randn(n),
+                        "s": [f"r{i % 9}" for i in range(n)],
+                    }
+                )
+            },
+            chunk_rows=32,
+        )
+
+    @pytest.fixture()
+    def registered(self, spark):
+        from pandas_to_postgres_spark.sources.hdf5_stream import Hdf5DataSource
+
+        try:
+            spark.dataSource.register(Hdf5DataSource)
+        except Exception:
+            pass  # already registered in this session
+        return spark
+
+    def test_batch_read(self, registered, tmp_path):
+        spark = registered
+        d = str(tmp_path / "land")
+        os.makedirs(d)
+        self._mk(d, "a.h5", 0, 100, 1)
+        self._mk(d, "b.h5", 100, 70, 2)
+        df = (
+            spark.read.format("hdf5")
+            .option("path", d)
+            .option("key", "data")
+            .option("chunkRows", 40)
+            .load()
+        )
+        got = df.toPandas().sort_values("id").reset_index(drop=True)
+        assert len(got) == 170
+        assert (got["id"].values == np.arange(170)).all()
+        assert got["v"].dtype == np.float64 and got["s"].dtype == object
+        # one task per (file, range): 100/40 -> 3 + 70/40 -> 2
+        assert df.rdd.getNumPartitions() == 5
+
+    def test_stream_delta_only_drains(self, registered, tmp_path):
+        spark = registered
+        d = str(tmp_path / "land")
+        ck = str(tmp_path / "ck")
+        os.makedirs(d)
+        self._mk(d, "a.h5", 0, 100, 1)
+        sdf = (
+            spark.readStream.format("hdf5")
+            .option("path", d)
+            .option("key", "data")
+            .load()
+        )
+        seen = []
+
+        def sink(batch_df, _bid):
+            seen.extend(r.id for r in batch_df.collect())
+
+        def drain():
+            q = (
+                sdf.writeStream.foreachBatch(sink)
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        drain()
+        assert sorted(seen) == list(range(100))
+        # new part file -> same checkpoint -> exactly the delta
+        self._mk(d, "b.h5", 100, 40, 2)
+        seen.clear()
+        drain()
+        assert sorted(seen) == list(range(100, 140))
+        # idle drain: nothing new, nothing emitted
+        seen.clear()
+        drain()
+        assert seen == []
+
+    def test_empty_dir_schema_error(self, registered, tmp_path):
+        spark = registered
+        d = str(tmp_path / "empty")
+        os.makedirs(d)
+        with pytest.raises(Exception, match="no \\*\\.h5 files"):
+            spark.read.format("hdf5").option("path", d).load().collect()
