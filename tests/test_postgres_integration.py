@@ -1445,3 +1445,100 @@ class TestHdfToPostgresE2E:
         # per-key metadata constants reached the formatter hooks
         assert ("/m_part1", 1) in seen_meta and ("/m_part2", 1) in seen_meta
         assert ("/solo", None) in seen_meta
+
+
+class TestHdf5ToPostgresStreaming:
+    """Round-5 composition: the HDF5 STREAMING source (new .h5 part files
+    per micro-batch) feeding the pgwire exactly-once STREAM sink — a
+    landing directory continuously ingested into Postgres with staged,
+    ledgered epochs."""
+
+    def test_landing_dir_to_postgres_exactly_once(self, pg, spark, tmp_path):
+        import numpy as np
+        import pandas as pd
+
+        from pandas_to_postgres_spark.sources.hdf5_stream import Hdf5DataSource
+        from pandas_to_postgres_spark.sources.pg_datasource import (
+            PostgresDataSource,
+        )
+        from pandas_to_postgres_spark.sources.hdf5_writer import (
+            write_frame_table,
+        )
+
+        for ds in (Hdf5DataSource, PostgresDataSource):
+            try:
+                spark.dataSource.register(ds)
+            except Exception:
+                pass
+
+        land = str(tmp_path / "landing")
+        ckpt = str(tmp_path / "ckpt")
+        import os
+
+        os.makedirs(land)
+
+        def mk(name, lo, n):
+            write_frame_table(
+                os.path.join(land, name),
+                {
+                    "data": pd.DataFrame(
+                        {
+                            "id": np.arange(lo, lo + n, dtype=np.int64),
+                            "v": [f"v{i}" for i in range(lo, lo + n)],
+                        }
+                    )
+                },
+                chunk_rows=32,
+            )
+
+        conn = pgwire.connect(**pg)
+        conn.autocommit = True
+        with conn.cursor() as cur:
+            cur.execute("DROP TABLE IF EXISTS h5_ingest")
+            cur.execute("CREATE TABLE h5_ingest (id BIGINT, v TEXT)")
+        conn.close()
+
+        def drain():
+            stream = (
+                spark.readStream.format("hdf5")
+                .option("path", land)
+                .option("key", "data")
+                .load()
+            )
+            q = (
+                stream.writeStream.format("pgwire")
+                .option("host", pg["host"])
+                .option("port", str(pg["port"]))
+                .option("user", pg["user"])
+                .option("dbname", pg["dbname"])
+                .option("table", "h5_ingest")
+                .option("runId", "h5-land-1")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        def q1(sql):
+            conn = pgwire.connect(**pg)
+            with conn, conn.cursor() as cur:
+                cur.execute(sql)
+                out = cur.fetchall()
+            conn.close()
+            return out
+
+        mk("a.h5", 0, 90)
+        drain()
+        assert q1("SELECT count(*), count(DISTINCT id) FROM h5_ingest") == [
+            ("90", "90")
+        ]
+        # two new files -> one more drain -> exactly the delta, once
+        mk("b.h5", 90, 40)
+        mk("c.h5", 130, 25)
+        drain()
+        assert q1("SELECT count(*), count(DISTINCT id), min(id), max(id) FROM h5_ingest") == [
+            ("155", "155", "0", "154")
+        ]
+        # idle drain adds nothing (ledger + empty offset delta)
+        drain()
+        assert q1("SELECT count(*) FROM h5_ingest") == [("155",)]
