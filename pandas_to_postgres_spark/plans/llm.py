@@ -1830,3 +1830,73 @@ def source_cap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "source", "quality", F.col("cap_rank").cast("bigint").alias("cap_rank")
     )
+
+
+@register(
+    "cross_source_dup_matrix",
+    oracle="""
+    WITH tok AS (
+      SELECT source,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                         x -> x <> '') AS t
+      FROM documents),
+    spans AS (
+      SELECT DISTINCT source,
+             md5(array_to_string(t[i:i+7], ' ')) AS span
+      FROM (SELECT source, t,
+                   unnest(generate_series(1, len(t) - 7)) AS i
+            FROM tok WHERE len(t) >= 8)),
+    pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b
+      FROM spans a JOIN spans b USING (span)
+      WHERE a.source < b.source)
+    SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS shared_spans
+    FROM pairs
+    GROUP BY source_a, source_b
+    ORDER BY source_a, source_b
+    """,
+)
+def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source boilerplate matrix: for every source pair, how many
+    DISTINCT 8-token spans appear in BOTH — the provenance audit that
+    finds mirror/scraper/shared-template relationships between corpus
+    sources before per-source dedup quotas are set (the cross-document
+    half of `repeated_spans`, pivoted to source granularity).
+
+    Scale: spans reduce to md5 keys on the scan (one HOF pass, map-only
+    — text never shuffles); the (source, span) frame de-duplicates with
+    one shuffle on span; the pair join is an equi-join ON SPAN, bounded
+    per key by the number of sources carrying that span (<= #sources by
+    construction after the distinct), never |corpus|². The output
+    matrix is <= #sources² rows."""
+    d = load_table(spark, sf_dir, "documents")
+    spans = (
+        d.select(
+            "source",
+            F.expr(
+                "filter(split(trim(lower(text)), '\\\\s+'), x -> x != '')"
+            ).alias("__toks"),
+        )
+        # sequence(1, 0) DESCENDS in Spark: guard short docs BEFORE the
+        # 8-gram index range is built
+        .filter(F.size("__toks") >= 8)
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(__toks) - 7), i -> "
+                    "md5(array_join(slice(__toks, i, 8), ' ')))"
+                )
+            ).alias("span"),
+        )
+        .distinct()
+    )
+    a = spans.select(F.col("source").alias("source_a"), "span")
+    b = spans.select(F.col("source").alias("source_b"), "span")
+    return (
+        a.join(b, "span")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_spans"))
+        .orderBy("source_a", "source_b")
+    )
