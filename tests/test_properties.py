@@ -582,3 +582,92 @@ def test_weighted_median_crossing_matches_reference(spark, groups):
                 expect = float(price)
                 break
         assert got[gid] == expect
+
+
+# ---------------------------------------------------------------- HDF5
+
+# no Spark involved: pure writer -> parser round-trip, so examples are
+# cheap and max_examples can be generous
+_col_strategy = st.sampled_from(["i8", "i4", "f8", "f4", "bool", "str"])
+
+
+def _make_col(kind, n, rnd):
+    import numpy as np
+
+    if kind == "i8":
+        return rnd.randint(-(2**40), 2**40, size=n).astype(np.int64)
+    if kind == "i4":
+        return rnd.randint(-(2**20), 2**20, size=n).astype(np.int32)
+    if kind == "f8":
+        return rnd.randn(n)
+    if kind == "f4":
+        return rnd.randn(n).astype(np.float32)
+    if kind == "bool":
+        return rnd.randint(0, 2, size=n).astype(bool)
+    return np.array(
+        ["".join(chr(97 + int(c)) for c in rnd.randint(0, 26, size=rnd.randint(0, 9)))
+         for _ in range(n)],
+        dtype=object,
+    )
+
+
+class TestHdf5RoundTripProperties:
+    """The pure-Python HDF5 writer -> parser loop must be value-exact for
+    every dtype mix, row count, chunk size, compression level, and range
+    slice hypothesis can throw at it."""
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        n=st.integers(min_value=0, max_value=500),
+        kinds=st.lists(_col_strategy, min_size=1, max_size=5),
+        chunk_rows=st.integers(min_value=1, max_value=97),
+        complevel=st.sampled_from([0, 1, 6]),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+        data=st.data(),
+    )
+    def test_roundtrip_and_range_reads(
+        self, tmp_path_factory, n, kinds, chunk_rows, complevel, seed, data
+    ):
+        import numpy as np
+        import pandas as pd
+
+        from pandas_to_postgres_spark.sources import hdf5_pandas
+        from pandas_to_postgres_spark.sources.hdf5_writer import (
+            write_frame_table,
+        )
+
+        rnd = np.random.RandomState(seed)
+        df = pd.DataFrame(
+            {f"c{i}": _make_col(k, n, rnd) for i, k in enumerate(kinds)}
+        )
+        p = str(tmp_path_factory.mktemp("h5prop") / "t.h5")
+        write_frame_table(
+            p, {"t": df}, chunk_rows=chunk_rows, complevel=complevel
+        )
+
+        assert hdf5_pandas.get_nrows(p, "t") == n
+        got = hdf5_pandas.read_hdf(p, "t")
+        assert list(got.columns) == list(df.columns)
+        assert len(got) == n
+
+        start = data.draw(st.integers(min_value=0, max_value=max(n, 1)))
+        stop = data.draw(st.integers(min_value=start, max_value=max(n, 1)))
+        seg = hdf5_pandas.read_hdf(p, "t", start=start, stop=stop)
+        assert len(seg) == min(stop, n) - min(start, n)
+
+        for i, k in enumerate(kinds):
+            col = f"c{i}"
+            want_full = df[col].to_numpy()
+            want_seg = want_full[start:stop]
+            for want, frame in ((want_full, got), (want_seg, seg)):
+                have = frame[col].to_numpy()
+                if k in ("f8", "f4"):
+                    assert np.allclose(
+                        have, want.astype(np.float64), equal_nan=True
+                    )
+                elif k == "str":
+                    assert list(have) == list(want)
+                elif k == "bool":
+                    assert (have.astype(bool) == want).all()
+                else:
+                    assert (have == want).all()
