@@ -19,15 +19,12 @@ observable in any ``to_hdf`` file.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 import pandas as pd
 
 from .hdf5_reader import H5File
-
-_PANDAS_GROUP_ATTRS = ("pandas_type", "table_type", "CLASS")
-
 
 def _table_path(key: str) -> str:
     return "/" + key.strip("/") + "/table"
