@@ -546,3 +546,92 @@ class TestHdf5DataSource:
         os.makedirs(d)
         with pytest.raises(Exception, match="no \\*\\.h5 files"):
             spark.read.format("hdf5").option("path", d).load().collect()
+
+
+class TestReaderExtraPaths:
+    """Reader paths the frame_table writer never emits: compact layout
+    (data inline in the header) and the fletcher32 filter (payload +
+    4-byte checksum)."""
+
+    def test_compact_layout(self, tmp_path):
+        import struct
+
+        from pandas_to_postgres_spark.sources import hdf5_writer as w
+
+        buf = bytearray(b"\x00" * 48)
+
+        def alloc(b):
+            while len(buf) % 8:
+                buf.append(0)
+            a = len(buf)
+            buf.extend(b)
+            return a
+
+        def ohdr(messages):
+            body = b"".join(
+                struct.pack("<BHB", m, len(mb), 0) + mb for m, mb in messages
+            )
+            return b"OHDR" + bytes([2, 0]) + bytes([len(body)]) + body + b"\x00" * 4
+
+        vals = np.arange(6, dtype=np.int64)
+        compact = struct.pack("<BBH", 3, 0, 48) + vals.tobytes()  # v3, class 0
+        dset = alloc(
+            ohdr([(0x01, w._dataspace((6,))), (0x03, w._dt_int(8)), (0x08, compact)])
+        )
+        root = alloc(
+            ohdr([(0x06, bytes([1, 0, 1]) + b"c" + struct.pack("<Q", dset))])
+        )
+        sb = (
+            b"\x89HDF\r\n\x1a\n"
+            + bytes([2, 8, 8, 0])
+            + struct.pack("<QQQQ", 0, 0xFFFFFFFFFFFFFFFF, len(buf), root)
+            + b"\x00" * 4
+        )
+        buf[: len(sb)] = sb
+        p = str(tmp_path / "compact.h5")
+        with open(p, "wb") as fh:
+            fh.write(bytes(buf))
+        with H5File(p) as f:
+            ds = f.dataset("/c")
+            assert ds.layout.cls == 0
+            assert (ds.read_raw() == np.arange(6)).all()
+            assert (ds.read_raw(2, 5) == np.arange(2, 5)).all()
+
+    def test_fletcher32_filter_stripped(self, tmp_path):
+        """A chunked dataset whose pipeline is [fletcher32]: the reader
+        must strip the 4-byte checksum before interpreting the payload."""
+        import struct
+        import zlib
+
+        from pandas_to_postgres_spark.sources import hdf5_writer as w
+        from pandas_to_postgres_spark.sources.hdf5_writer import _FileBuilder
+
+        b = _FileBuilder()
+        vals = np.arange(20, dtype=np.int64)
+        raw = vals.tobytes() + struct.pack("<I", zlib.crc32(vals.tobytes()) & 0xFFFFFFFF)
+        chunk_addr = b.alloc(raw)
+        # single-leaf chunk B-tree for one 20-row chunk
+        leaf = (
+            struct.pack("<4sBBHQQ", b"TREE", 1, 0, 1, 0xFFFFFFFFFFFFFFFF, 0xFFFFFFFFFFFFFFFF)
+            + struct.pack("<IIQQQ", len(raw), 0, 0, 0, chunk_addr)
+            + struct.pack("<IIQQ", 0, 0, 20, 0)
+        )
+        btree = b.alloc(leaf)
+        # filter pipeline v1 with ONE filter: fletcher32 (id 3, no cdata)
+        filt = struct.pack("<BB2x4x", 1, 1) + struct.pack("<HHHH", 3, 0, 0, 0)
+        layout = struct.pack("<BBBQ2I", 3, 2, 2, btree, 20, 8)
+        msgs = [
+            w._msg(0x01, w._dataspace((20,))),
+            w._msg(0x03, w._dt_int(8)),
+            w._msg(0x0B, filt),
+            w._msg(0x08, layout),
+        ]
+        taddr = b.alloc(w._object_header(msgs))
+        root = b.write_group({"f": taddr}, {})
+        p = str(tmp_path / "fletcher.h5")
+        with open(p, "wb") as fh:
+            fh.write(b.finish(root))
+        with H5File(p) as f:
+            ds = f.dataset("/f")
+            assert [fid for fid, _ in ds.filters] == [3]
+            assert (ds.read_raw() == np.arange(20)).all()
