@@ -2940,3 +2940,99 @@ def dsir_select_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.col("dsir_score").desc(), "doc_id").limit(100)
+
+
+@register(
+    "dsir_kl_audit",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang, {_RAW_TOKS_SQL} AS toks FROM documents),
+    feats AS (
+      SELECT doc_id, lang,
+             unnest(list_concat(
+               toks,
+               list_transform(generate_series(1, len(toks) - 1),
+                              i -> toks[i] || ' ' || toks[i + 1]))) AS f
+      FROM tok),
+    hashed AS (
+      SELECT doc_id, lang, {_DSIR_BUCKET_DUCK} AS b FROM feats),
+    sel AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0),
+    grp AS (
+      SELECT b,
+             CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS c_t,
+             CAST(count(*) FILTER (WHERE doc_id IN (SELECT doc_id FROM sel))
+                  AS BIGINT) AS c_s,
+             CAST(count(*) AS BIGINT) AS c_all
+      FROM hashed GROUP BY b),
+    tot AS (SELECT CAST(sum(c_t) AS BIGINT) AS n_t,
+                   CAST(sum(c_s) AS BIGINT) AS n_s,
+                   CAST(sum(c_all) AS BIGINT) AS n_all FROM grp),
+    terms AS (
+      SELECT
+        (CAST(c_t + 1 AS DOUBLE) / (tot.n_t + {_DSIR_B}))
+          * log10((CAST(c_t + 1 AS DOUBLE) / (tot.n_t + {_DSIR_B}))
+                  / (CAST(c_s + 1 AS DOUBLE) / (tot.n_s + {_DSIR_B})))
+            AS kl_sel,
+        (CAST(c_t + 1 AS DOUBLE) / (tot.n_t + {_DSIR_B}))
+          * log10((CAST(c_t + 1 AS DOUBLE) / (tot.n_t + {_DSIR_B}))
+                  / (CAST(c_all + 1 AS DOUBLE) / (tot.n_all + {_DSIR_B})))
+            AS kl_all
+      FROM grp CROSS JOIN tot)
+    SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+           {dsum_sql('kl_sel', 6)} AS kl_target_vs_selected,
+           {dsum_sql('kl_all', 6)} AS kl_target_vs_corpus
+    FROM terms
+    """,
+)
+def dsir_kl_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR's own evaluation metric (Xie et al. 2023, §4): KL divergence
+    of the TARGET hashed-feature distribution from (a) a selected subset
+    and (b) the raw corpus — the selection is good when
+    KL(target || selected) < KL(target || corpus). Here the audited
+    subset is a deterministic 1-in-3 slice so the oracle can replay it;
+    in production the subset is `dsir_select_docs`' output.
+
+    Scale: identical shape to `dsir_select_docs` — one corpus pass
+    builds the 256-bucket counts for all three distributions in a
+    SINGLE conditional aggregate (map-side combined); totals derive
+    from the 256-row frame; the KL sums are decimal-accumulated over
+    256 bucket terms. Nothing downstream of the one groupBy touches
+    corpus-sized data."""
+    d = load_table(spark, sf_dir, "documents")
+    ts = tokens_expr(F.lower(F.col("text")))
+    toks = d.select("doc_id", "lang", ts.alias("toks"))
+    bigrams = F.when(
+        F.size("toks") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at("toks", i), F.element_at("toks", i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    hashed = toks.select(
+        "doc_id", "lang", F.explode(F.concat("toks", bigrams)).alias("f")
+    ).select("doc_id", "lang", F.expr(_DSIR_BUCKET_SPARK).alias("b"))
+    grp = hashed.groupBy("b").agg(
+        F.count(F.when(F.col("lang") == "en", 1)).cast("bigint").alias("c_t"),
+        F.count(F.when(F.col("doc_id") % 3 == 0, 1)).cast("bigint").alias("c_s"),
+        F.count(F.lit(1)).cast("bigint").alias("c_all"),
+    )
+    tot = grp.agg(
+        F.sum("c_t").alias("n_t"),
+        F.sum("c_s").alias("n_s"),
+        F.sum("c_all").alias("n_all"),
+    )
+    j = grp.crossJoin(F.broadcast(tot))
+    p_t = (F.col("c_t") + 1).cast("double") / (F.col("n_t") + _DSIR_B)
+    p_s = (F.col("c_s") + 1).cast("double") / (F.col("n_s") + _DSIR_B)
+    p_all = (F.col("c_all") + 1).cast("double") / (F.col("n_all") + _DSIR_B)
+    terms = j.select(
+        (p_t * F.log10(p_t / p_s)).alias("kl_sel"),
+        (p_t * F.log10(p_t / p_all)).alias("kl_all"),
+    )
+    return terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        dsum(F.col("kl_sel"), 6).alias("kl_target_vs_selected"),
+        dsum(F.col("kl_all"), 6).alias("kl_target_vs_corpus"),
+    )
