@@ -394,6 +394,17 @@ def load_batch_exactly_once(
                         n_rows BIGINT NOT NULL,
                         PRIMARY KEY (table_name, run_id, batch_id))"""
             )
+            # Legacy-ledger migration: deployments whose stream_epochs table
+            # predates the run_id column keep the old (table_name, batch_id)
+            # shape — CREATE IF NOT EXISTS is a no-op there, and the first
+            # post-upgrade SELECT would fail with UndefinedColumn. Old rows
+            # get '' which is exactly the run_id the legacy path used, so
+            # their replay protection carries over; the legacy 2-column PK
+            # stays (stricter than the 3-column one, still safe).
+            cur.execute(
+                f"ALTER TABLE {ledger} ADD COLUMN IF NOT EXISTS"
+                " run_id TEXT NOT NULL DEFAULT ''"
+            )
             cur.execute(
                 f"SELECT 1 FROM {ledger} WHERE table_name = %s"
                 f" AND run_id = %s AND batch_id = %s",

@@ -33,6 +33,7 @@ references, opaque/time datatypes.
 
 from __future__ import annotations
 
+import io
 import mmap
 import pickle
 import struct
@@ -133,7 +134,19 @@ class Dataset:
             elif fid == 2:  # shuffle
                 out = _unshuffle(out, cvals[0] if cvals else self.dtype.size)
             elif fid == 3:  # fletcher32: payload + 4-byte checksum
-                out = out[:-4]
+                payload, stored = out[:-4], struct.unpack("<I", out[-4:])[0]
+                want = fletcher32(payload)
+                # Pre-1.6.3 libhdf5 wrote the checksum byte-swapped; the
+                # reference filter accepts both orders (H5Zfletcher32.c),
+                # so we do too — anything else is corruption and raises
+                # per this module's "raise, never guess" policy.
+                swapped = struct.unpack(">I", out[-4:])[0]
+                if want not in (stored, swapped):
+                    raise Hdf5FormatError(
+                        "fletcher32 checksum mismatch: "
+                        f"stored 0x{stored:08x}, computed 0x{want:08x}"
+                    )
+                out = payload
             else:
                 raise Hdf5FormatError(f"unsupported HDF5 filter id {fid}")
         return out
@@ -722,13 +735,86 @@ class H5File:
             p += keysize + 8
 
 
+def fletcher32(data: bytes) -> int:
+    """HDF5 Fletcher-32 checksum (H5checksum.c H5_checksum_fletcher32):
+    big-endian 16-bit words, an odd trailing byte padded with 0x00 low,
+    two running sums folded mod 65535. Congruence shortcut: the C code's
+    repeated ``(x & 0xffff) + (x >> 16)`` folds are ≡ x (mod 65535) and
+    never reach 0 from a nonzero sum, so compute the exact big-int sums
+    per slab and take the matching representative at the end."""
+    n = len(data)
+    words = np.frombuffer(data, dtype=">u2", count=n // 2).astype(np.uint64)
+    s1 = 0
+    s2 = 0
+    slab = 1 << 20  # words*weights fit uint64 per slab (2^16 * 2^20 * 2^20)
+    for off in range(0, len(words), slab):
+        w = words[off : off + slab]
+        k = len(w)
+        s2 += s1 * k + int(
+            (w * np.arange(k, 0, -1, dtype=np.uint64)).sum()
+        )
+        s1 += int(w.sum())
+    if n % 2:
+        s1 += data[-1] << 8
+        s2 += s1
+
+    def _rep(x: int) -> int:
+        r = x % 65535
+        return 65535 if (r == 0 and x != 0) else r
+
+    return (_rep(s2) << 16) | _rep(s1)
+
+
+class _RestrictedUnpickler(pickle.Unpickler):
+    """Unpickler for PyTables/pandas HDF5 attribute values ONLY.
+
+    ``_maybe_unpickle`` runs on every attribute of every opened file, so a
+    plain ``pickle.loads`` would execute arbitrary code from an untrusted
+    .h5. PyTables attrs only ever pickle builtin scalars/containers and
+    numpy scalars/dtypes (GLOBAL opcodes appear only for the numpy
+    reconstructors); anything else is refused and the caller falls back
+    to returning the raw text."""
+
+    _NUMPY = {
+        "dtype",
+        "ndarray",
+        "bool_",
+        "_reconstruct",
+        "scalar",
+        "datetime64",
+        "timedelta64",
+    }
+
+    def find_class(self, module: str, name: str):
+        if module == "builtins" and name in {
+            "complex",
+            "bytearray",
+            "set",
+            "frozenset",
+            "slice",
+            "range",
+        }:
+            return getattr(__import__("builtins"), name)
+        if (
+            module in ("numpy", "numpy.core.multiarray", "numpy._core.multiarray")
+            and name in self._NUMPY
+        ):
+            mod = __import__(module, fromlist=[name])
+            return getattr(mod, name)
+        raise pickle.UnpicklingError(
+            f"attribute pickle references disallowed global {module}.{name}"
+        )
+
+
 def _maybe_unpickle(raw: bytes):
     """PyTables convention: non-scalar attribute values are stored as
     pickled byte strings. Protocol-2+ pickles start with b'\\x80'; try
-    those, fall back to utf-8 text (trailing NULs stripped)."""
+    those through a restricted unpickler (builtin containers + numpy
+    scalars/dtypes only — attrs of untrusted files must not execute
+    code), fall back to utf-8 text (trailing NULs stripped)."""
     if raw[:1] == b"\x80":
         try:
-            return pickle.loads(raw)
+            return _RestrictedUnpickler(io.BytesIO(raw)).load()
         except Exception:
             pass
     return raw.rstrip(b"\x00").decode("utf-8", errors="replace")

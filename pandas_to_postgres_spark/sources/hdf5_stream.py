@@ -14,12 +14,19 @@ pure-Python parser (`sources/hdf5_reader`) — no PyTables/h5py anywhere.
     stream = (spark.readStream.format("hdf5")
               .option("path", "/data/landing").option("key", "data").load())
 
-Offsets are the sorted list of file names already emitted, checkpointed
-by Spark; a replayed batch re-reads exactly the same files (HDF5 files
-are immutable once written — the writer writes whole files), so
+Offsets are COMPACT: a modification-time watermark plus the
+``[name, mtime_ns]`` pairs younger than ``lateFileLag`` seconds (default
+300) behind the newest file — the same bounded-state design as Spark's
+own file source (``maxFileAge``). Files older than the watermark are
+assumed processed, so offset size is bounded by the files landing per
+lag window, not by the lifetime of the landing directory. A replayed
+(start, end] range re-reads exactly the same files (HDF5 files are
+immutable once written — the writer writes whole files), so
 exactly-once downstream composes with any idempotent sink. Producers
-must create files ATOMICALLY (write temp + rename), the same contract
-Spark's own file source imposes.
+must create files ATOMICALLY (write temp + rename — rename refreshes
+mtime, which keeps late files inside the lag window) and must not
+backdate mtimes by more than ``lateFileLag`` behind the newest file;
+that is the identical contract Spark's file source imposes.
 
 Scale: `latestOffset` is one directory listing on the driver; each
 partition mmaps its file and touches only the chunks overlapping its
@@ -112,24 +119,59 @@ class Hdf5Reader(DataSourceReader):
         yield from _read_partition(self.path, self.key, self.columns, part)
 
 
+def _offset_norm(off: dict) -> tuple:
+    """Normalize an offset to (wm_ns, {name: mtime_ns}).
+
+    Semantics: a file is PROCESSED under the offset iff its mtime_ns is
+    below the watermark OR its name is in the recent map. Legacy v1
+    offsets ({"seen": [names]}) map to wm=0 + the seen names, so a
+    checkpoint written by the unbounded-list design resumes cleanly."""
+    if "seen" in off:  # v1 checkpoint compatibility
+        return 0, {name: 0 for name in off["seen"]}
+    return int(off.get("wm", 0)), {n: int(m) for n, m in off.get("recent", [])}
+
+
 class Hdf5StreamReader(DataSourceStreamReader):
     """Micro-batch = the .h5 files that appeared since the last offset.
-    Offset = {"seen": [sorted file names]} — files are immutable, so a
-    replayed (start, end] range yields byte-identical rows."""
+    Offset = {"v": 2, "wm": mtime_ns, "recent": [[name, mtime_ns], ...]}
+    — bounded by the lag window (module docstring), not by directory
+    lifetime. Files are immutable, so a replayed (start, end] range
+    yields byte-identical rows."""
 
-    def __init__(self, path, key, chunk_rows, columns):
+    def __init__(self, path, key, chunk_rows, columns, late_file_lag_s=300.0):
         self.path, self.key = path, key
         self.chunk_rows = chunk_rows
         self.columns = columns
+        self._lag_ns = int(late_file_lag_s * 1e9)
+        self._wm = 0  # monotonic: a deleted newest file never regresses it
 
     def initialOffset(self) -> dict:
-        return {"seen": []}
+        return {"v": 2, "wm": 0, "recent": []}
 
     def latestOffset(self) -> dict:
-        return {"seen": _part_files(self.path)}
+        entries = []
+        for name in _part_files(self.path):
+            try:
+                entries.append(
+                    (name, os.stat(os.path.join(self.path, name)).st_mtime_ns)
+                )
+            except FileNotFoundError:
+                continue  # raced with producer rename/cleanup; next poll
+        if entries:
+            self._wm = max(self._wm, max(m for _, m in entries) - self._lag_ns)
+        recent = sorted((n, m) for n, m in entries if m >= self._wm)
+        return {"v": 2, "wm": self._wm, "recent": [[n, m] for n, m in recent]}
 
     def partitions(self, start: dict, end: dict):
-        new = sorted(set(end["seen"]) - set(start["seen"]))
+        # Derived from the two offsets ONLY — a replay must plan the same
+        # files even if the directory has since gained more.
+        start_wm, start_recent = _offset_norm(start)
+        _, end_recent = _offset_norm(end)
+        new = sorted(
+            name
+            for name, mtime in end_recent.items()
+            if name not in start_recent and mtime >= start_wm
+        )
         parts = []
         for name in new:
             parts.extend(_plan_file(self.path, name, self.key, self.chunk_rows))
@@ -159,12 +201,14 @@ class Hdf5DataSource(DataSource):
         key = self.options.get("key", "data")
         chunk_rows = int(self.options.get("chunkrows",
                                           self.options.get("chunkRows", 10**6)))
-        return path, key, chunk_rows
+        lag_s = float(self.options.get("latefilelag",
+                                       self.options.get("lateFileLag", 300.0)))
+        return path, key, chunk_rows, lag_s
 
     def schema(self) -> str:
         from pandas_to_postgres_spark.sources import hdf5_pandas  # noqa: PLC0415
 
-        path, key, _ = self._opts()
+        path, key, _, _ = self._opts()
         files = _part_files(path)
         if not files:
             raise ValueError(
@@ -182,9 +226,11 @@ class Hdf5DataSource(DataSource):
         return ", ".join(ddl)
 
     def reader(self, schema) -> Hdf5Reader:
-        path, key, chunk_rows = self._opts()
+        path, key, chunk_rows, _ = self._opts()
         return Hdf5Reader(path, key, chunk_rows, schema.fieldNames())
 
     def streamReader(self, schema) -> Hdf5StreamReader:
-        path, key, chunk_rows = self._opts()
-        return Hdf5StreamReader(path, key, chunk_rows, schema.fieldNames())
+        path, key, chunk_rows, lag_s = self._opts()
+        return Hdf5StreamReader(
+            path, key, chunk_rows, schema.fieldNames(), late_file_lag_s=lag_s
+        )

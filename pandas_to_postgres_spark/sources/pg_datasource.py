@@ -633,6 +633,14 @@ class PostgresStreamWriter(DataSourceStreamArrowWriter):
                             n_rows BIGINT NOT NULL,
                             PRIMARY KEY (table_name, run_id, batch_id))"""
                 )
+                # Legacy-ledger migration: a pre-run_id stream_epochs table
+                # survives CREATE IF NOT EXISTS unchanged; without this the
+                # first post-upgrade micro-batch dies with UndefinedColumn.
+                # Old rows keep '' — the run_id the legacy path wrote.
+                cur.execute(
+                    f"ALTER TABLE {ledger} ADD COLUMN IF NOT EXISTS"
+                    " run_id TEXT NOT NULL DEFAULT ''"
+                )
             with conn, conn.cursor() as cur:  # ONE publish txn
                 cur.execute(
                     "SELECT pg_advisory_xact_lock(hashtext(%s))",

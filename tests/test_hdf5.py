@@ -119,6 +119,35 @@ class TestReaderRoundTrip:
             ga = f.attributes("/data")
             assert ga["pandas_type"] == "frame_table"
 
+    def test_attr_unpickle_is_restricted(self):
+        """Attribute pickles from untrusted files must not execute code:
+        only builtin containers/scalars and numpy scalar/dtype globals
+        resolve; anything else falls back to the raw-text path."""
+        import pickle
+
+        from pandas_to_postgres_spark.sources.hdf5_reader import _maybe_unpickle
+
+        # benign PyTables-shaped payloads round-trip
+        assert _maybe_unpickle(pickle.dumps([(1, ["a", "b"])])) == [(1, ["a", "b"])]
+        assert _maybe_unpickle(pickle.dumps({"k": (1.5, None)})) == {"k": (1.5, None)}
+        assert _maybe_unpickle(pickle.dumps({1, 2})) == {1, 2}
+        v = _maybe_unpickle(pickle.dumps(np.int64(7)))
+        assert int(v) == 7
+        assert _maybe_unpickle(pickle.dumps(np.dtype("<i8"))) == np.dtype("<i8")
+
+        # a malicious GLOBAL (os.system) must NOT resolve — the fallback
+        # returns decoded text instead of calling anything
+        evil = b"\x80\x04\x95!\x00\x00\x00\x00\x00\x00\x00\x8c\x02os\x94\x8c\x06system\x94\x93\x94\x8c\x08echo pwn\x94\x85\x94R\x94."
+        out = _maybe_unpickle(evil)
+        assert isinstance(out, str)  # fell back to text, did not execute
+
+        # any non-allowlisted global (importable but not sanctioned)
+        # likewise falls back instead of resolving
+        import fractions
+
+        out2 = _maybe_unpickle(pickle.dumps(fractions.Fraction(1, 2)))
+        assert isinstance(out2, str)
+
     def test_not_hdf5_rejected(self, tmp_path):
         p = str(tmp_path / "x.bin")
         with open(p, "wb") as fh:
@@ -540,6 +569,78 @@ class TestHdf5DataSource:
         drain()
         assert seen == []
 
+    def test_stream_offset_is_bounded(self, tmp_path):
+        """ADVICE r5: the offset must NOT grow with directory lifetime.
+        Files older than lateFileLag behind the newest drop out of
+        'recent' and are covered by the watermark instead."""
+        import os as _os
+
+        from pandas_to_postgres_spark.sources.hdf5_stream import Hdf5StreamReader
+
+        d = str(tmp_path / "land")
+        _os.makedirs(d)
+        r = Hdf5StreamReader(d, "data", 10**6, ["id"], late_file_lag_s=60.0)
+        now = 1_700_000_000
+        for i in range(50):  # an "old" backlog, 1h apart each
+            p = _os.path.join(d, f"old{i:03d}.h5")
+            with open(p, "wb") as fh:
+                fh.write(b"x")
+            _os.utime(p, ns=((now - 3600 * (50 - i)) * 10**9,) * 2)
+        p = _os.path.join(d, "newest.h5")
+        with open(p, "wb") as fh:
+            fh.write(b"x")
+        _os.utime(p, ns=(now * 10**9,) * 2)
+        off = r.latestOffset()
+        # only the files inside the 60s lag window stay in the offset
+        assert [n for n, _ in off["recent"]] == ["newest.h5"]
+        assert off["wm"] == (now - 60) * 10**9
+        # idle poll: identical offset (no spurious batches)
+        assert r.latestOffset() == off
+
+    def test_stream_offset_delta_and_replay(self, tmp_path):
+        """partitions(start, end) is a pure function of the offsets: a
+        replay plans the same files even after the directory gains more;
+        files below the start watermark are assumed processed."""
+        import os as _os
+
+        from pandas_to_postgres_spark.sources.hdf5_stream import Hdf5StreamReader
+
+        d = str(tmp_path / "land")
+        _os.makedirs(d)
+        start = {
+            "v": 2,
+            "wm": 1000,
+            "recent": [["b.h5", 1500], ["c.h5", 2000]],
+        }
+        end = {
+            "v": 2,
+            "wm": 1800,
+            "recent": [["c.h5", 2000], ["d.h5", 2500], ["e.h5", 2600]],
+        }
+        r = Hdf5StreamReader(d, "data", 10**6, ["id"])
+        names = lambda s, e: sorted(  # noqa: E731
+            {p.file for p in r.partitions(s, e) if p.file}
+        )
+        # d/e are new; c was already in start.recent
+        import pandas_to_postgres_spark.sources.hdf5_stream as hs
+
+        orig = hs._plan_file
+        hs._plan_file = lambda path, name, key, cr: [
+            hs.H5Partition(file=name, start=0, stop=1)
+        ]
+        try:
+            assert names(start, end) == ["d.h5", "e.h5"]
+            # replay is deterministic — directory state is irrelevant
+            assert names(start, end) == ["d.h5", "e.h5"]
+            # a file whose mtime predates start.wm is assumed processed
+            end2 = dict(end, recent=end["recent"] + [["stale.h5", 900]])
+            assert names(start, end2) == ["d.h5", "e.h5"]
+            # legacy v1 checkpoint resumes: everything not in 'seen' is new
+            legacy = {"seen": ["c.h5"]}
+            assert names(legacy, end) == ["d.h5", "e.h5"]
+        finally:
+            hs._plan_file = orig
+
     def test_empty_dir_schema_error(self, registered, tmp_path):
         spark = registered
         d = str(tmp_path / "empty")
@@ -597,18 +698,16 @@ class TestReaderExtraPaths:
             assert (ds.read_raw() == np.arange(6)).all()
             assert (ds.read_raw(2, 5) == np.arange(2, 5)).all()
 
-    def test_fletcher32_filter_stripped(self, tmp_path):
-        """A chunked dataset whose pipeline is [fletcher32]: the reader
-        must strip the 4-byte checksum before interpreting the payload."""
+    @staticmethod
+    def _fletcher_file(tmp_path, raw, name="fletcher.h5"):
+        """Assemble a one-chunk [fletcher32] dataset whose stored chunk
+        bytes are exactly ``raw`` (payload + 4-byte trailer)."""
         import struct
-        import zlib
 
         from pandas_to_postgres_spark.sources import hdf5_writer as w
         from pandas_to_postgres_spark.sources.hdf5_writer import _FileBuilder
 
         b = _FileBuilder()
-        vals = np.arange(20, dtype=np.int64)
-        raw = vals.tobytes() + struct.pack("<I", zlib.crc32(vals.tobytes()) & 0xFFFFFFFF)
         chunk_addr = b.alloc(raw)
         # single-leaf chunk B-tree for one 20-row chunk
         leaf = (
@@ -628,10 +727,89 @@ class TestReaderExtraPaths:
         ]
         taddr = b.alloc(w._object_header(msgs))
         root = b.write_group({"f": taddr}, {})
-        p = str(tmp_path / "fletcher.h5")
+        p = str(tmp_path / name)
         with open(p, "wb") as fh:
             fh.write(b.finish(root))
+        return p
+
+    def test_fletcher32_filter_verified_and_stripped(self, tmp_path):
+        """A chunked dataset whose pipeline is [fletcher32]: the reader
+        verifies the trailing Fletcher-32 checksum (H5checksum.c word
+        order) then strips it before interpreting the payload."""
+        import struct
+
+        from pandas_to_postgres_spark.sources.hdf5_reader import fletcher32
+
+        vals = np.arange(20, dtype=np.int64)
+        payload = vals.tobytes()
+        raw = payload + struct.pack("<I", fletcher32(payload))
+        p = self._fletcher_file(tmp_path, raw)
         with H5File(p) as f:
             ds = f.dataset("/f")
             assert [fid for fid, _ in ds.filters] == [3]
             assert (ds.read_raw() == np.arange(20)).all()
+        # pre-1.6.3 bug-compat: byte-swapped stored checksum also accepted
+        raw_swapped = payload + struct.pack(">I", fletcher32(payload))
+        p2 = self._fletcher_file(tmp_path, raw_swapped, "fletcher_swapped.h5")
+        with H5File(p2) as f:
+            assert (f.dataset("/f").read_raw() == np.arange(20)).all()
+
+    def test_fletcher32_corruption_raises(self, tmp_path):
+        """A flipped payload byte must raise, not decode silently."""
+        import struct
+
+        import pytest
+
+        from pandas_to_postgres_spark.sources.hdf5_reader import (
+            Hdf5FormatError,
+            fletcher32,
+        )
+
+        vals = np.arange(20, dtype=np.int64)
+        payload = bytearray(vals.tobytes())
+        checksum = struct.pack("<I", fletcher32(bytes(payload)))
+        payload[17] ^= 0x40  # corrupt one byte AFTER checksumming
+        p = self._fletcher_file(tmp_path, bytes(payload) + checksum)
+        with H5File(p) as f:
+            with pytest.raises(Hdf5FormatError, match="fletcher32"):
+                f.dataset("/f").read_raw()
+
+    def test_fletcher32_reference_vectors(self):
+        """Pin the vectorized checksum against a literal transcription of
+        the C algorithm, across empty/odd/even/fold-heavy inputs."""
+        from pandas_to_postgres_spark.sources.hdf5_reader import fletcher32
+
+        # Independent oracle: literal transcription of libhdf5's
+        # H5_checksum_fletcher32 (H5checksum.c) — 360-word inner blocks,
+        # ``(x & 0xffff) + (x >> 16)`` folds, odd byte padded low.
+        def c_ref(data):
+            fold = lambda x: (x & 0xFFFF) + (x >> 16)  # noqa: E731
+            s1 = s2 = 0
+            words = [
+                (data[i] << 8) | data[i + 1]
+                for i in range(0, len(data) - len(data) % 2, 2)
+            ]
+            i = 0
+            while i < len(words):
+                for w in words[i : i + 360]:
+                    s1 += w
+                    s2 += s1
+                i += 360
+                s1, s2 = fold(s1), fold(s2)
+            if len(data) % 2:
+                s1 += data[-1] << 8
+                s2 += s1
+                s1, s2 = fold(s1), fold(s2)
+            s1, s2 = fold(s1), fold(s2)
+            return (s2 << 16) | s1
+
+        for blob in (
+            b"",
+            b"a",
+            b"ab",
+            b"abcde",
+            bytes(range(256)) * 33 + b"x",
+            b"\x00" * 1000,
+            b"\xff" * 1001,
+        ):
+            assert fletcher32(blob) == c_ref(blob), blob[:8]

@@ -397,6 +397,76 @@ class TestExactlyOnceStreaming:
             assert int(cur.fetchall()[0][0]) == 0
         conn.close()
 
+    def test_legacy_ledger_without_run_id_is_migrated(self, spark, schema):
+        """ADVICE r5: a stream_epochs table created BEFORE the run_id
+        column existed (old PK (table_name, batch_id)) must be migrated
+        in place on the first post-upgrade publish — not break it with
+        UndefinedColumn — and its old rows must keep their replay
+        protection under the '' run_id the legacy path used."""
+        from pandas_to_postgres_spark.sinks.postgres_copy import (
+            TargetTable,
+            load_batch_exactly_once,
+        )
+
+        conn_params = schema
+        ledger = "legacy_epochs"
+        with pgwire.connect(**conn_params) as conn, conn.cursor() as cur:
+            cur.execute(
+                """CREATE TABLE IF NOT EXISTS ev_sink3 (
+                       event_id BIGINT, user_id BIGINT, event_type TEXT,
+                       value DOUBLE PRECISION)"""
+            )
+            cur.execute(f"DROP TABLE IF EXISTS {ledger}")
+            # the pre-run_id ledger shape, with batch 3 already published
+            cur.execute(
+                f"""CREATE TABLE {ledger} (
+                        table_name TEXT NOT NULL,
+                        batch_id BIGINT NOT NULL,
+                        n_rows BIGINT NOT NULL,
+                        PRIMARY KEY (table_name, batch_id))"""
+            )
+            cur.execute(
+                f"INSERT INTO {ledger} VALUES ('ev_sink3', 3, 20)"
+            )
+        target = TargetTable(
+            schema="public",
+            name="ev_sink3",
+            columns=["event_id", "user_id", "event_type", "value"],
+        )
+        batch = (
+            spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+            .select("event_id", "user_id", "event_type", "value")
+            .limit(20)
+        )
+        # replay of the legacy-published batch 3 (legacy callers pass no
+        # run_id → ''): recognized through the migrated column's default
+        assert (
+            load_batch_exactly_once(
+                batch, conn_params, target, 3, epoch_table=ledger
+            )
+            == 0
+        )
+        # a NEW batch publishes through the migrated ledger
+        assert (
+            load_batch_exactly_once(
+                batch, conn_params, target, 4, epoch_table=ledger, run_id="q1"
+            )
+            == 20
+        )
+        conn = pgwire.connect(**conn_params)
+        with conn, conn.cursor() as cur:
+            cur.execute("SELECT count(*) FROM ev_sink3")
+            assert int(cur.fetchall()[0][0]) == 20  # batch 3 NOT re-published
+            cur.execute(
+                f"SELECT run_id, batch_id FROM {ledger}"
+                " WHERE table_name = 'ev_sink3' ORDER BY batch_id"
+            )
+            assert [(r[0], int(r[1])) for r in cur.fetchall()] == [
+                ("", 3),
+                ("q1", 4),
+            ]
+        conn.close()
+
 
 class TestPostgresDataSource:
     """spark.read.format("pgwire"): the Spark 4 Python DataSource reading
@@ -913,6 +983,69 @@ class TestPostgresStreamSink:
             "SELECT count(*) FROM pg_tables"
             " WHERE tablename LIKE 'loop\\_tgt\\_\\_dsws\\_%'"
         ) == [("0",)]
+
+    def test_sink_migrates_legacy_ledger(self, spark, schema, tmp_path):
+        """ADVICE r5 (sink side): a pre-run_id stream_epochs table is
+        ALTERed in place on the first commit instead of failing with
+        UndefinedColumn."""
+        from pandas_to_postgres_spark.sources.pg_datasource import (
+            PostgresDataSource,
+        )
+
+        conn = pgwire.connect(**schema)
+        conn.autocommit = True
+        with conn.cursor() as cur:
+            cur.execute("DROP TABLE IF EXISTS lgl_src")
+            cur.execute("DROP TABLE IF EXISTS lgl_tgt")
+            cur.execute("DROP TABLE IF EXISTS lgl_epochs")
+            cur.execute("CREATE TABLE lgl_src (seq BIGINT, v TEXT)")
+            cur.execute("CREATE TABLE lgl_tgt (seq BIGINT, v TEXT)")
+            # legacy ledger shape: no run_id column
+            cur.execute(
+                """CREATE TABLE lgl_epochs (
+                       table_name TEXT NOT NULL,
+                       batch_id BIGINT NOT NULL,
+                       n_rows BIGINT NOT NULL,
+                       PRIMARY KEY (table_name, batch_id))"""
+            )
+            for i in range(30):
+                cur.execute("INSERT INTO lgl_src VALUES (%s, %s)", (i, f"v{i}"))
+        conn.close()
+
+        spark.dataSource.register(PostgresDataSource)
+        stream = (
+            spark.readStream.format("pgwire")
+            .option("host", schema["host"])
+            .option("port", str(schema["port"]))
+            .option("user", schema["user"])
+            .option("dbname", schema["dbname"])
+            .option("table", "lgl_src")
+            .option("seqColumn", "seq")
+            .load()
+        )
+        q = (
+            stream.writeStream.format("pgwire")
+            .option("host", schema["host"])
+            .option("port", str(schema["port"]))
+            .option("user", schema["user"])
+            .option("dbname", schema["dbname"])
+            .option("table", "lgl_tgt")
+            .option("epochTable", "lgl_epochs")
+            .option("runId", "lgl-run-1")
+            .option("checkpointLocation", str(tmp_path / "lgl_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        conn = pgwire.connect(**schema)
+        with conn, conn.cursor() as cur:
+            cur.execute("SELECT count(*) FROM lgl_tgt")
+            assert int(cur.fetchall()[0][0]) == 30
+            cur.execute(
+                "SELECT run_id FROM lgl_epochs WHERE table_name = 'lgl_tgt'"
+            )
+            assert {r[0] for r in cur.fetchall()} == {"lgl-run-1"}
+        conn.close()
 
 
 class TestCdcApplySink:
