@@ -1545,6 +1545,9 @@ def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
      AND a.o_orderkey < b.o_orderkey
     WHERE abs(date_diff('day', a.o_orderdate, b.o_orderdate)) <= 30
     """,
+    # correct sf0.001 answer is EMPTY — declare it so the
+    # non-degeneracy floor doesn't flag it
+    min_rows=0,
 )
 def duplicate_payment_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-payment screening (the accounts-payable audit classic):

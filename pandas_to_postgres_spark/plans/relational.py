@@ -197,6 +197,9 @@ def join_semi_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT p_partkey, p_name FROM part
     WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
     """,
+    # correct sf0.001 answer is EMPTY — declare it so the
+    # non-degeneracy floor doesn't flag it
+    min_rows=0,
 )
 def join_anti_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J5: left-anti — parts never shipped."""
@@ -1045,6 +1048,9 @@ def exists_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE p.p_retailprice > (SELECT 1.02 * avg(p2.p_retailprice)
                              FROM part p2 WHERE p2.p_brand = p.p_brand)
     """,
+    # correct sf0.001 answer is EMPTY — declare it so the
+    # non-degeneracy floor doesn't flag it
+    min_rows=0,
 )
 def scalar_subquery_brand_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: correlated scalar subquery (price vs 1.02x the
@@ -1210,6 +1216,9 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
     GROUP BY supp_nation, cust_nation, l_year
     """,
+    # correct sf0.001 answer is EMPTY — declare it so the
+    # non-degeneracy floor doesn't flag it
+    min_rows=0,
 )
 def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: bilateral trade volume between two nations by ship

@@ -374,6 +374,9 @@ def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                         AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
     GROUP BY s.s_name
     """,
+    # correct sf0.001 answer is EMPTY — declare it so the
+    # non-degeneracy floor doesn't flag it
+    min_rows=0,
 )
 def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape: NATION_1 suppliers who were the SOLE late supplier

@@ -2,23 +2,26 @@
 physical-plan scale lint locally and write ``LOCAL_CORRECTNESS_r{N}.json``.
 
 The external driver oracle-checks only the first 50 registry slots
-(CORRECTNESS_r{N}.json); the remaining ~176 registered queries are only
-covered by pytest, which leaves no committed round-over-round artifact a
-reviewer can diff. This script produces exactly that artifact, in the same
-row shape as the driver's file (rows_match / schema_match / hash_match /
-spark_rows / oracle_rows / err), plus a ``lint`` field recording the scale
-lint verdict, and a trailing ``__summary__`` entry.
+(CORRECTNESS_r{N}.json); every query past the window is only covered by
+pytest, which leaves no committed round-over-round artifact a reviewer can
+diff. This script produces exactly that artifact for the FULL registry, in
+the same row shape as the driver's file (rows_match / schema_match /
+hash_match / spark_rows / oracle_rows / err), plus ``lint`` (scale-lint
+verdict), ``floor_ok`` (QuerySpec.min_rows non-degeneracy floor), and a
+trailing ``__summary__`` entry.
 
 Usage::
 
-    python scripts/local_correctness.py <round> [sf_dir]
+    python scripts/local_correctness.py <round> [sf_dir] [suffix]
 
-    # e.g. round 4 at the default local tier:
-    python scripts/local_correctness.py 4 /root/testdata/sf0.001
+    # the fast tier (a few minutes), run per round:
+    python scripts/local_correctness.py 6 /root/testdata/sf0.001 _sf001
+    # the driver's tier — slower, catches sf0.001-degenerate queries:
+    python scripts/local_correctness.py 6 /root/testdata/sf0.01 _sf01
 
-sf0.001 (not the driver's sf0.01) keeps the full 226-query matrix to a few
-minutes so it actually gets run per round; the driver independently covers
-sf0.01 for the windowed 50.
+``suffix`` lands in the artifact name
+(``LOCAL_CORRECTNESS_r{N}{suffix}.json``) so both tiers can be committed
+side by side.
 """
 
 from __future__ import annotations
@@ -47,6 +50,7 @@ def main() -> None:
         raise SystemExit("usage: local_correctness.py <round> [sf_dir]")
     rnd = int(sys.argv[1])
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.001"
+    suffix = sys.argv[3] if len(sys.argv) > 3 else ""
 
     from tests.oracle_harness import compare, duck_con  # noqa: PLC0415
 
@@ -67,11 +71,15 @@ def main() -> None:
             "oracle_rows": None,
             "err": None,
             "lint": None,
+            "floor_ok": None,
         }
         try:
             df = spec.fn(spark, sf_dir)
             got = df.toPandas()
             row["spark_rows"] = int(len(got))
+            # non-degeneracy floor (QuerySpec.min_rows, valid from
+            # sf0.001 up): an empty-but-hash-matching result is a FAIL
+            row["floor_ok"] = len(got) >= spec.min_rows
             findings = [
                 f"{f.severity}:{f.code}"
                 for f in lint_plan(df)
@@ -81,7 +89,13 @@ def main() -> None:
             row["lint"] = "ok" if not findings else ";".join(findings)
             if spec.oracle is None:
                 row["err"] = "no_oracle"
-                n_rows_only += 1
+                if row["floor_ok"]:
+                    n_rows_only += 1
+                else:
+                    n_fail += 1
+                    row["err"] = (
+                        f"floor: {len(got)} rows < min_rows {spec.min_rows}"
+                    )
             else:
                 want = con.sql(spec.oracle).df()
                 row["oracle_rows"] = int(len(want))
@@ -91,12 +105,16 @@ def main() -> None:
                     "columns"
                 )
                 row["hash_match"] = diag is None
-                if diag is None and row["lint"] == "ok":
+                if diag is None and row["lint"] == "ok" and row["floor_ok"]:
                     n_pass += 1
                 else:
                     n_fail += 1
                     if diag is not None:
                         row["err"] = str(diag)[:300]
+                    elif not row["floor_ok"]:
+                        row["err"] = (
+                            f"floor: {len(got)} rows < min_rows {spec.min_rows}"
+                        )
         except Exception as e:  # noqa: BLE001 — record, don't abort the board
             row["err"] = f"{type(e).__name__}: {e}"[:300]
             n_fail += 1
@@ -104,7 +122,11 @@ def main() -> None:
         status = (
             "rows-only"
             if row["err"] == "no_oracle"
-            else ("PASS" if row["hash_match"] and row["lint"] == "ok" else "FAIL")
+            else (
+                "PASS"
+                if row["hash_match"] and row["lint"] == "ok" and row["floor_ok"]
+                else "FAIL"
+            )
         )
         print(f"{name:40s} {status}", file=sys.stderr)
 
@@ -119,7 +141,7 @@ def main() -> None:
     }
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        f"LOCAL_CORRECTNESS_r{rnd:02d}.json",
+        f"LOCAL_CORRECTNESS_r{rnd:02d}{suffix}.json",
     )
     with open(path, "w") as f:
         json.dump(out, f, indent=2)

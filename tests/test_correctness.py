@@ -42,6 +42,11 @@ def test_oracle_match(spark, duck, name):
     want = duck.sql(spec.oracle).df()
     diag = compare(got, want)
     assert diag is None, f"{name}: {diag}"
+    # non-degeneracy floor: a silently-empty result (e.g. a join whose
+    # key column went all-NULL) must not pass as a vacuous green
+    assert len(got) >= spec.min_rows, (
+        f"{name}: {len(got)} rows < declared floor {spec.min_rows}"
+    )
     # every oracle-checked query must also clear the physical-plan scale
     # lint — the plan was just executed, so this is nearly free
     _lint_gate(name, df)
@@ -52,7 +57,9 @@ def test_rows_only_runs(spark, name):
     spec = REGISTRY[name]
     df = spec.fn(spark, SF_SMOKE)
     n = df.count()
-    assert n >= 0
+    assert n >= spec.min_rows, (
+        f"{name}: {n} rows < declared floor {spec.min_rows}"
+    )
     _lint_gate(name, df)
     # determinism: running twice yields the identical multiset
     a = sorted(map(str, df.collect()))

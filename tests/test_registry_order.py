@@ -61,6 +61,32 @@ class TestWindow:
         }
 
 
+class TestCoverageTotals:
+    def test_coverage_md_totals_match_registry(self):
+        """The hand-maintained COVERAGE.md totals line drifted twice in
+        round 5 (242/227 committed, corrected two commits later). Pin it
+        to the registry so the docs can never disagree with the code."""
+        import os
+        import re
+
+        path = os.path.join(os.path.dirname(__file__), "..", "COVERAGE.md")
+        with open(path) as f:
+            text = f.read()
+        m = re.search(
+            r"\*\*Totals: (\d+) registered queries — (\d+) oracle-checked,"
+            r" (\d+) rows-only",
+            text,
+        )
+        assert m, "COVERAGE.md totals line not found / format changed"
+        n_total, n_oracle, n_rows_only = map(int, m.groups())
+        oracle = sum(1 for s in REGISTRY.values() if s.oracle is not None)
+        assert n_total == len(REGISTRY), (
+            f"COVERAGE.md says {n_total} queries, registry has {len(REGISTRY)}"
+        )
+        assert n_oracle == oracle
+        assert n_rows_only == len(REGISTRY) - oracle
+
+
 class TestDriverOrderDeterminism:
     def test_full_window_is_deterministic_in_registry_order(self, spark):
         """Run the whole driver window in registry order TWICE in one
