@@ -28,25 +28,34 @@ from pandas_to_postgres_spark.plans import analytics  # noqa: F401,E402
 from pandas_to_postgres_spark.plans import quality  # noqa: F401,E402
 from pandas_to_postgres_spark.plans import retrieval  # noqa: F401,E402
 
-#: The driver-checked window, in order. Frozen in rounds 2–4; ROTATED in
-#: round 5 (see COVERAGE.md "Round-5 window rotation"): five
-#: frozen-green-for-3-rounds relational slots (join_left_counts,
-#: join_semi_customers, join_anti_parts, window_running_sum,
-#: json_extract_events) moved past the window in favor of five round-3/4
+#: The driver-checked window, in order. Frozen in rounds 2–4; rotated in
+#: round 5, ROTATED AGAIN in round 6 (see COVERAGE.md "Round-6 window
+#: rotation"): five frozen-green relational slots (filter_project,
+#: distinct_counts, conditional_agg, collect_set_segments,
+#: window_lag_events) moved past the window in favor of five round-4/5
 #: queries that had never had a driver-side oracle run
-#: (simsearch_pq_trained, stream_neardup_docs, hybrid_rrf_docs,
-#: json_corrupt_audit, k_anonymity_audit). Rotated-out queries stay
-#: registered, oracle-tested in pytest, and covered by
+#: (winnow_copy_pairs, dsir_select_docs, semantic_dedup,
+#: neardup_clusters, span_dedup_docs); additionally the rows-only
+#: minhash_neardup slot was swapped for its oracle-checked md5-basis twin
+#: minhash_lsh_checked so the window carries 48 oracle rows. Rotated-out
+#: queries stay registered, oracle-tested in pytest, and covered by
 #: scripts/local_correctness.py.
 PRIORITY = [
     # §2.11 D1 — exact + incremental dedup
     "dedup_exact",
     "dedup_incremental_docs",
     # §2.11 D2 — near-dup family
-    "minhash_neardup",          # rows-only: xxhash64 has no SQL twin
+    "minhash_lsh_checked",      # r6 swap: md5-basis MinHash-LSH, full
+                                # pipeline (signatures → bands → verify)
+                                # replayed by the DuckDB oracle
     "simhash_docs",             # rows-only
     "ngram_jaccard_pairs",
     "embedding_neardup",
+    "neardup_clusters",         # r6 rotation: connected components over
+                                # near-dup pairs (DuckDB recursive CTE twin)
+    "span_dedup_docs",          # r6 rotation: C4-style span dedup
+    "winnow_copy_pairs",        # r6 rotation: MOSS winnowing (SIGMOD'03)
+    "semantic_dedup",           # r6 rotation: SemDeDup k-means variant
     # §2.11 D3 — text analysis
     "text_stats",
     "text_metrics",             # fingerprint+quality+tokens+lang-id+scrub
@@ -63,6 +72,7 @@ PRIORITY = [
     "pack_sequences",
     "train_test_split",
     "corpus_prep_pipeline",
+    "dsir_select_docs",         # r6 rotation: DSIR importance resampling
     # §2.10 X2–X5 — UDF surface
     "pandas_udf_norm",
     "grouped_map_zscore",
@@ -79,9 +89,10 @@ PRIORITY = [
     "stream_static_join",
     "stream_stream_join",
     "stream_neardup_docs",      # r5 rotation: streaming near-dup vs static LSH index
-    # §2.1/§2.2/§2.8/§2.10 X1 — scan, filter, normalize
+    # §2.1/§2.2/§2.8/§2.10 X1 — scan, filter, normalize (filter_project
+    # rotated out round 6: P4 pushdown stays plan-asserted in
+    # tests/test_plans.py and exercised by pricing_summary's scan)
     "pricing_summary",
-    "filter_project",
     "normalize_target_schema",
     # §2.3 — joins J1/J2/J6/J7 (J8 cross join is inside simsearch_topk;
     # J3/J4/J5 rotated out round 5 — still oracle-green in pytest/local)
@@ -89,17 +100,16 @@ PRIORITY = [
     "join_order_revenue",
     "range_join_bins",
     "asof_join_events",
-    # §2.4 — aggregations (+ r5 rotation: k-anonymity/l-diversity audit,
-    # a groupBy-agg shape over quasi-identifiers)
-    "distinct_counts",
+    # §2.4 — aggregations (distinct_counts / conditional_agg /
+    # collect_set_segments rotated out round 6 after 4 green rounds —
+    # A1 evidence stays in-window via text_stats, A3 via
+    # percentiles_price; A5/A6 → pytest/local oracle)
     "percentiles_price",
     "rollup_cube_gsets",
-    "conditional_agg",
-    "collect_set_segments",
     "k_anonymity_audit",
-    # §2.5/§2.6 — windows, top-k (W3 frame agg rotated out round 5)
+    # §2.5/§2.6 — windows, top-k (W3 rotated out r5, W2 lag/lead out r6 —
+    # W1 rank stays in-window via window_topn_orders)
     "window_topn_orders",
-    "window_lag_events",
     "topk_lineitems",
     # §2.7 — set ops
     "union_slices",

@@ -18,8 +18,9 @@ class TestWindow:
         representative inside the driver-checked window."""
         window = set(PRIORITY)
         must_have = {
-            # D1..D5
-            "dedup_exact", "dedup_incremental_docs", "minhash_neardup",
+            # D1..D5 (minhash_neardup swapped round 6 for its
+            # oracle-checked md5-basis twin minhash_lsh_checked)
+            "dedup_exact", "dedup_incremental_docs", "minhash_lsh_checked",
             "simhash_docs", "ngram_jaccard_pairs", "embedding_neardup",
             "text_stats", "text_metrics", "simsearch_topk", "simsearch_ivf",
             "simsearch_topk_incremental", "multimodal_pipeline",
@@ -38,14 +39,19 @@ class TestWindow:
             # round-3/4 additions (COVERAGE.md "Round-5 window rotation")
             "simsearch_pq_trained", "hybrid_rrf_docs", "stream_neardup_docs",
             "k_anonymity_audit", "json_corrupt_audit",
-            # relational families (J3/J4/J5, W3 frame agg, and
-            # json_extract_events rotated out round 5 — still registered
-            # and oracle-green in tests/test_correctness.py + local runs)
-            "pricing_summary", "filter_project", "normalize_target_schema",
+            # round-6 rotation: first driver-side oracle runs for the
+            # round-4/5 additions (COVERAGE.md "Round-6 window rotation")
+            "winnow_copy_pairs", "dsir_select_docs", "semantic_dedup",
+            "neardup_clusters", "span_dedup_docs",
+            # relational families (J3/J4/J5, W3, json_extract_events
+            # rotated out round 5; filter_project, distinct_counts,
+            # conditional_agg, collect_set_segments, window_lag_events
+            # rotated out round 6 — all still registered and oracle-green
+            # in tests/test_correctness.py + local boards)
+            "pricing_summary", "normalize_target_schema",
             "join_broadcast_rollup", "join_order_revenue", "range_join_bins",
-            "asof_join_events", "distinct_counts", "percentiles_price",
-            "rollup_cube_gsets", "conditional_agg", "collect_set_segments",
-            "window_topn_orders", "window_lag_events",
+            "asof_join_events", "percentiles_price",
+            "rollup_cube_gsets", "window_topn_orders",
             "topk_lineitems", "union_slices", "setops_custkeys",
             "string_date_funcs", "array_ops_embeddings",
         }
@@ -53,12 +59,11 @@ class TestWindow:
 
     def test_window_queries_have_oracles_except_documented(self):
         # rows-only entries in the window must be the known non-SQL ops
-        # (simsearch_ivf gained a DuckDB oracle in round 3: decimal-exact
-        # centroids + rounded probe ranks made the pruning replayable)
+        # (simsearch_ivf gained a DuckDB oracle in round 3;
+        # minhash_neardup's slot holds its oracle-checked md5 twin since
+        # round 6 — 48 of 50 window rows are oracle-compared)
         rows_only = {n for n in PRIORITY if REGISTRY[n].oracle is None}
-        assert rows_only == {
-            "minhash_neardup", "simhash_docs", "multimodal_pipeline",
-        }
+        assert rows_only == {"simhash_docs", "multimodal_pipeline"}
 
 
 class TestCoverageTotals:
