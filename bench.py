@@ -25,6 +25,10 @@ from pandas_to_postgres_spark.session import get_spark  # noqa: E402
 #: headline queries: the flagship agg, a fact-fact join, a window rank, the
 #: as-of join, and the LLM-pipeline operators (dedup exact + LSH, similarity,
 #: text stats) — the mix a 100 TB training-data pipeline actually runs.
+#: Round 6 adds the two known slowest oracle-checked queries
+#: (ngram_jaccard_pairs — output-bound on the adversarial synthetic
+#: vocabulary, SCALE.md — and winnow_copy_pairs) so their walls are
+#: tracked round-over-round instead of living only in SCALE.md.
 HEADLINE = (
     "pricing_summary",
     "join_order_revenue",
@@ -37,6 +41,8 @@ HEADLINE = (
     "text_stats",
     "topk_lineitems",
     "corpus_prep_pipeline",
+    "ngram_jaccard_pairs",
+    "winnow_copy_pairs",
 )
 
 

@@ -793,6 +793,99 @@ def minhash_lsh_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_md5_pairs(docs, "text", "doc_id")
 
 
+def _neardup_group_summary_oracle() -> str:
+    """DuckDB twin: transitive closure over the md5-checked MinHash pairs,
+    then ONE ROW PER DUP CLUSTER — the output-bound escape hatch."""
+    return f"""
+    WITH RECURSIVE
+    pairs AS ({_minhash_checked_oracle()}),
+    verts AS (SELECT doc_id FROM documents),
+    sym AS (
+        SELECT id_a AS s, id_b AS d FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs),
+    reach AS (
+        SELECT doc_id AS a, doc_id AS b FROM verts
+        UNION
+        SELECT r.a, e.d FROM reach r JOIN sym e ON e.s = r.b),
+    labels AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
+    members AS (
+        SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
+        FROM labels GROUP BY cluster_id HAVING count(*) >= 2),
+    pstats AS (
+        SELECT l.cluster_id,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(min(p.jaccard_micro) AS BIGINT) AS min_jaccard_micro,
+               CAST(max(p.jaccard_micro) AS BIGINT) AS max_jaccard_micro
+        FROM pairs p JOIN labels l ON l.doc_id = p.id_a
+        GROUP BY l.cluster_id)
+    SELECT m.cluster_id, m.n_members, s.n_pairs,
+           s.min_jaccard_micro, s.max_jaccard_micro
+    FROM members m JOIN pstats s USING (cluster_id)
+    """
+
+
+@register("neardup_group_summary", oracle=_neardup_group_summary_oracle())
+def neardup_group_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OUTPUT-BOUND escape hatch for near-dup detection (round-5 64x
+    finding: on dup-dense corpora `minhash_neardup` emitted 44.7M true
+    pairs — the plan was linear, the OUTPUT wasn't). Instead of the pair
+    list, emit one row per duplicate CLUSTER: (cluster_id, n_members,
+    n_pairs, min/max verified Jaccard). Pipeline = the md5-checked
+    MinHash-LSH pairs (`operators/dedup.minhash_md5_pairs`) → iterative
+    min-label connected components (`operators/cluster.py`) → two
+    aggregations. The result is bounded by the number of dup GROUPS, so
+    collection cost no longer scales with pair density; the near-dup twin
+    of `dedup_summary`. Oracle replays the identical pipeline: the
+    bit-exact md5 pair oracle feeding a WITH RECURSIVE closure.
+
+    Scale: pairs are banded/capped (never all-pairs); the closure
+    shuffles (band-capped) edges with per-round localCheckpoint; the
+    summary aggregations shuffle cluster labels only. Pair rows never
+    leave the executors — the driver sees clusters, not pairs."""
+    from pandas_to_postgres_spark.operators.cluster import connected_components
+    from pandas_to_postgres_spark.operators.dedup import minhash_md5_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    # pairs feed BOTH the closure and the per-cluster stats: materialize
+    # once (lazy localCheckpoint — same cache discipline as
+    # ngram_jaccard_prefix) so the LSH pipeline isn't recomputed
+    pairs = minhash_md5_pairs(docs, "text", "doc_id").localCheckpoint(
+        eager=False
+    )
+    comps = connected_components(
+        pairs,
+        docs.select("doc_id"),
+        src="id_a",
+        dst="id_b",
+        id_col="doc_id",
+        component_col="cluster_id",
+    )
+    members = (
+        comps.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
+        .filter(F.col("n_members") >= 2)
+    )
+    pstats = (
+        pairs.join(
+            comps.select(F.col("doc_id").alias("id_a"), "cluster_id"), "id_a"
+        )
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.min("jaccard_micro").cast("bigint").alias("min_jaccard_micro"),
+            F.max("jaccard_micro").cast("bigint").alias("max_jaccard_micro"),
+        )
+    )
+    return members.join(pstats, "cluster_id").select(
+        "cluster_id",
+        "n_members",
+        "n_pairs",
+        "min_jaccard_micro",
+        "max_jaccard_micro",
+    )
+
+
 _KMV_K = 256
 _KMV_H = 1 << 48  # 12-hex md5 prefix: (k-1)*H and all downstream products
                   # stay far inside BIGINT — the whole estimator is

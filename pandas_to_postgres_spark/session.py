@@ -28,6 +28,14 @@ def get_spark(app_name: str = "pandas_to_postgres_spark") -> SparkSession:
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Python DataSource filter pushdown (sources/pg_datasource.py)
         .config("spark.sql.python.filterPushdown.enabled", "true")
+        # Python DataSourceStreamReaders (pgwire, hdf5) cannot implement
+        # SupportsTriggerAvailableNow, so without the wrapper an
+        # availableNow drain falls back to Trigger.Once semantics: ONE
+        # batch only. If a killed query left a WAL-pending batch, the
+        # restart's drain replays just that batch and stops BEFORE new
+        # data — measured in the restart-resume integration test. The
+        # wrapper snapshots the end offset at start and drains fully.
+        .config("spark.sql.streaming.triggerAvailableNowWrapper.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # parquet scans: vectorized reader on, sane split size for local runs
         .config("spark.sql.files.maxPartitionBytes", "128m")

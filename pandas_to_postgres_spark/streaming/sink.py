@@ -58,6 +58,15 @@ def stream_to_batch_sink(
         .option("checkpointLocation", checkpoint_dir)
     )
     if available_now:
+        # Python DataSourceStreamReaders can't declare
+        # SupportsTriggerAvailableNow; without the wrapper their
+        # availableNow drain degrades to ONE batch (Trigger.Once
+        # semantics) — a restart with a WAL-pending batch would replay it
+        # and stop BEFORE data that arrived since (see session.get_spark).
+        # Set here too so vanilla (non-get_spark) sessions drain fully.
+        stream.sparkSession.conf.set(
+            "spark.sql.streaming.triggerAvailableNowWrapper.enabled", "true"
+        )
         ws = ws.trigger(availableNow=True)
     return ws.start()
 

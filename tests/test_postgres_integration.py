@@ -412,7 +412,7 @@ class TestExactlyOnceStreaming:
         ledger = "legacy_epochs"
         with pgwire.connect(**conn_params) as conn, conn.cursor() as cur:
             cur.execute(
-                """CREATE TABLE IF NOT EXISTS ev_sink3 (
+                """CREATE TABLE IF NOT EXISTS ev_sink_lgc (
                        event_id BIGINT, user_id BIGINT, event_type TEXT,
                        value DOUBLE PRECISION)"""
             )
@@ -426,11 +426,11 @@ class TestExactlyOnceStreaming:
                         PRIMARY KEY (table_name, batch_id))"""
             )
             cur.execute(
-                f"INSERT INTO {ledger} VALUES ('ev_sink3', 3, 20)"
+                f"INSERT INTO {ledger} VALUES ('ev_sink_lgc', 3, 20)"
             )
         target = TargetTable(
             schema="public",
-            name="ev_sink3",
+            name="ev_sink_lgc",
             columns=["event_id", "user_id", "event_type", "value"],
         )
         batch = (
@@ -455,11 +455,11 @@ class TestExactlyOnceStreaming:
         )
         conn = pgwire.connect(**conn_params)
         with conn, conn.cursor() as cur:
-            cur.execute("SELECT count(*) FROM ev_sink3")
+            cur.execute("SELECT count(*) FROM ev_sink_lgc")
             assert int(cur.fetchall()[0][0]) == 20  # batch 3 NOT re-published
             cur.execute(
                 f"SELECT run_id, batch_id FROM {ledger}"
-                " WHERE table_name = 'ev_sink3' ORDER BY batch_id"
+                " WHERE table_name = 'ev_sink_lgc' ORDER BY batch_id"
             )
             assert [(r[0], int(r[1])) for r in cur.fetchall()] == [
                 ("", 3),
@@ -1481,6 +1481,165 @@ class TestCdcLoopEndToEnd:
             )
             assert cur.fetchall() == [("0",)]  # no stage left behind
         conn.close()
+
+
+class TestStreamRestartResume:
+    def test_kill_and_resume_in_new_session_pg_source_cdc_apply(
+        self, spark, schema, tmp_path
+    ):
+        """Round-5 verdict #4: the untested exactly-once risk is a FULL
+        DRIVER RESTART — not an epoch retry inside one query. Kill the
+        running query with q.stop() at an arbitrary point (mid-batch or
+        between batches, whichever the race gives — any kill point must
+        be safe), then resume on the SAME checkpoint from a NEW
+        SparkSession (spark.newSession(): fresh SQL conf/state, the
+        closest one JVM gets to a new driver) while more changes landed
+        in between. Final target state must be EXACT vs a SQL replay of
+        the whole outbox — no loss, no duplication."""
+        import time as _time
+
+        from pandas_to_postgres_spark.sinks.postgres_copy import (
+            TargetTable,
+            apply_changes_to_postgres,
+        )
+        from pandas_to_postgres_spark.sources.pg_datasource import (
+            PostgresDataSource,
+        )
+
+        conn = pgwire.connect(**schema)
+        conn.autocommit = True
+        with conn.cursor() as cur:
+            cur.execute("DROP TABLE IF EXISTS rr_src")
+            cur.execute("DROP TABLE IF EXISTS rr_tgt")
+            cur.execute(
+                "CREATE TABLE rr_src (seq BIGINT, k BIGINT, v TEXT, op TEXT)"
+            )
+            cur.execute(
+                """CREATE TABLE rr_tgt (
+                       k BIGINT, v TEXT,
+                       CONSTRAINT rr_tgt_pk PRIMARY KEY (k))"""
+            )
+        conn.close()
+        target = TargetTable(schema="public", name="rr_tgt", columns=["k", "v"])
+        seq_counter = {"n": 0}
+
+        def emit(rows):
+            conn = pgwire.connect(**schema)
+            conn.autocommit = True
+            with conn.cursor() as cur:
+                for k, v, op in rows:
+                    seq_counter["n"] += 1
+                    cur.execute(
+                        "INSERT INTO rr_src VALUES (%s, %s, %s, %s)",
+                        (seq_counter["n"], k, v, op),
+                    )
+            conn.close()
+
+        def apply_batch(bdf, _bid):
+            apply_changes_to_postgres(
+                bdf, schema, target, ["k"], op_col="op", seq_col="seq"
+            )
+
+        ckpt = str(tmp_path / "rr_ckpt")
+
+        def _register(sess):
+            """Spark 4.1 quirk: DataSourceRegistration.registerPython's
+            duplicate check is context-global while RESOLUTION is
+            session-scoped, so a newSession() can neither register (
+            ALREADY_EXISTS) nor resolve (NOT_FOUND) a source the parent
+            registered. Register straight into the session's own
+            DataSourceManager."""
+            from pyspark.sql.udf import _wrap_function
+
+            try:
+                sess.dataSource.register(PostgresDataSource)
+                return
+            except Exception:
+                pass
+            sc = sess.sparkContext
+            wrapped = _wrap_function(sc, PostgresDataSource)
+            jds = getattr(
+                sc._jvm,
+                "org.apache.spark.sql.execution.datasources"
+                ".v2.python.UserDefinedPythonDataSource",
+            )(wrapped)
+            sess._jsparkSession.sessionState().dataSourceManager(
+            ).registerDataSource("pgwire", jds)
+
+        def start(sess, trigger):
+            _register(sess)
+            # full-drain semantics for availableNow over a Python source
+            # (see session.get_spark) — set explicitly because the module
+            # fixture's session may predate the default
+            sess.conf.set(
+                "spark.sql.streaming.triggerAvailableNowWrapper.enabled",
+                "true",
+            )
+            stream = (
+                sess.readStream.format("pgwire")
+                .option("host", schema["host"])
+                .option("port", str(schema["port"]))
+                .option("user", schema["user"])
+                .option("dbname", schema["dbname"])
+                .option("table", "rr_src")
+                .option("seqColumn", "seq")
+                .load()
+            )
+            return (
+                stream.writeStream.foreachBatch(apply_batch)
+                .option("checkpointLocation", ckpt)
+                .trigger(**trigger)
+                .start()
+            )
+
+        def q1(sql):
+            conn = pgwire.connect(**schema)
+            with conn, conn.cursor() as cur:
+                cur.execute(sql)
+                out = cur.fetchall()
+            conn.close()
+            return out
+
+        # wave A, then a continuously-triggered query we will KILL
+        emit([(k, f"a{k}", "I") for k in range(50)])
+        q = start(spark, {"processingTime": "200 milliseconds"})
+        deadline = _time.time() + 60
+        while _time.time() < deadline:
+            if int(q1("SELECT count(*) FROM rr_tgt")[0][0]) >= 50:
+                break
+            _time.sleep(0.2)
+        # wave B lands WHILE the query runs; kill arrives an instant later
+        emit(
+            [(k, f"b{k}", "U") for k in range(0, 25)]
+            + [(k, None, "D") for k in range(25, 30)]
+            + [(k, f"b{k}", "I") for k in range(50, 60)]
+        )
+        _time.sleep(0.3)  # let a batch be mid-flight (either side is fine)
+        q.stop()  # the "driver dies" moment
+
+        # wave C lands while nothing is running
+        emit(
+            [(k, f"c{k}", "U") for k in range(10, 15)]
+            + [(25, "c25", "I")]
+        )
+        # resume on the SAME checkpoint from a NEW session
+        sess2 = spark.newSession()
+        q2 = start(sess2, {"availableNow": True})
+        q2.awaitTermination()
+
+        got = q1("SELECT k, v FROM rr_tgt ORDER BY k")
+        want = q1(
+            """WITH latest AS (
+                   SELECT DISTINCT ON (k) k, v, op
+                   FROM rr_src ORDER BY k, seq DESC)
+               SELECT k, v FROM latest WHERE op <> 'D' ORDER BY k"""
+        )
+        assert got == want, f"{len(got)} target rows vs {len(want)} expected"
+        # no stage tables left behind by either incarnation
+        assert q1(
+            "SELECT count(*) FROM pg_tables"
+            " WHERE tablename LIKE 'rr\\_tgt\\_\\_cdc\\_%'"
+        ) == [("0",)]
 
 
 class TestHdfToPostgresE2E:
