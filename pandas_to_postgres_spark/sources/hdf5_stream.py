@@ -44,9 +44,11 @@ from typing import Iterator
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamReader,
     InputPartition,
+    WriterCommitMessage,
 )
 
 _PD_TO_SPARK = {
@@ -188,9 +190,105 @@ class Hdf5StreamReader(DataSourceStreamReader):
         pass  # nothing to clean: offsets live in Spark's checkpoint
 
 
+@dataclass
+class Hdf5WriteCommit(WriterCommitMessage):
+    """Per-task commit message: the temp file the partition staged."""
+
+    tmp: str
+    rows: int
+
+
+class Hdf5ArrowWriter(DataSourceArrowWriter):
+    """``df.write.format("hdf5")`` — the WRITE half, API-symmetric with
+    the round-5 read/stream halves. Maps Spark's writer commit protocol
+    onto the part-file directory layout (`sinks/hdf.write_hdf_dir`):
+
+    - ``write`` (per task): stage the partition's Arrow batches as ONE
+      self-contained ``.tmp-<job>-<uuid>.h5`` (dot-prefixed: invisible to
+      the ``*.h5`` globs of the batch/stream readers). The name is
+      attempt-unique, so retried/speculative attempts never collide; the
+      commit message carries it.
+    - ``commit`` (driver): on overwrite, delete existing ``part-*.h5``;
+      then RENAME each staged tmp to ``part-<job>-NNNNN.h5`` — on the
+      shared filesystem this layout assumes (same contract as parquet
+      part dirs), rename is atomic per file, which is exactly the
+      visibility contract the streaming source requires of producers.
+    - ``abort``: unlink the job's tmp files.
+
+    Residual caveat (same as any file sink without a manifest): commit
+    renames N files one by one, so a reader listing mid-commit can see a
+    prefix of the new parts; `sources/manifest.py` adds snapshot
+    isolation where that matters. No single-file concurrent writes —
+    an HDF5 file's B-trees/heaps are globally linked, so one file per
+    partition IS the scale-correct layout."""
+
+    def __init__(self, options, overwrite: bool):
+        import uuid  # noqa: PLC0415
+
+        self.path = options["path"]
+        self.key = options.get("key", "data")
+        self.chunk_rows = int(options.get("chunkrows",
+                                          options.get("chunkRows", 1000)))
+        self.complevel = int(options.get("complevel", "0"))
+        self.overwrite = overwrite
+        self.job_id = uuid.uuid4().hex[:8]
+
+    def write(self, iterator) -> Hdf5WriteCommit:
+        import uuid  # noqa: PLC0415
+
+        import pandas as pd  # noqa: PLC0415
+
+        from pandas_to_postgres_spark.sources.hdf5_writer import (  # noqa: PLC0415
+            write_frame_table,
+        )
+
+        frames = [b.to_pandas() for b in iterator]
+        frames = [f for f in frames if len(f)]
+        if not frames:
+            return Hdf5WriteCommit(tmp="", rows=0)
+        pdf = (
+            frames[0]
+            if len(frames) == 1
+            else pd.concat(frames, ignore_index=True)
+        )
+        os.makedirs(self.path, exist_ok=True)
+        tmp = f".tmp-{self.job_id}-{uuid.uuid4().hex[:12]}.h5"
+        write_frame_table(
+            os.path.join(self.path, tmp),
+            {self.key: pdf},
+            chunk_rows=self.chunk_rows,
+            complevel=self.complevel,
+        )
+        return Hdf5WriteCommit(tmp=tmp, rows=len(pdf))
+
+    def commit(self, messages) -> None:
+        if self.overwrite:
+            for old in glob.glob(os.path.join(self.path, "part-*.h5")):
+                os.unlink(old)
+        i = 0
+        for m in messages:
+            if m is None or not m.tmp:
+                continue
+            os.rename(
+                os.path.join(self.path, m.tmp),
+                os.path.join(self.path, f"part-{self.job_id}-{i:05d}.h5"),
+            )
+            i += 1
+
+    def abort(self, messages) -> None:
+        for stale in glob.glob(
+            os.path.join(self.path, f".tmp-{self.job_id}-*.h5")
+        ):
+            try:
+                os.unlink(stale)
+            except FileNotFoundError:
+                pass
+
+
 class Hdf5DataSource(DataSource):
     """``format("hdf5")`` — options: path (directory of .h5 part files),
-    key (default "data"), chunkRows (default 1,000,000)."""
+    key (default "data"), chunkRows (default 1,000,000 read / 1,000
+    write), complevel (write; default 0)."""
 
     @classmethod
     def name(cls) -> str:
@@ -234,3 +332,6 @@ class Hdf5DataSource(DataSource):
         return Hdf5StreamReader(
             path, key, chunk_rows, schema.fieldNames(), late_file_lag_s=lag_s
         )
+
+    def writer(self, schema, overwrite: bool) -> Hdf5ArrowWriter:
+        return Hdf5ArrowWriter(self.options, overwrite)

@@ -569,6 +569,86 @@ class TestHdf5DataSource:
         drain()
         assert seen == []
 
+    def test_datasource_write_roundtrip_append_overwrite(
+        self, registered, tmp_path
+    ):
+        """df.write.format('hdf5'): append adds part files atomically
+        (rename — the contract the streaming source imposes on
+        producers), overwrite replaces them; both read back exactly."""
+        spark = registered
+        d = str(tmp_path / "wland")
+
+        def mk(lo, n):
+            return spark.range(lo, lo + n).selectExpr(
+                "id", "CAST(id AS DOUBLE) / 2 AS v", "concat('s', id % 5) AS s"
+            )
+
+        mk(0, 100).repartition(3).write.format("hdf5").option(
+            "path", d
+        ).option("key", "data").mode("append").save()
+        back = (
+            spark.read.format("hdf5")
+            .option("path", d)
+            .option("key", "data")
+            .load()
+        )
+        got = back.toPandas().sort_values("id").reset_index(drop=True)
+        assert list(got["id"]) == list(range(100))
+        assert (got["v"].values == np.arange(100) / 2).all()
+        # append a second job: both jobs' parts coexist
+        mk(100, 50).repartition(2).write.format("hdf5").option(
+            "path", d
+        ).mode("append").save()
+        n2 = spark.read.format("hdf5").option("path", d).load().count()
+        assert n2 == 150
+        # overwrite replaces everything
+        mk(500, 20).write.format("hdf5").option("path", d).mode(
+            "overwrite"
+        ).save()
+        got3 = (
+            spark.read.format("hdf5").option("path", d).load().toPandas()
+        )
+        assert sorted(got3["id"]) == list(range(500, 520))
+        # no tmp litter left behind
+        import glob as _glob
+
+        assert _glob.glob(os.path.join(d, ".tmp-*")) == []
+
+    def test_datasource_write_feeds_stream_source(self, registered, tmp_path):
+        """The write path composes with the round-5 stream source: a
+        batch append lands atomically and the next availableNow drain
+        picks up exactly the delta."""
+        spark = registered
+        d = str(tmp_path / "sland")
+        ck = str(tmp_path / "sck")
+        mk = lambda lo, n: spark.range(lo, lo + n).selectExpr(  # noqa: E731
+            "id", "CAST(id AS DOUBLE) AS v", "'x' AS s"
+        )
+        mk(0, 40).repartition(2).write.format("hdf5").option("path", d).mode(
+            "append"
+        ).save()
+        seen = []
+
+        def sink(batch_df, _bid):
+            seen.extend(r.id for r in batch_df.collect())
+
+        def drain():
+            sdf = spark.readStream.format("hdf5").option("path", d).load()
+            q = (
+                sdf.writeStream.foreachBatch(sink)
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        drain()
+        assert sorted(seen) == list(range(40))
+        mk(40, 25).write.format("hdf5").option("path", d).mode("append").save()
+        seen.clear()
+        drain()
+        assert sorted(seen) == list(range(40, 65))
+
     def test_stream_offset_is_bounded(self, tmp_path):
         """ADVICE r5: the offset must NOT grow with directory lifetime.
         Files older than lateFileLag behind the newest drop out of
