@@ -34,6 +34,7 @@ from pandas_to_postgres_spark.operators.multimodal import (
     attach_fake_media,
     extract_features,
 )
+from pandas_to_postgres_spark.functions.vectors import dot_expr, l2_norm_expr
 from pandas_to_postgres_spark.operators.similarity import topk_cosine_bruteforce
 from pandas_to_postgres_spark.plans.registry import register
 from pandas_to_postgres_spark.sources.parquet import load_table
@@ -1132,6 +1133,147 @@ def quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.round("s", 6).alias("scale"),
         F.round(err, 6).alias("max_err"),
+    )
+
+
+@register(
+    "simsearch_sq8",
+    min_rows=25,
+    oracle="""
+    WITH ed AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed
+      FROM embeddings),
+    nn AS (
+      SELECT vec_id, ed,
+             sqrt((SELECT sum(ed[i] * ed[i]) FROM range(1, 65) t(i))) AS nrm
+      FROM ed),
+    en AS (SELECT vec_id, list_transform(ed, x -> x / nrm) AS en FROM nn),
+    cq AS (
+      SELECT vec_id, en,
+             list_max(list_transform(en, x -> abs(x))) AS s
+      FROM en),
+    cc AS (
+      SELECT vec_id, s,
+             list_transform(en,
+               x -> CAST(floor(x * 127.0 / s + 0.5) AS BIGINT)) AS code
+      FROM cq),
+    q AS (SELECT vec_id AS qid, en AS qn FROM en WHERE vec_id < 5),
+    approx AS (
+      SELECT q.qid, c.vec_id,
+             round((c.s / 127.0) *
+                   (SELECT sum(q.qn[i] * CAST(c.code[i] AS DOUBLE))
+                    FROM range(1, 65) t(i)), 5) AS cosine_sq
+      FROM q CROSS JOIN cc c),
+    cand AS (
+      SELECT qid, vec_id, cosine_sq,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY cosine_sq DESC, vec_id) AS crn
+      FROM approx),
+    rer AS (
+      SELECT cand.qid, cand.vec_id, cand.cosine_sq,
+             round((SELECT sum(q.qn[i] * e2.en[i])
+                    FROM range(1, 65) t(i)), 5) AS cosine
+      FROM cand
+      JOIN q ON q.qid = cand.qid
+      JOIN en e2 ON e2.vec_id = cand.vec_id
+      WHERE cand.crn <= 20)
+    SELECT qid, vec_id, cosine_sq, cosine, rnk FROM (
+      SELECT qid, vec_id, cosine_sq, cosine,
+             CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                                     ORDER BY cosine DESC, vec_id)
+                  AS BIGINT) AS rnk
+      FROM rer)
+    WHERE rnk <= 5
+    """,
+)
+def simsearch_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4: scalar-quantized (SQ8, FAISS-style) ANN with exact rerank —
+    the memory-bandwidth point between brute force (full float scan) and
+    PQ (1-byte subspace codes). Corpus vectors are L2-normalized then
+    symmetrically quantized to int8 (code = floor half-up of en*127/s,
+    per-vector scale s = max |component|) — a 4x smaller scan footprint,
+    which at 100 TB IS the cost of the first pass. Queries stay float
+    (asymmetric ADC, the accuracy-preserving convention): approx cosine
+    = (s/127) * dot(q, code). Top-20 candidates per query by ROUNDED
+    approx score (+ id tie-break, both engines identical), then an exact
+    rerank joins ONLY the candidate ids back to the normalized corpus —
+    output = exact top-5 of the candidate pool, with the approx score
+    kept alongside as the quantization-quality audit.
+
+    Scale: the approx pass scans (vec_id, s, code) only — the float
+    corpus is touched for |Q|*20 rows via an id join (broadcast the
+    candidate list); no corpus shuffle anywhere. The quantization itself
+    is `quantize_embeddings`' map-only expression. Oracle replays
+    quantization, ADC scoring, candidate cut, and rerank bit-for-bit
+    (floor half-up ties, sequential-order dot products)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    base = e.select(
+        "vec_id",
+        "embedding",
+        l2_norm_expr(F.col("embedding")).alias("nrm"),
+    )
+    en = base.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"), lambda x: x.cast("double") / F.col("nrm")
+        ).alias("en"),
+    )
+    cq = en.select(
+        "vec_id", "en", F.array_max(F.transform("en", F.abs)).alias("s")
+    )
+    # the int8 code table: what a deployment would PERSIST (4x smaller)
+    codes = cq.select(
+        "vec_id",
+        "s",
+        F.transform(
+            "en",
+            lambda x: F.floor(x * F.lit(127.0) / F.col("s") + F.lit(0.5)).cast(
+                "long"
+            ),
+        ).alias("code"),
+    )
+    q = en.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("en").alias("qn")
+    )
+    approx = (
+        F.broadcast(q)
+        .crossJoin(codes)
+        .select(
+            "qid",
+            "vec_id",
+            F.round(
+                (F.col("s") / F.lit(127.0)) * dot_expr(F.col("qn"), F.col("code")),
+                5,
+            ).alias("cosine_sq"),
+        )
+    )
+    wq = Window.partitionBy("qid").orderBy(
+        F.col("cosine_sq").desc(), F.col("vec_id").asc()
+    )
+    cand = (
+        approx.withColumn("crn", F.row_number().over(wq))
+        .filter(F.col("crn") <= 20)
+        .drop("crn")
+    )
+    # exact rerank: candidate ids only touch the float corpus here
+    rer = (
+        cand.join(q, "qid")
+        .join(en.select("vec_id", "en"), "vec_id")
+        .select(
+            "qid",
+            "vec_id",
+            "cosine_sq",
+            F.round(dot_expr(F.col("qn"), F.col("en")), 5).alias("cosine"),
+        )
+    )
+    wr = Window.partitionBy("qid").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        rer.withColumn("rnk", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rnk") <= 5)
+        .select("qid", "vec_id", "cosine_sq", "cosine", "rnk")
     )
 
 

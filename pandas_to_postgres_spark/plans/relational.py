@@ -1974,3 +1974,94 @@ def recursive_calendar_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM months LEFT JOIN agg ON date_format(months.m, 'yyyy-MM') = agg.month
         """
     )
+
+
+@register(
+    "bucketed_colocated_join",
+    min_rows=5,
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 at warehouse scale: the SHUFFLE-FREE form of the fact×fact
+    equi-join. Both sides are written as BUCKETED managed tables (8
+    buckets, hashed and sorted on the join key, one file per bucket —
+    Spark-native bucketing, no Hive metastore needed); the SortMergeJoin
+    between co-bucketed tables needs NO Exchange on either side: each
+    task reads bucket i of orders and bucket i of lineitem straight off
+    disk. A per-bucket LOCAL Sort remains below the join (Spark 3+ does
+    not propagate bucket sort order to the scan unless the legacy
+    `bucketedTableScan.outputOrdering` conf is set) — that sort is
+    CPU-local and spill-safe over one bucket, not a network move.
+    `tests/test_plans.py` asserts zero Exchange below the join and that
+    both scans are `Bucketed: true`.
+
+    This is THE pre-paid-join pattern for 100 TB: a fact table that will
+    be joined on the same key repeatedly (orders×lineitem every night)
+    amortizes ONE bucketed write into shuffle-free joins forever after —
+    on a 1000-executor cluster the nightly join moves zero bytes over
+    the network instead of re-exchanging 100 TB per run. (The post-join
+    groupBy on o_orderpriority still shuffles — a few hundred tiny
+    aggregate rows, not the fact tables.) Re-derives the reference's
+    'load once, query forever' table contract on Spark's layout layer.
+
+    The write here is part of the query only so the driver exercises the
+    full path at every tier; a deployment writes the buckets once. Table
+    names are tier-tagged so sf0.001/sf0.01 runs never collide;
+    mode('overwrite') keeps reruns idempotent."""
+    import hashlib
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:6]
+    ot, lt = f"bkt_orders_{tag}", f"bkt_lineitem_{tag}"
+    # self-heal: a previous PROCESS's in-memory catalog is gone but its
+    # warehouse directories persist — "overwrite" would then die with
+    # LOCATION_ALREADY_EXISTS on the create path. Drop both layers.
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for name in (ot, lt):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        leftover = os.path.join(wh, name)
+        if wh and os.path.isdir(leftover):
+            shutil.rmtree(leftover, ignore_errors=True)
+    # repartition on the bucket key first: ONE file per bucket, which is
+    # what lets the scan TRUST the sortBy order — multi-file buckets
+    # force a (local) re-Sort below the join
+    (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority")
+        .repartition(8, F.col("o_orderkey"))
+        .write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .saveAsTable(ot)
+    )
+    (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey")
+        .repartition(8, F.col("l_orderkey"))
+        .write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .saveAsTable(lt)
+    )
+    o = spark.table(ot)
+    li = spark.table(lt)
+    # MERGE hint: at test tiers the orders side fits a broadcast, which
+    # would bypass bucketing entirely — but the pattern being exercised
+    # is the 100 TB fact×fact case where NEITHER side broadcasts. With
+    # both sides co-bucketed and co-sorted, SortMergeJoin needs no
+    # Exchange and no Sort (plan-asserted in tests/test_plans.py).
+    j = o.hint("merge").join(li, o.o_orderkey == li.l_orderkey)
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.countDistinct("o_orderkey").cast("bigint").alias("n_orders"),
+    )

@@ -52,6 +52,24 @@ class TestJoinStrategies:
     def test_topk_is_take_ordered(self, spark):
         assert "TakeOrderedAndProject" in plan_of(spark, "topk_lineitems")
 
+    def test_bucketed_join_has_no_exchange_below_join(self, spark):
+        """bucketed_colocated_join: co-bucketed SortMergeJoin must read
+        both fact tables straight off disk — zero Exchange anywhere below
+        the join (the only shuffle in the whole plan is the tiny post-join
+        groupBy), both scans bucketed. This is the pre-paid-join contract;
+        a silent de-bucketing (e.g. a bucket-count mismatch after an edit)
+        would re-exchange the fact tables and MUST fail here."""
+        df = REGISTRY["bucketed_colocated_join"].fn(spark, SF_SMOKE)
+        df.collect()  # AQE: materialize so the final plan is decided
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("Initial Plan")[0]
+        assert "SortMergeJoin" in final
+        assert final.count("Bucketed: true") >= 2
+        # exactly one exchange: the post-join aggregate's — none below the join
+        join_subtree = final[final.index("SortMergeJoin"):]
+        assert "Exchange" not in join_subtree
+        assert shuffles(final) == 1
+
     def test_q10_topk_is_take_ordered(self, spark):
         assert "TakeOrderedAndProject" in plan_of(spark, "q10_returned_items")
 
