@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from pandas_to_postgres_spark.functions.agg import davg, davg_sql, dsum, dsum_sql
 from pandas_to_postgres_spark.operators.joins import asof_join, range_join
+from pandas_to_postgres_spark.operators.skew import salt_join, salted_agg
 from pandas_to_postgres_spark.plans.registry import register
 from pandas_to_postgres_spark.sources.parquet import load_table
 
@@ -2064,4 +2065,108 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_lines"),
         F.countDistinct("o_orderkey").cast("bigint").alias("n_orders"),
+    )
+
+
+@register(
+    "salted_skew_agg",
+    min_rows=3,
+    oracle="""
+    SELECT l_returnflag,
+           sum(l_quantity) AS sum_qty,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           min(l_extendedprice) AS min_price,
+           max(l_extendedprice) AS max_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 under key skew: the two-phase SALTED aggregation
+    (`operators/skew.salted_agg`) driven end-to-end. Grouping the whole
+    fact by `l_returnflag` is the canonical skewed-agg shape — 3 keys
+    over every lineitem row, so a naive groupBy funnels ~N/3 rows into
+    each of 3 reducers no matter how many executors exist. Salting
+    spreads each hot key over 16 deterministic buckets (salt =
+    xxhash64 of the row's stable identity cols — content-stable across
+    task retries, never rand()): phase 1 reduces (key, salt) with full
+    map-side combine, phase 2 merges the <=16 partial rows per key.
+    At 100 TB the hot key's reduce cost drops 16x while phase 2 merges
+    48 rows total. AQE cannot rescue a skewed AGGREGATION (its skew
+    handling is join-only) — this operator is the cover for that gap.
+
+    Aggregates chosen to be merge-order-exact in BOTH engines: sums of
+    integer-valued doubles (l_quantity), a count, and min/max — so the
+    salted two-phase result is bit-identical to the plain GROUP BY
+    oracle regardless of partial ordering (fractional double sums
+    would need functions/agg.dsum's decimal accumulation instead)."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = salted_agg(
+        li,
+        keys=["l_returnflag"],
+        aggs={
+            "sum_qty": ("l_quantity", "sum"),
+            "n_lines": ("l_quantity", "count"),
+            "min_price": ("l_extendedprice", "min"),
+            "max_price": ("l_extendedprice", "max"),
+        },
+        salt_cols=["l_orderkey", "l_linenumber"],
+        buckets=16,
+    )
+    return out.withColumn("n_lines", F.col("n_lines").cast("bigint"))
+
+
+@register(
+    "salted_skew_join",
+    min_rows=12,
+    oracle="""
+    SELECT strftime(o.o_orderdate, '%Y-%m') AS order_month,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           sum(l.l_quantity) AS sum_qty
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY strftime(o.o_orderdate, '%Y-%m')
+    """,
+)
+def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 under key skew when the small side CANNOT broadcast: the
+    salted replicate-join (`operators/skew.salt_join`) end-to-end. The
+    big side (lineitem) gets a deterministic content-hash salt in
+    [0,16); the small side (urgent orders) is replicated once per salt
+    value via one explode — 16x a side that is still orders of
+    magnitude below the fact — and the join key becomes (orderkey,
+    salt), so a hot orderkey's lineitem rows land on 16 reducers
+    instead of one. This is the mitigation tier between broadcast
+    (small side fits memory) and AQE skew-split (kicks in only at
+    sort-merge time on observed partition sizes; a salted plan is
+    deterministic and works for any join the optimizer picks).
+
+    The filter on o_orderpriority is pushed to the orders scan BEFORE
+    replication, so the 16x cost applies to the pruned side only.
+    Post-join rollup to order months keeps driver output
+    timeline-bounded (~80 rows). Oracle = the unsalted join: salting
+    is semantics-preserving by construction."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    urgent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("ok"), "o_orderdate")
+    )
+    joined = salt_join(
+        li,
+        urgent,
+        big_key="l_orderkey",
+        small_key="ok",
+        salt_cols=["l_orderkey", "l_linenumber"],
+        buckets=16,
+    )
+    return (
+        joined.groupBy(
+            F.date_format("o_orderdate", "yyyy-MM").alias("order_month")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum("l_quantity").alias("sum_qty"),
+        )
     )
