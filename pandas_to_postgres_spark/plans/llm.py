@@ -2042,3 +2042,189 @@ def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("shared_spans"))
         .orderBy("source_a", "source_b")
     )
+
+
+def _bpe_iteration_sql(i: int) -> str:
+    """One unrolled BPE merge iteration as DuckDB CTE blocks (see
+    bpe_learn_merges). Input CTE ``syms{i-1}``; defines ``best{i}`` (the
+    argmax pair) and ``syms{i}`` (the symbol table after merging it)."""
+    p = i - 1
+    return f"""
+    pairs{i} AS (
+      SELECT sym AS l, nxt AS r, CAST(sum(freq) AS BIGINT) AS cnt
+      FROM (SELECT sym, freq,
+                   lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+            FROM syms{p})
+      WHERE nxt IS NOT NULL GROUP BY sym, nxt),
+    best{i} AS (SELECT l, r, cnt FROM pairs{i}
+                ORDER BY cnt DESC, l, r LIMIT 1),
+    m{i} AS (
+      SELECT word, freq, pos, sym, l, r, coalesce(m, FALSE) AS m FROM (
+        SELECT s.word, s.freq, s.pos, s.sym, b.l, b.r,
+               (s.sym = b.l AND
+                lead(s.sym) OVER (PARTITION BY s.word ORDER BY s.pos) = b.r
+               ) AS m
+        FROM syms{p} s CROSS JOIN best{i} b)),
+    g{i} AS (
+      SELECT *, CASE WHEN m THEN pos -
+               row_number() OVER (PARTITION BY word, m ORDER BY pos) END AS grp
+      FROM m{i}),
+    mh{i} AS (
+      SELECT *, m AND ((row_number() OVER
+               (PARTITION BY word, m, grp ORDER BY pos) - 1) % 2 = 0) AS mh
+      FROM g{i}),
+    k{i} AS (
+      SELECT word, freq, pos,
+             CASE WHEN mh THEN l || r ELSE sym END AS sym,
+             coalesce(lag(mh) OVER (PARTITION BY word ORDER BY pos),
+                      FALSE) AS consumed
+      FROM mh{i}),
+    syms{i} AS (
+      SELECT word, freq,
+             row_number() OVER (PARTITION BY word ORDER BY pos) AS pos, sym
+      FROM k{i} WHERE NOT consumed)"""
+
+
+def _bpe_oracle_sql(n_iter: int) -> str:
+    blocks = ",\n".join(_bpe_iteration_sql(i) for i in range(1, n_iter + 1))
+    union = "\n      UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS iteration, l AS left_sym,"
+        f" r AS right_sym, cnt AS pair_freq FROM best{i}"
+        for i in range(1, n_iter + 1)
+    )
+    return f"""
+    WITH words AS (
+      SELECT t AS word, CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest({_RAW_TOKS_SQL}) AS t FROM documents)
+      WHERE regexp_matches(t, '^[a-z]+$')
+      GROUP BY t),
+    syms0 AS (
+      SELECT word, freq, pos,
+             CASE WHEN pos <= length(word) THEN substr(word, pos, 1)
+                  ELSE '</w>' END AS sym
+      FROM (SELECT word, freq,
+                   unnest(range(1, length(word) + 2)) AS pos
+            FROM words)),
+    {blocks}
+    SELECT iteration, left_sym, right_sym, pair_freq FROM ({union})
+    """
+
+
+@register("bpe_learn_merges", min_rows=4, oracle=_bpe_oracle_sql(4))
+def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer TRAINING core: learn the first 4 byte-pair-encoding
+    merges (Sennrich et al. 2016) over the corpus, greedily — the
+    iterative argmax-and-merge loop every BPE/WordPiece vocabulary
+    build runs. The 100 TB shape: ONE corpus pass folds documents into
+    the (word, freq) vocabulary (map-side-combined groupBy; vocabulary
+    is sublinear in corpus size), and every merge iteration thereafter
+    runs on the vocab-bounded symbol table — corpus text is never
+    touched or shuffled again, which is why real tokenizer trainers
+    run on word-count tables, not raw text.
+
+    Each iteration is fully relational: adjacent pairs via lead() over
+    per-word dense positions, freq-weighted pair counts (pair counting
+    is non-greedy: 'aaa' contributes 2 to (a,a) — the Sennrich
+    convention), argmax by (count DESC, left, right) as a 1-row
+    TakeOrdered frame CROSS-JOINED into the merge step (the kmeans
+    no-literals pattern — per-iteration parameters ride as DATA, so no
+    per-iteration Janino recompile and zero driver collects). The
+    merge itself applies greedy LEFT-TO-RIGHT non-overlap semantics
+    relationally: consecutive matched positions form gaps-and-islands
+    runs (only possible when left==right) and only even offsets within
+    a run merge; consumed right-halves drop via lag(); positions
+    re-densify per iteration. The symbol table is localCheckpoint'd
+    each round — it is vocab-sized, and un-materialized lineage would
+    re-run every prior iteration per window reference. Words carry an
+    explicit '</w>' end marker so merges can learn suffixes.
+
+    Oracle: the SAME four iterations unrolled as DuckDB CTEs (windowed
+    lead/lag/row_number replay, identical tie-breaks). Output: one row
+    per learned merge (iteration, left_sym, right_sym, pair_freq)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(tokens_expr(F.lower(F.col("text")))).alias("t"))
+        .filter(F.col("t").rlike("^[a-z]+$"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .select(F.col("t").alias("word"), "freq")
+    )
+    syms = words.select(
+        "word",
+        "freq",
+        F.explode(F.sequence(F.lit(1), F.length("word") + 1)).alias("pos"),
+    ).withColumn(
+        "sym",
+        F.expr(
+            "CASE WHEN pos <= length(word)"
+            " THEN substr(word, pos, 1) ELSE '</w>' END"
+        ),
+    ).select("word", "freq", "pos", "sym").localCheckpoint()
+
+    w = Window.partitionBy("word").orderBy("pos")
+    outs = []
+    for i in range(1, 5):
+        pairs = (
+            syms.withColumn("nxt", F.lead("sym").over(w))
+            .filter(F.col("nxt").isNotNull())
+            .groupBy("sym", "nxt")
+            .agg(F.sum("freq").cast("long").alias("cnt"))
+        )
+        best = (
+            pairs.orderBy(F.col("cnt").desc(), "sym", "nxt")
+            .limit(1)
+            .select(
+                F.col("sym").alias("l"), F.col("nxt").alias("r"), "cnt"
+            )
+            .localCheckpoint()
+        )
+        outs.append(
+            best.select(
+                F.lit(i).cast("long").alias("iteration"),
+                F.col("l").alias("left_sym"),
+                F.col("r").alias("right_sym"),
+                F.col("cnt").alias("pair_freq"),
+            )
+        )
+        wm = Window.partitionBy("word", "m").orderBy("pos")
+        s2 = (
+            syms.crossJoin(F.broadcast(best))
+            .withColumn("nxt", F.lead("sym").over(w))
+            .withColumn(
+                "m",
+                F.coalesce(
+                    (F.col("sym") == F.col("l"))
+                    & (F.col("nxt") == F.col("r")),
+                    F.lit(False),
+                ),
+            )
+        )
+        s3 = s2.withColumn(
+            "grp",
+            F.when(F.col("m"), F.col("pos") - F.row_number().over(wm)),
+        )
+        wg = Window.partitionBy("word", "m", "grp").orderBy("pos")
+        s4 = s3.withColumn(
+            "mh",
+            F.col("m") & (((F.row_number().over(wg) - 1) % 2) == 0),
+        )
+        s5 = s4.withColumn(
+            "sym2",
+            F.when(F.col("mh"), F.concat("l", "r")).otherwise(F.col("sym")),
+        ).withColumn(
+            "consumed", F.coalesce(F.lag("mh").over(w), F.lit(False))
+        )
+        syms = (
+            s5.filter(~F.col("consumed"))
+            .select(
+                "word",
+                "freq",
+                F.row_number().over(w).alias("pos"),
+                F.col("sym2").alias("sym"),
+            )
+            .localCheckpoint()
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out
