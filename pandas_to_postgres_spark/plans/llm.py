@@ -2141,6 +2141,16 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle: the SAME four iterations unrolled as DuckDB CTEs (windowed
     lead/lag/row_number replay, identical tie-breaks). Output: one row
     per learned merge (iteration, left_sym, right_sym, pair_freq)."""
+    merges, _ = _bpe_train(spark, sf_dir, n_iter=4)
+    return merges
+
+
+def _bpe_train(spark: SparkSession, sf_dir: str, n_iter: int):
+    """Shared BPE training core (see bpe_learn_merges for the design).
+    Returns ``(merges_df, final_syms_df)`` — the learned merge table and
+    the symbol table AFTER all merges (i.e. the corpus vocabulary
+    encoded with the learned merges, which is what bpe_encode_stats
+    aggregates)."""
     docs = load_table(spark, sf_dir, "documents")
     words = (
         docs.select(F.explode(tokens_expr(F.lower(F.col("text")))).alias("t"))
@@ -2163,7 +2173,7 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     w = Window.partitionBy("word").orderBy("pos")
     outs = []
-    for i in range(1, 5):
+    for i in range(1, n_iter + 1):
         pairs = (
             syms.withColumn("nxt", F.lead("sym").over(w))
             .filter(F.col("nxt").isNotNull())
@@ -2227,4 +2237,56 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = outs[0]
     for o in outs[1:]:
         out = out.unionAll(o)
-    return out
+    return out, syms
+
+
+_BPE_ENCODE_ORACLE = f"""
+    WITH words AS (
+      SELECT t AS word, CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest({_RAW_TOKS_SQL}) AS t FROM documents)
+      WHERE regexp_matches(t, '^[a-z]+$')
+      GROUP BY t),
+    syms0 AS (
+      SELECT word, freq, pos,
+             CASE WHEN pos <= length(word) THEN substr(word, pos, 1)
+                  ELSE '</w>' END AS sym
+      FROM (SELECT word, freq,
+                   unnest(range(1, length(word) + 2)) AS pos
+            FROM words)),
+    {{blocks}}
+    SELECT sym, CAST(sum(freq) AS BIGINT) AS corpus_freq,
+           CAST(count(DISTINCT word) AS BIGINT) AS n_words
+    FROM syms{{n}} GROUP BY sym
+    ORDER BY corpus_freq DESC, sym LIMIT 20
+    """.format(
+    blocks=",\n".join(_bpe_iteration_sql(i) for i in range(1, 5)),
+    n=4,
+)
+
+
+@register("bpe_encode_stats", min_rows=20, oracle=_BPE_ENCODE_ORACLE)
+def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION: encode the corpus with the 4 learned BPE
+    merges and report the top-20 vocabulary symbols by corpus token
+    frequency — the compression/coverage readout a tokenizer build ends
+    with (which merged units actually dominate the encoded stream).
+
+    Zero extra passes beyond training: after bpe_learn_merges' final
+    iteration the symbol table IS the encoded corpus vocabulary (every
+    word rewritten into post-merge symbols, still carrying its corpus
+    freq), so encoding is a freq-weighted aggregate over that
+    vocab-bounded frame — corpus text is touched exactly once, in the
+    word-count fold. Output: (sym, corpus_freq, n_words) — total
+    encoded-token occurrences and how many distinct words emit the
+    symbol. Oracle: the same 4 unrolled CTE iterations, aggregating
+    syms4 (identical binary-collation tie-breaks at the top-20 cut)."""
+    _, syms = _bpe_train(spark, sf_dir, n_iter=4)
+    return (
+        syms.groupBy("sym")
+        .agg(
+            F.sum("freq").cast("long").alias("corpus_freq"),
+            F.countDistinct("word").cast("long").alias("n_words"),
+        )
+        .orderBy(F.col("corpus_freq").desc(), "sym")
+        .limit(20)
+    )
