@@ -2466,3 +2466,115 @@ def centroid_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV count(1) AS BIGINT)"
         ).alias("acc_bp"),
     )
+
+
+_TEMPERATURE_MIX_ORACLE = f"""
+    WITH per_src AS (
+      SELECT source,
+             CAST(sum(len({_RAW_TOKS_SQL})) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source),
+    s AS (
+      SELECT source, n_tokens,
+             CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000)
+                  AS BIGINT) AS sv
+      FROM per_src),
+    z AS (SELECT CAST(sum(sv) AS BIGINT) AS z FROM s),
+    q AS (
+      SELECT source, n_tokens,
+             (sv * 1000000) // z AS weight_ppm,
+             (100000 * sv) // z AS quota,
+             (100000 * sv) % z AS rem
+      FROM s, z),
+    r AS (
+      SELECT *,
+             row_number() OVER (ORDER BY rem DESC, source) AS rk,
+             100000 - sum(quota) OVER () AS deficit
+      FROM q)
+    SELECT source, n_tokens, weight_ppm,
+           quota + CASE WHEN rk <= deficit THEN 1 ELSE 0 END AS alloc
+    FROM r
+    """
+
+
+@register(
+    "temperature_mix_weights", min_rows=20, oracle=_TEMPERATURE_MIX_ORACLE
+)
+def temperature_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining mixture math: temperature-smoothed multinomial source
+    sampling weights (the mT5/XLM-R alpha-smoothing step, Xue et al.
+    2021: p_i proportional to n_i^alpha upweights low-resource sources)
+    plus an exact Hamilton largest-remainder allocation of a
+    100k-sample budget across sources. alpha = 0.5 on purpose: sqrt is
+    the one power IEEE-754 requires to be CORRECTLY ROUNDED, so
+    floor(sqrt(n)*1e6) is bit-identical across engines (pow(n, 0.3)
+    would diverge on libm ulps); everything after that one sqrt is
+    integer arithmetic — ppm weights and quotas via positive-operand
+    floor division (Spark DIV == DuckDB //), remainders exact. Safe to
+    ~8.5e15 tokens per source before the 64-bit products overflow —
+    three orders of magnitude past a 100 TB corpus.
+
+    Scale shape: ONE map-only pass computes per-doc token counts
+    (size(), no explode) and folds them to the source-bounded frame;
+    the normalizer is a broadcast 1-row sum; the Hamilton rank avoids a
+    global window by packing the source-bounded frame into ONE sorted
+    array (sort_array on (-rem, source) structs) and posexploding —
+    rank = position, no Exchange SinglePartition. Output: (source,
+    n_tokens, weight_ppm, alloc); sum(alloc) == 100000 by construction.
+
+    Oracle: identical sqrt + integer pipeline in DuckDB (its window
+    form is safe there — the oracle is single-node by definition)."""
+    d = load_table(spark, sf_dir, "documents")
+    per_src = (
+        d.select(
+            "source",
+            F.size(tokens_expr(F.lower(F.col("text"))))
+            .cast("long")
+            .alias("tok"),
+        )
+        .groupBy("source")
+        .agg(F.sum("tok").alias("n_tokens"))
+    )
+    s = per_src.withColumn(
+        "sv",
+        F.floor(F.sqrt(F.col("n_tokens").cast("double")) * 1000000).cast(
+            "long"
+        ),
+    )
+    z1 = s.agg(F.sum("sv").alias("z"))
+    j = s.crossJoin(F.broadcast(z1)).select(
+        "source",
+        "n_tokens",
+        F.expr("(sv * 1000000) DIV z").alias("weight_ppm"),
+        F.expr("(100000 * sv) DIV z").alias("quota"),
+        F.expr("(100000 * sv) % z").alias("rem"),
+    )
+    packed = j.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    (-F.col("rem")).alias("nr"),
+                    F.col("source").alias("src"),
+                    F.col("n_tokens").alias("nt"),
+                    F.col("weight_ppm").alias("wp"),
+                    F.col("quota").alias("q"),
+                )
+            )
+        ).alias("arr"),
+        F.sum("quota").alias("qsum"),
+    )
+    ex = packed.select(
+        F.posexplode("arr").alias("pos", "r"), F.col("qsum")
+    )
+    return ex.select(
+        F.col("r.src").alias("source"),
+        F.col("r.nt").alias("n_tokens"),
+        F.col("r.wp").alias("weight_ppm"),
+        (
+            F.col("r.q")
+            + F.when(
+                F.col("pos") < F.lit(100000) - F.col("qsum"), F.lit(1)
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("alloc"),
+    )
