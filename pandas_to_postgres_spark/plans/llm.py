@@ -2159,6 +2159,16 @@ def _bpe_train(spark: SparkSession, sf_dir: str, n_iter: int):
         .agg(F.count(F.lit(1)).cast("long").alias("freq"))
         .select(F.col("t").alias("word"), "freq")
     )
+    return _bpe_merge_loop(words, n_iter)
+
+
+def _bpe_merge_loop(words: DataFrame, n_iter: int):
+    """Run ``n_iter`` greedy BPE merge iterations over a ``(word,
+    freq)`` vocabulary frame. Returns ``(merges_df, final_syms_df)``.
+    Exposed separately so unit tests can pin the merge semantics on a
+    hand-computed vocabulary (the DuckDB oracle replays the SAME
+    relational logic, so only an independent hand computation can catch
+    a shared semantics bug)."""
     syms = words.select(
         "word",
         "freq",

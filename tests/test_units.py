@@ -315,3 +315,63 @@ class TestResyncAndFrameSampling:
         assert list(sample_indices(7)) == [0, 2, 4, 6]
         assert list(sample_indices(8)) == [0, 2, 4, 6]
         assert list(sample_indices(100)) == [0, 25, 50, 75]
+
+
+class TestBpeMergeSemantics:
+    """Hand-computed golden vocabulary for the BPE merge loop.
+
+    The registered queries' DuckDB oracles replay the SAME relational
+    merge logic, so an oracle match cannot catch a semantics bug shared
+    by both sides. This pins the Sennrich conventions independently:
+    non-greedy pair COUNTING ('aaaa' contributes 3 to (a,a)), greedy
+    LEFT-TO-RIGHT non-overlapping MERGING ('aaaa' -> aa|aa, 'aaa' ->
+    aa|a), (count DESC, left, right) binary-collation tie-breaks, and
+    merged symbols feeding later iterations."""
+
+    def test_hand_computed_merges_and_final_syms(self, spark):
+        from pyspark.sql import functions as F
+
+        from pandas_to_postgres_spark.plans.llm import _bpe_merge_loop
+
+        words = spark.createDataFrame(
+            [("aaaa", 3), ("ab", 5)], "word string, freq long"
+        )
+        merges, syms = _bpe_merge_loop(words, n_iter=4)
+        got = [
+            tuple(r)
+            for r in merges.orderBy("iteration")
+            .select("iteration", "left_sym", "right_sym", "pair_freq")
+            .collect()
+        ]
+        # iter 1: (a,a) = 3 occurrences/word * freq 3 = 9 (non-greedy
+        #         count) beats (a,b)=5 and (b,</w>)=5
+        # iter 2: 'aaaa' is now aa|aa|</w> so (aa,aa)=3; the cnt-5 tie
+        #         (a,b) vs (b,</w>) breaks on left: 'a' < 'b'
+        # iter 3: 'ab' is now ab|</w>; (ab,</w>)=5 is the max
+        # iter 4: cnt-3 tie (aa,aa) vs (aa,</w>) breaks on right:
+        #         '</w>' < 'aa' in binary collation ('<' = 0x3C < 'a')
+        assert got == [
+            (1, "a", "a", 9),
+            (2, "a", "b", 5),
+            (3, "ab", "</w>", 5),
+            (4, "aa", "</w>", 3),
+        ]
+        final = {
+            r["word"]: r["toks"]
+            for r in syms.groupBy("word")
+            .agg(F.sort_array(F.collect_list(F.struct("pos", "sym"))).alias("s"))
+            .select("word", F.col("s.sym").alias("toks"))
+            .collect()
+        }
+        assert final == {"aaaa": ["aa", "aa</w>"], "ab": ["ab</w>"]}
+
+    def test_odd_run_merges_left_to_right(self, spark):
+        from pandas_to_postgres_spark.plans.llm import _bpe_merge_loop
+
+        words = spark.createDataFrame([("aaa", 1)], "word string, freq long")
+        _, syms = _bpe_merge_loop(words, n_iter=1)
+        toks = [
+            r["sym"] for r in syms.orderBy("pos").collect()
+        ]
+        # greedy left-to-right: aa|a|</w>, never a|aa|</w>
+        assert toks == ["aa", "a", "</w>"]
