@@ -337,6 +337,7 @@ def ngram_jaccard_prefix(
     n: int = 1,
     max_token_df: Optional[int] = None,
     with_sizes: bool = False,
+    intern_tokens: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity self-join via **prefix filtering**
     (the MapReduce set-similarity join of Vernica/Carey/Li, SIGMOD 2010;
@@ -371,7 +372,33 @@ def ngram_jaccard_prefix(
     instead of re-deriving it from the 4-dp-rounded double — the rounded
     double can drift up to ~50 micro from the exact ratio, flipping pairs
     whose true Jaccard sits within 5e-5 of a threshold.
+
+    **Token interning (``intern_tokens=True``)**: shingles are replaced by
+    their xxhash64 BEFORE anything shuffles, guarded by one vocabulary-wide
+    collision check (``count_distinct(shingle) == count_distinct(hash)`` —
+    a map-side-combined pass; on ANY collision the operator silently falls
+    back to string shingles, so the result is EXACT either way, never
+    probabilistically wrong). Document frequency, prefix ranks, the
+    candidate join, and the verify's array_intersect then all run on
+    array<long> instead of array<string>: smaller shuffles, 64-bit compares
+    instead of string hashing in the per-pair intersect. The prefix ORDER
+    tiebreak becomes (df, hash) instead of (df, shingle); recall is 100%
+    under ANY consistent total order, so the verified output is identical.
+
+    **Parallelism pinning**: both checkpointed frames are repartitioned to
+    ``defaultParallelism`` BEFORE the checkpoint. A localCheckpoint freezes
+    the physical split count of whatever it materializes, and AQE coalesces
+    the small upstream exchanges (the whole prefix frame is ~1 MB) down to
+    1-2 partitions — it cannot see that the self-join FANS OUT ~7000x
+    below. Measured at sf0.1 (11.7M-pair output): 54s warm with the stage
+    on 2 cores, 25s warm 32-wide — and the two remaining heavy stages are
+    the irreducible fan-out work (join+partial-distinct ~300s CPU, verify
+    intersects ~250s CPU, both now spread across the pool).
+    Repartitioning ABOVE the checkpoint instead does nothing: AQE
+    coalesces that new exchange too. At 100 TB inputs already carry
+    thousands of splits and the guard is a no-op.
     """
+    width = df.sparkSession.sparkContext.defaultParallelism
     sh = shingles_expr(text_col, n)
     # materialized once (lazy localCheckpoint): the tokenized table feeds
     # candidate generation (via explode), BOTH sides of the prefix
@@ -384,8 +411,25 @@ def ngram_jaccard_prefix(
     # frame is garbage-collected — .cache() entries are pinned by the
     # CacheManager forever, a slow leak in a long-lived session running
     # many queries; eager=False keeps the compute inside the first action.
+    # (repartition the RAW rows, so the shingle/hash projection itself
+    # runs at full width instead of on the scan's 1-2 splits)
+    base = ensure_parallelism(
+        df.select(F.col(id_col).alias("__id"), F.col(text_col)), width
+    ).select("__id", sh.alias("__tks"))
+    interned = False
+    if intern_tokens:
+        chk = base.select(F.explode("__tks").alias("__t")).agg(
+            F.countDistinct("__t").alias("n_tok"),
+            F.countDistinct(F.xxhash64("__t")).alias("n_hash"),
+        ).first()
+        interned = chk["n_tok"] == chk["n_hash"]
+    arr = (
+        F.transform("__tks", lambda t: F.xxhash64(t))
+        if interned
+        else F.col("__tks")
+    )
     toks = (
-        df.select(F.col(id_col).alias("__id"), sh.alias("__tk"))
+        base.select("__id", arr.alias("__tk"))
         .withColumn("__sz", F.size("__tk"))
         .localCheckpoint(eager=False)
     )
@@ -399,10 +443,13 @@ def ngram_jaccard_prefix(
     )
     prefix_len = F.col("__sz") - F.ceil(F.lit(threshold) * F.col("__sz")) + 1
     # materialized: consumed by both sides of the candidate self-join
-    # (same lazy-localCheckpoint discipline as toks above)
+    # (same lazy-localCheckpoint discipline as toks above); repartition
+    # BELOW the checkpoint pins the split count the fan-out stage runs at
+    # (see the parallelism-pinning note in the docstring)
     pref = (
         ranked.filter(F.col("__rn") <= prefix_len)
         .select("__id", "__t")
+        .repartition(width)
         .localCheckpoint(eager=False)
     )
     cand = (
