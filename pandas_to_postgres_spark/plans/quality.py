@@ -2566,7 +2566,12 @@ def winnow_copy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cross-engine: md5 dialect hashes, integer mins, integer counts —
     zero FP anywhere.
     """
-    d = load_table(spark, sf_dir, "documents")
+    # the md5 k-gram fold is CPU-bound per row and the documents parquet
+    # arrives as ONE split at sf0.1 — without the repartition the hash
+    # stage runs single-task (measured 4.0s of a 5.6s wall on one core)
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     h = (
         d.select("doc_id", tokens_expr(F.lower(F.col("text"))).alias("__toks"))
         .filter(F.size("__toks") >= _WIN_K)
@@ -2590,7 +2595,13 @@ def winnow_copy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         # three downstream references (both self-join sides + the
         # ubiquity cap) would otherwise each recompute the tokenize/
-        # hash/winnow pipeline — the (id, fp) frame is tiny vs the text
+        # hash/winnow pipeline — the (id, fp) frame is tiny vs the text.
+        # repartition BELOW the checkpoint: localCheckpoint freezes the
+        # split count, AQE coalesces this small distinct to 1 partition,
+        # and the fp self-join's fan-out would then run single-task (the
+        # ngram_jaccard_prefix checkpoint-width trap, SCALE.md round 6 —
+        # measured 4.3s of the query's 6.1s wall on one core here)
+        .repartition(spark.sparkContext.defaultParallelism)
         .localCheckpoint(eager=False)
     )
     kept = fps.groupBy("fp").count().filter(F.col("count") <= _WIN_CAP).select("fp")
