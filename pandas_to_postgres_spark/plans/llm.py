@@ -1552,7 +1552,13 @@ def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     every executor; training-side grams are generated per row (explode,
     map-side) and probe the broadcast — the only shuffle is the final
     per-doc count. The corpus is scanned once; no corpus self-join."""
-    d = load_table(spark, sf_dir, "documents")
+    # repartition first: the gram explode + broadcast probe is CPU-bound
+    # and the one-split scan ran it single-task (3.5s of a 4.0s wall on
+    # one core at sf0.1); at 100 TB the scan carries enough splits that
+    # this is a cheap no-op-sized shuffle of the text
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     grams = F.array_distinct(_raw_grams_expr("text", 3))
     g = d.select("doc_id", F.explode(grams).alias("g"))
     bench = g.filter(F.col("doc_id") % 97 == 0).select("g").distinct()

@@ -670,7 +670,10 @@ def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: synthesis and decode are both map-only mapInPandas stages —
     payloads are created and consumed inside the same partition, never
-    shuffled; only the 5-double feature rows move.
+    shuffled; only the 5-double feature rows move. The input is
+    repartitioned first (the thumbnail-pipeline rule): Python-CPU-bound
+    codec work on a one-split scan ran single-task (4.7s of a 5.0s wall
+    on one core at sf0.1).
     """
     from typing import Iterator
 
@@ -688,7 +691,11 @@ def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         extract_features_real,
     )
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     payload_schema = T.StructType(
         [
@@ -1937,10 +1944,17 @@ def knn_label_disagreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     bexpr = hyperplane_lsh_bucket_expr("embedding", num_planes=4, dim=64)
     # materialize: the bucket expression is an interpreted 4x64 HOF fold;
     # without the checkpoint, projection collapse inlines it into the q
-    # side, the capped side, AND the cap window — the simhash lesson
-    buck = e.select(
-        "vec_id", "label", "embedding", bexpr.alias("b")
-    ).localCheckpoint(eager=False)
+    # side, the capped side, AND the cap window — the simhash lesson.
+    # repartition BELOW the checkpoint: the one-split embeddings scan
+    # would otherwise freeze the checkpoint at width 1 and run the fold,
+    # the cap window, and the bucket pair join single-task (3.9s of a
+    # 5.1s wall on one core at sf0.1 — the checkpoint-width trap,
+    # SCALE.md round 6)
+    buck = (
+        e.repartition(spark.sparkContext.defaultParallelism)
+        .select("vec_id", "label", "embedding", bexpr.alias("b"))
+        .localCheckpoint(eager=False)
+    )
     wb = Window.partitionBy("b").orderBy("vec_id")
     capped = (
         buck.withColumn("rn", F.row_number().over(wb))
