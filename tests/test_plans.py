@@ -696,3 +696,70 @@ class TestDynamicPartitionPruning:
         # and the result is the pruned partition only
         rows = joined.collect()
         assert [r["o_orderpriority"] for r in rows] == ["1-URGENT"]
+
+
+class TestParallelismPinning:
+    """Round-6 narrow-stage fixes (SCALE.md 'checkpoint-width trap'):
+    CPU-heavy stages over byte-small inputs must carry an explicit-width
+    repartition, or AQE's byte-based coalescing (and the frozen split
+    count of localCheckpoint) serializes them onto 1-2 cores. These
+    assert the pinning Exchange survives in the executed plan — a
+    refactor that drops it re-creates a measured 2-5x wall regression.
+    """
+
+    def _roundrobin(self, plan: str) -> bool:
+        return "Exchange RoundRobinPartitioning" in plan
+
+    def test_decontaminate_gram_probe_is_widened(self, spark):
+        assert self._roundrobin(plan_of(spark, "decontaminate_overlap"))
+
+    def test_media_decode_mapinpandas_is_widened(self, spark):
+        assert self._roundrobin(plan_of(spark, "multimodal_real_decode"))
+
+    def _new_checkpoint_widths(self, spark, run):
+        """Run ``run()`` and return partition counts of every NEW
+        persistent RDD it registered (localCheckpoint blocks live in
+        getPersistentRDDs), so the frozen widths are asserted directly —
+        the repartitions sit BELOW the checkpoints and are invisible in
+        the final executed plan."""
+        jsc = spark.sparkContext._jsc
+        def ids():
+            out = {}
+            it = jsc.getPersistentRDDs().entrySet().iterator()
+            while it.hasNext():
+                e = it.next()
+                out[e.getKey()] = e.getValue().getNumPartitions()
+            return out
+        before = set(ids())
+        run()
+        after = ids()
+        return [n for rid, n in after.items() if rid not in before]
+
+    def test_winnow_checkpoint_width_is_pooled(self, spark):
+        widths = self._new_checkpoint_widths(
+            spark,
+            lambda: REGISTRY["winnow_copy_pairs"].fn(spark, SF_SMOKE).count(),
+        )
+        assert widths, "expected the (doc, fp) frame to be checkpointed"
+        floor = min(spark.sparkContext.defaultParallelism, 8)
+        assert all(w >= floor for w in widths), widths
+
+    def test_ngram_prefix_checkpoint_widths_are_pooled(self, spark):
+        from pandas_to_postgres_spark.operators.dedup import (
+            ngram_jaccard_prefix,
+        )
+        from pandas_to_postgres_spark.sources.parquet import load_table
+
+        d = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+        widths = self._new_checkpoint_widths(
+            spark,
+            lambda: ngram_jaccard_prefix(d, "text", "doc_id", 0.8, 1).count(),
+        )
+        assert widths, "expected toks + pref checkpoints"
+        floor = min(spark.sparkContext.defaultParallelism, 8)
+        assert all(w >= floor for w in widths), widths
+
+    def test_blocked_embedding_join_is_width_pinned(self, spark):
+        # pinned by an explicit hashpartitioning on the block column
+        plan = plan_of(spark, "embedding_neardup")
+        assert re.search(r"Exchange hashpartitioning\(label", plan)
