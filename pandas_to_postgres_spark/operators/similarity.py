@@ -59,6 +59,87 @@ def topk_cosine_bruteforce(
     )
 
 
+def ivf_centroids(corpus: DataFrame, cluster_col: str, corpus_vec: str) -> DataFrame:
+    """Per-cluster mean centroid vectors, DECIMAL-exact (see
+    topk_cosine_ivf). One row per cluster — broadcastable at any scale."""
+    return (
+        corpus.select(F.col(cluster_col), F.posexplode(F.col(corpus_vec)).alias("__i", "__x"))
+        .groupBy(cluster_col, "__i")
+        .agg(
+            (
+                F.sum(F.col("__x").cast("decimal(18,12)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("__m")
+        )
+        .groupBy(cluster_col)
+        .agg(F.array_sort(F.collect_list(F.struct("__i", "__m"))).alias("__ims"))
+        .select(
+            F.col(cluster_col),
+            F.transform("__ims", lambda s: s.getField("__m")).alias("__centroid"),
+        )
+    )
+
+
+def ivf_probes(
+    queries: DataFrame,
+    centroids: DataFrame,
+    query_id: str,
+    query_vec: str,
+    cluster_col: str,
+    nprobe: int,
+) -> DataFrame:
+    """(query, probed cluster) pairs: each query's nprobe nearest
+    centroids under the rounded, cluster-tiebroken cosine rank (the
+    oracle-reproducible probe rule of topk_cosine_ivf)."""
+    q = queries.select(F.col(query_id).alias("__qid"), F.col(query_vec).alias("__qv"))
+    probe_w = Window.partitionBy("__qid").orderBy(
+        F.col("__csim").desc(), F.col(cluster_col).asc()
+    )
+    return (
+        q.crossJoin(F.broadcast(centroids))
+        .withColumn(
+            "__csim", F.round(cosine_expr(F.col("__qv"), F.col("__centroid")), 5)
+        )
+        .withColumn("__pr", F.row_number().over(probe_w))
+        .filter(F.col("__pr") <= nprobe)
+        .select("__qid", "__qv", cluster_col)
+    )
+
+
+def ivf_search_lists(
+    probes: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    corpus_vec: str,
+    cluster_col: str,
+    k: int,
+) -> DataFrame:
+    """Score each query against its probed inverted lists only, then
+    rank to top-k with the rounded-cosine + id tie-break (the exact tail
+    of topk_cosine_ivf, exposed so a partition-pruned corpus scan can be
+    substituted for the in-memory cluster filter)."""
+    c = corpus.select(
+        F.col(cluster_col), F.col(corpus_id).alias("__cid"), F.col(corpus_vec).alias("__cv")
+    )
+    scored = probes.join(c, cluster_col).select(
+        "__qid",
+        "__cid",
+        F.round(cosine_expr(F.col("__qv"), F.col("__cv")), 5).alias("cosine"),
+    )
+    w = Window.partitionBy("__qid").orderBy(F.col("cosine").desc(), F.col("__cid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__qid").alias(query_id),
+            F.col("__cid").alias(corpus_id),
+            "cosine",
+            "rank",
+        )
+    )
+
+
 def topk_cosine_ivf(
     queries: DataFrame,
     corpus: DataFrame,
@@ -80,63 +161,18 @@ def topk_cosine_ivf(
     corpus-side search joins on the cluster id, so each query touches
     nprobe/N of the corpus instead of all of it. Recall is tunable with
     ``nprobe``; exactness returns at nprobe = #clusters.
+
+    Centroids go through DECIMAL partial sums (functions/agg.py rationale)
+    so centroids — and therefore probe selection — are exact,
+    partitioning-invariant, and reproducible in the DuckDB oracle; a bare
+    avg(double) would drift with partial-merge order. Split into
+    ivf_centroids / ivf_probes / ivf_search_lists so the persisted-layout
+    variant (ivf_partitioned_search) reuses the identical ranking rules
+    against a partition-pruned scan.
     """
-    # centroids: element-wise mean via posexplode + groupBy (codegen-friendly).
-    # The mean goes through DECIMAL partial sums (functions/agg.py rationale)
-    # so centroids — and therefore probe selection — are exact,
-    # partitioning-invariant, and reproducible in the DuckDB oracle; a bare
-    # avg(double) would drift with partial-merge order.
-    centroids = (
-        corpus.select(F.col(cluster_col), F.posexplode(F.col(corpus_vec)).alias("__i", "__x"))
-        .groupBy(cluster_col, "__i")
-        .agg(
-            (
-                F.sum(F.col("__x").cast("decimal(18,12)")).cast("double")
-                / F.count(F.lit(1))
-            ).alias("__m")
-        )
-        .groupBy(cluster_col)
-        .agg(F.array_sort(F.collect_list(F.struct("__i", "__m"))).alias("__ims"))
-        .select(
-            F.col(cluster_col),
-            F.transform("__ims", lambda s: s.getField("__m")).alias("__centroid"),
-        )
-    )
-    q = queries.select(F.col(query_id).alias("__qid"), F.col(query_vec).alias("__qv"))
-    probe_w = Window.partitionBy("__qid").orderBy(
-        F.col("__csim").desc(), F.col(cluster_col).asc()
-    )
-    probes = (
-        q.crossJoin(F.broadcast(centroids))
-        # rounded, label-tiebroken probe rank: robust to FP fold-order
-        # noise, so the probe set is oracle-reproducible (same rationale
-        # as the rounded final cosine rank)
-        .withColumn(
-            "__csim", F.round(cosine_expr(F.col("__qv"), F.col("__centroid")), 5)
-        )
-        .withColumn("__pr", F.row_number().over(probe_w))
-        .filter(F.col("__pr") <= nprobe)
-        .select("__qid", "__qv", cluster_col)
-    )
-    c = corpus.select(
-        F.col(cluster_col), F.col(corpus_id).alias("__cid"), F.col(corpus_vec).alias("__cv")
-    )
-    scored = probes.join(c, cluster_col).select(
-        "__qid",
-        "__cid",
-        F.round(cosine_expr(F.col("__qv"), F.col("__cv")), 5).alias("cosine"),
-    )
-    w = Window.partitionBy("__qid").orderBy(F.col("cosine").desc(), F.col("__cid").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            F.col("__qid").alias(query_id),
-            F.col("__cid").alias(corpus_id),
-            "cosine",
-            "rank",
-        )
-    )
+    centroids = ivf_centroids(corpus, cluster_col, corpus_vec)
+    probes = ivf_probes(queries, centroids, query_id, query_vec, cluster_col, nprobe)
+    return ivf_search_lists(probes, corpus, query_id, corpus_id, corpus_vec, cluster_col, k)
 
 
 def lsh_planes(num_planes: int = 8, dim: int = 64) -> list[list[float]]:

@@ -2594,3 +2594,70 @@ def temperature_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("alloc"),
     )
+
+
+@register("ivf_partitioned_search", min_rows=25, oracle=_IVF_ORACLE)
+def ivf_partitioned_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 at warehouse scale: the PERSISTED-INDEX form of IVF ANN — the
+    corpus is written ONCE as parquet physically partitioned by its
+    coarse-quantizer cluster (`partitionBy(label)`, one directory per
+    inverted list), and the query path reads back ONLY the probed
+    clusters via static partition pruning: probe selection collects the
+    bounded (|Q| x nprobe, 15 here) cluster-id set to the driver and
+    the `label IN (...)` literal prunes at the SCAN, so unprobed lists
+    are never read off disk — tests/test_plans.py asserts the
+    PartitionFilters and the pruned partition count. This is the
+    layout-level difference between 'filter the clusters in memory'
+    (simsearch_ivf) and a servable 100 TB vector index: the nightly
+    write amortizes one pass, and every query after touches
+    nprobe/N of the data at the FILESYSTEM level (the same layout
+    contract as bucketed_colocated_join and zorder_layout_lineitem,
+    applied to retrieval).
+
+    Ranking is byte-identical to simsearch_ivf — probes and the top-k
+    tail come from the same ivf_probes/ivf_search_lists operators
+    (DECIMAL-exact centroids over the FULL corpus, rounded cosine +
+    id tie-breaks) — so it shares simsearch_ivf's DuckDB oracle
+    verbatim. Write is tier-tagged + overwrite-idempotent (the
+    bucketed_colocated_join conventions)."""
+    import hashlib
+    import os
+    from urllib.parse import urlparse
+
+    from pandas_to_postgres_spark.operators.similarity import (
+        ivf_centroids,
+        ivf_probes,
+        ivf_search_lists,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:6]
+    wh = urlparse(
+        spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    ).path or "spark-warehouse"
+    path = os.path.join(wh, f"ivf_layout_{tag}")
+    (
+        e.select("vec_id", "embedding", "label")
+        .repartition(F.col("label"))
+        .write.mode("overwrite")
+        .partitionBy("label")
+        .parquet(path)
+    )
+
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding")
+    )
+    cents = ivf_centroids(e, "label", "embedding")
+    probes = ivf_probes(q, cents, "qid", "embedding", "label", nprobe=3)
+    # bounded driver collect (<= |Q| * nprobe ids) — this is what turns
+    # the probe set into a SCAN-TIME literal the reader can prune with
+    probed = sorted(
+        {r["label"] for r in probes.select("label").distinct().collect()}
+    )
+    lists = spark.read.parquet(path).filter(F.col("label").isin(probed))
+    out = ivf_search_lists(
+        probes, lists, "qid", "vec_id", "embedding", "label", k=5
+    )
+    return out.select(
+        "qid", "vec_id", "cosine", F.col("rank").cast("long").alias("rnk")
+    )

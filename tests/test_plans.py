@@ -763,3 +763,32 @@ class TestParallelismPinning:
         # pinned by an explicit hashpartitioning on the block column
         plan = plan_of(spark, "embedding_neardup")
         assert re.search(r"Exchange hashpartitioning\(label", plan)
+
+
+class TestIvfPartitionedLayout:
+    def test_probed_lists_prune_at_the_scan(self, spark):
+        """ivf_partitioned_search: the layout read must carry a static
+        partition filter on the cluster column (label IN <probed set>) —
+        unprobed inverted lists are never read off disk. A regression to
+        a post-scan Filter would silently read the whole index."""
+        plan = plan_of(spark, "ivf_partitioned_search")
+        scan = [
+            l for l in plan.split("\n")
+            if "FileScan" in l and "ivf_layout_" in l
+        ]
+        assert scan, "expected a scan of the partitioned layout"
+        assert "PartitionFilters: [label" in scan[0]
+        assert "label" in scan[0].split("PartitionFilters")[1][:80]
+
+    def test_layout_result_equals_in_memory_ivf(self, spark):
+        """Same ranking rules, different physical path: the persisted
+        layout must return byte-identical top-k to simsearch_ivf."""
+        a = (
+            REGISTRY["ivf_partitioned_search"].fn(spark, SF_SMOKE)
+            .orderBy("qid", "rnk").collect()
+        )
+        b = (
+            REGISTRY["simsearch_ivf"].fn(spark, SF_SMOKE)
+            .orderBy("qid", "rnk").collect()
+        )
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]
