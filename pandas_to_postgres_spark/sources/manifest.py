@@ -168,17 +168,37 @@ def snapshot_versions(path: str) -> list[int]:
     return sorted(out)
 
 
-def publish_snapshot(path: str, stat_cols: Sequence[str]) -> dict:
-    """Freeze the current file list (with footer stats) as the next
-    immutable ``_manifest-v{N}.json``. Files already listed by an earlier
-    snapshot keep serving that snapshot — a publish never rewrites or
-    invalidates prior versions. Atomic via tmp + rename."""
+def publish_snapshot(
+    path: str, stat_cols: Sequence[str], files: Sequence[str] | None = None
+) -> dict:
+    """Freeze a file list (with footer stats) as the next immutable
+    ``_manifest-v{N}.json``. Files already listed by an earlier snapshot
+    keep serving that snapshot — a publish never rewrites or invalidates
+    prior versions. Atomic via tmp + rename.
+
+    ``files`` (file NAMES under ``path``) restricts the snapshot to an
+    explicit subset instead of the whole directory listing — the hook
+    :func:`compact_snapshot` needs, since after a compaction both the old
+    and the rewritten part files coexist on disk (old snapshots still
+    time-travel over the old files) but the new snapshot must reference
+    only the rewritten ones."""
     versions = snapshot_versions(path)
     version = (versions[-1] if versions else 0) + 1
+    if files is None:
+        entries = _collect_entries(path, stat_cols)
+    else:
+        entries = [
+            {
+                "path": f,
+                "bytes": os.path.getsize(os.path.join(path, f)),
+                "stats": _file_stats(os.path.join(path, f), stat_cols),
+            }
+            for f in sorted(files)
+        ]
     manifest = {
         "version": version,
         "stat_cols": list(stat_cols),
-        "files": _collect_entries(path, stat_cols),
+        "files": entries,
     }
     name = f"_manifest-v{version}.json"
     tmp = os.path.join(path, name + ".tmp")
@@ -279,3 +299,62 @@ def expire_snapshots(path: str, keep_latest: int = 1) -> dict:
     for v in expired:
         os.remove(os.path.join(path, f"_manifest-v{v}.json"))
     return {"expired_versions": expired, "deleted_files": deleted}
+
+
+def compact_snapshot(
+    spark,
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    version: int | None = None,
+) -> dict:
+    """Small-files compaction (the lakehouse OPTIMIZE): rewrite the chosen
+    snapshot's part files into ~``target_bytes`` files and publish the
+    result as a NEW snapshot referencing only the rewritten files. The
+    third leg of the maintenance contract next to publish (append) and
+    expire (reclaim):
+
+    - non-destructive: source part files stay on disk, so every prior
+      snapshot still time-travels bit-exactly; space comes back later via
+      :func:`expire_snapshots`, which sees the old files as referenced
+      only by expired versions;
+    - crash-safe: rewritten files land under unique ``part-c{N}-`` names
+      via Spark's own committed write to a staging dir, then move into
+      ``path`` BEFORE the manifest publish (the rename is the commit —
+      a crash in between leaves orphan data files that expire_snapshots
+      deliberately never deletes, and no manifest references them);
+    - stats-preserving: footer min/max are recomputed for the rewritten
+      files, so :func:`read_snapshot_pruned` skips files exactly as
+      before (coarser envelopes, same superset guarantee).
+
+    At 100 TB this is the nightly job that keeps a streaming-ingested
+    table scannable: micro-batch appends publish thousands of small
+    files/day; one coalesced rewrite pass restores ~row-group-sized
+    files without blocking readers on any version. Returns the new
+    manifest dict.
+    """
+    import shutil
+    import tempfile
+
+    snap = load_snapshot(path, version)
+    names = [e["path"] for e in snap["files"]]
+    if not names:
+        raise ValueError("snapshot has no files to compact")
+    total = sum(int(e.get("bytes", 0)) for e in snap["files"])
+    n_out = max(1, -(-total // max(1, target_bytes)))
+    src = spark.read.parquet(*[os.path.join(path, f) for f in names])
+    new_version = snapshot_versions(path)[-1] + 1
+    stage = tempfile.mkdtemp(prefix="compact-stage-")
+    try:
+        src.coalesce(n_out).write.mode("overwrite").parquet(stage)
+        parts = sorted(
+            f for f in os.listdir(stage)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        )
+        moved = []
+        for i, f in enumerate(parts):
+            name = f"part-c{new_version}-{i:05d}.parquet"
+            shutil.move(os.path.join(stage, f), os.path.join(path, name))
+            moved.append(name)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    return publish_snapshot(path, snap["stat_cols"], files=moved)

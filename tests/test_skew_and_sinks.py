@@ -623,3 +623,86 @@ class TestSnapshotExpiryRace:
         assert res["deleted_files"] == []
         assert after == before  # nothing deleted, append intact
         assert read_snapshot(spark, path).count() == 10  # v2 unchanged
+
+
+class TestCompaction:
+    """compact_snapshot: the OPTIMIZE leg of the manifest-source
+    maintenance contract (publish = append, compact = rewrite small
+    files, expire = reclaim)."""
+
+    def _published(self, spark, tmp_path):
+        import pyspark.sql.functions as F
+
+        from pandas_to_postgres_spark.sources.manifest import publish_snapshot
+
+        path = str(tmp_path / "ctbl")
+        base = spark.range(200).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+        )
+        base.repartition(6).write.mode("overwrite").parquet(path)
+        publish_snapshot(path, ["k"])
+        return path
+
+    def test_compaction_preserves_content_and_versions(self, spark, tmp_path):
+        from pandas_to_postgres_spark.sources.manifest import (
+            compact_snapshot,
+            load_snapshot,
+            read_snapshot,
+            snapshot_versions,
+        )
+
+        path = self._published(spark, tmp_path)
+        assert len(load_snapshot(path, 1)["files"]) == 6
+        man = compact_snapshot(spark, path)
+        assert man["version"] == 2 and snapshot_versions(path) == [1, 2]
+        # rewritten into one ~target-sized file, content bit-identical
+        assert len(man["files"]) == 1
+        got = sorted(tuple(r) for r in read_snapshot(spark, path, 2).collect())
+        want = sorted(tuple(r) for r in read_snapshot(spark, path, 1).collect())
+        assert got == want and len(got) == 200
+        # old snapshot still time-travels over its original files
+        assert read_snapshot(spark, path, 1).count() == 200
+
+    def test_compacted_snapshot_still_prunes(self, spark, tmp_path):
+        from pandas_to_postgres_spark.sources.manifest import (
+            compact_snapshot,
+            read_snapshot_pruned,
+        )
+
+        path = self._published(spark, tmp_path)
+        compact_snapshot(spark, path)
+        got = read_snapshot_pruned(spark, path, "k", 50, 60, version=2)
+        assert got.count() == 11
+
+    def test_expire_reclaims_precompaction_files(self, spark, tmp_path):
+        import os
+
+        from pandas_to_postgres_spark.sources.manifest import (
+            compact_snapshot,
+            expire_snapshots,
+            read_snapshot,
+        )
+
+        path = self._published(spark, tmp_path)
+        compact_snapshot(spark, path)
+        res = expire_snapshots(path, keep_latest=1)
+        assert res["expired_versions"] == [1]
+        # all six original small files reclaimed; the compacted file serves
+        assert len(res["deleted_files"]) == 6
+        assert read_snapshot(spark, path).count() == 200
+        remaining = [
+            f for f in os.listdir(path)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        ]
+        assert remaining == [p for p in remaining if p.startswith("part-c2-")]
+
+    def test_multiple_output_files_when_target_small(self, spark, tmp_path):
+        from pandas_to_postgres_spark.sources.manifest import (
+            compact_snapshot,
+            read_snapshot,
+        )
+
+        path = self._published(spark, tmp_path)
+        man = compact_snapshot(spark, path, target_bytes=2000)
+        assert len(man["files"]) >= 2
+        assert read_snapshot(spark, path, man["version"]).count() == 200
