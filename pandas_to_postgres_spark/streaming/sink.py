@@ -120,3 +120,55 @@ def stream_to_postgres_exactly_once(
     return stream_to_batch_sink(
         stream, _writer, checkpoint_dir, available_now=available_now
     )
+
+
+def snapshot_table_writer(
+    path: str, stat_cols: list[str]
+) -> BatchWriter:
+    """Exactly-once streaming ingest into the manifest snapshot table
+    (``sources/manifest``) — the streaming-lakehouse shape: every
+    micro-batch lands as immutable ``part-e{epoch}-*.parquet`` files and
+    publishes one snapshot version, so BATCH readers time-travel a
+    consistent table WHILE the stream runs, and maintenance composes
+    (``compact_snapshot`` rewrites the accumulated small epoch files,
+    ``expire_snapshots`` reclaims).
+
+    Exactly-once without a log: Structured Streaming re-delivers a failed
+    micro-batch with the SAME batch_id, and the writer is idempotent per
+    epoch — it first DELETES any ``part-e{N}-`` leftovers from a previous
+    attempt of this epoch (a crash between write and publish leaves only
+    unreferenced files, which ``expire_snapshots`` deliberately never
+    touches), rewrites them from the delivered batch, and only then
+    publishes a snapshot of the directory listing. A re-delivered epoch
+    therefore replaces its own files instead of appending twice. The
+    publish itself is atomic (tmp + rename). Use through
+    :func:`stream_to_batch_sink`.
+    """
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from pandas_to_postgres_spark.sources.manifest import publish_snapshot
+
+    def _writer(batch_df: DataFrame, batch_id: int) -> None:
+        os.makedirs(path, exist_ok=True)
+        for leftover in glob.glob(os.path.join(path, f"part-e{batch_id}-*.parquet")):
+            os.remove(leftover)
+        stage = tempfile.mkdtemp(prefix=f"snap-epoch-{batch_id}-")
+        try:
+            batch_df.write.mode("overwrite").parquet(stage)
+            parts = sorted(
+                f for f in os.listdir(stage)
+                if f.endswith(".parquet") and not f.startswith((".", "_"))
+            )
+            for i, f in enumerate(parts):
+                shutil.move(
+                    os.path.join(stage, f),
+                    os.path.join(path, f"part-e{batch_id}-{i:05d}.parquet"),
+                )
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
+        publish_snapshot(path, stat_cols)
+
+    return _writer

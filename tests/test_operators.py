@@ -2185,3 +2185,79 @@ class TestAudioSpectrogram:
             # centroid sits between the two tones
             f2 = 1200.0 + (doc_id % 7) * 150.0
             assert f1 * 0.8 < r.centroid_hz < f2 * 1.2
+
+
+class TestSnapshotTableStreamingSink:
+    """Streaming-lakehouse ingest: each micro-batch lands as immutable
+    part-e{epoch}-* files + one published snapshot version; batch readers
+    time-travel a consistent table while the stream runs; compaction and
+    expiry compose on top; epoch re-delivery is exactly-once."""
+
+    def _drain(self, spark, src, table, ckpt):
+        from pandas_to_postgres_spark.streaming.sink import (
+            snapshot_table_writer,
+            stream_to_batch_sink,
+        )
+
+        stream = spark.readStream.schema("id long, v long").parquet(src)
+        q = stream_to_batch_sink(
+            stream,
+            snapshot_table_writer(table, ["id"]),
+            checkpoint_dir=ckpt,
+        )
+        q.awaitTermination()
+
+    def test_each_drain_publishes_a_version_and_readers_time_travel(
+        self, spark, tmp_path
+    ):
+        from pandas_to_postgres_spark.sources.manifest import (
+            compact_snapshot,
+            expire_snapshots,
+            read_snapshot,
+            snapshot_versions,
+        )
+
+        src = str(tmp_path / "src")
+        table = str(tmp_path / "snap_tbl")
+        ckpt = str(tmp_path / "ckpt")
+        spark.range(50).selectExpr("id", "id * 2 AS v").write.mode(
+            "overwrite"
+        ).parquet(src)
+        self._drain(spark, src, table, ckpt)
+        assert snapshot_versions(table) == [1]
+        assert read_snapshot(spark, table).count() == 50
+
+        # second arrival -> second epoch -> second snapshot; v1 frozen
+        spark.range(50, 80).selectExpr("id", "id * 2 AS v").write.mode(
+            "append"
+        ).parquet(src)
+        self._drain(spark, src, table, ckpt)
+        assert snapshot_versions(table) == [1, 2]
+        assert read_snapshot(spark, table, version=1).count() == 50
+        assert read_snapshot(spark, table, version=2).count() == 80
+
+        # maintenance composes: compact the epoch files, expire the rest
+        man = compact_snapshot(spark, table)
+        assert read_snapshot(spark, table, man["version"]).count() == 80
+        res = expire_snapshots(table, keep_latest=1)
+        assert 1 in res["expired_versions"]
+        assert read_snapshot(spark, table).count() == 80
+
+    def test_epoch_redelivery_is_exactly_once(self, spark, tmp_path):
+        from pandas_to_postgres_spark.sources.manifest import (
+            load_snapshot,
+            read_snapshot,
+        )
+        from pandas_to_postgres_spark.streaming.sink import (
+            snapshot_table_writer,
+        )
+
+        table = str(tmp_path / "snap_tbl2")
+        w = snapshot_table_writer(table, ["id"])
+        batch = spark.range(40).selectExpr("id", "id AS v")
+        w(batch, 7)
+        w(batch, 7)  # simulated re-delivery of the SAME epoch
+        # the retry replaced its own files — no duplication, two versions
+        assert read_snapshot(spark, table).count() == 40
+        latest = load_snapshot(table)
+        assert all(e["path"].startswith("part-e7-") for e in latest["files"])
