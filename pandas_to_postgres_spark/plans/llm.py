@@ -2661,3 +2661,81 @@ def ivf_partitioned_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "qid", "vec_id", "cosine", F.col("rank").cast("long").alias("rnk")
     )
+
+
+_BPE_FERTILITY_ORACLE = """
+    WITH words AS (
+      SELECT t AS word, CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest({toks}) AS t FROM documents)
+      WHERE regexp_matches(t, '^[a-z]+$')
+      GROUP BY t),
+    syms0 AS (
+      SELECT word, freq, pos,
+             CASE WHEN pos <= length(word) THEN substr(word, pos, 1)
+                  ELSE '</w>' END AS sym
+      FROM (SELECT word, freq,
+                   unnest(range(1, length(word) + 2)) AS pos
+            FROM words)),
+    {blocks},
+    enc AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS enc_len
+      FROM syms4 GROUP BY word),
+    sw AS (
+      SELECT source, t AS word, CAST(count(*) AS BIGINT) AS n
+      FROM (SELECT source, unnest({toks}) AS t FROM documents)
+      WHERE regexp_matches(t, '^[a-z]+$')
+      GROUP BY source, t)
+    SELECT sw.source,
+           CAST(sum(sw.n) AS BIGINT) AS n_tokens,
+           CAST(sum(sw.n * e.enc_len) AS BIGINT) AS n_encoded,
+           CAST(CAST(sum(sw.n * e.enc_len) * 1000000 AS HUGEINT)
+                // CAST(sum(sw.n) AS HUGEINT) AS BIGINT)
+               AS fertility_micro
+    FROM sw JOIN enc e USING (word)
+    GROUP BY sw.source
+    """.format(
+    toks=_RAW_TOKS_SQL,
+    blocks=",\n".join(_bpe_iteration_sql(i) for i in range(1, 5)),
+)
+
+
+@register("bpe_fertility_by_source", min_rows=20, oracle=_BPE_FERTILITY_ORACLE)
+def bpe_fertility_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer EVALUATION: per-source fertility (encoded tokens per
+    word, in exact micro units) under the 4 learned BPE merges — the
+    readout that tells a mixture designer which sources the tokenizer
+    serves well and which it fragments (high-fertility sources burn
+    context length; the metric multilingual-tokenizer papers report
+    per language).
+
+    Zero extra training cost: per-word encoded length is a count over
+    the post-merge symbol table (vocab-bounded); the per-source fold is
+    one more corpus pass producing the (source, word) count frame
+    (map-side-combined), joined to the vocab-bounded length frame on
+    word — the join is corpus-vocabulary-sized, never corpus-sized, and
+    the fertility ratio stays exact: encoded*1e6 DIV tokens, both
+    operands positive BIGINTs (Spark DIV == DuckDB // on HUGEINT).
+
+    Oracle: the same 4 unrolled CTE iterations + the same integer fold."""
+    docs = load_table(spark, sf_dir, "documents")
+    _, syms = _bpe_train(spark, sf_dir, n_iter=4)
+    enc = syms.groupBy("word").agg(
+        F.count(F.lit(1)).cast("long").alias("enc_len")
+    )
+    sw = (
+        docs.select(
+            "source",
+            F.explode(tokens_expr(F.lower(F.col("text")))).alias("t"),
+        )
+        .filter(F.col("t").rlike("^[a-z]+$"))
+        .groupBy("source", F.col("t").alias("word"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    j = sw.join(F.broadcast(enc), "word")
+    return j.groupBy("source").agg(
+        F.sum("n").cast("long").alias("n_tokens"),
+        F.sum(F.col("n") * F.col("enc_len")).cast("long").alias("n_encoded"),
+        F.expr(
+            "CAST((sum(n * enc_len) * 1000000) DIV sum(n) AS BIGINT)"
+        ).alias("fertility_micro"),
+    )
