@@ -37,9 +37,18 @@ from pandas_to_postgres_spark.plans import retrieval  # noqa: F401,E402
 #: (winnow_copy_pairs, dsir_select_docs, semantic_dedup,
 #: neardup_clusters, span_dedup_docs); additionally the rows-only
 #: minhash_neardup slot was swapped for its oracle-checked md5-basis twin
-#: minhash_lsh_checked so the window carries 48 oracle rows. Rotated-out
-#: queries stay registered, oracle-tested in pytest, and covered by
-#: scripts/local_correctness.py.
+#: minhash_lsh_checked so the window carries 48 oracle rows. A SECOND
+#: round-6 rotation certifies the queries built this round: five
+#: multi-round-green slots whose §2 evidence remains in-window via a
+#: sibling (union_slices -> setops_custkeys + the union inside
+#: ngram_jaccard_pairs' corpus; string_date_funcs -> F4 funcs exercised
+#: across the window since r2; pandas_udf_norm -> X2 Arrow path also in
+#: grouped_map_zscore/udaf; simsearch_topk_incremental -> D4 keeps 4
+#: slots; chunk_documents -> corpus_prep_pipeline runs the chunker)
+#: moved out for bpe_learn_merges, bpe_fertility_by_source,
+#: centroid_quality_filter, temperature_mix_weights, and
+#: ivf_partitioned_search. Rotated-out queries stay registered,
+#: oracle-tested in pytest, and covered by scripts/local_correctness.py.
 PRIORITY = [
     # §2.11 D1 — exact + incremental dedup
     "dedup_exact",
@@ -62,19 +71,23 @@ PRIORITY = [
     # §2.11 D4 — similarity search
     "simsearch_topk",
     "simsearch_ivf",            # rows-only: probe pruning is engine-side
-    "simsearch_topk_incremental",
+    "ivf_partitioned_search",   # r6 build: persisted partition-pruned index
     "simsearch_pq_trained",     # r5 rotation: trained-PQ ANN (Lloyd iters)
     "hybrid_rrf_docs",          # r5 rotation: BM25+cosine RRF fusion
     # §2.11 D5 — multimodal
     "multimodal_pipeline",      # rows-only: fake-decode mapInPandas chain
     # training-data shaping
-    "chunk_documents",
     "pack_sequences",
     "train_test_split",
     "corpus_prep_pipeline",
     "dsir_select_docs",         # r6 rotation: DSIR importance resampling
-    # §2.10 X2–X5 — UDF surface
-    "pandas_udf_norm",
+    "bpe_learn_merges",         # r6 build: relational BPE trainer
+    "bpe_fertility_by_source",  # r6 build: per-source tokenizer fertility
+    "centroid_quality_filter",  # r6 build: integer-exact Rocchio filter
+    "temperature_mix_weights",  # r6 build: alpha-smoothed mixture weights
+    # §2.10 X2–X5 — UDF surface (X2 rotated out in the second r6
+    # rotation: the Arrow-batched path stays in-window via
+    # grouped_map_zscore and udaf_weighted_avg)
     "grouped_map_zscore",
     "udaf_weighted_avg",
     "udtf_sentences",
@@ -111,12 +124,14 @@ PRIORITY = [
     # W1 rank stays in-window via window_topn_orders)
     "window_topn_orders",
     "topk_lineitems",
-    # §2.7 — set ops
-    "union_slices",
+    # §2.7 — set ops (union_slices rotated out in the second r6
+    # rotation; U1 union evidence stays via ngram_jaccard_pairs' corpus
+    # construction and the pytest/local oracle)
     "setops_custkeys",
     # §2.8 — scalar function library (F5 JSON now carried by the corrupt-
-    # feed audit, which subsumes json_extract_events' PERMISSIVE parsing)
-    "string_date_funcs",
+    # feed audit, which subsumes json_extract_events' PERMISSIVE parsing;
+    # string_date_funcs rotated out in the second r6 rotation after 5
+    # green rounds)
     "json_corrupt_audit",
     "array_ops_embeddings",
 ]

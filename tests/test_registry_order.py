@@ -23,12 +23,14 @@ class TestWindow:
             "dedup_exact", "dedup_incremental_docs", "minhash_lsh_checked",
             "simhash_docs", "ngram_jaccard_pairs", "embedding_neardup",
             "text_stats", "text_metrics", "simsearch_topk", "simsearch_ivf",
-            "simsearch_topk_incremental", "multimodal_pipeline",
-            # training-data shaping
-            "chunk_documents", "pack_sequences", "train_test_split",
+            "multimodal_pipeline",
+            # training-data shaping (chunk_documents rotated out in the
+            # second r6 rotation — corpus_prep_pipeline runs the chunker)
+            "pack_sequences", "train_test_split",
             "corpus_prep_pipeline",
-            # X2..X5
-            "pandas_udf_norm", "grouped_map_zscore", "udaf_weighted_avg",
+            # X2..X5 (pandas_udf_norm rotated out in the second r6
+            # rotation — the Arrow path stays via grouped_map/udaf)
+            "grouped_map_zscore", "udaf_weighted_avg",
             "udtf_sentences",
             # §2.9 streaming — foreachbatch carries the tumbling-window row
             # too (same aggregate + oracle, foreachBatch delivery)
@@ -43,6 +45,15 @@ class TestWindow:
             # round-4/5 additions (COVERAGE.md "Round-6 window rotation")
             "winnow_copy_pairs", "dsir_select_docs", "semantic_dedup",
             "neardup_clusters", "span_dedup_docs",
+            # second round-6 rotation: driver certification for the
+            # queries BUILT in round 6 (COVERAGE.md "Round-6 window
+            # rotation #2"); simsearch_topk_incremental, chunk_documents,
+            # pandas_udf_norm, union_slices, string_date_funcs rotated
+            # out — all still registered and oracle-green in pytest +
+            # both local boards
+            "bpe_learn_merges", "bpe_fertility_by_source",
+            "centroid_quality_filter", "temperature_mix_weights",
+            "ivf_partitioned_search",
             # relational families (J3/J4/J5, W3, json_extract_events
             # rotated out round 5; filter_project, distinct_counts,
             # conditional_agg, collect_set_segments, window_lag_events
@@ -52,8 +63,8 @@ class TestWindow:
             "join_broadcast_rollup", "join_order_revenue", "range_join_bins",
             "asof_join_events", "percentiles_price",
             "rollup_cube_gsets", "window_topn_orders",
-            "topk_lineitems", "union_slices", "setops_custkeys",
-            "string_date_funcs", "array_ops_embeddings",
+            "topk_lineitems", "setops_custkeys",
+            "array_ops_embeddings",
         }
         assert must_have <= window, sorted(must_have - window)
 
