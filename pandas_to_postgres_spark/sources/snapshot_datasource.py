@@ -1,0 +1,159 @@
+"""``format("snapshot")`` — Spark 4 Python DataSource over the manifest
+snapshot table (``sources/manifest``): time travel through the standard
+reader API plus PLANNING-TIME file pruning from manifest statistics.
+
+    spark.dataSource.register(SnapshotDataSource)
+    df = (spark.read.format("snapshot")
+          .option("path", table_dir)
+          .option("version", 3)          # omit for latest
+          .load())
+
+Why a DataSource and not ``read_snapshot``: the function form hands Spark
+an explicit file list, which is right for programmatic pipelines; the
+DataSource form gives every SQL/DataFrame consumer the same table by name
+AND lets predicate pushdown prune files the way a table format would —
+``pushFilters`` records numeric range constraints and ``partitions()``
+keeps only the files whose manifest [min, max] envelope overlaps, so the
+executors never open the losing files. Pruning is a SUPERSET guarantee:
+every filter is yielded back to Spark un-consumed and re-applied exactly,
+so a file with missing stats (or any non-numeric / non-range predicate)
+degrades to "read it", never to a wrong result — the same contract as
+``read_snapshot_pruned`` and parquet partition pruning.
+
+Pushdown gating (the pg_datasource lesson): merely DEFINING ``pushFilters``
+raises [DATA_SOURCE_PUSHDOWN_DISABLED] at plan time when
+``spark.sql.python.filterPushdown.enabled`` is false, and the planning
+worker has no SparkSession to probe the conf — so the pushdown-capable
+reader class is opted into with ``option("pushdown", "true")``.
+
+Rows cross to Spark as Arrow RecordBatches straight from the parquet
+reader (column-pruned to the projected schema) — never Python row tuples.
+
+At 100 TB: one InputPartition per surviving manifest file; listing cost is
+one JSON read at planning time instead of a filesystem walk, and a
+selective range scan schedules O(matching files) tasks. Single-writer
+semantics inherited from the manifest module (multi-writer needs a log —
+a real table format, not more code here).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator, List
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+
+
+def _load(options) -> dict:
+    from pandas_to_postgres_spark.sources.manifest import load_snapshot
+
+    v = options.get("version")
+    return load_snapshot(options["path"], int(v) if v is not None else None)
+
+
+class SnapshotReaderNoPushdown(DataSourceReader):
+    """Reader WITHOUT pushFilters (default): every snapshot file becomes
+    one InputPartition; Spark applies all predicates."""
+
+    def __init__(self, options, columns):
+        self.options = dict(options)
+        self.columns = list(columns)
+        #: col -> [lo, hi] numeric bounds accumulated by pushFilters
+        #: (always empty in this class)
+        self.ranges: dict[str, list] = {}
+
+    def _keep(self, entry: dict) -> bool:
+        for col, (lo, hi) in self.ranges.items():
+            st = entry.get("stats", {}).get(col)
+            if st is None:
+                continue  # no stats -> conservatively keep
+            try:
+                fmin, fmax = float(st[0]), float(st[1])
+            except (TypeError, ValueError):
+                continue
+            if (hi is not None and hi < fmin) or (lo is not None and lo > fmax):
+                return False
+        return True
+
+    def partitions(self) -> List[InputPartition]:
+        man = _load(self.options)
+        path = self.options["path"]
+        keep = [
+            InputPartition(os.path.join(path, e["path"]))
+            for e in man["files"]
+            if self._keep(e)
+        ]
+        # an all-pruned (or empty) snapshot still needs one partition so
+        # read() can yield nothing of the right shape
+        return keep or [InputPartition(None)]
+
+    def read(self, partition: InputPartition) -> Iterator:
+        if partition.value is None:
+            return
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(partition.value, columns=self.columns)
+        yield from tbl.to_batches()
+
+
+class SnapshotReader(SnapshotReaderNoPushdown):
+    """Pushdown-capable reader: numeric range predicates tighten the
+    per-column [lo, hi] window used for file pruning. Every filter is
+    yielded back un-consumed — Spark re-applies the exact predicate, so
+    pruning can only ever drop files that cannot match."""
+
+    def pushFilters(self, filters):  # noqa: N802 - API name
+        for f in filters:
+            v = getattr(f, "value", None)
+            attr = getattr(f, "attribute", ())
+            numeric = isinstance(v, (int, float)) and not isinstance(v, bool)
+            if numeric and len(attr) == 1 and attr[0] in self.columns:
+                col = attr[0]
+                lo, hi = self.ranges.get(col, [None, None])
+                fv = float(v)
+                if isinstance(f, EqualTo):
+                    lo = fv if lo is None else max(lo, fv)
+                    hi = fv if hi is None else min(hi, fv)
+                elif isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+                    lo = fv if lo is None else max(lo, fv)
+                elif isinstance(f, (LessThan, LessThanOrEqual)):
+                    hi = fv if hi is None else min(hi, fv)
+                else:
+                    yield f
+                    continue
+                self.ranges[col] = [lo, hi]
+            yield f  # never consumed: pruning is a superset guarantee
+
+
+class SnapshotDataSource(DataSource):
+    """``format("snapshot")`` — options: path (snapshot table directory),
+    version (optional, default latest), pushdown ("true" to enable the
+    pushFilters reader; requires spark.sql.python.filterPushdown.enabled)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "snapshot"
+
+    def schema(self):
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        man = _load(self.options)
+        if not man["files"]:
+            raise ValueError("snapshot has no files to infer a schema from")
+        first = os.path.join(self.options["path"], man["files"][0]["path"])
+        return from_arrow_schema(pq.read_schema(first))
+
+    def reader(self, schema) -> SnapshotReaderNoPushdown:
+        enabled = str(self.options.get("pushdown", "false")).lower() == "true"
+        cls = SnapshotReader if enabled else SnapshotReaderNoPushdown
+        return cls(self.options, schema.fieldNames())

@@ -706,3 +706,102 @@ class TestCompaction:
         man = compact_snapshot(spark, path, target_bytes=2000)
         assert len(man["files"]) >= 2
         assert read_snapshot(spark, path, man["version"]).count() == 200
+
+
+class TestSnapshotDataSource:
+    """format('snapshot'): time travel through the standard reader API +
+    planning-time file pruning from manifest stats."""
+
+    def _table(self, spark, tmp_path):
+        import pyspark.sql.functions as F
+
+        from pandas_to_postgres_spark.sources.manifest import publish_snapshot
+
+        path = str(tmp_path / "dstbl")
+        base = spark.range(300).select(
+            F.col("id").alias("k"), (F.col("id") * 5).alias("v")
+        )
+        # range-partitioned files -> narrow per-file k envelopes, so the
+        # pruning assertions below are meaningful
+        base.repartitionByRange(3, "k").write.mode("overwrite").parquet(path)
+        publish_snapshot(path, ["k"])
+        extra = spark.range(300, 400).select(
+            F.col("id").alias("k"), (F.col("id") * 5).alias("v")
+        )
+        extra.coalesce(1).write.mode("append").parquet(path)
+        publish_snapshot(path, ["k"])
+        return path
+
+    def test_reads_latest_and_time_travels(self, spark, tmp_path):
+        from pandas_to_postgres_spark.sources.snapshot_datasource import (
+            SnapshotDataSource,
+        )
+
+        path = self._table(spark, tmp_path)
+        spark.dataSource.register(SnapshotDataSource)
+        latest = spark.read.format("snapshot").option("path", path).load()
+        assert latest.count() == 400
+        v1 = (
+            spark.read.format("snapshot")
+            .option("path", path)
+            .option("version", 1)
+            .load()
+        )
+        assert v1.count() == 300
+        assert v1.agg({"k": "max"}).first()[0] == 299
+        # values, not just counts
+        got = sorted(r["v"] for r in v1.filter("k < 3").collect())
+        assert got == [0, 5, 10]
+
+    def test_pushfilters_prunes_files_superset_safe(self, spark, tmp_path):
+        from pyspark.sql.datasource import GreaterThan, LessThanOrEqual
+
+        from pandas_to_postgres_spark.sources.snapshot_datasource import (
+            SnapshotReader,
+        )
+
+        path = self._table(spark, tmp_path)
+        r = SnapshotReader({"path": path, "version": "2"}, ["k", "v"])
+        # no filters: one partition per manifest file (3 range + 1 append)
+        assert len(r.partitions()) == 4
+        # every filter must be yielded back (superset guarantee)
+        back = list(r.pushFilters([GreaterThan(("k",), 310)]))
+        assert len(back) == 1
+        parts = r.partitions()
+        # only the appended file (k in [300, 400)) can match
+        assert len(parts) == 1 and "part-" in parts[0].value
+        r2 = SnapshotReader({"path": path, "version": "2"}, ["k", "v"])
+        list(r2.pushFilters([LessThanOrEqual(("k",), 50)]))
+        assert len(r2.partitions()) == 1  # first range file only
+        # contradictory range -> all files pruned -> the empty sentinel
+        r3 = SnapshotReader({"path": path, "version": "2"}, ["k", "v"])
+        list(r3.pushFilters([GreaterThan(("k",), 500)]))
+        parts3 = r3.partitions()
+        assert len(parts3) == 1 and parts3[0].value is None
+        assert list(r3.read(parts3[0])) == []
+
+    def test_e2e_pushdown_results_match_plain_read(self, spark, tmp_path):
+        from pandas_to_postgres_spark.sources.snapshot_datasource import (
+            SnapshotDataSource,
+        )
+
+        path = self._table(spark, tmp_path)
+        spark.dataSource.register(SnapshotDataSource)
+        conf = "spark.sql.python.filterPushdown.enabled"
+        old = spark.conf.get(conf, None)
+        spark.conf.set(conf, "true")
+        try:
+            pushed = (
+                spark.read.format("snapshot")
+                .option("path", path)
+                .option("pushdown", "true")
+                .load()
+                .filter("k >= 310 AND k <= 320")
+            )
+            rows = sorted((r["k"], r["v"]) for r in pushed.collect())
+        finally:
+            if old is None:
+                spark.conf.unset(conf)
+            else:
+                spark.conf.set(conf, old)
+        assert rows == [(k, k * 5) for k in range(310, 321)]
