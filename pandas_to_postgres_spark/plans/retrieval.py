@@ -3129,3 +3129,94 @@ def dsir_kl_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum(F.col("kl_sel"), 6).alias("kl_target_vs_selected"),
         dsum(F.col("kl_all"), 6).alias("kl_target_vs_corpus"),
     )
+
+
+_TIMETRAVEL_ORACLE = """
+    WITH s1 AS (
+      SELECT l_orderkey, CAST(l_quantity * 100 AS BIGINT) AS qc
+      FROM lineitem WHERE l_orderkey % 10 = 0),
+    s2 AS (
+      SELECT l_orderkey, CAST(l_quantity * 100 AS BIGINT) AS qc
+      FROM lineitem WHERE l_orderkey % 10 = 5)
+    SELECT CAST(1 AS BIGINT) AS version,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(qc) AS BIGINT) AS qty_cents,
+           CAST(max(l_orderkey) AS BIGINT) AS max_key
+    FROM s1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT),
+           CAST(count(*) AS BIGINT),
+           CAST(sum(qc) AS BIGINT),
+           CAST(max(l_orderkey) AS BIGINT)
+    FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
+    """
+
+
+@register("snapshot_time_travel", min_rows=2, oracle=_TIMETRAVEL_ORACLE)
+def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lakehouse snapshot isolation, driver-visible end to end: build a
+    two-version snapshot table from deterministic lineitem slices
+    (publish slice A as v1, append slice B, publish v2), then read BOTH
+    versions back through the ``format("snapshot")`` Spark 4 DataSource
+    and aggregate each — proving v1 stays frozen after the append (its
+    row count, quantity total, and max key never see slice B) while the
+    latest version serves the union. Quantities ride as exact integer
+    cents. The table is rebuilt from scratch per run (tier-tagged dir wiped
+    first) so versions are deterministically 1 and 2 — reruns idempotent.
+
+    Scale: the publishes harvest footer stats only (no data re-scan);
+    each version read schedules one task per manifest file with Arrow
+    batches; the aggregate is the only shuffle. Oracle: the same two
+    slices and the same integer aggregates straight off lineitem."""
+    import hashlib
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    from pandas_to_postgres_spark.sources.manifest import publish_snapshot
+    from pandas_to_postgres_spark.sources.snapshot_datasource import (
+        SnapshotDataSource,
+    )
+
+    spark.dataSource.register(SnapshotDataSource)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:6]
+    wh = urlparse(
+        spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    ).path or "spark-warehouse"
+    path = os.path.join(wh, f"tt_table_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        (F.col("l_quantity") * 100).cast("long").alias("qc"),
+    )
+    li.filter(F.col("l_orderkey") % 10 == 0).coalesce(2).write.mode(
+        "overwrite"
+    ).parquet(path)
+    publish_snapshot(path, ["l_orderkey"])
+    li.filter(F.col("l_orderkey") % 10 == 5).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+    publish_snapshot(path, ["l_orderkey"])
+
+    outs = []
+    for v in (1, 2):
+        df = (
+            spark.read.format("snapshot")
+            .option("path", path)
+            .option("version", v)
+            .load()
+        )
+        outs.append(
+            df.agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("qc").cast("long").alias("qty_cents"),
+                F.max("l_orderkey").cast("long").alias("max_key"),
+            ).select(
+                F.lit(v).cast("long").alias("version"),
+                "n_rows",
+                "qty_cents",
+                "max_key",
+            )
+        )
+    return outs[0].unionAll(outs[1])
