@@ -43,6 +43,7 @@ from typing import Iterator, List
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     EqualTo,
     GreaterThan,
@@ -50,6 +51,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 
 
@@ -157,3 +159,102 @@ class SnapshotDataSource(DataSource):
         enabled = str(self.options.get("pushdown", "false")).lower() == "true"
         cls = SnapshotReader if enabled else SnapshotReaderNoPushdown
         return cls(self.options, schema.fieldNames())
+
+    def writer(self, schema, overwrite: bool) -> "SnapshotArrowWriter":
+        return SnapshotArrowWriter(self.options, overwrite)
+
+
+class SnapshotWriteCommit(WriterCommitMessage):
+    """Per-task commit message: the staged file name (empty = no rows)."""
+
+    def __init__(self, tmp: str, rows: int):
+        self.tmp = tmp
+        self.rows = rows
+
+
+class SnapshotArrowWriter(DataSourceArrowWriter):
+    """``df.write.format("snapshot")`` — the WRITE half, API-symmetric
+    with the reader. Maps Spark's batch commit protocol onto the snapshot
+    contract:
+
+    - ``write`` (per task): stage the partition's Arrow batches as ONE
+      dot-prefixed ``.tmp-<job>-<uuid>.parquet`` (invisible to the
+      manifest's directory listing and to plain parquet readers); the
+      attempt-unique name makes retried/speculative attempts collision-
+      free, and the commit message carries it.
+    - ``commit`` (driver, once): rename every staged file to
+      ``part-w<job>-NNNNN.parquet``, then publish ONE snapshot version.
+      ``mode("append")`` publishes the previous latest version's file
+      list PLUS the new files (never the raw directory listing, so a
+      crashed writer's orphans cannot leak into a snapshot);
+      ``mode("overwrite")`` publishes ONLY the new files — a LOGICAL
+      overwrite: prior versions keep their files on disk and keep
+      time-traveling; ``expire_snapshots`` reclaims them later.
+    - ``abort``: unlink the job's staged files; no manifest was written,
+      so readers never saw anything.
+
+    ``option("statCols", "a,b")`` selects the manifest stat columns for
+    the published version (default: none — readable, no file pruning).
+    """
+
+    def __init__(self, options, overwrite: bool):
+        import uuid
+
+        self.options = dict(options)
+        self.path = options["path"]
+        self.overwrite = overwrite
+        self.job_id = uuid.uuid4().hex[:8]
+
+    def write(self, iterator) -> SnapshotWriteCommit:
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        batches = [b for b in iterator if b.num_rows]
+        if not batches:
+            return SnapshotWriteCommit(tmp="", rows=0)
+        tbl = pa.Table.from_batches(batches)
+        os.makedirs(self.path, exist_ok=True)
+        tmp = f".tmp-{self.job_id}-{uuid.uuid4().hex[:12]}.parquet"
+        pq.write_table(tbl, os.path.join(self.path, tmp))
+        return SnapshotWriteCommit(tmp=tmp, rows=tbl.num_rows)
+
+    def _stat_cols(self) -> list:
+        raw = self.options.get("statcols", self.options.get("statCols", ""))
+        return [c.strip() for c in raw.split(",") if c.strip()]
+
+    def commit(self, messages) -> None:
+        from pandas_to_postgres_spark.sources.manifest import (
+            load_snapshot,
+            publish_snapshot,
+            snapshot_versions,
+        )
+
+        new = []
+        i = 0
+        for m in messages:
+            if m is None or not m.tmp:
+                continue
+            name = f"part-w{self.job_id}-{i:05d}.parquet"
+            os.rename(
+                os.path.join(self.path, m.tmp),
+                os.path.join(self.path, name),
+            )
+            new.append(name)
+            i += 1
+        files = list(new)
+        if not self.overwrite and snapshot_versions(self.path):
+            files += [e["path"] for e in load_snapshot(self.path)["files"]]
+        publish_snapshot(self.path, self._stat_cols(), files=files)
+
+    def abort(self, messages) -> None:
+        import glob
+
+        for stale in glob.glob(
+            os.path.join(self.path, f".tmp-{self.job_id}-*.parquet")
+        ):
+            try:
+                os.unlink(stale)
+            except FileNotFoundError:
+                pass

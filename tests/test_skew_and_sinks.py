@@ -805,3 +805,62 @@ class TestSnapshotDataSource:
             else:
                 spark.conf.set(conf, old)
         assert rows == [(k, k * 5) for k in range(310, 321)]
+
+
+class TestSnapshotDataSourceWriter:
+    """df.write.format('snapshot'): staged part files, one atomic publish
+    per write; append stacks versions, overwrite is LOGICAL (prior
+    versions keep time-traveling)."""
+
+    def test_append_writes_stack_versions(self, spark, tmp_path):
+        import pyspark.sql.functions as F
+
+        from pandas_to_postgres_spark.sources.manifest import (
+            read_snapshot,
+            snapshot_versions,
+        )
+        from pandas_to_postgres_spark.sources.snapshot_datasource import (
+            SnapshotDataSource,
+        )
+
+        spark.dataSource.register(SnapshotDataSource)
+        path = str(tmp_path / "wtbl")
+        a = spark.range(100).select(F.col("id").alias("k"))
+        (a.write.format("snapshot").mode("append")
+         .option("path", path).option("statCols", "k").save())
+        assert snapshot_versions(path) == [1]
+        b = spark.range(100, 150).select(F.col("id").alias("k"))
+        (b.write.format("snapshot").mode("append")
+         .option("path", path).option("statCols", "k").save())
+        assert snapshot_versions(path) == [1, 2]
+        assert read_snapshot(spark, path, 1).count() == 100
+        assert read_snapshot(spark, path, 2).count() == 150
+        # round-trip through the reader half too
+        got = (spark.read.format("snapshot").option("path", path)
+               .option("version", 2).load())
+        assert got.agg({"k": "max"}).first()[0] == 149
+
+    def test_overwrite_is_logical(self, spark, tmp_path):
+        import pyspark.sql.functions as F
+
+        from pandas_to_postgres_spark.sources.manifest import (
+            load_snapshot,
+            read_snapshot,
+        )
+        from pandas_to_postgres_spark.sources.snapshot_datasource import (
+            SnapshotDataSource,
+        )
+
+        spark.dataSource.register(SnapshotDataSource)
+        path = str(tmp_path / "wtbl2")
+        a = spark.range(60).select(F.col("id").alias("k"))
+        (a.write.format("snapshot").mode("append")
+         .option("path", path).save())
+        c = spark.range(500, 510).select(F.col("id").alias("k"))
+        (c.write.format("snapshot").mode("overwrite")
+         .option("path", path).save())
+        # latest sees only the overwrite; v1 still serves the old rows
+        assert read_snapshot(spark, path).count() == 10
+        assert read_snapshot(spark, path, 1).count() == 60
+        v2 = load_snapshot(path, 2)
+        assert all(e["path"].startswith("part-w") for e in v2["files"])
