@@ -45,6 +45,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     GreaterThan,
     GreaterThanOrEqual,
@@ -163,6 +164,9 @@ class SnapshotDataSource(DataSource):
     def writer(self, schema, overwrite: bool) -> "SnapshotArrowWriter":
         return SnapshotArrowWriter(self.options, overwrite)
 
+    def streamReader(self, schema) -> "SnapshotStreamReader":
+        return SnapshotStreamReader(self.options, schema.fieldNames())
+
 
 class SnapshotWriteCommit(WriterCommitMessage):
     """Per-task commit message: the staged file name (empty = no rows)."""
@@ -258,3 +262,60 @@ class SnapshotArrowWriter(DataSourceArrowWriter):
                 os.unlink(stale)
             except FileNotFoundError:
                 pass
+
+
+class SnapshotStreamReader(DataSourceStreamReader):
+    """``spark.readStream.format("snapshot")`` — the snapshot table as an
+    APPEND-ONLY CHANGE FEED: offsets are snapshot VERSION numbers, and a
+    micro-batch (start, end] yields the rows of files that versions
+    start+1..end added (files in end's list absent from start's). Because
+    manifests are immutable and versions only grow, offsets are trivially
+    monotonic, a replayed range plans byte-identical files, and the
+    offset is ONE integer regardless of table age — no file-listing state
+    (contrast the HDF5 landing-dir source, which must watermark mtimes;
+    here the manifest IS the log). Logical overwrites appear as their new
+    files only — the change feed is append-only by contract, documented
+    like Delta's CDF for append tables."""
+
+    def __init__(self, options, columns):
+        self.options = dict(options)
+        self.path = options["path"]
+        self.columns = list(columns)
+
+    def initialOffset(self) -> dict:
+        return {"version": 0}
+
+    def latestOffset(self) -> dict:
+        from pandas_to_postgres_spark.sources.manifest import (
+            snapshot_versions,
+        )
+
+        vs = snapshot_versions(self.path)
+        return {"version": vs[-1] if vs else 0}
+
+    def _files(self, version: int) -> set:
+        if version <= 0:
+            return set()
+        from pandas_to_postgres_spark.sources.manifest import load_snapshot
+
+        return {e["path"] for e in load_snapshot(self.path, version)["files"]}
+
+    def partitions(self, start: dict, end: dict):
+        v0, v1 = int(start["version"]), int(end["version"])
+        if v1 <= v0:
+            return [InputPartition(None)]
+        new = sorted(self._files(v1) - self._files(v0))
+        return [
+            InputPartition(os.path.join(self.path, f)) for f in new
+        ] or [InputPartition(None)]
+
+    def read(self, partition: InputPartition) -> Iterator:
+        if partition.value is None:
+            return
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(partition.value, columns=self.columns)
+        yield from tbl.to_batches()
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in Spark's checkpoint; manifests are immutable

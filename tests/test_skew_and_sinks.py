@@ -864,3 +864,62 @@ class TestSnapshotDataSourceWriter:
         assert read_snapshot(spark, path, 1).count() == 60
         v2 = load_snapshot(path, 2)
         assert all(e["path"].startswith("part-w") for e in v2["files"])
+
+
+class TestSnapshotChangeFeed:
+    """readStream.format('snapshot'): version numbers as offsets — each
+    publish is a micro-batch of its newly-added files."""
+
+    def _drain(self, spark, path, out, ckpt):
+        from pandas_to_postgres_spark.streaming.sink import (
+            stream_to_batch_sink,
+        )
+
+        stream = (
+            spark.readStream.format("snapshot")
+            .option("path", path)
+            .load()
+        )
+
+        def writer(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(out)
+
+        q = stream_to_batch_sink(stream, writer, checkpoint_dir=ckpt)
+        q.awaitTermination()
+
+    def test_publishes_become_incremental_microbatches(self, spark, tmp_path):
+        import os
+
+        import pyspark.sql.functions as F
+
+        from pandas_to_postgres_spark.sources.manifest import publish_snapshot
+        from pandas_to_postgres_spark.sources.snapshot_datasource import (
+            SnapshotDataSource,
+        )
+
+        spark.dataSource.register(SnapshotDataSource)
+        path = str(tmp_path / "cftbl")
+        out = str(tmp_path / "cfout")
+        ckpt = str(tmp_path / "cfckpt")
+        spark.range(30).select(F.col("id").alias("k"), F.lit(1).alias("v")) \
+            .coalesce(1).write.mode("overwrite").parquet(path)
+        publish_snapshot(path, ["k"])
+
+        self._drain(spark, path, out, ckpt)
+        assert spark.read.parquet(out).count() == 30
+
+        # append + publish -> ONLY the delta arrives on the next drain
+        spark.range(30, 45).select(
+            F.col("id").alias("k"), F.lit(2).alias("v")
+        ).coalesce(1).write.mode("append").parquet(path)
+        publish_snapshot(path, ["k"])
+        self._drain(spark, path, out, ckpt)
+        back = spark.read.parquet(out)
+        assert back.count() == 45
+        delta = back.filter("k >= 30")
+        assert delta.count() == 15 and delta.agg({"v": "min"}).first()[0] == 2
+
+        # idle poll: no new version -> no new rows
+        self._drain(spark, path, out, ckpt)
+        assert spark.read.parquet(out).count() == 45
+        assert os.path.isdir(ckpt)
