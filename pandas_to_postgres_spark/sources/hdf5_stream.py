@@ -14,19 +14,33 @@ pure-Python parser (`sources/hdf5_reader`) — no PyTables/h5py anywhere.
     stream = (spark.readStream.format("hdf5")
               .option("path", "/data/landing").option("key", "data").load())
 
-Offsets are COMPACT: a modification-time watermark plus the
-``[name, mtime_ns]`` pairs younger than ``lateFileLag`` seconds (default
-300) behind the newest file — the same bounded-state design as Spark's
-own file source (``maxFileAge``). Files older than the watermark are
-assumed processed, so offset size is bounded by the files landing per
-lag window, not by the lifetime of the landing directory. A replayed
-(start, end] range re-reads exactly the same files (HDF5 files are
-immutable once written — the writer writes whole files), so
+Offsets are COMPACT in steady state: a modification-time watermark plus
+the ``[name, mtime_ns]`` pairs at or above it — the same bounded-state
+design as Spark's own file source (``maxFileAge``). Files older than the
+watermark are assumed processed, so offset size is bounded by the files
+landing per ``lateFileLag`` window (default 300 s), not by the lifetime
+of the landing directory. Two rules make that safe (ADVICE r6 — the
+naive "newest mtime − lag" watermark silently dropped backlogs):
+
+- The FIRST poll of a session (fresh start, restart, or each
+  ``availableNow`` drain — any time the reader has not yet seen a
+  committed offset) emits the FULL listing under ``wm = 0`` and lets
+  ``partitions(start, end)`` subtract the checkpointed start offset.
+  One unbounded offset, then ``commit()`` re-bounds; this is exactly
+  Spark's file-source first-batch ``maxFileAge`` exemption, and it makes
+  pre-populated directories, >lag restarts, and periodic drains lossless.
+- After that, the watermark advances from the last COMMITTED offset
+  (learned via ``commit(end)``), never past a listed file the committed
+  offset does not cover — an uncommitted file holds the watermark down
+  (and itself in ``recent``) until its batch commits.
+
+A replayed (start, end] range re-reads exactly the same files (HDF5
+files are immutable once written — the writer writes whole files), so
 exactly-once downstream composes with any idempotent sink. Producers
 must create files ATOMICALLY (write temp + rename — rename refreshes
 mtime, which keeps late files inside the lag window) and must not
-backdate mtimes by more than ``lateFileLag`` behind the newest file;
-that is the identical contract Spark's file source imposes.
+backdate mtimes below an already-committed watermark; that is the
+identical contract Spark's file source imposes.
 
 Scale: `latestOffset` is one directory listing on the driver; each
 partition mmaps its file and touches only the chunks overlapping its
@@ -145,24 +159,43 @@ class Hdf5StreamReader(DataSourceStreamReader):
         self.chunk_rows = chunk_rows
         self.columns = columns
         self._lag_ns = int(late_file_lag_s * 1e9)
-        self._wm = 0  # monotonic: a deleted newest file never regresses it
+        #: (wm, {name: mtime}) of the last offset Spark COMMITTED this
+        #: session; None until the first commit (module docstring — the
+        #: watermark may only advance from here, so an uncommitted or
+        #: pre-restart backlog is never assumed processed).
+        self._committed = None
 
     def initialOffset(self) -> dict:
         return {"v": 2, "wm": 0, "recent": []}
 
     def latestOffset(self) -> dict:
-        entries = []
+        entries = {}
         for name in _part_files(self.path):
             try:
-                entries.append(
-                    (name, os.stat(os.path.join(self.path, name)).st_mtime_ns)
-                )
+                entries[name] = os.stat(os.path.join(self.path, name)).st_mtime_ns
             except FileNotFoundError:
                 continue  # raced with producer rename/cleanup; next poll
-        if entries:
-            self._wm = max(self._wm, max(m for _, m in entries) - self._lag_ns)
-        recent = sorted((n, m) for n, m in entries if m >= self._wm)
-        return {"v": 2, "wm": self._wm, "recent": [[n, m] for n, m in recent]}
+        if self._committed is None:
+            # First poll of this session: the checkpointed start offset is
+            # invisible here, so claim NOTHING processed — emit the full
+            # listing and let partitions() subtract the start offset. The
+            # file-source first-batch exemption; commit() re-bounds.
+            recent = sorted(entries.items())
+            return {"v": 2, "wm": 0, "recent": [[n, m] for n, m in recent]}
+        c_wm, c_recent = self._committed
+        candidate = (
+            max(entries.values()) - self._lag_ns if entries else c_wm
+        )
+        # files the committed offset does NOT cover hold the watermark at
+        # (or below) their mtime until their batch commits
+        pending = [
+            m
+            for n, m in entries.items()
+            if m >= c_wm and n not in c_recent
+        ]
+        wm = max(c_wm, min([candidate] + pending))
+        recent = sorted((n, m) for n, m in entries.items() if m >= wm)
+        return {"v": 2, "wm": wm, "recent": [[n, m] for n, m in recent]}
 
     def partitions(self, start: dict, end: dict):
         # Derived from the two offsets ONLY — a replay must plan the same
@@ -187,7 +220,9 @@ class Hdf5StreamReader(DataSourceStreamReader):
         yield from _read_partition(self.path, self.key, self.columns, part)
 
     def commit(self, end: dict) -> None:
-        pass  # nothing to clean: offsets live in Spark's checkpoint
+        # nothing to clean (offsets live in Spark's checkpoint) — but the
+        # committed offset is the anchor the watermark may advance from
+        self._committed = _offset_norm(end)
 
 
 @dataclass

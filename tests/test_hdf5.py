@@ -649,10 +649,23 @@ class TestHdf5DataSource:
         drain()
         assert sorted(seen) == list(range(40, 65))
 
+    @staticmethod
+    def _touch(d, name, sec):
+        import os as _os
+
+        p = _os.path.join(d, name)
+        with open(p, "wb") as fh:
+            fh.write(b"x")
+        _os.utime(p, ns=(sec * 10**9,) * 2)
+
     def test_stream_offset_is_bounded(self, tmp_path):
-        """ADVICE r5: the offset must NOT grow with directory lifetime.
-        Files older than lateFileLag behind the newest drop out of
-        'recent' and are covered by the watermark instead."""
+        """ADVICE r5 + r6: the offset must NOT grow with directory
+        lifetime, but boundedness kicks in only AFTER a commit — the
+        first poll of a session emits the full listing (the file-source
+        first-batch exemption), because the reader cannot see the
+        checkpointed start offset and must not assume anything
+        processed. Once committed, files older than lateFileLag behind
+        the newest drop out of 'recent' and the watermark covers them."""
         import os as _os
 
         from pandas_to_postgres_spark.sources.hdf5_stream import Hdf5StreamReader
@@ -662,20 +675,107 @@ class TestHdf5DataSource:
         r = Hdf5StreamReader(d, "data", 10**6, ["id"], late_file_lag_s=60.0)
         now = 1_700_000_000
         for i in range(50):  # an "old" backlog, 1h apart each
-            p = _os.path.join(d, f"old{i:03d}.h5")
-            with open(p, "wb") as fh:
-                fh.write(b"x")
-            _os.utime(p, ns=((now - 3600 * (50 - i)) * 10**9,) * 2)
-        p = _os.path.join(d, "newest.h5")
-        with open(p, "wb") as fh:
-            fh.write(b"x")
-        _os.utime(p, ns=(now * 10**9,) * 2)
+            self._touch(d, f"old{i:03d}.h5", now - 3600 * (50 - i))
+        self._touch(d, "newest.h5", now)
         off = r.latestOffset()
-        # only the files inside the 60s lag window stay in the offset
-        assert [n for n, _ in off["recent"]] == ["newest.h5"]
-        assert off["wm"] == (now - 60) * 10**9
+        # FIRST poll: everything (51 files) — nothing committed yet, so
+        # the backlog must be in the offset or it would never be planned
+        assert off["wm"] == 0 and len(off["recent"]) == 51
+        r.commit(off)
+        off2 = r.latestOffset()
+        # after the commit only files inside the 60s lag window remain
+        assert [n for n, _ in off2["recent"]] == ["newest.h5"]
+        assert off2["wm"] == (now - 60) * 10**9
         # idle poll: identical offset (no spurious batches)
-        assert r.latestOffset() == off
+        assert r.latestOffset() == off2
+
+    def test_first_batch_reads_prepopulated_backlog(self, tmp_path):
+        """ADVICE r6 (high): a pre-populated landing dir must be read IN
+        FULL by the first batch — the old 'newest − lag' watermark
+        dropped all but the last lag window."""
+        import os as _os
+
+        import pandas_to_postgres_spark.sources.hdf5_stream as hs
+
+        d = str(tmp_path / "land")
+        _os.makedirs(d)
+        now = 1_700_000_000
+        for i in range(5):
+            self._touch(d, f"old{i}.h5", now - 3600 * (5 - i))  # hours old
+        self._touch(d, "new.h5", now)
+        r = hs.Hdf5StreamReader(d, "data", 10**6, ["id"], late_file_lag_s=60.0)
+        start = r.initialOffset()
+        end = r.latestOffset()
+        orig = hs._plan_file
+        hs._plan_file = lambda path, name, key, cr: [
+            hs.H5Partition(file=name, start=0, stop=1)
+        ]
+        try:
+            planned = sorted({p.file for p in r.partitions(start, end) if p.file})
+        finally:
+            hs._plan_file = orig
+        assert planned == sorted([f"old{i}.h5" for i in range(5)] + ["new.h5"])
+
+    def test_restart_after_long_downtime_loses_nothing(self, tmp_path):
+        """ADVICE r6 (high): files that landed during >lag downtime (or
+        between availableNow drains) must all be planned by the next
+        session's first batch, even those more than lag older than the
+        newest file."""
+        import os as _os
+
+        import pandas_to_postgres_spark.sources.hdf5_stream as hs
+
+        d = str(tmp_path / "land")
+        _os.makedirs(d)
+        now = 1_700_000_000
+        self._touch(d, "a.h5", now - 7200)
+        r1 = hs.Hdf5StreamReader(d, "data", 10**6, ["id"], late_file_lag_s=60.0)
+        committed = r1.latestOffset()  # session 1 processed + committed a.h5
+        # downtime: files land across 2h, far beyond the 60s lag
+        for i, age in enumerate([7000, 5000, 3000, 100, 0]):
+            self._touch(d, f"down{i}.h5", now - age)
+        r2 = hs.Hdf5StreamReader(d, "data", 10**6, ["id"], late_file_lag_s=60.0)
+        end = r2.latestOffset()  # new session: no commit seen yet
+        orig = hs._plan_file
+        hs._plan_file = lambda path, name, key, cr: [
+            hs.H5Partition(file=name, start=0, stop=1)
+        ]
+        try:
+            planned = sorted(
+                {p.file for p in r2.partitions(committed, end) if p.file}
+            )
+        finally:
+            hs._plan_file = orig
+        assert planned == [f"down{i}.h5" for i in range(5)]  # a.h5 not replayed
+
+    def test_watermark_never_passes_uncommitted_file(self, tmp_path):
+        """ADVICE r6 (high): after a commit, a file the committed offset
+        does not cover (e.g. landed while its batch is in flight with a
+        within-contract backdated mtime) holds the watermark down and
+        stays in 'recent' until committed — it cannot be skipped."""
+        import os as _os
+
+        import pandas_to_postgres_spark.sources.hdf5_stream as hs
+
+        d = str(tmp_path / "land")
+        _os.makedirs(d)
+        now = 1_700_000_000
+        self._touch(d, "a.h5", now - 300)
+        r = hs.Hdf5StreamReader(d, "data", 10**6, ["id"], late_file_lag_s=60.0)
+        r.commit(r.latestOffset())
+        # lands with an mtime 200s behind the (about to land) newest —
+        # beyond the 60s lag, above the committed watermark
+        self._touch(d, "late.h5", now - 200)
+        self._touch(d, "fresh.h5", now)
+        off = r.latestOffset()
+        names = [n for n, _ in off["recent"]]
+        assert "late.h5" in names and "fresh.h5" in names
+        assert off["wm"] <= (now - 200) * 10**9
+        # once its batch commits, the watermark advances past it again
+        r.commit(off)
+        off2 = r.latestOffset()
+        assert off2["wm"] == (now - 60) * 10**9
+        assert [n for n, _ in off2["recent"]] == ["fresh.h5"]
 
     def test_stream_offset_delta_and_replay(self, tmp_path):
         """partitions(start, end) is a pure function of the offsets: a
