@@ -31,7 +31,11 @@ Snapshots / time travel (``publish_snapshot`` / ``read_snapshot``):
 each publish freezes the CURRENT file list (plus stats) as an immutable
 ``_manifest-v{N}.json``; appends create new part files and a new version,
 and any older version remains exactly readable — the Iceberg-style
-snapshot-isolation contract, minus the multi-writer log. Readers resolve
+snapshot-isolation contract. Concurrent publishers arbitrate through an
+atomic version CLAIM (hard-link commit + optimistic retry against the
+re-read head — ``publish_snapshot``), so the three write paths that
+share the log (batch writer, stream ingest, compaction) cannot clobber
+each other's versions. Readers resolve
 "latest" by listing manifest names (at object-store scale a version-hint
 file avoids the listing; local single-writer doesn't need it). Physical
 cleanup is explicit and separate (``expire_snapshots``): retire old
@@ -168,44 +172,170 @@ def snapshot_versions(path: str) -> list[int]:
     return sorted(out)
 
 
-def publish_snapshot(
-    path: str, stat_cols: Sequence[str], files: Sequence[str] | None = None
-) -> dict:
-    """Freeze a file list (with footer stats) as the next immutable
-    ``_manifest-v{N}.json``. Files already listed by an earlier snapshot
-    keep serving that snapshot — a publish never rewrites or invalidates
-    prior versions. Atomic via tmp + rename.
-
-    ``files`` (file NAMES under ``path``) restricts the snapshot to an
-    explicit subset instead of the whole directory listing — the hook
-    :func:`compact_snapshot` needs, since after a compaction both the old
-    and the rewritten part files coexist on disk (old snapshots still
-    time-travel over the old files) but the new snapshot must reference
-    only the rewritten ones."""
-    versions = snapshot_versions(path)
-    version = (versions[-1] if versions else 0) + 1
-    if files is None:
-        entries = _collect_entries(path, stat_cols)
-    else:
-        entries = [
-            {
+def _build_entries(
+    path: str,
+    names: Sequence[str],
+    stat_cols: Sequence[str],
+    known_entries: Sequence[dict] | None,
+) -> list[dict]:
+    """Manifest entries for ``names``, reusing ``known_entries`` (entries
+    from a prior manifest PUBLISHED WITH THE SAME stat_cols — part files
+    are immutable, so their size and footer stats cannot have changed)
+    instead of re-reading every parquet footer. Without reuse an append
+    re-reads O(table) footers per commit — minutes of driver time on a
+    large table (ADVICE r6)."""
+    known = {e["path"]: e for e in (known_entries or [])}
+    out = []
+    for f in sorted(set(names)):
+        e = known.get(f)
+        if e is None:
+            e = {
                 "path": f,
                 "bytes": os.path.getsize(os.path.join(path, f)),
                 "stats": _file_stats(os.path.join(path, f), stat_cols),
             }
-            for f in sorted(files)
-        ]
-    manifest = {
-        "version": version,
-        "stat_cols": list(stat_cols),
-        "files": entries,
-    }
+        out.append(e)
+    return out
+
+
+def _claim_version(path: str, version: int, manifest: dict) -> bool:
+    """Atomically claim ``_manifest-v{version}.json``: write a
+    publisher-unique temp, then hard-link it to the final name —
+    ``os.link`` fails with FileExistsError when another publisher got
+    there first, which is the whole arbitration (Iceberg's optimistic
+    commit, on a filesystem). Returns False on collision so the caller
+    can re-read the new head and retry against it."""
+    import uuid
+
     name = f"_manifest-v{version}.json"
-    tmp = os.path.join(path, name + ".tmp")
+    tmp = os.path.join(path, f".{name}.{uuid.uuid4().hex[:12]}.tmp")
     with open(tmp, "w") as fh:
         json.dump(manifest, fh, default=str)
-    os.replace(tmp, os.path.join(path, name))
-    return manifest
+    try:
+        os.link(tmp, os.path.join(path, name))
+        return True
+    except FileExistsError:
+        return False
+    finally:
+        os.unlink(tmp)
+
+
+#: publish retry bound — generous (collisions re-read the head, so each
+#: retry makes progress unless publishers are arriving faster than one
+#: JSON write, which is not a workload a filesystem manifest log serves)
+_MAX_PUBLISH_RETRIES = 100
+
+
+def publish_snapshot(
+    path: str,
+    stat_cols: Sequence[str],
+    files: Sequence[str] | None = None,
+    known_entries: Sequence[dict] | None = None,
+) -> dict:
+    """Freeze a file list (with footer stats) as the next immutable
+    ``_manifest-v{N}.json``. Files already listed by an earlier snapshot
+    keep serving that snapshot — a publish never rewrites or invalidates
+    prior versions.
+
+    Concurrent publishers are safe: the version number is CLAIMED
+    atomically (hard-link of a fully-written temp manifest; the second
+    claimant's link fails), and a loser re-reads the head version and
+    retries one higher — both publishes survive, in order, neither file
+    list lost. Note the semantics under contention are "both lists get a
+    version", not a merge: an append that must COMPOSE with a concurrent
+    publish should re-derive its list from the new head on retry, which
+    is what :func:`compact_snapshot` and the writer paths do.
+
+    ``files`` (file NAMES under ``path``) restricts the snapshot to an
+    explicit subset instead of the whole directory listing — the hook
+    the writer paths and :func:`compact_snapshot` need, since appends
+    must not leak crashed writers' orphans and a compaction leaves both
+    the old and rewritten part files on disk. ``known_entries`` (entries
+    from a prior manifest with the same ``stat_cols``) are reused by
+    name instead of re-reading parquet footers."""
+    for _ in range(_MAX_PUBLISH_RETRIES):
+        versions = snapshot_versions(path)
+        version = (versions[-1] if versions else 0) + 1
+        names = (
+            [
+                f
+                for f in os.listdir(path)
+                if f.endswith(".parquet") and not f.startswith((".", "_"))
+            ]
+            if files is None
+            else list(files)
+        )
+        manifest = {
+            "version": version,
+            "stat_cols": list(stat_cols),
+            "files": _build_entries(path, names, stat_cols, known_entries),
+        }
+        if _claim_version(path, version, manifest):
+            return manifest
+    raise RuntimeError(
+        f"publish_snapshot: lost {_MAX_PUBLISH_RETRIES} version claims "
+        f"under {path} — publisher contention this sustained needs a real "
+        "table-format log"
+    )
+
+
+def append_snapshot(
+    path: str,
+    new_files: Sequence[str],
+    stat_cols: Sequence[str] | None = None,
+    drop_prefix: str | None = None,
+) -> dict:
+    """Publish head-files + ``new_files`` as the next version — the
+    APPEND commit all snapshot writers share (batch ``mode("append")``,
+    streaming epoch publish). Three guarantees the naive
+    list-the-directory publish lacked (ADVICE r6):
+
+    - composes under concurrency: the base list is re-derived from the
+      freshly-read HEAD on every claim attempt, so an append racing
+      another append/compaction loses the version race, re-reads, and
+      retries with the other writer's outcome included;
+    - no orphan leaks / no resurrection: only files some snapshot
+      references (plus ``new_files``) are published — crashed writers'
+      unreferenced parts and compaction-superseded or logically
+      overwritten files stay invisible;
+    - cheap: head entries are REUSED (immutable files), so a commit costs
+      O(new files) footer reads, not O(table); ``stat_cols=None``
+      inherits the head's stat columns instead of silently degrading all
+      future pruning to full scans.
+
+    ``drop_prefix`` removes head files with that name prefix before
+    appending — the idempotent-replay hook for streaming epochs (a
+    redelivered batch REPLACES its own earlier files)."""
+    for _ in range(_MAX_PUBLISH_RETRIES):
+        versions = snapshot_versions(path)
+        if versions:
+            head = load_snapshot(path)
+            head_sc = head.get("stat_cols", [])
+            base = [
+                e["path"]
+                for e in head["files"]
+                if drop_prefix is None or not e["path"].startswith(drop_prefix)
+            ]
+            version = head["version"] + 1
+        else:
+            head, head_sc, base, version = None, [], [], 1
+        sc = list(stat_cols) if stat_cols is not None else head_sc
+        known = (
+            head["files"]
+            if head is not None and set(head_sc) == set(sc)
+            else None
+        )
+        manifest = {
+            "version": version,
+            "stat_cols": sc,
+            "files": _build_entries(path, base + list(new_files), sc, known),
+        }
+        if _claim_version(path, version, manifest):
+            return manifest
+    raise RuntimeError(
+        f"append_snapshot: lost {_MAX_PUBLISH_RETRIES} version claims "
+        f"under {path}"
+    )
 
 
 def load_snapshot(path: str, version: int | None = None) -> dict:
@@ -317,11 +447,15 @@ def compact_snapshot(
       snapshot still time-travels bit-exactly; space comes back later via
       :func:`expire_snapshots`, which sees the old files as referenced
       only by expired versions;
-    - crash-safe: rewritten files land under unique ``part-c{N}-`` names
-      via Spark's own committed write to a staging dir, then move into
-      ``path`` BEFORE the manifest publish (the rename is the commit —
-      a crash in between leaves orphan data files that expire_snapshots
+    - crash-safe: rewritten files land under job-unique ``part-c<job>-``
+      names via Spark's own committed write to a staging dir, then move
+      into ``path`` BEFORE the manifest publish (the rename is the commit
+      — a crash in between leaves orphan data files that expire_snapshots
       deliberately never deletes, and no manifest references them);
+    - append-safe: the new snapshot is merged against the CURRENT head
+      (head files minus the compacted source files, plus the rewrites),
+      and a lost version claim re-reads the head and re-merges — a
+      concurrent append's files are never dropped by a compaction;
     - stats-preserving: footer min/max are recomputed for the rewritten
       files, so :func:`read_snapshot_pruned` skips files exactly as
       before (coarser envelopes, same superset guarantee).
@@ -335,6 +469,8 @@ def compact_snapshot(
     import shutil
     import tempfile
 
+    import uuid
+
     snap = load_snapshot(path, version)
     names = [e["path"] for e in snap["files"]]
     if not names:
@@ -342,7 +478,7 @@ def compact_snapshot(
     total = sum(int(e.get("bytes", 0)) for e in snap["files"])
     n_out = max(1, -(-total // max(1, target_bytes)))
     src = spark.read.parquet(*[os.path.join(path, f) for f in names])
-    new_version = snapshot_versions(path)[-1] + 1
+    job = uuid.uuid4().hex[:8]
     stage = tempfile.mkdtemp(prefix="compact-stage-")
     try:
         src.coalesce(n_out).write.mode("overwrite").parquet(stage)
@@ -352,9 +488,34 @@ def compact_snapshot(
         )
         moved = []
         for i, f in enumerate(parts):
-            name = f"part-c{new_version}-{i:05d}.parquet"
+            name = f"part-c{job}-{i:05d}.parquet"
             shutil.move(os.path.join(stage, f), os.path.join(path, name))
             moved.append(name)
     finally:
         shutil.rmtree(stage, ignore_errors=True)
-    return publish_snapshot(path, snap["stat_cols"], files=moved)
+    # Publish against the CURRENT head, not the compacted source snapshot:
+    # files another writer appended after `snap` must survive the
+    # compaction. On a lost version claim, re-read the new head and
+    # re-merge — the optimistic-retry loop Iceberg's rewrite-files runs.
+    compacted = set(names)
+    for _ in range(_MAX_PUBLISH_RETRIES):
+        head = load_snapshot(path)
+        survivors = [e["path"] for e in head["files"] if e["path"] not in compacted]
+        known = (
+            head["files"]
+            if set(head.get("stat_cols", [])) == set(snap["stat_cols"])
+            else None
+        )
+        manifest = {
+            "version": head["version"] + 1,
+            "stat_cols": list(snap["stat_cols"]),
+            "files": _build_entries(
+                path, survivors + moved, snap["stat_cols"], known
+            ),
+        }
+        if _claim_version(path, head["version"] + 1, manifest):
+            return manifest
+    raise RuntimeError(
+        f"compact_snapshot: lost {_MAX_PUBLISH_RETRIES} version claims "
+        f"under {path}"
+    )

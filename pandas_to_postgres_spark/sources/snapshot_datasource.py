@@ -31,9 +31,9 @@ reader (column-pruned to the projected schema) — never Python row tuples.
 
 At 100 TB: one InputPartition per surviving manifest file; listing cost is
 one JSON read at planning time instead of a filesystem walk, and a
-selective range scan schedules O(matching files) tasks. Single-writer
-semantics inherited from the manifest module (multi-writer needs a log —
-a real table format, not more code here).
+selective range scan schedules O(matching files) tasks. Concurrent
+publishers (batch writer, stream ingest, compaction) arbitrate through
+the manifest module's atomic version claim + optimistic retry.
 """
 
 from __future__ import annotations
@@ -198,7 +198,11 @@ class SnapshotArrowWriter(DataSourceArrowWriter):
       so readers never saw anything.
 
     ``option("statCols", "a,b")`` selects the manifest stat columns for
-    the published version (default: none — readable, no file pruning).
+    the published version; when absent the head snapshot's stat columns
+    carry over (a fresh table defaults to none — readable, no file
+    pruning). Appends reuse the head's manifest entries, so a commit
+    costs O(new files) footer reads, not O(table), and concurrent
+    publishers arbitrate via the manifest version claim.
     """
 
     def __init__(self, options, overwrite: bool):
@@ -212,27 +216,45 @@ class SnapshotArrowWriter(DataSourceArrowWriter):
     def write(self, iterator) -> SnapshotWriteCommit:
         import uuid
 
-        import pyarrow as pa
         import pyarrow.parquet as pq
 
-        batches = [b for b in iterator if b.num_rows]
-        if not batches:
-            return SnapshotWriteCommit(tmp="", rows=0)
-        tbl = pa.Table.from_batches(batches)
-        os.makedirs(self.path, exist_ok=True)
+        # stream batches into the file as they arrive (one row group per
+        # Arrow batch) — buffering the whole partition into one in-memory
+        # table OOMs the Python worker on large inputs (ADVICE r6)
+        writer = None
         tmp = f".tmp-{self.job_id}-{uuid.uuid4().hex[:12]}.parquet"
-        pq.write_table(tbl, os.path.join(self.path, tmp))
-        return SnapshotWriteCommit(tmp=tmp, rows=tbl.num_rows)
+        rows = 0
+        try:
+            for b in iterator:
+                if not b.num_rows:
+                    continue
+                if writer is None:
+                    os.makedirs(self.path, exist_ok=True)
+                    writer = pq.ParquetWriter(
+                        os.path.join(self.path, tmp), b.schema
+                    )
+                writer.write_batch(b)
+                rows += b.num_rows
+        finally:
+            if writer is not None:
+                writer.close()
+        if writer is None:
+            return SnapshotWriteCommit(tmp="", rows=0)
+        return SnapshotWriteCommit(tmp=tmp, rows=rows)
 
-    def _stat_cols(self) -> list:
-        raw = self.options.get("statcols", self.options.get("statCols", ""))
+    def _stat_cols(self):
+        """None = option absent → inherit the head snapshot's stat
+        columns (an un-optioned append must not silently degrade all
+        future file pruning to full scans — ADVICE r6)."""
+        raw = self.options.get("statcols", self.options.get("statCols"))
+        if raw is None:
+            return None
         return [c.strip() for c in raw.split(",") if c.strip()]
 
     def commit(self, messages) -> None:
         from pandas_to_postgres_spark.sources.manifest import (
-            load_snapshot,
+            append_snapshot,
             publish_snapshot,
-            snapshot_versions,
         )
 
         new = []
@@ -247,10 +269,25 @@ class SnapshotArrowWriter(DataSourceArrowWriter):
             )
             new.append(name)
             i += 1
-        files = list(new)
-        if not self.overwrite and snapshot_versions(self.path):
-            files += [e["path"] for e in load_snapshot(self.path)["files"]]
-        publish_snapshot(self.path, self._stat_cols(), files=files)
+        sc = self._stat_cols()
+        if self.overwrite:
+            # logical overwrite: ONLY the new files; stat basis carries
+            # over from the head unless explicitly re-optioned
+            if sc is None:
+                from pandas_to_postgres_spark.sources.manifest import (
+                    load_snapshot,
+                    snapshot_versions,
+                )
+
+                sc = (
+                    load_snapshot(self.path).get("stat_cols", [])
+                    if snapshot_versions(self.path)
+                    else []
+                )
+            publish_snapshot(self.path, sc, files=new)
+        else:
+            # head-merged, claim-retried, entry-reusing append
+            append_snapshot(self.path, new, stat_cols=sc)
 
     def abort(self, messages) -> None:
         import glob

@@ -123,7 +123,7 @@ def stream_to_postgres_exactly_once(
 
 
 def snapshot_table_writer(
-    path: str, stat_cols: list[str]
+    path: str, stat_cols: Optional[list] = None
 ) -> BatchWriter:
     """Exactly-once streaming ingest into the manifest snapshot table
     (``sources/manifest``) — the streaming-lakehouse shape: every
@@ -138,10 +138,16 @@ def snapshot_table_writer(
     epoch — it first DELETES any ``part-e{N}-`` leftovers from a previous
     attempt of this epoch (a crash between write and publish leaves only
     unreferenced files, which ``expire_snapshots`` deliberately never
-    touches), rewrites them from the delivered batch, and only then
-    publishes a snapshot of the directory listing. A re-delivered epoch
-    therefore replaces its own files instead of appending twice. The
-    publish itself is atomic (tmp + rename). Use through
+    touches), rewrites them from the delivered batch, and publishes
+    HEAD-FILES + the epoch's files (``manifest.append_snapshot`` with this
+    epoch's prefix dropped from the head, so a redelivery REPLACES rather
+    than appends twice). Publishing the head list — never the raw
+    directory listing — is what lets maintenance compose: files that
+    compaction or a logical overwrite superseded stay on disk for
+    time-travel but must not re-enter new snapshots, and crashed batch
+    writers' orphans must not leak in (ADVICE r6). The publish is an
+    atomic version claim, retried against a re-read head, so the stream
+    can run concurrently with compaction or batch appends. Use through
     :func:`stream_to_batch_sink`.
     """
     import glob
@@ -149,13 +155,14 @@ def snapshot_table_writer(
     import shutil
     import tempfile
 
-    from pandas_to_postgres_spark.sources.manifest import publish_snapshot
+    from pandas_to_postgres_spark.sources.manifest import append_snapshot
 
     def _writer(batch_df: DataFrame, batch_id: int) -> None:
         os.makedirs(path, exist_ok=True)
         for leftover in glob.glob(os.path.join(path, f"part-e{batch_id}-*.parquet")):
             os.remove(leftover)
         stage = tempfile.mkdtemp(prefix=f"snap-epoch-{batch_id}-")
+        moved = []
         try:
             batch_df.write.mode("overwrite").parquet(stage)
             parts = sorted(
@@ -163,12 +170,16 @@ def snapshot_table_writer(
                 if f.endswith(".parquet") and not f.startswith((".", "_"))
             )
             for i, f in enumerate(parts):
+                name = f"part-e{batch_id}-{i:05d}.parquet"
                 shutil.move(
-                    os.path.join(stage, f),
-                    os.path.join(path, f"part-e{batch_id}-{i:05d}.parquet"),
+                    os.path.join(stage, f), os.path.join(path, name)
                 )
+                moved.append(name)
         finally:
             shutil.rmtree(stage, ignore_errors=True)
-        publish_snapshot(path, stat_cols)
+        append_snapshot(
+            path, moved, stat_cols=stat_cols,
+            drop_prefix=f"part-e{batch_id}-",
+        )
 
     return _writer
