@@ -386,25 +386,7 @@ def load_batch_exactly_once(
     ctl.autocommit = True
     try:
         with ctl.cursor() as cur:
-            cur.execute(
-                f"""CREATE TABLE IF NOT EXISTS {ledger} (
-                        table_name TEXT NOT NULL,
-                        run_id TEXT NOT NULL DEFAULT '',
-                        batch_id BIGINT NOT NULL,
-                        n_rows BIGINT NOT NULL,
-                        PRIMARY KEY (table_name, run_id, batch_id))"""
-            )
-            # Legacy-ledger migration: deployments whose stream_epochs table
-            # predates the run_id column keep the old (table_name, batch_id)
-            # shape — CREATE IF NOT EXISTS is a no-op there, and the first
-            # post-upgrade SELECT would fail with UndefinedColumn. Old rows
-            # get '' which is exactly the run_id the legacy path used, so
-            # their replay protection carries over; the legacy 2-column PK
-            # stays (stricter than the 3-column one, still safe).
-            cur.execute(
-                f"ALTER TABLE {ledger} ADD COLUMN IF NOT EXISTS"
-                " run_id TEXT NOT NULL DEFAULT ''"
-            )
+            _ensure_ledger(cur, ledger)
             cur.execute(
                 f"SELECT 1 FROM {ledger} WHERE table_name = %s"
                 f" AND run_id = %s AND batch_id = %s",
@@ -460,9 +442,74 @@ def load_batch_exactly_once(
             )
             for st in stages:
                 cur.execute(f'DROP TABLE "{target.schema}"."{st}"')
+    except Exception as e:
+        if not _is_unique_violation(e):
+            raise
+        # A concurrent publisher won the ledger race for this
+        # (table, run, batch): our transaction rolled back whole — the
+        # target saw nothing — so this is a replay, not a failure
+        # (crash-looping here was the ADVICE r6 ledger bug's symptom).
+        # Clean this attempt's now-orphaned stages and report 0.
+        cln = psycopg2.connect(**conn_params)
+        cln.autocommit = True
+        try:
+            with cln.cursor() as cur:
+                for st in _this_batch_stages(cur, target, stage_prefix):
+                    cur.execute(f'DROP TABLE "{target.schema}"."{st}"')
+        finally:
+            cln.close()
+        return 0
     finally:
         pub.close()
     return n
+
+
+def _ensure_ledger(cur, ledger: str) -> None:
+    """Create or MIGRATE the epoch ledger to the 3-column identity.
+
+    Legacy-ledger migration (ADVICE r5 + r6): a ``stream_epochs`` table
+    that predates ``run_id`` keeps its old shape through CREATE IF NOT
+    EXISTS. Adding the column (old rows get ``''`` — exactly the run_id
+    the legacy path used, so their replay protection carries over) is not
+    enough: the legacy PRIMARY KEY is still (table_name, batch_id), so a
+    NEW run — fresh checkpoint ⇒ new run_id, batch_ids restarting at 0 —
+    passes the 3-column replay SELECT and then dies on the legacy PK at
+    its ledger INSERT, crash-looping forever. The PK must migrate to
+    (table_name, run_id, batch_id) in the same breath."""
+    cur.execute(
+        f"""CREATE TABLE IF NOT EXISTS {ledger} (
+                table_name TEXT NOT NULL,
+                run_id TEXT NOT NULL DEFAULT '',
+                batch_id BIGINT NOT NULL,
+                n_rows BIGINT NOT NULL,
+                PRIMARY KEY (table_name, run_id, batch_id))"""
+    )
+    cur.execute(
+        f"ALTER TABLE {ledger} ADD COLUMN IF NOT EXISTS"
+        " run_id TEXT NOT NULL DEFAULT ''"
+    )
+    cur.execute(
+        "SELECT c.conname, a.attname"
+        " FROM pg_constraint c"
+        " JOIN LATERAL unnest(c.conkey) AS k(attnum) ON TRUE"
+        " JOIN pg_attribute a"
+        "   ON a.attrelid = c.conrelid AND a.attnum = k.attnum"
+        f" WHERE c.conrelid = '{ledger}'::regclass AND c.contype = 'p'"
+    )
+    rows = cur.fetchall()
+    if rows and not any(r[1] == "run_id" for r in rows):
+        conname = str(rows[0][0]).replace('"', '""')
+        cur.execute(f'ALTER TABLE {ledger} DROP CONSTRAINT "{conname}"')
+        cur.execute(
+            f"ALTER TABLE {ledger}"
+            " ADD PRIMARY KEY (table_name, run_id, batch_id)"
+        )
+
+
+def _is_unique_violation(exc: Exception) -> bool:
+    """True for a PK/unique violation from either client (psycopg2 sets
+    ``pgcode``; the pgwire fallback flattens SQLSTATE into the text)."""
+    return getattr(exc, "pgcode", None) == "23505" or "23505" in str(exc)
 
 
 def _this_batch_stages(cur, target: TargetTable, stage_prefix: str) -> list:

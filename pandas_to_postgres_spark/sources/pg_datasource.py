@@ -625,52 +625,66 @@ class PostgresStreamWriter(DataSourceStreamArrowWriter):
         conn = _connect(self.options)
         try:
             with conn, conn.cursor() as cur:
-                cur.execute(
-                    f"""CREATE TABLE IF NOT EXISTS {ledger} (
-                            table_name TEXT NOT NULL,
-                            run_id TEXT NOT NULL DEFAULT '',
-                            batch_id BIGINT NOT NULL,
-                            n_rows BIGINT NOT NULL,
-                            PRIMARY KEY (table_name, run_id, batch_id))"""
+                # create-or-migrate: adds run_id AND moves the PK to
+                # (table_name, run_id, batch_id) — a legacy 2-column PK
+                # would reject every new run's batch 0 (ADVICE r6)
+                from pandas_to_postgres_spark.sinks.postgres_copy import (
+                    _ensure_ledger,
                 )
-                # Legacy-ledger migration: a pre-run_id stream_epochs table
-                # survives CREATE IF NOT EXISTS unchanged; without this the
-                # first post-upgrade micro-batch dies with UndefinedColumn.
-                # Old rows keep '' — the run_id the legacy path wrote.
-                cur.execute(
-                    f"ALTER TABLE {ledger} ADD COLUMN IF NOT EXISTS"
-                    " run_id TEXT NOT NULL DEFAULT ''"
-                )
-            with conn, conn.cursor() as cur:  # ONE publish txn
-                cur.execute(
-                    "SELECT pg_advisory_xact_lock(hashtext(%s))",
-                    (f"{self.schema_name}.{self.table}",),
-                )
-                cur.execute(
-                    f"SELECT 1 FROM {ledger}"
-                    " WHERE table_name = %s AND run_id = %s"
-                    " AND batch_id = %s",
-                    (self.table, self.run_id, int(batchId)),
-                )
-                replay = bool(cur.fetchall())
-                n = 0
-                if not replay:
-                    for m in messages:
-                        if m is not None and m.stage:
-                            cur.execute(
-                                f"INSERT INTO {self._q(self.table)}"
-                                f" ({col_list}) SELECT {col_list}"
-                                f" FROM {self._q(m.stage)}"
-                            )
-                            n += m.n_rows
+
+                _ensure_ledger(cur, ledger)
+            try:
+                with conn, conn.cursor() as cur:  # ONE publish txn
                     cur.execute(
-                        f"INSERT INTO {ledger}"
-                        " (table_name, run_id, batch_id, n_rows)"
-                        " VALUES (%s, %s, %s, %s)",
-                        (self.table, self.run_id, int(batchId), n),
+                        "SELECT pg_advisory_xact_lock(hashtext(%s))",
+                        (f"{self.schema_name}.{self.table}",),
                     )
-                for st in self._stages(messages):
-                    cur.execute(f"DROP TABLE IF EXISTS {self._q(st)}")
+                    cur.execute(
+                        f"SELECT 1 FROM {ledger}"
+                        " WHERE table_name = %s AND run_id = %s"
+                        " AND batch_id = %s",
+                        (self.table, self.run_id, int(batchId)),
+                    )
+                    replay = bool(cur.fetchall())
+                    n = 0
+                    if not replay:
+                        for m in messages:
+                            if m is not None and m.stage:
+                                cur.execute(
+                                    f"INSERT INTO {self._q(self.table)}"
+                                    f" ({col_list}) SELECT {col_list}"
+                                    f" FROM {self._q(m.stage)}"
+                                )
+                                n += m.n_rows
+                        cur.execute(
+                            f"INSERT INTO {ledger}"
+                            " (table_name, run_id, batch_id, n_rows)"
+                            " VALUES (%s, %s, %s, %s)",
+                            (self.table, self.run_id, int(batchId), n),
+                        )
+                    for st in self._stages(messages):
+                        cur.execute(f"DROP TABLE IF EXISTS {self._q(st)}")
+            except Exception as e:
+                from pandas_to_postgres_spark.sinks.postgres_copy import (
+                    _is_unique_violation,
+                )
+
+                if not _is_unique_violation(e):
+                    raise
+                # the ledger row already exists (a publisher outside the
+                # advisory lock, e.g. an unmigratable legacy row): the txn
+                # rolled back whole — treat as a replay instead of
+                # crash-looping; drop this attempt's orphaned stages
+                cln = _connect(self.options)
+                cln.autocommit = True
+                try:
+                    with cln.cursor() as cur:
+                        for st in self._stages(messages):
+                            cur.execute(
+                                f"DROP TABLE IF EXISTS {self._q(st)}"
+                            )
+                finally:
+                    cln.close()
         finally:
             conn.close()
 

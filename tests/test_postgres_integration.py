@@ -467,6 +467,83 @@ class TestExactlyOnceStreaming:
             ]
         conn.close()
 
+    def test_new_run_reusing_legacy_batch_id_publishes(self, spark, schema):
+        """ADVICE r6: migrating only the COLUMN left the legacy 2-column
+        PK (table_name, batch_id) in place, so a NEW run — fresh
+        checkpoint ⇒ new run_id, batch_ids restarting where the legacy
+        run already published — passed the 3-column replay SELECT and
+        then crash-looped on the PK at its ledger INSERT. The PK must
+        migrate to (table_name, run_id, batch_id)."""
+        from pandas_to_postgres_spark.sinks.postgres_copy import (
+            TargetTable,
+            load_batch_exactly_once,
+        )
+
+        conn_params = schema
+        ledger = "legacy_epochs2"
+        with pgwire.connect(**conn_params) as conn, conn.cursor() as cur:
+            cur.execute("DROP TABLE IF EXISTS ev_sink_lgc2")
+            cur.execute(
+                """CREATE TABLE ev_sink_lgc2 (
+                       event_id BIGINT, user_id BIGINT, event_type TEXT,
+                       value DOUBLE PRECISION)"""
+            )
+            cur.execute(f"DROP TABLE IF EXISTS {ledger}")
+            cur.execute(
+                f"""CREATE TABLE {ledger} (
+                        table_name TEXT NOT NULL,
+                        batch_id BIGINT NOT NULL,
+                        n_rows BIGINT NOT NULL,
+                        PRIMARY KEY (table_name, batch_id))"""
+            )
+            # the legacy run already published batch 0
+            cur.execute(
+                f"INSERT INTO {ledger} VALUES ('ev_sink_lgc2', 0, 5)"
+            )
+        target = TargetTable(
+            schema="public",
+            name="ev_sink_lgc2",
+            columns=["event_id", "user_id", "event_type", "value"],
+        )
+        batch = (
+            spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+            .select("event_id", "user_id", "event_type", "value")
+            .limit(15)
+        )
+        # new run, batch_id 0 — collided with the legacy PK before the fix
+        assert (
+            load_batch_exactly_once(
+                batch, conn_params, target, 0, epoch_table=ledger,
+                run_id="fresh_run",
+            )
+            == 15
+        )
+        conn = pgwire.connect(**conn_params)
+        with conn, conn.cursor() as cur:
+            cur.execute("SELECT count(*) FROM ev_sink_lgc2")
+            assert int(cur.fetchall()[0][0]) == 15
+            # the PK is now the 3-column identity
+            cur.execute(
+                "SELECT a.attname FROM pg_constraint c"
+                " JOIN LATERAL unnest(c.conkey) AS k(attnum) ON TRUE"
+                " JOIN pg_attribute a"
+                "   ON a.attrelid = c.conrelid AND a.attnum = k.attnum"
+                f" WHERE c.conrelid = '{ledger}'::regclass"
+                "   AND c.contype = 'p'"
+            )
+            assert {r[0] for r in cur.fetchall()} == {
+                "table_name", "run_id", "batch_id"
+            }
+            # and its replay protection works: same (run, batch) again
+        conn.close()
+        assert (
+            load_batch_exactly_once(
+                batch, conn_params, target, 0, epoch_table=ledger,
+                run_id="fresh_run",
+            )
+            == 0
+        )
+
 
 class TestPostgresDataSource:
     """spark.read.format("pgwire"): the Spark 4 Python DataSource reading
@@ -1008,6 +1085,11 @@ class TestPostgresStreamSink:
                        n_rows BIGINT NOT NULL,
                        PRIMARY KEY (table_name, batch_id))"""
             )
+            # the legacy run already published a batch 0: the new run's
+            # batch 0 collides with the 2-column PK unless the migration
+            # also moves the PK to (table_name, run_id, batch_id) —
+            # ADVICE r6's crash-loop scenario
+            cur.execute("INSERT INTO lgl_epochs VALUES ('lgl_tgt', 0, 99)")
             for i in range(30):
                 cur.execute("INSERT INTO lgl_src VALUES (%s, %s)", (i, f"v{i}"))
         conn.close()
@@ -1044,7 +1126,19 @@ class TestPostgresStreamSink:
             cur.execute(
                 "SELECT run_id FROM lgl_epochs WHERE table_name = 'lgl_tgt'"
             )
-            assert {r[0] for r in cur.fetchall()} == {"lgl-run-1"}
+            # legacy row kept (under '' run_id) AND the new run published
+            assert {r[0] for r in cur.fetchall()} == {"", "lgl-run-1"}
+            cur.execute(
+                "SELECT a.attname FROM pg_constraint c"
+                " JOIN LATERAL unnest(c.conkey) AS k(attnum) ON TRUE"
+                " JOIN pg_attribute a"
+                "   ON a.attrelid = c.conrelid AND a.attnum = k.attnum"
+                " WHERE c.conrelid = 'lgl_epochs'::regclass"
+                "   AND c.contype = 'p'"
+            )
+            assert {r[0] for r in cur.fetchall()} == {
+                "table_name", "run_id", "batch_id"
+            }
         conn.close()
 
 
