@@ -418,7 +418,15 @@ def ngram_jaccard_prefix(
     ).select("__id", sh.alias("__tks"))
     interned = False
     if intern_tokens:
-        chk = base.select(F.explode("__tks").alias("__t")).agg(
+        # explode_OUTER on purpose: a plain explode lets Catalyst infer a
+        # size(__tks) > 0 filter (InferFiltersFromGenerate) whose predicate
+        # carries the WHOLE shingle expression below the repartition
+        # exchange into the scan stage — the expensive HOF then evaluates
+        # twice, once on the scan's 1-2 splits (measured 8.4s on 2 of 32
+        # cores at sf0.1; the round-7 width gate caught it). The rule
+        # skips outer generates, and countDistinct ignores the null rows
+        # outer adds for empty arrays, so results are identical.
+        chk = base.select(F.explode_outer("__tks").alias("__t")).agg(
             F.countDistinct("__t").alias("n_tok"),
             F.countDistinct(F.xxhash64("__t")).alias("n_hash"),
         ).first()

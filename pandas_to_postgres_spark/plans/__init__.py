@@ -47,19 +47,37 @@ from pandas_to_postgres_spark.plans import retrieval  # noqa: F401,E402
 #: slots; chunk_documents -> corpus_prep_pipeline runs the chunker)
 #: moved out for bpe_learn_merges, bpe_fertility_by_source,
 #: centroid_quality_filter, temperature_mix_weights, and
-#: ivf_partitioned_search. Rotated-out queries stay registered,
+#: ivf_partitioned_search. ROTATION #3 (round 7, per the round-6
+#: verdict's exact list) certifies the seven round-6 builds that missed
+#: the late-round rotation — simsearch_sq8, bucketed_colocated_join,
+#: salted_skew_agg, salted_skew_join (the skew tier's first driver run),
+#: snapshot_time_travel, neardup_group_summary, bpe_encode_stats — and
+#: swaps rows-only simhash_docs for its oracle-checked md5-basis twin
+#: simhash_hamming_pairs (the same move that value-checked minhash in
+#: r6), lifting the window to 49 oracle rows of 50. Rotated out, each
+#: with its §2 evidence staying in-window via a sibling:
+#: dedup_incremental_docs (D1 via dedup_exact), embedding_neardup (D2
+#: keeps 6 siblings), simsearch_pq_trained (D4 keeps 4 slots),
+#: pack_sequences + train_test_split (shaping keeps corpus_prep /
+#: dsir / temperature_mix), join_broadcast_rollup (J1 broadcast stays
+#: plan-asserted in tests and runs inside in-window simsearch/centroid
+#: broadcasts), stream_sliding_counts (tumbling oracle stays via
+#: stream_foreachbatch_counts). Rotated-out queries stay registered,
 #: oracle-tested in pytest, and covered by scripts/local_correctness.py.
 PRIORITY = [
     # §2.11 D1 — exact + incremental dedup
     "dedup_exact",
-    "dedup_incremental_docs",
     # §2.11 D2 — near-dup family
     "minhash_lsh_checked",      # r6 swap: md5-basis MinHash-LSH, full
                                 # pipeline (signatures → bands → verify)
                                 # replayed by the DuckDB oracle
-    "simhash_docs",             # rows-only
+    "simhash_hamming_pairs",    # r7 swap: md5-basis SimHash + Hamming
+                                # pairs, value-checked by the DuckDB
+                                # oracle (simhash_docs stays registered
+                                # as the rows-only throughput twin)
     "ngram_jaccard_pairs",
-    "embedding_neardup",
+    "neardup_group_summary",    # r7 rotation: cluster-bounded dedup
+                                # report (the 100TB-safe output shape)
     "neardup_clusters",         # r6 rotation: connected components over
                                 # near-dup pairs (DuckDB recursive CTE twin)
     "span_dedup_docs",          # r6 rotation: C4-style span dedup
@@ -72,13 +90,13 @@ PRIORITY = [
     "simsearch_topk",
     "simsearch_ivf",            # rows-only: probe pruning is engine-side
     "ivf_partitioned_search",   # r6 build: persisted partition-pruned index
-    "simsearch_pq_trained",     # r5 rotation: trained-PQ ANN (Lloyd iters)
+    "simsearch_sq8",            # r7 rotation: scalar-quantized (int8) ANN
     "hybrid_rrf_docs",          # r5 rotation: BM25+cosine RRF fusion
     # §2.11 D5 — multimodal
     "multimodal_pipeline",      # rows-only: fake-decode mapInPandas chain
     # training-data shaping
-    "pack_sequences",
-    "train_test_split",
+    "snapshot_time_travel",     # r7 rotation: manifest snapshot table
+    "bpe_encode_stats",         # r7 rotation: BPE encode vs learned merges
     "corpus_prep_pipeline",
     "dsir_select_docs",         # r6 rotation: DSIR importance resampling
     "bpe_learn_merges",         # r6 build: relational BPE trainer
@@ -96,7 +114,6 @@ PRIORITY = [
     # foreachBatch bridge — one slot proves both operators; the memory-sink
     # variant stays registered past the window and oracle-checked in pytest)
     "stream_foreachbatch_counts",
-    "stream_sliding_counts",
     "stream_stateful_totals",
     "stream_dedup_events",
     "stream_static_join",
@@ -109,15 +126,20 @@ PRIORITY = [
     "normalize_target_schema",
     # §2.3 — joins J1/J2/J6/J7 (J8 cross join is inside simsearch_topk;
     # J3/J4/J5 rotated out round 5 — still oracle-green in pytest/local)
-    "join_broadcast_rollup",
+    "bucketed_colocated_join",  # r7 rotation: zero-Exchange SMJ off
+                                # bucketed tables (plan-asserted)
     "join_order_revenue",
     "range_join_bins",
     "asof_join_events",
+    "salted_skew_join",         # r7 rotation: salted replicate-join,
+                                # bit-identical to the plain join
     # §2.4 — aggregations (distinct_counts / conditional_agg /
     # collect_set_segments rotated out round 6 after 4 green rounds —
     # A1 evidence stays in-window via text_stats, A3 via
     # percentiles_price; A5/A6 → pytest/local oracle)
     "percentiles_price",
+    "salted_skew_agg",          # r7 rotation: two-phase skew-safe agg,
+                                # bit-identical to the plain GROUP BY
     "rollup_cube_gsets",
     "k_anonymity_audit",
     # §2.5/§2.6 — windows, top-k (W3 rotated out r5, W2 lag/lead out r6 —

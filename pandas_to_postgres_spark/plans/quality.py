@@ -2513,10 +2513,17 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: more than 50 docs are boilerplate and dropped before pairing.
 _WIN_K, _WIN_W, _WIN_CAP, _WIN_T = 4, 5, 50, 2
 
+#: guarded for short docs IN the expression (empty array, not a filter):
+#: a separate size(__toks) >= 4 filter gets predicate-pushed below the
+#: repartition exchange, dragging the tokenizer into the one-split scan
+#: stage (measured 4.4s single-core at sf0.1 — the round-7 width gate's
+#: catch); the CASE stays in the projection ABOVE the exchange
 _WIN_HASH_SPARK = (
+    "CASE WHEN size(__toks) >= 4 THEN "
     "transform(sequence(1, size(__toks) - 3), i -> "
     "CAST(conv(substr(md5(array_join(slice(__toks, i, 4), ' ')), 1, 15), "
-    "16, 10) AS BIGINT))"
+    "16, 10) AS BIGINT)) "
+    "ELSE CAST(array() AS array<bigint>) END"
 )
 _WIN_HASH_DUCK = (
     "CAST(('0x' || substr(md5(array_to_string("
@@ -2588,11 +2595,20 @@ def winnow_copy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     h = (
         d.select("doc_id", tokens_expr(F.lower(F.col("text"))).alias("__toks"))
-        .filter(F.size("__toks") >= _WIN_K)
+        # short docs are guarded INSIDE _WIN_HASH_SPARK (empty array) and
+        # the explode is OUTER: both a size filter here and the filter
+        # Catalyst infers from a non-outer explode would be pushed below
+        # the repartition exchange with the whole tokenize/hash pipeline
+        # in tow, re-running it on the scan's single split
         .select("doc_id", F.expr(_WIN_HASH_SPARK).alias("__h"))
         # m is the array size — known BEFORE the explode, so no second
         # (count-over-partition) window pass is needed downstream
-        .select("doc_id", F.size("__h").alias("m"), F.posexplode("__h").alias("pos", "h"))
+        .select(
+            "doc_id",
+            F.size("__h").alias("m"),
+            F.posexplode_outer("__h").alias("pos", "h"),
+        )
+        .filter(F.col("h").isNotNull())  # drop outer's empty-array rows
     )
     wmin = (
         Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, _WIN_W - 1)

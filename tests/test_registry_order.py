@@ -19,14 +19,19 @@ class TestWindow:
         window = set(PRIORITY)
         must_have = {
             # D1..D5 (minhash_neardup swapped round 6 for its
-            # oracle-checked md5-basis twin minhash_lsh_checked)
-            "dedup_exact", "dedup_incremental_docs", "minhash_lsh_checked",
-            "simhash_docs", "ngram_jaccard_pairs", "embedding_neardup",
+            # oracle-checked md5-basis twin minhash_lsh_checked;
+            # simhash_docs swapped round 7 for its md5 twin
+            # simhash_hamming_pairs; dedup_incremental_docs and
+            # embedding_neardup rotated out round 7 with D1/D2 siblings
+            # staying in-window)
+            "dedup_exact", "minhash_lsh_checked",
+            "simhash_hamming_pairs", "ngram_jaccard_pairs",
+            "neardup_group_summary",
             "text_stats", "text_metrics", "simsearch_topk", "simsearch_ivf",
             "multimodal_pipeline",
             # training-data shaping (chunk_documents rotated out in the
-            # second r6 rotation — corpus_prep_pipeline runs the chunker)
-            "pack_sequences", "train_test_split",
+            # second r6 rotation — corpus_prep_pipeline runs the chunker;
+            # pack_sequences/train_test_split rotated out round 7)
             "corpus_prep_pipeline",
             # X2..X5 (pandas_udf_norm rotated out in the second r6
             # rotation — the Arrow path stays via grouped_map/udaf)
@@ -34,12 +39,14 @@ class TestWindow:
             "udtf_sentences",
             # §2.9 streaming — foreachbatch carries the tumbling-window row
             # too (same aggregate + oracle, foreachBatch delivery)
-            "stream_foreachbatch_counts", "stream_sliding_counts",
+            # (stream_sliding_counts rotated out round 7 — the
+            # tumbling-window oracle stays via foreachbatch)
+            "stream_foreachbatch_counts",
             "stream_stateful_totals", "stream_dedup_events",
             "stream_static_join", "stream_stream_join",
             # round-5 rotation: first driver-side oracle runs for the
             # round-3/4 additions (COVERAGE.md "Round-5 window rotation")
-            "simsearch_pq_trained", "hybrid_rrf_docs", "stream_neardup_docs",
+            "hybrid_rrf_docs", "stream_neardup_docs",
             "k_anonymity_audit", "json_corrupt_audit",
             # round-6 rotation: first driver-side oracle runs for the
             # round-4/5 additions (COVERAGE.md "Round-6 window rotation")
@@ -54,13 +61,24 @@ class TestWindow:
             "bpe_learn_merges", "bpe_fertility_by_source",
             "centroid_quality_filter", "temperature_mix_weights",
             "ivf_partitioned_search",
+            # round-7 rotation (#3): driver certification for the seven
+            # round-6 builds that missed the late-round rotation
+            # (COVERAGE.md "Round-7 window rotation"); rotated out:
+            # dedup_incremental_docs, embedding_neardup,
+            # simsearch_pq_trained, pack_sequences, train_test_split,
+            # join_broadcast_rollup, stream_sliding_counts — all still
+            # registered and oracle-green in pytest + both local boards
+            "simsearch_sq8", "bucketed_colocated_join",
+            "salted_skew_agg", "salted_skew_join",
+            "snapshot_time_travel", "neardup_group_summary",
+            "bpe_encode_stats",
             # relational families (J3/J4/J5, W3, json_extract_events
             # rotated out round 5; filter_project, distinct_counts,
             # conditional_agg, collect_set_segments, window_lag_events
             # rotated out round 6 — all still registered and oracle-green
             # in tests/test_correctness.py + local boards)
             "pricing_summary", "normalize_target_schema",
-            "join_broadcast_rollup", "join_order_revenue", "range_join_bins",
+            "join_order_revenue", "range_join_bins",
             "asof_join_events", "percentiles_price",
             "rollup_cube_gsets", "window_topn_orders",
             "topk_lineitems", "setops_custkeys",
@@ -72,9 +90,10 @@ class TestWindow:
         # rows-only entries in the window must be the known non-SQL ops
         # (simsearch_ivf gained a DuckDB oracle in round 3;
         # minhash_neardup's slot holds its oracle-checked md5 twin since
-        # round 6 — 48 of 50 window rows are oracle-compared)
+        # round 6, simhash_docs' since round 7 — 49 of 50 window rows
+        # are oracle-compared)
         rows_only = {n for n in PRIORITY if REGISTRY[n].oracle is None}
-        assert rows_only == {"simhash_docs", "multimodal_pipeline"}
+        assert rows_only == {"multimodal_pipeline"}
 
 
 class TestCoverageTotals:
@@ -101,6 +120,29 @@ class TestCoverageTotals:
         )
         assert n_oracle == oracle
         assert n_rows_only == len(REGISTRY) - oracle
+
+    def test_readme_totals_match_registry(self):
+        """Round-6 verdict What's-wrong #1: README.md's query/oracle
+        counts drifted by hand twice (r5 COVERAGE, r6 README). Pin the
+        README line the same way."""
+        import os
+        import re
+
+        path = os.path.join(os.path.dirname(__file__), "..", "README.md")
+        with open(path) as f:
+            text = f.read()
+        m = re.search(
+            r"(\d+)-query library, (\d+) DuckDB-oracle-checked", text
+        )
+        assert m, "README.md totals line not found / format changed"
+        n_total, n_oracle = map(int, m.groups())
+        oracle = sum(1 for s in REGISTRY.values() if s.oracle is not None)
+        assert n_total == len(REGISTRY), (
+            f"README.md says {n_total} queries, registry has {len(REGISTRY)}"
+        )
+        assert n_oracle == oracle, (
+            f"README.md says {n_oracle} oracle-checked, registry has {oracle}"
+        )
 
 
 class TestDriverOrderDeterminism:
