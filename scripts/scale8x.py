@@ -73,17 +73,18 @@ def build_scaled(spark, copies: int = COPIES, tables=None) -> str:
     ``tables`` restricts which fact tables are scaled (dims always copy
     through) — the 64x near-dup tier only needs documents."""
     xdir = scale_dir(copies)
-    if os.path.isdir(xdir) and os.listdir(xdir):
-        return xdir
-    shutil.rmtree(xdir, ignore_errors=True)
     os.makedirs(xdir, exist_ok=True)
     for table in ("region", "nation"):
+        if os.path.isdir(f"{xdir}/{table}.parquet"):
+            continue
         load_table(spark, SF01, table).write.mode("overwrite").parquet(
             f"{xdir}/{table}.parquet"
         )
     for table, keys in KEYS.items():
         if tables is not None and table not in tables:
             continue
+        if os.path.isdir(f"{xdir}/{table}.parquet"):
+            continue  # per-table reuse: later runs can ADD tables
         base = load_table(spark, SF01, table)
         parts = []
         for i in range(copies):
