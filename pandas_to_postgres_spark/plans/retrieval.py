@@ -3220,3 +3220,110 @@ def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return outs[0].unionAll(outs[1])
+
+
+_MERGE_ORACLE = """
+    WITH a AS (
+      SELECT o_orderkey AS k,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS tc
+      FROM orders WHERE o_orderkey % 10 = 0),
+    u AS (
+      SELECT k, tc * 2 AS tc FROM a WHERE k % 50 = 0
+      UNION ALL
+      SELECT o_orderkey,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+      FROM orders WHERE o_orderkey % 10 = 7),
+    m AS (
+      SELECT * FROM a WHERE NOT EXISTS (SELECT 1 FROM u WHERE u.k = a.k)
+      UNION ALL
+      SELECT * FROM u)
+    SELECT CAST(1 AS BIGINT) AS version,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(tc) AS BIGINT) AS tc_cents,
+           CAST(max(k) AS BIGINT) AS max_key
+    FROM a
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT),
+           CAST(sum(tc) AS BIGINT), CAST(max(k) AS BIGINT)
+    FROM m
+    """
+
+
+@register("snapshot_merge_upsert", min_rows=2, oracle=_MERGE_ORACLE)
+def snapshot_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write MERGE (upsert) on the snapshot table, driver-visible
+    end to end (`sources/manifest.merge_snapshot` — the Delta/Iceberg
+    ``MERGE INTO`` pattern): build v1 from a deterministic orders slice
+    (keys ≡ 0 mod 10, totalprice as exact integer cents), merge an
+    updates frame that DOUBLES the cents on keys ≡ 0 mod 50 (matched →
+    replaced) and inserts the keys ≡ 7 mod 10 slice (unmatched →
+    appended), then read BOTH versions back through ``format("snapshot")``
+    and aggregate each — v1 must still serve the pre-merge table
+    bit-exactly (copy-on-write isolation) while v2 serves the merged
+    result. The table is rebuilt per run (tier-tagged dir wiped) so
+    versions are deterministically 1 and 2.
+
+    Scale: manifest key-range stats prune the rewrite candidates, one
+    column-pruned probe join finds the files that really contain matched
+    keys, and ONLY those are rewritten — on a key-sorted 100 TB layout a
+    point-ish update batch rewrites O(matched files), with the publish a
+    metadata-sized atomic version claim. Oracle: the same slices and the
+    same anti-join ∪ updates algebra straight off orders."""
+    import hashlib
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    from pandas_to_postgres_spark.sources.manifest import (
+        merge_snapshot,
+        publish_snapshot,
+    )
+    from pandas_to_postgres_spark.sources.snapshot_datasource import (
+        SnapshotDataSource,
+    )
+
+    spark.dataSource.register(SnapshotDataSource)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:6]
+    wh = urlparse(
+        spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    ).path or "spark-warehouse"
+    path = os.path.join(wh, f"mg_table_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("tc"),
+    )
+    a = o.filter(F.col("k") % 10 == 0)
+    # several files so the probe has something to prune/skip
+    a.repartition(4, F.col("k")).write.mode("overwrite").parquet(path)
+    publish_snapshot(path, ["k"])
+
+    updates = (
+        a.filter(F.col("k") % 50 == 0)
+        .select("k", (F.col("tc") * 2).alias("tc"))
+        .unionByName(o.filter(F.col("k") % 10 == 7))
+    )
+    merge_snapshot(spark, path, updates, ["k"])
+
+    outs = []
+    for v in (1, 2):
+        df = (
+            spark.read.format("snapshot")
+            .option("path", path)
+            .option("version", v)
+            .load()
+        )
+        outs.append(
+            df.agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("tc").cast("long").alias("tc_cents"),
+                F.max("k").cast("long").alias("max_key"),
+            ).select(
+                F.lit(v).cast("long").alias("version"),
+                "n_rows",
+                "tc_cents",
+                "max_key",
+            )
+        )
+    return outs[0].unionAll(outs[1])

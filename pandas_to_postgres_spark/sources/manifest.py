@@ -395,6 +395,157 @@ def read_snapshot_pruned(
     return df.filter(pred)
 
 
+def merge_snapshot(
+    spark,
+    path: str,
+    updates: DataFrame,
+    key_cols: Sequence[str],
+    version: int | None = None,
+) -> dict:
+    """Copy-on-write MERGE (upsert) into the snapshot table — the
+    Delta/Iceberg ``MERGE INTO`` pattern on the manifest log: rows of
+    ``updates`` REPLACE table rows with the same key, keys absent from
+    the table are INSERTED, and only the part files that actually
+    contain a matched key are rewritten. Everything else is metadata.
+
+    How the rewrite set stays small (the whole point at 100 TB):
+
+    1. *Prune*: manifest [min, max] stats on the key column drop files
+       whose range cannot intersect the updates' key range — on a
+       key-sorted layout (``sinks/files.write_sorted``) a point-ish
+       update batch keeps O(1) of the files as candidates.
+    2. *Probe*: one column-pruned scan of the candidates (keys +
+       ``_metadata.file_path`` only) joined with the update keys finds
+       the files that REALLY contain matches — Delta's touched-file
+       detection join.
+    3. *Rewrite*: affected files' rows anti-joined with the update keys
+       (the survivors) union the full ``updates`` frame (matched rows
+       replaced, unmatched inserted) land as new ``part-m<job>-`` files.
+    4. *Publish*: snapshot files − affected + rewritten, committed with
+       the atomic version claim. Prior versions keep time-traveling over
+       the old files; ``expire_snapshots`` reclaims later.
+
+    Snapshot-isolation semantics under concurrency (same contract as
+    the other write paths): the merge applies to the snapshot it READ —
+    a lost version claim re-reads the head and re-publishes with
+    concurrent appends' files carried over untouched, but rows a
+    concurrent writer appended are NOT merged (Iceberg's
+    snapshot-isolation MERGE, not serializable).
+
+    ``updates`` must carry every table column (full-row upsert) and at
+    most one row per key — both validated. Returns the new manifest.
+    """
+    import uuid
+
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    key_cols = list(key_cols)
+    snap = load_snapshot(path, version)
+    if not snap["files"]:
+        raise ValueError("cannot merge into a zero-file snapshot")
+    table_cols = [
+        f.name
+        for f in spark.read.parquet(
+            os.path.join(path, snap["files"][0]["path"])
+        ).schema.fields
+    ]
+    missing = [c for c in table_cols if c not in updates.columns]
+    if missing:
+        raise ValueError(f"updates missing table columns: {missing}")
+    updates = updates.select(*table_cols).localCheckpoint(eager=False)
+    n_up = updates.count()
+    if n_up == 0:
+        return load_snapshot(path)  # no-op: no new version published
+    if updates.select(*key_cols).distinct().count() != n_up:
+        raise ValueError("updates carry duplicate keys — merge is undefined")
+
+    # 1. prune candidates by manifest stats on a single numeric key
+    cand, untouched = list(snap["files"]), []
+    if len(key_cols) == 1 and key_cols[0] in snap.get("stat_cols", []):
+        k = key_cols[0]
+        b = updates.agg(
+            F.min(k).alias("lo"), F.max(k).alias("hi")
+        ).first()
+        if b["lo"] is not None:
+            cand, _ = prune_files(snap, k, b["lo"], b["hi"])
+            pruned = {e["path"] for e in cand}
+            untouched = [e for e in snap["files"] if e["path"] not in pruned]
+
+    new_names: list[str] = []
+    affected: set[str] = set()
+    if cand:
+        cand_paths = [os.path.join(path, e["path"]) for e in cand]
+        # 2. probe: keys + file path only — column-pruned touched-file join
+        probe = (
+            spark.read.parquet(*cand_paths)
+            .select(*key_cols, F.col("_metadata.file_path").alias("__f"))
+            .join(updates.select(*key_cols).distinct(), key_cols, "leftsemi")
+            .select("__f")
+            .distinct()
+        )
+        affected = {os.path.basename(r["__f"]) for r in probe.collect()}
+        untouched += [e for e in cand if e["path"] not in affected]
+
+    # 3. rewrite: survivors of affected files + the whole updates frame
+    if affected:
+        old = spark.read.parquet(
+            *[os.path.join(path, f) for f in sorted(affected)]
+        )
+        rewritten = old.join(
+            updates.select(*key_cols).distinct(), key_cols, "left_anti"
+        ).unionByName(updates)
+    else:
+        # nothing matched anywhere: pure insert of the updates
+        rewritten = updates
+    job = uuid.uuid4().hex[:8]
+    stage = tempfile.mkdtemp(prefix="merge-stage-")
+    try:
+        rewritten.write.mode("overwrite").parquet(stage)
+        parts = sorted(
+            f
+            for f in os.listdir(stage)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        )
+        for i, f in enumerate(parts):
+            name = f"part-m{job}-{i:05d}.parquet"
+            shutil.move(os.path.join(stage, f), os.path.join(path, name))
+            new_names.append(name)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+    # 4. publish (head-merged claim-retry; snapshot-isolation caveat in
+    # the docstring: concurrent appends carry over unmerged)
+    merged_away = affected
+    for _ in range(_MAX_PUBLISH_RETRIES):
+        head = load_snapshot(path)
+        survivors = [
+            e["path"]
+            for e in head["files"]
+            if e["path"] not in merged_away
+        ]
+        known = (
+            head["files"]
+            if set(head.get("stat_cols", [])) == set(snap["stat_cols"])
+            else None
+        )
+        manifest = {
+            "version": head["version"] + 1,
+            "stat_cols": list(snap["stat_cols"]),
+            "files": _build_entries(
+                path, survivors + new_names, snap["stat_cols"], known
+            ),
+        }
+        if _claim_version(path, head["version"] + 1, manifest):
+            return manifest
+    raise RuntimeError(
+        f"merge_snapshot: lost {_MAX_PUBLISH_RETRIES} version claims "
+        f"under {path}"
+    )
+
+
 def expire_snapshots(path: str, keep_latest: int = 1) -> dict:
     """Retire all but the newest ``keep_latest`` snapshots, then delete
     part files that are provably superseded: referenced by an EXPIRED

@@ -1265,3 +1265,123 @@ class TestSnapshotChangeFeedRestartResume:
         got = spark.read.parquet(out)
         assert got.count() == 70  # 45 + exactly the 25 new rows
         assert got.select("k").distinct().count() == 70  # no replays
+
+
+class TestSnapshotMerge:
+    """merge_snapshot: copy-on-write upsert on the manifest log — only
+    part files that CONTAIN a matched key are rewritten; everything else
+    survives by name. Prior versions keep time-traveling."""
+
+    @staticmethod
+    def _mkfile(path, name, lo, hi):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            pa.table(
+                {
+                    "k": pa.array(range(lo, hi), type=pa.int64()),
+                    "v": [f"old{i}" for i in range(lo, hi)],
+                }
+            ),
+            os.path.join(path, name),
+        )
+
+    def _table(self, tmp_path):
+        from pandas_to_postgres_spark.sources import manifest as M
+
+        path = str(tmp_path / "mtbl")
+        os.makedirs(path)
+        self._mkfile(path, "part-a.parquet", 0, 100)
+        self._mkfile(path, "part-b.parquet", 100, 200)
+        self._mkfile(path, "part-c.parquet", 200, 300)
+        M.publish_snapshot(
+            path, ["k"],
+            files=["part-a.parquet", "part-b.parquet", "part-c.parquet"],
+        )
+        return path
+
+    def test_update_insert_rewrites_only_touched_files(self, spark, tmp_path):
+        from pandas_to_postgres_spark.sources import manifest as M
+
+        path = self._table(tmp_path)
+        updates = spark.createDataFrame(
+            [(50, "NEW50"), (1000, "NEW1000")], "k long, v string"
+        )
+        man = M.merge_snapshot(spark, path, updates, ["k"])
+        names = {e["path"] for e in man["files"]}
+        # untouched files survive BY NAME; only part-a was rewritten
+        assert {"part-b.parquet", "part-c.parquet"} <= names
+        assert "part-a.parquet" not in names
+        assert any(n.startswith("part-m") for n in names)
+        got = M.read_snapshot(spark, path)
+        assert got.count() == 301  # 300 rows + 1 insert
+        rows = {r.k: r.v for r in got.filter("k in (50, 51, 1000)").collect()}
+        assert rows == {50: "NEW50", 51: "old51", 1000: "NEW1000"}
+        # prior version is untouched (time travel)
+        v1 = M.read_snapshot(spark, path, 1)
+        assert v1.count() == 300
+        assert v1.filter("k = 50").first().v == "old50"
+        # stats basis carried over -> pruned reads still work
+        assert man["stat_cols"] == ["k"]
+        assert all("k" in e["stats"] for e in man["files"])
+
+    def test_insert_only_touches_nothing(self, spark, tmp_path):
+        from pandas_to_postgres_spark.sources import manifest as M
+
+        path = self._table(tmp_path)
+        updates = spark.createDataFrame(
+            [(5000, "x"), (5001, "y")], "k long, v string"
+        )
+        man = M.merge_snapshot(spark, path, updates, ["k"])
+        names = {e["path"] for e in man["files"]}
+        assert {"part-a.parquet", "part-b.parquet", "part-c.parquet"} <= names
+        assert M.read_snapshot(spark, path).count() == 302
+
+    def test_empty_updates_is_a_noop(self, spark, tmp_path):
+        from pandas_to_postgres_spark.sources import manifest as M
+
+        path = self._table(tmp_path)
+        empty = spark.createDataFrame([], "k long, v string")
+        man = M.merge_snapshot(spark, path, empty, ["k"])
+        assert man["version"] == 1  # no new version published
+        assert M.snapshot_versions(path) == [1]
+
+    def test_duplicate_keys_and_missing_columns_raise(self, spark, tmp_path):
+        from pandas_to_postgres_spark.sources import manifest as M
+
+        path = self._table(tmp_path)
+        dup = spark.createDataFrame(
+            [(1, "a"), (1, "b")], "k long, v string"
+        )
+        with pytest.raises(ValueError, match="duplicate keys"):
+            M.merge_snapshot(spark, path, dup, ["k"])
+        narrow = spark.createDataFrame([(1,)], "k long")
+        with pytest.raises(ValueError, match="missing table columns"):
+            M.merge_snapshot(spark, path, narrow, ["k"])
+
+    def test_merge_racing_append_keeps_the_append(
+        self, spark, tmp_path, monkeypatch
+    ):
+        from pandas_to_postgres_spark.sources import manifest as M
+
+        path = self._table(tmp_path)
+        self._mkfile(path, "part-late.parquet", 9000, 9010)
+        real = M._claim_version
+        state = {"injected": False}
+
+        def racy(p, version, man):
+            if not state["injected"]:
+                state["injected"] = True
+                M.append_snapshot(p, ["part-late.parquet"])
+            return real(p, version, man)
+
+        monkeypatch.setattr(M, "_claim_version", racy)
+        updates = spark.createDataFrame([(250, "NEW")], "k long, v string")
+        man = M.merge_snapshot(spark, path, updates, ["k"])
+        names = {e["path"] for e in man["files"]}
+        assert "part-late.parquet" in names  # concurrent append survived
+        assert "part-c.parquet" not in names  # the touched file rewritten
+        got = M.read_snapshot(spark, path)
+        assert got.count() == 310  # 300 + 10 appended
+        assert got.filter("k = 250").first().v == "NEW"
