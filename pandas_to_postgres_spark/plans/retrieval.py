@@ -3327,3 +3327,132 @@ def snapshot_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return outs[0].unionAll(outs[1])
+
+
+_CDC_APPLY_ORACLE = """
+    WITH a AS (
+      SELECT o_orderkey AS k,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS tc
+      FROM orders WHERE o_orderkey % 10 = 0),
+    latest AS (
+      SELECT k, tc * 2 AS tc, 'U' AS op FROM a WHERE k % 40 = 0
+      UNION ALL
+      SELECT k, NULL, 'D' FROM a WHERE k % 30 = 0 AND k % 40 <> 0
+      UNION ALL
+      SELECT o_orderkey,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT), 'I'
+      FROM orders WHERE o_orderkey % 10 = 3),
+    m AS (
+      SELECT k, tc FROM a
+      WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.k = a.k)
+      UNION ALL
+      SELECT k, tc FROM latest WHERE op <> 'D')
+    SELECT CAST(1 AS BIGINT) AS version,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(tc) AS BIGINT) AS tc_cents,
+           CAST(max(k) AS BIGINT) AS max_key
+    FROM a
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT),
+           CAST(sum(tc) AS BIGINT), CAST(max(k) AS BIGINT)
+    FROM m
+    """
+
+
+@register("snapshot_cdc_apply", min_rows=2, oracle=_CDC_APPLY_ORACLE)
+def snapshot_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I/U/D change-feed apply into the snapshot table, driver-visible
+    (`sources/manifest.apply_changes_to_snapshot` — the lakehouse twin of
+    the Postgres CDC apply sink): build v1 from the orders keys ≡ 0 mod
+    10 slice, then apply ONE change batch that proves every semantic —
+    keys ≡ 0 mod 40 get a seq-1 update AND a conflicting seq-2 update
+    (the LAST change per key must win: doubled cents), keys ≡ 0 mod 30
+    (and not ≡ 0 mod 40) are DELETED, and the keys ≡ 3 mod 10 slice is
+    INSERTED — landing as exactly one copy-on-write version. Both
+    versions read back through ``format("snapshot")``; v1 must be
+    bit-exact (isolation), v2 the applied feed. Oracle replays only the
+    WINNING changes (the seq-1 losers never appear in SQL — if last-wins
+    broke, tc_cents would be off by the +1-cent losers).
+
+    Scale: latest-per-key is one window over the batch (bounded by batch
+    size, not table size); the table-side cost is merge_snapshot's
+    pruned probe + touched-file rewrite; the publish is one atomic
+    version claim per batch, so readers time-travel to batch boundaries."""
+    import hashlib
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    from pandas_to_postgres_spark.sources.manifest import (
+        apply_changes_to_snapshot,
+        publish_snapshot,
+    )
+    from pandas_to_postgres_spark.sources.snapshot_datasource import (
+        SnapshotDataSource,
+    )
+
+    spark.dataSource.register(SnapshotDataSource)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:6]
+    wh = urlparse(
+        spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    ).path or "spark-warehouse"
+    path = os.path.join(wh, f"cdc_table_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("tc"),
+    )
+    a = o.filter(F.col("k") % 10 == 0)
+    a.repartition(4, F.col("k")).write.mode("overwrite").parquet(path)
+    publish_snapshot(path, ["k"])
+
+    upd = a.filter(F.col("k") % 40 == 0)
+    changes = (
+        # seq-1 LOSERS: +1 cent — must never reach the table
+        upd.select(
+            F.lit(1).alias("seq"), "k",
+            (F.col("tc") + 1).alias("tc"), F.lit("U").alias("op"),
+        )
+        # seq-2 winners: doubled cents
+        .unionByName(
+            upd.select(
+                F.lit(2).alias("seq"), "k",
+                (F.col("tc") * 2).alias("tc"), F.lit("U").alias("op"),
+            )
+        )
+        .unionByName(
+            a.filter((F.col("k") % 30 == 0) & (F.col("k") % 40 != 0)).select(
+                F.lit(1).alias("seq"), "k",
+                F.lit(None).cast("long").alias("tc"), F.lit("D").alias("op"),
+            )
+        )
+        .unionByName(
+            o.filter(F.col("k") % 10 == 3).select(
+                F.lit(1).alias("seq"), "k", "tc", F.lit("I").alias("op")
+            )
+        )
+    )
+    apply_changes_to_snapshot(spark, path, changes, ["k"])
+
+    outs = []
+    for v in (1, 2):
+        df = (
+            spark.read.format("snapshot")
+            .option("path", path)
+            .option("version", v)
+            .load()
+        )
+        outs.append(
+            df.agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("tc").cast("long").alias("tc_cents"),
+                F.max("k").cast("long").alias("max_key"),
+            ).select(
+                F.lit(v).cast("long").alias("version"),
+                "n_rows",
+                "tc_cents",
+                "max_key",
+            )
+        )
+    return outs[0].unionAll(outs[1])

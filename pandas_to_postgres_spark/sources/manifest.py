@@ -546,6 +546,237 @@ def merge_snapshot(
     )
 
 
+def delete_snapshot_rows(
+    spark,
+    path: str,
+    keys: DataFrame,
+    key_cols: Sequence[str],
+    version: int | None = None,
+) -> dict:
+    """Copy-on-write DELETE: remove the rows whose key appears in
+    ``keys`` and publish a new version — the Delta ``DELETE WHERE key IN
+    (...)`` shape on the manifest log. Same machinery as
+    :func:`merge_snapshot`: manifest stats prune candidates, a
+    column-pruned probe finds the files that really contain a doomed
+    key, ONLY those are rewritten (anti-join survivors), and the publish
+    is an atomic version claim retried against the re-read head (a
+    concurrent append's files carry over — snapshot-isolation DELETE).
+    Files whose every row is deleted simply drop out of the new version
+    (no empty rewrite). Prior versions keep time-traveling; a no-match
+    delete is a no-op (no version published). Returns the manifest."""
+    import uuid
+
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    key_cols = list(key_cols)
+    snap = load_snapshot(path, version)
+    if not snap["files"]:
+        raise ValueError("cannot delete from a zero-file snapshot")
+    keys = keys.select(*key_cols).distinct().localCheckpoint(eager=False)
+
+    cand = list(snap["files"])
+    if len(key_cols) == 1 and key_cols[0] in snap.get("stat_cols", []):
+        k = key_cols[0]
+        b = keys.agg(F.min(k).alias("lo"), F.max(k).alias("hi")).first()
+        if b["lo"] is None:
+            return load_snapshot(path)  # empty key set: no-op
+        cand, _ = prune_files(snap, k, b["lo"], b["hi"])
+    if not cand:
+        return load_snapshot(path)
+    cand_paths = [os.path.join(path, e["path"]) for e in cand]
+    probe = (
+        spark.read.parquet(*cand_paths)
+        .select(*key_cols, F.col("_metadata.file_path").alias("__f"))
+        .join(keys, key_cols, "leftsemi")
+        .select("__f")
+        .distinct()
+    )
+    affected = {os.path.basename(r["__f"]) for r in probe.collect()}
+    if not affected:
+        return load_snapshot(path)  # nothing matched: no-op
+
+    survivors_df = spark.read.parquet(
+        *[os.path.join(path, f) for f in sorted(affected)]
+    ).join(keys, key_cols, "left_anti")
+    job = uuid.uuid4().hex[:8]
+    new_names: list[str] = []
+    stage = tempfile.mkdtemp(prefix="delete-stage-")
+    try:
+        survivors_df.write.mode("overwrite").parquet(stage)
+        parts = sorted(
+            f
+            for f in os.listdir(stage)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        )
+        for i, f in enumerate(parts):
+            name = f"part-d{job}-{i:05d}.parquet"
+            shutil.move(os.path.join(stage, f), os.path.join(path, name))
+            new_names.append(name)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    # a rewrite that kept zero rows writes one empty part — publishing it
+    # is harmless but pointless; drop empties by footer row count
+    import pyarrow.parquet as pq
+
+    new_names = [
+        n
+        for n in new_names
+        if pq.ParquetFile(os.path.join(path, n)).metadata.num_rows > 0
+    ]
+
+    for _ in range(_MAX_PUBLISH_RETRIES):
+        head = load_snapshot(path)
+        kept = [
+            e["path"] for e in head["files"] if e["path"] not in affected
+        ]
+        known = (
+            head["files"]
+            if set(head.get("stat_cols", [])) == set(snap["stat_cols"])
+            else None
+        )
+        manifest = {
+            "version": head["version"] + 1,
+            "stat_cols": list(snap["stat_cols"]),
+            "files": _build_entries(
+                path, kept + new_names, snap["stat_cols"], known
+            ),
+        }
+        if _claim_version(path, head["version"] + 1, manifest):
+            return manifest
+    raise RuntimeError(
+        f"delete_snapshot_rows: lost {_MAX_PUBLISH_RETRIES} version claims "
+        f"under {path}"
+    )
+
+
+def apply_changes_to_snapshot(
+    spark,
+    path: str,
+    changes: DataFrame,
+    key_cols: Sequence[str],
+    op_col: str = "op",
+    seq_col: str = "seq",
+) -> dict:
+    """Apply an I/U/D change feed to the snapshot table in ONE new
+    version — the lakehouse twin of
+    ``sinks/postgres_copy.apply_changes_to_postgres`` (same contract:
+    ``op_col`` ∈ {'I','U','D'}, ``seq_col`` orders changes so the LAST
+    change per key wins; a key deleted then re-inserted at higher seq
+    survives with the new values). Folds the batch to latest-per-key,
+    then upserts the survivors and deletes the 'D' keys through
+    :func:`merge_snapshot`-style copy-on-write in a single rewrite +
+    atomic publish, so batch readers never see a half-applied feed.
+
+    Content-idempotent under Structured Streaming redelivery: replaying
+    the same batch rewrites the same rows to the same values (a new
+    version number, identical table), which composes with foreachBatch
+    at-least-once delivery. Returns the published manifest."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    key_cols = list(key_cols)
+    snap = load_snapshot(path)
+    if not snap["files"]:
+        raise ValueError("apply_changes needs an existing snapshot table")
+    table_cols = [
+        f.name
+        for f in spark.read.parquet(
+            os.path.join(path, snap["files"][0]["path"])
+        ).schema.fields
+    ]
+    w = Window.partitionBy(*key_cols).orderBy(F.col(seq_col).desc())
+    latest = (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .localCheckpoint(eager=False)
+    )
+    ups = latest.filter(F.col(op_col) != "D").select(*table_cols)
+    del_keys = latest.filter(F.col(op_col) == "D").select(*key_cols)
+    all_keys = latest.select(*key_cols).distinct()
+
+    import uuid
+
+    import shutil
+    import tempfile
+
+    if all_keys.isEmpty():
+        return load_snapshot(path)
+    cand = list(snap["files"])
+    if len(key_cols) == 1 and key_cols[0] in snap.get("stat_cols", []):
+        k = key_cols[0]
+        b = all_keys.agg(F.min(k).alias("lo"), F.max(k).alias("hi")).first()
+        cand, _ = prune_files(snap, k, b["lo"], b["hi"])
+    affected: set[str] = set()
+    if cand:
+        probe = (
+            spark.read.parquet(*[os.path.join(path, e["path"]) for e in cand])
+            .select(*key_cols, F.col("_metadata.file_path").alias("__f"))
+            .join(all_keys, key_cols, "leftsemi")
+            .select("__f")
+            .distinct()
+        )
+        affected = {os.path.basename(r["__f"]) for r in probe.collect()}
+    if affected:
+        old = spark.read.parquet(
+            *[os.path.join(path, f) for f in sorted(affected)]
+        )
+        rewritten = old.join(all_keys, key_cols, "left_anti").unionByName(ups)
+    elif ups.isEmpty():
+        return load_snapshot(path)  # delete-only batch matched nothing
+    else:
+        rewritten = ups  # pure inserts (deletes matched nothing)
+    job = uuid.uuid4().hex[:8]
+    new_names: list[str] = []
+    stage = tempfile.mkdtemp(prefix="cdc-stage-")
+    try:
+        rewritten.write.mode("overwrite").parquet(stage)
+        parts = sorted(
+            f
+            for f in os.listdir(stage)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        )
+        for i, f in enumerate(parts):
+            name = f"part-u{job}-{i:05d}.parquet"
+            shutil.move(os.path.join(stage, f), os.path.join(path, name))
+            new_names.append(name)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    import pyarrow.parquet as pq
+
+    new_names = [
+        n
+        for n in new_names
+        if pq.ParquetFile(os.path.join(path, n)).metadata.num_rows > 0
+    ]
+    for _ in range(_MAX_PUBLISH_RETRIES):
+        head = load_snapshot(path)
+        kept = [
+            e["path"] for e in head["files"] if e["path"] not in affected
+        ]
+        known = (
+            head["files"]
+            if set(head.get("stat_cols", [])) == set(snap["stat_cols"])
+            else None
+        )
+        manifest = {
+            "version": head["version"] + 1,
+            "stat_cols": list(snap["stat_cols"]),
+            "files": _build_entries(
+                path, kept + new_names, snap["stat_cols"], known
+            ),
+        }
+        if _claim_version(path, head["version"] + 1, manifest):
+            return manifest
+    raise RuntimeError(
+        f"apply_changes_to_snapshot: lost {_MAX_PUBLISH_RETRIES} version "
+        f"claims under {path}"
+    )
+
+
 def expire_snapshots(path: str, keep_latest: int = 1) -> dict:
     """Retire all but the newest ``keep_latest`` snapshots, then delete
     part files that are provably superseded: referenced by an EXPIRED

@@ -122,6 +122,33 @@ def stream_to_postgres_exactly_once(
     )
 
 
+def snapshot_cdc_writer(
+    path: str,
+    key_cols: list,
+    op_col: str = "op",
+    seq_col: str = "seq",
+) -> BatchWriter:
+    """Stream a CDC change feed (I/U/D + sequence column) into the
+    snapshot TABLE — the lakehouse twin of the Postgres CDC apply sink:
+    each micro-batch folds to latest-change-per-key and lands as ONE
+    copy-on-write version (`sources/manifest.apply_changes_to_snapshot`),
+    so batch readers always see a fully-applied feed and can time-travel
+    to any batch boundary. Composes with ``stream_to_batch_sink``;
+    redelivered batches rewrite the same rows to the same values
+    (content-idempotent under at-least-once foreachBatch delivery)."""
+    from pandas_to_postgres_spark.sources.manifest import (
+        apply_changes_to_snapshot,
+    )
+
+    def _writer(batch_df: DataFrame, _batch_id: int) -> None:
+        apply_changes_to_snapshot(
+            batch_df.sparkSession, path, batch_df, key_cols,
+            op_col=op_col, seq_col=seq_col,
+        )
+
+    return _writer
+
+
 def snapshot_table_writer(
     path: str, stat_cols: Optional[list] = None
 ) -> BatchWriter:

@@ -1385,3 +1385,138 @@ class TestSnapshotMerge:
         got = M.read_snapshot(spark, path)
         assert got.count() == 310  # 300 + 10 appended
         assert got.filter("k = 250").first().v == "NEW"
+
+
+class TestSnapshotDelete:
+    """delete_snapshot_rows: copy-on-write DELETE — only files containing
+    a doomed key are rewritten; fully-deleted files drop out; no-match
+    deletes publish nothing."""
+
+    def _table(self, tmp_path):
+        from pandas_to_postgres_spark.sources import manifest as M
+
+        path = str(tmp_path / "dtbl")
+        os.makedirs(path)
+        TestSnapshotMerge._mkfile(path, "part-a.parquet", 0, 100)
+        TestSnapshotMerge._mkfile(path, "part-b.parquet", 100, 200)
+        TestSnapshotMerge._mkfile(path, "part-c.parquet", 200, 300)
+        M.publish_snapshot(
+            path, ["k"],
+            files=["part-a.parquet", "part-b.parquet", "part-c.parquet"],
+        )
+        return path
+
+    def test_delete_rewrites_only_touched_files(self, spark, tmp_path):
+        from pandas_to_postgres_spark.sources import manifest as M
+
+        path = self._table(tmp_path)
+        keys = spark.createDataFrame([(50,), (250,)], "k long")
+        man = M.delete_snapshot_rows(spark, path, keys, ["k"])
+        names = {e["path"] for e in man["files"]}
+        assert "part-b.parquet" in names  # untouched by name
+        assert "part-a.parquet" not in names and "part-c.parquet" not in names
+        got = M.read_snapshot(spark, path)
+        assert got.count() == 298
+        assert got.filter("k in (50, 250)").count() == 0
+        assert M.read_snapshot(spark, path, 1).count() == 300  # time travel
+
+    def test_fully_deleted_file_drops_out(self, spark, tmp_path):
+        from pandas_to_postgres_spark.sources import manifest as M
+
+        path = self._table(tmp_path)
+        keys = spark.range(100, 200).select(F.col("id").alias("k"))
+        man = M.delete_snapshot_rows(spark, path, keys, ["k"])
+        names = {e["path"] for e in man["files"]}
+        assert names == {"part-a.parquet", "part-c.parquet"}  # no empty part
+        assert M.read_snapshot(spark, path).count() == 200
+
+    def test_no_match_is_a_noop(self, spark, tmp_path):
+        from pandas_to_postgres_spark.sources import manifest as M
+
+        path = self._table(tmp_path)
+        keys = spark.createDataFrame([(99999,)], "k long")
+        man = M.delete_snapshot_rows(spark, path, keys, ["k"])
+        assert man["version"] == 1
+        assert M.snapshot_versions(path) == [1]
+
+
+class TestSnapshotCdcApply:
+    """apply_changes_to_snapshot + snapshot_cdc_writer: an I/U/D feed
+    folds to latest-per-key and lands as ONE version per batch — the
+    lakehouse twin of apply_changes_to_postgres."""
+
+    def test_batch_apply_last_change_wins(self, spark, tmp_path):
+        from pandas_to_postgres_spark.sources import manifest as M
+
+        path = str(tmp_path / "ctbl")
+        os.makedirs(path)
+        TestSnapshotMerge._mkfile(path, "part-a.parquet", 0, 100)
+        M.publish_snapshot(path, ["k"], files=["part-a.parquet"])
+        changes = spark.createDataFrame(
+            [
+                (1, 10, "X1", "U"),
+                (2, 10, "X2", "U"),   # later seq wins for k=10
+                (3, 20, None, "D"),   # delete k=20
+                (4, 500, "NEW", "I"),  # insert
+                (5, 30, None, "D"),   # deleted...
+                (6, 30, "BACK", "I"),  # ...then re-inserted at higher seq
+            ],
+            "seq long, k long, v string, op string",
+        )
+        man = M.apply_changes_to_snapshot(spark, path, changes, ["k"])
+        assert man["version"] == 2
+        got = M.read_snapshot(spark, path)
+        assert got.count() == 100  # 100 - 1 delete + 1 insert
+        rows = {
+            r.k: r.v for r in got.filter("k in (10, 20, 30, 500)").collect()
+        }
+        assert rows == {10: "X2", 30: "BACK", 500: "NEW"}  # 20 gone
+        # content-idempotent: replaying the SAME batch leaves the table
+        # identical (new version, same rows)
+        M.apply_changes_to_snapshot(spark, path, changes, ["k"])
+        again = M.read_snapshot(spark, path)
+        assert again.count() == 100
+        assert {
+            r.k: r.v for r in again.filter("k in (10, 20, 30, 500)").collect()
+        } == rows
+
+    def test_streamed_cdc_feed_applies_exactly(self, spark, tmp_path):
+        import time
+
+        from pandas_to_postgres_spark.sources import manifest as M
+        from pandas_to_postgres_spark.streaming.sink import (
+            snapshot_cdc_writer,
+            stream_to_batch_sink,
+        )
+
+        path = str(tmp_path / "stbl")
+        feed = str(tmp_path / "feed")
+        ckpt = str(tmp_path / "ckpt")
+        os.makedirs(path)
+        TestSnapshotMerge._mkfile(path, "part-a.parquet", 0, 50)
+        M.publish_snapshot(path, ["k"], files=["part-a.parquet"])
+        # two change files -> (at least) two micro-batches
+        spark.createDataFrame(
+            [(1, 5, "U5", "U"), (2, 60, "I60", "I")],
+            "seq long, k long, v string, op string",
+        ).coalesce(1).write.mode("overwrite").parquet(feed)
+        spark.createDataFrame(
+            [(3, 5, None, "D"), (4, 61, "I61", "I")],
+            "seq long, k long, v string, op string",
+        ).coalesce(1).write.mode("append").parquet(feed)
+        stream = (
+            spark.readStream.schema("seq long, k long, v string, op string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        q = stream_to_batch_sink(
+            stream, snapshot_cdc_writer(path, ["k"]), checkpoint_dir=ckpt
+        )
+        q.awaitTermination(120)
+        got = M.read_snapshot(spark, path)
+        # 50 - k=5 deleted + k=60 + k=61 inserted = 51
+        assert got.count() == 51
+        assert got.filter("k = 5").count() == 0
+        assert {r.k: r.v for r in got.filter("k >= 60").collect()} == {
+            60: "I60", 61: "I61"
+        }
