@@ -818,6 +818,7 @@ def compact_snapshot(
     path: str,
     target_bytes: int = 128 * 1024 * 1024,
     version: int | None = None,
+    sort_cols: Sequence[str] | None = None,
 ) -> dict:
     """Small-files compaction (the lakehouse OPTIMIZE): rewrite the chosen
     snapshot's part files into ~``target_bytes`` files and publish the
@@ -860,10 +861,29 @@ def compact_snapshot(
     total = sum(int(e.get("bytes", 0)) for e in snap["files"])
     n_out = max(1, -(-total // max(1, target_bytes)))
     src = spark.read.parquet(*[os.path.join(path, f) for f in names])
+    if sort_cols:
+        from pyspark.sql import functions as F
+
+        # CLUSTERED compaction (the OPTIMIZE ... SORT BY leg): range-
+        # partition on the sort key so each output file owns a narrow,
+        # disjoint key range, then sort within — manifest [min, max]
+        # envelopes come out tight and a selective range read keeps O(1)
+        # of the files (streaming ingest appends in arrival order, which
+        # scatters keys across every epoch file; this is the nightly job
+        # that restores pruning). Falls back to one sorted file when the
+        # table fits a single target file.
+        cols = [F.col(c) for c in sort_cols]
+        src = (
+            src.repartitionByRange(n_out, *cols).sortWithinPartitions(*cols)
+            if n_out > 1
+            else src.coalesce(1).sortWithinPartitions(*cols)
+        )
+    else:
+        src = src.coalesce(n_out)
     job = uuid.uuid4().hex[:8]
     stage = tempfile.mkdtemp(prefix="compact-stage-")
     try:
-        src.coalesce(n_out).write.mode("overwrite").parquet(stage)
+        src.write.mode("overwrite").parquet(stage)
         parts = sorted(
             f for f in os.listdir(stage)
             if f.endswith(".parquet") and not f.startswith((".", "_"))

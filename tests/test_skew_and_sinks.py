@@ -1520,3 +1520,44 @@ class TestSnapshotCdcApply:
         assert {r.k: r.v for r in got.filter("k >= 60").collect()} == {
             60: "I60", 61: "I61"
         }
+
+
+class TestSortedCompaction:
+    def test_sort_cols_restore_pruning(self, spark, tmp_path):
+        """Clustered compaction (OPTIMIZE ... SORT BY): streaming-order
+        appends scatter keys across every file, so a range predicate
+        prunes nothing; a sorted compaction range-partitions on the key
+        and each rewritten file owns a disjoint range — the same
+        selective read then touches one file."""
+        from pandas_to_postgres_spark.sources import manifest as M
+
+        path = str(tmp_path / "sctbl")
+        # 6 "epoch" files, each containing keys spread over the WHOLE
+        # domain (k % 6 == i) — worst case for min/max pruning
+        base = spark.range(600).select(
+            F.col("id").alias("k"), (F.col("id") * 7).alias("v")
+        )
+        for i in range(6):
+            base.filter(F.col("k") % 6 == i).coalesce(1).write.mode(
+                "append"
+            ).parquet(path)
+        M.publish_snapshot(path, ["k"])
+        pre, total_pre = M.prune_files(M.load_snapshot(path), "k", 100, 110)
+        assert len(pre) == total_pre == 6  # nothing prunes: full scan
+        man = M.compact_snapshot(
+            spark, path, target_bytes=2048, sort_cols=["k"]
+        )
+        assert len(man["files"]) > 1  # actually split into ranges
+        post, total_post = M.prune_files(man, "k", 100, 110)
+        assert total_post == len(man["files"])
+        assert len(post) <= 2  # disjoint ranges: O(1) files survive
+        # content bit-exact vs the pre-compaction version
+        got = sorted(tuple(r) for r in M.read_snapshot(spark, path).collect())
+        want = sorted(
+            tuple(r) for r in M.read_snapshot(spark, path, 1).collect()
+        )
+        assert got == want and len(got) == 600
+        # pruned read returns exactly the predicate rows
+        assert (
+            M.read_snapshot_pruned(spark, path, "k", 100, 110).count() == 11
+        )
