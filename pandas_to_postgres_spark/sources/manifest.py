@@ -351,11 +351,20 @@ def load_snapshot(path: str, version: int | None = None) -> dict:
 
 
 def read_snapshot(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """Time-travel scan: exactly the files the chosen snapshot froze —
     rows appended after its publish are invisible, regardless of what
-    part files sit in the directory now."""
+    part files sit in the directory now.
+
+    ``merge_schema=True`` enables ADD-COLUMN schema evolution: an append
+    may carry a superset schema (new columns), and the merged read
+    unions the per-file schemas with missing columns null-filled —
+    parquet's own mergeSchema semantics, scoped to the snapshot's file
+    list. Older versions still read with exactly the schema they froze."""
     snap = load_snapshot(path, version)
     paths = [os.path.join(path, e["path"]) for e in snap["files"]]
     if not paths:
@@ -363,7 +372,10 @@ def read_snapshot(
             f"snapshot v{snap['version']} of {path} froze zero files — "
             "published on an empty directory; there is no schema to read"
         )
-    return spark.read.parquet(*paths)
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*paths)
 
 
 def read_snapshot_pruned(

@@ -65,11 +65,19 @@ def _load(options) -> dict:
 
 class SnapshotReaderNoPushdown(DataSourceReader):
     """Reader WITHOUT pushFilters (default): every snapshot file becomes
-    one InputPartition; Spark applies all predicates."""
+    one InputPartition; Spark applies all predicates. ``spark_schema``
+    carries the resolved (possibly unified) schema so evolved reads can
+    null-fill columns a pre-evolution file lacks."""
 
-    def __init__(self, options, columns):
+    def __init__(self, options, schema):
         self.options = dict(options)
-        self.columns = list(columns)
+        if hasattr(schema, "fieldNames"):  # StructType (the API path)
+            self.spark_schema = schema
+            self.columns = list(schema.fieldNames())
+        else:  # bare column-name list (direct construction in tests):
+            # projection works, evolution null-fill needs the typed schema
+            self.spark_schema = None
+            self.columns = list(schema)
         #: col -> [lo, hi] numeric bounds accumulated by pushFilters
         #: (always empty in this class)
         self.ranges: dict[str, list] = {}
@@ -102,10 +110,35 @@ class SnapshotReaderNoPushdown(DataSourceReader):
     def read(self, partition: InputPartition) -> Iterator:
         if partition.value is None:
             return
-        import pyarrow.parquet as pq
+        yield from _read_file_projected(
+            partition.value, self.columns, self.spark_schema
+        )
 
-        tbl = pq.read_table(partition.value, columns=self.columns)
-        yield from tbl.to_batches()
+
+def _read_file_projected(file_path, columns, spark_schema) -> Iterator:
+    """One parquet file → Arrow batches projected to ``columns``.
+    Schema evolution: columns the file predates are null-filled at the
+    projected type and column order restored, so every partition's
+    batches line up regardless of when its file was written."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    if spark_schema is None:  # bare-list construction: no evolution
+        yield from pq.read_table(file_path, columns=columns).to_batches()
+        return
+    have = set(pq.read_schema(file_path).names)
+    present = [c for c in columns if c in have]
+    tbl = pq.read_table(file_path, columns=present)
+    missing = [c for c in columns if c not in have]
+    if missing:
+        target = to_arrow_schema(spark_schema)
+        for c in missing:
+            tbl = tbl.append_column(
+                c, pa.nulls(tbl.num_rows, target.field(c).type)
+            )
+        tbl = tbl.select(columns)
+    yield from tbl.to_batches()
 
 
 class SnapshotReader(SnapshotReaderNoPushdown):
@@ -140,32 +173,51 @@ class SnapshotReader(SnapshotReaderNoPushdown):
 class SnapshotDataSource(DataSource):
     """``format("snapshot")`` — options: path (snapshot table directory),
     version (optional, default latest), pushdown ("true" to enable the
-    pushFilters reader; requires spark.sql.python.filterPushdown.enabled)."""
+    pushFilters reader; requires spark.sql.python.filterPushdown.enabled),
+    mergeSchema ("true" = ADD-COLUMN schema evolution: the schema is the
+    UNION of the per-file schemas and pre-evolution files null-fill the
+    added columns — default reads the first file's schema)."""
 
     @classmethod
     def name(cls) -> str:
         return "snapshot"
 
     def schema(self):
+        import pyarrow as pa
         import pyarrow.parquet as pq
         from pyspark.sql.pandas.types import from_arrow_schema
 
         man = _load(self.options)
         if not man["files"]:
             raise ValueError("snapshot has no files to infer a schema from")
-        first = os.path.join(self.options["path"], man["files"][0]["path"])
+        root = self.options["path"]
+        if str(self.options.get("mergeschema",
+                                self.options.get("mergeSchema", "false"))
+               ).lower() == "true":
+            # ADD-COLUMN schema evolution: union the per-file schemas
+            # (missing columns null-fill at read); one footer read per
+            # manifest file, planning-time only
+            return from_arrow_schema(
+                pa.unify_schemas(
+                    [
+                        pq.read_schema(os.path.join(root, e["path"]))
+                        for e in man["files"]
+                    ]
+                )
+            )
+        first = os.path.join(root, man["files"][0]["path"])
         return from_arrow_schema(pq.read_schema(first))
 
     def reader(self, schema) -> SnapshotReaderNoPushdown:
         enabled = str(self.options.get("pushdown", "false")).lower() == "true"
         cls = SnapshotReader if enabled else SnapshotReaderNoPushdown
-        return cls(self.options, schema.fieldNames())
+        return cls(self.options, schema)
 
     def writer(self, schema, overwrite: bool) -> "SnapshotArrowWriter":
         return SnapshotArrowWriter(self.options, overwrite)
 
     def streamReader(self, schema) -> "SnapshotStreamReader":
-        return SnapshotStreamReader(self.options, schema.fieldNames())
+        return SnapshotStreamReader(self.options, schema)
 
 
 class SnapshotWriteCommit(WriterCommitMessage):
@@ -314,10 +366,11 @@ class SnapshotStreamReader(DataSourceStreamReader):
     files only — the change feed is append-only by contract, documented
     like Delta's CDF for append tables."""
 
-    def __init__(self, options, columns):
+    def __init__(self, options, schema):
         self.options = dict(options)
         self.path = options["path"]
-        self.columns = list(columns)
+        self.spark_schema = schema
+        self.columns = list(schema.fieldNames())
 
     def initialOffset(self) -> dict:
         return {"version": 0}
@@ -349,10 +402,9 @@ class SnapshotStreamReader(DataSourceStreamReader):
     def read(self, partition: InputPartition) -> Iterator:
         if partition.value is None:
             return
-        import pyarrow.parquet as pq
-
-        tbl = pq.read_table(partition.value, columns=self.columns)
-        yield from tbl.to_batches()
+        yield from _read_file_projected(
+            partition.value, self.columns, self.spark_schema
+        )
 
     def commit(self, end: dict) -> None:
         pass  # offsets live in Spark's checkpoint; manifests are immutable

@@ -1561,3 +1561,85 @@ class TestSortedCompaction:
         assert (
             M.read_snapshot_pruned(spark, path, "k", 100, 110).count() == 11
         )
+
+
+class TestSnapshotSchemaEvolution:
+    """ADD-COLUMN evolution: appends may carry a superset schema; merged
+    reads union per-file schemas and null-fill what older files lack —
+    through BOTH read paths (read_snapshot merge_schema and the
+    format('snapshot') DataSource with option('mergeSchema'))."""
+
+    def _evolved(self, spark, tmp_path):
+        from pandas_to_postgres_spark.sources import manifest as M
+
+        path = str(tmp_path / "evtbl")
+        spark.createDataFrame(
+            [(0, "a0"), (1, "a1")], "k long, v string"
+        ).coalesce(1).write.mode("overwrite").parquet(path)
+        M.publish_snapshot(path, ["k"])
+        spark.createDataFrame(
+            [(2, "b2", 20.5)], "k long, v string, score double"
+        ).coalesce(1).write.mode("append").parquet(path)
+        new = sorted(
+            f for f in os.listdir(path)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        )
+        v1 = {e["path"] for e in M.load_snapshot(path, 1)["files"]}
+        M.append_snapshot(path, [f for f in new if f not in v1])
+        return path
+
+    def test_function_reader_merges(self, spark, tmp_path):
+        from pandas_to_postgres_spark.sources import manifest as M
+
+        path = self._evolved(spark, tmp_path)
+        got = M.read_snapshot(spark, path, merge_schema=True)
+        assert set(got.columns) == {"k", "v", "score"}
+        rows = {r.k: (r.v, r.score) for r in got.collect()}
+        assert rows == {0: ("a0", None), 1: ("a1", None), 2: ("b2", 20.5)}
+        # v1 still reads with exactly the schema it froze
+        assert set(M.read_snapshot(spark, path, 1).columns) == {"k", "v"}
+
+    def test_datasource_merges_and_streams(self, spark, tmp_path):
+        from pandas_to_postgres_spark.sources import manifest as M
+        from pandas_to_postgres_spark.sources.snapshot_datasource import (
+            SnapshotDataSource,
+        )
+        from pandas_to_postgres_spark.streaming.sink import (
+            stream_to_batch_sink,
+        )
+
+        spark.dataSource.register(SnapshotDataSource)
+        path = self._evolved(spark, tmp_path)
+        got = (
+            spark.read.format("snapshot")
+            .option("path", path)
+            .option("mergeSchema", "true")
+            .load()
+        )
+        assert set(got.columns) == {"k", "v", "score"}
+        rows = {r.k: (r.v, r.score) for r in got.collect()}
+        assert rows == {0: ("a0", None), 1: ("a1", None), 2: ("b2", 20.5)}
+        # default (no option): first-file schema, unchanged behavior
+        plain = spark.read.format("snapshot").option("path", path).load()
+        assert set(plain.columns) == {"k", "v"}
+        # change feed with the unified schema: old files null-fill too
+        out = str(tmp_path / "out")
+        stream = (
+            spark.readStream.format("snapshot")
+            .option("path", path)
+            .option("mergeSchema", "true")
+            .load()
+        )
+
+        def writer(batch_df, _bid):
+            batch_df.write.mode("append").parquet(out)
+
+        q = stream_to_batch_sink(
+            stream, writer, checkpoint_dir=str(tmp_path / "ck")
+        )
+        q.awaitTermination(120)
+        fed = spark.read.parquet(out)
+        assert fed.count() == 3
+        assert {r.k: r.score for r in fed.collect()} == {
+            0: None, 1: None, 2: 20.5
+        }
