@@ -825,6 +825,49 @@ def expire_snapshots(path: str, keep_latest: int = 1) -> dict:
     return {"expired_versions": expired, "deleted_files": deleted}
 
 
+def vacuum_orphans(path: str, grace_seconds: float = 3 * 24 * 3600) -> dict:
+    """Remove data files referenced by NO manifest (retained or legacy)
+    that are older than ``grace_seconds`` — the explicit
+    ``remove_orphan_files`` leg :func:`expire_snapshots` deliberately
+    does not perform. Orphans accumulate from crashed batch writers
+    (staged parts renamed but never published), killed compactions and
+    merges (rewrites moved in before the claim), and streaming epochs
+    replayed under a different attempt; nothing references them, so no
+    reader can break, but at 100 TB they are real money.
+
+    The grace period is the Iceberg-documented race guard: a LIVE
+    writer's files are momentarily unreferenced between its rename and
+    its publish, so only files whose mtime is comfortably older than any
+    plausible in-flight commit are deleted (default 3 days — same
+    ballpark as Iceberg's ``older_than``). Temp files (dot-prefixed) of
+    the same age are swept too. Returns
+    {"deleted_files": [...], "kept_young_orphans": [...]}."""
+    import time
+
+    refs: set[str] = set()
+    for v in snapshot_versions(path):
+        refs.update(e["path"] for e in load_snapshot(path, v)["files"])
+    if os.path.exists(os.path.join(path, MANIFEST_NAME)):
+        refs.update(e["path"] for e in load_manifest(path)["files"])
+    cutoff = time.time() - grace_seconds
+    deleted, young = [], []
+    for f in sorted(os.listdir(path)):
+        is_temp = f.startswith(".") and ".parquet" in f
+        is_data = f.endswith(".parquet") and not f.startswith((".", "_"))
+        if not (is_temp or is_data) or (is_data and f in refs):
+            continue
+        full = os.path.join(path, f)
+        try:
+            if os.stat(full).st_mtime <= cutoff:
+                os.remove(full)
+                deleted.append(f)
+            else:
+                young.append(f)
+        except FileNotFoundError:
+            continue  # raced with the writer publishing/cleaning it
+    return {"deleted_files": deleted, "kept_young_orphans": young}
+
+
 def compact_snapshot(
     spark,
     path: str,

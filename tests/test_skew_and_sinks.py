@@ -1643,3 +1643,33 @@ class TestSnapshotSchemaEvolution:
         assert {r.k: r.score for r in fed.collect()} == {
             0: None, 1: None, 2: 20.5
         }
+
+
+class TestVacuumOrphans:
+    def test_deletes_only_old_unreferenced_files(self, tmp_path):
+        """vacuum_orphans: referenced files and young orphans survive;
+        old orphans and old temp files go."""
+        import time
+
+        from pandas_to_postgres_spark.sources import manifest as M
+
+        path = str(tmp_path / "vtbl")
+        os.makedirs(path)
+        TestSnapshotMerge._mkfile(path, "part-live.parquet", 0, 10)
+        M.publish_snapshot(path, ["k"], files=["part-live.parquet"])
+        # an OLD orphan (crashed writer), an old temp, and a YOUNG orphan
+        TestSnapshotMerge._mkfile(path, "part-orphan.parquet", 10, 20)
+        TestSnapshotMerge._mkfile(path, "part-fresh.parquet", 20, 30)
+        with open(os.path.join(path, ".tmp-dead.parquet"), "wb") as fh:
+            fh.write(b"x")
+        old = time.time() - 10 * 24 * 3600
+        os.utime(os.path.join(path, "part-orphan.parquet"), (old, old))
+        os.utime(os.path.join(path, ".tmp-dead.parquet"), (old, old))
+        res = M.vacuum_orphans(path, grace_seconds=3 * 24 * 3600)
+        assert res["deleted_files"] == [".tmp-dead.parquet", "part-orphan.parquet"]
+        assert res["kept_young_orphans"] == ["part-fresh.parquet"]
+        left = set(os.listdir(path))
+        assert "part-live.parquet" in left and "part-fresh.parquet" in left
+        assert "part-orphan.parquet" not in left
+        # manifests untouched, table still reads
+        assert M.snapshot_versions(path) == [1]
