@@ -43,6 +43,9 @@ HEADLINE = (
     "corpus_prep_pipeline",
     "ngram_jaccard_pairs",
     "winnow_copy_pairs",
+    # round 7: the snapshot table's copy-on-write DML tier (merge builds
+    # the table, probes, rewrites touched files, publishes — end to end)
+    "snapshot_merge_upsert",
 )
 
 
