@@ -3456,3 +3456,111 @@ def snapshot_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return outs[0].unionAll(outs[1])
+
+
+_OPTIMIZE_ORACLE = """
+    WITH li AS (
+      SELECT l_orderkey AS k,
+             CAST(l_quantity * 100 AS BIGINT) AS qc
+      FROM lineitem),
+    r AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(qc) AS BIGINT) AS qty_cents,
+             CAST(min(k) AS BIGINT) AS min_key,
+             CAST(max(k) AS BIGINT) AS max_key
+      FROM li WHERE k BETWEEN 1000 AND 3000)
+    SELECT CAST(1 AS BIGINT) AS version, n_rows, qty_cents, min_key, max_key
+    FROM r
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), n_rows, qty_cents, min_key, max_key FROM r
+    """
+
+
+@register("snapshot_optimize_prune", min_rows=2, oracle=_OPTIMIZE_ORACLE)
+def snapshot_optimize_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted (clustered) compaction + stats-pruned range reads, driver
+    end-to-end: ingest lineitem in ARRIVAL order (6 epoch-ish appends,
+    each spreading keys over the whole domain — the worst case for
+    min/max pruning), publish v1, then ``compact_snapshot(sort_cols)``
+    into range-clustered files (v2, the OPTIMIZE ... SORT BY leg). The
+    same key-range aggregate is then read from v1 via
+    ``read_snapshot_pruned`` (stats prune nothing — scattered layout)
+    and from v2 through the ``format("snapshot")`` DataSource with
+    ``pushdown=true`` (planning-time file pruning keeps O(1) of the
+    rewritten files). Both versions MUST return identical values —
+    pruning and compaction are transparent to results; only the plan
+    changes. `tests/test_skew_and_sinks.TestSortedCompaction` asserts
+    the file-count drop; this query pins the value semantics under the
+    driver's oracle. Quantities ride as exact integer cents."""
+    import hashlib
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    from pandas_to_postgres_spark.sources.manifest import (
+        compact_snapshot,
+        load_snapshot,
+        publish_snapshot,
+        read_snapshot_pruned,
+    )
+    from pandas_to_postgres_spark.sources.snapshot_datasource import (
+        SnapshotDataSource,
+    )
+
+    spark.dataSource.register(SnapshotDataSource)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:6]
+    wh = urlparse(
+        spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    ).path or "spark-warehouse"
+    path = os.path.join(wh, f"opt_table_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k"),
+        (F.col("l_quantity") * 100).cast("long").alias("qc"),
+    )
+    for i in range(6):  # arrival-order epochs: keys scattered per file
+        li.filter(F.col("k") % 6 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+    publish_snapshot(path, ["k"])
+    total = sum(int(e["bytes"]) for e in load_snapshot(path)["files"])
+    compact_snapshot(
+        spark, path, target_bytes=max(1, total // 4), sort_cols=["k"]
+    )
+
+    lo, hi = 1000, 3000
+    v1 = read_snapshot_pruned(spark, path, "k", lo, hi, version=1)
+    # the pushFilters reader needs this conf (a vanilla driver session
+    # ships it false and ERRORS on any reader that merely defines
+    # pushFilters); it is runtime-settable and result-neutral, so enable
+    # it here — with a fallback to the plain reader if a future Spark
+    # pins it static (results identical either way; pruning is a plan
+    # property, asserted in tests)
+    pushdown = "true"
+    try:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    except Exception:
+        pushdown = "false"
+    v2 = (
+        spark.read.format("snapshot")
+        .option("path", path)
+        .option("version", 2)
+        .option("pushdown", pushdown)
+        .load()
+        .filter((F.col("k") >= lo) & (F.col("k") <= hi))
+    )
+    outs = []
+    for v, df in ((1, v1), (2, v2)):
+        outs.append(
+            df.agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("qc").cast("long").alias("qty_cents"),
+                F.min("k").cast("long").alias("min_key"),
+                F.max("k").cast("long").alias("max_key"),
+            ).select(
+                F.lit(v).cast("long").alias("version"),
+                "n_rows", "qty_cents", "min_key", "max_key",
+            )
+        )
+    return outs[0].unionAll(outs[1])
