@@ -1675,3 +1675,66 @@ class TestVacuumOrphans:
         assert "part-orphan.parquet" not in left
         # manifests untouched, table still reads
         assert M.snapshot_versions(path) == [1]
+
+
+class TestSnapshotLifecycleE2E:
+    def test_full_maintenance_lifecycle_preserves_content(
+        self, spark, tmp_path
+    ):
+        """The whole table lifecycle composed end-to-end: streaming
+        epoch ingest → sorted compaction → MERGE → DELETE → expiry →
+        orphan vacuum. Every step publishes through the same claim-
+        arbitrated log; content stays exact throughout and the final
+        directory holds only live data."""
+        import time
+
+        from pandas_to_postgres_spark.sources import manifest as M
+        from pandas_to_postgres_spark.streaming.sink import (
+            snapshot_table_writer,
+        )
+
+        path = str(tmp_path / "lc")
+        w = snapshot_table_writer(path, ["k"])
+
+        def df(lo, hi, tag):
+            return spark.range(lo, hi).select(
+                F.col("id").alias("k"),
+                F.concat(F.lit(tag), F.col("id")).alias("v"),
+            )
+
+        w(df(0, 200, "e0-"), 0)    # v1
+        w(df(200, 400, "e1-"), 1)  # v2
+        M.compact_snapshot(spark, path, target_bytes=4096, sort_cols=["k"])
+        # MERGE: update k in [0, 50), insert [400, 420)
+        updates = df(0, 50, "m-").unionByName(df(400, 420, "m-"))
+        M.merge_snapshot(spark, path, updates, ["k"])
+        # DELETE: k in [100, 150)
+        M.delete_snapshot_rows(
+            spark, path, spark.range(100, 150).select(F.col("id").alias("k")),
+            ["k"],
+        )
+        got = M.read_snapshot(spark, path)
+        assert got.count() == 370  # 400 + 20 inserts - 50 deletes
+        sample = {r.k: r.v for r in got.filter("k in (0, 99, 250, 410)").collect()}
+        assert sample == {0: "m-0", 99: "e0-99", 250: "e1-250", 410: "m-410"}
+        assert got.filter("k between 100 and 149").count() == 0
+        head_v = M.load_snapshot(path)["version"]
+        # reclaim: keep only the head, then vacuum everything unreferenced
+        res = M.expire_snapshots(path, keep_latest=1)
+        assert res["expired_versions"] == list(range(1, head_v))
+        old = time.time() - 10 * 24 * 3600
+        for f in os.listdir(path):
+            os.utime(os.path.join(path, f), (old, old))
+        M.vacuum_orphans(path, grace_seconds=24 * 3600)
+        # after full reclaim: directory = live files + head manifest only
+        live = {e["path"] for e in M.load_snapshot(path)["files"]}
+        on_disk = {
+            f for f in os.listdir(path)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        }
+        assert on_disk == live
+        final = M.read_snapshot(spark, path)
+        assert final.count() == 370
+        assert {
+            r.k: r.v for r in final.filter("k in (0, 99, 250, 410)").collect()
+        } == sample
