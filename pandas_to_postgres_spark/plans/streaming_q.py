@@ -414,3 +414,32 @@ def stream_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return stream_neardup_against_corpus(spark, sf_dir)
+
+
+@register(
+    "stream_incremental_mv",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS value_cents
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 × snapshot-table composition: INCREMENTAL materialized-view
+    maintenance over the snapshot change feed (the bronze→silver
+    medallion pipeline, `streaming/mv.py`). Three bronze publishes, three
+    delta-only availableNow refreshes on one checkpoint; each refresh
+    folds the batch to per-key partials and lands through ONE
+    copy-on-write merge into the silver rollup table, with a per-key
+    applied_batch stamp making redelivery add nothing. The final silver
+    content must equal the one-shot batch aggregate — which is the
+    oracle. Refresh cost tracks the DELTA, not the table: at 100 TB the
+    per-refresh work is the batch fold plus a touched-file-only merge,
+    never a bronze re-aggregation."""
+    from pandas_to_postgres_spark.streaming.mv import (
+        incremental_event_rollup,
+    )
+
+    return incremental_event_rollup(spark, sf_dir)

@@ -1738,3 +1738,42 @@ class TestSnapshotLifecycleE2E:
         assert {
             r.k: r.v for r in final.filter("k in (0, 99, 250, 410)").collect()
         } == sample
+
+
+class TestIncrementalMV:
+    def test_redelivered_batch_adds_nothing(self, spark, tmp_path):
+        """The applied_batch stamp is the exactly-once state: replaying
+        the same (batch_df, batch_id) must leave silver bit-identical,
+        while the next batch_id still accumulates."""
+        from pandas_to_postgres_spark.sources import manifest as M
+        from pandas_to_postgres_spark.streaming.mv import (
+            silver_rollup_writer,
+        )
+
+        silver = str(tmp_path / "silver")
+        w = silver_rollup_writer(silver)
+        b0 = spark.createDataFrame(
+            [(1, "view", 1.25), (2, "view", 2.25), (3, "click", 10.0)],
+            "event_id long, event_type string, value double",
+        )
+        w(b0, 0)
+        w(b0, 0)  # redelivery of the SAME batch
+        got = {
+            r.event_type: (r.n, r.value_cents)
+            for r in M.read_snapshot(spark, silver).collect()
+        }
+        assert got == {"view": (2, 350), "click": (1, 1000)}
+        b1 = spark.createDataFrame(
+            [(4, "view", 0.50), (5, "buy", 99.99)],
+            "event_id long, event_type string, value double",
+        )
+        w(b1, 1)
+        w(b1, 1)  # and redelivery of the next one
+        got = {
+            r.event_type: (r.n, r.value_cents)
+            for r in M.read_snapshot(spark, silver).collect()
+        }
+        assert got == {"view": (3, 400), "click": (1, 1000), "buy": (1, 9999)}
+        # every EFFECTIVE refresh is a time-travelable version —
+        # redeliveries publish nothing at all (no version churn)
+        assert len(M.snapshot_versions(silver)) == 2
