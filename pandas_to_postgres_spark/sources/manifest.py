@@ -874,6 +874,7 @@ def compact_snapshot(
     target_bytes: int = 128 * 1024 * 1024,
     version: int | None = None,
     sort_cols: Sequence[str] | None = None,
+    zorder_cols: Sequence[str] | None = None,
 ) -> dict:
     """Small-files compaction (the lakehouse OPTIMIZE): rewrite the chosen
     snapshot's part files into ~``target_bytes`` files and publish the
@@ -916,7 +917,66 @@ def compact_snapshot(
     total = sum(int(e.get("bytes", 0)) for e in snap["files"])
     n_out = max(1, -(-total // max(1, target_bytes)))
     src = spark.read.parquet(*[os.path.join(path, f) for f in names])
-    if sort_cols:
+    if zorder_cols:
+        if sort_cols:
+            raise ValueError("pass sort_cols OR zorder_cols, not both")
+        if len(zorder_cols) != 2:
+            raise ValueError(
+                "zorder_cols takes exactly two columns (the Morton key "
+                "interleaves two dimensions; chain rank-buckets for more)"
+            )
+        from pyspark.sql import functions as F
+
+        from pandas_to_postgres_spark.functions.vectors import (
+            morton_key_expr,
+        )
+
+        # Z-ORDERED compaction (the OPTIMIZE ... ZORDER BY leg): both
+        # dimensions are min/max-scaled to the same bit width (the Morton
+        # caveat — raw lopsided ranges would let one dimension's high
+        # bits own every file split; scaling is ONE tiny agg + a map-side
+        # projection, never a global rank window, which would funnel the
+        # table through a single task), interleaved into one Morton key,
+        # and range-partitioned on it so each rewritten file owns a small
+        # rectangle of the 2-D key space — manifest [min, max] envelopes
+        # then prune selective reads on EITHER column. Heavily skewed
+        # dimensions should be rank-bucketed by the caller first (the
+        # morton_key_expr docstring's guidance); the layout stays correct
+        # either way, it just prunes less. The key is layout-only and
+        # dropped before the write.
+        a, b = zorder_cols
+        bounds = src.agg(
+            F.min(a).alias("la"), F.max(a).alias("ha"),
+            F.min(b).alias("lb"), F.max(b).alias("hb"),
+        ).first()
+        bits = 12
+        scale = (1 << bits) - 1
+
+        def _scaled(col, lo, hi):
+            span = float(hi) - float(lo)
+            if span <= 0:
+                return F.lit(0).cast("long")
+            return F.floor(
+                (F.col(col).cast("double") - float(lo)) / span * scale
+            ).cast("long")
+
+        keyed = src.withColumn(
+            "__zkey",
+            morton_key_expr(
+                _scaled(a, bounds["la"], bounds["ha"]),
+                _scaled(b, bounds["lb"], bounds["hb"]),
+                bits=bits,
+            ),
+        )
+        src = (
+            (
+                keyed.repartitionByRange(n_out, F.col("__zkey"))
+                .sortWithinPartitions("__zkey")
+                if n_out > 1
+                else keyed.coalesce(1).sortWithinPartitions("__zkey")
+            )
+        ).drop("__zkey")
+    elif sort_cols:
         from pyspark.sql import functions as F
 
         # CLUSTERED compaction (the OPTIMIZE ... SORT BY leg): range-

@@ -1777,3 +1777,63 @@ class TestIncrementalMV:
         # every EFFECTIVE refresh is a time-travelable version —
         # redeliveries publish nothing at all (no version churn)
         assert len(M.snapshot_versions(silver)) == 2
+
+
+class TestZOrderCompaction:
+    def test_zorder_prunes_both_dimensions(self, spark, tmp_path):
+        """Z-ordered compaction: after the rewrite, a selective range on
+        EITHER column keeps a small fraction of the files — single-key
+        sorting can only serve its leading column."""
+        from pandas_to_postgres_spark.sources import manifest as M
+
+        path = str(tmp_path / "ztbl")
+        n = 4096
+        base = spark.range(n).select(
+            F.col("id").alias("x"),
+            ((F.col("id") * 2654435761) % n).alias("y"),  # decorrelated
+            (F.col("id") % 97).alias("payload"),
+        )
+        # arrival-order ingest: every file spans both full domains
+        for i in range(6):
+            base.filter(F.col("x") % 6 == i).coalesce(1).write.mode(
+                "append"
+            ).parquet(path)
+        M.publish_snapshot(path, ["x", "y"])
+        pre_x, tot = M.prune_files(M.load_snapshot(path), "x", 0, 255)
+        pre_y, _ = M.prune_files(M.load_snapshot(path), "y", 0, 255)
+        assert len(pre_x) == len(pre_y) == tot == 6  # nothing prunes
+        total = sum(int(e["bytes"]) for e in M.load_snapshot(path)["files"])
+        man = M.compact_snapshot(
+            spark, path, target_bytes=max(1, total // 16),
+            zorder_cols=["x", "y"],
+        )
+        nf = len(man["files"])
+        assert nf >= 12  # genuinely split (≈ a 4x4 z-grid)
+        post_x, _ = M.prune_files(man, "x", 0, 255)
+        post_y, _ = M.prune_files(man, "y", 0, 255)
+        # a 1/16-of-domain range on EITHER dimension keeps well under
+        # half the files (a 4x4 z-grid keeps ~1 column/row of cells);
+        # single-key sorting would serve only its leading column
+        assert len(post_x) <= nf // 2 and len(post_y) <= nf // 2
+        # content bit-exact; pruned reads return exactly the predicate rows
+        got = sorted(tuple(r) for r in M.read_snapshot(spark, path).collect())
+        want = sorted(
+            tuple(r) for r in M.read_snapshot(spark, path, 1).collect()
+        )
+        assert got == want and len(got) == n
+        assert M.read_snapshot_pruned(spark, path, "x", 0, 255).count() == 256
+        assert M.read_snapshot_pruned(spark, path, "y", 0, 255).count() == 256
+
+    def test_sort_and_zorder_are_exclusive(self, spark, tmp_path):
+        from pandas_to_postgres_spark.sources import manifest as M
+
+        path = str(tmp_path / "zx")
+        spark.range(10).select(F.col("id").alias("x"), F.col("id").alias("y")) \
+            .coalesce(1).write.mode("overwrite").parquet(path)
+        M.publish_snapshot(path, ["x"])
+        with pytest.raises(ValueError, match="not both"):
+            M.compact_snapshot(
+                spark, path, sort_cols=["x"], zorder_cols=["x", "y"]
+            )
+        with pytest.raises(ValueError, match="exactly two"):
+            M.compact_snapshot(spark, path, zorder_cols=["x"])
