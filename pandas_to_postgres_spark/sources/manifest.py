@@ -56,12 +56,15 @@ from pyspark.sql import DataFrame, SparkSession
 MANIFEST_NAME = "_manifest.json"
 
 
-def _file_stats(pq_path: str, stat_cols: Sequence[str]) -> dict[str, Any]:
-    """Fold one parquet file's row-group footer stats to file-level min/max.
+def _file_stats(
+    pq_path: str, stat_cols: Sequence[str]
+) -> tuple[dict[str, Any], int]:
+    """Fold one parquet file's row-group footer stats to file-level
+    min/max, plus the footer row count (one footer read covers both).
 
-    Returns {col: [min, max]} for columns where every row group carries
-    usable statistics; a column missing stats in ANY row group is omitted
-    (the reader then conservatively keeps the file)."""
+    Returns ({col: [min, max]}, num_rows) — a column missing stats in
+    ANY row group is omitted (the reader then conservatively keeps the
+    file)."""
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(pq_path).metadata
@@ -82,7 +85,7 @@ def _file_stats(pq_path: str, stat_cols: Sequence[str]) -> dict[str, Any]:
             hi = st.max if hi is None else max(hi, st.max)
         if ok and lo is not None:
             out[col] = [lo, hi]
-    return out
+    return out, md.num_rows
 
 
 def write_manifest(path: str, stat_cols: Sequence[str]) -> dict:
@@ -144,20 +147,23 @@ def read_pruned(
 _SNAP_RE = r"_manifest-v(\d+)\.json$"
 
 
+def _entry(path: str, f: str, stat_cols: Sequence[str]) -> dict:
+    stats, rows = _file_stats(os.path.join(path, f), stat_cols)
+    return {
+        "path": f,
+        "bytes": os.path.getsize(os.path.join(path, f)),
+        "rows": rows,
+        "stats": stats,
+    }
+
+
 def _collect_entries(path: str, stat_cols: Sequence[str]) -> list[dict]:
     files = sorted(
         f
         for f in os.listdir(path)
         if f.endswith(".parquet") and not f.startswith((".", "_"))
     )
-    return [
-        {
-            "path": f,
-            "bytes": os.path.getsize(os.path.join(path, f)),
-            "stats": _file_stats(os.path.join(path, f), stat_cols),
-        }
-        for f in files
-    ]
+    return [_entry(path, f, stat_cols) for f in files]
 
 
 def snapshot_versions(path: str) -> list[int]:
@@ -189,11 +195,7 @@ def _build_entries(
     for f in sorted(set(names)):
         e = known.get(f)
         if e is None:
-            e = {
-                "path": f,
-                "bytes": os.path.getsize(os.path.join(path, f)),
-                "stats": _file_stats(os.path.join(path, f), stat_cols),
-            }
+            e = _entry(path, f, stat_cols)
         out.append(e)
     return out
 
@@ -348,6 +350,27 @@ def load_snapshot(path: str, version: int | None = None) -> dict:
         raise ValueError(f"snapshot v{v} not found (have {versions})")
     with open(os.path.join(path, f"_manifest-v{v}.json")) as fh:
         return json.load(fh)
+
+
+def count_snapshot(path: str, version: int | None = None) -> int:
+    """Metadata-only ``COUNT(*)``: the sum of per-file footer row counts
+    recorded in the manifest at publish — no data scan, no Spark job,
+    O(manifest) driver time regardless of table size (the Iceberg
+    count-from-manifests fast path). Entries written before round 7 lack
+    the ``rows`` field; those fall back to one footer read each (still
+    no data scan), and any publish after the upgrade records them."""
+    import pyarrow.parquet as pq
+
+    snap = load_snapshot(path, version)
+    total = 0
+    for e in snap["files"]:
+        r = e.get("rows")
+        if r is None:
+            r = pq.ParquetFile(
+                os.path.join(path, e["path"])
+            ).metadata.num_rows
+        total += int(r)
+    return total
 
 
 def read_snapshot(

@@ -1837,3 +1837,39 @@ class TestZOrderCompaction:
             )
         with pytest.raises(ValueError, match="exactly two"):
             M.compact_snapshot(spark, path, zorder_cols=["x"])
+
+
+class TestCountSnapshot:
+    def test_metadata_count_matches_scan(self, spark, tmp_path):
+        from pandas_to_postgres_spark.sources import manifest as M
+
+        path = str(tmp_path / "cnt")
+        os.makedirs(path)
+        TestSnapshotMerge._mkfile(path, "part-a.parquet", 0, 70)
+        TestSnapshotMerge._mkfile(path, "part-b.parquet", 70, 100)
+        M.publish_snapshot(path, ["k"])
+        assert M.count_snapshot(path) == 100
+        assert M.count_snapshot(path) == M.read_snapshot(spark, path).count()
+        # merges/deletes keep the count truthful per version
+        M.delete_snapshot_rows(
+            spark, path, spark.range(10).select(F.col("id").alias("k")), ["k"]
+        )
+        assert M.count_snapshot(path) == 90
+        assert M.count_snapshot(path, version=1) == 100  # time travel
+
+    def test_legacy_entries_without_rows_fall_back(self, tmp_path):
+        import json as _json
+
+        from pandas_to_postgres_spark.sources import manifest as M
+
+        path = str(tmp_path / "lg")
+        os.makedirs(path)
+        TestSnapshotMerge._mkfile(path, "part-a.parquet", 0, 25)
+        M.publish_snapshot(path, ["k"])
+        # simulate a pre-round-7 manifest: strip the rows field
+        mf = os.path.join(path, "_manifest-v1.json")
+        man = _json.load(open(mf))
+        for e in man["files"]:
+            e.pop("rows", None)
+        _json.dump(man, open(mf, "w"))
+        assert M.count_snapshot(path) == 25  # footer fallback
