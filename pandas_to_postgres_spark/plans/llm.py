@@ -2739,3 +2739,157 @@ def bpe_fertility_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((sum(n * enc_len) * 1000000) DIV sum(n) AS BIGINT)"
         ).alias("fertility_micro"),
     )
+
+
+_IVF_UPSERT_ORACLE = """
+    WITH cent AS (
+      SELECT label, i,
+             CAST(sum(CAST(embedding[i] AS DECIMAL(18,12))) AS DOUBLE)
+               / count(*) AS m
+      FROM embeddings, range(1, 65) t(i)
+      WHERE vec_id % 2 = 0
+      GROUP BY label, i),
+    cvec AS (SELECT label, list(m ORDER BY i) AS centroid FROM cent GROUP BY label),
+    nsim AS (
+      SELECT e.vec_id, c.label,
+             round((SELECT sum(CAST(e.embedding[i] AS DOUBLE) * CAST(c.centroid[i] AS DOUBLE))
+                    FROM range(1, 65) t(i))
+                   / (sqrt((SELECT sum(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))
+                            FROM range(1, 65) t(i)))
+                      * sqrt((SELECT sum(CAST(c.centroid[i] AS DOUBLE) * CAST(c.centroid[i] AS DOUBLE))
+                              FROM range(1, 65) t(i)))), 5) AS csim
+      FROM embeddings e CROSS JOIN cvec c
+      WHERE e.vec_id % 2 = 1),
+    assigned AS (
+      SELECT vec_id, label FROM (
+        SELECT vec_id, label,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY csim DESC, label ASC) AS pr
+        FROM nsim) x
+      WHERE pr = 1),
+    idx AS (
+      SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 2 = 0
+      UNION ALL
+      SELECT e.vec_id, e.embedding, a.label
+      FROM embeddings e JOIN assigned a USING (vec_id)),
+    q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+    psim AS (
+      SELECT q.qid, c.label, q.qe,
+             round((SELECT sum(CAST(q.qe[i] AS DOUBLE) * CAST(c.centroid[i] AS DOUBLE))
+                    FROM range(1, 65) t(i))
+                   / (sqrt((SELECT sum(CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))
+                            FROM range(1, 65) t(i)))
+                      * sqrt((SELECT sum(CAST(c.centroid[i] AS DOUBLE) * CAST(c.centroid[i] AS DOUBLE))
+                              FROM range(1, 65) t(i)))), 5) AS csim
+      FROM q CROSS JOIN cvec c),
+    probes AS (
+      SELECT qid, label, qe FROM (
+        SELECT qid, label, qe,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY csim DESC, label ASC) AS pr
+        FROM psim) x
+      WHERE pr <= 3),
+    scored AS (
+      SELECT p.qid, e.vec_id,
+             round((SELECT sum(CAST(p.qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))
+                    FROM range(1, 65) t(i))
+                   / (sqrt((SELECT sum(CAST(p.qe[i] AS DOUBLE) * CAST(p.qe[i] AS DOUBLE))
+                            FROM range(1, 65) t(i)))
+                      * sqrt((SELECT sum(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))
+                              FROM range(1, 65) t(i)))), 5) AS cosine
+      FROM probes p JOIN idx e ON e.label = p.label),
+    ranked AS (
+      SELECT qid, vec_id, cosine,
+             CAST(row_number() OVER (PARTITION BY qid
+                                     ORDER BY cosine DESC, vec_id) AS BIGINT)
+                 AS rnk
+      FROM scored)
+    SELECT qid, vec_id, cosine, rnk FROM ranked WHERE rnk <= 5
+    """
+
+
+@register("ivf_index_upsert", min_rows=25, oracle=_IVF_UPSERT_ORACLE)
+def ivf_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 index MAINTENANCE: incremental upsert into the persisted
+    partitioned IVF index without retraining or rebuilding. Build the
+    index on the even-vec_id half (partitionBy list directories, the
+    ivf_partitioned_search layout; its labels are the training clusters
+    and its DECIMAL-exact means the FROZEN codebook), then 'new' vectors
+    (the odd half) arrive: each is assigned to its nearest frozen
+    centroid — ``ivf_probes(nprobe=1)``, the same rounded-cosine +
+    label-tiebreak rule the search side uses, so assignment is
+    oracle-replayable — and APPENDED to exactly that list's partition
+    directory. Queries then probe the frozen codebook and read only the
+    probed partitions off disk, seeing old and new vectors in one ranked
+    result.
+
+    This is how production IVF serves writes: the codebook retrains
+    nightly (a compaction-shaped job), while between retrains inserts
+    are one broadcast-assignment pass + an append into O(1) partition
+    directories — no index rebuild, no re-shuffle of the corpus, and
+    readers stay partition-pruned. Oracle: centroids over the even half,
+    the same nprobe=1 assignment for the odd half, and the probed search
+    over the unioned index — replayed in full."""
+    import hashlib
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    from pandas_to_postgres_spark.operators.similarity import (
+        ivf_centroids,
+        ivf_probes,
+        ivf_search_lists,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    base = e.filter(F.col("vec_id") % 2 == 0)
+    newv = e.filter(F.col("vec_id") % 2 == 1)
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:6]
+    wh = urlparse(
+        spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    ).path or "spark-warehouse"
+    path = os.path.join(wh, f"ivf_upsert_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+
+    (
+        base.select("vec_id", "embedding", "label")
+        .repartition(F.col("label"))
+        .write.mode("overwrite")
+        .partitionBy("label")
+        .parquet(path)
+    )
+    cents = ivf_centroids(base, "label", "embedding")  # frozen codebook
+
+    # the UPSERT: nearest-frozen-centroid assignment (nprobe=1 IS the
+    # assignment rule), then append into the assigned list's directory —
+    # dynamic partition append touches only the assigned labels
+    assigned = ivf_probes(
+        newv.select(F.col("vec_id").alias("__vid"), "embedding"),
+        cents, "__vid", "embedding", "label", nprobe=1,
+    ).select(
+        F.col("__qid").alias("vec_id"),
+        F.col("__qv").alias("embedding"),
+        "label",
+    )
+    (
+        assigned.repartition(F.col("label"))
+        .write.mode("append")
+        .partitionBy("label")
+        .parquet(path)
+    )
+
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding")
+    )
+    probes = ivf_probes(q, cents, "qid", "embedding", "label", nprobe=3)
+    probed = sorted(
+        {r["label"] for r in probes.select("label").distinct().collect()}
+    )
+    lists = spark.read.parquet(path).filter(F.col("label").isin(probed))
+    out = ivf_search_lists(
+        probes, lists, "qid", "vec_id", "embedding", "label", k=5
+    )
+    return out.select(
+        "qid", "vec_id", "cosine", F.col("rank").cast("long").alias("rnk")
+    )
