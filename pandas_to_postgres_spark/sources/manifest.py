@@ -1049,6 +1049,10 @@ def compact_snapshot(
         manifest = {
             "version": head["version"] + 1,
             "stat_cols": list(snap["stat_cols"]),
+            # Delta's dataChange=false: this version only REORGANIZES
+            # rows already published — the change-feed stream reader
+            # emits nothing for it instead of replaying the table
+            "data_change": False,
             "files": _build_entries(
                 path, survivors + moved, snap["stat_cols"], known
             ),

@@ -362,9 +362,18 @@ class SnapshotStreamReader(DataSourceStreamReader):
     monotonic, a replayed range plans byte-identical files, and the
     offset is ONE integer regardless of table age — no file-listing state
     (contrast the HDF5 landing-dir source, which must watermark mtimes;
-    here the manifest IS the log). Logical overwrites appear as their new
-    files only — the change feed is append-only by contract, documented
-    like Delta's CDF for append tables."""
+    here the manifest IS the log).
+
+    DML semantics (Delta's CDF contract, now that the table supports
+    merge/delete/compaction): versions are walked one by one —
+    compaction versions carry ``data_change: false`` and emit NOTHING
+    (rows were only reorganized); a version that REMOVED files (merge /
+    delete / logical overwrite) FAILS FAST by default, because emitting
+    its rewritten files would replay every surviving row and silently
+    drop deletions — ``option("ignoreChanges", "true")`` accepts the
+    re-emitted rewrites (downstream must dedup by key), exactly Delta's
+    option of the same name. Versions expired between polls fold into
+    the next retained version's diff."""
 
     def __init__(self, options, schema):
         self.options = dict(options)
@@ -383,20 +392,55 @@ class SnapshotStreamReader(DataSourceStreamReader):
         vs = snapshot_versions(self.path)
         return {"version": vs[-1] if vs else 0}
 
-    def _files(self, version: int) -> set:
+    def _snap(self, version: int) -> dict:
         if version <= 0:
-            return set()
+            return {"files": []}
         from pandas_to_postgres_spark.sources.manifest import load_snapshot
 
-        return {e["path"] for e in load_snapshot(self.path, version)["files"]}
+        return load_snapshot(self.path, version)
 
     def partitions(self, start: dict, end: dict):
         v0, v1 = int(start["version"]), int(end["version"])
         if v1 <= v0:
             return [InputPartition(None)]
-        new = sorted(self._files(v1) - self._files(v0))
+        ignore_changes = str(
+            self.options.get(
+                "ignorechanges", self.options.get("ignoreChanges", "false")
+            )
+        ).lower() == "true"
+        # Per-VERSION walk (not files(v1) - files(v0)): a file added at
+        # v0+1 and merged away by v1 still gets its rows emitted, and
+        # each version's change class is judged on its own manifest.
+        emit: set = set()
+        prev = {e["path"] for e in self._snap(v0)["files"]}
+        for v in range(v0 + 1, v1 + 1):
+            try:
+                snap = self._snap(v)
+            except ValueError:
+                # version expired between polls: fold its delta into the
+                # next retained version's diff (prev carries across the
+                # gap, so net additions/removals are still seen)
+                continue
+            cur = {e["path"] for e in snap["files"]}
+            if snap.get("data_change") is False:
+                # compaction: rows only reorganized — nothing to emit
+                prev = cur
+                continue
+            if (prev - cur) and not ignore_changes:
+                raise ValueError(
+                    f"snapshot change feed: version {v} of {self.path} "
+                    "REMOVED files (a merge/delete/overwrite, not an "
+                    "append). Streaming it would re-emit every surviving "
+                    "row of the rewritten files and silently drop "
+                    "deletions — the Delta CDF failure mode. Set "
+                    ".option('ignoreChanges', 'true') to accept "
+                    "re-emitted rewritten rows (downstream must dedup by "
+                    "key), or stream only append-only tables."
+                )
+            emit.update(cur - prev)
+            prev = cur
         return [
-            InputPartition(os.path.join(self.path, f)) for f in new
+            InputPartition(os.path.join(self.path, f)) for f in sorted(emit)
         ] or [InputPartition(None)]
 
     def read(self, partition: InputPartition) -> Iterator:

@@ -1873,3 +1873,75 @@ class TestCountSnapshot:
             e.pop("rows", None)
         _json.dump(man, open(mf, "w"))
         assert M.count_snapshot(path) == 25  # footer fallback
+
+
+class TestChangeFeedDmlSemantics:
+    """Delta-CDF semantics for the change feed now that the table has
+    DML: compaction versions (data_change: false) emit nothing; a
+    merge/delete version fails fast unless ignoreChanges accepts the
+    re-emitted rewrites; per-version walking emits files added then
+    merged away within one batch range."""
+
+    def _drain(self, spark, path, out, ckpt, ignore_changes=False):
+        from pandas_to_postgres_spark.streaming.sink import (
+            stream_to_batch_sink,
+        )
+
+        r = spark.readStream.format("snapshot").option("path", path)
+        if ignore_changes:
+            r = r.option("ignoreChanges", "true")
+        stream = r.load()
+
+        def writer(batch_df, _bid):
+            batch_df.write.mode("append").parquet(out)
+
+        q = stream_to_batch_sink(stream, writer, checkpoint_dir=ckpt)
+        q.awaitTermination(180)
+
+    def test_compaction_emits_nothing(self, spark, tmp_path):
+        from pandas_to_postgres_spark.sources import manifest as M
+        from pandas_to_postgres_spark.sources.snapshot_datasource import (
+            SnapshotDataSource,
+        )
+
+        spark.dataSource.register(SnapshotDataSource)
+        path = str(tmp_path / "t")
+        out, ckpt = str(tmp_path / "o"), str(tmp_path / "c")
+        os.makedirs(path)
+        TestSnapshotMerge._mkfile(path, "part-a.parquet", 0, 40)
+        M.publish_snapshot(path, ["k"])
+        self._drain(spark, path, out, ckpt)
+        assert spark.read.parquet(out).count() == 40
+        M.compact_snapshot(spark, path)  # v2: data_change false
+        TestSnapshotMerge._mkfile(path, "part-b.parquet", 40, 50)
+        M.append_snapshot(path, ["part-b.parquet"])  # v3: real appends
+        self._drain(spark, path, out, ckpt)
+        got = spark.read.parquet(out)
+        # the compaction's rewrites were NOT replayed; only the append came
+        assert got.count() == 50
+        assert got.select("k").distinct().count() == 50
+
+    def test_merge_version_fails_fast_unless_ignore_changes(
+        self, spark, tmp_path
+    ):
+        from pandas_to_postgres_spark.sources import manifest as M
+        from pandas_to_postgres_spark.sources.snapshot_datasource import (
+            SnapshotDataSource,
+        )
+
+        spark.dataSource.register(SnapshotDataSource)
+        path = str(tmp_path / "t2")
+        out, ckpt = str(tmp_path / "o2"), str(tmp_path / "c2")
+        os.makedirs(path)
+        TestSnapshotMerge._mkfile(path, "part-a.parquet", 0, 40)
+        M.publish_snapshot(path, ["k"])
+        self._drain(spark, path, out, ckpt)
+        updates = spark.createDataFrame([(5, "NEW")], "k long, v string")
+        M.merge_snapshot(spark, path, updates, ["k"])  # v2 removes part-a
+        with pytest.raises(Exception, match="ignoreChanges"):
+            self._drain(spark, path, out, ckpt)
+        # opting in accepts the re-emitted rewritten file
+        self._drain(spark, path, out, ckpt, ignore_changes=True)
+        got = spark.read.parquet(out)
+        assert got.count() == 80  # 40 original + 40 rewritten re-emitted
+        assert got.filter("k = 5 and v = 'NEW'").count() == 1
