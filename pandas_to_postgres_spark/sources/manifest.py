@@ -228,6 +228,68 @@ def _claim_version(path: str, version: int, manifest: dict) -> bool:
 _MAX_PUBLISH_RETRIES = 100
 
 
+class SnapshotConflictError(RuntimeError):
+    """A concurrent writer rewrote (merged/deleted/compacted away) a file
+    THIS commit also rewrote — publishing anyway would duplicate the
+    other writer's surviving rows and resurrect stale data, so the
+    commit aborts instead (Iceberg/Delta's write-write conflict rule).
+    The operation is safe to re-run against the new head; the aborted
+    attempt's staged files are unlinked (they were never referenced)."""
+
+
+def _publish_rewrite(
+    path: str,
+    stat_cols: Sequence[str],
+    removed: set,
+    new_names: Sequence[str],
+    op: str,
+) -> dict:
+    """Shared commit loop for every REWRITE publish (merge / delete /
+    CDC apply / compaction): publish head − ``removed`` + ``new_names``
+    under an atomic version claim, re-reading the head on a lost claim.
+    Appends by other writers compose transparently (their files are in
+    the re-read head and carry over); another REWRITE of one of our
+    ``removed`` files is a genuine write-write conflict — our rewrite
+    was derived from a file that no longer represents those rows — so
+    the commit unlinks its staged output and raises
+    :class:`SnapshotConflictError` instead of publishing a duplicate."""
+    for _ in range(_MAX_PUBLISH_RETRIES):
+        head = load_snapshot(path)
+        head_names = {e["path"] for e in head["files"]}
+        gone = removed - head_names
+        if gone:
+            for n in new_names:
+                try:
+                    os.unlink(os.path.join(path, n))
+                except FileNotFoundError:
+                    pass
+            raise SnapshotConflictError(
+                f"{op}: concurrent writer already rewrote "
+                f"{sorted(gone)[:3]}{'...' if len(gone) > 3 else ''} of "
+                f"{path} — re-run against the new head"
+            )
+        kept = [n for n in head_names if n not in removed]
+        known = (
+            head["files"]
+            if set(head.get("stat_cols", [])) == set(stat_cols)
+            else None
+        )
+        manifest = {
+            "version": head["version"] + 1,
+            "stat_cols": list(stat_cols),
+            "files": _build_entries(
+                path, kept + list(new_names), stat_cols, known
+            ),
+        }
+        if op == "compact_snapshot":
+            manifest["data_change"] = False
+        if _claim_version(path, head["version"] + 1, manifest):
+            return manifest
+    raise RuntimeError(
+        f"{op}: lost {_MAX_PUBLISH_RETRIES} version claims under {path}"
+    )
+
+
 def publish_snapshot(
     path: str,
     stat_cols: Sequence[str],
@@ -553,31 +615,8 @@ def merge_snapshot(
 
     # 4. publish (head-merged claim-retry; snapshot-isolation caveat in
     # the docstring: concurrent appends carry over unmerged)
-    merged_away = affected
-    for _ in range(_MAX_PUBLISH_RETRIES):
-        head = load_snapshot(path)
-        survivors = [
-            e["path"]
-            for e in head["files"]
-            if e["path"] not in merged_away
-        ]
-        known = (
-            head["files"]
-            if set(head.get("stat_cols", [])) == set(snap["stat_cols"])
-            else None
-        )
-        manifest = {
-            "version": head["version"] + 1,
-            "stat_cols": list(snap["stat_cols"]),
-            "files": _build_entries(
-                path, survivors + new_names, snap["stat_cols"], known
-            ),
-        }
-        if _claim_version(path, head["version"] + 1, manifest):
-            return manifest
-    raise RuntimeError(
-        f"merge_snapshot: lost {_MAX_PUBLISH_RETRIES} version claims "
-        f"under {path}"
+    return _publish_rewrite(
+        path, snap["stat_cols"], affected, new_names, "merge_snapshot"
     )
 
 
@@ -662,28 +701,8 @@ def delete_snapshot_rows(
         if pq.ParquetFile(os.path.join(path, n)).metadata.num_rows > 0
     ]
 
-    for _ in range(_MAX_PUBLISH_RETRIES):
-        head = load_snapshot(path)
-        kept = [
-            e["path"] for e in head["files"] if e["path"] not in affected
-        ]
-        known = (
-            head["files"]
-            if set(head.get("stat_cols", [])) == set(snap["stat_cols"])
-            else None
-        )
-        manifest = {
-            "version": head["version"] + 1,
-            "stat_cols": list(snap["stat_cols"]),
-            "files": _build_entries(
-                path, kept + new_names, snap["stat_cols"], known
-            ),
-        }
-        if _claim_version(path, head["version"] + 1, manifest):
-            return manifest
-    raise RuntimeError(
-        f"delete_snapshot_rows: lost {_MAX_PUBLISH_RETRIES} version claims "
-        f"under {path}"
+    return _publish_rewrite(
+        path, snap["stat_cols"], affected, new_names, "delete_snapshot_rows"
     )
 
 
@@ -787,28 +806,9 @@ def apply_changes_to_snapshot(
         for n in new_names
         if pq.ParquetFile(os.path.join(path, n)).metadata.num_rows > 0
     ]
-    for _ in range(_MAX_PUBLISH_RETRIES):
-        head = load_snapshot(path)
-        kept = [
-            e["path"] for e in head["files"] if e["path"] not in affected
-        ]
-        known = (
-            head["files"]
-            if set(head.get("stat_cols", [])) == set(snap["stat_cols"])
-            else None
-        )
-        manifest = {
-            "version": head["version"] + 1,
-            "stat_cols": list(snap["stat_cols"]),
-            "files": _build_entries(
-                path, kept + new_names, snap["stat_cols"], known
-            ),
-        }
-        if _claim_version(path, head["version"] + 1, manifest):
-            return manifest
-    raise RuntimeError(
-        f"apply_changes_to_snapshot: lost {_MAX_PUBLISH_RETRIES} version "
-        f"claims under {path}"
+    return _publish_rewrite(
+        path, snap["stat_cols"], affected, new_names,
+        "apply_changes_to_snapshot",
     )
 
 
@@ -1037,29 +1037,11 @@ def compact_snapshot(
     # files another writer appended after `snap` must survive the
     # compaction. On a lost version claim, re-read the new head and
     # re-merge — the optimistic-retry loop Iceberg's rewrite-files runs.
-    compacted = set(names)
-    for _ in range(_MAX_PUBLISH_RETRIES):
-        head = load_snapshot(path)
-        survivors = [e["path"] for e in head["files"] if e["path"] not in compacted]
-        known = (
-            head["files"]
-            if set(head.get("stat_cols", [])) == set(snap["stat_cols"])
-            else None
-        )
-        manifest = {
-            "version": head["version"] + 1,
-            "stat_cols": list(snap["stat_cols"]),
-            # Delta's dataChange=false: this version only REORGANIZES
-            # rows already published — the change-feed stream reader
-            # emits nothing for it instead of replaying the table
-            "data_change": False,
-            "files": _build_entries(
-                path, survivors + moved, snap["stat_cols"], known
-            ),
-        }
-        if _claim_version(path, head["version"] + 1, manifest):
-            return manifest
-    raise RuntimeError(
-        f"compact_snapshot: lost {_MAX_PUBLISH_RETRIES} version claims "
-        f"under {path}"
+    # Delta's dataChange=false rides in _publish_rewrite for this op: a
+    # compaction only REORGANIZES rows already published, so the
+    # change-feed stream emits nothing for its version. A concurrent
+    # MERGE/DELETE of a source file is a write-write conflict (the
+    # rewrite holds the file's now-stale rows) and aborts cleanly.
+    return _publish_rewrite(
+        path, snap["stat_cols"], set(names), moved, "compact_snapshot"
     )

@@ -1945,3 +1945,91 @@ class TestChangeFeedDmlSemantics:
         got = spark.read.parquet(out)
         assert got.count() == 80  # 40 original + 40 rewritten re-emitted
         assert got.filter("k = 5 and v = 'NEW'").count() == 1
+
+
+class TestSnapshotWriteWriteConflict:
+    """Iceberg/Delta's write-write rule: two rewrites of the SAME file
+    abort the loser (publishing would duplicate the winner's survivors
+    and resurrect stale rows); rewrites of DIFFERENT files compose via
+    the claim-retry."""
+
+    def _table(self, tmp_path):
+        from pandas_to_postgres_spark.sources import manifest as M
+
+        path = str(tmp_path / "wwtbl")
+        os.makedirs(path)
+        TestSnapshotMerge._mkfile(path, "part-a.parquet", 0, 100)
+        TestSnapshotMerge._mkfile(path, "part-b.parquet", 100, 200)
+        M.publish_snapshot(
+            path, ["k"], files=["part-a.parquet", "part-b.parquet"]
+        )
+        return path
+
+    def test_same_file_conflict_aborts_cleanly(
+        self, spark, tmp_path, monkeypatch
+    ):
+        from pandas_to_postgres_spark.sources import manifest as M
+
+        path = self._table(tmp_path)
+        real = M._claim_version
+        state = {"injected": False}
+
+        def racy(p, version, man):
+            if not state["injected"]:
+                state["injected"] = True
+                # the OTHER merge rewrites part-a first and wins
+                other = spark.createDataFrame(
+                    [(10, "OTHER")], "k long, v string"
+                )
+                M.merge_snapshot(spark, p, other, ["k"])
+            return real(p, version, man)
+
+        monkeypatch.setattr(M, "_claim_version", racy)
+        ours = spark.createDataFrame([(20, "OURS")], "k long, v string")
+        with pytest.raises(M.SnapshotConflictError, match="rewrote"):
+            M.merge_snapshot(spark, path, ours, ["k"])
+        # the winner's merge is intact; our aborted rewrite left no rows
+        # and no referenced files; the staged part-m files were unlinked
+        got = M.read_snapshot(spark, path)
+        assert got.count() == 200
+        assert got.filter("k = 10").first().v == "OTHER"
+        assert got.filter("k = 20").first().v == "old20"
+        live = {e["path"] for e in M.load_snapshot(path)["files"]}
+        on_disk = {
+            f for f in os.listdir(path)
+            if f.startswith("part-m") and f.endswith(".parquet")
+        }
+        assert on_disk <= live  # no orphaned loser rewrites
+        # the RE-RUN against the new head succeeds and keeps both writes
+        M.merge_snapshot(spark, path, ours, ["k"])
+        got = M.read_snapshot(spark, path)
+        assert got.filter("k = 10").first().v == "OTHER"
+        assert got.filter("k = 20").first().v == "OURS"
+
+    def test_disjoint_files_compose_via_retry(
+        self, spark, tmp_path, monkeypatch
+    ):
+        from pandas_to_postgres_spark.sources import manifest as M
+
+        path = self._table(tmp_path)
+        real = M._claim_version
+        state = {"injected": False}
+
+        def racy(p, version, man):
+            if not state["injected"]:
+                state["injected"] = True
+                # the other merge touches part-b only; ours touches part-a
+                other = spark.createDataFrame(
+                    [(150, "OTHER")], "k long, v string"
+                )
+                M.merge_snapshot(spark, p, other, ["k"])
+            return real(p, version, man)
+
+        monkeypatch.setattr(M, "_claim_version", racy)
+        ours = spark.createDataFrame([(20, "OURS")], "k long, v string")
+        M.merge_snapshot(spark, path, ours, ["k"])  # retries, then lands
+        got = M.read_snapshot(spark, path)
+        assert got.count() == 200
+        assert got.filter("k = 150").first().v == "OTHER"
+        assert got.filter("k = 20").first().v == "OURS"
+        assert got.select("k").distinct().count() == 200  # no duplicates
