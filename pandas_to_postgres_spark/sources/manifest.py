@@ -43,6 +43,18 @@ manifests, then delete only files no RETAINED snapshot references —
 readers of retained versions are never broken by a publish, only by an
 expire, which is the same contract as Iceberg's expire_snapshots +
 remove_orphan_files.
+
+Metadata plane at scale (round 7): past :data:`INLINE_MAX` files a
+version manifest stops inlining entries and becomes a MANIFEST LIST of
+immutable entry shards (``_mshard-*.json``, ≤ :data:`SHARD_TARGET`
+entries each) carrying shard-level row/byte totals and aggregated
+[min, max] — Iceberg's manifest-list two-level design. Commits reuse
+untouched shards by reference (an append writes ONE new shard; a
+merge/delete rewrites only the shards whose files it touched), and
+planning prunes whole shards before opening any
+(:func:`plan_snapshot_scan`), so both commit and planning metadata I/O
+are O(touched/matching), not O(table). ``AS OF TIMESTAMP`` time travel
+rides the publish timestamps (:func:`snapshot_as_of`).
 """
 
 from __future__ import annotations
@@ -54,6 +66,159 @@ from typing import Any, Sequence
 from pyspark.sql import DataFrame, SparkSession
 
 MANIFEST_NAME = "_manifest.json"
+
+#: Two-level manifest layout (the Iceberg manifest-list pattern). A
+#: snapshot whose file count exceeds ``INLINE_MAX`` stores its entries in
+#: immutable SHARD files (``_mshard-<uuid>.json``, ≤ ``SHARD_TARGET``
+#: entries each) and the version manifest becomes a small LIST of shard
+#: references, each carrying the shard's entry count, row/byte totals and
+#: aggregated per-column [min, max]. Why this matters at 100 TB:
+#:
+#: - a commit stops rewriting O(table) metadata: untouched shards are
+#:   reused BY REFERENCE across versions, so an append writes one shard
+#:   for its new files plus a few-KB manifest list, and a merge/delete
+#:   rewrites only the shards whose files it touched;
+#: - planning a selective scan stops reading O(table) metadata: shard-
+#:   level stats prune whole shards before any shard is opened, so a
+#:   range query on a clustered layout reads O(matching shards) of the
+#:   metadata, the same two-level skip Iceberg does with manifest-list
+#:   partition summaries.
+#:
+#: Small tables stay inline (a single JSON with the entries, the pre-
+#: round-7 format, which every reader still accepts). Both constants are
+#: module-level so tests can exercise the sharded layout with tiny
+#: tables; at the defaults only >1000-file tables shard.
+INLINE_MAX = 1000
+SHARD_TARGET = 1000
+
+#: in-memory annotation on a materialized entry: the shard it was loaded
+#: from. Never serialized — it is what lets a later commit reuse a fully-
+#: kept shard by reference without re-reading any shard content.
+_SHARD_KEY = "_shard"
+
+
+def _strip_entry(e: dict) -> dict:
+    return {k: v for k, v in e.items() if k != _SHARD_KEY}
+
+
+def _agg_shard_stats(
+    entries: Sequence[dict], stat_cols: Sequence[str]
+) -> dict[str, Any]:
+    """Fold entry-level [min, max] to shard level. A column missing from
+    ANY entry is omitted (readers then conservatively open the shard —
+    the same contract as file-level stats)."""
+    out: dict[str, Any] = {}
+    for col in stat_cols:
+        lo = hi = None
+        ok = True
+        for e in entries:
+            st = e.get("stats", {}).get(col)
+            if st is None:
+                ok = False
+                break
+            lo = st[0] if lo is None else min(lo, st[0])
+            hi = st[1] if hi is None else max(hi, st[1])
+        if ok and lo is not None:
+            out[col] = [lo, hi]
+    return out
+
+
+def _write_shard(
+    path: str, entries: Sequence[dict], stat_cols: Sequence[str]
+) -> dict:
+    """Write one immutable entry shard and return its manifest-list
+    reference (name, entry count, row/byte totals, aggregated stats)."""
+    import uuid
+
+    name = f"_mshard-{uuid.uuid4().hex[:16]}.json"
+    clean = [_strip_entry(e) for e in entries]
+    tmp = os.path.join(path, f".{name}.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(clean, fh, default=str)
+    os.replace(tmp, os.path.join(path, name))
+    return {
+        "path": name,
+        "n": len(clean),
+        "rows": sum(int(e.get("rows") or 0) for e in clean),
+        "bytes": sum(int(e.get("bytes") or 0) for e in clean),
+        "stats": _agg_shard_stats(clean, stat_cols),
+    }
+
+
+def _load_shard_entries(path: str, ref: dict) -> list[dict]:
+    with open(os.path.join(path, ref["path"])) as fh:
+        entries = json.load(fh)
+    for e in entries:
+        e[_SHARD_KEY] = ref["path"]
+    return entries
+
+
+#: append fast path: once more than this many UNDER-HALF-FULL shards have
+#: accumulated (one per micro-batch epoch), merge them into packed shards
+#: — reading only the small shards, never the full ones
+_MERGE_SMALL_SHARDS_AT = 8
+
+
+def _coalesce_small_shards(
+    path: str, refs: list[dict], stat_cols: Sequence[str]
+) -> list[dict]:
+    """Iceberg's manifest-merge-on-write: steady micro-batch appends add
+    one small shard per epoch; left alone the manifest LIST itself grows
+    O(epochs). When enough small shards pile up, fold just those (only
+    their content is read — full shards stay untouched references) into
+    packed shards."""
+    small = [r for r in refs if int(r["n"]) < SHARD_TARGET // 2]
+    if len(small) <= _MERGE_SMALL_SHARDS_AT:
+        return refs
+    keep = [r for r in refs if int(r["n"]) >= SHARD_TARGET // 2]
+    entries = [e for r in small for e in _load_shard_entries(path, r)]
+    for i in range(0, len(entries), SHARD_TARGET):
+        keep.append(_write_shard(path, entries[i : i + SHARD_TARGET], stat_cols))
+    return keep
+
+
+def _pack_manifest(
+    path: str,
+    version: int,
+    stat_cols: Sequence[str],
+    entries: Sequence[dict],
+    head: dict | None,
+) -> dict:
+    """Build the manifest dict to claim: inline entries under
+    ``INLINE_MAX`` files, else a manifest list of shard references.
+    Shards of ``head`` whose entries are ALL kept by this commit are
+    reused by reference (decided from the entries' load annotations and
+    the head refs' counts — no shard content is re-read); entries from
+    partially-kept shards, plus brand-new files, land in fresh shards.
+    A retry that lost its version claim re-packs and strands its fresh
+    shards — they are unreferenced and age-swept by
+    :func:`vacuum_orphans`, never visible to a reader."""
+    if len(entries) <= INLINE_MAX:
+        return {
+            "version": version,
+            "stat_cols": list(stat_cols),
+            "files": [_strip_entry(e) for e in entries],
+        }
+    head_refs = {r["path"]: r for r in (head or {}).get("shards", [])}
+    by_shard: dict[str, list[dict]] = {}
+    residual: list[dict] = []
+    for e in entries:
+        s = e.get(_SHARD_KEY)
+        if s in head_refs:
+            by_shard.setdefault(s, []).append(e)
+        else:
+            residual.append(e)
+    refs = []
+    for s, es in by_shard.items():
+        if len(es) == head_refs[s]["n"]:
+            refs.append(head_refs[s])
+        else:
+            residual.extend(es)
+    for i in range(0, len(residual), SHARD_TARGET):
+        refs.append(
+            _write_shard(path, residual[i : i + SHARD_TARGET], stat_cols)
+        )
+    return {"version": version, "stat_cols": list(stat_cols), "shards": refs}
 
 
 def _file_stats(
@@ -113,12 +278,73 @@ def prune_files(manifest: dict, col: str, lo: Any, hi: Any) -> tuple[list, int]:
     """(surviving file entries, total file count) for range [lo, hi] on
     ``col``. A file survives when its [min, max] overlaps the range or it
     has no stats for the column (conservative)."""
-    keep = []
-    for e in manifest["files"]:
-        st = e["stats"].get(col)
-        if st is None or not (hi < type(hi)(st[0]) or lo > type(lo)(st[1])):
-            keep.append(e)
+    keep = _prune_entries(manifest["files"], col, lo, hi)
     return keep, len(manifest["files"])
+
+
+def _overlaps(st: Any, col: str, lo: Any, hi: Any) -> bool:
+    """[min, max] overlap test shared by file- and shard-level pruning;
+    missing stats conservatively overlap (the superset guarantee)."""
+    if st is None:
+        return True
+    return not (hi < type(hi)(st[0]) or lo > type(lo)(st[1]))
+
+
+def _prune_entries(entries: Sequence[dict], col: str, lo: Any, hi: Any) -> list:
+    return [
+        e for e in entries if _overlaps(e.get("stats", {}).get(col), col, lo, hi)
+    ]
+
+
+def plan_snapshot_scan(
+    path: str, col: str, lo: Any, hi: Any, version: int | None = None
+) -> dict:
+    """Planning-time two-level file skipping for a snapshot range scan.
+    On a sharded manifest, shard references are pruned FIRST by their
+    aggregated stats and only surviving shards are opened — metadata I/O
+    is O(matching shards), not O(table) (the Iceberg manifest-list skip).
+    Returns {"keep": [entries], "total_files", "shards_total",
+    "shards_read", "fallback": [one entry]} — ``fallback`` supplies a
+    schema file when nothing survives."""
+    snap = load_snapshot(path, version, materialize=False)
+    if "shards" in snap and "files" not in snap:
+        refs = snap["shards"]
+        if not refs:
+            raise ValueError(
+                f"snapshot v{snap['version']} of {path} froze zero files — "
+                "published on an empty directory; there is no schema to read"
+            )
+        live = [
+            r for r in refs if _overlaps(r.get("stats", {}).get(col), col, lo, hi)
+        ]
+        keep = [
+            e
+            for r in live
+            for e in _prune_entries(_load_shard_entries(path, r), col, lo, hi)
+        ]
+        fallback = (
+            keep[:1] or _load_shard_entries(path, refs[0])[:1]
+        )
+        return {
+            "keep": keep,
+            "total_files": sum(int(r["n"]) for r in refs),
+            "shards_total": len(refs),
+            "shards_read": len(live) if keep else len(live) + 1,
+            "fallback": fallback,
+        }
+    if not snap["files"]:
+        raise ValueError(
+            f"snapshot v{snap['version']} of {path} froze zero files — "
+            "published on an empty directory; there is no schema to read"
+        )
+    keep = _prune_entries(snap["files"], col, lo, hi)
+    return {
+        "keep": keep,
+        "total_files": len(snap["files"]),
+        "shards_total": 0,
+        "shards_read": 0,
+        "fallback": keep[:1] or snap["files"][:1],
+    }
 
 
 def read_pruned(
@@ -207,8 +433,10 @@ def _claim_version(path: str, version: int, manifest: dict) -> bool:
     there first, which is the whole arbitration (Iceberg's optimistic
     commit, on a filesystem). Returns False on collision so the caller
     can re-read the new head and retry against it."""
+    import time
     import uuid
 
+    manifest.setdefault("ts", time.time())
     name = f"_manifest-v{version}.json"
     tmp = os.path.join(path, f".{name}.{uuid.uuid4().hex[:12]}.tmp")
     with open(tmp, "w") as fh:
@@ -274,16 +502,16 @@ def _publish_rewrite(
             if set(head.get("stat_cols", [])) == set(stat_cols)
             else None
         )
-        manifest = {
-            "version": head["version"] + 1,
-            "stat_cols": list(stat_cols),
-            "files": _build_entries(
-                path, kept + list(new_names), stat_cols, known
-            ),
-        }
+        entries = _build_entries(
+            path, kept + list(new_names), stat_cols, known
+        )
+        manifest = _pack_manifest(
+            path, head["version"] + 1, stat_cols, entries, head
+        )
         if op == "compact_snapshot":
             manifest["data_change"] = False
         if _claim_version(path, head["version"] + 1, manifest):
+            manifest["files"] = [_strip_entry(e) for e in entries]
             return manifest
     raise RuntimeError(
         f"{op}: lost {_MAX_PUBLISH_RETRIES} version claims under {path}"
@@ -320,6 +548,11 @@ def publish_snapshot(
     for _ in range(_MAX_PUBLISH_RETRIES):
         versions = snapshot_versions(path)
         version = (versions[-1] if versions else 0) + 1
+        head = (
+            load_snapshot(path, versions[-1], materialize=False)
+            if versions
+            else None
+        )
         names = (
             [
                 f
@@ -329,12 +562,10 @@ def publish_snapshot(
             if files is None
             else list(files)
         )
-        manifest = {
-            "version": version,
-            "stat_cols": list(stat_cols),
-            "files": _build_entries(path, names, stat_cols, known_entries),
-        }
+        entries = _build_entries(path, names, stat_cols, known_entries)
+        manifest = _pack_manifest(path, version, stat_cols, entries, head)
         if _claim_version(path, version, manifest):
+            manifest["files"] = [_strip_entry(e) for e in entries]
             return manifest
     raise RuntimeError(
         f"publish_snapshot: lost {_MAX_PUBLISH_RETRIES} version claims "
@@ -369,10 +600,46 @@ def append_snapshot(
 
     ``drop_prefix`` removes head files with that name prefix before
     appending — the idempotent-replay hook for streaming epochs (a
-    redelivered batch REPLACES its own earlier files)."""
+    redelivered batch REPLACES its own earlier files).
+
+    On a SHARDED head (and no ``drop_prefix``, same stat columns) the
+    commit is O(new files) outright: head shard references carry over
+    verbatim — no shard content is read — and the new files land in one
+    fresh shard. Steady-state micro-batch ingest therefore commits in
+    constant time regardless of table size; accumulated small shards are
+    coalesced in-line once enough of them pile up (Iceberg's manifest-
+    merge-on-write), which keeps the manifest list itself bounded."""
     for _ in range(_MAX_PUBLISH_RETRIES):
         versions = snapshot_versions(path)
         if versions:
+            raw = load_snapshot(path, versions[-1], materialize=False)
+            raw_sc = raw.get("stat_cols", [])
+            sc_fast = list(stat_cols) if stat_cols is not None else raw_sc
+            if (
+                "shards" in raw
+                and "files" not in raw
+                and drop_prefix is None
+                and set(sc_fast) == set(raw_sc)
+            ):
+                new_entries = [
+                    _entry(path, f, sc_fast) for f in sorted(set(new_files))
+                ]
+                refs = list(raw["shards"])
+                for i in range(0, len(new_entries), SHARD_TARGET):
+                    refs.append(
+                        _write_shard(
+                            path, new_entries[i : i + SHARD_TARGET], sc_fast
+                        )
+                    )
+                refs = _coalesce_small_shards(path, refs, sc_fast)
+                manifest = {
+                    "version": raw["version"] + 1,
+                    "stat_cols": sc_fast,
+                    "shards": refs,
+                }
+                if _claim_version(path, raw["version"] + 1, manifest):
+                    return manifest
+                continue
             head = load_snapshot(path)
             head_sc = head.get("stat_cols", [])
             base = [
@@ -389,12 +656,10 @@ def append_snapshot(
             if head is not None and set(head_sc) == set(sc)
             else None
         )
-        manifest = {
-            "version": version,
-            "stat_cols": sc,
-            "files": _build_entries(path, base + list(new_files), sc, known),
-        }
+        entries = _build_entries(path, base + list(new_files), sc, known)
+        manifest = _pack_manifest(path, version, sc, entries, head)
         if _claim_version(path, version, manifest):
+            manifest["files"] = [_strip_entry(e) for e in entries]
             return manifest
     raise RuntimeError(
         f"append_snapshot: lost {_MAX_PUBLISH_RETRIES} version claims "
@@ -402,8 +667,19 @@ def append_snapshot(
     )
 
 
-def load_snapshot(path: str, version: int | None = None) -> dict:
-    """Load a snapshot manifest; latest when ``version`` is None."""
+def load_snapshot(
+    path: str, version: int | None = None, materialize: bool = True
+) -> dict:
+    """Load a snapshot manifest; latest when ``version`` is None.
+
+    A sharded manifest (two-level layout, see :data:`INLINE_MAX`) stores
+    shard references instead of inline entries; ``materialize=True``
+    (the default — every pre-existing consumer reads ``snap["files"]``)
+    loads the shards and reconstructs the full entry list, annotating
+    each entry with its source shard so a later commit can reuse fully-
+    kept shards by reference. Planning paths that can prune at shard
+    level pass ``materialize=False`` and read only the shards that
+    survive (:func:`read_snapshot_pruned`, :func:`count_snapshot`)."""
     versions = snapshot_versions(path)
     if not versions:
         raise FileNotFoundError(f"no snapshots published under {path}")
@@ -411,7 +687,31 @@ def load_snapshot(path: str, version: int | None = None) -> dict:
     if v not in versions:
         raise ValueError(f"snapshot v{v} not found (have {versions})")
     with open(os.path.join(path, f"_manifest-v{v}.json")) as fh:
-        return json.load(fh)
+        snap = json.load(fh)
+    if materialize and "shards" in snap and "files" not in snap:
+        snap["files"] = [
+            e
+            for ref in snap["shards"]
+            for e in _load_shard_entries(path, ref)
+        ]
+    return snap
+
+
+def snapshot_as_of(path: str, ts: float) -> int:
+    """Resolve ``AS OF TIMESTAMP`` time travel: the newest version whose
+    publish timestamp is ≤ ``ts`` (Iceberg/Delta's timestamp resolution
+    rule). Versions published before the ``ts`` field existed sort as 0,
+    i.e. they match any non-negative timestamp."""
+    best = None
+    for v in snapshot_versions(path):
+        snap = load_snapshot(path, v, materialize=False)
+        if float(snap.get("ts", 0.0)) <= ts:
+            best = v
+    if best is None:
+        raise ValueError(
+            f"no snapshot of {path} published at or before ts={ts}"
+        )
+    return best
 
 
 def count_snapshot(path: str, version: int | None = None) -> int:
@@ -420,10 +720,15 @@ def count_snapshot(path: str, version: int | None = None) -> int:
     O(manifest) driver time regardless of table size (the Iceberg
     count-from-manifests fast path). Entries written before round 7 lack
     the ``rows`` field; those fall back to one footer read each (still
-    no data scan), and any publish after the upgrade records them."""
+    no data scan), and any publish after the upgrade records them.
+
+    On a sharded manifest this is O(manifest LIST): shard references
+    carry their row totals, so no shard content is read at all."""
     import pyarrow.parquet as pq
 
-    snap = load_snapshot(path, version)
+    snap = load_snapshot(path, version, materialize=False)
+    if "shards" in snap and "files" not in snap:
+        return sum(int(r["rows"]) for r in snap["shards"])
     total = 0
     for e in snap["files"]:
         r = e.get("rows")
@@ -473,17 +778,14 @@ def read_snapshot_pruned(
 ) -> DataFrame:
     """Time travel + file skipping in one: prune the chosen snapshot's
     file list by the manifest stats, re-apply the exact predicate on top
-    (superset guarantee, as in :func:`read_pruned`)."""
+    (superset guarantee, as in :func:`read_pruned`). On a sharded
+    manifest the pruning is TWO-level — shard references first, then the
+    entries of surviving shards only (:func:`plan_snapshot_scan`)."""
     from pyspark.sql import functions as F
 
-    snap = load_snapshot(path, version)
-    if not snap["files"]:
-        raise ValueError(
-            f"snapshot v{snap['version']} of {path} froze zero files — "
-            "published on an empty directory; there is no schema to read"
-        )
-    keep, _total = prune_files(snap, col, lo, hi)
-    entries = keep or snap["files"][:1]
+    plan = plan_snapshot_scan(path, col, lo, hi, version)
+    keep = plan["keep"]
+    entries = keep or plan["fallback"]
     paths = [os.path.join(path, e["path"]) for e in entries]
     df = spark.read.parquet(*paths)
     pred = (F.col(col) >= lo) & (F.col(col) <= hi)
@@ -830,22 +1132,41 @@ def expire_snapshots(path: str, keep_latest: int = 1) -> dict:
     retained = versions[-keep_latest:]
     expired = [v for v in versions if v not in retained]
     keep_refs: set[str] = set()
+    keep_shards: set[str] = set()
     for v in retained:
-        keep_refs.update(e["path"] for e in load_snapshot(path, v)["files"])
+        snap = load_snapshot(path, v)
+        keep_refs.update(e["path"] for e in snap["files"])
+        keep_shards.update(r["path"] for r in snap.get("shards", []))
     if os.path.exists(os.path.join(path, MANIFEST_NAME)):
         keep_refs.update(e["path"] for e in load_manifest(path)["files"])
     expired_refs: set[str] = set()
+    expired_shards: set[str] = set()
     for v in expired:
-        expired_refs.update(e["path"] for e in load_snapshot(path, v)["files"])
+        snap = load_snapshot(path, v)
+        expired_refs.update(e["path"] for e in snap["files"])
+        expired_shards.update(r["path"] for r in snap.get("shards", []))
     deleted = []
     for f in sorted(expired_refs - keep_refs):
         full = os.path.join(path, f)
         if os.path.exists(full):
             os.remove(full)
             deleted.append(f)
+    # entry shards referenced only by expired versions retire with them
+    # (shards are immutable and version-shared, so one referenced by any
+    # retained snapshot must stay)
+    deleted_shards = []
+    for s in sorted(expired_shards - keep_shards):
+        full = os.path.join(path, s)
+        if os.path.exists(full):
+            os.remove(full)
+            deleted_shards.append(s)
     for v in expired:
         os.remove(os.path.join(path, f"_manifest-v{v}.json"))
-    return {"expired_versions": expired, "deleted_files": deleted}
+    return {
+        "expired_versions": expired,
+        "deleted_files": deleted,
+        "deleted_shards": deleted_shards,
+    }
 
 
 def vacuum_orphans(path: str, grace_seconds: float = 3 * 24 * 3600) -> dict:
@@ -868,16 +1189,27 @@ def vacuum_orphans(path: str, grace_seconds: float = 3 * 24 * 3600) -> dict:
     import time
 
     refs: set[str] = set()
+    shard_refs: set[str] = set()
     for v in snapshot_versions(path):
-        refs.update(e["path"] for e in load_snapshot(path, v)["files"])
+        snap = load_snapshot(path, v)
+        refs.update(e["path"] for e in snap["files"])
+        shard_refs.update(r["path"] for r in snap.get("shards", []))
     if os.path.exists(os.path.join(path, MANIFEST_NAME)):
         refs.update(e["path"] for e in load_manifest(path)["files"])
     cutoff = time.time() - grace_seconds
     deleted, young = [], []
     for f in sorted(os.listdir(path)):
-        is_temp = f.startswith(".") and ".parquet" in f
+        is_temp = f.startswith(".") and (
+            ".parquet" in f or "_mshard-" in f or "_manifest-" in f
+        )
         is_data = f.endswith(".parquet") and not f.startswith((".", "_"))
-        if not (is_temp or is_data) or (is_data and f in refs):
+        # orphan entry shards: written by a publish attempt that lost its
+        # version claim (the retry re-packs) — referenced by no manifest,
+        # age-gated like data orphans
+        is_shard = f.startswith("_mshard-") and f.endswith(".json")
+        if is_shard and f in shard_refs:
+            continue
+        if not (is_temp or is_data or is_shard) or (is_data and f in refs):
             continue
         full = os.path.join(path, f)
         try:

@@ -56,11 +56,27 @@ from pyspark.sql.datasource import (
 )
 
 
-def _load(options) -> dict:
-    from pandas_to_postgres_spark.sources.manifest import load_snapshot
+def _resolve_version(options) -> int | None:
+    """``version`` / ``timestampAsOf`` option → concrete version (or
+    None = latest). Mutually exclusive, like Delta's versionAsOf /
+    timestampAsOf."""
+    from pandas_to_postgres_spark.sources.manifest import snapshot_as_of
 
     v = options.get("version")
-    return load_snapshot(options["path"], int(v) if v is not None else None)
+    ts = options.get("timestampasof", options.get("timestampAsOf"))
+    if v is not None and ts is not None:
+        raise ValueError("pass version OR timestampAsOf, not both")
+    if ts is not None:
+        return snapshot_as_of(options["path"], float(ts))
+    return int(v) if v is not None else None
+
+
+def _load(options, materialize: bool = True) -> dict:
+    from pandas_to_postgres_spark.sources.manifest import load_snapshot
+
+    return load_snapshot(
+        options["path"], _resolve_version(options), materialize=materialize
+    )
 
 
 class SnapshotReaderNoPushdown(DataSourceReader):
@@ -96,11 +112,27 @@ class SnapshotReaderNoPushdown(DataSourceReader):
         return True
 
     def partitions(self) -> List[InputPartition]:
-        man = _load(self.options)
+        from pandas_to_postgres_spark.sources.manifest import (
+            _load_shard_entries,
+        )
+
+        man = _load(self.options, materialize=False)
         path = self.options["path"]
+        if "shards" in man and "files" not in man:
+            # two-level skip: shard refs carry the same {col: [min, max]}
+            # shape as entries, so the pushed ranges prune whole shards
+            # before any shard content is read (manifest-list planning)
+            entries = [
+                e
+                for r in man["shards"]
+                if self._keep(r)
+                for e in _load_shard_entries(path, r)
+            ]
+        else:
+            entries = man["files"]
         keep = [
             InputPartition(os.path.join(path, e["path"]))
-            for e in man["files"]
+            for e in entries
             if self._keep(e)
         ]
         # an all-pruned (or empty) snapshot still needs one partition so
@@ -187,10 +219,27 @@ class SnapshotDataSource(DataSource):
         import pyarrow.parquet as pq
         from pyspark.sql.pandas.types import from_arrow_schema
 
-        man = _load(self.options)
+        from pandas_to_postgres_spark.sources.manifest import (
+            _load_shard_entries,
+        )
+
+        man = _load(self.options, materialize=False)
+        root = self.options["path"]
+        if "shards" in man and "files" not in man:
+            # default schema needs ONE file: open only the first shard
+            # (mergeSchema unions every file's footer, so it loads all)
+            refs = man["shards"]
+            merging = str(self.options.get("mergeschema",
+                                           self.options.get("mergeSchema",
+                                                            "false"))
+                          ).lower() == "true"
+            man["files"] = [
+                e
+                for r in (refs if merging else refs[:1])
+                for e in _load_shard_entries(root, r)
+            ]
         if not man["files"]:
             raise ValueError("snapshot has no files to infer a schema from")
-        root = self.options["path"]
         if str(self.options.get("mergeschema",
                                 self.options.get("mergeSchema", "false"))
                ).lower() == "true":
