@@ -3564,3 +3564,108 @@ def snapshot_optimize_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return outs[0].unionAll(outs[1])
+
+
+_HIDDEN_PART_ORACLE = """
+    WITH d0 AS (SELECT CAST(min(ts) AS DATE) AS d FROM events),
+    u0 AS (SELECT user_id AS uid FROM events ORDER BY event_id LIMIT 1),
+    win AS (
+        SELECT e.event_type,
+               CAST(floor(e.value * 100 + 0.5) AS BIGINT) AS vc
+        FROM events e, d0
+        WHERE CAST(e.ts AS DATE) BETWEEN d0.d + 1 AND d0.d + 2),
+    usr AS (
+        SELECT e.event_type,
+               CAST(floor(e.value * 100 + 0.5) AS BIGINT) AS vc
+        FROM events e, u0
+        WHERE e.user_id = u0.uid)
+    SELECT 'day_range' AS branch, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(vc) AS BIGINT) AS value_cents
+    FROM win GROUP BY event_type
+    UNION ALL
+    SELECT 'user_bucket' AS branch, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(vc) AS BIGINT) AS value_cents
+    FROM usr GROUP BY event_type
+    """
+
+
+@register("snapshot_hidden_partition", min_rows=2, oracle=_HIDDEN_PART_ORACLE)
+def snapshot_hidden_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hidden partitioning (Iceberg partition transforms) end-to-end
+    under the driver oracle: events land as a snapshot table partitioned
+    by ``day(ts)`` AND ``bucket(4, user_id)`` — the spec lives in the
+    manifest, each file records its transformed tuple, and NOTHING in
+    the query below names a partition column. Two reads exercise both
+    pruning shapes:
+
+    - ``day_range``: a raw ``ts BETWEEN`` predicate planner-maps to the
+      day transform and keeps 2 of ~30 day partitions;
+    - ``user_bucket``: a raw ``user_id =`` equality maps through the
+      md5 bucket transform to exactly 1 of 4 buckets (ranges over a
+      bucket can never prune — hash destroys order — which
+      `tests/test_hidden_partitioning.py` pins).
+
+    Pruning is a superset guarantee: the exact predicate re-applies on
+    the scan, so the oracle replays plain WHERE clauses on the raw
+    events table. Value sums ride the grid-round cents convention.
+    Scale: the write clusters by transform value (one file never mixes
+    partitions), the planner touches metadata only, and a spec change
+    never breaks old predicates — the Iceberg contract this re-expresses
+    (hive-style layout columns would put the transform in USER queries).
+
+    Reference: the 988-LoC loader has no partitioning concept; this is
+    [EXT] lakehouse surface (SURVEY §2.12)."""
+    import datetime
+    import hashlib
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    from pandas_to_postgres_spark.sources.partition_spec import (
+        read_snapshot_hidden,
+        spec_field,
+        write_partitioned_snapshot,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:6]
+    wh = urlparse(
+        spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    ).path or "spark-warehouse"
+    path = os.path.join(wh, f"hp_table_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    spec = [spec_field("day", "ts"), spec_field("bucket", "user_id", 4)]
+    write_partitioned_snapshot(spark, ev, path, spec, stat_cols=["event_id"])
+
+    # bounded driver-side reduction (2 scalars): the predicate anchors
+    first = ev.orderBy("event_id").select("ts", "user_id").first()
+    d0 = ev.agg(F.min("ts")).first()[0].date()
+    uid0 = int(first["user_id"])
+    lo = datetime.datetime.combine(d0 + datetime.timedelta(days=1),
+                                   datetime.time.min)
+    hi = datetime.datetime.combine(d0 + datetime.timedelta(days=3),
+                                   datetime.time.min
+                                   ) - datetime.timedelta(microseconds=1)
+
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    day_read = read_snapshot_hidden(
+        spark, path, {"ts": ("between", lo, hi)}
+    )
+    usr_read = read_snapshot_hidden(spark, path, {"user_id": ("=", uid0)})
+    outs = []
+    for branch, df in (("day_range", day_read), ("user_bucket", usr_read)):
+        outs.append(
+            df.groupBy("event_type").agg(
+                F.count(F.lit(1)).cast("long").alias("n_events"),
+                F.sum(cents).cast("long").alias("value_cents"),
+            ).select(
+                F.lit(branch).alias("branch"),
+                "event_type", "n_events", "value_cents",
+            )
+        )
+    return outs[0].unionAll(outs[1])

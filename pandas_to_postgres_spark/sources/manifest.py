@@ -523,6 +523,7 @@ def publish_snapshot(
     stat_cols: Sequence[str],
     files: Sequence[str] | None = None,
     known_entries: Sequence[dict] | None = None,
+    extra: dict | None = None,
 ) -> dict:
     """Freeze a file list (with footer stats) as the next immutable
     ``_manifest-v{N}.json``. Files already listed by an earlier snapshot
@@ -544,7 +545,9 @@ def publish_snapshot(
     must not leak crashed writers' orphans and a compaction leaves both
     the old and rewritten part files on disk. ``known_entries`` (entries
     from a prior manifest with the same ``stat_cols``) are reused by
-    name instead of re-reading parquet footers."""
+    name instead of re-reading parquet footers. ``extra`` merges
+    additional manifest-level metadata into the claimed manifest (e.g.
+    the hidden-partitioning ``partition_spec``)."""
     for _ in range(_MAX_PUBLISH_RETRIES):
         versions = snapshot_versions(path)
         version = (versions[-1] if versions else 0) + 1
@@ -564,6 +567,8 @@ def publish_snapshot(
         )
         entries = _build_entries(path, names, stat_cols, known_entries)
         manifest = _pack_manifest(path, version, stat_cols, entries, head)
+        if extra:
+            manifest.update(extra)
         if _claim_version(path, version, manifest):
             manifest["files"] = [_strip_entry(e) for e in entries]
             return manifest

@@ -1,0 +1,203 @@
+"""Hidden partitioning (Iceberg partition transforms) on the snapshot
+table: predicates on RAW columns prune files through the spec's
+transforms — users never name a layout column, and pruning is always a
+superset of the exact answer."""
+
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from pandas_to_postgres_spark.sources import manifest as M
+from pandas_to_postgres_spark.sources.partition_spec import (
+    _py_transform,
+    plan_hidden_scan,
+    read_snapshot_hidden,
+    spec_field,
+    write_partitioned_snapshot,
+)
+
+
+@pytest.fixture
+def events(spark):
+    rows = [
+        Row(
+            eid=i,
+            uid=i % 37,
+            day_str=f"2024-01-{(i % 9) + 1:02d}",
+            amount=float(i) * 0.25,
+            code=f"AB{i % 5}{i}",
+        )
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows)
+    return df.withColumn(
+        "ts", F.to_timestamp(F.concat("day_str", F.lit(" 12:00:00")))
+    ).drop("day_str")
+
+
+class TestTransformParity:
+    """The Spark writer expression and the Python planner replay must
+    agree on every transform — parity is what makes pruning exact."""
+
+    @pytest.mark.parametrize(
+        "field,col,values",
+        [
+            (spec_field("bucket", "uid", 8), "uid", [0, 1, 7, 36, 123456]),
+            (spec_field("truncate", "eid", 100), "eid", [0, 99, 100, 499]),
+            (spec_field("truncate", "code", 3), "code", ["AB1", "AB23", "x"]),
+            (spec_field("identity", "uid"), "uid", [0, 36]),
+        ],
+    )
+    def test_spark_matches_python(self, spark, field, col, values):
+        from pandas_to_postgres_spark.sources.partition_spec import (
+            _spark_transform,
+        )
+
+        df = spark.createDataFrame([Row(**{col: v}) for v in values])
+        dtype = dict(df.dtypes)[col]
+        got = [
+            r["t"]
+            for r in df.select(
+                _spark_transform(field, dtype).alias("t")
+            ).collect()
+        ]
+        want = [_py_transform(field, v) for v in values]
+        assert got == want
+
+    def test_day_transform_parity(self, spark):
+        from pandas_to_postgres_spark.sources.partition_spec import (
+            _spark_transform,
+        )
+
+        import datetime
+
+        vals = [datetime.datetime(2024, 1, 3, 23, 59), datetime.datetime(2023, 12, 31)]
+        df = spark.createDataFrame([Row(ts=v) for v in vals])
+        field = spec_field("day", "ts")
+        got = [
+            r["t"]
+            for r in df.select(
+                _spark_transform(field, "timestamp").alias("t")
+            ).collect()
+        ]
+        assert got == [_py_transform(field, v) for v in vals]
+        assert got == ["2024-01-03", "2023-12-31"]
+
+    def test_truncate_negative_ints_floor(self, spark):
+        from pandas_to_postgres_spark.sources.partition_spec import (
+            _spark_transform,
+        )
+
+        field = spec_field("truncate", "k", 10)
+        df = spark.createDataFrame([Row(k=-1), Row(k=-10), Row(k=-11)])
+        got = [
+            r["t"]
+            for r in df.select(_spark_transform(field, "bigint").alias("t"))
+            .collect()
+        ]
+        assert got == ["-10", "-10", "-20"]
+        assert [_py_transform(field, v) for v in (-1, -10, -11)] == got
+
+
+class TestHiddenPartitionedTable:
+    def _table(self, spark, events, tmp_path):
+        p = str(tmp_path / "hidden")
+        spec = [spec_field("day", "ts"), spec_field("bucket", "uid", 4)]
+        write_partitioned_snapshot(spark, events, p, spec, stat_cols=["eid"])
+        return p
+
+    def test_every_file_holds_one_partition_tuple(self, spark, events, tmp_path):
+        p = self._table(spark, events, tmp_path)
+        snap = M.load_snapshot(p)
+        assert snap["partition_spec"][0]["transform"] == "day"
+        for e in snap["files"]:
+            df = spark.read.parquet(os.path.join(p, e["path"]))
+            days = [
+                r[0]
+                for r in df.select(
+                    F.date_format("ts", "yyyy-MM-dd")
+                ).distinct().collect()
+            ]
+            assert days == [e["partition"][snap["partition_spec"][0]["name"]]]
+
+    def test_day_range_prunes_and_matches_full_filter(
+        self, spark, events, tmp_path
+    ):
+        import datetime
+
+        p = self._table(spark, events, tmp_path)
+        lo = datetime.datetime(2024, 1, 2)
+        hi = datetime.datetime(2024, 1, 3, 23, 59, 59)
+        plan = plan_hidden_scan(p, {"ts": ("between", lo, hi)})
+        assert 0 < len(plan["keep"]) < plan["total_files"]
+        kept_days = {
+            e["partition"]["__p_day_ts"] for e in plan["keep"]
+        }
+        assert kept_days == {"2024-01-02", "2024-01-03"}
+        got = (
+            read_snapshot_hidden(spark, p, {"ts": ("between", lo, hi)})
+            .orderBy("eid")
+            .collect()
+        )
+        want = (
+            events.filter(F.col("ts").between(lo, hi)).orderBy("eid").collect()
+        )
+        assert [r["eid"] for r in got] == [r["eid"] for r in want]
+
+    def test_bucket_equality_prunes_to_one_bucket(self, spark, events, tmp_path):
+        p = self._table(spark, events, tmp_path)
+        plan = plan_hidden_scan(p, {"uid": ("=", 7)})
+        buckets = {e["partition"]["__p_bucket_uid_4"] for e in plan["keep"]}
+        assert buckets == {_py_transform(spec_field("bucket", "uid", 4), 7)}
+        got = read_snapshot_hidden(spark, p, {"uid": ("=", 7)})
+        want = events.filter(F.col("uid") == 7)
+        assert got.count() == want.count() > 0
+        assert got.agg(F.sum("eid")).first()[0] == want.agg(F.sum("eid")).first()[0]
+
+    def test_bucket_range_cannot_prune(self, spark, events, tmp_path):
+        p = self._table(spark, events, tmp_path)
+        plan = plan_hidden_scan(p, {"uid": ("between", 3, 5)})
+        assert len(plan["keep"]) == plan["total_files"]
+
+    def test_combined_predicates_intersect_pruning(self, spark, events, tmp_path):
+        import datetime
+
+        p = self._table(spark, events, tmp_path)
+        lo = datetime.datetime(2024, 1, 5)
+        hi = datetime.datetime(2024, 1, 5, 23, 59)
+        preds = {"ts": ("between", lo, hi), "uid": ("=", 12)}
+        plan = plan_hidden_scan(p, preds)
+        day_only = plan_hidden_scan(p, {"ts": ("between", lo, hi)})
+        assert len(plan["keep"]) < len(day_only["keep"])
+        got = read_snapshot_hidden(spark, p, preds)
+        want = events.filter(
+            F.col("ts").between(lo, hi) & (F.col("uid") == 12)
+        )
+        assert sorted(r["eid"] for r in got.collect()) == sorted(
+            r["eid"] for r in want.collect()
+        )
+
+    def test_all_pruned_returns_typed_empty(self, spark, events, tmp_path):
+        import datetime
+
+        p = self._table(spark, events, tmp_path)
+        lo = datetime.datetime(2030, 1, 1)
+        hi = datetime.datetime(2030, 1, 2)
+        out = read_snapshot_hidden(spark, p, {"ts": ("between", lo, hi)})
+        assert out.count() == 0
+        assert set(events.columns) <= set(out.columns)
+
+    def test_time_travel_composes(self, spark, events, tmp_path):
+        """A second partitioned write is a logical overwrite: v1 keeps
+        serving the old rows, the head serves the new."""
+        p = self._table(spark, events, tmp_path)
+        spec = [spec_field("day", "ts"), spec_field("bucket", "uid", 4)]
+        write_partitioned_snapshot(
+            spark, events.limit(50), p, spec, stat_cols=["eid"]
+        )
+        assert M.read_snapshot(spark, p, version=1).count() == 500
+        assert M.read_snapshot(spark, p, version=2).count() == 50
+        plan_v1 = plan_hidden_scan(p, {"uid": ("=", 7)}, version=1)
+        assert len(plan_v1["keep"]) > 0
