@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from pandas_to_postgres_spark.functions.agg import davg, davg_sql, grid_round
+from pandas_to_postgres_spark.functions.agg import davg, davg_sql, dsum_sql, grid_round
 from pandas_to_postgres_spark.functions.text import tokens_expr
 from pandas_to_postgres_spark.operators.joins import interval_overlap_pairs
 from pandas_to_postgres_spark.operators.kmeans import semantic_near_duplicates
@@ -2002,5 +2002,144 @@ def chi2_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_cols",
             ((F.col("n_rows") - 1) * (F.col("n_cols") - 1)).alias("dof"),
             "chi2",
+        )
+    )
+
+
+_NB_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, source, unnest({_RAW_TOKS_SQL}) AS tok FROM documents),
+    dt AS (SELECT doc_id, tok, count(*) AS cnt FROM toks GROUP BY doc_id, tok),
+    stats AS (SELECT source, tok, count(*) AS c FROM toks GROUP BY source, tok),
+    t AS (SELECT source, CAST(sum(c) AS BIGINT) AS t_tot FROM stats
+          GROUP BY source),
+    v AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS vocab FROM toks),
+    pri AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s FROM documents
+            GROUP BY source),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    lbl AS (SELECT t.source, t.t_tot, pri.n_s, v.vocab, nn.n
+            FROM t JOIN pri USING (source) CROSS JOIN v CROSS JOIN nn),
+    scored AS (
+        SELECT dt.doc_id, l.source, l.n_s, l.n,
+               {dsum_sql(
+                   "CAST(dt.cnt AS DOUBLE) * log10("
+                   "CAST(COALESCE(s.c, 0) + 1 AS DOUBLE) / "
+                   "CAST(l.t_tot + l.vocab AS DOUBLE))", 4)} AS tok_sum
+        FROM dt
+        CROSS JOIN lbl l
+        LEFT JOIN stats s ON s.source = l.source AND s.tok = dt.tok
+        GROUP BY dt.doc_id, l.source, l.n_s, l.n),
+    final AS (
+        SELECT doc_id, source,
+               floor((log10(CAST(n_s AS DOUBLE) / n) + tok_sum) * 1e4 + 0.5)
+                   / 1e4 AS score
+        FROM scored),
+    ranked AS (
+        SELECT doc_id, source, score,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, source) AS rn
+        FROM final)
+    SELECT r.doc_id, r.source AS pred_source, d.source AS actual_source,
+           r.score, CAST(r.source = d.source AS INTEGER) AS correct
+    FROM ranked r JOIN documents d USING (doc_id)
+    WHERE r.rn = 1
+    """
+
+
+@register("nb_source_classifier", min_rows=100, oracle=_NB_ORACLE)
+def nb_source_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes domain classifier, trained and applied
+    fully in-engine — the CCNet/DSIR-style supervised leg of corpus
+    curation (classify each document's domain/register; route, weight,
+    or filter on the prediction). Labels are the ``source`` column;
+    features are whitespace unigram counts; Laplace (+1) smoothing over
+    the corpus vocabulary.
+
+    score(d, s) = log10(n_s / N) + Σ_tok cnt_{{d,tok}} ·
+                  log10((c_{{s,tok}} + 1) / (T_s + V))
+
+    Determinism discipline (the oracle hashes values): every log10 is of
+    a RATIO OF INTEGERS (same convention `unigram_logprob` has held
+    green since round 3), the per-(doc,label) sum rides decimal
+    accumulation (`dsum`), the final score lands on the floor(x·1e4+0.5)
+    grid in both engines, and the argmax tie-breaks on (score DESC,
+    source ASC) over the gridded score.
+
+    Scale: training is two map-side-combinable token counts (per-label
+    and per-doc); the label model (labels × {{t_tot, prior}} + two
+    scalars) broadcasts; scoring is one fan-out of per-doc token counts
+    by L labels and one (label, token) equi-join against the model stats
+    — linear in corpus tokens × labels, no quadratic term, no collect.
+    The unseen-(token,label) smoothing rides the LEFT join's COALESCE,
+    so the fan-out never densifies to the full vocabulary."""
+    from pandas_to_postgres_spark.functions.agg import dsum, grid_round
+    from pandas_to_postgres_spark.functions.text import tokens_expr
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.explode(tokens_expr(F.lower(F.col("text")))).alias("tok"),
+    )
+    dt = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    stats = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    t = stats.groupBy("source").agg(F.sum("c").cast("long").alias("t_tot"))
+    v = toks.agg(F.countDistinct("tok").cast("long").alias("vocab"))
+    pri = d.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_s"))
+    nn = d.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    lbl = (
+        t.join(pri, "source")
+        .crossJoin(F.broadcast(v))
+        .crossJoin(F.broadcast(nn))
+    )
+    s2 = stats.select(
+        F.col("source").alias("__ls"), F.col("tok").alias("__lt"), "c"
+    )
+    term = F.col("cnt").cast("double") * F.log10(
+        (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double")
+        / (F.col("t_tot") + F.col("vocab")).cast("double")
+    )
+    scored = (
+        dt.crossJoin(F.broadcast(lbl))
+        .join(
+            s2,
+            (F.col("source") == F.col("__ls")) & (F.col("tok") == F.col("__lt")),
+            "left",
+        )
+        .groupBy("doc_id", "source", "n_s", "n")
+        .agg(dsum(term, 4).alias("tok_sum"))
+    )
+    final = scored.select(
+        "doc_id",
+        "source",
+        grid_round(
+            F.log10(F.col("n_s").cast("double") / F.col("n"))
+            + F.col("tok_sum"),
+            4,
+        ).alias("score"),
+    )
+    from pyspark.sql import Window
+
+    ranked = final.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy(
+                F.col("score").desc(), F.col("source").asc()
+            )
+        ),
+    ).filter(F.col("rn") == 1)
+    return (
+        ranked.join(d.select("doc_id", F.col("source").alias("actual_source")),
+                    "doc_id")
+        .select(
+            "doc_id",
+            F.col("source").alias("pred_source"),
+            "actual_source",
+            "score",
+            (F.col("source") == F.col("actual_source")).cast("int").alias(
+                "correct"
+            ),
         )
     )
