@@ -2143,3 +2143,237 @@ def nb_source_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def _fs_oracle() -> str:
+    """DuckDB twin of the FULL Fellegi–Sunter pipeline with both EM
+    iterations unrolled as CTEs (the `bpe_learn_merges` /
+    `_semdedup_oracle` discipline for iterative operators): identical
+    pair construction, identical decimal-accumulated M-step sums,
+    identical clamp + floor-grid rounding — so even the EM fixed point
+    is value-checked, not just the pair counts."""
+    fields = ["cust", "price", "prio", "status"]
+
+    def prod(which: str, src: str) -> str:
+        # Π_i (g_i ? θ_i : 1-θ_i) as a fixed-order product
+        return " * ".join(
+            f"(CASE WHEN g_{f} = 1 THEN {src}.{which}_{f} "
+            f"ELSE 1.0 - {src}.{which}_{f} END)"
+            for f in fields
+        )
+
+    def clamp(x: str) -> str:
+        return (f"least(greatest({x}, CAST(1e-6 AS DOUBLE)), "
+                f"CAST(0.999999 AS DOUBLE))")
+
+    def grid6(x: str) -> str:
+        return f"floor(({x}) * 1e6 + 0.5) / 1e6"
+
+    def estep(n: int) -> str:
+        return f"""
+    w{n} AS (
+        SELECT pat.*,
+               (p.p * {prod('m', 'p')}) AS am,
+               ((1.0 - p.p) * {prod('u', 'p')}) AS bu
+        FROM pat CROSS JOIN params{n} p),
+    e{n} AS (SELECT *, am / (am + bu) AS w FROM w{n})"""
+
+    def dsum6(expr: str) -> str:
+        return (f"CAST(round(sum(CAST({expr} AS DECIMAL(18,6))), 6) "
+                f"AS DOUBLE)")
+
+    def mstep(n: int) -> str:
+        m_cols = ", ".join(
+            clamp(grid6(f"{dsum6(f'n_pairs * w * g_{f}')} / "
+                        f"{dsum6('n_pairs * w')}")) + f" AS m_{f}"
+            for f in fields
+        )
+        u_cols = ", ".join(
+            clamp(grid6(f"{dsum6(f'n_pairs * (1.0 - w) * g_{f}')} / "
+                        f"{dsum6('n_pairs * (1.0 - w)')}")) + f" AS u_{f}"
+            for f in fields
+        )
+        return f"""
+    params{n + 1} AS (
+        SELECT {clamp(grid6(
+            dsum6('n_pairs * w') + ' / CAST(sum(n_pairs) AS DOUBLE)'))} AS p,
+               {m_cols}, {u_cols}
+        FROM e{n})"""
+
+    g_exprs = {
+        "cust": "a.o_custkey = b.b_custkey",
+        "price": "a.o_totalprice = b.b_totalprice",
+        "prio": "a.o_orderpriority = b.b_orderpriority",
+        "status": "a.o_orderstatus = b.b_orderstatus",
+    }
+    gcols = ", ".join(
+        f"CAST({e} AS INTEGER) AS g_{f}" for f, e in g_exprs.items()
+    )
+    return f"""
+    WITH b AS (
+        SELECT o_orderkey + 1000000000 AS b_key,
+               CASE WHEN o_orderkey % 7 = 0 THEN o_custkey + 1
+                    ELSE o_custkey END AS b_custkey,
+               CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1
+                    ELSE o_totalprice END AS b_totalprice,
+               CASE WHEN o_orderkey % 11 = 0 THEN '9-PERTURBED'
+                    ELSE o_orderpriority END AS b_orderpriority,
+               CASE WHEN o_orderkey % 3 = 0 THEN
+                    (CASE WHEN o_orderstatus = 'O' THEN 'F' ELSE 'O' END)
+                    ELSE o_orderstatus END AS b_orderstatus
+        FROM orders),
+    pairs AS (
+        SELECT {gcols}
+        FROM orders a JOIN b
+          ON a.o_custkey // 4 = b.b_custkey // 4),
+    pat AS (
+        SELECT g_cust, g_price, g_prio, g_status,
+               CAST(count(*) AS BIGINT) AS n_pairs
+        FROM pairs GROUP BY ALL),
+    params0 AS (
+        SELECT CAST(0.1 AS DOUBLE) AS p,
+               {', '.join(f'CAST(0.9 AS DOUBLE) AS m_{f}' for f in fields)},
+               {', '.join(f'CAST(0.1 AS DOUBLE) AS u_{f}' for f in fields)}),
+    {estep(0).lstrip()},
+    {mstep(0).lstrip()},
+    {estep(1).lstrip()},
+    {mstep(1).lstrip()},
+    final AS (
+        SELECT pat.*,
+               (p.p * {prod('m', 'p')}) AS am,
+               ((1.0 - p.p) * {prod('u', 'p')}) AS bu,
+               log10(({prod('m', 'p')}) / ({prod('u', 'p')})) AS lw
+        FROM pat CROSS JOIN params2 p)
+    SELECT g_cust, g_price, g_prio, g_status, n_pairs,
+           {grid6('lw')} AS match_weight,
+           {grid6('am / (am + bu)')} AS posterior,
+           CAST(am / (am + bu) >= CAST(0.5 AS DOUBLE) AS INTEGER) AS is_match
+    FROM final
+    """
+
+
+@register("fellegi_sunter_em", min_rows=4, oracle=_fs_oracle())
+def fellegi_sunter_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probabilistic record linkage (Fellegi–Sunter 1969, the Splink /
+    census-linkage model) trained UNSUPERVISED in-engine by a 2-iteration
+    EM over agreement patterns — the statistical upgrade to
+    `fuzzy_join_parts`' deterministic blocking:
+
+    - two feeds: orders vs a deterministically perturbed copy (custkey,
+      price, priority, status each flip on disjoint key residues);
+    - blocking on ``custkey DIV 4`` — block CARDINALITY GROWS with the
+      data (never a fixed-block quadratic blow-up; perturbed custkeys
+      hopping blocks is the documented, realistic recall loss);
+    - per-pair agreement vector γ over 4 fields, aggregated to ≤16
+      PATTERN COUNTS before any statistics — EM then runs on 16 rows
+      regardless of corpus size (pairs are touched exactly once);
+    - EM: E-step posterior w from (p, m_i, u_i); M-step re-estimates via
+      decimal-accumulated sums, floor-grid(1e-6) rounding, and a
+      [1e-6, 1-1e-6] clamp (Splink's guard against degenerate u) — every
+      FP step deterministic and engine-identical, so the DuckDB oracle
+      replays both iterations bit-for-bit on the value grid;
+    - output per pattern: count, log10 match weight under the fitted
+      model, posterior, and the ≥0.5 match decision.
+
+    Scale: the only pair-sized stage is one map-side-combinable GROUP BY
+    on 4 int flags; everything after is 16 rows. The model frame
+    broadcasts; nothing collects."""
+    from pandas_to_postgres_spark.functions.agg import grid_round
+
+    fields = ["cust", "price", "prio", "status"]
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority",
+        "o_orderstatus",
+    )
+    k = F.col("o_orderkey")
+    b = o.select(
+        (k + 1_000_000_000).alias("b_key"),
+        F.when(k % 7 == 0, F.col("o_custkey") + 1)
+        .otherwise(F.col("o_custkey")).alias("b_custkey"),
+        F.when(k % 5 == 0, F.col("o_totalprice") + 1)
+        .otherwise(F.col("o_totalprice")).alias("b_totalprice"),
+        F.when(k % 11 == 0, F.lit("9-PERTURBED"))
+        .otherwise(F.col("o_orderpriority")).alias("b_orderpriority"),
+        F.when(
+            k % 3 == 0,
+            F.when(F.col("o_orderstatus") == "O", F.lit("F")).otherwise(
+                F.lit("O")
+            ),
+        ).otherwise(F.col("o_orderstatus")).alias("b_orderstatus"),
+    )
+    a = o.withColumn("__blk", (F.col("o_custkey") / 4).cast("long"))
+    bb = b.withColumn("__blk", (F.col("b_custkey") / 4).cast("long"))
+    g = {
+        "cust": F.col("o_custkey") == F.col("b_custkey"),
+        "price": F.col("o_totalprice") == F.col("b_totalprice"),
+        "prio": F.col("o_orderpriority") == F.col("b_orderpriority"),
+        "status": F.col("o_orderstatus") == F.col("b_orderstatus"),
+    }
+    pat = (
+        a.join(bb, "__blk")
+        .select(*[g[f].cast("int").alias(f"g_{f}") for f in fields])
+        .groupBy(*[f"g_{f}" for f in fields])
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .localCheckpoint(eager=False)  # 16 rows feed 2 EM rounds + final
+    )
+
+    lo, hi = F.lit(1e-6), F.lit(0.999999)
+
+    def clamp(c):
+        return F.least(F.greatest(c, lo), hi)
+
+    def prod(which, row_prefix=""):
+        expr = F.lit(1.0)
+        for f in fields:
+            theta = F.col(f"{which}_{f}")
+            expr = expr * F.when(
+                F.col(f"g_{f}") == 1, theta
+            ).otherwise(F.lit(1.0) - theta)
+        return expr
+
+    def dsum6(c):
+        return F.round(F.sum(c.cast("decimal(18,6)")), 6).cast("double")
+
+    params = spark.range(1).select(
+        F.lit(0.1).alias("p"),
+        *[F.lit(0.9).alias(f"m_{f}") for f in fields],
+        *[F.lit(0.1).alias(f"u_{f}") for f in fields],
+    )
+    for _ in range(2):
+        e = pat.crossJoin(F.broadcast(params)).select(
+            "*",
+            (F.col("p") * prod("m")).alias("am"),
+            ((F.lit(1.0) - F.col("p")) * prod("u")).alias("bu"),
+        ).withColumn("w", F.col("am") / (F.col("am") + F.col("bu")))
+        n, w = F.col("n_pairs"), F.col("w")
+        params = e.agg(
+            clamp(grid_round(dsum6(n * w) / F.sum(n).cast("double"), 6)).alias("p"),
+            *[
+                clamp(grid_round(dsum6(n * w * F.col(f"g_{f}")) / dsum6(n * w), 6)).alias(f"m_{f}")
+                for f in fields
+            ],
+            *[
+                clamp(
+                    grid_round(
+                        dsum6(n * (F.lit(1.0) - w) * F.col(f"g_{f}"))
+                        / dsum6(n * (F.lit(1.0) - w)),
+                        6,
+                    )
+                ).alias(f"u_{f}")
+                for f in fields
+            ],
+        )
+    final = pat.crossJoin(F.broadcast(params)).select(
+        "*",
+        (F.col("p") * prod("m")).alias("am"),
+        ((F.lit(1.0) - F.col("p")) * prod("u")).alias("bu"),
+        F.log10(prod("m") / prod("u")).alias("lw"),
+    )
+    post = F.col("am") / (F.col("am") + F.col("bu"))
+    return final.select(
+        *[f"g_{f}" for f in fields],
+        "n_pairs",
+        grid_round(F.col("lw"), 6).alias("match_weight"),
+        grid_round(post, 6).alias("posterior"),
+        (post >= 0.5).cast("int").alias("is_match"),
+    )
