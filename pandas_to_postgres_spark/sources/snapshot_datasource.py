@@ -97,6 +97,21 @@ class SnapshotReaderNoPushdown(DataSourceReader):
         #: col -> [lo, hi] numeric bounds accumulated by pushFilters
         #: (always empty in this class)
         self.ranges: dict[str, list] = {}
+        #: raw-valued predicate capture for HIDDEN-PARTITION pruning
+        #: (types preserved: bucket transforms hash the value's exact
+        #: string form, so int 7 must stay 7, never 7.0)
+        self.part_eq: dict[str, object] = {}
+        self.part_lo: dict[str, object] = {}
+        self.part_hi: dict[str, object] = {}
+
+    def _partition_predicates(self) -> dict:
+        preds: dict[str, tuple] = {}
+        for col, v in self.part_eq.items():
+            preds[col] = ("=", v)
+        for col in set(self.part_lo) & set(self.part_hi):
+            if col not in preds:
+                preds[col] = ("between", self.part_lo[col], self.part_hi[col])
+        return preds
 
     def _keep(self, entry: dict) -> bool:
         for col, (lo, hi) in self.ranges.items():
@@ -130,6 +145,19 @@ class SnapshotReaderNoPushdown(DataSourceReader):
             ]
         else:
             entries = man["files"]
+        spec = man.get("partition_spec")
+        preds = self._partition_predicates() if spec else {}
+        if spec and preds:
+            # hidden-partition pruning: map the pushed raw-column
+            # predicates through the spec's transforms (equality on any
+            # transform, two-sided ranges on the monotone ones)
+            from pandas_to_postgres_spark.sources.partition_spec import (
+                _entry_may_match,
+            )
+
+            entries = [
+                e for e in entries if _entry_may_match(e, spec, preds)
+            ]
         keep = [
             InputPartition(os.path.join(path, e["path"]))
             for e in entries
@@ -156,12 +184,28 @@ def _read_file_projected(file_path, columns, spark_schema) -> Iterator:
     import pyarrow.parquet as pq
     from pyspark.sql.pandas.types import to_arrow_schema
 
+    def _us_timestamps(t: "pa.Table") -> "pa.Table":
+        # Spark writes INT96 timestamps that arrow surfaces as NANOSECOND,
+        # which the Python DataSource bridge rejects (UNSUPPORTED_ARROWTYPE)
+        # — cast to microseconds, Spark's native precision
+        fields = []
+        changed = False
+        for f in t.schema:
+            if pa.types.is_timestamp(f.type) and f.type.unit == "ns":
+                fields.append(pa.field(f.name, pa.timestamp("us", f.type.tz)))
+                changed = True
+            else:
+                fields.append(f)
+        return t.cast(pa.schema(fields)) if changed else t
+
     if spark_schema is None:  # bare-list construction: no evolution
-        yield from pq.read_table(file_path, columns=columns).to_batches()
+        yield from _us_timestamps(
+            pq.read_table(file_path, columns=columns)
+        ).to_batches()
         return
     have = set(pq.read_schema(file_path).names)
     present = [c for c in columns if c in have]
-    tbl = pq.read_table(file_path, columns=present)
+    tbl = _us_timestamps(pq.read_table(file_path, columns=present))
     missing = [c for c in columns if c not in have]
     if missing:
         target = to_arrow_schema(spark_schema)
@@ -183,6 +227,21 @@ class SnapshotReader(SnapshotReaderNoPushdown):
         for f in filters:
             v = getattr(f, "value", None)
             attr = getattr(f, "attribute", ())
+            # raw-valued capture for hidden-partition pruning (any type:
+            # bucket hashes exact string forms, day takes datetimes)
+            if v is not None and len(attr) == 1 and attr[0] in self.columns:
+                col = attr[0]
+                try:
+                    if isinstance(f, EqualTo):
+                        self.part_eq[col] = v
+                    elif isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+                        cur = self.part_lo.get(col)
+                        self.part_lo[col] = v if cur is None else max(cur, v)
+                    elif isinstance(f, (LessThan, LessThanOrEqual)):
+                        cur = self.part_hi.get(col)
+                        self.part_hi[col] = v if cur is None else min(cur, v)
+                except TypeError:
+                    pass  # incomparable bound types: skip, stay superset
             numeric = isinstance(v, (int, float)) and not isinstance(v, bool)
             if numeric and len(attr) == 1 and attr[0] in self.columns:
                 col = attr[0]

@@ -189,6 +189,79 @@ class TestHiddenPartitionedTable:
         assert out.count() == 0
         assert set(events.columns) <= set(out.columns)
 
+    def test_datasource_pushfilters_prunes_partitions(
+        self, spark, events, tmp_path
+    ):
+        """format('snapshot') + pushFilters: a raw user_id equality maps
+        through the md5 bucket transform at PLANNING time — partitions()
+        schedules only the matching bucket's files — and the standard
+        read returns exactly the filtered rows."""
+        from pyspark.sql.datasource import EqualTo
+
+        from pandas_to_postgres_spark.sources.snapshot_datasource import (
+            SnapshotDataSource,
+            SnapshotReader,
+        )
+
+        p = self._table(spark, events, tmp_path)
+        total = len(M.load_snapshot(p)["files"])
+
+        r = SnapshotReader({"path": p}, ["eid", "uid", "ts", "amount", "code"])
+        list(r.pushFilters([EqualTo(("uid",), 7)]))
+        parts = r.partitions()
+        assert 0 < len(parts) < total
+        want_bucket = _py_transform(spec_field("bucket", "uid", 4), 7)
+        snap = M.load_snapshot(p)
+        kept_names = {os.path.basename(pt.value) for pt in parts}
+        for e in snap["files"]:
+            if e["path"] in kept_names:
+                assert e["partition"]["__p_bucket_uid_4"] == want_bucket
+
+        # e2e value check through the standard reader API
+        spark.dataSource.register(SnapshotDataSource)
+        got = (
+            spark.read.format("snapshot").option("path", p).load()
+            .filter(F.col("uid") == 7)
+            .agg(F.count(F.lit(1)), F.sum("eid"))
+            .first()
+        )
+        want = events.filter(F.col("uid") == 7).agg(
+            F.count(F.lit(1)), F.sum("eid")
+        ).first()
+        assert tuple(got) == tuple(want)
+
+    def test_datasource_pushfilters_day_range_prunes(
+        self, spark, events, tmp_path
+    ):
+        import datetime
+
+        from pyspark.sql.datasource import (
+            GreaterThanOrEqual,
+            LessThanOrEqual,
+        )
+
+        from pandas_to_postgres_spark.sources.snapshot_datasource import (
+            SnapshotReader,
+        )
+
+        p = self._table(spark, events, tmp_path)
+        total = len(M.load_snapshot(p)["files"])
+        r = SnapshotReader({"path": p}, ["eid", "uid", "ts", "amount", "code"])
+        lo = datetime.datetime(2024, 1, 2)
+        hi = datetime.datetime(2024, 1, 3, 23, 59, 59)
+        list(r.pushFilters([GreaterThanOrEqual(("ts",), lo),
+                            LessThanOrEqual(("ts",), hi)]))
+        parts = r.partitions()
+        assert 0 < len(parts) < total
+        snap = M.load_snapshot(p)
+        kept_names = {os.path.basename(pt.value) for pt in parts}
+        days = {
+            e["partition"]["__p_day_ts"]
+            for e in snap["files"]
+            if e["path"] in kept_names
+        }
+        assert days == {"2024-01-02", "2024-01-03"}
+
     def test_time_travel_composes(self, spark, events, tmp_path):
         """A second partitioned write is a logical overwrite: v1 keeps
         serving the old rows, the head serves the new."""
