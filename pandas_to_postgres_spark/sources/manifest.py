@@ -505,8 +505,11 @@ def _publish_rewrite(
         entries = _build_entries(
             path, kept + list(new_names), stat_cols, known
         )
-        manifest = _pack_manifest(
-            path, head["version"] + 1, stat_cols, entries, head
+        manifest = _inherit(
+            _pack_manifest(
+                path, head["version"] + 1, stat_cols, entries, head
+            ),
+            head,
         )
         if op == "compact_snapshot":
             manifest["data_change"] = False
@@ -579,11 +582,28 @@ def publish_snapshot(
     )
 
 
+#: manifest-level metadata keys a new version INHERITS from the head
+#: unless the publisher overrides them — a hidden-partitioned table must
+#: keep its spec across appends/merges/compactions (files the rewrite
+#: paths produce carry no partition tuple and are conservatively kept by
+#: partition pruning, so inheritance is always sound)
+_INHERITED_KEYS = ("partition_spec",)
+
+
+def _inherit(manifest: dict, head: dict | None) -> dict:
+    for k in _INHERITED_KEYS:
+        if head is not None and k in head and k not in manifest:
+            manifest[k] = head[k]
+    return manifest
+
+
 def append_snapshot(
     path: str,
     new_files: Sequence[str],
     stat_cols: Sequence[str] | None = None,
     drop_prefix: str | None = None,
+    known_entries: Sequence[dict] | None = None,
+    extra: dict | None = None,
 ) -> dict:
     """Publish head-files + ``new_files`` as the next version — the
     APPEND commit all snapshot writers share (batch ``mode("append")``,
@@ -626,8 +646,10 @@ def append_snapshot(
                 and drop_prefix is None
                 and set(sc_fast) == set(raw_sc)
             ):
+                known_new = {e["path"]: e for e in (known_entries or [])}
                 new_entries = [
-                    _entry(path, f, sc_fast) for f in sorted(set(new_files))
+                    known_new.get(f) or _entry(path, f, sc_fast)
+                    for f in sorted(set(new_files))
                 ]
                 refs = list(raw["shards"])
                 for i in range(0, len(new_entries), SHARD_TARGET):
@@ -637,11 +659,16 @@ def append_snapshot(
                         )
                     )
                 refs = _coalesce_small_shards(path, refs, sc_fast)
-                manifest = {
-                    "version": raw["version"] + 1,
-                    "stat_cols": sc_fast,
-                    "shards": refs,
-                }
+                manifest = _inherit(
+                    {
+                        "version": raw["version"] + 1,
+                        "stat_cols": sc_fast,
+                        "shards": refs,
+                    },
+                    raw,
+                )
+                if extra:
+                    manifest.update(extra)
                 if _claim_version(path, raw["version"] + 1, manifest):
                     return manifest
                 continue
@@ -656,13 +683,15 @@ def append_snapshot(
         else:
             head, head_sc, base, version = None, [], [], 1
         sc = list(stat_cols) if stat_cols is not None else head_sc
-        known = (
+        known = list(
             head["files"]
             if head is not None and set(head_sc) == set(sc)
-            else None
-        )
-        entries = _build_entries(path, base + list(new_files), sc, known)
-        manifest = _pack_manifest(path, version, sc, entries, head)
+            else []
+        ) + list(known_entries or [])
+        entries = _build_entries(path, base + list(new_files), sc, known or None)
+        manifest = _inherit(_pack_manifest(path, version, sc, entries, head), head)
+        if extra:
+            manifest.update(extra)
         if _claim_version(path, version, manifest):
             manifest["files"] = [_strip_entry(e) for e in entries]
             return manifest

@@ -127,23 +127,21 @@ def _py_transform(field: Mapping[str, Any], v: Any) -> str | None:
     raise ValueError(f"unknown transform {t!r}")
 
 
-def write_partitioned_snapshot(
-    spark: SparkSession,
+def stage_partitioned_files(
     df: DataFrame,
     path: str,
     spec: Sequence[Mapping[str, Any]],
     stat_cols: Sequence[str] = (),
-) -> dict:
-    """Write ``df`` as a hidden-partitioned snapshot version: one
-    ``partitionBy`` write clusters rows so each file holds exactly one
-    partition tuple, the staged hive layout flattens into the snapshot
-    dir (partition values move from DIRECTORY NAMES into manifest entry
-    metadata — the layout stops being load-bearing, which is the whole
-    "hidden" point), and the publish records the spec."""
-    from pandas_to_postgres_spark.sources.manifest import (
-        _entry,
-        publish_snapshot,
-    )
+    prefix: str = "part-p-",
+) -> tuple[list[str], list[dict]]:
+    """Write ``df`` clustered by the spec's transform values (one Spark
+    ``partitionBy`` write — each staged file holds exactly one partition
+    tuple), flatten the hive layout into ``path`` under ``prefix``-named
+    files, and return (names, manifest entries carrying the tuple).
+    Shared by the batch writer (:func:`write_partitioned_snapshot`) and
+    the streaming epoch writer (``streaming/sink``), which differ only
+    in naming and publish semantics."""
+    from pandas_to_postgres_spark.sources.manifest import _entry
 
     pnames = [f["name"] for f in spec]
     clash = set(pnames) & set(df.columns)
@@ -159,14 +157,8 @@ def write_partitioned_snapshot(
             for f in spec
         ],
     ).repartition(*[F.col(n) for n in pnames])
-    import uuid
-
     stage = tempfile.mkdtemp(prefix="hidden-part-stage-")
     os.makedirs(path, exist_ok=True)
-    # job-unique part names: a second partitioned write must never clobber
-    # files an earlier snapshot references (time travel would silently
-    # read the new rows)
-    job = uuid.uuid4().hex[:8]
     names: list[str] = []
     entries: list[dict] = []
     try:
@@ -189,7 +181,7 @@ def write_partitioned_snapshot(
                     (".", "_")
                 ):
                     continue
-                name = f"part-p{job}-{i:05d}.parquet"
+                name = f"{prefix}{i:05d}.parquet"
                 i += 1
                 shutil.move(
                     os.path.join(dirpath, fname), os.path.join(path, name)
@@ -200,6 +192,32 @@ def write_partitioned_snapshot(
                 names.append(name)
     finally:
         shutil.rmtree(stage, ignore_errors=True)
+    return names, entries
+
+
+def write_partitioned_snapshot(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    spec: Sequence[Mapping[str, Any]],
+    stat_cols: Sequence[str] = (),
+) -> dict:
+    """Write ``df`` as a hidden-partitioned snapshot version: one
+    ``partitionBy`` write clusters rows so each file holds exactly one
+    partition tuple, the staged hive layout flattens into the snapshot
+    dir (partition values move from DIRECTORY NAMES into manifest entry
+    metadata — the layout stops being load-bearing, which is the whole
+    "hidden" point), and the publish records the spec."""
+    import uuid
+
+    from pandas_to_postgres_spark.sources.manifest import publish_snapshot
+
+    # job-unique part names: a second partitioned write must never clobber
+    # files an earlier snapshot references (time travel would silently
+    # read the new rows)
+    names, entries = stage_partitioned_files(
+        df, path, spec, stat_cols, prefix=f"part-p{uuid.uuid4().hex[:8]}-"
+    )
     return publish_snapshot(
         path,
         stat_cols,

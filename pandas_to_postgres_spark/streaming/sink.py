@@ -210,3 +210,61 @@ def snapshot_table_writer(
         )
 
     return _writer
+
+
+def partitioned_snapshot_table_writer(
+    path: str, spec: list, stat_cols: Optional[list] = None
+) -> BatchWriter:
+    """Exactly-once streaming ingest into a HIDDEN-PARTITIONED snapshot
+    table — :func:`snapshot_table_writer` composed with the Iceberg-style
+    partition transforms of ``sources/partition_spec``: every micro-batch
+    is clustered by the spec's transform values (one file never mixes
+    partition tuples), lands as ``part-e{epoch}-*.parquet`` with its
+    tuple recorded in the manifest ENTRIES, and the version publish
+    carries/inherits the ``partition_spec`` — so raw-column predicates
+    keep pruning (library reads AND the DataSource pushFilters path)
+    while the stream runs, over every epoch appended so far.
+
+    Same exactly-once contract as the flat writer: per-epoch leftover
+    deletion + head-list publish with this epoch's prefix dropped, so a
+    redelivered batch REPLACES its own files; the publish is an atomic
+    version claim retried against the re-read head, composing with
+    concurrent compaction/appends. First epoch stamps the spec via
+    ``extra``; later epochs inherit it from the head."""
+    import glob
+    import os
+
+    from pandas_to_postgres_spark.sources.manifest import (
+        append_snapshot,
+        snapshot_versions,
+    )
+    from pandas_to_postgres_spark.sources.partition_spec import (
+        stage_partitioned_files,
+    )
+
+    def _writer(batch_df: DataFrame, batch_id: int) -> None:
+        os.makedirs(path, exist_ok=True)
+        for leftover in glob.glob(
+            os.path.join(path, f"part-e{batch_id}-*.parquet")
+        ):
+            os.remove(leftover)
+        names, entries = stage_partitioned_files(
+            batch_df,
+            path,
+            spec,
+            stat_cols or (),
+            prefix=f"part-e{batch_id}-",
+        )
+        first = not snapshot_versions(path)
+        append_snapshot(
+            path,
+            names,
+            stat_cols=stat_cols,
+            drop_prefix=f"part-e{batch_id}-",
+            known_entries=entries,
+            extra={"partition_spec": [dict(f) for f in spec]}
+            if first
+            else None,
+        )
+
+    return _writer

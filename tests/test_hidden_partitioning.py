@@ -274,3 +274,75 @@ class TestHiddenPartitionedTable:
         assert M.read_snapshot(spark, p, version=2).count() == 50
         plan_v1 = plan_hidden_scan(p, {"uid": ("=", 7)}, version=1)
         assert len(plan_v1["keep"]) > 0
+
+
+class TestPartitionedStreamingIngest:
+    """Exactly-once streaming ingest into a hidden-partitioned snapshot:
+    each epoch clusters by the spec's transforms, tuples land in
+    manifest entries, the spec publishes once and inherits thereafter —
+    raw-column pruning works over every epoch while the stream runs."""
+
+    def _drain(self, spark, src, table, ckpt, spec):
+        from pandas_to_postgres_spark.streaming.sink import (
+            partitioned_snapshot_table_writer,
+            stream_to_batch_sink,
+        )
+
+        stream = spark.readStream.schema("uid long, amount double").parquet(src)
+        q = stream_to_batch_sink(
+            stream,
+            partitioned_snapshot_table_writer(table, spec, ["uid"]),
+            checkpoint_dir=ckpt,
+        )
+        q.awaitTermination()
+
+    def test_epochs_partition_and_prune_across_versions(self, spark, tmp_path):
+        src = str(tmp_path / "src")
+        table = str(tmp_path / "ptbl")
+        ckpt = str(tmp_path / "ckpt")
+        spec = [spec_field("bucket", "uid", 4)]
+        spark.range(100).selectExpr(
+            "id AS uid", "CAST(id AS DOUBLE) / 2 AS amount"
+        ).write.mode("overwrite").parquet(src)
+        self._drain(spark, src, table, ckpt, spec)
+        spark.range(100, 160).selectExpr(
+            "id AS uid", "CAST(id AS DOUBLE) / 2 AS amount"
+        ).write.mode("append").parquet(src)
+        self._drain(spark, src, table, ckpt, spec)
+
+        snap = M.load_snapshot(table)
+        assert snap["version"] == 2
+        assert snap["partition_spec"][0]["transform"] == "bucket"
+        pname = snap["partition_spec"][0]["name"]
+        assert all(e.get("partition", {}).get(pname) is not None
+                   for e in snap["files"])
+
+        # hidden pruning over BOTH epochs' files
+        plan = plan_hidden_scan(table, {"uid": ("=", 7)})
+        want_bucket = _py_transform(spec_field("bucket", "uid", 4), 7)
+        assert 0 < len(plan["keep"]) < plan["total_files"]
+        assert all(e["partition"][pname] == want_bucket for e in plan["keep"])
+        got = read_snapshot_hidden(spark, table, {"uid": ("=", 7)})
+        assert [r["uid"] for r in got.collect()] == [7]
+        assert M.read_snapshot(spark, table).count() == 160
+        # v1 time-travels and still prunes
+        assert M.read_snapshot(spark, table, version=1).count() == 100
+        assert len(plan_hidden_scan(table, {"uid": ("=", 7)}, version=1)["keep"]) > 0
+
+    def test_compaction_inherits_spec_and_stays_superset(self, spark, tmp_path):
+        """A rewrite (compaction) drops per-file tuples but INHERITS the
+        spec — pruning conservatively keeps rewritten files (no tuple =
+        may match), so results stay exact."""
+        src = str(tmp_path / "src")
+        table = str(tmp_path / "ctbl")
+        ckpt = str(tmp_path / "ckpt")
+        spec = [spec_field("bucket", "uid", 4)]
+        spark.range(100).selectExpr(
+            "id AS uid", "CAST(id AS DOUBLE) / 2 AS amount"
+        ).write.mode("overwrite").parquet(src)
+        self._drain(spark, src, table, ckpt, spec)
+        M.compact_snapshot(spark, table, target_bytes=10**9)
+        head = M.load_snapshot(table)
+        assert head.get("partition_spec"), "rewrites must inherit the spec"
+        got = read_snapshot_hidden(spark, table, {"uid": ("=", 7)})
+        assert [r["uid"] for r in got.collect()] == [7]
