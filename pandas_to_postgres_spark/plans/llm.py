@@ -2893,3 +2893,124 @@ def ivf_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "qid", "vec_id", "cosine", F.col("rank").cast("long").alias("rnk")
     )
+
+
+def _kcenter_oracle(k: int = 4, dim: int = 64) -> str:
+    """DuckDB twin of greedy k-center with every iteration unrolled as
+    CTEs (the `_semdedup_oracle` discipline): identical double-cast
+    squared distances (left-fold over array order in both engines),
+    identical (min-dist DESC, vec_id ASC) selection rule — the whole
+    greedy trajectory is value-checked, not just the final set."""
+
+    def sq(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(generate_series(1, {dim}), i -> "
+            f"(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)) * "
+            f"(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))))"
+        )
+
+    parts = [
+        "cents0 AS (SELECT 0 AS step, vec_id, embedding, "
+        "CAST(0.0 AS DOUBLE) AS mind FROM embeddings "
+        "WHERE vec_id = (SELECT min(vec_id) FROM embeddings))"
+    ]
+    for n in range(1, k + 1):
+        parts.append(
+            f"d{n} AS (SELECT e.vec_id, e.embedding, "
+            f"min({sq('e.embedding', 'c.embedding')}) AS mind "
+            f"FROM embeddings e CROSS JOIN cents{n - 1} c "
+            f"GROUP BY e.vec_id, e.embedding)"
+        )
+        parts.append(
+            f"pick{n} AS (SELECT {n} AS step, vec_id, embedding, mind "
+            f"FROM d{n} ORDER BY mind DESC, vec_id ASC LIMIT 1)"
+        )
+        parts.append(
+            f"cents{n} AS (SELECT * FROM cents{n - 1} "
+            f"UNION ALL SELECT * FROM pick{n})"
+        )
+    return (
+        "WITH " + ",\n    ".join(parts) + f"""
+    SELECT step, CAST(vec_id AS BIGINT) AS center_id,
+           floor(mind * 1e6 + 0.5) / 1e6 AS radius
+    FROM cents{k}
+    """
+    )
+
+
+@register("kcenter_coreset", min_rows=4, oracle=_kcenter_oracle())
+def kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset selection over the embedding table — the
+    diversity-sampling leg of data selection (farthest-point traversal:
+    Gonzalez 1985's 2-approximation for k-center; used for active
+    learning seeds and diverse-subset pruning of training corpora).
+    Start from the smallest vec_id, then k times add the point whose
+    distance to the selected set is LARGEST (ties → smallest vec_id);
+    each step's distance is the coverage radius the selection just
+    halved its bound on.
+
+    Determinism (the oracle value-checks the whole trajectory): squared
+    L2 distances cast every float32 element to double BEFORE arithmetic
+    and fold in array order (both engines sum left-to-right — the
+    `semantic_dedup` precedent); min-over-centers and the argmax compare
+    exact doubles, with vec_id breaking ties via one `max_by` ordering
+    struct (never a nondeterministic first()); only the REPORTED radius
+    is grid-rounded.
+
+    Scale: each of the k iterations is one linear scan (corpus ×
+    ≤k-center broadcast crossJoin, map-side min, single-row max_by
+    reduction) — O(k·n·dim) total, no pairwise blow-up; the growing
+    center set stays a broadcast frame (k rows), and localCheckpoint
+    caps the lazy plan's growth across iterations. At 100 TB you'd run
+    the same loop over a pre-reduced IVF/PQ sketch; the operator shape
+    is unchanged."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
+    )
+    seed = (
+        e.orderBy("vec_id")
+        .limit(1)
+        .select(
+            F.lit(0).alias("step"),
+            "vec_id",
+            "vec",
+            F.lit(0.0).alias("mind"),
+        )
+    )
+    centers = seed.localCheckpoint(eager=False)
+    sq = F.aggregate(
+        F.zip_with(
+            F.col("vec"), F.col("cvec"), lambda x, y: (x - y) * (x - y)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    for n in range(1, 5):
+        d = (
+            e.crossJoin(
+                F.broadcast(centers.select(F.col("vec").alias("cvec")))
+            )
+            .select("vec_id", "vec", sq.alias("d2"))
+            .groupBy("vec_id", "vec")
+            .agg(F.min("d2").alias("mind"))
+        )
+        pick = d.select(
+            F.max_by(
+                F.struct("vec_id", "vec", "mind"),
+                F.struct(F.col("mind"), (-F.col("vec_id")).alias("nid")),
+            ).alias("c")
+        ).select(
+            F.lit(n).alias("step"),
+            F.col("c.vec_id").alias("vec_id"),
+            F.col("c.vec").alias("vec"),
+            F.col("c.mind").alias("mind"),
+        )
+        centers = centers.unionByName(pick).localCheckpoint(eager=False)
+    return centers.select(
+        "step",
+        F.col("vec_id").cast("long").alias("center_id"),
+        (F.floor(F.col("mind") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias(
+            "radius"
+        ),
+    )
