@@ -2033,3 +2033,109 @@ class TestSnapshotWriteWriteConflict:
         assert got.filter("k = 150").first().v == "OTHER"
         assert got.filter("k = 20").first().v == "OURS"
         assert got.select("k").distinct().count() == 200  # no duplicates
+
+
+class TestJoinMvIncremental:
+    """Delta-rule JOIN-view maintenance over two snapshot bronzes:
+    refreshes apply only version diffs, stamp applied versions in the
+    silver manifest, no-op when nothing changed, and always land exactly
+    on the full-join aggregate."""
+
+    def _full(self, spark, o_path, c_path):
+        from pandas_to_postgres_spark.sources.manifest import read_snapshot
+
+        o = read_snapshot(spark, o_path)
+        c = read_snapshot(spark, c_path)
+        import pyspark.sql.functions as F
+
+        return {
+            r["segment"]: (r["n"], r["cents"])
+            for r in o.join(c, "k")
+            .groupBy("segment")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum(F.floor(F.col("amount") * 100 + F.lit(0.5)).cast("long"))
+                .cast("long").alias("cents"),
+            )
+            .collect()
+        }
+
+    def test_two_epoch_refresh_matches_full_join_and_stamps(
+        self, spark, tmp_path
+    ):
+        import pyspark.sql.functions as F
+
+        from pandas_to_postgres_spark.sources.manifest import (
+            load_snapshot,
+            publish_snapshot,
+            read_snapshot,
+        )
+        from pandas_to_postgres_spark.streaming.mv import refresh_join_mv
+
+        o_path, c_path, s_path = (
+            str(tmp_path / d) for d in ("o", "c", "s")
+        )
+        o = spark.range(200).selectExpr(
+            "id % 40 AS k", "CAST(id AS DOUBLE) / 3 AS amount"
+        )
+        c = spark.range(40).selectExpr(
+            "id AS k", "concat('seg', CAST(id % 5 AS STRING)) AS segment"
+        )
+        c.filter("k % 2 = 0").coalesce(1).write.parquet(c_path)
+        publish_snapshot(c_path, ["k"])
+        o.filter("k < 20").coalesce(1).write.parquet(o_path)
+        publish_snapshot(o_path, ["k"])
+        refresh_join_mv(spark, s_path, o_path, c_path, "k", "segment", "amount")
+        head1 = load_snapshot(s_path)
+        assert head1["applied_versions"] == {"left": 1, "right": 1}
+
+        o.filter("k >= 20").coalesce(1).write.mode("append").parquet(o_path)
+        publish_snapshot(o_path, ["k"])
+        c.filter("k % 2 = 1").coalesce(1).write.mode("append").parquet(c_path)
+        publish_snapshot(c_path, ["k"])
+        refresh_join_mv(spark, s_path, o_path, c_path, "k", "segment", "amount")
+        head2 = load_snapshot(s_path)
+        assert head2["applied_versions"] == {"left": 2, "right": 2}
+
+        got = {
+            r["segment"]: (r["n"], r["cents"])
+            for r in read_snapshot(spark, s_path).collect()
+        }
+        assert got == self._full(spark, o_path, c_path)
+
+        # no new bronze versions -> no-op (no silver version published)
+        head3 = refresh_join_mv(
+            spark, s_path, o_path, c_path, "k", "segment", "amount"
+        )
+        assert head3["version"] == head2["version"]
+
+    def test_right_only_growth_uses_left_prev(self, spark, tmp_path):
+        from pandas_to_postgres_spark.sources.manifest import (
+            publish_snapshot,
+            read_snapshot,
+        )
+        from pandas_to_postgres_spark.streaming.mv import refresh_join_mv
+
+        o_path, c_path, s_path = (
+            str(tmp_path / d) for d in ("o", "c", "s")
+        )
+        o = spark.range(100).selectExpr(
+            "id % 10 AS k", "CAST(id AS DOUBLE) AS amount"
+        )
+        c = spark.range(10).selectExpr(
+            "id AS k", "concat('s', CAST(id % 3 AS STRING)) AS segment"
+        )
+        o.coalesce(1).write.parquet(o_path)
+        publish_snapshot(o_path, ["k"])
+        c.filter("k < 5").coalesce(1).write.parquet(c_path)
+        publish_snapshot(c_path, ["k"])
+        refresh_join_mv(spark, s_path, o_path, c_path, "k", "segment", "amount")
+        # only the RIGHT side grows: the delta term is L_prev x dR
+        c.filter("k >= 5").coalesce(1).write.mode("append").parquet(c_path)
+        publish_snapshot(c_path, ["k"])
+        refresh_join_mv(spark, s_path, o_path, c_path, "k", "segment", "amount")
+        got = {
+            r["segment"]: (r["n"], r["cents"])
+            for r in read_snapshot(spark, s_path).collect()
+        }
+        assert got == self._full(spark, o_path, c_path)
