@@ -1,0 +1,130 @@
+"""Per-file Bloom sidecar index: point lookups prune files that min/max
+stats cannot (arrival-ordered layouts), stay superset-safe under false
+positives, and tolerate appends published after the index was built."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pandas_to_postgres_spark.sources import manifest as M
+from pandas_to_postgres_spark.sources.file_bloom import (
+    _positions_py,
+    build_bloom_index,
+    plan_point_lookup,
+    read_snapshot_point,
+)
+
+
+@pytest.fixture
+def arrival_table(spark, tmp_path):
+    """6 epoch-ish files, each spanning the WHOLE key domain — min/max
+    envelopes all overlap, so stats pruning keeps everything and only
+    the Bloom index can narrow a point probe."""
+    p = str(tmp_path / "tbl")
+    base = spark.range(6000).selectExpr(
+        "id AS k", "CAST(id AS DOUBLE) * 0.5 AS v"
+    )
+    for i in range(6):
+        base.filter(F.col("k") % 6 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(p)
+    M.publish_snapshot(p, ["k"])
+    return p
+
+
+class TestBloomIndex:
+    def test_spark_positions_match_python(self, spark):
+        """Hash parity: the Spark expression inside build_bloom_index and
+        the Python probe must set the same bits."""
+        from pyspark.sql import Row
+
+        vals = [0, 17, 999999, -3]
+        df = spark.createDataFrame([Row(v=x) for x in vals])
+        k = 5
+        got = (
+            df.select(
+                F.col("v"),
+                F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("j"),
+            )
+            .select(
+                "v",
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    F.col("v").cast("string"),
+                                    F.lit(":"),
+                                    F.col("j"),
+                                )
+                            ),
+                            1,
+                            8,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % (1 << 17)
+                ).alias("p"),
+            )
+            .groupBy("v")
+            .agg(F.collect_list("p").alias("ps"))
+            .collect()
+        )
+        by_v = {r["v"]: sorted(r["ps"]) for r in got}
+        for x in vals:
+            assert by_v[x] == sorted(_positions_py(x))
+
+    def test_point_lookup_prunes_where_stats_cannot(
+        self, spark, arrival_table
+    ):
+        p = arrival_table
+        # stats CANNOT prune: every file spans the whole domain
+        stats_plan = M.plan_snapshot_scan(p, "k", 1234, 1234)
+        assert len(stats_plan["keep"]) == stats_plan["total_files"] == 6
+
+        build_bloom_index(spark, p, "k")
+        plan = plan_point_lookup(p, "k", 1234)
+        assert plan["indexed_files"] == 6
+        # key 1234 lives in exactly one file (k % 6 == 4); Bloom keeps it
+        # plus at most rare false positives
+        assert 1 <= len(plan["keep"]) <= 2
+        got = read_snapshot_point(spark, p, "k", 1234).collect()
+        assert [(r["k"], r["v"]) for r in got] == [(1234, 617.0)]
+
+    def test_absent_key_returns_typed_empty(self, spark, arrival_table):
+        p = arrival_table
+        build_bloom_index(spark, p, "k")
+        out = read_snapshot_point(spark, p, "k", 10_000_000)
+        assert out.count() == 0
+        assert [f.name for f in out.schema.fields] == ["k", "v"]
+
+    def test_appended_files_conservatively_kept(self, spark, arrival_table):
+        """Files published after the index was built have no bitset —
+        they must stay in every probe's file list (correctness over
+        pruning)."""
+        p = arrival_table
+        build_bloom_index(spark, p, "k")
+        extra = spark.range(6000, 6100).selectExpr(
+            "id AS k", "CAST(id AS DOUBLE) * 0.5 AS v"
+        )
+        extra.coalesce(1).write.mode("append").parquet(p)
+        new = sorted(
+            f for f in os.listdir(p)
+            if f.endswith(".parquet")
+        )
+        head = {e["path"] for e in M.load_snapshot(p)["files"]}
+        M.append_snapshot(p, [f for f in new if f not in head])
+
+        plan = plan_point_lookup(p, "k", 6050)
+        assert plan["indexed_files"] == 6
+        kept = {e["path"] for e in plan["keep"]}
+        assert any(f not in head for f in kept), "new file must be kept"
+        got = read_snapshot_point(spark, p, "k", 6050).collect()
+        assert [(r["k"], r["v"]) for r in got] == [(6050, 3025.0)]
+
+    def test_no_index_keeps_everything(self, spark, arrival_table):
+        plan = plan_point_lookup(arrival_table, "k", 42)
+        assert len(plan["keep"]) == plan["total_files"]
+        assert plan["indexed_files"] == 0
