@@ -18,6 +18,11 @@ REAL in pure stdlib + numpy:
   16-bit quantization TABLES (Pq=1) decode fine — only arithmetic /
   lossless / 16-bit SAMPLE PRECISION JPEG raises NotImplementedError
   inside the codec rather than decode wrong
+- **GIF** (87a/89a) — real LZW (deferred clear, KwKwK, 12-bit growth,
+  dictionary-overflow re-clear), global/local palettes, interlace
+  reassembly, GIF89a animation with draw-over compositing and
+  transparency indices; encoder + decoder validated against a
+  hand-assembled bitstream (``tests/test_gif_codec.py``)
 - **Motion-JPEG AVI video** (``encode_avi_mjpeg``/``decode_avi_frames``)
   — a RIFF chunk walk yields one standalone baseline JPEG per frame,
   decoded by the same ``jpeg_codec``; this makes VIDEO frame sampling
@@ -203,6 +208,16 @@ def _featurize_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 rgb = decode_png(b)[:, :, :3]
                 f = [float(rgb.shape[0]), float(rgb.shape[1])] + [
                     float(m) for m in rgb.reshape(-1, 3).mean(axis=0)
+                ]
+            elif mime == "image/gif":
+                fr = decode_gif(b)
+                first = fr[0].reshape(-1, 3).mean(axis=0)
+                f = [
+                    float(fr.shape[0]),
+                    float(fr.shape[1]),
+                    float(fr.shape[2]),
+                    float(first[0]),
+                    float(first[1]),
                 ]
             elif mime == "text/gzip":
                 txt = decode_gzip_text(b)
@@ -520,3 +535,251 @@ def decode_avi_frames(payload: bytes):
     if not frames:
         raise ValueError("AVI contains no video frame chunks")
     return frames
+
+
+# ---------- GIF (LZW — the container + dictionary codec, pure Python) ----
+
+def _lzw_compress(indices: "np.ndarray", min_code_size: int) -> bytes:
+    """GIF-flavor LZW: emit CLEAR first, grow the code width as the
+    dictionary fills (max 12 bits), re-CLEAR at 4096 entries, end with
+    EOI. Bits pack LSB-first into bytes (the GIF rule)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    next_code = eoi + 1
+    width = min_code_size + 1
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+
+    out_bits: list[int] = []
+    acc = 0
+    nbits = 0
+    buf = bytearray()
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            buf.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    w = b""
+    for idx in indices.tolist():
+        c = bytes([idx])
+        if w + c in table:
+            w += c
+        else:
+            emit(table[w])
+            table[w + c] = next_code
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+            elif next_code == 4096:
+                emit(clear)
+                table = {bytes([i]): i for i in range(clear)}
+                next_code = eoi + 1
+                width = min_code_size + 1
+            w = c
+    if w:
+        emit(table[w])
+    emit(eoi)
+    if nbits:
+        buf.append(acc & 0xFF)
+    return bytes(buf)
+
+
+def _lzw_decompress(data: bytes, min_code_size: int) -> bytes:
+    """Inverse of :func:`_lzw_compress` — the deferred-clear GIF LZW
+    decoder (codes read LSB-first; the width grows one step BEFORE the
+    code that would overflow it, mirroring every real encoder)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    width = min_code_size + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    prev: bytes | None = None
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table = [bytes([i]) for i in range(clear)] + [b"", b""]
+                width = min_code_size + 1
+                prev = None
+                continue
+            if code == eoi:
+                return bytes(out)
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):  # the KwKwK case
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError(f"corrupt LZW stream: code {code}")
+            out += entry
+            prev = entry
+            # the decoder's table LAGS the encoder's by one add when a
+            # code is read, so it must widen one entry EARLIER than the
+            # encoder's size == 2^width rule — the classic LZW off-by-one
+            if len(table) == (1 << width) - 1 and width < 12:
+                width += 1
+    return bytes(out)
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _interlace_order(h: int) -> list[int]:
+    rows: list[int] = []
+    for start, step in _GIF_INTERLACE_PASSES:
+        rows.extend(range(start, h, step))
+    return rows
+
+
+def encode_gif(
+    frames, interlace: bool = False, transparent_index: int | None = None
+) -> bytes:
+    """(h, w, 3) uint8 RGB — or a list of same-shape frames — → GIF
+    bytes, pure Python: global palette from the unique colors (≤256
+    required; synthesis keeps palettes small), real LZW compression,
+    optional interlaced row order, GIF89a graphics-control extensions
+    for multi-frame animations / transparency. Any GIF reader decodes
+    the output."""
+    if isinstance(frames, np.ndarray):
+        frames = [frames]
+    h, w, _ = frames[0].shape
+    colors: list[tuple] = []
+    lut: dict[tuple, int] = {}
+    index_frames = []
+    for fr in frames:
+        flat = fr.reshape(-1, 3)
+        idx = np.empty(flat.shape[0], dtype=np.uint8)
+        for i, px in enumerate(map(tuple, flat)):
+            j = lut.get(px)
+            if j is None:
+                j = lut[px] = len(colors)
+                colors.append(px)
+            idx[i] = j
+        index_frames.append(idx.reshape(h, w))
+    if len(colors) > 256:
+        raise ValueError("encode_gif: more than 256 distinct colors")
+    size_bits = max(1, (len(colors) - 1).bit_length())
+    table_n = 1 << size_bits
+    palette = b"".join(
+        bytes(colors[i]) if i < len(colors) else b"\x00\x00\x00"
+        for i in range(table_n)
+    )
+    animated = len(frames) > 1
+    out = bytearray()
+    out += b"GIF89a" if (animated or transparent_index is not None) else b"GIF87a"
+    out += struct.pack("<HHBBB", w, h, 0x80 | (size_bits - 1), 0, 0)
+    out += palette
+    for idx in index_frames:
+        if animated or transparent_index is not None:
+            flags = 0x01 if transparent_index is not None else 0x00
+            out += struct.pack(
+                "<BBBBHBB",
+                0x21, 0xF9, 4, flags, 5,
+                transparent_index or 0, 0,
+            )
+        interlace_flag = 0x40 if interlace else 0
+        out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, interlace_flag)
+        rows = _interlace_order(h) if interlace else range(h)
+        seq = np.concatenate([idx[r] for r in rows])
+        min_code = max(2, size_bits)
+        out.append(min_code)
+        comp = _lzw_compress(seq, min_code)
+        for i in range(0, len(comp), 255):
+            block = comp[i : i + 255]
+            out.append(len(block))
+            out += block
+        out.append(0)
+    out.append(0x3B)
+    return bytes(out)
+
+
+def decode_gif(payload: bytes):
+    """GIF87a/89a bytes → (n_frames, h, w, 3) uint8 — a REAL decoder for
+    the dictionary-coded format: LZW decompression (deferred clear,
+    KwKwK case, growing code width), global + local color tables,
+    interlaced row reassembly, and GIF89a animation compositing
+    (draw-over with transparency indices honored). Raises on anything
+    that is not a GIF rather than decoding wrong."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    w, h, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    global_table = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        global_table = np.frombuffer(
+            payload, dtype=np.uint8, count=3 * n, offset=pos
+        ).reshape(n, 3)
+        pos += 3 * n
+    canvas = np.zeros((h, w, 3), dtype=np.uint8)
+    frames = []
+    transparent: int | None = None
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: remember GCE transparency, skip rest
+            label = payload[pos]
+            pos += 1
+            if label == 0xF9:
+                sz = payload[pos]
+                flags = payload[pos + 1]
+                tidx = payload[pos + 4]
+                transparent = tidx if (flags & 0x01) else None
+                pos += 1 + sz
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+        left, top, iw, ih, ipack = struct.unpack_from("<HHHHB", payload, pos)
+        pos += 9
+        table = global_table
+        if ipack & 0x80:
+            n = 2 << (ipack & 0x07)
+            table = np.frombuffer(
+                payload, dtype=np.uint8, count=3 * n, offset=pos
+            ).reshape(n, 3)
+            pos += 3 * n
+        if table is None:
+            raise ValueError("GIF image block with no color table")
+        min_code = payload[pos]
+        pos += 1
+        comp = bytearray()
+        while payload[pos] != 0:
+            ln = payload[pos]
+            comp += payload[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        idx = np.frombuffer(
+            _lzw_decompress(bytes(comp), min_code), dtype=np.uint8
+        )[: iw * ih]
+        grid = np.empty((ih, iw), dtype=np.uint8)
+        rows = _interlace_order(ih) if (ipack & 0x40) else range(ih)
+        for src, dst in enumerate(rows):
+            grid[dst] = idx[src * iw : (src + 1) * iw]
+        region = canvas[top : top + ih, left : left + iw]
+        if transparent is not None:
+            mask = grid != transparent
+            region[mask] = table[grid[mask]]
+        else:
+            region[:] = table[grid]
+        frames.append(canvas.copy())
+        transparent = None
+    return np.stack(frames) if frames else np.zeros((0, h, w, 3), np.uint8)

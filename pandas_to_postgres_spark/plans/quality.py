@@ -658,7 +658,9 @@ def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency keyed by doc_id, duration by n_chars), EVEN doc_ids a
     deterministic gradient image — PNG (doc_id % 4 == 0), PROGRESSIVE
     JPEG (doc_id % 8 == 2; SOF2, DC successive approximation + two
-    spectral AC bands), or baseline JPEG (doc_id % 8 == 6) — and
+    spectral AC bands), a palette-quantized 2-frame ANIMATED GIF
+    (doc_id % 16 == 14; real LZW + draw-over compositing), or baseline
+    JPEG (the remaining doc_id % 8 == 6) — and
     `operators/media_codecs.extract_features_real` decodes the ACTUAL
     samples/pixels back out with stdlib wave/zlib + numpy, no
     PIL/ffmpeg involved. PNG is a genuinely COMPRESSED format (DEFLATE
@@ -686,6 +688,7 @@ def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_jpeg_progressive,
     )
     from pandas_to_postgres_spark.operators.media_codecs import (
+        encode_gif,
         encode_png,
         encode_wav,
         extract_features_real,
@@ -727,6 +730,14 @@ def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                     elif int(doc_id) % 8 == 2:
                         payloads.append(encode_jpeg_progressive(rgb))
                         mimes.append("image/jpeg")
+                    elif int(doc_id) % 16 == 14:
+                        # palette-quantized 2-frame animation: the GIF
+                        # leg (LZW dictionary coding + compositing)
+                        q = (rgb // 64 * 64).astype(np.uint8)
+                        payloads.append(
+                            encode_gif([q, np.roll(q, 2, axis=0)])
+                        )
+                        mimes.append("image/gif")
                     else:
                         payloads.append(encode_jpeg(rgb))
                         mimes.append("image/jpeg")
