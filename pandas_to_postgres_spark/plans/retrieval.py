@@ -3835,3 +3835,94 @@ def snapshot_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionAll(o)
     return out
+
+
+_DV_ORACLE = """
+    WITH base AS (
+        SELECT o_orderkey AS k,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS tc
+        FROM orders WHERE o_orderkey % 10 = 0),
+    v1 AS (
+        SELECT 1 AS version, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(tc) AS BIGINT) AS total_cents,
+               CAST(max(k) AS BIGINT) AS max_key
+        FROM base),
+    v2 AS (
+        SELECT 2 AS version, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(tc) AS BIGINT) AS total_cents,
+               CAST(max(k) AS BIGINT) AS max_key
+        FROM base WHERE k % 100 <> 0)
+    SELECT * FROM v1 UNION ALL SELECT * FROM v2
+    """
+
+
+@register("snapshot_delete_dv", min_rows=2, oracle=_DV_ORACLE)
+def snapshot_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE (deletion vectors) under the driver oracle:
+    a slice of orders lands as a snapshot table, a selective delete
+    (every 10th key) publishes a METADATA-ONLY version —
+    `delete_snapshot_rows_dv` records the doomed rows' ordinals in the
+    manifest; not one data file is touched (asserted: the query itself
+    verifies the file list is unchanged and raises otherwise) — and both
+    versions aggregate through the DV-aware reader: v1 sees everything
+    (time travel ignores later vectors), v2 sees survivors only. The
+    oracle replays both aggregates straight off orders. Exact integer
+    cents throughout.
+
+    Scale: this is the point-delete answer at 100 TB — GDPR erasure of
+    k rows costs one column-pruned probe (bounded by the DELETE's size)
+    plus a manifest publish, instead of rewriting every touched 100 MB
+    file; readers pay one broadcast anti-join on (file, ordinal) until
+    the next compaction materializes the vector. The copy-on-write
+    sibling (`delete_snapshot_rows`) remains the bulk-delete path, and
+    the hybrid fraction knob rewrites any file whose dead share passes
+    20% (`tests/test_deletion_vectors.py`)."""
+    import hashlib
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    from pandas_to_postgres_spark.sources.manifest import (
+        delete_snapshot_rows_dv,
+        load_snapshot,
+        publish_snapshot,
+        read_snapshot,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:6]
+    wh = urlparse(
+        spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    ).path or "spark-warehouse"
+    path = os.path.join(wh, f"dv_table_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("tc"),
+    ).filter(F.col("k") % 10 == 0)
+    o.repartition(4, F.col("k")).write.mode("overwrite").parquet(path)
+    publish_snapshot(path, ["k"])
+
+    files_before = {e["path"] for e in load_snapshot(path)["files"]}
+    doomed = o.filter(F.col("k") % 100 == 0).select("k")
+    delete_snapshot_rows_dv(spark, path, doomed, ["k"])
+    man = load_snapshot(path)
+    # the whole point: a metadata-only delete (hybrid CoW leg unused at
+    # this selectivity) — fail loudly if a file was rewritten
+    if {e["path"] for e in man["files"]} != files_before:
+        raise AssertionError("DV delete rewrote data files")
+
+    outs = []
+    for v in (1, 2):
+        df = read_snapshot(spark, path, version=v)
+        outs.append(
+            df.agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("tc").cast("long").alias("total_cents"),
+                F.max("k").cast("long").alias("max_key"),
+            ).select(
+                F.lit(v).cast("int").alias("version"),
+                "n_rows", "total_cents", "max_key",
+            )
+        )
+    return outs[0].unionAll(outs[1])

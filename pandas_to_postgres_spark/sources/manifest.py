@@ -141,6 +141,7 @@ def _write_shard(
         "n": len(clean),
         "rows": sum(int(e.get("rows") or 0) for e in clean),
         "bytes": sum(int(e.get("bytes") or 0) for e in clean),
+        "dv_total": sum(len(e.get("dv") or ()) for e in clean),
         "stats": _agg_shard_stats(clean, stat_cols),
     }
 
@@ -762,7 +763,9 @@ def count_snapshot(path: str, version: int | None = None) -> int:
 
     snap = load_snapshot(path, version, materialize=False)
     if "shards" in snap and "files" not in snap:
-        return sum(int(r["rows"]) for r in snap["shards"])
+        return sum(
+            int(r["rows"]) - int(r.get("dv_total", 0)) for r in snap["shards"]
+        )
     total = 0
     for e in snap["files"]:
         r = e.get("rows")
@@ -770,8 +773,63 @@ def count_snapshot(path: str, version: int | None = None) -> int:
             r = pq.ParquetFile(
                 os.path.join(path, e["path"])
             ).metadata.num_rows
-        total += int(r)
+        total += int(r) - len(e.get("dv") or ())
     return total
+
+
+def _read_entries(
+    spark: SparkSession,
+    path: str,
+    entries: Sequence[dict],
+    merge_schema: bool = False,
+) -> DataFrame:
+    """Scan manifest entries DV-aware: files with a deletion vector read
+    with ``_metadata.row_index`` and anti-join their deleted positions
+    (merge-on-read — the data file is untouched, the manifest says which
+    row ordinals are dead); files without one scan plain. Every library
+    read path funnels through here so a DV published by
+    :func:`delete_snapshot_rows_dv` is honored by time travel, pruning,
+    compaction and merge rewrites alike — an internal reader that used
+    ``spark.read.parquet`` directly would silently RESURRECT deleted
+    rows into rewrites."""
+    from pyspark.sql import functions as F
+
+    plain = [e for e in entries if not e.get("dv")]
+    dved = [e for e in entries if e.get("dv")]
+    parts = []
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    if plain:
+        parts.append(
+            reader.parquet(*[os.path.join(path, e["path"]) for e in plain])
+        )
+    if dved:
+        df = reader.parquet(
+            *[os.path.join(path, e["path"]) for e in dved]
+        ).withColumns(
+            {
+                "__dv_f": F.element_at(
+                    F.split(F.col("_metadata.file_path"), "/"), -1
+                ),
+                "__dv_ri": F.col("_metadata.row_index"),
+            }
+        )
+        dv_rows = [
+            (e["path"], int(p)) for e in dved for p in e["dv"]
+        ]
+        dv_frame = spark.createDataFrame(dv_rows, "__dv_f string, __dv_ri long")
+        cols = [c for c in df.columns if c not in ("__dv_f", "__dv_ri")]
+        parts.append(
+            df.join(F.broadcast(dv_frame), ["__dv_f", "__dv_ri"], "left_anti")
+            .select(*cols)
+        )
+    if not parts:
+        raise ValueError("no entries to read")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=merge_schema)
+    return out
 
 
 def read_snapshot(
@@ -790,16 +848,12 @@ def read_snapshot(
     parquet's own mergeSchema semantics, scoped to the snapshot's file
     list. Older versions still read with exactly the schema they froze."""
     snap = load_snapshot(path, version)
-    paths = [os.path.join(path, e["path"]) for e in snap["files"]]
-    if not paths:
+    if not snap["files"]:
         raise ValueError(
             f"snapshot v{snap['version']} of {path} froze zero files — "
             "published on an empty directory; there is no schema to read"
         )
-    reader = spark.read
-    if merge_schema:
-        reader = reader.option("mergeSchema", "true")
-    return reader.parquet(*paths)
+    return _read_entries(spark, path, snap["files"], merge_schema)
 
 
 def read_snapshot_pruned(
@@ -820,8 +874,7 @@ def read_snapshot_pruned(
     plan = plan_snapshot_scan(path, col, lo, hi, version)
     keep = plan["keep"]
     entries = keep or plan["fallback"]
-    paths = [os.path.join(path, e["path"]) for e in entries]
-    df = spark.read.parquet(*paths)
+    df = _read_entries(spark, path, entries)
     pred = (F.col(col) >= lo) & (F.col(col) <= hi)
     if not keep:
         pred = pred & F.lit(False)
@@ -924,8 +977,8 @@ def merge_snapshot(
 
     # 3. rewrite: survivors of affected files + the whole updates frame
     if affected:
-        old = spark.read.parquet(
-            *[os.path.join(path, f) for f in sorted(affected)]
+        old = _read_entries(
+            spark, path, [e for e in snap["files"] if e["path"] in affected]
         )
         rewritten = old.join(
             updates.select(*key_cols).distinct(), key_cols, "left_anti"
@@ -1008,8 +1061,8 @@ def delete_snapshot_rows(
     if not affected:
         return load_snapshot(path)  # nothing matched: no-op
 
-    survivors_df = spark.read.parquet(
-        *[os.path.join(path, f) for f in sorted(affected)]
+    survivors_df = _read_entries(
+        spark, path, [e for e in snap["files"] if e["path"] in affected]
     ).join(keys, key_cols, "left_anti")
     job = uuid.uuid4().hex[:8]
     new_names: list[str] = []
@@ -1039,6 +1092,167 @@ def delete_snapshot_rows(
 
     return _publish_rewrite(
         path, snap["stat_cols"], affected, new_names, "delete_snapshot_rows"
+    )
+
+
+def delete_snapshot_rows_dv(
+    spark,
+    path: str,
+    keys: DataFrame,
+    key_cols: Sequence[str],
+    version: int | None = None,
+    max_dv_fraction: float = 0.2,
+) -> dict:
+    """MERGE-ON-READ delete — Delta deletion vectors / Iceberg positional
+    deletes on the manifest log. Where :func:`delete_snapshot_rows`
+    rewrites every touched file (copy-on-write: right for bulk deletes,
+    expensive for point deletes — a 1-row delete rewrites a 100 MB
+    file), this records the doomed rows' ORDINALS in the manifest entry
+    (``entry["dv"]``) and publishes a metadata-only version: data files
+    are untouched, readers anti-join the positions at scan time
+    (:func:`_read_entries`), and the next compaction/rewrite of the file
+    MATERIALIZES the vector (fresh entries carry no dv).
+
+    Hybrid by fraction (Delta's tuning knob): a file whose accumulated
+    dead fraction would exceed ``max_dv_fraction`` is rewritten CoW
+    instead — a mostly-dead file should stop taxing every read.
+
+    Mechanics: manifest stats prune candidate files; ONE column-pruned
+    probe (keys + ``_metadata.file_path`` + ``_metadata.row_index``,
+    semi-joined with the delete keys) finds (file, ordinal) pairs —
+    bounded by the DELETE's size, which is what positional deletes are
+    for; already-dead ordinals union idempotently. The publish is the
+    usual optimistic claim against the re-read head: a concurrent
+    REWRITE of a dv'd file is a write-write conflict (our ordinals
+    describe a file that no longer represents those rows) and aborts
+    with :class:`SnapshotConflictError`; concurrent appends carry over.
+    The version stamps ``dml: delete_dv`` so the change-feed reader
+    fails fast on it unless ``ignoreChanges`` accepted DML versions
+    (nothing is emitted either way — no files were added).
+
+    Time travel is exact: prior versions' manifests carry prior (or no)
+    vectors over the same immutable files. ``count_snapshot`` stays
+    metadata-only (``rows − len(dv)``; shard refs carry ``dv_total``).
+    Returns the new manifest."""
+    from pyspark.sql import functions as F
+
+    key_cols = list(key_cols)
+    snap = load_snapshot(path, version)
+    if not snap["files"]:
+        raise ValueError("cannot delete from a zero-file snapshot")
+    keys = keys.select(*key_cols).distinct().localCheckpoint(eager=False)
+
+    cand = list(snap["files"])
+    if len(key_cols) == 1 and key_cols[0] in snap.get("stat_cols", []):
+        k = key_cols[0]
+        b = keys.agg(F.min(k).alias("lo"), F.max(k).alias("hi")).first()
+        if b["lo"] is None:
+            return load_snapshot(path)  # empty key set: no-op
+        cand, _ = prune_files(snap, k, b["lo"], b["hi"])
+    if not cand:
+        return load_snapshot(path)
+    probe = (
+        spark.read.parquet(*[os.path.join(path, e["path"]) for e in cand])
+        .select(
+            *key_cols,
+            F.element_at(
+                F.split(F.col("_metadata.file_path"), "/"), -1
+            ).alias("__f"),
+            F.col("_metadata.row_index").alias("__ri"),
+        )
+        .join(keys, key_cols, "leftsemi")
+        .select("__f", "__ri")
+    )
+    hits: dict[str, set] = {}
+    for r in probe.collect():  # bounded by the delete's own size
+        hits.setdefault(r["__f"], set()).add(int(r["__ri"]))
+    if not hits:
+        return load_snapshot(path)  # nothing matched: no-op
+
+    by_name = {e["path"]: e for e in snap["files"]}
+    dv_entries: dict[str, dict] = {}
+    rewrite: list[dict] = []
+    for fname, positions in hits.items():
+        e = by_name[fname]
+        merged = sorted(set(e.get("dv") or ()) | positions)
+        # already-dead ordinals don't re-count: a no-new-deads file is
+        # untouched (keeps the publish content-idempotent under retry)
+        if merged == list(e.get("dv") or ()):
+            continue
+        if len(merged) > max_dv_fraction * int(e.get("rows") or 0):
+            rewrite.append(e)
+        else:
+            mod = {k2: v for k2, v in e.items() if k2 != _SHARD_KEY}
+            mod["dv"] = merged
+            dv_entries[fname] = mod
+    if not dv_entries and not rewrite:
+        return load_snapshot(path)  # every ordinal already dead: no-op
+
+    # CoW leg for mostly-dead files (survivors keep their old dv applied)
+    import shutil
+    import tempfile
+    import uuid
+
+    new_names: list[str] = []
+    if rewrite:
+        survivors = _read_entries(spark, path, rewrite).join(
+            keys, key_cols, "left_anti"
+        )
+        job = uuid.uuid4().hex[:8]
+        stage = tempfile.mkdtemp(prefix="dv-rewrite-stage-")
+        try:
+            survivors.write.mode("overwrite").parquet(stage)
+            parts = sorted(
+                f for f in os.listdir(stage)
+                if f.endswith(".parquet") and not f.startswith((".", "_"))
+            )
+            for i, f in enumerate(parts):
+                name = f"part-d{job}-{i:05d}.parquet"
+                shutil.move(
+                    os.path.join(stage, f), os.path.join(path, name)
+                )
+                new_names.append(name)
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
+        import pyarrow.parquet as pq
+
+        new_names = [
+            n
+            for n in new_names
+            if pq.ParquetFile(os.path.join(path, n)).metadata.num_rows > 0
+        ]
+
+    touched = set(dv_entries) | {e["path"] for e in rewrite}
+    removed = {e["path"] for e in rewrite}
+    for _ in range(_MAX_PUBLISH_RETRIES):
+        head = load_snapshot(path)
+        head_names = {e["path"] for e in head["files"]}
+        if touched - head_names:
+            for n in new_names:
+                try:
+                    os.unlink(os.path.join(path, n))
+                except FileNotFoundError:
+                    pass
+            raise SnapshotConflictError(
+                f"delete_snapshot_rows_dv: concurrent writer rewrote "
+                f"{sorted(touched - head_names)[:3]} of {path}"
+            )
+        sc = head.get("stat_cols", [])
+        entries = [
+            dv_entries.get(e["path"], e)
+            for e in head["files"]
+            if e["path"] not in removed
+        ] + _build_entries(path, new_names, sc, None)
+        manifest = _inherit(
+            _pack_manifest(path, head["version"] + 1, sc, entries, head),
+            head,
+        )
+        manifest["dml"] = "delete_dv"
+        if _claim_version(path, head["version"] + 1, manifest):
+            manifest["files"] = [_strip_entry(e) for e in entries]
+            return manifest
+    raise RuntimeError(
+        f"delete_snapshot_rows_dv: lost {_MAX_PUBLISH_RETRIES} claims"
     )
 
 
@@ -1111,8 +1325,8 @@ def apply_changes_to_snapshot(
         )
         affected = {os.path.basename(r["__f"]) for r in probe.collect()}
     if affected:
-        old = spark.read.parquet(
-            *[os.path.join(path, f) for f in sorted(affected)]
+        old = _read_entries(
+            spark, path, [e for e in snap["files"] if e["path"] in affected]
         )
         rewritten = old.join(all_keys, key_cols, "left_anti").unionByName(ups)
     elif ups.isEmpty():
@@ -1305,7 +1519,9 @@ def compact_snapshot(
         raise ValueError("snapshot has no files to compact")
     total = sum(int(e.get("bytes", 0)) for e in snap["files"])
     n_out = max(1, -(-total // max(1, target_bytes)))
-    src = spark.read.parquet(*[os.path.join(path, f) for f in names])
+    # DV-aware: a compaction materializes deletion vectors (rewritten
+    # files carry only live rows and fresh entries without dv)
+    src = _read_entries(spark, path, snap["files"])
     if zorder_cols:
         if sort_cols:
             raise ValueError("pass sort_cols OR zorder_cols, not both")

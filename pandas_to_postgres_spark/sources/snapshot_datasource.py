@@ -159,7 +159,9 @@ class SnapshotReaderNoPushdown(DataSourceReader):
                 e for e in entries if _entry_may_match(e, spec, preds)
             ]
         keep = [
-            InputPartition(os.path.join(path, e["path"]))
+            InputPartition(
+                (os.path.join(path, e["path"]), tuple(e.get("dv") or ()))
+            )
             for e in entries
             if self._keep(e)
         ]
@@ -170,19 +172,32 @@ class SnapshotReaderNoPushdown(DataSourceReader):
     def read(self, partition: InputPartition) -> Iterator:
         if partition.value is None:
             return
+        fpath, dv = partition.value
         yield from _read_file_projected(
-            partition.value, self.columns, self.spark_schema
+            fpath, self.columns, self.spark_schema, dv
         )
 
 
-def _read_file_projected(file_path, columns, spark_schema) -> Iterator:
+def _read_file_projected(
+    file_path, columns, spark_schema, dv=()
+) -> Iterator:
     """One parquet file → Arrow batches projected to ``columns``.
     Schema evolution: columns the file predates are null-filled at the
     projected type and column order restored, so every partition's
-    batches line up regardless of when its file was written."""
+    batches line up regardless of when its file was written. ``dv`` is
+    the file's deletion vector (dead row ordinals from the manifest —
+    merge-on-read DELETE); those rows are masked out before yielding."""
+    import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
     from pyspark.sql.pandas.types import to_arrow_schema
+
+    def _apply_dv(t: "pa.Table") -> "pa.Table":
+        if not dv:
+            return t
+        mask = np.ones(t.num_rows, dtype=bool)
+        mask[list(dv)] = False
+        return t.filter(pa.array(mask))
 
     def _us_timestamps(t: "pa.Table") -> "pa.Table":
         # Spark writes INT96 timestamps that arrow surfaces as NANOSECOND,
@@ -199,13 +214,13 @@ def _read_file_projected(file_path, columns, spark_schema) -> Iterator:
         return t.cast(pa.schema(fields)) if changed else t
 
     if spark_schema is None:  # bare-list construction: no evolution
-        yield from _us_timestamps(
-            pq.read_table(file_path, columns=columns)
+        yield from _apply_dv(
+            _us_timestamps(pq.read_table(file_path, columns=columns))
         ).to_batches()
         return
     have = set(pq.read_schema(file_path).names)
     present = [c for c in columns if c in have]
-    tbl = _us_timestamps(pq.read_table(file_path, columns=present))
+    tbl = _apply_dv(_us_timestamps(pq.read_table(file_path, columns=present)))
     missing = [c for c in columns if c not in have]
     if missing:
         target = to_arrow_schema(spark_schema)
@@ -534,6 +549,15 @@ class SnapshotStreamReader(DataSourceStreamReader):
                 # compaction: rows only reorganized — nothing to emit
                 prev = cur
                 continue
+            if snap.get("dml") == "delete_dv" and not ignore_changes:
+                raise ValueError(
+                    f"snapshot change feed: version {v} of {self.path} is "
+                    "a deletion-vector DELETE (rows died in place, no "
+                    "files added). An append-only feed cannot express it "
+                    "— set .option('ignoreChanges', 'true') to skip DML "
+                    "versions (downstream must reconcile deletes), or "
+                    "stream only append-only tables."
+                )
             if (prev - cur) and not ignore_changes:
                 raise ValueError(
                     f"snapshot change feed: version {v} of {self.path} "

@@ -1,0 +1,149 @@
+"""Deletion vectors (merge-on-read DELETE): data files stay untouched,
+the manifest records dead row ordinals, every reader anti-joins them,
+rewrites materialize them, and time travel stays exact."""
+
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from pandas_to_postgres_spark.sources import manifest as M
+from pandas_to_postgres_spark.sources.manifest import (
+    delete_snapshot_rows_dv,
+)
+
+
+@pytest.fixture
+def table(spark, tmp_path):
+    p = str(tmp_path / "dv_tbl")
+    df = spark.range(300).selectExpr("id AS k", "id * 2 AS v")
+    df.repartitionByRange(3, "k").write.parquet(p)
+    M.publish_snapshot(p, ["k"])
+    return p
+
+
+class TestDvDelete:
+    def test_point_delete_is_metadata_only(self, spark, table):
+        files_before = sorted(
+            f for f in os.listdir(table) if f.endswith(".parquet")
+        )
+        keys = spark.createDataFrame([Row(k=5), Row(k=150), Row(k=299)])
+        man = delete_snapshot_rows_dv(spark, table, keys, ["k"])
+        files_after = sorted(
+            f for f in os.listdir(table) if f.endswith(".parquet")
+        )
+        assert files_before == files_after, "DV delete must not touch data"
+        assert man["dml"] == "delete_dv"
+        assert sum(len(e.get("dv") or ()) for e in man["files"]) == 3
+
+        head = M.read_snapshot(spark, table)
+        assert head.count() == 297
+        assert head.filter("k in (5, 150, 299)").count() == 0
+        # time travel: v1 still sees everything
+        assert M.read_snapshot(spark, table, version=1).count() == 300
+        # metadata-only count
+        assert M.count_snapshot(table) == 297
+        assert M.count_snapshot(table, version=1) == 300
+
+    def test_redelete_same_keys_is_noop(self, spark, table):
+        keys = spark.createDataFrame([Row(k=7)])
+        m1 = delete_snapshot_rows_dv(spark, table, keys, ["k"])
+        m2 = delete_snapshot_rows_dv(spark, table, keys, ["k"])
+        assert m2["version"] == m1["version"], "already-dead: no version"
+
+    def test_hybrid_fraction_falls_back_to_rewrite(self, spark, table):
+        # kill 2/3 of one file's range: way past max_dv_fraction
+        keys = spark.range(0, 67).selectExpr("id AS k")
+        man = delete_snapshot_rows_dv(spark, table, keys, ["k"])
+        got = M.read_snapshot(spark, table)
+        assert got.count() == 233
+        assert got.filter("k < 67").count() == 0
+        # the mostly-dead file was rewritten: no entry carries a 67-long dv
+        assert all(
+            len(e.get("dv") or ()) <= 0.2 * e["rows"] for e in man["files"]
+        )
+        assert any(e["path"].startswith("part-d") for e in man["files"])
+
+    def test_compaction_materializes_dvs(self, spark, table):
+        keys = spark.createDataFrame([Row(k=10), Row(k=20)])
+        delete_snapshot_rows_dv(spark, table, keys, ["k"])
+        man = M.compact_snapshot(spark, table, target_bytes=10**9)
+        assert all(not e.get("dv") for e in man["files"])
+        assert M.read_snapshot(spark, table).count() == 298
+        assert M.count_snapshot(table) == 298
+
+    def test_merge_does_not_resurrect_dv_rows(self, spark, table):
+        keys = spark.createDataFrame([Row(k=42)])
+        delete_snapshot_rows_dv(spark, table, keys, ["k"])
+        ups = spark.createDataFrame([Row(k=43, v=-1)])
+        M.merge_snapshot(spark, table, ups, ["k"])
+        head = M.read_snapshot(spark, table)
+        assert head.filter("k = 42").count() == 0
+        assert head.filter("k = 43").first()["v"] == -1
+        assert head.count() == 299
+
+    def test_pruned_read_honors_dv(self, spark, table):
+        keys = spark.createDataFrame([Row(k=55)])
+        delete_snapshot_rows_dv(spark, table, keys, ["k"])
+        got = M.read_snapshot_pruned(spark, table, "k", 50, 60)
+        assert sorted(r["k"] for r in got.collect()) == [
+            50, 51, 52, 53, 54, 56, 57, 58, 59, 60
+        ]
+
+    def test_datasource_read_honors_dv(self, spark, table):
+        from pandas_to_postgres_spark.sources.snapshot_datasource import (
+            SnapshotDataSource,
+        )
+
+        keys = spark.createDataFrame([Row(k=99), Row(k=100)])
+        delete_snapshot_rows_dv(spark, table, keys, ["k"])
+        spark.dataSource.register(SnapshotDataSource)
+        df = spark.read.format("snapshot").option("path", table).load()
+        assert df.count() == 298
+        assert df.filter("k in (99, 100)").count() == 0
+        v1 = (
+            spark.read.format("snapshot")
+            .option("path", table)
+            .option("version", 1)
+            .load()
+        )
+        assert v1.count() == 300
+
+    def test_change_feed_fails_fast_unless_ignored(self, spark, table, tmp_path):
+        from pandas_to_postgres_spark.sources.snapshot_datasource import (
+            SnapshotStreamReader,
+        )
+
+        keys = spark.createDataFrame([Row(k=1)])
+        delete_snapshot_rows_dv(spark, table, keys, ["k"])
+        r = SnapshotStreamReader({"path": table}, spark.range(1).selectExpr(
+            "id AS k", "id AS v").schema)
+        with pytest.raises(ValueError, match="deletion-vector"):
+            r.partitions({"version": 1}, {"version": 2})
+        r2 = SnapshotStreamReader(
+            {"path": table, "ignoreChanges": "true"},
+            spark.range(1).selectExpr("id AS k", "id AS v").schema,
+        )
+        parts = r2.partitions({"version": 1}, {"version": 2})
+        assert [p.value for p in parts] == [None], "DV version emits nothing"
+
+    def test_sharded_manifest_rewrites_only_touched_shard(
+        self, spark, tmp_path, monkeypatch
+    ):
+        monkeypatch.setattr(M, "INLINE_MAX", 2)
+        monkeypatch.setattr(M, "SHARD_TARGET", 2)
+        p = str(tmp_path / "dv_sharded")
+        df = spark.range(300).selectExpr("id AS k", "id * 2 AS v")
+        df.repartitionByRange(6, "k").write.parquet(p)
+        M.publish_snapshot(p, ["k"])
+        v1_shards = {
+            r["path"] for r in M.load_snapshot(p, materialize=False)["shards"]
+        }
+        keys = spark.createDataFrame([Row(k=5)])
+        delete_snapshot_rows_dv(spark, p, keys, ["k"])
+        head = M.load_snapshot(p, materialize=False)
+        v2_shards = {r["path"] for r in head["shards"]}
+        assert len(v1_shards & v2_shards) == 2, "untouched shards reused"
+        assert M.count_snapshot(p) == 299  # via shard dv_total, no loads
+        assert M.read_snapshot(spark, p).count() == 299

@@ -212,7 +212,7 @@ class TestHiddenPartitionedTable:
         assert 0 < len(parts) < total
         want_bucket = _py_transform(spec_field("bucket", "uid", 4), 7)
         snap = M.load_snapshot(p)
-        kept_names = {os.path.basename(pt.value) for pt in parts}
+        kept_names = {os.path.basename(pt.value[0]) for pt in parts}
         for e in snap["files"]:
             if e["path"] in kept_names:
                 assert e["partition"]["__p_bucket_uid_4"] == want_bucket
@@ -254,7 +254,7 @@ class TestHiddenPartitionedTable:
         parts = r.partitions()
         assert 0 < len(parts) < total
         snap = M.load_snapshot(p)
-        kept_names = {os.path.basename(pt.value) for pt in parts}
+        kept_names = {os.path.basename(pt.value[0]) for pt in parts}
         days = {
             e["partition"]["__p_day_ts"]
             for e in snap["files"]

@@ -340,7 +340,7 @@ class TestShardedDataSource:
         )
         parts = r.partitions()
         assert len(parts) == 1
-        assert parts[0].value.endswith("part-a-004.parquet")
+        assert parts[0].value[0].endswith("part-a-004.parquet")
         assert len(calls) == 1, "only the overlapping shard may be opened"
 
     def test_timestamp_as_of_option(self, spark, tmp_path, tiny_shards):

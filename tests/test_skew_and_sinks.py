@@ -770,7 +770,7 @@ class TestSnapshotDataSource:
         assert len(back) == 1
         parts = r.partitions()
         # only the appended file (k in [300, 400)) can match
-        assert len(parts) == 1 and "part-" in parts[0].value
+        assert len(parts) == 1 and "part-" in parts[0].value[0]
         r2 = SnapshotReader({"path": path, "version": "2"}, ["k", "v"])
         list(r2.pushFilters([LessThanOrEqual(("k",), 50)]))
         assert len(r2.partitions()) == 1  # first range file only
