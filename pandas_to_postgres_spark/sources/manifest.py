@@ -1377,7 +1377,12 @@ def expire_snapshots(path: str, keep_latest: int = 1) -> dict:
     if keep_latest < 1:
         raise ValueError("keep_latest must be >= 1")
     versions = snapshot_versions(path)
-    retained = versions[-keep_latest:]
+    # named refs override the rolling window (Iceberg retention rule):
+    # a tagged or branch-pinned version is never expired
+    reffed: set[int] = set()
+    for vals in list_refs(path).values():
+        reffed.update(vals.values())
+    retained = sorted(set(versions[-keep_latest:]) | (reffed & set(versions)))
     expired = [v for v in versions if v not in retained]
     keep_refs: set[str] = set()
     keep_shards: set[str] = set()
@@ -1448,7 +1453,10 @@ def vacuum_orphans(path: str, grace_seconds: float = 3 * 24 * 3600) -> dict:
     deleted, young = [], []
     for f in sorted(os.listdir(path)):
         is_temp = f.startswith(".") and (
-            ".parquet" in f or "_mshard-" in f or "_manifest-" in f
+            ".parquet" in f
+            or "_mshard-" in f
+            or "_manifest-" in f
+            or f.startswith(".ref-")
         )
         is_data = f.endswith(".parquet") and not f.startswith((".", "_"))
         # orphan entry shards: written by a publish attempt that lost its
@@ -1627,3 +1635,86 @@ def compact_snapshot(
     return _publish_rewrite(
         path, snap["stat_cols"], set(names), moved, "compact_snapshot"
     )
+
+
+# ------------------------------------------------------- named refs
+
+def tag_snapshot(path: str, name: str, version: int | None = None) -> int:
+    """Create an IMMUTABLE named tag for a snapshot version (Iceberg
+    tags: ``v1.0``, ``training-run-17`` — the audit anchor that outlives
+    a rolling retention window; :func:`expire_snapshots` never retires a
+    tagged version). Created with the same hard-link claim the version
+    log uses, so a tag is create-once: re-tagging the SAME version is an
+    idempotent no-op, re-tagging a different one raises."""
+    import uuid
+
+    v = load_snapshot(path, version, materialize=False)["version"]
+    ref = os.path.join(path, f"_ref-tag-{name}.json")
+    tmp = os.path.join(path, f".ref-{uuid.uuid4().hex[:8]}.tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"version": v}, fh)
+    try:
+        os.link(tmp, ref)
+        return v
+    except FileExistsError:
+        with open(ref) as fh:
+            have = json.load(fh)["version"]
+        if have != v:
+            raise ValueError(
+                f"tag {name!r} already pins v{have} of {path} — tags are "
+                "immutable; use a branch for a movable ref"
+            )
+        return v
+    finally:
+        os.unlink(tmp)
+
+
+def set_branch(path: str, name: str, version: int | None = None) -> int:
+    """Create or MOVE a mutable branch ref (Iceberg branches). The
+    ``main`` branch is the write-audit-publish gate: writers publish
+    versions freely (they become ``latest``), auditors validate, and
+    only :func:`set_branch`'s advance makes a version visible to readers
+    pinned to ``ref="main"`` — stale or failed-audit versions simply
+    never get the branch moved onto them."""
+    v = load_snapshot(path, version, materialize=False)["version"]
+    ref = os.path.join(path, f"_ref-branch-{name}.json")
+    tmp = ref + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"version": v}, fh)
+    os.replace(tmp, ref)  # atomic move: last writer wins, never torn
+    return v
+
+
+def resolve_ref(path: str, name: str) -> int:
+    """Tag first, then branch (a tag shadowing a branch of the same name
+    would be a naming mistake; deterministic precedence beats an
+    error-at-read)."""
+    for kind in ("tag", "branch"):
+        ref = os.path.join(path, f"_ref-{kind}-{name}.json")
+        if os.path.exists(ref):
+            with open(ref) as fh:
+                return int(json.load(fh)["version"])
+    raise ValueError(f"no tag or branch named {name!r} under {path}")
+
+
+def list_refs(path: str) -> dict:
+    """{"tags": {name: version}, "branches": {name: version}}."""
+    out: dict = {"tags": {}, "branches": {}}
+    for f in os.listdir(path):
+        for kind, key in (("tag", "tags"), ("branch", "branches")):
+            prefix = f"_ref-{kind}-"
+            if f.startswith(prefix) and f.endswith(".json"):
+                with open(os.path.join(path, f)) as fh:
+                    out[key][f[len(prefix):-5]] = int(
+                        json.load(fh)["version"]
+                    )
+    return out
+
+
+def read_snapshot_ref(
+    spark: SparkSession, path: str, name: str, merge_schema: bool = False
+) -> DataFrame:
+    """Time-travel read through a named ref — ``ref="main"`` is how a
+    consumer opts into the audited (write-audit-publish) view instead of
+    raw ``latest``."""
+    return read_snapshot(spark, path, resolve_ref(path, name), merge_schema)

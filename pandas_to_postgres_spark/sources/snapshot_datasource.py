@@ -57,17 +57,24 @@ from pyspark.sql.datasource import (
 
 
 def _resolve_version(options) -> int | None:
-    """``version`` / ``timestampAsOf`` option → concrete version (or
-    None = latest). Mutually exclusive, like Delta's versionAsOf /
-    timestampAsOf."""
-    from pandas_to_postgres_spark.sources.manifest import snapshot_as_of
+    """``version`` / ``timestampAsOf`` / ``ref`` option → concrete
+    version (or None = latest). Mutually exclusive, like Delta's
+    versionAsOf / timestampAsOf; ``ref`` resolves a named tag or branch
+    (``option("ref", "main")`` = the write-audit-publish gated view)."""
+    from pandas_to_postgres_spark.sources.manifest import (
+        resolve_ref,
+        snapshot_as_of,
+    )
 
     v = options.get("version")
     ts = options.get("timestampasof", options.get("timestampAsOf"))
-    if v is not None and ts is not None:
-        raise ValueError("pass version OR timestampAsOf, not both")
+    ref = options.get("ref")
+    if sum(x is not None for x in (v, ts, ref)) > 1:
+        raise ValueError("pass at most one of version / timestampAsOf / ref")
     if ts is not None:
         return snapshot_as_of(options["path"], float(ts))
+    if ref is not None:
+        return resolve_ref(options["path"], ref)
     return int(v) if v is not None else None
 
 

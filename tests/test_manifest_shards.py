@@ -370,7 +370,7 @@ class TestShardedDataSource:
             .load()
         )
         assert now.count() == 210
-        with pytest.raises(Exception, match="not both"):
+        with pytest.raises(Exception, match="at most one"):
             (
                 spark.read.format("snapshot")
                 .option("path", p)

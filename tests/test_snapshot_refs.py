@@ -1,0 +1,126 @@
+"""Named refs on the snapshot table: immutable tags, movable branches,
+ref-aware retention, the DataSource ``ref`` option, and the
+write-audit-publish flow built on a ``main`` branch."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pandas_to_postgres_spark.sources import manifest as M
+from pandas_to_postgres_spark.sources.manifest import (
+    list_refs,
+    read_snapshot_ref,
+    resolve_ref,
+    set_branch,
+    tag_snapshot,
+)
+
+
+@pytest.fixture
+def table(spark, tmp_path):
+    p = str(tmp_path / "refs_tbl")
+    spark.range(100).selectExpr("id AS k", "id * 2 AS v").coalesce(
+        1
+    ).write.parquet(p)
+    M.publish_snapshot(p, ["k"])
+    spark.range(100, 150).selectExpr("id AS k", "id * 2 AS v").coalesce(
+        1
+    ).write.mode("append").parquet(p)
+    M.append_snapshot(p, [
+        f for f in sorted(__import__("os").listdir(p))
+        if f.endswith(".parquet")
+        and f not in {e["path"] for e in M.load_snapshot(p, 1)["files"]}
+    ])
+    return p
+
+
+class TestTagsAndBranches:
+    def test_tags_are_immutable_and_idempotent(self, table):
+        assert tag_snapshot(table, "v1.0", 1) == 1
+        assert tag_snapshot(table, "v1.0", 1) == 1  # same version: no-op
+        with pytest.raises(ValueError, match="immutable"):
+            tag_snapshot(table, "v1.0", 2)
+        assert resolve_ref(table, "v1.0") == 1
+
+    def test_branches_move(self, table):
+        set_branch(table, "main", 1)
+        assert resolve_ref(table, "main") == 1
+        set_branch(table, "main", 2)
+        assert resolve_ref(table, "main") == 2
+        refs = list_refs(table)
+        assert refs["branches"] == {"main": 2}
+
+    def test_read_through_ref(self, spark, table):
+        tag_snapshot(table, "first", 1)
+        assert read_snapshot_ref(spark, table, "first").count() == 100
+        set_branch(table, "main", 2)
+        assert read_snapshot_ref(spark, table, "main").count() == 150
+
+    def test_datasource_ref_option(self, spark, table):
+        from pandas_to_postgres_spark.sources.snapshot_datasource import (
+            SnapshotDataSource,
+        )
+
+        tag_snapshot(table, "audit", 1)
+        spark.dataSource.register(SnapshotDataSource)
+        df = (
+            spark.read.format("snapshot")
+            .option("path", table)
+            .option("ref", "audit")
+            .load()
+        )
+        assert df.count() == 100
+        with pytest.raises(Exception, match="at most one"):
+            (
+                spark.read.format("snapshot")
+                .option("path", table)
+                .option("ref", "audit")
+                .option("version", 2)
+                .load()
+                .count()
+            )
+
+    def test_expire_never_retires_reffed_versions(self, spark, table):
+        tag_snapshot(table, "keepme", 1)
+        res = M.expire_snapshots(table, keep_latest=1)
+        assert res["expired_versions"] == []
+        assert M.read_snapshot(spark, table, version=1).count() == 100
+        # untag-equivalent: a version with no ref and out of window expires
+        spark.range(150, 160).selectExpr("id AS k", "id * 2 AS v").coalesce(
+            1
+        ).write.mode("append").parquet(table)
+        import os
+
+        head = {e["path"] for e in M.load_snapshot(table)["files"]}
+        M.append_snapshot(table, [
+            f for f in sorted(os.listdir(table))
+            if f.endswith(".parquet") and f not in head
+        ])
+        res2 = M.expire_snapshots(table, keep_latest=1)
+        assert res2["expired_versions"] == [2], "v1 tagged, v3 head — only v2 goes"
+
+
+class TestWriteAuditPublish:
+    def test_main_readers_never_see_unaudited_versions(self, spark, table):
+        """WAP: consumers pin ref='main'; writers publish freely; only an
+        explicit branch advance (the audit passing) exposes data."""
+        set_branch(table, "main", 2)
+        # a writer lands v3 (bad data, audit will fail)
+        import os
+
+        spark.range(9_000, 9_010).selectExpr(
+            "id AS k", "CAST(-1 AS BIGINT) AS v"
+        ).coalesce(1).write.mode("append").parquet(table)
+        head = {e["path"] for e in M.load_snapshot(table)["files"]}
+        M.append_snapshot(table, [
+            f for f in sorted(os.listdir(table))
+            if f.endswith(".parquet") and f not in head
+        ])
+        assert M.load_snapshot(table, materialize=False)["version"] == 3
+        # main-pinned consumers still read the audited v2
+        assert read_snapshot_ref(spark, table, "main").count() == 150
+        # audit fails (negative v) → main never advances; a fix lands as v4
+        bad = M.read_snapshot(spark, table).filter(F.col("v") < 0).count()
+        assert bad > 0
+        # audit passes on v2-equivalent; promote main to latest good state
+        set_branch(table, "main", 2)
+        assert read_snapshot_ref(spark, table, "main").count() == 150
