@@ -224,34 +224,48 @@ def _pack_manifest(
 
 def _file_stats(
     pq_path: str, stat_cols: Sequence[str]
-) -> tuple[dict[str, Any], int]:
+) -> tuple[dict[str, Any], int, dict[str, int]]:
     """Fold one parquet file's row-group footer stats to file-level
-    min/max, plus the footer row count (one footer read covers both).
+    min/max, plus the footer row count and per-column NULL counts (one
+    footer read covers all three).
 
-    Returns ({col: [min, max]}, num_rows) — a column missing stats in
-    ANY row group is omitted (the reader then conservatively keeps the
-    file)."""
+    Returns ({col: [min, max]}, num_rows, {col: nulls}) — a column
+    missing stats in ANY row group is omitted from the min/max dict (the
+    reader then conservatively keeps the file); null counts are omitted
+    when any row group doesn't record one."""
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(pq_path).metadata
     name_to_idx = {md.schema.column(i).path: i for i in range(md.num_columns)}
     out: dict[str, Any] = {}
+    nulls: dict[str, int] = {}
     for col in stat_cols:
         idx = name_to_idx.get(col)
         if idx is None:
             continue
         lo = hi = None
         ok = True
+        nc = 0
+        nc_ok = True
         for rg in range(md.num_row_groups):
             st = md.row_group(rg).column(idx).statistics
-            if st is None or not st.has_min_max:
-                ok = False
+            if st is None:
+                ok = nc_ok = False
                 break
+            if st.null_count is None:
+                nc_ok = False
+            else:
+                nc += st.null_count
+            if not st.has_min_max:
+                ok = False
+                continue
             lo = st.min if lo is None else min(lo, st.min)
             hi = st.max if hi is None else max(hi, st.max)
         if ok and lo is not None:
             out[col] = [lo, hi]
-    return out, md.num_rows
+        if nc_ok:
+            nulls[col] = nc
+    return out, md.num_rows, nulls
 
 
 def write_manifest(path: str, stat_cols: Sequence[str]) -> dict:
@@ -375,13 +389,16 @@ _SNAP_RE = r"_manifest-v(\d+)\.json$"
 
 
 def _entry(path: str, f: str, stat_cols: Sequence[str]) -> dict:
-    stats, rows = _file_stats(os.path.join(path, f), stat_cols)
-    return {
+    stats, rows, nulls = _file_stats(os.path.join(path, f), stat_cols)
+    e = {
         "path": f,
         "bytes": os.path.getsize(os.path.join(path, f)),
         "rows": rows,
         "stats": stats,
     }
+    if nulls:
+        e["nulls"] = nulls
+    return e
 
 
 def _collect_entries(path: str, stat_cols: Sequence[str]) -> list[dict]:
@@ -1486,6 +1503,7 @@ def compact_snapshot(
     version: int | None = None,
     sort_cols: Sequence[str] | None = None,
     zorder_cols: Sequence[str] | None = None,
+    max_input_bytes: int | None = None,
 ) -> dict:
     """Small-files compaction (the lakehouse OPTIMIZE): rewrite the chosen
     snapshot's part files into ~``target_bytes`` files and publish the
@@ -1522,14 +1540,28 @@ def compact_snapshot(
     import uuid
 
     snap = load_snapshot(path, version)
-    names = [e["path"] for e in snap["files"]]
+    victims = list(snap["files"])
+    if max_input_bytes is not None:
+        # bin-pack only the SMALL files (the real OPTIMIZE rule): a file
+        # already at target size gains nothing from a rewrite and at
+        # 100 TB re-copying the big files dominates the job — but a
+        # dv-carrying file always qualifies (the rewrite materializes
+        # its deletion vector and stops taxing every read)
+        victims = [
+            e
+            for e in victims
+            if int(e.get("bytes", 0)) < max_input_bytes or e.get("dv")
+        ]
+        if len(victims) < 2 and not any(e.get("dv") for e in victims):
+            return load_snapshot(path)  # nothing worth rewriting: no-op
+    names = [e["path"] for e in victims]
     if not names:
         raise ValueError("snapshot has no files to compact")
-    total = sum(int(e.get("bytes", 0)) for e in snap["files"])
+    total = sum(int(e.get("bytes", 0)) for e in victims)
     n_out = max(1, -(-total // max(1, target_bytes)))
     # DV-aware: a compaction materializes deletion vectors (rewritten
     # files carry only live rows and fresh entries without dv)
-    src = _read_entries(spark, path, snap["files"])
+    src = _read_entries(spark, path, victims)
     if zorder_cols:
         if sort_cols:
             raise ValueError("pass sort_cols OR zorder_cols, not both")

@@ -50,6 +50,8 @@ from pyspark.sql.datasource import (
     GreaterThan,
     GreaterThanOrEqual,
     InputPartition,
+    IsNotNull,
+    IsNull,
     LessThan,
     LessThanOrEqual,
     WriterCommitMessage,
@@ -110,6 +112,9 @@ class SnapshotReaderNoPushdown(DataSourceReader):
         self.part_eq: dict[str, object] = {}
         self.part_lo: dict[str, object] = {}
         self.part_hi: dict[str, object] = {}
+        #: col -> True (IS NULL) / False (IS NOT NULL): pruned against
+        #: the per-file footer null counts the manifest records
+        self.null_preds: dict[str, bool] = {}
 
     def _partition_predicates(self) -> dict:
         preds: dict[str, tuple] = {}
@@ -121,6 +126,18 @@ class SnapshotReaderNoPushdown(DataSourceReader):
         return preds
 
     def _keep(self, entry: dict) -> bool:
+        rows = entry.get("rows")
+        for col, want_null in self.null_preds.items():
+            nulls = entry.get("nulls", {}).get(col)
+            if nulls is None or rows is None:
+                continue  # no null stats -> conservatively keep
+            # physical counts stay valid under deletion vectors: zero
+            # physical nulls means zero live nulls, all-null means every
+            # live row is null — both prunes remain supersets
+            if want_null and nulls == 0:
+                return False
+            if not want_null and nulls == rows:
+                return False
         for col, (lo, hi) in self.ranges.items():
             st = entry.get("stats", {}).get(col)
             if st is None:
@@ -249,6 +266,11 @@ class SnapshotReader(SnapshotReaderNoPushdown):
         for f in filters:
             v = getattr(f, "value", None)
             attr = getattr(f, "attribute", ())
+            if isinstance(f, (IsNull, IsNotNull)) and len(attr) == 1 \
+                    and attr[0] in self.columns:
+                self.null_preds[attr[0]] = isinstance(f, IsNull)
+                yield f
+                continue
             # raw-valued capture for hidden-partition pruning (any type:
             # bucket hashes exact string forms, day takes datetimes)
             if v is not None and len(attr) == 1 and attr[0] in self.columns:
@@ -321,22 +343,41 @@ class SnapshotDataSource(DataSource):
             ]
         if not man["files"]:
             raise ValueError("snapshot has no files to infer a schema from")
+
+        def _all_nullable(st):
+            # Spark writes non-null columns as parquet REQUIRED; inferring
+            # the table schema from such a file would mark the column
+            # non-nullable and Spark then constant-folds `col IS NULL` to
+            # empty — wrong the moment ANOTHER file carries nulls. An
+            # external table's columns are always nullable (the
+            # Iceberg/Delta rule).
+            from pyspark.sql import types as T
+
+            return T.StructType(
+                [
+                    T.StructField(f.name, f.dataType, True, f.metadata)
+                    for f in st.fields
+                ]
+            )
+
         if str(self.options.get("mergeschema",
                                 self.options.get("mergeSchema", "false"))
                ).lower() == "true":
             # ADD-COLUMN schema evolution: union the per-file schemas
             # (missing columns null-fill at read); one footer read per
             # manifest file, planning-time only
-            return from_arrow_schema(
-                pa.unify_schemas(
-                    [
-                        pq.read_schema(os.path.join(root, e["path"]))
-                        for e in man["files"]
-                    ]
+            return _all_nullable(
+                from_arrow_schema(
+                    pa.unify_schemas(
+                        [
+                            pq.read_schema(os.path.join(root, e["path"]))
+                            for e in man["files"]
+                        ]
+                    )
                 )
             )
         first = os.path.join(root, man["files"][0]["path"])
-        return from_arrow_schema(pq.read_schema(first))
+        return _all_nullable(from_arrow_schema(pq.read_schema(first)))
 
     def reader(self, schema) -> SnapshotReaderNoPushdown:
         enabled = str(self.options.get("pushdown", "false")).lower() == "true"

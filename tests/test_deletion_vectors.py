@@ -147,3 +147,49 @@ class TestDvDelete:
         assert len(v1_shards & v2_shards) == 2, "untouched shards reused"
         assert M.count_snapshot(p) == 299  # via shard dv_total, no loads
         assert M.read_snapshot(spark, p).count() == 299
+
+
+class TestSmallFileOnlyCompaction:
+    def test_big_files_carry_over_untouched(self, spark, tmp_path):
+        p = str(tmp_path / "optim")
+        # one big file + four small ones
+        spark.range(50_000).selectExpr("id AS k", "id * 2 AS v").coalesce(
+            1
+        ).write.parquet(p)
+        for i in range(4):
+            spark.range(50_000 + i * 10, 50_000 + i * 10 + 10).selectExpr(
+                "id AS k", "id * 2 AS v"
+            ).coalesce(1).write.mode("append").parquet(p)
+        M.publish_snapshot(p, ["k"])
+        v1 = M.load_snapshot(p)
+        big = max(v1["files"], key=lambda e: e["bytes"])["path"]
+        man = M.compact_snapshot(
+            spark, p, target_bytes=10**9, max_input_bytes=100_000
+        )
+        names = {e["path"] for e in man["files"]}
+        assert big in names, "the big file must carry over by reference"
+        assert len(man["files"]) == 2, "4 small files -> 1 rewritten"
+        assert M.read_snapshot(spark, p).count() == 50_040
+        # no-op when nothing small remains
+        man2 = M.compact_snapshot(
+            spark, p, target_bytes=10**9, max_input_bytes=10
+        )
+        assert man2["version"] == man["version"]
+
+    def test_dv_file_always_qualifies(self, spark, tmp_path):
+        from pyspark.sql import Row
+
+        p = str(tmp_path / "optim_dv")
+        spark.range(1000).selectExpr("id AS k", "id * 2 AS v").coalesce(
+            1
+        ).write.parquet(p)
+        M.publish_snapshot(p, ["k"])
+        delete_snapshot_rows_dv(
+            spark, p, spark.createDataFrame([Row(k=5)]), ["k"]
+        )
+        # file is "big" relative to the threshold, but carries a dv
+        man = M.compact_snapshot(
+            spark, p, target_bytes=10**9, max_input_bytes=10
+        )
+        assert all(not e.get("dv") for e in man["files"])
+        assert M.read_snapshot(spark, p).count() == 999
