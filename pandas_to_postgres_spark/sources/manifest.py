@@ -605,7 +605,7 @@ def publish_snapshot(
 #: keep its spec across appends/merges/compactions (files the rewrite
 #: paths produce carry no partition tuple and are conservatively kept by
 #: partition pruning, so inheritance is always sound)
-_INHERITED_KEYS = ("partition_spec",)
+_INHERITED_KEYS = ("partition_spec", "column_map")
 
 
 def _inherit(manifest: dict, head: dict | None) -> dict:
@@ -870,7 +870,15 @@ def read_snapshot(
             f"snapshot v{snap['version']} of {path} froze zero files — "
             "published on an empty directory; there is no schema to read"
         )
-    return _read_entries(spark, path, snap["files"], merge_schema)
+    cmap = snap.get("column_map")
+    if cmap and cmap.get("renames"):
+        # mixed-vintage file sets carry a renamed column under BOTH its
+        # physical names; the union read surfaces both so the logical
+        # projection can coalesce them
+        merge_schema = True
+    return _apply_column_map(
+        _read_entries(spark, path, snap["files"], merge_schema), cmap
+    )
 
 
 def read_snapshot_pruned(
@@ -1750,3 +1758,96 @@ def read_snapshot_ref(
     consumer opts into the audited (write-audit-publish) view instead of
     raw ``latest``."""
     return read_snapshot(spark, path, resolve_ref(path, name), merge_schema)
+
+
+# ------------------------------------------------ column mapping (DDL)
+
+def rename_snapshot_column(path: str, old: str, new: str) -> dict:
+    """METADATA-ONLY column rename (Iceberg field-ID renames / Delta
+    column mapping, alias-based): no data file is touched — the manifest
+    gains a ``column_map`` entry mapping the new LOGICAL name to the old
+    physical name(s), readers coalesce whichever physical name each file
+    carries (files written after the rename carry the new name
+    physically; files from before carry the old one), and the map
+    INHERITS through every later commit like ``partition_spec``.
+    Renaming a renamed column chains the alias list. Publishes one new
+    version under the usual optimistic claim."""
+    for _ in range(_MAX_PUBLISH_RETRIES):
+        head = load_snapshot(path)
+        cmap = {
+            "renames": dict(head.get("column_map", {}).get("renames", {})),
+            "dropped": list(head.get("column_map", {}).get("dropped", [])),
+        }
+        aliases = cmap["renames"].pop(old, [old])
+        if new in cmap["renames"]:
+            raise ValueError(f"column {new!r} already exists (renamed)")
+        cmap["renames"][new] = aliases
+        manifest = _inherit(
+            _pack_manifest(
+                path,
+                head["version"] + 1,
+                head.get("stat_cols", []),
+                head["files"],
+                head,
+            ),
+            head,
+        )
+        manifest["column_map"] = cmap
+        manifest["data_change"] = False  # rows untouched: feed emits nothing
+        if _claim_version(path, head["version"] + 1, manifest):
+            manifest["files"] = [_strip_entry(e) for e in head["files"]]
+            return manifest
+    raise RuntimeError("rename_snapshot_column: lost all version claims")
+
+
+def drop_snapshot_column(path: str, name: str) -> dict:
+    """METADATA-ONLY column drop: the physical bytes stay in old files
+    (time travel to prior versions still sees them) but readers of this
+    and later versions exclude every physical alias of the column."""
+    for _ in range(_MAX_PUBLISH_RETRIES):
+        head = load_snapshot(path)
+        cmap = {
+            "renames": dict(head.get("column_map", {}).get("renames", {})),
+            "dropped": list(head.get("column_map", {}).get("dropped", [])),
+        }
+        aliases = cmap["renames"].pop(name, [name])
+        cmap["dropped"] = sorted(set(cmap["dropped"]) | set(aliases) | {name})
+        manifest = _inherit(
+            _pack_manifest(
+                path,
+                head["version"] + 1,
+                head.get("stat_cols", []),
+                head["files"],
+                head,
+            ),
+            head,
+        )
+        manifest["column_map"] = cmap
+        manifest["data_change"] = False
+        if _claim_version(path, head["version"] + 1, manifest):
+            manifest["files"] = [_strip_entry(e) for e in head["files"]]
+            return manifest
+    raise RuntimeError("drop_snapshot_column: lost all version claims")
+
+
+def _apply_column_map(df: DataFrame, cmap: dict | None) -> DataFrame:
+    """Project a physical scan to the LOGICAL schema: renamed columns
+    coalesce across their physical aliases (mixed-vintage file sets read
+    with mergeSchema carry both names), dropped columns disappear."""
+    if not cmap:
+        return df
+    from pyspark.sql import functions as F
+
+    for logical, aliases in cmap.get("renames", {}).items():
+        present = [a for a in aliases if a in df.columns]
+        if logical in df.columns and present:
+            df = df.withColumn(
+                logical,
+                F.coalesce(F.col(logical), *[F.col(a) for a in present]),
+            ).drop(*present)
+        elif present:
+            df = df.withColumn(
+                logical, F.coalesce(*[F.col(a) for a in present])
+            ).drop(*present)
+    drop = [c for c in cmap.get("dropped", []) if c in df.columns]
+    return df.drop(*drop) if drop else df

@@ -124,3 +124,107 @@ class TestWriteAuditPublish:
         # audit passes on v2-equivalent; promote main to latest good state
         set_branch(table, "main", 2)
         assert read_snapshot_ref(spark, table, "main").count() == 150
+
+
+class TestColumnMapping:
+    """Metadata-only RENAME/DROP: no data file is rewritten, readers
+    project physical names to the logical schema across file vintages,
+    time travel shows each version's own schema."""
+
+    def _table(self, spark, tmp_path):
+        import os
+
+        p = str(tmp_path / "cmap_tbl")
+        spark.range(50).selectExpr("id AS k", "id * 2 AS price").coalesce(
+            1
+        ).write.parquet(p)
+        M.publish_snapshot(p, ["k"])
+        return p
+
+    def test_rename_is_metadata_only_and_reads_logical(self, spark, tmp_path):
+        import os
+
+        from pandas_to_postgres_spark.sources.manifest import (
+            rename_snapshot_column,
+        )
+
+        p = self._table(spark, tmp_path)
+        files_before = sorted(
+            f for f in os.listdir(p) if f.endswith(".parquet")
+        )
+        man = rename_snapshot_column(p, "price", "amount")
+        assert sorted(
+            f for f in os.listdir(p) if f.endswith(".parquet")
+        ) == files_before
+        assert man["data_change"] is False
+
+        head = M.read_snapshot(spark, p)
+        assert "amount" in head.columns and "price" not in head.columns
+        assert head.agg({"amount": "sum"}).first()[0] == sum(
+            i * 2 for i in range(50)
+        )
+        # time travel: v1 still has the old name
+        v1 = M.read_snapshot(spark, p, version=1)
+        assert "price" in v1.columns
+
+    def test_mixed_vintage_files_coalesce(self, spark, tmp_path):
+        import os
+
+        from pandas_to_postgres_spark.sources.manifest import (
+            rename_snapshot_column,
+        )
+
+        p = self._table(spark, tmp_path)
+        rename_snapshot_column(p, "price", "amount")
+        # a post-rename writer appends with the LOGICAL name
+        spark.range(50, 80).selectExpr(
+            "id AS k", "id * 2 AS amount"
+        ).coalesce(1).write.mode("append").parquet(p)
+        head_files = {e["path"] for e in M.load_snapshot(p)["files"]}
+        M.append_snapshot(p, [
+            f for f in sorted(os.listdir(p))
+            if f.endswith(".parquet") and f not in head_files
+        ])
+        head = M.read_snapshot(spark, p)
+        assert head.count() == 80
+        assert head.filter("amount IS NULL").count() == 0
+        assert head.agg({"amount": "sum"}).first()[0] == sum(
+            i * 2 for i in range(80)
+        )
+
+    def test_chained_rename(self, spark, tmp_path):
+        from pandas_to_postgres_spark.sources.manifest import (
+            rename_snapshot_column,
+        )
+
+        p = self._table(spark, tmp_path)
+        rename_snapshot_column(p, "price", "amount")
+        rename_snapshot_column(p, "amount", "total")
+        head = M.read_snapshot(spark, p)
+        assert "total" in head.columns
+        assert "price" not in head.columns and "amount" not in head.columns
+        assert head.agg({"total": "sum"}).first()[0] == sum(
+            i * 2 for i in range(50)
+        )
+
+    def test_drop_is_metadata_only(self, spark, tmp_path):
+        from pandas_to_postgres_spark.sources.manifest import (
+            drop_snapshot_column,
+        )
+
+        p = self._table(spark, tmp_path)
+        drop_snapshot_column(p, "price")
+        head = M.read_snapshot(spark, p)
+        assert head.columns == ["k"]
+        assert M.read_snapshot(spark, p, version=1).columns == ["k", "price"]
+
+    def test_rename_then_drop_drops_all_aliases(self, spark, tmp_path):
+        from pandas_to_postgres_spark.sources.manifest import (
+            drop_snapshot_column,
+            rename_snapshot_column,
+        )
+
+        p = self._table(spark, tmp_path)
+        rename_snapshot_column(p, "price", "amount")
+        drop_snapshot_column(p, "amount")
+        assert M.read_snapshot(spark, p).columns == ["k"]
