@@ -3926,3 +3926,94 @@ def snapshot_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return outs[0].unionAll(outs[1])
+
+
+_RENAME_ORACLE = """
+    WITH base AS (
+        SELECT p_brand,
+               CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS pc,
+               p_partkey
+        FROM part)
+    SELECT p_brand,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(pc) AS BIGINT) AS price_cents
+    FROM base GROUP BY p_brand
+    """
+
+
+@register("snapshot_rename_column", min_rows=3, oracle=_RENAME_ORACLE)
+def snapshot_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only column RENAME under the driver oracle: half of part
+    lands as a snapshot table with a ``pc`` price-cents column,
+    ``rename_snapshot_column`` renames it to ``price_cents`` WITHOUT
+    touching a byte of data (the query asserts the file list is
+    unchanged), and the second half appends AFTER the rename carrying
+    the new name physically — so the final read coalesces a
+    mixed-vintage file set (old files say ``pc``, new files say
+    ``price_cents``) into one logical column. The per-brand aggregate
+    over that logical column must equal the oracle's plain aggregate
+    over raw part: any row lost or null-filled by the mapping breaks
+    the value hash.
+
+    Scale: rename is O(manifest) regardless of table size — the Iceberg
+    column-mapping answer to "rename a column on a 100 TB table" (a
+    physical rewrite would be the single most expensive DDL there is);
+    the read-side coalesce is a per-row projection, no shuffle."""
+    import hashlib
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    from pandas_to_postgres_spark.sources.manifest import (
+        append_snapshot,
+        load_snapshot,
+        publish_snapshot,
+        read_snapshot,
+        rename_snapshot_column,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:6]
+    wh = urlparse(
+        spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    ).path or "spark-warehouse"
+    path = os.path.join(wh, f"rn_table_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_brand",
+        F.floor(F.col("p_retailprice") * 100 + 0.5).cast("long").alias("pc"),
+    )
+    p.filter(F.col("p_partkey") % 2 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path)
+    publish_snapshot(path, ["p_partkey"])
+    files_v1 = {e["path"] for e in load_snapshot(path)["files"]}
+
+    rename_snapshot_column(path, "pc", "price_cents")
+    if {e["path"] for e in load_snapshot(path)["files"]} != files_v1:
+        raise AssertionError("rename rewrote data files")
+
+    # post-rename vintage: written under the LOGICAL name
+    p.filter(F.col("p_partkey") % 2 == 1).select(
+        "p_partkey", "p_brand", F.col("pc").alias("price_cents")
+    ).coalesce(1).write.mode("append").parquet(path)
+    head = {e["path"] for e in load_snapshot(path)["files"]}
+    append_snapshot(
+        path,
+        [
+            f
+            for f in sorted(os.listdir(path))
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+            and f not in head
+        ],
+    )
+
+    return (
+        read_snapshot(spark, path)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.sum("price_cents").cast("long").alias("price_cents"),
+        )
+    )
