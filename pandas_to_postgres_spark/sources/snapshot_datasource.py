@@ -551,17 +551,48 @@ class SnapshotStreamReader(DataSourceStreamReader):
         self.path = options["path"]
         self.spark_schema = schema
         self.columns = list(schema.fieldNames())
+        #: committed-offset floor for maxVersionsPerTrigger (None until
+        #: the first commit of this session — see latestOffset)
+        self._last_committed: int | None = None
 
     def initialOffset(self) -> dict:
         return {"version": 0}
 
     def latestOffset(self) -> dict:
+        """Head version — bounded by two options:
+
+        - ``ref``: follow a NAMED BRANCH instead of raw latest (audited
+          streaming: the feed only advances when the write-audit-publish
+          gate moves the branch — unaudited versions are never even
+          offered as an offset);
+        - ``maxVersionsPerTrigger``: advance at most N versions per
+          micro-batch (the file-source ``maxFilesPerTrigger`` rate-limit
+          shape — a stream catching up on a long version backlog drains
+          it in bounded bites instead of one giant batch).
+        """
         from pandas_to_postgres_spark.sources.manifest import (
+            resolve_ref,
             snapshot_versions,
         )
 
-        vs = snapshot_versions(self.path)
-        return {"version": vs[-1] if vs else 0}
+        ref = self.options.get("ref")
+        if ref is not None:
+            head = resolve_ref(self.path, ref)
+        else:
+            vs = snapshot_versions(self.path)
+            head = vs[-1] if vs else 0
+        cap = self.options.get(
+            "maxversionspertrigger",
+            self.options.get("maxVersionsPerTrigger"),
+        )
+        if cap is not None and self._last_committed is not None:
+            # cap only once this session has a committed floor — on a
+            # fresh reader (restart) the checkpointed start is unknown
+            # here, and capping below it would regress the offset; the
+            # first batch therefore drains uncapped, every later one is
+            # bounded (same spirit as availableNow's full first drain)
+            head = min(head, self._last_committed + max(1, int(cap)))
+        return {"version": head}
 
     def _snap(self, version: int) -> dict:
         if version <= 0:
@@ -631,4 +662,6 @@ class SnapshotStreamReader(DataSourceStreamReader):
         )
 
     def commit(self, end: dict) -> None:
-        pass  # offsets live in Spark's checkpoint; manifests are immutable
+        # offsets live in Spark's checkpoint; manifests are immutable —
+        # we only remember the floor for maxVersionsPerTrigger
+        self._last_committed = int(end["version"])

@@ -228,3 +228,58 @@ class TestColumnMapping:
         rename_snapshot_column(p, "price", "amount")
         drop_snapshot_column(p, "amount")
         assert M.read_snapshot(spark, p).columns == ["k"]
+
+
+class TestBranchFollowingStream:
+    """The change feed follows a branch ref (audited streaming) and
+    bounds catch-up batches via maxVersionsPerTrigger."""
+
+    def _publish_n(self, spark, p, n, start=0):
+        import os
+
+        for i in range(n):
+            spark.range(start + i * 10, start + i * 10 + 10).selectExpr(
+                "id AS k", "id * 2 AS v"
+            ).coalesce(1).write.mode("append").parquet(p)
+            head = (
+                {e["path"] for e in M.load_snapshot(p)["files"]}
+                if M.snapshot_versions(p)
+                else set()
+            )
+            M.append_snapshot(p, [
+                f for f in sorted(os.listdir(p))
+                if f.endswith(".parquet") and f not in head
+            ])
+
+    def test_stream_follows_branch_not_latest(self, spark, tmp_path):
+        from pandas_to_postgres_spark.sources.snapshot_datasource import (
+            SnapshotStreamReader,
+        )
+
+        p = str(tmp_path / "brstream")
+        self._publish_n(spark, p, 3)
+        set_branch(p, "main", 2)
+        schema = spark.range(1).selectExpr("id AS k", "id AS v").schema
+        r = SnapshotStreamReader({"path": p, "ref": "main"}, schema)
+        assert r.latestOffset() == {"version": 2}, "feed stops at the branch"
+        set_branch(p, "main", 3)
+        assert r.latestOffset() == {"version": 3}
+
+    def test_max_versions_per_trigger_bounds_catchup(self, spark, tmp_path):
+        from pandas_to_postgres_spark.sources.snapshot_datasource import (
+            SnapshotStreamReader,
+        )
+
+        p = str(tmp_path / "ratestream")
+        self._publish_n(spark, p, 5)
+        schema = spark.range(1).selectExpr("id AS k", "id AS v").schema
+        r = SnapshotStreamReader(
+            {"path": p, "maxVersionsPerTrigger": "2"}, schema
+        )
+        # first poll of the session: uncapped (restart-safe full drain)
+        assert r.latestOffset() == {"version": 5}
+        r.commit({"version": 1})
+        # now capped: at most 2 versions past the committed floor
+        assert r.latestOffset() == {"version": 3}
+        r.commit({"version": 3})
+        assert r.latestOffset() == {"version": 5}
