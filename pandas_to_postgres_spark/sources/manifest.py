@@ -1778,10 +1778,13 @@ def rename_snapshot_column(path: str, old: str, new: str) -> dict:
             "renames": dict(head.get("column_map", {}).get("renames", {})),
             "dropped": list(head.get("column_map", {}).get("dropped", [])),
         }
-        aliases = cmap["renames"].pop(old, [old])
+        aliases = cmap["renames"].pop(old, [])
         if new in cmap["renames"]:
             raise ValueError(f"column {new!r} already exists (renamed)")
-        cmap["renames"][new] = aliases
+        # the old LOGICAL name is itself a physical vintage (files written
+        # between renames carry it), so it joins the alias chain ahead of
+        # its own older aliases
+        cmap["renames"][new] = [old] + [a for a in aliases if a != old]
         manifest = _inherit(
             _pack_manifest(
                 path,

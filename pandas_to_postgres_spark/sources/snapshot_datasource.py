@@ -49,6 +49,7 @@ from pyspark.sql.datasource import (
     EqualTo,
     GreaterThan,
     GreaterThanOrEqual,
+    In,
     InputPartition,
     IsNotNull,
     IsNull,
@@ -78,6 +79,28 @@ def _resolve_version(options) -> int | None:
     if ref is not None:
         return resolve_ref(options["path"], ref)
     return int(v) if v is not None else None
+
+
+def _map_columns(st, cmap):
+    """Project an inferred physical schema to the LOGICAL one: renamed
+    columns appear under their logical name (type taken from whichever
+    physical alias the sampled file carries), dropped columns and
+    superseded aliases disappear."""
+    if not cmap:
+        return st
+    from pyspark.sql import types as T
+
+    renames = cmap.get("renames", {})
+    dropped = set(cmap.get("dropped", []))
+    alias_of = {a: lg for lg, als in renames.items() for a in als}
+    fields, seen = [], set()
+    for f in st.fields:
+        name = alias_of.get(f.name, f.name)
+        if f.name in dropped or name in dropped or name in seen:
+            continue
+        seen.add(name)
+        fields.append(T.StructField(name, f.dataType, True, f.metadata))
+    return T.StructType(fields)
 
 
 def _load(options, materialize: bool = True) -> dict:
@@ -115,6 +138,15 @@ class SnapshotReaderNoPushdown(DataSourceReader):
         #: col -> True (IS NULL) / False (IS NOT NULL): pruned against
         #: the per-file footer null counts the manifest records
         self.null_preds: dict[str, bool] = {}
+        #: col -> set of IN-list values (stats + partition pruning)
+        self.in_sets: dict[str, set] = {}
+        #: logical -> physical alias chain from the manifest column_map
+        #: (captured at plan time; executors project per-file through it)
+        try:
+            cm = _load(self.options, materialize=False).get("column_map") or {}
+        except Exception:
+            cm = {}
+        self.renames: dict[str, list] = dict(cm.get("renames", {}))
 
     def _partition_predicates(self) -> dict:
         preds: dict[str, tuple] = {}
@@ -148,6 +180,16 @@ class SnapshotReaderNoPushdown(DataSourceReader):
                 continue
             if (hi is not None and hi < fmin) or (lo is not None and lo > fmax):
                 return False
+        for col, values in self.in_sets.items():
+            st = entry.get("stats", {}).get(col)
+            if st is None:
+                continue
+            try:
+                fmin, fmax = float(st[0]), float(st[1])
+                if not any(fmin <= float(v) <= fmax for v in values):
+                    return False
+            except (TypeError, ValueError):
+                continue
         return True
 
     def partitions(self) -> List[InputPartition]:
@@ -198,12 +240,12 @@ class SnapshotReaderNoPushdown(DataSourceReader):
             return
         fpath, dv = partition.value
         yield from _read_file_projected(
-            fpath, self.columns, self.spark_schema, dv
+            fpath, self.columns, self.spark_schema, dv, self.renames
         )
 
 
 def _read_file_projected(
-    file_path, columns, spark_schema, dv=()
+    file_path, columns, spark_schema, dv=(), renames=None
 ) -> Iterator:
     """One parquet file → Arrow batches projected to ``columns``.
     Schema evolution: columns the file predates are null-filled at the
@@ -243,9 +285,25 @@ def _read_file_projected(
         ).to_batches()
         return
     have = set(pq.read_schema(file_path).names)
-    present = [c for c in columns if c in have]
-    tbl = _apply_dv(_us_timestamps(pq.read_table(file_path, columns=present)))
-    missing = [c for c in columns if c not in have]
+    # column mapping: a LOGICAL column absent from this file vintage may
+    # exist under a physical alias (metadata-only renames) — read the
+    # alias and surface it under the logical name
+    src = {}
+    for c in columns:
+        if c in have:
+            src[c] = c
+        else:
+            for a in (renames or {}).get(c, ()):  # alias chain, newest first
+                if a in have:
+                    src[c] = a
+                    break
+    present = [c for c in columns if c in src]
+    tbl = _apply_dv(
+        _us_timestamps(
+            pq.read_table(file_path, columns=[src[c] for c in present])
+        )
+    ).rename_columns(present)
+    missing = [c for c in columns if c not in src]
     if missing:
         target = to_arrow_schema(spark_schema)
         for c in missing:
@@ -269,6 +327,13 @@ class SnapshotReader(SnapshotReaderNoPushdown):
             if isinstance(f, (IsNull, IsNotNull)) and len(attr) == 1 \
                     and attr[0] in self.columns:
                 self.null_preds[attr[0]] = isinstance(f, IsNull)
+                yield f
+                continue
+            if isinstance(f, In) and len(attr) == 1 \
+                    and attr[0] in self.columns:
+                vals = getattr(f, "value", None) or ()
+                if vals and all(v is not None for v in vals):
+                    self.in_sets[attr[0]] = set(vals)
                 yield f
                 continue
             # raw-valued capture for hidden-partition pruning (any type:
@@ -366,18 +431,24 @@ class SnapshotDataSource(DataSource):
             # ADD-COLUMN schema evolution: union the per-file schemas
             # (missing columns null-fill at read); one footer read per
             # manifest file, planning-time only
-            return _all_nullable(
-                from_arrow_schema(
-                    pa.unify_schemas(
-                        [
-                            pq.read_schema(os.path.join(root, e["path"]))
-                            for e in man["files"]
-                        ]
+            return _map_columns(
+                _all_nullable(
+                    from_arrow_schema(
+                        pa.unify_schemas(
+                            [
+                                pq.read_schema(os.path.join(root, e["path"]))
+                                for e in man["files"]
+                            ]
+                        )
                     )
-                )
+                ),
+                _load(self.options, materialize=False).get("column_map"),
             )
         first = os.path.join(root, man["files"][0]["path"])
-        return _all_nullable(from_arrow_schema(pq.read_schema(first)))
+        return _map_columns(
+            _all_nullable(from_arrow_schema(pq.read_schema(first))),
+            _load(self.options, materialize=False).get("column_map"),
+        )
 
     def reader(self, schema) -> SnapshotReaderNoPushdown:
         enabled = str(self.options.get("pushdown", "false")).lower() == "true"

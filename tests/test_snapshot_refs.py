@@ -283,3 +283,60 @@ class TestBranchFollowingStream:
         assert r.latestOffset() == {"version": 3}
         r.commit({"version": 3})
         assert r.latestOffset() == {"version": 5}
+
+
+class TestColumnMappingDataSource:
+    """format('snapshot') reads the LOGICAL schema across file vintages
+    (the executor projects each file's physical alias); In-list pushdown
+    prunes by stats."""
+
+    def test_datasource_reads_logical_schema(self, spark, tmp_path):
+        import os
+
+        from pandas_to_postgres_spark.sources.manifest import (
+            rename_snapshot_column,
+        )
+        from pandas_to_postgres_spark.sources.snapshot_datasource import (
+            SnapshotDataSource,
+        )
+
+        p = str(tmp_path / "cmds")
+        spark.range(40).selectExpr("id AS k", "id * 3 AS price").coalesce(
+            1
+        ).write.parquet(p)
+        M.publish_snapshot(p, ["k"])
+        rename_snapshot_column(p, "price", "amount")
+        spark.range(40, 60).selectExpr(
+            "id AS k", "id * 3 AS amount"
+        ).coalesce(1).write.mode("append").parquet(p)
+        head = {e["path"] for e in M.load_snapshot(p)["files"]}
+        M.append_snapshot(p, [
+            f for f in sorted(os.listdir(p))
+            if f.endswith(".parquet") and f not in head
+        ])
+
+        spark.dataSource.register(SnapshotDataSource)
+        df = spark.read.format("snapshot").option("path", p).load()
+        assert "amount" in df.columns and "price" not in df.columns
+        assert df.count() == 60
+        assert df.filter("amount IS NULL").count() == 0
+        assert df.agg({"amount": "sum"}).first()[0] == sum(
+            i * 3 for i in range(60)
+        )
+
+    def test_in_list_pushdown_prunes_by_stats(self, spark, tmp_path):
+        from pyspark.sql.datasource import In
+
+        from pandas_to_postgres_spark.sources.snapshot_datasource import (
+            SnapshotReader,
+        )
+
+        p = str(tmp_path / "intbl")
+        spark.range(300).selectExpr("id AS k", "id AS v").repartitionByRange(
+            3, "k"
+        ).write.parquet(p)
+        M.publish_snapshot(p, ["k"])
+        r = SnapshotReader({"path": p}, ["k", "v"])
+        list(r.pushFilters([In(("k",), (5, 17, 63))]))
+        parts = r.partitions()
+        assert len(parts) == 1, "all IN values live in the first range file"
