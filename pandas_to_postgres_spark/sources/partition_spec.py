@@ -195,6 +195,30 @@ def stage_partitioned_files(
     return names, entries
 
 
+def _canon_spec(spec: Sequence[Mapping[str, Any]]) -> tuple:
+    return tuple(
+        (f["transform"], f["col"], f.get("param")) for f in spec
+    )
+
+
+def _head_specs(path: str) -> tuple[dict[str, list], str | None]:
+    """The table's spec registry: {spec_id: fields} plus the default
+    spec id — back-compat: a pre-evolution manifest carrying only
+    ``partition_spec`` registers it as spec "0"."""
+    from pandas_to_postgres_spark.sources.manifest import (
+        load_snapshot,
+        snapshot_versions,
+    )
+
+    if not os.path.isdir(path) or not snapshot_versions(path):
+        return {}, None
+    head = load_snapshot(path)
+    specs = dict(head.get("partition_specs") or {})
+    if not specs and head.get("partition_spec"):
+        specs = {"0": head["partition_spec"]}
+    return specs, str(head.get("default_spec_id", "0")) if specs else None
+
+
 def write_partitioned_snapshot(
     spark: SparkSession,
     df: DataFrame,
@@ -207,23 +231,98 @@ def write_partitioned_snapshot(
     partition tuple, the staged hive layout flattens into the snapshot
     dir (partition values move from DIRECTORY NAMES into manifest entry
     metadata — the layout stops being load-bearing, which is the whole
-    "hidden" point), and the publish records the spec."""
+    "hidden" point), and the publish records the spec.
+
+    SPEC EVOLUTION (Iceberg spec-id-per-file): writing with a spec the
+    table has not seen registers it in the manifest's
+    ``partition_specs`` registry under a fresh id and makes it the
+    default — NO existing file rewrites. Each entry carries the
+    ``spec_id`` it was written under (absent = the table's first spec),
+    and the planner prunes every file against ITS OWN spec, so a table
+    can re-partition (day(ts) → hour(ts), bucket(8) → bucket(16))
+    mid-life and old files keep pruning by their old layout while new
+    files prune by the new one."""
     import uuid
 
     from pandas_to_postgres_spark.sources.manifest import publish_snapshot
 
+    specs, _default = _head_specs(path)
+    canon = _canon_spec(spec)
+    sid = next(
+        (i for i, s in specs.items() if _canon_spec(s) == canon), None
+    )
+    if sid is None:
+        sid = str(max((int(i) for i in specs), default=-1) + 1)
+        specs = dict(specs)
+        specs[sid] = [dict(f) for f in spec]
     # job-unique part names: a second partitioned write must never clobber
     # files an earlier snapshot references (time travel would silently
     # read the new rows)
     names, entries = stage_partitioned_files(
         df, path, spec, stat_cols, prefix=f"part-p{uuid.uuid4().hex[:8]}-"
     )
+    for e in entries:
+        e["spec_id"] = sid
     return publish_snapshot(
         path,
         stat_cols,
         files=names,
         known_entries=entries,
-        extra={"partition_spec": [dict(f) for f in spec]},
+        extra={
+            "partition_spec": [dict(f) for f in spec],
+            "partition_specs": specs,
+            "default_spec_id": sid,
+        },
+    )
+
+
+def append_partitioned_snapshot(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    spec: Sequence[Mapping[str, Any]],
+    stat_cols: Sequence[str] | None = None,
+) -> dict:
+    """APPEND a new vintage to a hidden-partitioned table, evolving the
+    partition spec if ``spec`` differs from any the table has seen —
+    the Iceberg re-partition move: NO existing file is rewritten, the
+    new spec is registered under a fresh ``spec_id`` and becomes the
+    default, new entries are stamped with it, and the planner prunes
+    every file against the spec it was written under. Re-partitioning
+    a 100 TB table is therefore a metadata operation plus the new data
+    only."""
+    import uuid
+
+    from pandas_to_postgres_spark.sources.manifest import append_snapshot
+
+    specs, _default = _head_specs(path)
+    canon = _canon_spec(spec)
+    sid = next(
+        (i for i, s in specs.items() if _canon_spec(s) == canon), None
+    )
+    if sid is None:
+        sid = str(max((int(i) for i in specs), default=-1) + 1)
+        specs = dict(specs)
+        specs[sid] = [dict(f) for f in spec]
+    names, entries = stage_partitioned_files(
+        df,
+        path,
+        spec,
+        stat_cols or (),
+        prefix=f"part-p{uuid.uuid4().hex[:8]}-",
+    )
+    for e in entries:
+        e["spec_id"] = sid
+    return append_snapshot(
+        path,
+        names,
+        stat_cols=stat_cols,
+        known_entries=entries,
+        extra={
+            "partition_spec": [dict(f) for f in spec],
+            "partition_specs": specs,
+            "default_spec_id": sid,
+        },
     )
 
 
@@ -274,19 +373,28 @@ def plan_hidden_scan(
     version: int | None = None,
 ) -> dict:
     """Planning-time partition pruning: evaluate raw-column predicates
-    against every entry's transformed tuple. Returns {"keep": entries,
-    "total_files": int, "spec": [...]}."""
+    against every entry's transformed tuple — each entry against the
+    spec it was WRITTEN under (``spec_id``, Iceberg's evolution rule),
+    so after a re-partition old files keep pruning by their old
+    transforms and new files by the new ones; a same-named field whose
+    transform changed between specs (bucket(8)→bucket(16)) can never be
+    tested against the wrong hash. Returns {"keep": entries,
+    "total_files": int, "spec": [...]} (spec = the current default)."""
     from pandas_to_postgres_spark.sources.manifest import load_snapshot
 
     snap = load_snapshot(path, version)
     spec = snap.get("partition_spec")
     if not spec:
         raise ValueError(f"{path} has no partition_spec in its manifest")
-    keep = [
-        e
-        for e in snap["files"]
-        if _entry_may_match(e, spec, predicates)
-    ]
+    specs = dict(snap.get("partition_specs") or {})
+    if not specs:
+        specs = {"0": spec}
+    first_sid = str(min(int(i) for i in specs))
+    keep = []
+    for e in snap["files"]:
+        e_spec = specs.get(str(e.get("spec_id", first_sid)), spec)
+        if _entry_may_match(e, e_spec, predicates):
+            keep.append(e)
     return {"keep": keep, "total_files": len(snap["files"]), "spec": spec}
 
 
@@ -301,17 +409,28 @@ def read_snapshot_hidden(
     maps them through the spec's transforms to prune files, then the
     EXACT predicate re-applies on the scan (superset guarantee). Users
     never reference a partition column; changing the spec later never
-    changes this call."""
-    from pandas_to_postgres_spark.sources.manifest import load_snapshot
+    changes this call.
 
+    Surviving entries read through :func:`manifest._read_entries`
+    (deletion-vector anti-join) and project through the snapshot's
+    column map — hidden-partition reads must not resurrect DV-deleted
+    rows or leak physical column names."""
+    from pandas_to_postgres_spark.sources.manifest import (
+        _apply_column_map,
+        _read_entries,
+        load_snapshot,
+    )
+
+    snap = load_snapshot(path, version)
     plan = plan_hidden_scan(path, predicates, version)
     entries = plan["keep"]
     if not entries:
         # all files pruned: one file still scans for the schema, with the
         # predicate forced false below — typed empty result
-        entries = load_snapshot(path, version)["files"][:1]
-    paths = [os.path.join(path, e["path"]) for e in entries]
-    df = spark.read.parquet(*paths)
+        entries = snap["files"][:1]
+    cmap = snap.get("column_map")
+    merge = bool(cmap and cmap.get("renames"))
+    df = _apply_column_map(_read_entries(spark, path, entries, merge), cmap)
     pred = F.lit(True)
     for col, p in predicates.items():
         if p[0] == "=":

@@ -216,13 +216,23 @@ class SnapshotReaderNoPushdown(DataSourceReader):
         if spec and preds:
             # hidden-partition pruning: map the pushed raw-column
             # predicates through the spec's transforms (equality on any
-            # transform, two-sided ranges on the monotone ones)
+            # transform, two-sided ranges on the monotone ones) — each
+            # entry against the spec it was WRITTEN under (spec_id;
+            # evolution keeps old files pruning by their old layout)
             from pandas_to_postgres_spark.sources.partition_spec import (
                 _entry_may_match,
             )
 
+            specs = dict(man.get("partition_specs") or {}) or {"0": spec}
+            first_sid = str(min(int(i) for i in specs))
             entries = [
-                e for e in entries if _entry_may_match(e, spec, preds)
+                e
+                for e in entries
+                if _entry_may_match(
+                    e,
+                    specs.get(str(e.get("spec_id", first_sid)), spec),
+                    preds,
+                )
             ]
         keep = [
             InputPartition(

@@ -216,20 +216,53 @@ def refresh_join_mv(
     )
 
     def head_version(p: str) -> int:
+        if not os.path.isdir(p):
+            return 0  # bronze not created yet: nothing published
         vs = snapshot_versions(p)
         return vs[-1] if vs else 0
 
     def delta_df(p: str, v_from: int, v_to: int) -> DataFrame | None:
-        """Rows added between versions (append-only file diff)."""
+        """Rows added between versions — a per-VERSION walk, the
+        SnapshotStreamReader rule, not an endpoint file diff: a
+        ``compact_snapshot`` between refreshes publishes
+        ``data_change: false`` versions whose files are rewrites of
+        already-applied rows (an endpoint diff would double-count the
+        whole table into the MV), and a version that REMOVED files or
+        stamped a DV DELETE breaks the append-only delta rule and must
+        fail loudly rather than corrupt the view."""
         if v_to <= v_from:
             return None
-        new = {e["path"] for e in load_snapshot(p, v_to)["files"]}
-        old = (
+        emit: set = set()
+        prev = (
             {e["path"] for e in load_snapshot(p, v_from)["files"]}
             if v_from
             else set()
         )
-        added = sorted(new - old)
+        for v in range(v_from + 1, v_to + 1):
+            try:
+                snap = load_snapshot(p, v)
+            except ValueError:
+                continue  # expired version: diff folds into the next one
+            cur = {e["path"] for e in snap["files"]}
+            if snap.get("data_change") is False:
+                prev = cur  # compaction: rows only reorganized
+                continue
+            if snap.get("dml") == "delete_dv":
+                raise ValueError(
+                    f"refresh_join_mv: version {v} of {p} is a "
+                    "deletion-vector DELETE — an append-only delta "
+                    "refresh cannot express it; rebuild the view or "
+                    "feed it retractions through the CDC path"
+                )
+            if prev - cur:
+                raise ValueError(
+                    f"refresh_join_mv: version {v} of {p} REMOVED files "
+                    "(merge/delete/overwrite, not an append) — the "
+                    "delta rule only holds for append-only bronzes"
+                )
+            emit.update(cur - prev)
+            prev = cur
+        added = sorted(emit)
         if not added:
             return None
         return spark.read.parquet(*[os.path.join(p, f) for f in added])
@@ -259,19 +292,56 @@ def refresh_join_mv(
         return load_snapshot(silver_path)  # nothing to apply: no-op
 
     deltas = []
-    # pin the captured head version: a publish racing this refresh must
-    # not skew the delta join against a newer right side than `rv` stamps
-    r_head = read_snapshot(spark, right_path, version=rv)
-    if d_left is not None:
+    if d_left is not None and rv:
+        # pin the captured head version: a publish racing this refresh
+        # must not skew the delta join against a newer right side than
+        # `rv` stamps (rv == 0: right table unpublished, nothing joins)
+        r_head = read_snapshot(spark, right_path, version=rv)
         deltas.append(partials(d_left.join(F.broadcast(r_head), join_key)))
     if d_right is not None and applied["left"]:
         l_prev = read_snapshot(spark, left_path, version=applied["left"])
         deltas.append(
             partials(l_prev.join(F.broadcast(d_right), join_key))
         )
-    elif d_right is not None and d_left is None and applied["left"] == 0:
-        # right grew before any left rows were applied: nothing joins yet
-        pass
+    if not deltas:
+        # one bronze grew but nothing can join yet (e.g. right rows with
+        # no applied left, or left rows with no right table): publish a
+        # metadata-only no-op that ADVANCES the applied stamps, so the
+        # next refresh does not rejoin these deltas against future rows
+        # twice
+        if old_partials is None:
+            # nothing ever materialized: just record the watermark by
+            # publishing nothing — first real refresh starts from v0 and
+            # walks every version, producing each delta pair exactly once
+            return {
+                "applied_versions": dict(applied),
+                "version": 0,
+                "noop": True,
+            }
+        from pandas_to_postgres_spark.sources.manifest import (
+            _claim_version,
+            _inherit,
+            _pack_manifest,
+            _strip_entry,
+        )
+
+        head = load_snapshot(silver_path)
+        nxt = _inherit(
+            _pack_manifest(
+                silver_path,
+                head["version"] + 1,
+                head.get("stat_cols", []),
+                head["files"],
+                head,
+            ),
+            head,
+        )
+        nxt["data_change"] = False  # rows untouched: stamp-only advance
+        nxt["applied_versions"] = {"left": lv, "right": rv}
+        if _claim_version(silver_path, head["version"] + 1, nxt):
+            nxt["files"] = [_strip_entry(e) for e in head["files"]]
+            return nxt
+        return load_snapshot(silver_path)
 
     allp = deltas[0]
     for d in deltas[1:]:

@@ -193,3 +193,105 @@ class TestSmallFileOnlyCompaction:
         )
         assert all(not e.get("dv") for e in man["files"])
         assert M.read_snapshot(spark, p).count() == 999
+
+
+class TestDvReaderParity:
+    """Every reader path honors deletion vectors and the column map —
+    the Bloom point lookup and hidden-partition readers used to scan
+    entries with spark.read.parquet directly, resurrecting DV-deleted
+    rows and leaking physical column names (ADVICE r7, high)."""
+
+    def test_bloom_point_lookup_honors_dv(self, spark, table):
+        from pandas_to_postgres_spark.sources.file_bloom import (
+            build_bloom_index,
+            read_snapshot_point,
+        )
+
+        build_bloom_index(spark, table, "k")
+        keys = spark.createDataFrame([Row(k=150)])
+        delete_snapshot_rows_dv(spark, table, keys, ["k"])
+        assert read_snapshot_point(spark, table, "k", 150).count() == 0
+        got = read_snapshot_point(spark, table, "k", 151).collect()
+        assert [(r["k"], r["v"]) for r in got] == [(151, 302)]
+
+    def test_bloom_point_lookup_applies_column_map(self, spark, table):
+        from pandas_to_postgres_spark.sources.file_bloom import (
+            build_bloom_index,
+            read_snapshot_point,
+        )
+
+        build_bloom_index(spark, table, "k")
+        M.rename_snapshot_column(table, "v", "val")
+        got = read_snapshot_point(spark, table, "k", 7)
+        assert set(got.columns) == {"k", "val"}
+        assert got.first()["val"] == 14
+
+    def test_hidden_read_honors_dv_and_column_map(self, spark, tmp_path):
+        from pandas_to_postgres_spark.sources.partition_spec import (
+            read_snapshot_hidden,
+            spec_field,
+            write_partitioned_snapshot,
+        )
+
+        p = str(tmp_path / "hidden_dv")
+        df = spark.range(400).selectExpr(
+            "id AS k", "id % 8 AS uid", "id * 3 AS v"
+        )
+        write_partitioned_snapshot(
+            spark, df, p, [spec_field("bucket", "uid", 4)], stat_cols=["k"]
+        )
+        delete_snapshot_rows_dv(
+            spark, p, spark.createDataFrame([Row(k=16), Row(k=24)]), ["k"]
+        )
+        M.rename_snapshot_column(p, "v", "val")
+        got = read_snapshot_hidden(spark, p, {"uid": ("=", 0)})
+        ks = {r["k"] for r in got.collect()}
+        assert 16 not in ks and 24 not in ks
+        assert ks == {k for k in range(0, 400, 8)} - {16, 24}
+        assert set(got.columns) == {"k", "uid", "val"}
+
+    def test_stale_version_delete_merges_head_dv(self, spark, table):
+        """A DV delete computed against an OLD version must not clobber
+        ordinals a later delete already published on the same file —
+        the claim loop re-merges against the head's current vector."""
+        delete_snapshot_rows_dv(
+            spark, table, spark.createDataFrame([Row(k=10)]), ["k"]
+        )
+        # second delete deliberately computed from pre-delete version 1
+        man = delete_snapshot_rows_dv(
+            spark, table, spark.createDataFrame([Row(k=11)]), ["k"],
+            version=1,
+        )
+        assert sum(len(e.get("dv") or ()) for e in man["files"]) == 2
+        got = M.read_snapshot(spark, table)
+        assert got.filter("k in (10, 11)").count() == 0
+        assert got.count() == 298
+
+    def test_statcols_change_preserves_dv(self, spark, table):
+        """A publish that changes stat_cols rebuilds kept entries from
+        parquet footers — the rebuilt entries must carry the head's dv
+        (and partition tuple) or deleted rows resurrect (ADVICE r7)."""
+        delete_snapshot_rows_dv(
+            spark, table, spark.createDataFrame([Row(k=5)]), ["k"]
+        )
+        # write one new file so the append has something to do
+        df = spark.createDataFrame([Row(k=10_000, v=20_000)])
+        df.coalesce(1).write.mode("append").parquet(table)
+        published = set()
+        for v in M.snapshot_versions(table):
+            published.update(
+                e["path"] for e in M.load_snapshot(table, v)["files"]
+            )
+        new = sorted(
+            f
+            for f in os.listdir(table)
+            if f.endswith(".parquet")
+            and not f.startswith((".", "_"))
+            and f not in published
+        )
+        man = M.append_snapshot(table, new, stat_cols=["v"])  # CHANGED
+        assert set(man["stat_cols"]) == {"v"}
+        assert sum(len(e.get("dv") or ()) for e in man["files"]) == 1
+        got = M.read_snapshot(spark, table)
+        assert got.filter("k = 5").count() == 0
+        assert got.count() == 300  # 299 survivors + 1 appended

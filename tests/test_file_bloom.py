@@ -128,3 +128,91 @@ class TestBloomIndex:
         plan = plan_point_lookup(arrival_table, "k", 42)
         assert len(plan["keep"]) == plan["total_files"]
         assert plan["indexed_files"] == 0
+
+
+class TestBloomShardedBuildAndLifecycle:
+    """Round-8: the build leg writes sidecar SHARDS from executors (no
+    driver-side bitset collect), the probe streams them shard-by-shard,
+    and expiry/vacuum retire sidecars with their versions."""
+
+    def test_build_publishes_sharded_sidecar(self, spark, arrival_table):
+        p = arrival_table
+        side = build_bloom_index(spark, p, "k", files_per_shard=2)
+        assert "files" not in side and side["shards"]
+        # every shard exists on disk and the union covers all 6 files
+        covered = set()
+        for s in side["shards"]:
+            assert os.path.exists(os.path.join(p, s))
+            import json
+
+            with open(os.path.join(p, s)) as fh:
+                covered.update(json.load(fh))
+        assert len(covered) == 6
+        # probe still prunes to exactly the one true file (+ rare FPs)
+        plan = plan_point_lookup(p, "k", 1234)
+        assert plan["indexed_files"] == 6
+        assert 1 <= len(plan["keep"]) <= 2
+        got = read_snapshot_point(spark, p, "k", 1234).collect()
+        assert [(r["k"],) for r in got] == [(1234,)]
+
+    def test_inline_legacy_sidecar_still_probes(self, spark, arrival_table):
+        """Back-compat: a pre-shard inline sidecar (files map in the top
+        JSON) still plans correctly."""
+        import base64
+        import json
+
+        p = arrival_table
+        side = build_bloom_index(spark, p, "k")
+        # fold the shards back into the legacy inline form
+        blooms = {}
+        for s in side["shards"]:
+            with open(os.path.join(p, s)) as fh:
+                blooms.update(json.load(fh))
+            os.remove(os.path.join(p, s))
+        legacy = {
+            "col": "k", "m": side["m"], "k": side["k"],
+            "version": side["version"], "files": blooms,
+        }
+        with open(os.path.join(p, f"_bloom-v{side['version']}-k.json"), "w") as fh:
+            json.dump(legacy, fh)
+        plan = plan_point_lookup(p, "k", 777)
+        assert plan["indexed_files"] == 6
+        got = read_snapshot_point(spark, p, "k", 777).collect()
+        assert [(r["k"],) for r in got] == [(777,)]
+
+    def test_expire_retires_bloom_sidecars(self, spark, arrival_table):
+        p = arrival_table
+        build_bloom_index(spark, p, "k")
+        # publish a second version so v1 can expire
+        spark.range(6000, 6010).selectExpr(
+            "id AS k", "CAST(id AS DOUBLE) * 0.5 AS v"
+        ).coalesce(1).write.mode("append").parquet(p)
+        published = {e["path"] for e in M.load_snapshot(p, 1)["files"]}
+        new = sorted(
+            f for f in os.listdir(p)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+            and f not in published
+        )
+        M.append_snapshot(p, new)
+        out = M.expire_snapshots(p, keep_latest=1)
+        assert out["deleted_blooms"], "v1 bloom sidecar must retire with v1"
+        assert not [
+            f for f in os.listdir(p) if f.startswith("_bloom-v1-k.json")
+        ]
+        # orphaned shards now age-gate through vacuum
+        vac = M.vacuum_orphans(p, grace_seconds=0)
+        assert not [
+            f for f in os.listdir(p)
+            if f.startswith("_bloom-v1-") and "-shard-" in f
+        ], f"orphan bloom shards must vacuum: {vac}"
+
+    def test_vacuum_keeps_referenced_bloom_shards(self, spark, arrival_table):
+        p = arrival_table
+        side = build_bloom_index(spark, p, "k")
+        M.vacuum_orphans(p, grace_seconds=0)
+        for s in side["shards"]:
+            assert os.path.exists(os.path.join(p, s)), (
+                "live sidecar's shards must survive vacuum"
+            )
+        plan = plan_point_lookup(p, "k", 42)
+        assert plan["indexed_files"] == 6

@@ -346,3 +346,120 @@ class TestPartitionedStreamingIngest:
         assert head.get("partition_spec"), "rewrites must inherit the spec"
         got = read_snapshot_hidden(spark, table, {"uid": ("=", 7)})
         assert [r["uid"] for r in got.collect()] == [7]
+
+
+class TestSpecEvolution:
+    """Iceberg spec-id-per-file partition evolution: a table can
+    re-partition mid-life with NO rewrite — old files keep pruning by
+    the spec they were written under, new files by the new default."""
+
+    def _evolved_table(self, spark, tmp_path):
+        p = str(tmp_path / "evolve")
+        old = spark.createDataFrame(
+            [Row(eid=i, uid=i % 16, amount=float(i)) for i in range(200)]
+        )
+        write_partitioned_snapshot(
+            spark, old, p, [spec_field("bucket", "uid", 4)],
+            stat_cols=["eid"],
+        )
+        new = spark.createDataFrame(
+            [
+                Row(eid=i, uid=i % 16, amount=float(i))
+                for i in range(200, 400)
+            ]
+        )
+        # EVOLVE: same source column, finer bucketing — a same-named
+        # field whose transform changed is the dangerous case
+        from pandas_to_postgres_spark.sources.partition_spec import (
+            append_partitioned_snapshot,
+        )
+
+        append_partitioned_snapshot(
+            spark, new, p, [spec_field("bucket", "uid", 8)],
+            stat_cols=["eid"],
+        )
+        return p
+
+    def test_evolution_rewrites_nothing_and_registers_specs(
+        self, spark, tmp_path
+    ):
+        p = self._evolved_table(spark, tmp_path)
+        v1 = {e["path"] for e in M.load_snapshot(p, 1)["files"]}
+        head = M.load_snapshot(p)
+        assert v1 <= {e["path"] for e in head["files"]}, "no rewrite"
+        assert set(head["partition_specs"]) == {"0", "1"}
+        assert head["default_spec_id"] == "1"
+        sids = {e["path"]: e.get("spec_id") for e in head["files"]}
+        assert {sids[f] for f in v1} == {"0"}
+        assert {s for f, s in sids.items() if f not in v1} == {"1"}
+
+    def test_each_vintage_prunes_by_its_own_spec(self, spark, tmp_path):
+        from pandas_to_postgres_spark.sources.partition_spec import (
+            plan_hidden_scan,
+            read_snapshot_hidden,
+        )
+
+        p = self._evolved_table(spark, tmp_path)
+        head = M.load_snapshot(p)
+        n_old = sum(1 for e in head["files"] if e.get("spec_id") == "0")
+        n_new = sum(1 for e in head["files"] if e.get("spec_id") == "1")
+        plan = plan_hidden_scan(p, {"uid": ("=", 7)})
+        kept_old = [e for e in plan["keep"] if e.get("spec_id") == "0"]
+        kept_new = [e for e in plan["keep"] if e.get("spec_id") == "1"]
+        # bucket(4) keeps ~1/4 of old files, bucket(8) ~1/8 of new ones
+        assert len(kept_old) < n_old and len(kept_new) < n_new
+        got = sorted(
+            r["eid"] for r in read_snapshot_hidden(
+                spark, p, {"uid": ("=", 7)}
+            ).collect()
+        )
+        assert got == [i for i in range(400) if i % 16 == 7]
+
+    def test_wrong_spec_would_misprune(self, spark, tmp_path):
+        """The failure the per-entry resolution prevents: evaluating an
+        OLD entry against the NEW spec's bucket(8) hash drops files that
+        actually contain the key."""
+        from pandas_to_postgres_spark.sources.partition_spec import (
+            _entry_may_match,
+        )
+
+        p = self._evolved_table(spark, tmp_path)
+        head = M.load_snapshot(p)
+        new_spec = head["partition_specs"]["1"]
+        old_entries = [
+            e for e in head["files"] if e.get("spec_id") == "0"
+        ]
+        # at least one uid in 0..15 must demonstrate the divergence
+        diverges = False
+        for uid in range(16):
+            kept_wrong = [
+                e for e in old_entries
+                if _entry_may_match(e, new_spec, {"uid": ("=", uid)})
+            ]
+            old_spec = head["partition_specs"]["0"]
+            kept_right = [
+                e for e in old_entries
+                if _entry_may_match(e, old_spec, {"uid": ("=", uid)})
+            ]
+            if {e["path"] for e in kept_wrong} != {
+                e["path"] for e in kept_right
+            }:
+                diverges = True
+                break
+        assert diverges, "fixture too benign: bump sizes"
+
+    def test_datasource_prunes_across_specs(self, spark, tmp_path):
+        from pandas_to_postgres_spark.sources.snapshot_datasource import (
+            SnapshotDataSource,
+        )
+
+        p = self._evolved_table(spark, tmp_path)
+        spark.dataSource.register(SnapshotDataSource)
+        df = (
+            spark.read.format("snapshot")
+            .option("path", p)
+            .load()
+            .filter(F.col("uid") == 3)
+        )
+        got = sorted(r["eid"] for r in df.collect())
+        assert got == [i for i in range(400) if i % 16 == 3]

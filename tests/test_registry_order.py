@@ -27,7 +27,7 @@ class TestWindow:
             "dedup_exact", "minhash_lsh_checked",
             "simhash_hamming_pairs", "ngram_jaccard_pairs",
             "neardup_group_summary",
-            "text_stats", "text_metrics", "simsearch_topk", "simsearch_ivf",
+            "text_stats", "simsearch_topk",
             "multimodal_pipeline",
             # training-data shaping (chunk_documents rotated out in the
             # second r6 rotation — corpus_prep_pipeline runs the chunker;
@@ -42,16 +42,14 @@ class TestWindow:
             # (stream_sliding_counts rotated out round 7 — the
             # tumbling-window oracle stays via foreachbatch)
             "stream_foreachbatch_counts",
-            "stream_stateful_totals", "stream_dedup_events",
+            "stream_stateful_totals",
             "stream_static_join", "stream_stream_join",
             # round-5 rotation: first driver-side oracle runs for the
             # round-3/4 additions (COVERAGE.md "Round-5 window rotation")
-            "hybrid_rrf_docs", "stream_neardup_docs",
             "k_anonymity_audit", "json_corrupt_audit",
             # round-6 rotation: first driver-side oracle runs for the
             # round-4/5 additions (COVERAGE.md "Round-6 window rotation")
-            "winnow_copy_pairs", "dsir_select_docs", "semantic_dedup",
-            "neardup_clusters", "span_dedup_docs",
+            "dsir_select_docs",
             # second round-6 rotation: driver certification for the
             # queries BUILT in round 6 (COVERAGE.md "Round-6 window
             # rotation #2"); simsearch_topk_incremental, chunk_documents,
@@ -59,7 +57,6 @@ class TestWindow:
             # out — all still registered and oracle-green in pytest +
             # both local boards
             "bpe_learn_merges", "bpe_fertility_by_source",
-            "centroid_quality_filter", "temperature_mix_weights",
             "ivf_partitioned_search",
             # round-7 rotation (#3): driver certification for the seven
             # round-6 builds that missed the late-round rotation
@@ -72,13 +69,28 @@ class TestWindow:
             "salted_skew_agg", "salted_skew_join",
             "snapshot_time_travel", "neardup_group_summary",
             "bpe_encode_stats",
+            # round-8 rotation (#4): driver certification for the twelve
+            # round-7 builds the judge hand-verified past the window
+            # (COVERAGE.md "Round-8 window rotation"); rotated out:
+            # neardup_clusters, span_dedup_docs, winnow_copy_pairs,
+            # semantic_dedup, text_metrics, simsearch_ivf,
+            # hybrid_rrf_docs, centroid_quality_filter,
+            # temperature_mix_weights, stream_dedup_events,
+            # stream_neardup_docs, join_order_revenue — all still
+            # registered and oracle-green in pytest + both local boards
+            "nb_source_classifier", "fellegi_sunter_em",
+            "kcenter_coreset", "incremental_join_mv",
+            "snapshot_merge_upsert", "snapshot_cdc_apply",
+            "snapshot_hidden_partition", "snapshot_delete_dv",
+            "snapshot_bloom_lookup", "snapshot_rename_column",
+            "stream_incremental_mv", "ivf_index_upsert",
             # relational families (J3/J4/J5, W3, json_extract_events
             # rotated out round 5; filter_project, distinct_counts,
             # conditional_agg, collect_set_segments, window_lag_events
             # rotated out round 6 — all still registered and oracle-green
             # in tests/test_correctness.py + local boards)
             "pricing_summary", "normalize_target_schema",
-            "join_order_revenue", "range_join_bins",
+            "range_join_bins",
             "asof_join_events", "percentiles_price",
             "rollup_cube_gsets", "window_topn_orders",
             "topk_lineitems", "setops_custkeys",

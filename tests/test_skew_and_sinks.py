@@ -2139,3 +2139,176 @@ class TestJoinMvIncremental:
             for r in read_snapshot(spark, s_path).collect()
         }
         assert got == self._full(spark, o_path, c_path)
+
+    def test_compaction_between_refreshes_does_not_double_count(
+        self, spark, tmp_path
+    ):
+        """A compact_snapshot (data_change: false) on a bronze between
+        refreshes rewrites already-applied rows into NEW files — an
+        endpoint file diff would re-count the whole table into the MV;
+        the per-version walk must skip it (ADVICE r7, medium)."""
+        from pandas_to_postgres_spark.sources import manifest as M
+        from pandas_to_postgres_spark.sources.manifest import (
+            publish_snapshot,
+            read_snapshot,
+        )
+        from pandas_to_postgres_spark.streaming.mv import refresh_join_mv
+
+        o_path, c_path, s_path = (
+            str(tmp_path / d) for d in ("o", "c", "s")
+        )
+        o = spark.range(120).selectExpr(
+            "id % 12 AS k", "CAST(id AS DOUBLE) AS amount"
+        )
+        c = spark.range(12).selectExpr(
+            "id AS k", "concat('s', CAST(id % 3 AS STRING)) AS segment"
+        )
+        c.coalesce(1).write.parquet(c_path)
+        publish_snapshot(c_path, ["k"])
+        # two small files so compaction has something to merge
+        o.filter("k < 6").coalesce(1).write.parquet(o_path)
+        publish_snapshot(o_path, ["k"])
+        o.filter("k >= 6").coalesce(1).write.mode("append").parquet(o_path)
+        new = sorted(
+            f for f in __import__("os").listdir(o_path)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+            and f not in {
+                e["path"] for e in M.load_snapshot(o_path, 1)["files"]
+            }
+        )
+        M.append_snapshot(o_path, new)
+        refresh_join_mv(spark, s_path, o_path, c_path, "k", "segment", "amount")
+        before = self._full(spark, o_path, c_path)
+
+        M.compact_snapshot(spark, o_path, target_bytes=10**9)
+        # refresh after the compaction: nothing new, MUST not re-count
+        refresh_join_mv(spark, s_path, o_path, c_path, "k", "segment", "amount")
+        got = {
+            r["segment"]: (r["n"], r["cents"])
+            for r in read_snapshot(spark, s_path).collect()
+        }
+        assert got == before
+
+        # and new rows after the compaction apply exactly once
+        extra = spark.range(120, 144).selectExpr(
+            "id % 12 AS k", "CAST(id AS DOUBLE) AS amount"
+        )
+        extra.coalesce(1).write.mode("append").parquet(o_path)
+        newer = sorted(
+            f for f in __import__("os").listdir(o_path)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+            and not any(
+                f in {e["path"] for e in M.load_snapshot(o_path, v)["files"]}
+                for v in M.snapshot_versions(o_path)
+            )
+        )
+        M.append_snapshot(o_path, newer)
+        refresh_join_mv(spark, s_path, o_path, c_path, "k", "segment", "amount")
+        got2 = {
+            r["segment"]: (r["n"], r["cents"])
+            for r in read_snapshot(spark, s_path).collect()
+        }
+        assert got2 == self._full(spark, o_path, c_path)
+
+    def test_right_only_first_refresh_with_empty_left(self, spark, tmp_path):
+        """First refresh where ONLY the right bronze has rows used to
+        raise IndexError on deltas[0]; it must no-op gracefully and the
+        eventual left arrival must produce the exact full join
+        (ADVICE r7, low)."""
+        from pandas_to_postgres_spark.sources.manifest import (
+            publish_snapshot,
+            read_snapshot,
+        )
+        from pandas_to_postgres_spark.streaming.mv import refresh_join_mv
+
+        o_path, c_path, s_path = (
+            str(tmp_path / d) for d in ("o", "c", "s")
+        )
+        c = spark.range(8).selectExpr(
+            "id AS k", "concat('s', CAST(id % 2 AS STRING)) AS segment"
+        )
+        c.coalesce(1).write.parquet(c_path)
+        publish_snapshot(c_path, ["k"])
+        # right published, left table does not even exist yet
+        out = refresh_join_mv(
+            spark, s_path, o_path, c_path, "k", "segment", "amount"
+        )
+        assert out.get("noop") or out.get("applied_versions")
+
+        o = spark.range(80).selectExpr(
+            "id % 8 AS k", "CAST(id AS DOUBLE) AS amount"
+        )
+        o.coalesce(1).write.parquet(o_path)
+        publish_snapshot(o_path, ["k"])
+        refresh_join_mv(spark, s_path, o_path, c_path, "k", "segment", "amount")
+        got = {
+            r["segment"]: (r["n"], r["cents"])
+            for r in read_snapshot(spark, s_path).collect()
+        }
+        assert got == self._full(spark, o_path, c_path)
+
+    def test_left_only_growth_with_unpublished_right(self, spark, tmp_path):
+        """Left rows with NO right table at all: refresh must not crash
+        reading an unpublished right head, and the pairs must appear
+        exactly once when the right table finally publishes."""
+        from pandas_to_postgres_spark.sources.manifest import (
+            publish_snapshot,
+            read_snapshot,
+        )
+        from pandas_to_postgres_spark.streaming.mv import refresh_join_mv
+
+        o_path, c_path, s_path = (
+            str(tmp_path / d) for d in ("o", "c", "s")
+        )
+        o = spark.range(40).selectExpr(
+            "id % 4 AS k", "CAST(id AS DOUBLE) AS amount"
+        )
+        o.coalesce(1).write.parquet(o_path)
+        publish_snapshot(o_path, ["k"])
+        refresh_join_mv(spark, s_path, o_path, c_path, "k", "segment", "amount")
+
+        c = spark.range(4).selectExpr(
+            "id AS k", "concat('s', CAST(id AS STRING)) AS segment"
+        )
+        c.coalesce(1).write.parquet(c_path)
+        publish_snapshot(c_path, ["k"])
+        refresh_join_mv(spark, s_path, o_path, c_path, "k", "segment", "amount")
+        got = {
+            r["segment"]: (r["n"], r["cents"])
+            for r in read_snapshot(spark, s_path).collect()
+        }
+        assert got == self._full(spark, o_path, c_path)
+
+    def test_dv_delete_on_bronze_fails_loudly(self, spark, tmp_path):
+        """A DV DELETE between refreshes breaks the append-only delta
+        rule — the refresh must raise, not silently corrupt the MV."""
+        import pytest as _pytest
+
+        from pandas_to_postgres_spark.sources.manifest import (
+            delete_snapshot_rows_dv,
+            publish_snapshot,
+        )
+        from pandas_to_postgres_spark.streaming.mv import refresh_join_mv
+        from pyspark.sql import Row
+
+        o_path, c_path, s_path = (
+            str(tmp_path / d) for d in ("o", "c", "s")
+        )
+        o = spark.range(40).selectExpr(
+            "id % 4 AS k", "CAST(id AS DOUBLE) AS amount"
+        )
+        c = spark.range(4).selectExpr(
+            "id AS k", "concat('s', CAST(id AS STRING)) AS segment"
+        )
+        o.coalesce(1).write.parquet(o_path)
+        publish_snapshot(o_path, ["k"])
+        c.coalesce(1).write.parquet(c_path)
+        publish_snapshot(c_path, ["k"])
+        refresh_join_mv(spark, s_path, o_path, c_path, "k", "segment", "amount")
+        delete_snapshot_rows_dv(
+            spark, o_path, spark.createDataFrame([Row(k=1)]), ["k"]
+        )
+        with _pytest.raises(ValueError, match="deletion-vector"):
+            refresh_join_mv(
+                spark, s_path, o_path, c_path, "k", "segment", "amount"
+            )
