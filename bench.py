@@ -270,17 +270,21 @@ def main() -> None:
                 best = min(best, time.perf_counter() - t0)
             timings[name] = round(best, 3)
 
+    # ETL tier: same protocol as the pg tier since round 8 (round-7
+    # verdict What's-wrong #3) — the cold first run is the discarded
+    # warm-up, then MEDIAN of 5 reps (min/max recorded): the r6→r7
+    # 622k→518k (−17%) move was machine phase, not code, and min-of-2
+    # couldn't show that
     etl_first = etl_bulk_load(spark, sf_dir)
     timings_cold["etl_bulk_load"] = round(etl_first[0], 3)
-    etl_secs, etl_rows = (
-        etl_first
-        if cold_only
-        else min(
-            (etl_first, etl_bulk_load(spark, sf_dir)),
-            key=lambda sr: sr[0] / sr[1],
-        )
-    )
-    timings["etl_bulk_load"] = round(etl_secs, 3)
+    etl_rows = etl_first[1]
+    if cold_only:
+        etl_secs = etl_first[0]
+        timings["etl_bulk_load"] = round(etl_secs, 3)
+    else:
+        etl_reps = sorted(etl_bulk_load(spark, sf_dir)[0] for _ in range(5))
+        etl_secs = _median(etl_reps)
+        timings["etl_bulk_load"] = round(etl_secs, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     line = {
@@ -293,6 +297,9 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "etl_rows_per_sec": round(etl_rows / etl_secs),
     }
+    if not cold_only:
+        line["etl_rows_per_sec_min"] = round(etl_rows / etl_reps[-1])
+        line["etl_rows_per_sec_max"] = round(etl_rows / etl_reps[0])
     # median of 5 full tier attempts after 1 discarded warm-up (fresh
     # server each; each attempt is already min-of-2 loads): single-shot
     # COPY numbers swing up to ~2x with machine phase (288k vs 432k
@@ -311,9 +318,12 @@ def main() -> None:
         line["pg_copy_rows_per_sec_min"] = round(rates[0])
         line["pg_copy_rows_per_sec_max"] = round(rates[-1])
         line["pg_copy_rows"] = attempts[0][1]
-    st = stream_throughput(spark, sf_dir)
+    # stream tier: discarded warm-up + 5-rep median, the pg/etl protocol
+    # (round-7 verdict What's-wrong #3 — 77.6k→69k r6→r7 was phase)
+    st = stream_throughput(spark, sf_dir, runs=6)
     if st is not None:
         st_secs, st_rows = st
+        st_secs = st_secs[1:]  # first drain pays tier warm-up: discard
         rates = sorted(st_rows / s for s in st_secs)
         line["stream_rows_per_sec"] = round(_median(rates))
         line["stream_rows_per_sec_min"] = round(rates[0])

@@ -2377,3 +2377,166 @@ def fellegi_sunter_em(spark: SparkSession, sf_dir: str) -> DataFrame:
         grid_round(post, 6).alias("posterior"),
         (post >= 0.5).cast("int").alias("is_match"),
     )
+
+
+_GBDT_SPLIT_ORACLE = """
+    WITH pairs AS (
+        SELECT 'discount' AS feature,
+               CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS bin,
+               CAST(l_quantity AS BIGINT) AS y FROM lineitem
+        UNION ALL
+        SELECT 'linenumber', CAST(l_linenumber AS BIGINT),
+               CAST(l_quantity AS BIGINT) FROM lineitem
+        UNION ALL
+        SELECT 'ship_month', CAST(month(l_shipdate) AS BIGINT),
+               CAST(l_quantity AS BIGINT) FROM lineitem
+        UNION ALL
+        SELECT 'tax', CAST(floor(l_tax * 100 + 0.5) AS BIGINT),
+               CAST(l_quantity AS BIGINT) FROM lineitem),
+    hist AS (
+        SELECT feature, bin, count(*) AS cnt, sum(y) AS ys
+        FROM pairs GROUP BY feature, bin),
+    cum AS (
+        SELECT feature, bin,
+               sum(cnt) OVER (PARTITION BY feature ORDER BY bin) AS nl,
+               sum(ys)  OVER (PARTITION BY feature ORDER BY bin) AS sl,
+               sum(cnt) OVER (PARTITION BY feature) AS nt,
+               sum(ys)  OVER (PARTITION BY feature) AS st
+        FROM hist),
+    gains AS (
+        SELECT feature, bin, nl, nt - nl AS nr,
+               floor((
+                   (CAST(sl AS DOUBLE) * sl) / nl
+                   + (CAST(st - sl AS DOUBLE) * (st - sl)) / (nt - nl)
+                   - (CAST(st AS DOUBLE) * st) / nt
+               ) * 1000000 + 0.5) / 1000000 AS gain,
+               floor((CAST(sl AS DOUBLE) / nl) * 1000000 + 0.5)
+                   / 1000000 AS left_mean,
+               floor((CAST(st - sl AS DOUBLE) / (nt - nl)) * 1000000 + 0.5)
+                   / 1000000 AS right_mean
+        FROM cum WHERE nl > 0 AND nl < nt),
+    best AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY feature ORDER BY gain DESC, bin ASC) AS rn
+        FROM gains)
+    SELECT feature, CAST(bin AS BIGINT) AS split_bin,
+           CAST(nl AS BIGINT) AS n_left, CAST(nr AS BIGINT) AS n_right,
+           gain, left_mean, right_mean
+    FROM best WHERE rn = 1
+    """
+
+
+@register("gbdt_split_histogram", min_rows=4, oracle=_GBDT_SPLIT_ORACLE)
+def gbdt_split_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-based greedy split finding — the inner loop of every
+    modern gradient-boosted-tree trainer (LightGBM's histogram
+    algorithm; XGBoost ``tree_method=hist``) expressed as one Spark
+    aggregation: bin each feature to a small integer domain, fold the
+    data ONCE into per-(feature, bin) histograms of (count, label-sum),
+    then scan each feature's cumulative histogram for the variance-
+    reduction-maximizing threshold
+
+        gain(t) = S_L²/n_L + S_R²/n_R − S_T²/n_T
+
+    (the squared-loss split criterion; leaf values are the side means).
+    Label is ``l_quantity``; features are the binned discount, tax,
+    line number and ship month of lineitem.
+
+    Scale (the whole reason GBDT histograms exist): the single data
+    pass emits ≤ F·B tiny partial histograms per task that COMBINE
+    map-side — the shuffle carries O(features × bins) rows (~40 here)
+    regardless of table size, the cumulative scan and argmax run on
+    that tiny frame, and a 100 TB training set costs one scan per tree
+    level. No per-row sort (the pre-histogram approach), no collect —
+    the same layout a parameter-server trainer ships, derived entirely
+    from Catalyst's partial aggregation.
+
+    Determinism discipline: every histogram cell is an INTEGER
+    (count, Σ l_quantity); gains and means are doubles computed from
+    those exact integers with an expression written identically in
+    both engines, gridded to 1e-6 BEFORE the argmax, which tie-breaks
+    (gain DESC, bin ASC).
+
+    Reference: the 988-LoC loader has no analytics; in-engine
+    statistics tier (SURVEY §2.12 [EXT]), sibling of
+    ``nb_source_classifier`` / ``fellegi_sunter_em``."""
+    li = load_table(spark, sf_dir, "lineitem")
+    feats = F.array(
+        F.struct(
+            F.lit("discount").alias("feature"),
+            F.floor(F.col("l_discount") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("bin"),
+        ),
+        F.struct(
+            F.lit("linenumber").alias("feature"),
+            F.col("l_linenumber").cast("long").alias("bin"),
+        ),
+        F.struct(
+            F.lit("ship_month").alias("feature"),
+            F.month("l_shipdate").cast("long").alias("bin"),
+        ),
+        F.struct(
+            F.lit("tax").alias("feature"),
+            F.floor(F.col("l_tax") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("bin"),
+        ),
+    )
+    pairs = li.select(
+        F.col("l_quantity").cast("long").alias("y"),
+        F.explode(feats).alias("f"),
+    ).select("f.feature", "f.bin", "y")
+    hist = pairs.groupBy("feature", "bin").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("y").cast("long").alias("ys"),
+    )
+    w = (
+        Window.partitionBy("feature")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy("feature")
+    cum = hist.select(
+        "feature",
+        "bin",
+        F.sum("cnt").over(w).alias("nl"),
+        F.sum("ys").over(w).alias("sl"),
+        F.sum("cnt").over(wt).alias("nt"),
+        F.sum("ys").over(wt).alias("st"),
+    )
+    sl, st = F.col("sl"), F.col("st")
+    nl, nt = F.col("nl"), F.col("nt")
+    nr, sr = nt - nl, st - sl
+    gain = (
+        (sl.cast("double") * sl) / nl
+        + (sr.cast("double") * sr) / nr
+        - (st.cast("double") * st) / nt
+    )
+    gains = cum.filter((nl > 0) & (nl < nt)).select(
+        "feature",
+        "bin",
+        nl.alias("n_left"),
+        nr.alias("n_right"),
+        grid_round(gain, 6).alias("gain"),
+        grid_round(sl.cast("double") / nl, 6).alias("left_mean"),
+        grid_round(sr.cast("double") / nr, 6).alias("right_mean"),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("feature").orderBy(
+            F.col("gain").desc(), F.col("bin").asc()
+        )
+    )
+    return (
+        gains.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select(
+            "feature",
+            F.col("bin").alias("split_bin"),
+            "n_left",
+            "n_right",
+            "gain",
+            "left_mean",
+            "right_mean",
+        )
+    )

@@ -136,7 +136,7 @@ def _write_shard(
     with open(tmp, "w") as fh:
         json.dump(clean, fh, default=str)
     os.replace(tmp, os.path.join(path, name))
-    return {
+    ref = {
         "path": name,
         "n": len(clean),
         "rows": sum(int(e.get("rows") or 0) for e in clean),
@@ -144,6 +144,41 @@ def _write_shard(
         "dv_total": sum(len(e.get("dv") or ()) for e in clean),
         "stats": _agg_shard_stats(clean, stat_cols),
     }
+    psum = _shard_partition_summary(clean)
+    if psum is not None:
+        ref["spec_id"], ref["partitions"] = psum
+    return ref
+
+
+#: shard partition summaries list at most this many distinct transformed
+#: values per field — beyond it the field is omitted and the shard is
+#: conservatively opened (a wide-open field can't prune anyway)
+_SHARD_PARTITION_CAP = 64
+
+
+def _shard_partition_summary(entries):
+    """Distinct transformed partition values per field across a shard's
+    entries — the Iceberg manifest-list ``partitions`` summary, letting
+    the planner skip WHOLE SHARDS for hidden-partition predicates.
+    Emitted only when every entry carries a partition tuple under ONE
+    spec_id (a mixed-spec shard can't summarize safely: same-named
+    fields may hash differently across specs). Returns (spec_id,
+    {field: sorted values}) or None."""
+    if not entries or any("partition" not in e for e in entries):
+        return None
+    sids = {str(e.get("spec_id", "0")) for e in entries}
+    if len(sids) != 1:
+        return None
+    vals: dict[str, set] = {}
+    for e in entries:
+        for k, v in e["partition"].items():
+            vals.setdefault(k, set()).add(v)
+    out = {
+        k: sorted(s, key=lambda x: (x is None, x))
+        for k, s in vals.items()
+        if len(s) <= _SHARD_PARTITION_CAP and None not in s
+    }
+    return (sids.pop(), out) if out else None
 
 
 def _load_shard_entries(path: str, ref: dict) -> list[dict]:

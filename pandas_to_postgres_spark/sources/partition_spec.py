@@ -367,6 +367,50 @@ def _entry_may_match(
     return True
 
 
+def _shard_may_match(
+    ref: Mapping[str, Any],
+    specs: Mapping[str, Sequence[Mapping[str, Any]]],
+    first_sid: str,
+    predicates: Mapping[str, tuple],
+) -> bool:
+    """Shard-reference partition test (the Iceberg manifest-list skip):
+    a shard whose ``partitions`` summary PROVABLY excludes a predicate
+    is skipped without opening — metadata I/O stays O(matching shards)
+    at 10^6 files. Shards without a summary (mixed specs, capped
+    cardinality, pre-summary vintage) are conservatively opened."""
+    psum = ref.get("partitions")
+    if not psum:
+        return True
+    spec = specs.get(str(ref.get("spec_id", first_sid)))
+    if spec is None:
+        return True
+    for f in spec:
+        pred = predicates.get(f["col"])
+        vals = psum.get(f["name"])
+        if pred is None or vals is None:
+            continue
+        op = pred[0]
+        if op == "=":
+            tv = _py_transform(f, pred[1])
+            if tv is not None and tv not in vals:
+                return False
+        elif op == "between":
+            if f["transform"] == "bucket":
+                continue  # hash destroys order
+            tlo = _py_transform(f, pred[1])
+            thi = _py_transform(f, pred[2])
+            if tlo is None or thi is None:
+                continue
+            if f["transform"] in ("truncate", "identity") and isinstance(
+                pred[1], int
+            ):
+                if not any(int(tlo) <= int(v) <= int(thi) for v in vals):
+                    return False
+            elif not any(tlo <= v <= thi for v in vals):
+                return False
+    return True
+
+
 def plan_hidden_scan(
     path: str,
     predicates: Mapping[str, tuple],
@@ -378,11 +422,20 @@ def plan_hidden_scan(
     so after a re-partition old files keep pruning by their old
     transforms and new files by the new ones; a same-named field whose
     transform changed between specs (bucket(8)→bucket(16)) can never be
-    tested against the wrong hash. Returns {"keep": entries,
-    "total_files": int, "spec": [...]} (spec = the current default)."""
-    from pandas_to_postgres_spark.sources.manifest import load_snapshot
+    tested against the wrong hash.
 
-    snap = load_snapshot(path, version)
+    On a SHARDED manifest the pruning is TWO-level: shard references
+    are tested against their ``partitions`` summaries first, and only
+    surviving shards are opened (the stats twin of
+    ``manifest.plan_snapshot_scan``). Returns {"keep": entries,
+    "total_files": int, "spec": [...], "shards_total", "shards_read"}
+    (spec = the current default)."""
+    from pandas_to_postgres_spark.sources.manifest import (
+        _load_shard_entries,
+        load_snapshot,
+    )
+
+    snap = load_snapshot(path, version, materialize=False)
     spec = snap.get("partition_spec")
     if not spec:
         raise ValueError(f"{path} has no partition_spec in its manifest")
@@ -390,12 +443,36 @@ def plan_hidden_scan(
     if not specs:
         specs = {"0": spec}
     first_sid = str(min(int(i) for i in specs))
+
+    shards_total = shards_read = 0
+    if "shards" in snap and "files" not in snap:
+        refs = snap["shards"]
+        shards_total = len(refs)
+        live = [
+            r
+            for r in refs
+            if _shard_may_match(r, specs, first_sid, predicates)
+        ]
+        shards_read = len(live)
+        entries = [
+            e for r in live for e in _load_shard_entries(path, r)
+        ]
+        total = sum(int(r["n"]) for r in refs)
+    else:
+        entries = snap["files"]
+        total = len(entries)
     keep = []
-    for e in snap["files"]:
+    for e in entries:
         e_spec = specs.get(str(e.get("spec_id", first_sid)), spec)
         if _entry_may_match(e, e_spec, predicates):
             keep.append(e)
-    return {"keep": keep, "total_files": len(snap["files"]), "spec": spec}
+    return {
+        "keep": keep,
+        "total_files": total,
+        "spec": spec,
+        "shards_total": shards_total,
+        "shards_read": shards_read,
+    }
 
 
 def read_snapshot_hidden(

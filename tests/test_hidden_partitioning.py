@@ -463,3 +463,84 @@ class TestSpecEvolution:
         )
         got = sorted(r["eid"] for r in df.collect())
         assert got == [i for i in range(400) if i % 16 == 3]
+
+
+class TestShardPartitionSummaries:
+    """Two-level hidden-partition pruning: shard references carry
+    distinct-transformed-value summaries, so an equality predicate
+    skips WHOLE shards without opening them — metadata I/O stays
+    O(matching shards) at 10^6 files (Iceberg manifest-list skip)."""
+
+    @pytest.fixture
+    def sharded_table(self, spark, tmp_path, monkeypatch):
+        monkeypatch.setattr(M, "INLINE_MAX", 4)
+        monkeypatch.setattr(M, "SHARD_TARGET", 4)
+        p = str(tmp_path / "shard_hp")
+        # 16 day-partitions -> 16 files (the writer clusters one file
+        # per tuple here) -> 4 shards of 4 consecutive days each (the
+        # flatten walks days in sorted order)
+        df = spark.createDataFrame(
+            [
+                Row(
+                    eid=i,
+                    day_str=f"2024-02-{(i % 16) + 1:02d} 01:00:00",
+                    amount=float(i),
+                )
+                for i in range(160)
+            ]
+        ).withColumn("ts", F.to_timestamp("day_str")).drop("day_str")
+        write_partitioned_snapshot(
+            spark, df, p, [spec_field("day", "ts")], stat_cols=["eid"],
+        )
+        return p
+
+    def test_summaries_written_and_shards_skipped(
+        self, spark, sharded_table
+    ):
+        from pandas_to_postgres_spark.sources.partition_spec import (
+            plan_hidden_scan,
+        )
+
+        raw = M.load_snapshot(sharded_table, materialize=False)
+        assert "shards" in raw, "fixture must produce a sharded manifest"
+        assert all("partitions" in r for r in raw["shards"])
+        import datetime
+
+        lo = datetime.datetime(2024, 2, 2, 0, 0, 0)
+        hi = datetime.datetime(2024, 2, 2, 23, 59, 59)
+        plan = plan_hidden_scan(sharded_table, {"ts": ("between", lo, hi)})
+        assert plan["shards_total"] > 0
+        assert plan["shards_read"] < plan["shards_total"], (
+            f"no shard skipped: {plan['shards_read']}/{plan['shards_total']}"
+        )
+        # superset guarantee: kept entries cover the day exactly
+        assert plan["keep"], "pruned everything that matches"
+
+    def test_read_stays_exact_across_shard_skip(self, spark, sharded_table):
+        from pandas_to_postgres_spark.sources.partition_spec import (
+            read_snapshot_hidden,
+        )
+        import datetime
+
+        lo = datetime.datetime(2024, 2, 3, 0, 0, 0)
+        hi = datetime.datetime(2024, 2, 3, 23, 59, 59)
+        got = sorted(
+            r["eid"]
+            for r in read_snapshot_hidden(
+                spark, sharded_table, {"ts": ("between", lo, hi)}
+            ).collect()
+        )
+        assert got == [i for i in range(160) if i % 16 == 2]
+
+    def test_mixed_spec_shard_has_no_summary(self, spark, tmp_path):
+        entries = [
+            {"path": "a.parquet", "partition": {"d": "x"}, "spec_id": "0"},
+            {"path": "b.parquet", "partition": {"d": "y"}, "spec_id": "1"},
+        ]
+        assert M._shard_partition_summary(entries) is None
+        one = [
+            {"path": "a.parquet", "partition": {"d": "x"}},
+            {"path": "b.parquet", "partition": {"d": "y"}},
+        ]
+        sid, psum = M._shard_partition_summary(one)
+        assert sid == "0" and psum == {"d": ["x", "y"]}
