@@ -2540,3 +2540,252 @@ def gbdt_split_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "right_mean",
         )
     )
+
+
+_GBDT_BOOST_ORACLE = """
+    WITH base AS (
+        SELECT CAST(l_quantity AS BIGINT) * 1000000 AS y,
+               CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS b_discount,
+               CAST(l_linenumber AS BIGINT) AS b_linenumber,
+               CAST(month(l_shipdate) AS BIGINT) AS b_ship_month,
+               CAST(floor(l_tax * 100 + 0.5) AS BIGINT) AS b_tax
+        FROM lineitem),
+    p1 AS (
+        SELECT 'discount' AS f, b_discount AS bin, y AS r FROM base
+        UNION ALL SELECT 'linenumber', b_linenumber, y FROM base
+        UNION ALL SELECT 'ship_month', b_ship_month, y FROM base
+        UNION ALL SELECT 'tax', b_tax, y FROM base),
+    h1 AS (SELECT f, bin, count(*) AS cnt, sum(r) AS sr
+           FROM p1 GROUP BY f, bin),
+    c1 AS (SELECT f, bin,
+               sum(cnt) OVER (PARTITION BY f ORDER BY bin) AS nl,
+               sum(sr)  OVER (PARTITION BY f ORDER BY bin) AS sl,
+               sum(cnt) OVER (PARTITION BY f) AS nt,
+               sum(sr)  OVER (PARTITION BY f) AS st
+           FROM h1),
+    g1 AS (SELECT f, bin, nl, nt - nl AS nr, sl, st - sl AS sr2,
+               floor((
+                   (CAST(sl AS DOUBLE) * sl) / nl
+                   + (CAST(st - sl AS DOUBLE) * (st - sl)) / (nt - nl)
+                   - (CAST(st AS DOUBLE) * st) / nt
+               ) / 1000000000000.0 * 1000000 + 0.5) / 1000000 AS gain
+           FROM c1 WHERE nl > 0 AND nl < nt),
+    b1 AS (SELECT f, bin, gain, nl, nr,
+               CAST(floor(CAST(sl AS DOUBLE) / nl + 0.5) AS BIGINT) AS lmu,
+               CAST(floor(CAST(sr2 AS DOUBLE) / nr + 0.5) AS BIGINT) AS rmu
+           FROM g1 ORDER BY gain DESC, f ASC, bin ASC LIMIT 1),
+    r2base AS (
+        SELECT base.*,
+               base.y - (CASE WHEN (CASE b1.f
+                   WHEN 'discount' THEN b_discount
+                   WHEN 'linenumber' THEN b_linenumber
+                   WHEN 'ship_month' THEN b_ship_month
+                   ELSE b_tax END) <= b1.bin
+                 THEN b1.lmu ELSE b1.rmu END) AS r
+        FROM base, b1),
+    m1 AS (SELECT floor(
+               CAST(sum(CAST(r * r AS HUGEINT)) AS DOUBLE) / count(*)
+               / 1000000000000.0 * 1000000 + 0.5) / 1000000 AS mse
+           FROM r2base),
+    p2 AS (
+        SELECT 'discount' AS f, b_discount AS bin, r FROM r2base
+        UNION ALL SELECT 'linenumber', b_linenumber, r FROM r2base
+        UNION ALL SELECT 'ship_month', b_ship_month, r FROM r2base
+        UNION ALL SELECT 'tax', b_tax, r FROM r2base),
+    h2 AS (SELECT f, bin, count(*) AS cnt, sum(r) AS sr
+           FROM p2 GROUP BY f, bin),
+    c2 AS (SELECT f, bin,
+               sum(cnt) OVER (PARTITION BY f ORDER BY bin) AS nl,
+               sum(sr)  OVER (PARTITION BY f ORDER BY bin) AS sl,
+               sum(cnt) OVER (PARTITION BY f) AS nt,
+               sum(sr)  OVER (PARTITION BY f) AS st
+           FROM h2),
+    g2 AS (SELECT f, bin, nl, nt - nl AS nr, sl, st - sl AS sr2,
+               floor((
+                   (CAST(sl AS DOUBLE) * sl) / nl
+                   + (CAST(st - sl AS DOUBLE) * (st - sl)) / (nt - nl)
+                   - (CAST(st AS DOUBLE) * st) / nt
+               ) / 1000000000000.0 * 1000000 + 0.5) / 1000000 AS gain
+           FROM c2 WHERE nl > 0 AND nl < nt),
+    b2 AS (SELECT f, bin, gain, nl, nr,
+               CAST(floor(CAST(sl AS DOUBLE) / nl + 0.5) AS BIGINT) AS lmu,
+               CAST(floor(CAST(sr2 AS DOUBLE) / nr + 0.5) AS BIGINT) AS rmu
+           FROM g2 ORDER BY gain DESC, f ASC, bin ASC LIMIT 1),
+    r3base AS (
+        SELECT r2base.r - (CASE WHEN (CASE b2.f
+                   WHEN 'discount' THEN b_discount
+                   WHEN 'linenumber' THEN b_linenumber
+                   WHEN 'ship_month' THEN b_ship_month
+                   ELSE b_tax END) <= b2.bin
+                 THEN b2.lmu ELSE b2.rmu END) AS r
+        FROM r2base, b2),
+    m2 AS (SELECT floor(
+               CAST(sum(CAST(r * r AS HUGEINT)) AS DOUBLE) / count(*)
+               / 1000000000000.0 * 1000000 + 0.5) / 1000000 AS mse
+           FROM r3base)
+    SELECT CAST(1 AS BIGINT) AS round, b1.f AS feature,
+           CAST(b1.bin AS BIGINT) AS split_bin, b1.gain,
+           CAST(b1.nl AS BIGINT) AS n_left, CAST(b1.nr AS BIGINT) AS n_right,
+           b1.lmu AS left_leaf_micro, b1.rmu AS right_leaf_micro,
+           m1.mse AS mse_after
+    FROM b1, m1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), b2.f, CAST(b2.bin AS BIGINT), b2.gain,
+           CAST(b2.nl AS BIGINT), CAST(b2.nr AS BIGINT), b2.lmu, b2.rmu,
+           m2.mse
+    FROM b2, m2
+    """
+
+
+@register("gbdt_boost_stumps", min_rows=2, oracle=_GBDT_BOOST_ORACLE)
+def gbdt_boost_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO full gradient-boosting rounds of depth-1 trees (stumps) over
+    binned features — squared loss, learning rate 1 — composing the
+    :func:`gbdt_split_histogram` primitive into an actual trainer loop:
+    each round folds the CURRENT residual into per-(feature, bin)
+    histograms (one data pass, map-side combine, O(features × bins)
+    shuffle rows), picks the global best split by variance reduction,
+    fits the two leaf values, and subtracts the stump's prediction to
+    form the next round's residual. Output: per round, the chosen
+    split, leaf values, and the training MSE after applying it — MSE
+    must strictly fall round-over-round, which the oracle verifies
+    numerically.
+
+    The determinism trick that makes boosting oracle-checkable at all:
+    residuals stay EXACT INTEGERS. Labels lift to micro-units
+    (y × 10⁶); leaf values round to integer micro-units with a fixed
+    half-up rule; residual = integer − integer. Histogram sums are
+    therefore exact at every round — no order-dependent double
+    accumulation anywhere (the classic reason distributed GBDT runs
+    are irreproducible). Gains and MSE are doubles computed from those
+    integers with expressions written identically in both engines,
+    gridded to 1e-6; squared-residual sums accumulate in DECIMAL(38,0)
+    (HUGEINT in the oracle) because Σr² overflows BIGINT at scale.
+
+    Scale: per round, one pass + a ~40-row shuffle (LightGBM's
+    histogram layout); the binned base table materializes ONCE
+    (localCheckpoint — the binned-matrix cache every real GBDT trainer
+    builds); the chosen split is a bounded 1-row collect broadcast
+    back as literals. 100 TB cost = rounds × one scan.
+
+    Reference: no analytics in the 988-LoC loader; in-engine statistics
+    tier (SURVEY §2.12 [EXT]), composing ``gbdt_split_histogram``."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        (F.col("l_quantity").cast("long") * 1000000).alias("y"),
+        F.floor(F.col("l_discount") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("b_discount"),
+        F.col("l_linenumber").cast("long").alias("b_linenumber"),
+        F.month("l_shipdate").cast("long").alias("b_ship_month"),
+        F.floor(F.col("l_tax") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("b_tax"),
+    ).localCheckpoint(eager=False)
+    feats = ["discount", "linenumber", "ship_month", "tax"]
+
+    def best_split(df: DataFrame, resid_col: str) -> dict:
+        pairs = df.select(
+            F.col(resid_col).alias("r"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(f).alias("f"),
+                            F.col(f"b_{f}").alias("bin"),
+                        )
+                        for f in feats
+                    ]
+                )
+            ).alias("fb"),
+        ).select("fb.f", "fb.bin", "r")
+        hist = pairs.groupBy("f", "bin").agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.sum("r").cast("long").alias("sr"),
+        )
+        w = (
+            Window.partitionBy("f")
+            .orderBy("bin")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        wt = Window.partitionBy("f")
+        cum = hist.select(
+            "f",
+            "bin",
+            F.sum("cnt").over(w).alias("nl"),
+            F.sum("sr").over(w).alias("sl"),
+            F.sum("cnt").over(wt).alias("nt"),
+            F.sum("sr").over(wt).alias("st"),
+        )
+        nl, nt = F.col("nl"), F.col("nt")
+        sl, st = F.col("sl"), F.col("st")
+        nr, sr2 = nt - nl, st - sl
+        gain = (
+            (sl.cast("double") * sl) / nl
+            + (sr2.cast("double") * sr2) / nr
+            - (st.cast("double") * st) / nt
+        ) / 1e12
+        row = (
+            cum.filter((nl > 0) & (nl < nt))
+            .select(
+                "f",
+                "bin",
+                nl.alias("nl"),
+                nr.alias("nr"),
+                grid_round(gain, 6).alias("gain"),
+                F.floor(sl.cast("double") / nl + F.lit(0.5))
+                .cast("long")
+                .alias("lmu"),
+                F.floor(sr2.cast("double") / nr + F.lit(0.5))
+                .cast("long")
+                .alias("rmu"),
+            )
+            .orderBy(F.col("gain").desc(), F.col("f").asc(), F.col("bin").asc())
+            .first()  # bounded reduction: ONE row (the chosen split)
+        )
+        return row.asDict()
+
+    def apply_stump(df: DataFrame, resid_col: str, b: dict) -> DataFrame:
+        binv = F.col(f"b_{b['f']}")
+        pred = F.when(binv <= b["bin"], F.lit(b["lmu"])).otherwise(
+            F.lit(b["rmu"])
+        )
+        return df.withColumn("__nr", F.col(resid_col) - pred)
+
+    def mse_after(df: DataFrame) -> float:
+        s = df.agg(
+            F.sum(
+                (F.col("__nr") * F.col("__nr")).cast("decimal(38,0)")
+            ).alias("ss"),
+            F.count(F.lit(1)).alias("n"),
+        ).first()
+        raw = float(s["ss"]) / s["n"] / 1e12
+        import math
+
+        return math.floor(raw * 1e6 + 0.5) / 1e6
+
+    rows = []
+    cur, resid = base, "y"
+    for rnd in (1, 2):
+        b = best_split(cur, resid)
+        cur = apply_stump(cur, resid, b).localCheckpoint(eager=False)
+        resid = "__nr"
+        rows.append(
+            (
+                rnd,
+                b["f"],
+                int(b["bin"]),
+                float(b["gain"]),
+                int(b["nl"]),
+                int(b["nr"]),
+                int(b["lmu"]),
+                int(b["rmu"]),
+                mse_after(cur),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "round long, feature string, split_bin long, gain double, "
+        "n_left long, n_right long, left_leaf_micro long, "
+        "right_leaf_micro long, mse_after double",
+    )
