@@ -2789,3 +2789,251 @@ def gbdt_boost_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_left long, n_right long, left_leaf_micro long, "
         "right_leaf_micro long, mse_after double",
     )
+
+
+_PSI_ORACLE = """
+    WITH mid AS (
+        SELECT CAST(floor(avg(CAST(event_id AS DOUBLE)) * 1000000 + 0.5)
+                    AS BIGINT) AS m1e6
+        FROM events),
+    binned AS (
+        SELECT CASE WHEN e.event_id * 1000000 <= mid.m1e6
+                    THEN 'base' ELSE 'cur' END AS epoch,
+               CAST(least(greatest(floor(e.value / 50.0), 0), 19)
+                    AS BIGINT) AS bin
+        FROM events e, mid),
+    cells AS (
+        SELECT bin,
+               count(*) FILTER (WHERE epoch = 'base') AS nb,
+               count(*) FILTER (WHERE epoch = 'cur')  AS nc
+        FROM binned GROUP BY bin),
+    tot AS (
+        SELECT sum(nb) AS tb, sum(nc) AS tc, count(*) AS k FROM cells),
+    terms AS (
+        SELECT c.bin, c.nb, c.nc,
+               CAST(floor((
+                   (CAST(c.nb + 1 AS DOUBLE) / (t.tb + t.k)
+                    - CAST(c.nc + 1 AS DOUBLE) / (t.tc + t.k))
+                   * ln((CAST(c.nb + 1 AS DOUBLE) * (t.tc + t.k))
+                        / (CAST(c.nc + 1 AS DOUBLE) * (t.tb + t.k)))
+               ) * 1000000000 + 0.5) AS BIGINT) AS term_nano
+        FROM cells c, tot t)
+    SELECT CAST(bin AS BIGINT) AS bin, CAST(nb AS BIGINT) AS n_base,
+           CAST(nc AS BIGINT) AS n_cur,
+           CAST(term_nano AS DOUBLE) / 1000000000 AS psi_term,
+           CAST(sum(term_nano) OVER () AS DOUBLE) / 1000000000 AS psi_total
+    FROM terms
+    """
+
+
+@register("psi_drift_monitor", min_rows=3, oracle=_PSI_ORACLE)
+def psi_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between two halves of the events feed
+    — THE production data-drift gate a 100 TB ingest pipeline runs on
+    every batch boundary (PSI < 0.1 stable / 0.1–0.25 drifting / > 0.25
+    shifted): fixed-width value bins (no data-dependent quantile edges —
+    cross-engine-deterministic and shardable), Laplace (+1) smoothing so
+    empty bins keep ln defined, per-bin contribution
+
+        (p_b − p_c) · ln(p_b / p_c)
+
+    with every ln taken of a RATIO OF INTEGER PRODUCTS (the
+    ``unigram_logprob`` convention) and each term LANDED ON AN INTEGER
+    NANO GRID before the total sums — so the fold is order-independent
+    (a double Σ would drift with partial-aggregation order; the nano
+    grid makes rerun-identical results at any partition count).
+
+    Scale: one pass over events emits per-(epoch, bin) partial counts
+    that combine map-side; the cells frame is O(bins); everything after
+    the first shuffle is metadata-sized. The epoch split anchor (mean
+    event_id) is one bounded scalar aggregate.
+
+    Reference: no analytics in the 988-LoC loader; in-engine statistics
+    tier (SURVEY §2.12 [EXT]) — the monitoring leg."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    m1e6 = int(
+        ev.agg(
+            F.floor(
+                F.avg(F.col("event_id").cast("double")) * 1000000
+                + F.lit(0.5)
+            ).cast("long")
+        ).first()[0]
+    )
+    binned = ev.select(
+        F.when(F.col("event_id") * 1000000 <= m1e6, F.lit("base"))
+        .otherwise(F.lit("cur"))
+        .alias("epoch"),
+        F.least(
+            F.greatest(F.floor(F.col("value") / 50.0), F.lit(0)),
+            F.lit(19),
+        )
+        .cast("long")
+        .alias("bin"),
+    )
+    cells = binned.groupBy("bin").agg(
+        F.count(F.when(F.col("epoch") == "base", 1)).alias("nb"),
+        F.count(F.when(F.col("epoch") == "cur", 1)).alias("nc"),
+    )
+    tot = cells.agg(
+        F.sum("nb").alias("tb"),
+        F.sum("nc").alias("tc"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    j = cells.crossJoin(F.broadcast(tot))
+    pb = (F.col("nb") + 1).cast("double") / (F.col("tb") + F.col("k"))
+    pc = (F.col("nc") + 1).cast("double") / (F.col("tc") + F.col("k"))
+    lr = F.log(
+        ((F.col("nb") + 1).cast("double") * (F.col("tc") + F.col("k")))
+        / ((F.col("nc") + 1).cast("double") * (F.col("tb") + F.col("k")))
+    )
+    terms = j.select(
+        "bin",
+        F.col("nb").cast("long").alias("n_base"),
+        F.col("nc").cast("long").alias("n_cur"),
+        F.floor((pb - pc) * lr * 1e9 + F.lit(0.5))
+        .cast("long")
+        .alias("term_nano"),
+    ).localCheckpoint(eager=False)
+    # total via broadcast of a 1-row agg, not a global window — the
+    # house rule (no Exchange SinglePartition even on a 20-row frame)
+    total = terms.agg(F.sum("term_nano").alias("tot_nano"))
+    return terms.crossJoin(F.broadcast(total)).select(
+        F.col("bin").cast("long").alias("bin"),
+        "n_base",
+        "n_cur",
+        (F.col("term_nano").cast("double") / 1e9).alias("psi_term"),
+        (F.col("tot_nano").cast("double") / 1e9).alias("psi_total"),
+    )
+
+
+_MI_ORACLE = """
+    WITH base AS (
+        SELECT event_type AS y,
+               CAST(least(greatest(floor(value / 50.0), 0), 19)
+                    AS BIGINT) AS f_value_bin,
+               CAST(hour(ts) AS BIGINT) AS f_hour,
+               CAST(dayofweek(ts) AS BIGINT) AS f_dow,
+               CAST(user_id % 16 AS BIGINT) AS f_user_shard
+        FROM events),
+    pairs AS (
+        SELECT 'value_bin' AS feature, f_value_bin AS x, y FROM base
+        UNION ALL SELECT 'hour', f_hour, y FROM base
+        UNION ALL SELECT 'dow', f_dow, y FROM base
+        UNION ALL SELECT 'user_shard', f_user_shard, y FROM base),
+    joint AS (
+        SELECT feature, x, y, count(*) AS nxy
+        FROM pairs GROUP BY feature, x, y),
+    mx AS (SELECT feature, x, sum(nxy) AS nx FROM joint
+           GROUP BY feature, x),
+    my AS (SELECT feature, y, sum(nxy) AS ny FROM joint
+           GROUP BY feature, y),
+    nn AS (SELECT feature, sum(nxy) AS n FROM joint GROUP BY feature),
+    terms AS (
+        SELECT j.feature,
+               CAST(floor(
+                   (CAST(j.nxy AS DOUBLE) / nn.n)
+                   * ln((CAST(j.nxy AS DOUBLE) * nn.n)
+                        / (CAST(mx.nx AS DOUBLE) * my.ny))
+                   * 1000000000 + 0.5) AS BIGINT) AS term_nano
+        FROM joint j
+        JOIN mx ON j.feature = mx.feature AND j.x = mx.x
+        JOIN my ON j.feature = my.feature AND j.y = my.y
+        JOIN nn ON j.feature = nn.feature)
+    SELECT feature,
+           CAST(sum(term_nano) AS DOUBLE) / 1000000000 AS mi_nats,
+           row_number() OVER (
+               ORDER BY sum(term_nano) DESC, feature ASC) AS rank
+    FROM terms GROUP BY feature
+    """
+
+
+@register("mi_feature_ranking", min_rows=4, oracle=_MI_ORACLE)
+def mi_feature_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-information feature ranking against the event-type label —
+    the filter-method feature selector (sklearn's
+    ``mutual_info_classif`` for discrete features), fully in-engine:
+
+        MI(X; Y) = Σ_{x,y} p(x,y) · ln( p(x,y) / (p(x) p(y)) )
+
+    over four candidate features (fixed-width value bin, hour,
+    day-of-week, user shard). Every ln is of a RATIO OF INTEGER
+    PRODUCTS (the ``unigram_logprob`` convention) and every term lands
+    on an integer NANO grid before the per-feature fold, so the sum is
+    order-independent — rerun-identical at any partition count,
+    hash-equal to the DuckDB replay.
+
+    Scale: one pass fans each row into 4 (feature, x, y) cells that
+    combine MAP-SIDE — the shuffle carries O(features × |X| × |Y|)
+    rows (a few hundred), marginals are metadata-sized re-aggregations
+    of the joint frame (no second data pass), and the final rank is a
+    4-row sort. The 100 TB cost is one scan; the statistics plane
+    never grows with the data.
+
+    Reference: no analytics in the 988-LoC loader; in-engine statistics
+    tier (SURVEY §2.12 [EXT]) — feature selection leg."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("y"),
+        F.least(
+            F.greatest(F.floor(F.col("value") / 50.0), F.lit(0)),
+            F.lit(19),
+        )
+        .cast("long")
+        .alias("f_value_bin"),
+        F.hour("ts").cast("long").alias("f_hour"),
+        F.dayofweek("ts").cast("long").alias("f_dow"),
+        (F.col("user_id") % 16).cast("long").alias("f_user_shard"),
+    )
+    feats = ["value_bin", "hour", "dow", "user_shard"]
+    pairs = ev.select(
+        "y",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(f).alias("feature"),
+                        F.col(f"f_{f}").alias("x"),
+                    )
+                    for f in feats
+                ]
+            )
+        ).alias("fx"),
+    ).select("fx.feature", "fx.x", "y")
+    joint = pairs.groupBy("feature", "x", "y").agg(
+        F.count(F.lit(1)).cast("long").alias("nxy")
+    )
+    joint = joint.localCheckpoint(eager=False)  # feeds 3 reductions
+    mx = joint.groupBy("feature", "x").agg(F.sum("nxy").alias("nx"))
+    my = joint.groupBy("feature", "y").agg(F.sum("nxy").alias("ny"))
+    nn = joint.groupBy("feature").agg(F.sum("nxy").alias("n"))
+    t = (
+        joint.join(mx, ["feature", "x"])
+        .join(F.broadcast(my), ["feature", "y"])
+        .join(F.broadcast(nn), ["feature"])
+    )
+    term = (
+        (F.col("nxy").cast("double") / F.col("n"))
+        * F.log(
+            (F.col("nxy").cast("double") * F.col("n"))
+            / (F.col("nx").cast("double") * F.col("ny"))
+        )
+        * 1e9
+        + F.lit(0.5)
+    )
+    per_feat = (
+        t.select(
+            "feature",
+            F.floor(term).cast("long").alias("term_nano"),
+        )
+        .groupBy("feature")
+        .agg(F.sum("term_nano").alias("mi_nano"))
+    )
+    rank = F.row_number().over(
+        Window.partitionBy(F.lit(0)).orderBy(
+            F.col("mi_nano").desc(), F.col("feature").asc()
+        )
+    )
+    return per_feat.select(
+        "feature",
+        (F.col("mi_nano").cast("double") / 1e9).alias("mi_nats"),
+        rank.cast("long").alias("rank"),
+    )

@@ -243,6 +243,11 @@ def partitioned_snapshot_table_writer(
     )
 
     def _writer(batch_df: DataFrame, batch_id: int) -> None:
+        from pandas_to_postgres_spark.sources.partition_spec import (
+            _canon_spec,
+            _head_specs,
+        )
+
         os.makedirs(path, exist_ok=True)
         for leftover in glob.glob(
             os.path.join(path, f"part-e{batch_id}-*.parquet")
@@ -256,15 +261,44 @@ def partitioned_snapshot_table_writer(
             prefix=f"part-e{batch_id}-",
         )
         first = not snapshot_versions(path)
+        # spec-evolution safety: once the table carries MULTIPLE specs
+        # (someone evolved it while this stream runs), entries written
+        # without a spec_id would resolve to the table's FIRST spec —
+        # wrong pruning if this writer's spec registered later. Stamp
+        # the writer's spec id whenever a registry exists.
+        extra = None
+        if first:
+            extra = {"partition_spec": [dict(f) for f in spec]}
+        else:
+            specs, _d = _head_specs(path)
+            if specs:
+                canon = _canon_spec(spec)
+                sid = next(
+                    (
+                        i
+                        for i, s in specs.items()
+                        if _canon_spec(s) == canon
+                    ),
+                    None,
+                )
+                if sid is None:
+                    sid = str(max(int(i) for i in specs) + 1)
+                    specs = dict(specs)
+                    specs[sid] = [dict(f) for f in spec]
+                    extra = {
+                        "partition_specs": specs,
+                        "default_spec_id": sid,
+                        "partition_spec": [dict(f) for f in spec],
+                    }
+                for e in entries:
+                    e["spec_id"] = sid
         append_snapshot(
             path,
             names,
             stat_cols=stat_cols,
             drop_prefix=f"part-e{batch_id}-",
             known_entries=entries,
-            extra={"partition_spec": [dict(f) for f in spec]}
-            if first
-            else None,
+            extra=extra,
         )
 
     return _writer

@@ -544,3 +544,65 @@ class TestShardPartitionSummaries:
         ]
         sid, psum = M._shard_partition_summary(one)
         assert sid == "0" and psum == {"d": ["x", "y"]}
+
+
+class TestStreamingSinkSpecEvolution:
+    def test_epoch_writer_stamps_spec_id_after_evolution(
+        self, spark, tmp_path
+    ):
+        """A stream writing under an EVOLVED spec must stamp its
+        entries' spec_id — unstamped entries resolve to the table's
+        FIRST spec and would prune by the wrong hash."""
+        from pandas_to_postgres_spark.sources.partition_spec import (
+            append_partitioned_snapshot,
+            plan_hidden_scan,
+            read_snapshot_hidden,
+        )
+        from pandas_to_postgres_spark.streaming.sink import (
+            partitioned_snapshot_table_writer,
+        )
+
+        table = str(tmp_path / "evo_stream")
+        spec_a = [spec_field("bucket", "uid", 4)]
+        spec_b = [spec_field("bucket", "uid", 8)]
+
+        # epoch 0 under spec A via the streaming epoch writer
+        w_a = partitioned_snapshot_table_writer(table, spec_a, ["uid"])
+        w_a(
+            spark.range(100).selectExpr(
+                "id AS uid", "CAST(id AS DOUBLE) AS amount"
+            ),
+            0,
+        )
+        # batch append EVOLVES the table to spec B
+        append_partitioned_snapshot(
+            spark,
+            spark.range(100, 160).selectExpr(
+                "id AS uid", "CAST(id AS DOUBLE) AS amount"
+            ),
+            table,
+            spec_b,
+            stat_cols=["uid"],
+        )
+        # epoch 1 keeps streaming — still under spec B
+        w_b = partitioned_snapshot_table_writer(table, spec_b, ["uid"])
+        w_b(
+            spark.range(160, 200).selectExpr(
+                "id AS uid", "CAST(id AS DOUBLE) AS amount"
+            ),
+            1,
+        )
+        head = M.load_snapshot(table)
+        assert set(head["partition_specs"]) == {"0", "1"}
+        sids = {str(e.get("spec_id", "0")) for e in head["files"]}
+        assert sids == {"0", "1"}
+        # epoch-1 files must carry spec B's id explicitly
+        e1 = [e for e in head["files"] if e["path"].startswith("part-e1-")]
+        assert e1 and all(e.get("spec_id") == "1" for e in e1)
+        plan = plan_hidden_scan(table, {"uid": ("=", 170)})
+        assert 0 < len(plan["keep"]) < plan["total_files"]
+        got = read_snapshot_hidden(spark, table, {"uid": ("=", 170)})
+        assert [r["uid"] for r in got.collect()] == [170]
+        # and spec-A-era keys still resolve through spec A
+        got0 = read_snapshot_hidden(spark, table, {"uid": ("=", 7)})
+        assert [r["uid"] for r in got0.collect()] == [7]
