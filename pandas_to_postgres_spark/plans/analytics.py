@@ -2663,10 +2663,14 @@ def gbdt_boost_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
     (HUGEINT in the oracle) because Σr² overflows BIGINT at scale.
 
     Scale: per round, one pass + a ~40-row shuffle (LightGBM's
-    histogram layout); the binned base table materializes ONCE
-    (localCheckpoint — the binned-matrix cache every real GBDT trainer
-    builds); the chosen split is a bounded 1-row collect broadcast
-    back as literals. 100 TB cost = rounds × one scan.
+    histogram layout); the chosen split is a bounded 1-row collect
+    broadcast back as literals. The per-row residual is NEVER
+    materialized — it recomposes as an expression over the base scan
+    from the collected stump literals (residual frames are exactly as
+    large as the data, and checkpointing one per round turned the 64x
+    run into 3 full-table writes: 2.9s → 52s measured; expression
+    recomposition reads the scan once per round instead). 100 TB cost
+    = rounds × one column-pruned scan.
 
     Reference: no analytics in the 988-LoC loader; in-engine statistics
     tier (SURVEY §2.12 [EXT]), composing ``gbdt_split_histogram``."""
@@ -2681,12 +2685,12 @@ def gbdt_boost_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("l_tax") * 100 + F.lit(0.5))
         .cast("long")
         .alias("b_tax"),
-    ).localCheckpoint(eager=False)
+    )
     feats = ["discount", "linenumber", "ship_month", "tax"]
 
-    def best_split(df: DataFrame, resid_col: str) -> dict:
+    def best_split(df: DataFrame, resid_expr) -> dict:
         pairs = df.select(
-            F.col(resid_col).alias("r"),
+            resid_expr.alias("r"),
             F.explode(
                 F.array(
                     *[
@@ -2745,18 +2749,16 @@ def gbdt_boost_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return row.asDict()
 
-    def apply_stump(df: DataFrame, resid_col: str, b: dict) -> DataFrame:
+    def stump_pred(b: dict):
         binv = F.col(f"b_{b['f']}")
-        pred = F.when(binv <= b["bin"], F.lit(b["lmu"])).otherwise(
+        return F.when(binv <= b["bin"], F.lit(b["lmu"])).otherwise(
             F.lit(b["rmu"])
         )
-        return df.withColumn("__nr", F.col(resid_col) - pred)
 
-    def mse_after(df: DataFrame) -> float:
-        s = df.agg(
-            F.sum(
-                (F.col("__nr") * F.col("__nr")).cast("decimal(38,0)")
-            ).alias("ss"),
+    def mse_after(resid_expr) -> float:
+        r = resid_expr
+        s = base.agg(
+            F.sum((r * r).cast("decimal(38,0)")).alias("ss"),
             F.count(F.lit(1)).alias("n"),
         ).first()
         raw = float(s["ss"]) / s["n"] / 1e12
@@ -2765,11 +2767,10 @@ def gbdt_boost_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
         return math.floor(raw * 1e6 + 0.5) / 1e6
 
     rows = []
-    cur, resid = base, "y"
+    resid_expr = F.col("y")  # recomposes per round; never materialized
     for rnd in (1, 2):
-        b = best_split(cur, resid)
-        cur = apply_stump(cur, resid, b).localCheckpoint(eager=False)
-        resid = "__nr"
+        b = best_split(base, resid_expr)
+        resid_expr = resid_expr - stump_pred(b)
         rows.append(
             (
                 rnd,
@@ -2780,7 +2781,7 @@ def gbdt_boost_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
                 int(b["nr"]),
                 int(b["lmu"]),
                 int(b["rmu"]),
-                mse_after(cur),
+                mse_after(resid_expr),
             )
         )
     return spark.createDataFrame(
@@ -2788,121 +2789,6 @@ def gbdt_boost_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
         "round long, feature string, split_bin long, gain double, "
         "n_left long, n_right long, left_leaf_micro long, "
         "right_leaf_micro long, mse_after double",
-    )
-
-
-_PSI_ORACLE = """
-    WITH mid AS (
-        SELECT CAST(floor(avg(CAST(event_id AS DOUBLE)) * 1000000 + 0.5)
-                    AS BIGINT) AS m1e6
-        FROM events),
-    binned AS (
-        SELECT CASE WHEN e.event_id * 1000000 <= mid.m1e6
-                    THEN 'base' ELSE 'cur' END AS epoch,
-               CAST(least(greatest(floor(e.value / 50.0), 0), 19)
-                    AS BIGINT) AS bin
-        FROM events e, mid),
-    cells AS (
-        SELECT bin,
-               count(*) FILTER (WHERE epoch = 'base') AS nb,
-               count(*) FILTER (WHERE epoch = 'cur')  AS nc
-        FROM binned GROUP BY bin),
-    tot AS (
-        SELECT sum(nb) AS tb, sum(nc) AS tc, count(*) AS k FROM cells),
-    terms AS (
-        SELECT c.bin, c.nb, c.nc,
-               CAST(floor((
-                   (CAST(c.nb + 1 AS DOUBLE) / (t.tb + t.k)
-                    - CAST(c.nc + 1 AS DOUBLE) / (t.tc + t.k))
-                   * ln((CAST(c.nb + 1 AS DOUBLE) * (t.tc + t.k))
-                        / (CAST(c.nc + 1 AS DOUBLE) * (t.tb + t.k)))
-               ) * 1000000000 + 0.5) AS BIGINT) AS term_nano
-        FROM cells c, tot t)
-    SELECT CAST(bin AS BIGINT) AS bin, CAST(nb AS BIGINT) AS n_base,
-           CAST(nc AS BIGINT) AS n_cur,
-           CAST(term_nano AS DOUBLE) / 1000000000 AS psi_term,
-           CAST(sum(term_nano) OVER () AS DOUBLE) / 1000000000 AS psi_total
-    FROM terms
-    """
-
-
-@register("psi_drift_monitor", min_rows=3, oracle=_PSI_ORACLE)
-def psi_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Population Stability Index between two halves of the events feed
-    — THE production data-drift gate a 100 TB ingest pipeline runs on
-    every batch boundary (PSI < 0.1 stable / 0.1–0.25 drifting / > 0.25
-    shifted): fixed-width value bins (no data-dependent quantile edges —
-    cross-engine-deterministic and shardable), Laplace (+1) smoothing so
-    empty bins keep ln defined, per-bin contribution
-
-        (p_b − p_c) · ln(p_b / p_c)
-
-    with every ln taken of a RATIO OF INTEGER PRODUCTS (the
-    ``unigram_logprob`` convention) and each term LANDED ON AN INTEGER
-    NANO GRID before the total sums — so the fold is order-independent
-    (a double Σ would drift with partial-aggregation order; the nano
-    grid makes rerun-identical results at any partition count).
-
-    Scale: one pass over events emits per-(epoch, bin) partial counts
-    that combine map-side; the cells frame is O(bins); everything after
-    the first shuffle is metadata-sized. The epoch split anchor (mean
-    event_id) is one bounded scalar aggregate.
-
-    Reference: no analytics in the 988-LoC loader; in-engine statistics
-    tier (SURVEY §2.12 [EXT]) — the monitoring leg."""
-    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
-    m1e6 = int(
-        ev.agg(
-            F.floor(
-                F.avg(F.col("event_id").cast("double")) * 1000000
-                + F.lit(0.5)
-            ).cast("long")
-        ).first()[0]
-    )
-    binned = ev.select(
-        F.when(F.col("event_id") * 1000000 <= m1e6, F.lit("base"))
-        .otherwise(F.lit("cur"))
-        .alias("epoch"),
-        F.least(
-            F.greatest(F.floor(F.col("value") / 50.0), F.lit(0)),
-            F.lit(19),
-        )
-        .cast("long")
-        .alias("bin"),
-    )
-    cells = binned.groupBy("bin").agg(
-        F.count(F.when(F.col("epoch") == "base", 1)).alias("nb"),
-        F.count(F.when(F.col("epoch") == "cur", 1)).alias("nc"),
-    )
-    tot = cells.agg(
-        F.sum("nb").alias("tb"),
-        F.sum("nc").alias("tc"),
-        F.count(F.lit(1)).alias("k"),
-    )
-    j = cells.crossJoin(F.broadcast(tot))
-    pb = (F.col("nb") + 1).cast("double") / (F.col("tb") + F.col("k"))
-    pc = (F.col("nc") + 1).cast("double") / (F.col("tc") + F.col("k"))
-    lr = F.log(
-        ((F.col("nb") + 1).cast("double") * (F.col("tc") + F.col("k")))
-        / ((F.col("nc") + 1).cast("double") * (F.col("tb") + F.col("k")))
-    )
-    terms = j.select(
-        "bin",
-        F.col("nb").cast("long").alias("n_base"),
-        F.col("nc").cast("long").alias("n_cur"),
-        F.floor((pb - pc) * lr * 1e9 + F.lit(0.5))
-        .cast("long")
-        .alias("term_nano"),
-    ).localCheckpoint(eager=False)
-    # total via broadcast of a 1-row agg, not a global window — the
-    # house rule (no Exchange SinglePartition even on a 20-row frame)
-    total = terms.agg(F.sum("term_nano").alias("tot_nano"))
-    return terms.crossJoin(F.broadcast(total)).select(
-        F.col("bin").cast("long").alias("bin"),
-        "n_base",
-        "n_cur",
-        (F.col("term_nano").cast("double") / 1e9).alias("psi_term"),
-        (F.col("tot_nano").cast("double") / 1e9).alias("psi_total"),
     )
 
 
