@@ -1853,6 +1853,65 @@ def set_branch(path: str, name: str, version: int | None = None) -> int:
     return v
 
 
+def restore_snapshot(path: str, version: int) -> dict:
+    """Delta-style RESTORE: publish a NEW head whose file list (and
+    inherited metadata — partition specs, column map, stat columns) is
+    exactly what ``version`` froze. Metadata-only: no data file is
+    touched or rewritten, history is preserved (the bad versions stay
+    time-travelable; Iceberg's ``rollback`` keeps them likewise), and
+    the operation composes with the optimistic claim like any other
+    publish. Restoring a 100 TB table costs one manifest write.
+
+    The restored version publishes ``data_change: true`` when the file
+    set differs from the current head (readers of the change feed must
+    treat it as a rewrite — it REMOVES files relative to head, so the
+    stream reader fails fast unless ignoreChanges is set, the same
+    contract as any non-append DML), and ``dml: restore`` for
+    provenance."""
+    target = load_snapshot(path, version)
+
+    def _content(snap: dict) -> tuple:
+        # rollback-relevant content: file set + vectors + the inherited
+        # metadata plane (a rename/drop/spec change is metadata-ONLY, so
+        # files alone can't decide "already restored")
+        return (
+            sorted(
+                (e["path"], tuple(e.get("dv") or ()))
+                for e in snap["files"]
+            ),
+            sorted(snap.get("stat_cols", [])),
+            json.dumps(snap.get("column_map"), sort_keys=True),
+            json.dumps(snap.get("partition_spec"), sort_keys=True),
+            json.dumps(snap.get("partition_specs"), sort_keys=True),
+            str(snap.get("default_spec_id")),
+        )
+
+    for _ in range(_MAX_PUBLISH_RETRIES):
+        head = load_snapshot(path)
+        if _content(head) == _content(target):
+            return head  # already at the target content: no-op
+        manifest = _pack_manifest(
+            path,
+            head["version"] + 1,
+            target.get("stat_cols", []),
+            target["files"],
+            head,
+        )
+        # inherit the TARGET's metadata (specs, column map) — restoring
+        # past a rename must also restore the schema the files carry
+        manifest = _inherit(manifest, target)
+        manifest["dml"] = "restore"
+        manifest["restored_from"] = target["version"]
+        if _claim_version(path, head["version"] + 1, manifest):
+            manifest["files"] = [
+                _strip_entry(e) for e in target["files"]
+            ]
+            return manifest
+    raise RuntimeError(
+        f"restore_snapshot: lost {_MAX_PUBLISH_RETRIES} version claims"
+    )
+
+
 def resolve_ref(path: str, name: str) -> int:
     """Tag first, then branch (a tag shadowing a branch of the same name
     would be a naming mistake; deterministic precedence beats an

@@ -340,3 +340,104 @@ class TestColumnMappingDataSource:
         list(r.pushFilters([In(("k",), (5, 17, 63))]))
         parts = r.partitions()
         assert len(parts) == 1, "all IN values live in the first range file"
+
+
+class TestRestore:
+    """Delta-style RESTORE: metadata-only rollback that preserves
+    history and composes with appends, DVs, and expiry."""
+
+    def test_restore_rolls_back_and_keeps_history(self, spark, tmp_path):
+        p = str(tmp_path / "restore_tbl")
+        spark.range(100).selectExpr("id AS k", "id * 2 AS v").coalesce(
+            1
+        ).write.parquet(p)
+        M.publish_snapshot(p, ["k"])
+        spark.range(100, 150).selectExpr(
+            "id AS k", "id * 2 AS v"
+        ).coalesce(1).write.mode("append").parquet(p)
+        published = {e["path"] for e in M.load_snapshot(p, 1)["files"]}
+        new = sorted(
+            f for f in __import__("os").listdir(p)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+            and f not in published
+        )
+        M.append_snapshot(p, new)
+        assert M.read_snapshot(spark, p).count() == 150
+
+        man = M.restore_snapshot(p, 1)
+        assert man["version"] == 3
+        assert man["dml"] == "restore"
+        assert man["restored_from"] == 1
+        assert M.read_snapshot(spark, p).count() == 100
+        # history preserved: the "bad" v2 still time-travels
+        assert M.read_snapshot(spark, p, version=2).count() == 150
+        # restore is idempotent at the same content: no new version
+        again = M.restore_snapshot(p, 1)
+        assert again["version"] == 3
+
+        # life continues after a restore: append composes
+        spark.range(150, 160).selectExpr(
+            "id AS k", "id * 2 AS v"
+        ).coalesce(1).write.mode("append").parquet(p)
+        seen = set()
+        for v in M.snapshot_versions(p):
+            seen.update(e["path"] for e in M.load_snapshot(p, v)["files"])
+        newer = sorted(
+            f for f in __import__("os").listdir(p)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+            and f not in seen
+        )
+        M.append_snapshot(p, newer)
+        assert M.read_snapshot(spark, p).count() == 110
+
+    def test_restore_undoes_dv_delete(self, spark, tmp_path):
+        from pyspark.sql import Row
+
+        p = str(tmp_path / "restore_dv")
+        spark.range(50).selectExpr("id AS k", "id AS v").coalesce(
+            1
+        ).write.parquet(p)
+        M.publish_snapshot(p, ["k"])
+        M.delete_snapshot_rows_dv(
+            spark, p, spark.createDataFrame([Row(k=7)]), ["k"]
+        )
+        assert M.read_snapshot(spark, p).count() == 49
+        M.restore_snapshot(p, 1)
+        assert M.read_snapshot(spark, p).count() == 50
+        assert M.count_snapshot(p) == 50
+
+    def test_restore_past_rename_restores_schema(self, spark, tmp_path):
+        p = str(tmp_path / "restore_cm")
+        spark.range(20).selectExpr("id AS k", "id AS v").coalesce(
+            1
+        ).write.parquet(p)
+        M.publish_snapshot(p, ["k"])
+        M.rename_snapshot_column(p, "v", "val")
+        assert set(M.read_snapshot(spark, p).columns) == {"k", "val"}
+        M.restore_snapshot(p, 1)
+        assert set(M.read_snapshot(spark, p).columns) == {"k", "v"}
+
+    def test_expire_after_restore_keeps_restored_files(
+        self, spark, tmp_path
+    ):
+        p = str(tmp_path / "restore_exp")
+        spark.range(30).selectExpr("id AS k", "id AS v").coalesce(
+            1
+        ).write.parquet(p)
+        M.publish_snapshot(p, ["k"])
+        # compact rewrites into new files -> v2 doesn't reference v1's
+        spark.range(30, 60).selectExpr("id AS k", "id AS v").coalesce(
+            1
+        ).write.mode("append").parquet(p)
+        published = {e["path"] for e in M.load_snapshot(p, 1)["files"]}
+        new = sorted(
+            f for f in __import__("os").listdir(p)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+            and f not in published
+        )
+        M.append_snapshot(p, new)
+        M.restore_snapshot(p, 1)
+        out = M.expire_snapshots(p, keep_latest=1)
+        # v1's files are re-referenced by the restored head: must survive
+        assert M.read_snapshot(spark, p).count() == 30
+        assert 2 in out["expired_versions"]
