@@ -4101,3 +4101,90 @@ def snapshot_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("price_cents").cast("long").alias("price_cents"),
         )
     )
+
+
+_RESTORE_ORACLE = """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS value_cents
+    FROM events
+    WHERE event_id % 3 IN (0, 1)
+    GROUP BY event_type
+    """
+
+
+@register("snapshot_restore", min_rows=1, oracle=_RESTORE_ORACLE)
+def snapshot_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-style RESTORE under the driver oracle: three versions land
+    (two appends, then a DV DELETE that kills every 7th event), the
+    table ROLLS BACK to the pre-delete version with one metadata write
+    — no data file is touched, the bad version stays time-travelable —
+    and the restored read must equal the plain two-epoch union, which
+    is exactly what the oracle computes. Rolling back a 100 TB table
+    costs one manifest publish; the deleted rows resurrect because the
+    restore re-references the files WITHOUT the deletion vectors, the
+    rollback semantics Delta RESTORE / Iceberg rollback define.
+
+    Reference: no versioning concept in the 988-LoC loader; [EXT]
+    lakehouse surface (SURVEY §2.12), sibling of the other snapshot
+    DML queries."""
+    import hashlib
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    from pandas_to_postgres_spark.sources.manifest import (
+        append_snapshot,
+        delete_snapshot_rows_dv,
+        load_snapshot,
+        publish_snapshot,
+        read_snapshot,
+        restore_snapshot,
+        snapshot_versions,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:6]
+    wh = urlparse(
+        spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    ).path or "spark-warehouse"
+    path = os.path.join(wh, f"restore_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    ev.filter(F.col("event_id") % 3 == 0).coalesce(1).write.parquet(path)
+    publish_snapshot(path, ["event_id"])
+    ev.filter(F.col("event_id") % 3 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+    published = {e["path"] for e in load_snapshot(path, 1)["files"]}
+    new = sorted(
+        f
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+        and not f.startswith((".", "_"))
+        and f not in published
+    )
+    append_snapshot(path, new)
+    # the regrettable delete: every 7th event dies in place (DV)
+    delete_snapshot_rows_dv(
+        spark,
+        path,
+        ev.filter(
+            (F.col("event_id") % 3 < 2) & (F.col("event_id") % 7 == 0)
+        ).select("event_id"),
+        ["event_id"],
+    )
+    assert read_snapshot(spark, path).count() < ev.filter(
+        F.col("event_id") % 3 < 2
+    ).count()
+    man = restore_snapshot(path, 2)
+    assert man["dml"] == "restore" and man["restored_from"] == 2
+    assert len(snapshot_versions(path)) == 4  # history preserved
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    return read_snapshot(spark, path).groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(cents).cast("long").alias("value_cents"),
+    )
