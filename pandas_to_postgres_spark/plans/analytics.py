@@ -2923,3 +2923,231 @@ def mi_feature_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("mi_nano").cast("double") / 1e9).alias("mi_nats"),
         rank.cast("long").alias("rank"),
     )
+
+
+_TREE2_ORACLE = """
+    WITH base AS (
+        SELECT CAST(l_quantity AS BIGINT) * 1000000 AS y,
+               CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS b_discount,
+               CAST(l_linenumber AS BIGINT) AS b_linenumber,
+               CAST(month(l_shipdate) AS BIGINT) AS b_ship_month,
+               CAST(floor(l_tax * 100 + 0.5) AS BIGINT) AS b_tax
+        FROM lineitem),
+    p1 AS (
+        SELECT 'discount' AS f, b_discount AS bin, y FROM base
+        UNION ALL SELECT 'linenumber', b_linenumber, y FROM base
+        UNION ALL SELECT 'ship_month', b_ship_month, y FROM base
+        UNION ALL SELECT 'tax', b_tax, y FROM base),
+    h1 AS (SELECT f, bin, count(*) AS cnt, sum(y) AS sy
+           FROM p1 GROUP BY f, bin),
+    c1 AS (SELECT f, bin,
+               sum(cnt) OVER (PARTITION BY f ORDER BY bin) AS nl,
+               sum(sy)  OVER (PARTITION BY f ORDER BY bin) AS sl,
+               sum(cnt) OVER (PARTITION BY f) AS nt,
+               sum(sy)  OVER (PARTITION BY f) AS st
+           FROM h1),
+    g1 AS (SELECT f, bin, nl, nt - nl AS nr, sl, st - sl AS sr,
+               floor((
+                   (CAST(sl AS DOUBLE) * sl) / nl
+                   + (CAST(st - sl AS DOUBLE) * (st - sl)) / (nt - nl)
+                   - (CAST(st AS DOUBLE) * st) / nt
+               ) / 1000000000000.0 * 1000000 + 0.5) / 1000000 AS gain
+           FROM c1 WHERE nl > 0 AND nl < nt),
+    root AS (SELECT f, bin, gain, nl, nr,
+               CAST(floor(CAST(sl AS DOUBLE) / nl + 0.5) AS BIGINT) AS lmu,
+               CAST(floor(CAST(sr AS DOUBLE) / nr + 0.5) AS BIGINT) AS rmu
+             FROM g1 ORDER BY gain DESC, f ASC, bin ASC LIMIT 1),
+    leaves AS (
+        SELECT base.*,
+               CASE WHEN (CASE root.f
+                   WHEN 'discount' THEN b_discount
+                   WHEN 'linenumber' THEN b_linenumber
+                   WHEN 'ship_month' THEN b_ship_month
+                   ELSE b_tax END) <= root.bin
+                 THEN 'left' ELSE 'right' END AS leaf
+        FROM base, root),
+    p2 AS (
+        SELECT leaf, 'discount' AS f, b_discount AS bin, y FROM leaves
+        UNION ALL SELECT leaf, 'linenumber', b_linenumber, y FROM leaves
+        UNION ALL SELECT leaf, 'ship_month', b_ship_month, y FROM leaves
+        UNION ALL SELECT leaf, 'tax', b_tax, y FROM leaves),
+    h2 AS (SELECT leaf, f, bin, count(*) AS cnt, sum(y) AS sy
+           FROM p2 GROUP BY leaf, f, bin),
+    c2 AS (SELECT leaf, f, bin,
+               sum(cnt) OVER (PARTITION BY leaf, f ORDER BY bin) AS nl,
+               sum(sy)  OVER (PARTITION BY leaf, f ORDER BY bin) AS sl,
+               sum(cnt) OVER (PARTITION BY leaf, f) AS nt,
+               sum(sy)  OVER (PARTITION BY leaf, f) AS st
+           FROM h2),
+    g2 AS (SELECT leaf, f, bin, nl, nt - nl AS nr, sl, st - sl AS sr,
+               floor((
+                   (CAST(sl AS DOUBLE) * sl) / nl
+                   + (CAST(st - sl AS DOUBLE) * (st - sl)) / (nt - nl)
+                   - (CAST(st AS DOUBLE) * st) / nt
+               ) / 1000000000000.0 * 1000000 + 0.5) / 1000000 AS gain
+           FROM c2 WHERE nl > 0 AND nl < nt),
+    child AS (
+        SELECT leaf, f, bin, gain, nl, nr,
+               CAST(floor(CAST(sl AS DOUBLE) / nl + 0.5) AS BIGINT) AS lmu,
+               CAST(floor(CAST(sr AS DOUBLE) / nr + 0.5) AS BIGINT) AS rmu,
+               row_number() OVER (PARTITION BY leaf
+                   ORDER BY gain DESC, f ASC, bin ASC) AS rn
+        FROM g2)
+    SELECT 'root' AS node, f AS feature, CAST(bin AS BIGINT) AS split_bin,
+           gain, CAST(nl AS BIGINT) AS n_left, CAST(nr AS BIGINT) AS n_right,
+           lmu AS left_mean_micro, rmu AS right_mean_micro
+    FROM root
+    UNION ALL
+    SELECT leaf, f, CAST(bin AS BIGINT), gain, CAST(nl AS BIGINT),
+           CAST(nr AS BIGINT), lmu, rmu
+    FROM child WHERE rn = 1
+    """
+
+
+@register("gbdt_tree_depth2", min_rows=3, oracle=_TREE2_ORACLE)
+def gbdt_tree_depth2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A DEPTH-2 histogram regression tree — the claim "tree levels =
+    scans" made concrete: level 1 is the global best split (one pass,
+    O(F·B) shuffled cells); level 2 re-keys the SAME histogram pass by
+    (leaf, feature, bin) — one more pass, O(2·F·B) cells — and picks
+    each leaf's best split independently. No per-node data movement, no
+    row sort, no collect beyond the root's 1-row split: exactly how
+    LightGBM/XGBoost-hist grow a level for EVERY node of that level in
+    one sweep. At 100 TB a depth-d tree costs d column-pruned scans.
+
+    Same determinism discipline as its siblings: integer micro-unit
+    labels, integer histogram cells, gains/means as doubles from exact
+    integers gridded to 1e-6, (gain DESC, feature ASC, bin ASC)
+    tie-breaks — hash-equal to the DuckDB replay.
+
+    Reference: no analytics in the 988-LoC loader; in-engine statistics
+    tier (SURVEY §2.12 [EXT]), composing ``gbdt_split_histogram``."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        (F.col("l_quantity").cast("long") * 1000000).alias("y"),
+        F.floor(F.col("l_discount") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("b_discount"),
+        F.col("l_linenumber").cast("long").alias("b_linenumber"),
+        F.month("l_shipdate").cast("long").alias("b_ship_month"),
+        F.floor(F.col("l_tax") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("b_tax"),
+    )
+    feats = ["discount", "linenumber", "ship_month", "tax"]
+    fan = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(f).alias("f"), F.col(f"b_{f}").alias("bin")
+                )
+                for f in feats
+            ]
+        )
+    ).alias("fb")
+
+    def leaf_best(hist: DataFrame, keys: list) -> DataFrame:
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy("bin")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        wt = Window.partitionBy(*keys)
+        cum = hist.select(
+            *keys,
+            "bin",
+            F.sum("cnt").over(w).alias("nl"),
+            F.sum("sy").over(w).alias("sl"),
+            F.sum("cnt").over(wt).alias("nt"),
+            F.sum("sy").over(wt).alias("st"),
+        )
+        nl, nt = F.col("nl"), F.col("nt")
+        sl, st = F.col("sl"), F.col("st")
+        nr, sr = nt - nl, st - sl
+        gain = (
+            (sl.cast("double") * sl) / nl
+            + (sr.cast("double") * sr) / nr
+            - (st.cast("double") * st) / nt
+        ) / 1e12
+        return cum.filter((nl > 0) & (nl < nt)).select(
+            *keys,
+            "bin",
+            nl.alias("n_left"),
+            nr.alias("n_right"),
+            grid_round(gain, 6).alias("gain"),
+            F.floor(sl.cast("double") / nl + F.lit(0.5))
+            .cast("long")
+            .alias("left_mean_micro"),
+            F.floor(sr.cast("double") / nr + F.lit(0.5))
+            .cast("long")
+            .alias("right_mean_micro"),
+        )
+
+    h1 = (
+        base.select("y", fan)
+        .select(F.col("fb.f").alias("f"), F.col("fb.bin").alias("bin"), "y")
+        .groupBy("f", "bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.sum("y").cast("long").alias("sy"),
+        )
+    )
+    root = (
+        leaf_best(h1, ["f"])
+        .orderBy(F.col("gain").desc(), F.col("f").asc(), F.col("bin").asc())
+        .first()  # bounded: the ONE root split drives level 2's keying
+        .asDict()
+    )
+    leaf = F.when(
+        F.col(f"b_{root['f']}") <= root["bin"], F.lit("left")
+    ).otherwise(F.lit("right"))
+    h2 = (
+        base.select("y", leaf.alias("leaf"), fan)
+        .select(
+            "leaf", F.col("fb.f").alias("f"), F.col("fb.bin").alias("bin"),
+            "y",
+        )
+        .groupBy("leaf", "f", "bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.sum("y").cast("long").alias("sy"),
+        )
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("leaf").orderBy(
+            F.col("gain").desc(), F.col("f").asc(), F.col("bin").asc()
+        )
+    )
+    children = (
+        leaf_best(h2, ["leaf", "f"])
+        .withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("leaf").alias("node"),
+            F.col("f").alias("feature"),
+            F.col("bin").alias("split_bin"),
+            "gain",
+            "n_left",
+            "n_right",
+            "left_mean_micro",
+            "right_mean_micro",
+        )
+    )
+    root_row = spark.createDataFrame(
+        [
+            (
+                "root",
+                root["f"],
+                int(root["bin"]),
+                float(root["gain"]),
+                int(root["n_left"]),
+                int(root["n_right"]),
+                int(root["left_mean_micro"]),
+                int(root["right_mean_micro"]),
+            )
+        ],
+        "node string, feature string, split_bin long, gain double, "
+        "n_left long, n_right long, left_mean_micro long, "
+        "right_mean_micro long",
+    )
+    return root_row.unionByName(children)

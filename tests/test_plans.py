@@ -792,3 +792,41 @@ class TestIvfPartitionedLayout:
             .orderBy("qid", "rnk").collect()
         )
         assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+class TestRound8Shapes:
+    """Plan asserts for the round-8 statistics tier: the histogram
+    fold must COMBINE MAP-SIDE (partial + final HashAggregate around
+    one exchange of O(features x bins) rows — the LightGBM layout), and
+    MI's marginals must re-aggregate the joint frame rather than
+    re-scan the data."""
+
+    def test_gbdt_histogram_partial_agg_one_data_shuffle(self, spark):
+        plan = plan_of(spark, "gbdt_split_histogram")
+        # partial+final around the (feature, bin) exchange
+        assert plan.count("HashAggregate") >= 2
+        # one data-sized shuffle (the histogram); window/rank exchanges
+        # operate on the ~40-row frame
+        assert "Generate" in plan  # the 4-way feature fan-out is a
+        # generator inheriting scan partitioning, not a union of scans
+        assert plan.count("Scan parquet") == 1
+
+    def test_mi_single_scan_and_mapside_combine(self, spark):
+        plan = plan_of(spark, "mi_feature_ranking")
+        assert plan.count("HashAggregate") >= 2
+        # marginals come from the checkpointed joint frame: exactly one
+        # parquet scan in the whole plan
+        assert plan.count("Scan parquet") <= 1
+
+    def test_psi_events_scan_is_column_pruned(self, spark):
+        plan = plan_of(spark, "gbdt_split_histogram")
+        # ReadSchema pruned to the needed columns only (binning inputs)
+        import re
+
+        m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+        assert m, plan[:500]
+        cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+        assert cols <= {
+            "l_quantity", "l_discount", "l_linenumber", "l_shipdate",
+            "l_tax",
+        }, cols
