@@ -3151,3 +3151,124 @@ def gbdt_tree_depth2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "right_mean_micro long",
     )
     return root_row.unionByName(children)
+
+
+_HLL_ORACLE = """
+    WITH h AS (
+        SELECT DISTINCT
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS hv
+        FROM events),
+    reg AS (
+        SELECT hv % 1024 AS bucket,
+               max(CASE WHEN hv // 1024 = 0 THEN 51
+                        ELSE 51 - length(bin(hv // 1024)) END) AS rho
+        FROM h GROUP BY hv % 1024),
+    fold AS (
+        SELECT count(*) AS n_present,
+               sum(CAST(2 AS BIGINT) ** (51 - rho)) AS z_present
+        FROM reg),
+    stat AS (
+        SELECT CAST(1024 - n_present AS BIGINT) AS v_zero,
+               CAST(z_present
+                    + (1024 - n_present) * (CAST(2 AS BIGINT) ** 51)
+                    AS BIGINT) AS z_num
+        FROM fold),
+    est AS (
+        SELECT v_zero, z_num,
+               (CAST(0.7213 AS DOUBLE) / (1 + CAST(1.079 AS DOUBLE) / 1024))
+                   * 1024 * 1024
+                   * (CAST(2 AS DOUBLE) ** 51) / CAST(z_num AS DOUBLE)
+                   AS e_raw
+        FROM stat)
+    SELECT CAST(1024 AS BIGINT) AS m, v_zero, z_num,
+           floor((CASE WHEN e_raw <= 2.5 * 1024 AND v_zero > 0
+                       THEN 1024 * ln(CAST(1024 AS DOUBLE) / v_zero)
+                       ELSE e_raw END) * 10000 + 0.5) / 10000
+               AS hll_estimate,
+           (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events)
+               AS exact_distinct
+    FROM est
+    """
+
+
+@register("hll_distinct_users", min_rows=1, oracle=_HLL_ORACLE)
+def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A HyperLogLog sketch with an EXACT oracle — normally a sketch is
+    unverifiable cross-engine (implementation-defined hashes), but with
+    md5-derived registers every piece is deterministic and DuckDB
+    replays the whole estimator bit-for-bit: bucket = low 10 bits of a
+    60-bit md5 prefix, rho = leading-zero rank of the remaining 50-bit
+    window (INTEGER string-length arithmetic on ``bin()``, no
+    FP log2), registers fold with ``max`` per bucket, and the harmonic
+    sum Σ2^(−M_j) is carried as the EXACT INTEGER Σ2^(51−M_j)/2^51 —
+    order-independent where a naive double fold is not. Flajolet's
+    small-range linear-counting correction applies on the same
+    deterministic branch in both engines.
+
+    Scale (why HLL at all): the shuffle after the map-side fold is AT
+    MOST m = 1024 register rows regardless of input size, and register
+    states merge associatively — the sketch of 1000 executors is the
+    elementwise max of their sketches. This is the cardinality path for
+    columns where exact count-distinct's full shuffle is the
+    bottleneck; the estimate lands within ~3% (1.04/√m) of the exact
+    count, which the output exposes side by side.
+
+    Reference: no analytics in the 988-LoC loader; in-engine statistics
+    tier (SURVEY §2.12 [EXT]) — the sketch leg, exact-oracle variant of
+    the rows-only ``approx_distinct_parts``."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.select(
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 15),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("hv")
+    ).distinct()
+    reg = (
+        h.select(
+            (F.col("hv") % 1024).alias("bucket"),
+            F.when(F.floor(F.col("hv") / 1024) == 0, F.lit(51))
+            .otherwise(
+                F.lit(51)
+                - F.length(F.expr("bin(CAST(FLOOR(hv / 1024) AS BIGINT))"))
+            )
+            .alias("rho_row"),
+        )
+        .groupBy("bucket")
+        .agg(F.max("rho_row").alias("rho"))
+    )
+    fold = reg.agg(
+        F.count(F.lit(1)).alias("n_present"),
+        F.sum(F.expr("CAST(POW(2, 51 - rho) AS BIGINT)")).alias(
+            "z_present"
+        ),
+    )
+    exact = ev.agg(
+        F.countDistinct("user_id").cast("long").alias("exact_distinct")
+    )
+    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(1024.0))
+    v_zero = (F.lit(1024) - F.col("n_present")).cast("long")
+    z_num = (
+        F.col("z_present")
+        + (F.lit(1024) - F.col("n_present")) * F.lit(2**51)
+    ).cast("long")
+    e_raw = (
+        alpha
+        * F.lit(1024.0 * 1024.0)
+        * F.lit(float(2**51))
+        / z_num.cast("double")
+    )
+    lc = F.lit(1024.0) * F.log(F.lit(1024.0) / v_zero.cast("double"))
+    est = F.when((e_raw <= 2.5 * 1024) & (v_zero > 0), lc).otherwise(
+        e_raw
+    )
+    return fold.crossJoin(F.broadcast(exact)).select(
+        F.lit(1024).cast("long").alias("m"),
+        v_zero.alias("v_zero"),
+        z_num.alias("z_num"),
+        (F.floor(est * 10000 + F.lit(0.5)) / 10000).alias("hll_estimate"),
+        "exact_distinct",
+    )
