@@ -3272,3 +3272,178 @@ def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(est * 10000 + F.lit(0.5)) / 10000).alias("hll_estimate"),
         "exact_distinct",
     )
+
+
+_CMS_ORACLE = """
+    WITH pos AS (
+        SELECT j, user_id,
+               CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':'
+                         || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                   % 1024 AS c
+        FROM events, range(0, 4) r(j)),
+    counters AS (
+        SELECT j, c, CAST(count(*) AS BIGINT) AS n
+        FROM pos GROUP BY j, c),
+    exact AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS exact_n
+        FROM events GROUP BY user_id),
+    topk AS (
+        SELECT user_id, exact_n
+        FROM exact ORDER BY exact_n DESC, user_id ASC LIMIT 10),
+    probes AS (
+        SELECT t.user_id, t.exact_n, r.j,
+               CAST(('0x' || substr(md5(CAST(r.j AS VARCHAR) || ':'
+                         || CAST(t.user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                   % 1024 AS c
+        FROM topk t, range(0, 4) r(j))
+    SELECT p.user_id, p.exact_n,
+           CAST(min(c2.n) AS BIGINT) AS cms_estimate
+    FROM probes p JOIN counters c2 ON p.j = c2.j AND p.c = c2.c
+    GROUP BY p.user_id, p.exact_n
+    """
+
+
+@register("cms_heavy_hitters", min_rows=10, oracle=_CMS_ORACLE)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min Sketch frequency estimation with an EXACT oracle — the
+    second entry in the deterministic-sketch family
+    (``hll_distinct_users``): d = 4 md5-derived hash rows × w = 1024
+    counters, every counter an exact integer COUNT, point estimate =
+    min over the d rows (Cormode–Muthukrishnan; overestimates only, by
+    ≤ εN with ε = e/w). The 10 heaviest users' estimates are emitted
+    beside their exact counts, so the one-sided error bound is visible
+    in the result.
+
+    Scale: the sketch build is ONE pass fanning each row to d cells
+    that COMBINE MAP-SIDE — the shuffle is ≤ d·w = 4096 counter rows at
+    any input size, and two nodes' sketches merge by elementwise ADD
+    (the property that makes CMS the standard distributed frequency
+    sketch). The probe side touches d rows per queried key. Exact
+    heavy-hitter counts here ride the same pass shape for the oracle's
+    sake; a production use keeps only the sketch.
+
+    Reference: no analytics in the 988-LoC loader; in-engine statistics
+    tier (SURVEY §2.12 [EXT]) — frequency-sketch leg."""
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    rows4 = F.explode(F.sequence(F.lit(0), F.lit(3))).alias("j")
+
+    def cell(j_col, key_col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            j_col.cast("string"),
+                            F.lit(":"),
+                            key_col.cast("string"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 1024
+        )
+
+    counters = (
+        ev.select("user_id", rows4)
+        .select("j", cell(F.col("j"), F.col("user_id")).alias("c"))
+        .groupBy("j", "c")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    exact = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_n")
+    )
+    topk = exact.orderBy(
+        F.col("exact_n").desc(), F.col("user_id").asc()
+    ).limit(10)
+    probes = topk.select("user_id", "exact_n", rows4).select(
+        "user_id",
+        "exact_n",
+        "j",
+        cell(F.col("j"), F.col("user_id")).alias("c"),
+    )
+    return (
+        probes.join(F.broadcast(counters), ["j", "c"])
+        .groupBy("user_id", "exact_n")
+        .agg(F.min("n").cast("long").alias("cms_estimate"))
+    )
+
+
+_KMV_ORACLE = """
+    WITH h AS (
+        SELECT DISTINCT
+               CAST(('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)),
+                     1, 15)) AS BIGINT) AS hv
+        FROM events),
+    small AS (SELECT hv FROM h ORDER BY hv ASC LIMIT 64),
+    fold AS (SELECT count(*) AS n_seen, max(hv) AS kth FROM small)
+    SELECT CAST(64 AS BIGINT) AS k,
+           CAST(n_seen AS BIGINT) AS n_seen,
+           CAST(kth AS BIGINT) AS kth_min,
+           floor((CASE WHEN n_seen < 64 THEN CAST(n_seen AS DOUBLE)
+                       ELSE (64 - 1) * (CAST(2 AS DOUBLE) ** 60)
+                            / CAST(kth AS DOUBLE) END)
+                 * 10000 + 0.5) / 10000 AS kmv_estimate,
+           (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events)
+               AS exact_distinct
+    FROM fold
+    """
+
+
+@register("kmv_theta_sketch", min_rows=1, oracle=_KMV_ORACLE)
+def kmv_theta_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-Minimum-Values (theta) distinct-count sketch with an EXACT
+    oracle — third of the deterministic-sketch family: keep the k = 64
+    smallest md5 values of the key; the k-th smallest estimates the
+    hash density, so N̂ = (k−1)·2⁶⁰ / h₍ₖ₎ (Bar-Yossef et al.; the
+    DataSketches theta sketch is this plus set algebra). Under k
+    distinct values the sketch holds EVERYTHING and the estimate is
+    exact — the branch both engines take deterministically.
+
+    Scale: the k smallest of a distributed column is
+    ``TakeOrderedAndProject`` — a per-partition heap of 64 values and a
+    driver merge of 64·P candidates, never a global sort; two sketches
+    union by merging their value lists and re-truncating to k, which is
+    how theta sketches distribute. The md5 basis makes the whole
+    estimator replayable in DuckDB, turning an 'approximate' operator
+    into a hash-checked one.
+
+    Reference: no analytics in the 988-LoC loader; in-engine statistics
+    tier (SURVEY §2.12 [EXT]) — distinct-sketch leg, companion to
+    ``hll_distinct_users``."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.select(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("kmv:"), F.col("user_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("hv")
+    ).distinct()
+    small = h.orderBy(F.col("hv").asc()).limit(64)
+    fold = small.agg(
+        F.count(F.lit(1)).alias("n_seen"), F.max("hv").alias("kth")
+    )
+    exact = ev.agg(
+        F.countDistinct("user_id").cast("long").alias("exact_distinct")
+    )
+    est = F.when(
+        F.col("n_seen") < 64, F.col("n_seen").cast("double")
+    ).otherwise(
+        F.lit(63.0) * F.lit(float(2**60)) / F.col("kth").cast("double")
+    )
+    return fold.crossJoin(F.broadcast(exact)).select(
+        F.lit(64).cast("long").alias("k"),
+        F.col("n_seen").cast("long").alias("n_seen"),
+        F.col("kth").cast("long").alias("kth_min"),
+        (F.floor(est * 10000 + F.lit(0.5)) / 10000).alias("kmv_estimate"),
+        "exact_distinct",
+    )
