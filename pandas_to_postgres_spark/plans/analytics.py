@@ -3447,3 +3447,112 @@ def kmv_theta_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(est * 10000 + F.lit(0.5)) / 10000).alias("kmv_estimate"),
         "exact_distinct",
     )
+
+
+_AMS_ORACLE = """
+    WITH signs AS (
+        SELECT r.j,
+               CASE WHEN CAST(('0x' || substr(md5(CAST(r.j AS VARCHAR)
+                        || ':' || CAST(e.user_id AS VARCHAR)), 1, 15))
+                        AS BIGINT) % 2 = 1
+                    THEN 1 ELSE -1 END AS s
+        FROM events e, range(0, 32) r(j)),
+    sums AS (SELECT j, CAST(sum(s) AS BIGINT) AS sj
+             FROM signs GROUP BY j),
+    grp AS (SELECT j // 8 AS g,
+                   CAST(sum(sj * sj) AS DOUBLE) / 8 AS mean_est
+            FROM sums GROUP BY j // 8),
+    ranked AS (SELECT mean_est,
+                      row_number() OVER (ORDER BY mean_est ASC, g ASC) AS rn
+               FROM grp),
+    med AS (SELECT CAST(sum(mean_est) AS DOUBLE) / 2 AS f2_est
+            FROM ranked WHERE rn IN (2, 3)),
+    exact AS (
+        SELECT CAST(sum(c * c) AS BIGINT) AS f2_exact
+        FROM (SELECT CAST(count(*) AS BIGINT) AS c
+              FROM events GROUP BY user_id))
+    SELECT CAST(32 AS BIGINT) AS d, med.f2_est, exact.f2_exact
+    FROM med, exact
+    """
+
+
+@register("ams_f2_joinsize", min_rows=1, oracle=_AMS_ORACLE)
+def ams_f2_joinsize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS second-moment (F₂) sketch with an EXACT oracle — fourth of
+    the deterministic-sketch family, and the one query OPTIMIZERS care
+    about: F₂ = Σ_x f_x² IS the self-join size on the key, the quantity
+    a planner needs to size a join's shuffle before running it
+    (Alon–Matias–Szegedy '96). Each of d = 32 estimators keeps ONE
+    integer: S_j = Σ_rows ±1 with the sign drawn from an md5 bit of the
+    key; E[S_j²] = F₂, and the textbook MEDIAN-OF-MEANS fold
+    (4 groups × 8: the inner mean is unbiased, the outer median tames
+    outlier groups — the median of RAW S_j² would systematically
+    undershoot, since S² is right-skewed with median ≈ 0.45·mean)
+    estimates F₂. Every S_j is an exact map-combinable integer sum, so
+    the whole estimator is replayable in DuckDB bit-for-bit (group
+    means and the rank-2/3 average are the same integer-derived
+    arithmetic in both engines).
+
+    Scale: one pass fans each row to d = 32 signed units that combine
+    map-side — the shuffle is THIRTY-TWO rows at any input size, and two
+    nodes' sketches merge by elementwise addition of the S_j. The exact
+    F₂ beside it (a groupBy the sketch exists to avoid) is there for
+    the oracle's error visibility.
+
+    Reference: no analytics in the 988-LoC loader; in-engine statistics
+    tier (SURVEY §2.12 [EXT]) — the join-size-estimation leg."""
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    rows8 = F.explode(F.sequence(F.lit(0), F.lit(31))).alias("j")
+    sign = (
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("j").cast("string"),
+                            F.lit(":"),
+                            F.col("user_id").cast("string"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2
+        )
+        * 2
+        - 1
+    )
+    sums = (
+        ev.select("user_id", rows8)
+        .select("j", sign.alias("s"))
+        .groupBy("j")
+        .agg(F.sum("s").cast("long").alias("sj"))
+    )
+    grp = sums.groupBy(
+        F.floor(F.col("j") / 8).alias("g")
+    ).agg(
+        (F.sum(F.col("sj") * F.col("sj")).cast("double") / 8).alias(
+            "mean_est"
+        )
+    )
+    rn = F.row_number().over(
+        Window.partitionBy(F.lit(0)).orderBy(
+            F.col("mean_est").asc(), F.col("g").asc()
+        )
+    )
+    med = (
+        grp.withColumn("rn", rn)
+        .filter(F.col("rn").isin(2, 3))
+        .agg((F.sum("mean_est").cast("double") / 2).alias("f2_est"))
+    )
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .agg(F.sum(F.col("c") * F.col("c")).cast("long").alias("f2_exact"))
+    )
+    return med.crossJoin(F.broadcast(exact)).select(
+        F.lit(32).cast("long").alias("d"), "f2_est", "f2_exact"
+    )
