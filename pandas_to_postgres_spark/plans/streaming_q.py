@@ -443,3 +443,133 @@ def stream_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return incremental_event_rollup(spark, sf_dir)
+
+
+@register(
+    "stream_hll_distinct",
+    min_rows=1,
+    oracle="""
+    WITH h AS (
+        SELECT DISTINCT
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS hv
+        FROM events),
+    reg AS (
+        SELECT hv % 1024 AS bucket,
+               max(CASE WHEN hv // 1024 = 0 THEN 51
+                        ELSE 51 - length(bin(hv // 1024)) END) AS rho
+        FROM h GROUP BY hv % 1024),
+    fold AS (
+        SELECT count(*) AS n_present,
+               sum(CAST(2 AS BIGINT) ** (51 - rho)) AS z_present
+        FROM reg),
+    stat AS (
+        SELECT CAST(1024 - n_present AS BIGINT) AS v_zero,
+               CAST(z_present
+                    + (1024 - n_present) * (CAST(2 AS BIGINT) ** 51)
+                    AS BIGINT) AS z_num
+        FROM fold),
+    est AS (
+        SELECT v_zero, z_num,
+               (CAST(0.7213 AS DOUBLE) / (1 + CAST(1.079 AS DOUBLE) / 1024))
+                   * 1024 * 1024
+                   * (CAST(2 AS DOUBLE) ** 51) / CAST(z_num AS DOUBLE)
+                   AS e_raw
+        FROM stat)
+    SELECT CAST(1024 AS BIGINT) AS m, v_zero, z_num,
+           floor((CASE WHEN e_raw <= 2.5 * 1024 AND v_zero > 0
+                       THEN 1024 * ln(CAST(1024 AS DOUBLE) / v_zero)
+                       ELSE e_raw END) * 10000 + 0.5) / 10000
+               AS hll_estimate,
+           (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events)
+               AS exact_distinct
+    FROM est
+    """,
+)
+def stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 × sketch composition: the HyperLogLog register table
+    MAINTAINED BY A STREAM — a complete-mode ``groupBy(bucket).max(rho)``
+    over the event stream IS the register state (per-bucket max is the
+    HLL merge, so micro-batches fold associatively and the state is
+    O(m) = 1024 rows regardless of stream length — the only
+    cardinality-tracking formulation that survives an unbounded
+    stream). AvailableNow drains the static source, so the final
+    registers equal the batch sketch and ``hll_distinct_users``'s exact
+    oracle applies verbatim — the estimator arithmetic is the same
+    integer-exact fold."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from pandas_to_postgres_spark.sources.parquet import load_table
+    from pandas_to_postgres_spark.streaming.sink import stream_to_batch_sink
+
+    path = f"{sf_dir}/events.parquet"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .format("parquet")
+        .load(f"{sf_dir}/events.parque[t]")
+    )
+    hv = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    hvd = stream.select(hv.alias("hv"))
+    rho_row = F.when(F.floor(F.col("hv") / 1024) == 0, F.lit(51)).otherwise(
+        F.lit(51)
+        - F.length(F.expr("bin(CAST(FLOOR(hv / 1024) AS BIGINT))"))
+    )
+    regs = (
+        hvd.select((F.col("hv") % 1024).alias("bucket"), rho_row.alias("rho_row"))
+        .groupBy("bucket")
+        .agg(F.max("rho_row").alias("rho"))
+    )
+    base = tempfile.mkdtemp(prefix="stream_hll_")
+    out, ckpt = f"{base}/out", f"{base}/ckpt"
+
+    def writer(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(out)
+
+    q = stream_to_batch_sink(
+        regs, writer, checkpoint_dir=ckpt, output_mode="complete"
+    )
+    q.awaitTermination()
+    reg = spark.read.parquet(out).cache()
+    reg.count()
+    shutil.rmtree(base, ignore_errors=True)
+
+    fold = reg.agg(
+        F.count(F.lit(1)).alias("n_present"),
+        F.sum(F.expr("CAST(POW(2, 51 - rho) AS BIGINT)")).alias(
+            "z_present"
+        ),
+    )
+    ev = load_table(spark, sf_dir, "events")
+    exact = ev.agg(
+        F.countDistinct("user_id").cast("long").alias("exact_distinct")
+    )
+    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(1024.0))
+    v_zero = (F.lit(1024) - F.col("n_present")).cast("long")
+    z_num = (
+        F.col("z_present")
+        + (F.lit(1024) - F.col("n_present")) * F.lit(2**51)
+    ).cast("long")
+    e_raw = (
+        alpha
+        * F.lit(1024.0 * 1024.0)
+        * F.lit(float(2**51))
+        / z_num.cast("double")
+    )
+    lc = F.lit(1024.0) * F.log(F.lit(1024.0) / v_zero.cast("double"))
+    est = F.when((e_raw <= 2.5 * 1024) & (v_zero > 0), lc).otherwise(
+        e_raw
+    )
+    return fold.crossJoin(F.broadcast(exact)).select(
+        F.lit(1024).cast("long").alias("m"),
+        v_zero.alias("v_zero"),
+        z_num.alias("z_num"),
+        (F.floor(est * 10000 + F.lit(0.5)) / 10000).alias("hll_estimate"),
+        "exact_distinct",
+    )
