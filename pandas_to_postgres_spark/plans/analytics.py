@@ -3556,3 +3556,80 @@ def ams_f2_joinsize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return med.crossJoin(F.broadcast(exact)).select(
         F.lit(32).cast("long").alias("d"), "f2_est", "f2_exact"
     )
+
+
+_TWOPASS_MEDIAN_ORACLE = """
+    WITH v AS (
+        SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c
+        FROM lineitem),
+    n AS (SELECT count(*) AS n, (count(*) + 1) // 2 AS k FROM v)
+    SELECT (SELECT CAST(c AS BIGINT) FROM v, n
+            ORDER BY c ASC LIMIT 1 OFFSET (SELECT k - 1 FROM n))
+               AS median_cents,
+           n.n AS n_rows,
+           n.k AS rank_k
+    FROM n
+    """
+
+
+@register(
+    "two_pass_exact_median", min_rows=1, oracle=_TWOPASS_MEDIAN_ORACLE
+)
+def two_pass_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT global median WITHOUT a global sort — the two-pass
+    histogram-refinement selection algorithm (the BinMedian idea;
+    Spark's own approxQuantile gives up exactness instead):
+
+    1. pass 1 folds values into a coarse fixed-width histogram whose
+       counts COMBINE MAP-SIDE — an O(bins) shuffle at any table size;
+       the cumulative histogram locates the single bin containing the
+       target rank k = ⌈n/2⌉ (lower median) and how many ranks precede
+       it;
+    2. pass 2 re-scans only rows IN that bin (the scan's predicate
+       prunes everything else) and takes the (k − preceding)-th
+       smallest via TakeOrderedAndProject — a per-partition heap of a
+       within-bin rank, never a sort.
+
+    A global ORDER BY materializes and range-exchanges the whole
+    column; this touches O(bins) + O(n/bins) shuffled rows. The result
+    is the EXACT order statistic, hash-checked against the oracle's
+    LIMIT/OFFSET selection. Integer cents everywhere, so rank
+    arithmetic is engine-identical.
+
+    Reference: no analytics in the 988-LoC loader; in-engine statistics
+    tier (SURVEY §2.12 [EXT]) — exact selection at scale."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("c")
+    ).localCheckpoint(eager=False)  # two passes read the same projection
+    width = 100_000  # 1000-dollar bins over prices up to ~100k
+    hist = (
+        li.select(F.floor(F.col("c") / width).cast("long").alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    rows = hist.orderBy("b").collect()  # O(bins): bounded metadata
+    n = sum(r["cnt"] for r in rows)
+    k = (n + 1) // 2
+    cum = 0
+    target_bin, before = None, 0
+    for r in rows:
+        if cum + r["cnt"] >= k:
+            target_bin, before = int(r["b"]), cum
+            break
+        cum += r["cnt"]
+    k_in_bin = k - before
+    kth = (
+        li.filter(
+            F.floor(F.col("c") / width).cast("long") == target_bin
+        )
+        .orderBy(F.col("c").asc())
+        .limit(k_in_bin)
+        .agg(F.max("c").cast("long").alias("median_cents"))
+    )
+    return kth.select(
+        "median_cents",
+        F.lit(n).cast("long").alias("n_rows"),
+        F.lit(k).cast("long").alias("rank_k"),
+    )
