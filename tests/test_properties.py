@@ -671,3 +671,109 @@ class TestHdf5RoundTripProperties:
                     assert (have.astype(bool) == want).all()
                 else:
                     assert (have == want).all()
+
+
+# ---------------------------------------------------------------------------
+# Lakehouse model check: a random sequence of snapshot-table operations must
+# always read back what a trivial Python dict-model predicts, and every
+# historical version must stay exactly re-readable (time-travel immutability)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ops=st.lists(
+        st.one_of(
+            st.tuples(st.just("append"), st.integers(1, 20)),
+            st.tuples(st.just("dv_delete"), st.integers(0, 199)),
+            st.tuples(st.just("merge"), st.integers(0, 219)),
+            st.tuples(st.just("compact"), st.just(0)),
+            st.tuples(st.just("restore"), st.integers(1, 4)),
+        ),
+        min_size=3,
+        max_size=7,
+    )
+)
+def test_snapshot_table_matches_python_model(spark, tmp_path_factory, ops):
+    """Model-based check for the whole snapshot-DML surface: apply a
+    random op sequence (append / DV delete / CoW merge / compaction /
+    restore) and after EVERY op compare read_snapshot's (k -> v) content
+    with a plain Python dict model, plus re-read every historical
+    version against its recorded model state."""
+    from pyspark.sql import Row
+
+    from pandas_to_postgres_spark.sources import manifest as M
+
+    p = str(tmp_path_factory.mktemp("model") / "tbl")
+    spark.createDataFrame(
+        [Row(k=i, v=i * 10) for i in range(20)]
+    ).coalesce(1).write.parquet(p)
+    M.publish_snapshot(p, ["k"])
+    model = {i: i * 10 for i in range(20)}
+    history = {1: dict(model)}
+    next_k = 100
+
+    def read_now():
+        return {
+            r["k"]: r["v"] for r in M.read_snapshot(spark, p).collect()
+        }
+
+    for op, arg in ops:
+        if op == "append":
+            rows = [Row(k=next_k + i, v=(next_k + i) * 10) for i in range(arg)]
+            spark.createDataFrame(rows).coalesce(1).write.mode(
+                "append"
+            ).parquet(p)
+            seen = set()
+            for v in M.snapshot_versions(p):
+                seen.update(
+                    e["path"] for e in M.load_snapshot(p, v)["files"]
+                )
+            import os
+
+            new = sorted(
+                f
+                for f in os.listdir(p)
+                if f.endswith(".parquet")
+                and not f.startswith((".", "_"))
+                and f not in seen
+            )
+            M.append_snapshot(p, new)
+            for r in rows:
+                model[r.k] = r.v
+            next_k += arg
+        elif op == "dv_delete":
+            M.delete_snapshot_rows_dv(
+                spark, p, spark.createDataFrame([Row(k=arg)]), ["k"]
+            )
+            model.pop(arg, None)
+        elif op == "merge":
+            M.merge_snapshot(
+                spark,
+                p,
+                spark.createDataFrame([Row(k=arg, v=-arg)]),
+                ["k"],
+            )
+            model[arg] = -arg
+        elif op == "compact":
+            M.compact_snapshot(spark, p, target_bytes=10**9)
+        elif op == "restore":
+            versions = M.snapshot_versions(p)
+            target = versions[min(arg, len(versions)) - 1]
+            M.restore_snapshot(p, target)
+            model = dict(history[target])
+        head_v = M.snapshot_versions(p)[-1]
+        history[head_v] = dict(model)
+        assert read_now() == model, f"after {op}({arg})"
+
+    # time-travel immutability: every recorded version still reads back
+    # exactly the state the model had when it was the head
+    for v, snap_model in history.items():
+        got = {
+            r["k"]: r["v"]
+            for r in M.read_snapshot(spark, p, version=v).collect()
+        }
+        assert got == snap_model, f"version {v} drifted"
