@@ -46,6 +46,11 @@ HEADLINE = (
     # round 7: the snapshot table's copy-on-write DML tier (merge builds
     # the table, probes, rewrites touched files, publishes — end to end)
     "snapshot_merge_upsert",
+    # round 8: the statistics tier's flagship (histogram split finding —
+    # the O(features x bins) shuffle claim tracked round-over-round) and
+    # the exact-oracle sketch family's HLL
+    "gbdt_split_histogram",
+    "hll_distinct_users",
 )
 
 
