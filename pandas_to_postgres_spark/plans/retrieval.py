@@ -4188,3 +4188,90 @@ def snapshot_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_events"),
         F.sum(cents).cast("long").alias("value_cents"),
     )
+
+
+_TEXT_SEARCH_ORACLE = """
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(
+                   regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                   t -> t <> '')) AS tok
+        FROM documents),
+    ranked AS (
+        SELECT tok, count(*) AS n,
+               row_number() OVER (ORDER BY count(*) DESC, tok ASC) AS rn
+        FROM toks GROUP BY tok),
+    term AS (SELECT tok FROM ranked WHERE rn = 20)
+    SELECT term.tok AS term,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length(d.text)) AS BIGINT) AS sum_len
+    FROM documents d, term
+    WHERE list_contains(
+        list_filter(regexp_split_to_array(lower(d.text), '[^a-z0-9]+'),
+                    t -> t <> ''),
+        term.tok)
+    GROUP BY term.tok
+    """
+
+
+@register("snapshot_text_search", min_rows=1, oracle=_TEXT_SEARCH_ORACLE)
+def snapshot_text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Needle-term lookup over a snapshot corpus THROUGH the token
+    Bloom index — the lakehouse/text crossover: documents land as an
+    arrival-ordered snapshot table (3 epochs, every file spans the
+    vocabulary so min/max stats cannot prune), a per-file TOKEN bloom
+    sidecar is built distributed (executor-side bitsets, shard files),
+    and a ``CONTAINS term`` query plans by probing each file's bitset —
+    scheduling O(matching files) — then re-checks with the exact
+    tokenizer (superset guarantee). The probed term is the corpus's
+    rank-20 token (count DESC, token ASC), derived with the SAME
+    tokenizer in both engines, so the oracle replays term choice AND
+    result. At 10^5 shard files a rare-term lookup reads the few files
+    that contain it; the index build is one distributed scan.
+
+    Reference: the 988-LoC loader has no text or indexing concept;
+    [EXT] lakehouse surface (SURVEY §2.12)."""
+    import hashlib
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    from pandas_to_postgres_spark.sources.file_bloom import (
+        TOKENIZE_SQL,
+        build_token_bloom_index,
+        read_snapshot_contains,
+    )
+    from pandas_to_postgres_spark.sources.manifest import publish_snapshot
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:6]
+    wh = urlparse(
+        spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    ).path or "spark-warehouse"
+    path = os.path.join(wh, f"txt_idx_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+    publish_snapshot(path, ["doc_id"])
+    build_token_bloom_index(spark, path, "text")
+
+    term = (
+        docs.select(
+            F.explode(F.expr(TOKENIZE_SQL.format(col="text"))).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("tok").asc())
+        .limit(20)
+        .orderBy(F.col("n").asc(), F.col("tok").desc())
+        .first()["tok"]  # bounded: ONE term string drives the probe
+    )
+    hits = read_snapshot_contains(spark, path, "text", term)
+    return hits.agg(
+        F.lit(term).alias("term"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.length("text")).cast("long").alias("sum_len"),
+    )

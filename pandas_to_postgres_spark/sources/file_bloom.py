@@ -94,20 +94,40 @@ def build_bloom_index(
     the shard NAME list (O(files / files_per_shard) strings) and
     publishes the top-level sidecar that references them. At 10^6 files
     that is ~4k names instead of ~20 GB of bitsets."""
-    import math
-    import uuid
-
-    from pyspark.sql.functions import pandas_udf
-
     from pandas_to_postgres_spark.sources.manifest import load_snapshot
 
     snap = load_snapshot(path, version)
-    v = snap["version"]
     files = [os.path.join(path, e["path"]) for e in snap["files"]]
     df = spark.read.parquet(*files).select(
         F.col(col).cast("string").alias("__v"),
         F.col("_metadata.file_path").alias("__f"),
     )
+    return _publish_bloom(
+        df, path, col, snap["version"], len(files), m, k, files_per_shard
+    )
+
+
+def _publish_bloom(
+    df: DataFrame,
+    path: str,
+    col_tag: str,
+    v: int,
+    n_files: int,
+    m: int,
+    k: int,
+    files_per_shard: int,
+) -> dict:
+    """Shared distributed build: fold a (__v string, __f file-path)
+    frame into per-file bitsets on the executors, write sidecar shards
+    from tasks, publish the top-level sidecar naming them. Used by the
+    value index (:func:`build_bloom_index`) and the token index
+    (:func:`build_token_bloom_index`)."""
+    import math
+    import uuid
+
+    from pyspark.sql.functions import pandas_udf
+
+    col = col_tag
     j = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("__j")
     pos = (
         F.conv(
@@ -142,7 +162,7 @@ def build_bloom_index(
             _bitset_b64("__ps").alias("b64"),
         )
     )
-    n_shards = max(1, math.ceil(len(files) / files_per_shard))
+    n_shards = max(1, math.ceil(n_files / files_per_shard))
     job = uuid.uuid4().hex[:12]
 
     def _write_shards(it):
@@ -289,6 +309,93 @@ def read_snapshot_point(
     merge = bool(cmap and cmap.get("renames"))
     df = _apply_column_map(_read_entries(spark, path, entries, merge), cmap)
     pred = F.col(col) == F.lit(value)
+    if not plan["keep"]:
+        pred = pred & F.lit(False)
+    return df.filter(pred)
+
+
+#: the tokenizer the token index and its exact re-check share — also
+#: replayable in DuckDB as regexp_split_to_array(lower(col), '[^a-z0-9]+')
+TOKENIZE_SQL = "filter(split(lower({col}), '[^a-z0-9]+'), t -> t <> '')"
+
+
+def build_token_bloom_index(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    version: int | None = None,
+    m: int = M_BITS,
+    k: int = K_HASHES,
+    files_per_shard: int = 256,
+) -> dict:
+    """Per-file Bloom index over the TOKENS of a text column — the
+    full-text twin of :func:`build_bloom_index`: each file's bitset
+    answers "might any document in this file contain term t?" at
+    planning time, so a ``CONTAINS term`` query schedules only the
+    files whose filter claims the term (false positives re-checked by
+    the exact tokenizer). This is the lakehouse/text crossover a corpus
+    store needs: a needle-term lookup over 10^5 arrival-ordered shard
+    files touches O(matching files), not the corpus.
+
+    Sizing note: a file holds ~|vocab per file| distinct tokens —
+    thousands to tens of thousands — still well inside m = 2^17's ~0.1%
+    FP envelope at 10k keys. Build is the shared distributed path
+    (executor-side bitsets, sidecar shards, driver sees shard names);
+    the sidecar registers under ``{col}__tokens`` so value and token
+    indexes on the same column coexist."""
+    from pandas_to_postgres_spark.sources.manifest import load_snapshot
+
+    snap = load_snapshot(path, version)
+    files = [os.path.join(path, e["path"]) for e in snap["files"]]
+    toks = F.explode(
+        F.expr(TOKENIZE_SQL.format(col=col))
+    ).alias("__v")
+    df = (
+        spark.read.parquet(*files)
+        .select(toks, F.col("_metadata.file_path").alias("__f"))
+    )
+    return _publish_bloom(
+        df,
+        path,
+        f"{col}__tokens",
+        snap["version"],
+        len(files),
+        m,
+        k,
+        files_per_shard,
+    )
+
+
+def read_snapshot_contains(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    term: str,
+    version: int | None = None,
+) -> DataFrame:
+    """Term lookup through the token Bloom sidecar: plan with
+    :func:`plan_point_lookup` against the ``{col}__tokens`` index, scan
+    only claimed files (DV-aware, column-mapped), re-check with the
+    EXACT same tokenizer the index hashed — superset guarantee, like
+    every other pruning path. Terms are matched lowercase on
+    ``[a-z0-9]+`` word boundaries (the index's tokenizer), not as
+    substrings."""
+    from pandas_to_postgres_spark.sources.manifest import (
+        _apply_column_map,
+        _read_entries,
+        load_snapshot,
+    )
+
+    snap = load_snapshot(path, version)
+    # the index hashed LOWERCASED tokens — probe the same normalization
+    plan = plan_point_lookup(path, f"{col}__tokens", term.lower(), version)
+    entries = plan["keep"] or snap["files"][:1]
+    cmap = snap.get("column_map")
+    merge = bool(cmap and cmap.get("renames"))
+    df = _apply_column_map(_read_entries(spark, path, entries, merge), cmap)
+    pred = F.array_contains(
+        F.expr(TOKENIZE_SQL.format(col=col)), F.lit(term.lower())
+    )
     if not plan["keep"]:
         pred = pred & F.lit(False)
     return df.filter(pred)

@@ -216,3 +216,104 @@ class TestBloomShardedBuildAndLifecycle:
             )
         plan = plan_point_lookup(p, "k", 42)
         assert plan["indexed_files"] == 6
+
+
+class TestTokenBloomIndex:
+    """Full-text twin of the value index: per-file term blooms prune
+    CONTAINS-term scans; exact tokenizer re-check keeps it a superset."""
+
+    @pytest.fixture
+    def text_table(self, spark, tmp_path):
+        from pyspark.sql import Row
+
+        p = str(tmp_path / "txt")
+        rows = [
+            Row(doc_id=i, text=f"common words everywhere doc{i} "
+                + ("needle haystack" if i % 7 == 0 else "plain filler"))
+            for i in range(140)
+        ]
+        df = spark.createDataFrame(rows)
+        for i in range(4):
+            df.filter(F.col("doc_id") % 4 == i).coalesce(1).write.mode(
+                "append"
+            ).parquet(p)
+        M.publish_snapshot(p, ["doc_id"])
+        return p
+
+    def test_term_lookup_prunes_and_is_exact(self, spark, text_table):
+        from pandas_to_postgres_spark.sources.file_bloom import (
+            build_token_bloom_index,
+            plan_point_lookup,
+            read_snapshot_contains,
+        )
+
+        p = text_table
+        side = build_token_bloom_index(spark, p, "text", files_per_shard=2)
+        assert side["col"] == "text__tokens" and side["shards"]
+        # a term only some files contain prunes; a ubiquitous one keeps all
+        plan = plan_point_lookup(p, "text__tokens", "needle")
+        assert plan["indexed_files"] == 4
+        got = sorted(
+            r["doc_id"]
+            for r in read_snapshot_contains(
+                spark, p, "text", "needle"
+            ).collect()
+        )
+        assert got == [i for i in range(140) if i % 7 == 0]
+        every = plan_point_lookup(p, "text__tokens", "common")
+        assert len(every["keep"]) == 4
+
+    def test_absent_term_returns_typed_empty(self, spark, text_table):
+        from pandas_to_postgres_spark.sources.file_bloom import (
+            build_token_bloom_index,
+            read_snapshot_contains,
+        )
+
+        p = text_table
+        build_token_bloom_index(spark, p, "text")
+        got = read_snapshot_contains(spark, p, "text", "zzzzmissing")
+        assert got.count() == 0
+        assert set(got.columns) == {"doc_id", "text"}
+
+    def test_term_matching_is_word_boundary_not_substring(
+        self, spark, text_table
+    ):
+        from pandas_to_postgres_spark.sources.file_bloom import (
+            build_token_bloom_index,
+            read_snapshot_contains,
+        )
+
+        p = text_table
+        build_token_bloom_index(spark, p, "text")
+        # "needl" is a substring of "needle" but not a token
+        assert read_snapshot_contains(spark, p, "text", "needl").count() == 0
+        # matching is case-insensitive through the shared tokenizer
+        assert (
+            read_snapshot_contains(spark, p, "text", "NEEDLE").count()
+            == 20
+        )
+
+    def test_honors_deletion_vectors(self, spark, text_table):
+        from pyspark.sql import Row
+
+        from pandas_to_postgres_spark.sources.file_bloom import (
+            build_token_bloom_index,
+            read_snapshot_contains,
+        )
+        from pandas_to_postgres_spark.sources.manifest import (
+            delete_snapshot_rows_dv,
+        )
+
+        p = text_table
+        build_token_bloom_index(spark, p, "text")
+        delete_snapshot_rows_dv(
+            spark, p, spark.createDataFrame([Row(doc_id=0), Row(doc_id=7)]),
+            ["doc_id"],
+        )
+        got = sorted(
+            r["doc_id"]
+            for r in read_snapshot_contains(
+                spark, p, "text", "needle"
+            ).collect()
+        )
+        assert got == [i for i in range(140) if i % 7 == 0 and i not in (0, 7)]
