@@ -103,7 +103,8 @@ def build_bloom_index(
         F.col("_metadata.file_path").alias("__f"),
     )
     return _publish_bloom(
-        df, path, col, snap["version"], len(files), m, k, files_per_shard
+        df, path, col, snap["version"], len(files), m, k, files_per_shard,
+        covered=[e["path"] for e in snap["files"]],
     )
 
 
@@ -116,12 +117,18 @@ def _publish_bloom(
     m: int,
     k: int,
     files_per_shard: int,
+    reuse_shards: tuple = (),
+    covered: list | None = None,
 ) -> dict:
     """Shared distributed build: fold a (__v string, __f file-path)
     frame into per-file bitsets on the executors, write sidecar shards
     from tasks, publish the top-level sidecar naming them. Used by the
-    value index (:func:`build_bloom_index`) and the token index
-    (:func:`build_token_bloom_index`)."""
+    value index (:func:`build_bloom_index`), the token index
+    (:func:`build_token_bloom_index`) and the incremental refresh
+    (:func:`update_bloom_index` — prior shards carry over BY REFERENCE
+    in ``reuse_shards``; ``covered`` records every file any shard
+    indexes so the next refresh knows what to skip without opening
+    shard content)."""
     import math
     import uuid
 
@@ -192,8 +199,10 @@ def _publish_bloom(
         "m": m,
         "k": k,
         "version": v,
-        "shards": shard_names,
+        "shards": sorted(set(shard_names) | set(reuse_shards)),
     }
+    if covered is not None:
+        sidecar["covered"] = sorted(covered)
     name = _bloom_name(v, col)
     tmp = os.path.join(path, f".{name}.tmp")
     with open(tmp, "w") as fh:
@@ -363,6 +372,7 @@ def build_token_bloom_index(
         m,
         k,
         files_per_shard,
+        covered=[e["path"] for e in snap["files"]],
     )
 
 
@@ -399,3 +409,60 @@ def read_snapshot_contains(
     if not plan["keep"]:
         pred = pred & F.lit(False)
     return df.filter(pred)
+
+
+def update_bloom_index(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    tokens: bool = False,
+    m: int = M_BITS,
+    k: int = K_HASHES,
+    files_per_shard: int = 256,
+) -> dict:
+    """INCREMENTAL index refresh — the maintenance verb that keeps a
+    Bloom index usable under streaming ingest: bitsets are built ONLY
+    for head files the newest sidecar does not cover (immutable files
+    never rebuild), prior sidecar shards carry over BY REFERENCE, and a
+    fresh sidecar publishes at the head version. Steady-state cost is
+    O(new files) scan + one shard write per refresh — the
+    ``ivf_index_upsert`` economics applied to the secondary-index
+    plane. A no-op refresh (nothing new) returns the existing sidecar
+    without writing."""
+    from pandas_to_postgres_spark.sources.manifest import load_snapshot
+
+    tag = f"{col}__tokens" if tokens else col
+    snap = load_snapshot(path)
+    head_files = [e["path"] for e in snap["files"]]
+    prior = _load_bloom(path, tag, snap["version"])
+    if prior is None:
+        builder = build_token_bloom_index if tokens else build_bloom_index
+        return builder(
+            spark, path, col, m=m, k=k, files_per_shard=files_per_shard
+        )
+    covered = set(prior.get("covered") or ())
+    if not covered:  # pre-"covered" sidecar: derive from shard content
+        for shard in _iter_bloom_maps(path, prior):
+            covered.update(shard)
+    todo = [f for f in head_files if f not in covered]
+    if not todo:
+        return prior
+    if tokens:
+        sel = F.explode(F.expr(TOKENIZE_SQL.format(col=col))).alias("__v")
+    else:
+        sel = F.col(col).cast("string").alias("__v")
+    df = spark.read.parquet(
+        *[os.path.join(path, f) for f in todo]
+    ).select(sel, F.col("_metadata.file_path").alias("__f"))
+    return _publish_bloom(
+        df,
+        path,
+        tag,
+        snap["version"],
+        len(todo),
+        prior["m"],
+        prior["k"],
+        files_per_shard,
+        reuse_shards=tuple(prior.get("shards") or ()),
+        covered=sorted(covered | set(todo)),
+    )

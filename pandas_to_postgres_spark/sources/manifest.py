@@ -1537,7 +1537,14 @@ def expire_snapshots(path: str, keep_latest: int = 1) -> dict:
     deleted_blooms = []
     expired_set = set(expired)
     for f in sorted(os.listdir(path)):
-        if not (f.startswith("_bloom-v") and f.endswith(".json")):
+        # TOP-LEVEL sidecars only: shard files may be referenced by a
+        # LATER sidecar (incremental refresh reuses them by name), so
+        # they retire through vacuum's reference check instead
+        if not (
+            f.startswith("_bloom-v")
+            and f.endswith(".json")
+            and "-shard-" not in f
+        ):
             continue
         try:
             bv = int(f.split("-")[1][1:])

@@ -317,3 +317,126 @@ class TestTokenBloomIndex:
             ).collect()
         )
         assert got == [i for i in range(140) if i % 7 == 0 and i not in (0, 7)]
+
+
+class TestIncrementalIndexRefresh:
+    """update_bloom_index: O(new files) refresh — prior shards carry
+    over by reference, covered files never rebuild, probes see the
+    union."""
+
+    def test_refresh_indexes_only_new_files(self, spark, arrival_table):
+        import json as _json
+
+        from pandas_to_postgres_spark.sources.file_bloom import (
+            build_bloom_index,
+            plan_point_lookup,
+            read_snapshot_point,
+            update_bloom_index,
+        )
+
+        p = arrival_table
+        side1 = build_bloom_index(spark, p, "k", files_per_shard=2)
+        # append one epoch with fresh keys and publish
+        spark.range(6000, 7000).selectExpr(
+            "id AS k", "CAST(id AS DOUBLE) * 0.5 AS v"
+        ).coalesce(1).write.mode("append").parquet(p)
+        published = {e["path"] for e in M.load_snapshot(p, 1)["files"]}
+        new = sorted(
+            f for f in os.listdir(p)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+            and f not in published
+        )
+        M.append_snapshot(p, new)
+        # pre-refresh: the new file is conservatively kept, not indexed
+        plan0 = plan_point_lookup(p, "k", 6500)
+        assert plan0["indexed_files"] == 6
+        side2 = update_bloom_index(spark, p, "k", files_per_shard=2)
+        assert set(side1["shards"]) <= set(side2["shards"])
+        fresh = set(side2["shards"]) - set(side1["shards"])
+        assert len(fresh) == 1, "exactly the new file's shard is new"
+        with open(os.path.join(p, sorted(fresh)[0])) as fh:
+            assert set(_json.load(fh)) == set(new)
+        plan = plan_point_lookup(p, "k", 6500)
+        assert plan["indexed_files"] == 7
+        assert len(plan["keep"]) <= 2
+        got = read_snapshot_point(spark, p, "k", 6500).collect()
+        assert [(r["k"],) for r in got] == [(6500,)]
+        # old keys still probe through the carried-over shards
+        got0 = read_snapshot_point(spark, p, "k", 1234).collect()
+        assert [(r["k"],) for r in got0] == [(1234,)]
+
+    def test_refresh_is_noop_without_new_files(self, spark, arrival_table):
+        from pandas_to_postgres_spark.sources.file_bloom import (
+            build_bloom_index,
+            update_bloom_index,
+        )
+
+        p = arrival_table
+        side1 = build_bloom_index(spark, p, "k")
+        before = sorted(f for f in os.listdir(p) if f.startswith("_bloom"))
+        side2 = update_bloom_index(spark, p, "k")
+        assert side2["shards"] == side1["shards"]
+        assert sorted(
+            f for f in os.listdir(p) if f.startswith("_bloom")
+        ) == before
+
+    def test_refresh_without_prior_index_builds_full(
+        self, spark, arrival_table
+    ):
+        from pandas_to_postgres_spark.sources.file_bloom import (
+            plan_point_lookup,
+            update_bloom_index,
+        )
+
+        p = arrival_table
+        update_bloom_index(spark, p, "k")
+        assert plan_point_lookup(p, "k", 77)["indexed_files"] == 6
+
+    def test_token_refresh_and_vacuum_keeps_reused_shards(
+        self, spark, tmp_path
+    ):
+        from pyspark.sql import Row
+
+        from pandas_to_postgres_spark.sources.file_bloom import (
+            build_token_bloom_index,
+            read_snapshot_contains,
+            update_bloom_index,
+        )
+
+        p = str(tmp_path / "tok_inc")
+        spark.createDataFrame(
+            [Row(doc_id=i, text=f"alpha doc{i}") for i in range(50)]
+        ).coalesce(1).write.parquet(p)
+        M.publish_snapshot(p, ["doc_id"])
+        build_token_bloom_index(spark, p, "text")
+        spark.createDataFrame(
+            [Row(doc_id=i, text=f"bravo doc{i}") for i in range(50, 90)]
+        ).coalesce(1).write.mode("append").parquet(p)
+        published = {e["path"] for e in M.load_snapshot(p, 1)["files"]}
+        new = sorted(
+            f for f in os.listdir(p)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+            and f not in published
+        )
+        M.append_snapshot(p, new)
+        side2 = update_bloom_index(spark, p, "text", tokens=True)
+        # expiring v1 retires its sidecar; the v2 sidecar still
+        # references v1-era shards, which vacuum must keep
+        M.expire_snapshots(p, keep_latest=1)
+        M.vacuum_orphans(p, grace_seconds=0)
+        for s in side2["shards"]:
+            assert os.path.exists(os.path.join(p, s)), s
+        got = sorted(
+            r["doc_id"]
+            for r in read_snapshot_contains(
+                spark, p, "text", "bravo"
+            ).collect()
+        )
+        assert got == list(range(50, 90))
+        got0 = sorted(
+            r["doc_id"]
+            for r in read_snapshot_contains(
+                spark, p, "text", "alpha"
+            ).collect()
+        )
+        assert got0 == list(range(50))
