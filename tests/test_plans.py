@@ -830,3 +830,36 @@ class TestRound8Shapes:
             "l_quantity", "l_discount", "l_linenumber", "l_shipdate",
             "l_tax",
         }, cols
+
+
+class TestSketchShapes:
+    """The deterministic-sketch family's scale claims, plan-asserted:
+    every sketch's data pass must COMBINE MAP-SIDE (partial + final
+    HashAggregate) so the shuffle carries registers/counters, not
+    rows."""
+
+    def test_hll_register_fold_is_partial(self, spark):
+        plan = plan_of(spark, "hll_distinct_users")
+        assert plan.count("HashAggregate") >= 2
+        assert plan.count("Scan parquet") <= 2  # sketch pass + exact twin
+
+    def test_cms_counter_fold_is_partial(self, spark):
+        plan = plan_of(spark, "cms_heavy_hitters")
+        assert plan.count("HashAggregate") >= 2
+        assert "Generate" in plan  # d-row fan-out is a generator
+        assert "TakeOrderedAndProject" in plan  # exact top-10, no sort
+
+    def test_kmv_uses_takeordered_not_sort(self, spark):
+        plan = plan_of(spark, "kmv_theta_sketch")
+        assert "TakeOrderedAndProject" in plan
+        # the k-smallest selection must not plan a standalone global
+        # sort: every Sort line in the final plan belongs to a window /
+        # SMJ subtree, and here there are none of either
+        final = plan.split("Initial Plan")[0]
+        assert "Sort [" not in final.replace(
+            "TakeOrderedAndProject", ""
+        ), final
+
+    def test_median_within_bin_is_takeordered(self, spark):
+        plan = plan_of(spark, "two_pass_exact_median")
+        assert "TakeOrderedAndProject" in plan
