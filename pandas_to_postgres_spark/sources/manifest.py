@@ -1860,7 +1860,7 @@ def set_branch(path: str, name: str, version: int | None = None) -> int:
     return v
 
 
-def restore_snapshot(path: str, version: int) -> dict:
+def restore_snapshot(path: str, version: int | str) -> dict:
     """Delta-style RESTORE: publish a NEW head whose file list (and
     inherited metadata — partition specs, column map, stat columns) is
     exactly what ``version`` froze. Metadata-only: no data file is
@@ -1874,7 +1874,11 @@ def restore_snapshot(path: str, version: int) -> dict:
     treat it as a rewrite — it REMOVES files relative to head, so the
     stream reader fails fast unless ignoreChanges is set, the same
     contract as any non-append DML), and ``dml: restore`` for
-    provenance."""
+    provenance. ``version`` also accepts a tag/branch NAME — restoring
+    to the audited state a WAP flow tagged is the common operational
+    move."""
+    if isinstance(version, str):
+        version = resolve_ref(path, version)
     target = load_snapshot(path, version)
 
     def _content(snap: dict) -> tuple:

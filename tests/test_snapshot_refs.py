@@ -441,3 +441,26 @@ class TestRestore:
         # v1's files are re-referenced by the restored head: must survive
         assert M.read_snapshot(spark, p).count() == 30
         assert 2 in out["expired_versions"]
+
+
+class TestRestoreByRef:
+    def test_restore_to_tag_name(self, spark, tmp_path):
+        p = str(tmp_path / "restore_ref")
+        spark.range(40).selectExpr("id AS k", "id AS v").coalesce(
+            1
+        ).write.parquet(p)
+        M.publish_snapshot(p, ["k"])
+        M.tag_snapshot(p, "audited")
+        spark.range(40, 70).selectExpr("id AS k", "id AS v").coalesce(
+            1
+        ).write.mode("append").parquet(p)
+        published = {e["path"] for e in M.load_snapshot(p, 1)["files"]}
+        new = sorted(
+            f for f in __import__("os").listdir(p)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+            and f not in published
+        )
+        M.append_snapshot(p, new)
+        man = M.restore_snapshot(p, "audited")
+        assert man["restored_from"] == 1
+        assert M.read_snapshot(spark, p).count() == 40
