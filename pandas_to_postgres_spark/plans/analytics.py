@@ -3218,6 +3218,13 @@ def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     tier (SURVEY §2.12 [EXT]) — the sketch leg, exact-oracle variant of
     the rows-only ``approx_distinct_parts``."""
     ev = load_table(spark, sf_dir, "events")
+    # No distinct() here: registers fold with max, which absorbs
+    # duplicate hashes for free. A pre-bucketing distinct would shuffle
+    # every distinct hash value — the exact full-cardinality exchange
+    # the sketch exists to avoid. With the straight groupBy(bucket) the
+    # partial (map-side) max bounds the exchange at <=1024 register
+    # rows per task; the streaming twin (stream_hll_distinct) has
+    # always taken this path against the identical oracle.
     h = ev.select(
         F.conv(
             F.substring(F.md5(F.col("user_id").cast("string")), 1, 15),
@@ -3226,7 +3233,7 @@ def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("hv")
-    ).distinct()
+    )
     reg = (
         h.select(
             (F.col("hv") % 1024).alias("bucket"),
@@ -3403,13 +3410,20 @@ def kmv_theta_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct values the sketch holds EVERYTHING and the estimate is
     exact — the branch both engines take deterministically.
 
-    Scale: the k smallest of a distributed column is
-    ``TakeOrderedAndProject`` — a per-partition heap of 64 values and a
-    driver merge of 64·P candidates, never a global sort; two sketches
-    union by merging their value lists and re-truncating to k, which is
-    how theta sketches distribute. The md5 basis makes the whole
-    estimator replayable in DuckDB, turning an 'approximate' operator
-    into a hash-checked one.
+    Scale: a KMV sketch must hold the k smallest DISTINCT hashes
+    (duplicates must not occupy slots), but that does NOT require a
+    global distinct — the k smallest distinct values of the whole
+    column are each among the k smallest distinct values of their own
+    partition. So the plan is the true theta-sketch distribution
+    pattern: an Arrow-batched ``mapInPandas`` fold keeps a <=64-entry
+    sorted-unique state per partition (O(k) memory, one pass, no
+    exchange), then the <=64·P survivors — a metadata-sized frame —
+    are distinct-merged and re-truncated to k. The only exchange in
+    the plan moves at most 64 rows per input partition, at ANY input
+    cardinality; two sketches union the same way (merge value lists,
+    re-truncate to k). The md5 basis makes the whole estimator
+    replayable in DuckDB, turning an 'approximate' operator into a
+    hash-checked one.
 
     Reference: no analytics in the 988-LoC loader; in-engine statistics
     tier (SURVEY §2.12 [EXT]) — distinct-sketch leg, companion to
@@ -3427,8 +3441,24 @@ def kmv_theta_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("hv")
-    ).distinct()
-    small = h.orderBy(F.col("hv").asc()).limit(64)
+    )
+
+    def _kmv_local(batches):
+        import numpy as np
+        import pandas as pd
+
+        state = np.empty(0, dtype=np.int64)
+        for pdf in batches:
+            vals = pdf["hv"].to_numpy(dtype=np.int64)
+            state = np.unique(np.concatenate([state, vals]))
+            if state.size > 64:
+                state = state[:64]
+        yield pd.DataFrame({"hv": state})
+
+    # Partition-local distinct-bounded top-64 fold, then a bounded
+    # (<=64 rows per partition) distinct merge + re-truncate.
+    local = h.mapInPandas(_kmv_local, "hv long")
+    small = local.distinct().orderBy(F.col("hv").asc()).limit(64)
     fold = small.agg(
         F.count(F.lit(1)).alias("n_seen"), F.max("hv").alias("kth")
     )
