@@ -45,6 +45,7 @@ import base64
 import hashlib
 import json
 import os
+import re
 from typing import Any
 
 import pandas as pd
@@ -54,6 +55,27 @@ from pyspark.sql import functions as F
 
 M_BITS = 1 << 17
 K_HASHES = 5
+
+#: anchored pattern of GENERATED shard names (job hex + partition +
+#: counter) — classification must never rely on a '-shard-' substring,
+#: which a hostile column tag could reproduce
+SHARD_NAME_RE = re.compile(
+    r"^_bloom-v\d+-.+-shard-[0-9a-f]{12}-\d{5}-\d{3}\.json$"
+)
+
+#: column tags must stay inside this set: the tag is embedded in sidecar
+#: and shard FILENAMES, so a path separator would break the write and a
+#: crafted tag could confuse name-based classification in vacuum
+_TAG_RE = re.compile(r"^[A-Za-z0-9_]+$")
+
+
+def _check_tag(col_tag: str) -> str:
+    if not _TAG_RE.match(col_tag):
+        raise ValueError(
+            f"bloom index column tag {col_tag!r} must match [A-Za-z0-9_]+ "
+            "— the tag is embedded in sidecar/shard filenames"
+        )
+    return col_tag
 
 
 def _positions_py(value: Any, m: int = M_BITS, k: int = K_HASHES) -> list[int]:
@@ -67,7 +89,35 @@ def _positions_py(value: Any, m: int = M_BITS, k: int = K_HASHES) -> list[int]:
 
 
 def _bloom_name(version: int, col: str) -> str:
-    return f"_bloom-v{version}-{col}.json"
+    return f"_bloom-v{version}-{_check_tag(col)}.json"
+
+
+def _logical_scan(
+    spark: SparkSession, path: str, entries: list, cmap: dict | None
+) -> DataFrame:
+    """Scan manifest entries for an index BUILD: raw parquet read
+    carrying the per-file name as ``__f`` (from ``_metadata``), projected
+    to the LOGICAL schema through the snapshot's column map — a build on
+    a column-mapped table must hash the column the READERS will probe,
+    not a stale (or swap-renamed) physical name. DV-deleted rows are NOT
+    anti-joined on purpose: indexing a dead row only sets extra bits,
+    and pruning stays a superset guarantee either way."""
+    from pandas_to_postgres_spark.sources.manifest import _apply_column_map
+
+    reader = spark.read
+    if cmap and cmap.get("renames"):
+        reader = reader.option("mergeSchema", "true")
+    df = reader.parquet(*[os.path.join(path, e["path"]) for e in entries])
+    df = df.withColumn("__f", F.col("_metadata.file_path"))
+    return _apply_column_map(df, cmap)
+
+
+def _logical_col(df: DataFrame, col: str) -> None:
+    if col not in df.columns:
+        raise ValueError(
+            f"column {col!r} not in the snapshot's logical schema "
+            f"(have: {[c for c in df.columns if c != '__f']})"
+        )
 
 
 def build_bloom_index(
@@ -96,14 +146,14 @@ def build_bloom_index(
     that is ~4k names instead of ~20 GB of bitsets."""
     from pandas_to_postgres_spark.sources.manifest import load_snapshot
 
+    _check_tag(col)
     snap = load_snapshot(path, version)
-    files = [os.path.join(path, e["path"]) for e in snap["files"]]
-    df = spark.read.parquet(*files).select(
-        F.col(col).cast("string").alias("__v"),
-        F.col("_metadata.file_path").alias("__f"),
-    )
+    scan = _logical_scan(spark, path, snap["files"], snap.get("column_map"))
+    _logical_col(scan, col)
+    df = scan.select(F.col(col).cast("string").alias("__v"), "__f")
     return _publish_bloom(
-        df, path, col, snap["version"], len(files), m, k, files_per_shard,
+        df, path, col, snap["version"], len(snap["files"]), m, k,
+        files_per_shard,
         covered=[e["path"] for e in snap["files"]],
     )
 
@@ -134,7 +184,7 @@ def _publish_bloom(
 
     from pyspark.sql.functions import pandas_udf
 
-    col = col_tag
+    col = _check_tag(col_tag)
     j = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("__j")
     pos = (
         F.conv(
@@ -175,13 +225,19 @@ def _publish_bloom(
     def _write_shards(it):
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
+        tc = TaskContext.get()
+        pid = tc.partitionId()
+        # tmp name carries the attempt number: a speculative/retried
+        # duplicate attempt must never interleave writes into the
+        # original's tmp file (os.replace of a COMPLETE private tmp is
+        # then safe whichever attempt publishes last)
+        att = tc.attemptNumber()
         i = 0
         for pdf in it:
             if pdf.empty:
                 continue
             name = f"_bloom-v{v}-{col}-shard-{job}-{pid:05d}-{i:03d}.json"
-            tmp = os.path.join(path, f".{name}.tmp")
+            tmp = os.path.join(path, f".{name}.a{att}.tmp")
             with open(tmp, "w") as fh:
                 json.dump(dict(zip(pdf["f"], pdf["b64"])), fh)
             os.replace(tmp, os.path.join(path, name))
@@ -194,6 +250,20 @@ def _publish_bloom(
         .mapInPandas(_write_shards, "shard string")
         .collect()  # O(shards) names — the only driver-side payload
     )
+    # executor tasks wrote the shards with plain open(); on a deployment
+    # where driver and executors do NOT share a filesystem those writes
+    # land on worker-local disks — fail loudly here instead of publishing
+    # a sidecar whose references resolve to nothing (which would quietly
+    # disable pruning: unreadable shards degrade to "kept")
+    missing = [
+        s for s in shard_names if not os.path.exists(os.path.join(path, s))
+    ]
+    if missing:
+        raise RuntimeError(
+            f"{len(missing)} bloom shard(s) not visible from the driver "
+            f"(first: {missing[0]!r}) — the bloom build requires a "
+            "filesystem shared between driver and executors"
+        )
     sidecar = {
         "col": col,
         "m": m,
@@ -242,6 +312,9 @@ def _iter_bloom_maps(path: str, bloom: dict):
                 yield json.load(fh)
         except FileNotFoundError:
             continue  # shard vacuumed: its files fall back to "kept"
+        except ValueError:
+            continue  # truncated/corrupt shard: degrade to "kept", the
+            # same superset guarantee as an unindexed file
 
 
 def plan_point_lookup(
@@ -354,21 +427,20 @@ def build_token_bloom_index(
     indexes on the same column coexist."""
     from pandas_to_postgres_spark.sources.manifest import load_snapshot
 
+    _check_tag(col)
     snap = load_snapshot(path, version)
-    files = [os.path.join(path, e["path"]) for e in snap["files"]]
+    scan = _logical_scan(spark, path, snap["files"], snap.get("column_map"))
+    _logical_col(scan, col)
     toks = F.explode(
         F.expr(TOKENIZE_SQL.format(col=col))
     ).alias("__v")
-    df = (
-        spark.read.parquet(*files)
-        .select(toks, F.col("_metadata.file_path").alias("__f"))
-    )
+    df = scan.select(toks, "__f")
     return _publish_bloom(
         df,
         path,
         f"{col}__tokens",
         snap["version"],
-        len(files),
+        len(snap["files"]),
         m,
         k,
         files_per_shard,
@@ -431,7 +503,7 @@ def update_bloom_index(
     without writing."""
     from pandas_to_postgres_spark.sources.manifest import load_snapshot
 
-    tag = f"{col}__tokens" if tokens else col
+    tag = f"{_check_tag(col)}__tokens" if tokens else _check_tag(col)
     snap = load_snapshot(path)
     head_files = [e["path"] for e in snap["files"]]
     prior = _load_bloom(path, tag, snap["version"])
@@ -447,13 +519,29 @@ def update_bloom_index(
     todo = [f for f in head_files if f not in covered]
     if not todo:
         return prior
+    reuse = list(prior.get("shards") or ())
+    if "files" in prior:
+        # pre-shard INLINE sidecar: its bitsets live in the sidecar body,
+        # which the refreshed sidecar does not reproduce — materialize
+        # them as a carried-over shard so the files stay indexed (they
+        # are in `covered`, so no future refresh would ever rebuild them)
+        mig = (
+            f"_bloom-v{prior['version']}-{tag}-shard-"
+            f"{'0' * 12}-99999-000.json"
+        )
+        tmp = os.path.join(path, f".{mig}.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(prior["files"], fh)
+        os.replace(tmp, os.path.join(path, mig))
+        reuse.append(mig)
+    entries = [e for e in snap["files"] if e["path"] in set(todo)]
+    scan = _logical_scan(spark, path, entries, snap.get("column_map"))
+    _logical_col(scan, col)
     if tokens:
         sel = F.explode(F.expr(TOKENIZE_SQL.format(col=col))).alias("__v")
     else:
         sel = F.col(col).cast("string").alias("__v")
-    df = spark.read.parquet(
-        *[os.path.join(path, f) for f in todo]
-    ).select(sel, F.col("_metadata.file_path").alias("__f"))
+    df = scan.select(sel, "__f")
     return _publish_bloom(
         df,
         path,
@@ -463,6 +551,6 @@ def update_bloom_index(
         prior["m"],
         prior["k"],
         files_per_shard,
-        reuse_shards=tuple(prior.get("shards") or ()),
+        reuse_shards=tuple(reuse),
         covered=sorted(covered | set(todo)),
     )

@@ -36,8 +36,10 @@ atomic version CLAIM (hard-link commit + optimistic retry against the
 re-read head — ``publish_snapshot``), so the three write paths that
 share the log (batch writer, stream ingest, compaction) cannot clobber
 each other's versions. Readers resolve
-"latest" by listing manifest names (at object-store scale a version-hint
-file avoids the listing; local single-writer doesn't need it). Physical
+"latest" through ``_version-hint.text`` (Iceberg's version-hint pattern:
+one O(1) read + a forward probe, self-healing against stale/missing
+hints by falling back to the manifest-name listing — which is the only
+O(versions) path left, and only on a cold/damaged table). Physical
 cleanup is explicit and separate (``expire_snapshots``): retire old
 manifests, then delete only files no RETAINED snapshot references —
 readers of retained versions are never broken by a publish, only by an
@@ -510,11 +512,65 @@ def _claim_version(path: str, version: int, manifest: dict) -> bool:
         json.dump(manifest, fh, default=str)
     try:
         os.link(tmp, os.path.join(path, name))
+        _write_version_hint(path, version)
         return True
     except FileExistsError:
         return False
     finally:
         os.unlink(tmp)
+
+
+_HINT_NAME = "_version-hint.text"
+
+
+def _write_version_hint(path: str, version: int) -> None:
+    """Best-effort ``_version-hint.text`` refresh after a successful
+    claim (the claim itself is the atomic commit; the hint only spares
+    readers the O(versions) listing). Monotone: a slow writer whose
+    claim lost the race must not regress the hint, so it only advances.
+    Any failure is swallowed — readers self-heal via the forward probe
+    and the listing fallback."""
+    import uuid
+
+    try:
+        cur = _read_version_hint(path)
+        if cur is not None and cur >= version:
+            return
+        tmp = os.path.join(path, f".{_HINT_NAME}.{uuid.uuid4().hex[:8]}.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(str(version))
+        os.replace(tmp, os.path.join(path, _HINT_NAME))
+    except OSError:
+        pass
+
+
+def _read_version_hint(path: str) -> int | None:
+    try:
+        with open(os.path.join(path, _HINT_NAME)) as fh:
+            return int(fh.read().strip())
+    except (OSError, ValueError):
+        return None
+
+
+def _resolve_latest(path: str) -> int:
+    """Resolve the head version: one hint read + a forward existence
+    probe (a hint can lag behind a racing publisher), falling back to
+    the manifest-name listing when the hint is missing, corrupt, or
+    points at an expired/nonexistent manifest. The happy path costs
+    O(1 + lag) stat calls instead of O(versions) listing — the
+    object-store economics Iceberg's version-hint.text exists for."""
+    hint = _read_version_hint(path)
+    if hint is not None and os.path.exists(
+        os.path.join(path, f"_manifest-v{hint}.json")
+    ):
+        v = hint
+        while os.path.exists(os.path.join(path, f"_manifest-v{v + 1}.json")):
+            v += 1
+        return v
+    versions = snapshot_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no snapshots published under {path}")
+    return versions[-1]
 
 
 #: publish retry bound — generous (collisions re-read the head, so each
@@ -790,12 +846,14 @@ def load_snapshot(
     kept shards by reference. Planning paths that can prune at shard
     level pass ``materialize=False`` and read only the shards that
     survive (:func:`read_snapshot_pruned`, :func:`count_snapshot`)."""
-    versions = snapshot_versions(path)
-    if not versions:
-        raise FileNotFoundError(f"no snapshots published under {path}")
-    v = versions[-1] if version is None else version
-    if v not in versions:
-        raise ValueError(f"snapshot v{v} not found (have {versions})")
+    if version is None:
+        v = _resolve_latest(path)  # hint + forward probe, not a listing
+    else:
+        v = version
+        if not os.path.exists(os.path.join(path, f"_manifest-v{v}.json")):
+            raise ValueError(
+                f"snapshot v{v} not found (have {snapshot_versions(path)})"
+            )
     with open(os.path.join(path, f"_manifest-v{v}.json")) as fh:
         snap = json.load(fh)
     if materialize and "shards" in snap and "files" not in snap:
@@ -1477,6 +1535,17 @@ def apply_changes_to_snapshot(
     )
 
 
+def _is_bloom_shard_name(f: str) -> bool:
+    """Anchored match of GENERATED bloom shard names (job hex +
+    partition + counter) — never a bare '-shard-' substring test, which
+    a column tag containing that substring would reproduce, making a
+    live top-level sidecar classify as an unreferenced shard (and get
+    vacuumed)."""
+    from pandas_to_postgres_spark.sources.file_bloom import SHARD_NAME_RE
+
+    return bool(SHARD_NAME_RE.match(f))
+
+
 def expire_snapshots(path: str, keep_latest: int = 1) -> dict:
     """Retire all but the newest ``keep_latest`` snapshots, then delete
     part files that are provably superseded: referenced by an EXPIRED
@@ -1543,7 +1612,7 @@ def expire_snapshots(path: str, keep_latest: int = 1) -> dict:
         if not (
             f.startswith("_bloom-v")
             and f.endswith(".json")
-            and "-shard-" not in f
+            and not _is_bloom_shard_name(f)
         ):
             continue
         try:
@@ -1593,8 +1662,8 @@ def vacuum_orphans(path: str, grace_seconds: float = 3 * 24 * 3600) -> dict:
     # sidecar was expired) — age-gated like data orphans
     bloom_shard_refs: set[str] = set()
     for f in os.listdir(path):
-        if f.startswith("_bloom-v") and f.endswith(".json") and (
-            "-shard-" not in f
+        if f.startswith("_bloom-v") and f.endswith(".json") and not (
+            _is_bloom_shard_name(f)
         ):
             try:
                 with open(os.path.join(path, f)) as fh:
@@ -1609,6 +1678,7 @@ def vacuum_orphans(path: str, grace_seconds: float = 3 * 24 * 3600) -> dict:
             or "_mshard-" in f
             or "_manifest-" in f
             or "_bloom-" in f
+            or "_version-hint" in f
             or f.startswith(".ref-")
         )
         is_data = f.endswith(".parquet") and not f.startswith((".", "_"))
@@ -1616,9 +1686,7 @@ def vacuum_orphans(path: str, grace_seconds: float = 3 * 24 * 3600) -> dict:
         # version claim (the retry re-packs) — referenced by no manifest,
         # age-gated like data orphans
         is_shard = f.startswith("_mshard-") and f.endswith(".json")
-        is_bloom_shard = (
-            f.startswith("_bloom-v") and "-shard-" in f and f.endswith(".json")
-        )
+        is_bloom_shard = _is_bloom_shard_name(f)
         if is_shard and f in shard_refs:
             continue
         if is_bloom_shard and f in bloom_shard_refs:

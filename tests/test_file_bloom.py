@@ -440,3 +440,115 @@ class TestIncrementalIndexRefresh:
             ).collect()
         )
         assert got0 == list(range(50))
+
+
+class TestRound9Hardening:
+    """Round-9 ADVICE fixes: column-mapped builds, inline-sidecar
+    migration, task-retry-safe shard writes, anchored shard
+    classification, and corrupt-shard degradation."""
+
+    def test_build_on_column_mapped_table(self, spark, arrival_table):
+        """A metadata-only rename must not break (or mis-target) the
+        index build: the build resolves the LOGICAL name through the
+        snapshot's column map, probes prune, and results are exact."""
+        p = arrival_table
+        M.rename_snapshot_column(p, "k", "kk")
+        side = build_bloom_index(spark, p, "kk")
+        assert side["col"] == "kk"
+        plan = plan_point_lookup(p, "kk", 1234)
+        assert plan["indexed_files"] == 6
+        assert 1 <= len(plan["keep"]) <= 2
+        got = read_snapshot_point(spark, p, "kk", 1234).collect()
+        assert [(r["kk"], r["v"]) for r in got] == [(1234, 617.0)]
+
+    def test_build_missing_logical_column_raises(self, spark, arrival_table):
+        with pytest.raises(ValueError, match="logical schema"):
+            build_bloom_index(spark, arrival_table, "nope")
+
+    def test_tag_validation_rejects_hostile_names(self, spark, arrival_table):
+        """Tags are embedded in filenames: path separators and the
+        '-shard-' classification marker must be unrepresentable."""
+        for bad in ("a-shard-b", "a/b", "a b", "a.b"):
+            with pytest.raises(ValueError, match="A-Za-z0-9_"):
+                build_bloom_index(spark, arrival_table, bad)
+
+    def test_anchored_shard_classification(self):
+        assert M._is_bloom_shard_name(
+            "_bloom-v3-k-shard-0123456789ab-00004-001.json"
+        )
+        # migration shard from update_bloom_index
+        assert M._is_bloom_shard_name(
+            "_bloom-v1-k-shard-000000000000-99999-000.json"
+        )
+        # top-level sidecars — including ones whose tag merely CONTAINS
+        # '-shard-' — are not shards
+        assert not M._is_bloom_shard_name("_bloom-v3-k.json")
+        assert not M._is_bloom_shard_name("_bloom-v3-a-shard-b.json")
+
+    def test_corrupt_shard_degrades_to_kept(self, spark, arrival_table):
+        """A truncated shard (crashed writer, partial copy) must degrade
+        its files to conservatively-kept, never crash the planner."""
+        p = arrival_table
+        side = build_bloom_index(spark, p, "k", files_per_shard=2)
+        assert len(side["shards"]) >= 2
+        victim = sorted(side["shards"])[0]
+        with open(os.path.join(p, victim)) as fh:
+            n_victim_files = len(__import__("json").load(fh))
+        with open(os.path.join(p, victim), "w") as fh:
+            fh.write('{"truncated')  # invalid JSON
+        plan = plan_point_lookup(p, "k", 1234)
+        assert plan["indexed_files"] == 6 - n_victim_files
+        got = read_snapshot_point(spark, p, "k", 1234).collect()
+        assert [(r["k"],) for r in got] == [(1234,)]
+
+    def test_inline_sidecar_migrates_to_carried_shard(
+        self, spark, arrival_table
+    ):
+        """Refreshing from a pre-shard INLINE sidecar must not orphan the
+        inline bitsets: they materialize as a carried-over shard so the
+        old files stay indexed after the refresh."""
+        import json as _json
+
+        p = arrival_table
+        side = build_bloom_index(spark, p, "k")
+        blooms = {}
+        for s in side["shards"]:
+            with open(os.path.join(p, s)) as fh:
+                blooms.update(_json.load(fh))
+            os.remove(os.path.join(p, s))
+        legacy = {
+            "col": "k", "m": side["m"], "k": side["k"],
+            "version": side["version"], "files": blooms,
+        }
+        with open(
+            os.path.join(p, f"_bloom-v{side['version']}-k.json"), "w"
+        ) as fh:
+            _json.dump(legacy, fh)
+        # append a new epoch and refresh
+        from pandas_to_postgres_spark.sources.file_bloom import (
+            update_bloom_index,
+        )
+
+        spark.range(6000, 7000).selectExpr(
+            "id AS k", "CAST(id AS DOUBLE) * 0.5 AS v"
+        ).coalesce(1).write.mode("append").parquet(p)
+        published = {e["path"] for e in M.load_snapshot(p, 1)["files"]}
+        new = sorted(
+            f for f in os.listdir(p)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+            and f not in published
+        )
+        M.append_snapshot(p, new)
+        side2 = update_bloom_index(spark, p, "k")
+        # every inline-covered file is now indexed through some shard
+        shard_files = set()
+        for s in side2["shards"]:
+            with open(os.path.join(p, s)) as fh:
+                shard_files.update(_json.load(fh))
+        assert set(blooms) <= shard_files, (
+            "inline bitsets must carry over as a shard"
+        )
+        plan = plan_point_lookup(p, "k", 1234)
+        assert plan["indexed_files"] == 7
+        got = read_snapshot_point(spark, p, "k", 1234).collect()
+        assert [(r["k"],) for r in got] == [(1234,)]
