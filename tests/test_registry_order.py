@@ -25,76 +25,58 @@ class TestWindow:
             # embedding_neardup rotated out round 7 with D1/D2 siblings
             # staying in-window)
             "dedup_exact", "minhash_lsh_checked",
-            "simhash_hamming_pairs", "ngram_jaccard_pairs",
+            "simhash_hamming_pairs",
             "neardup_group_summary",
-            "text_stats", "simsearch_topk",
+            "text_stats",
             "multimodal_pipeline",
-            # training-data shaping (chunk_documents rotated out in the
-            # second r6 rotation — corpus_prep_pipeline runs the chunker;
-            # pack_sequences/train_test_split rotated out round 7)
-            "corpus_prep_pipeline",
             # X2..X5 (pandas_udf_norm rotated out in the second r6
             # rotation — the Arrow path stays via grouped_map/udaf)
             "grouped_map_zscore", "udaf_weighted_avg",
             "udtf_sentences",
-            # §2.9 streaming — foreachbatch carries the tumbling-window row
-            # too (same aggregate + oracle, foreachBatch delivery)
-            # (stream_sliding_counts rotated out round 7 — the
-            # tumbling-window oracle stays via foreachbatch)
-            "stream_foreachbatch_counts",
+            # §2.9 streaming (stream_foreachbatch_counts rotated out r9
+            # after 7 green rounds — the tumbling-window oracle stays
+            # registered + local-oracle)
             "stream_stateful_totals",
             "stream_static_join", "stream_stream_join",
-            # round-5 rotation: first driver-side oracle runs for the
-            # round-3/4 additions (COVERAGE.md "Round-5 window rotation")
+            # round-5 rotation (COVERAGE.md "Round-5 window rotation")
             "k_anonymity_audit", "json_corrupt_audit",
-            # round-6 rotation: first driver-side oracle runs for the
-            # round-4/5 additions (COVERAGE.md "Round-6 window rotation")
-            "dsir_select_docs",
-            # second round-6 rotation: driver certification for the
-            # queries BUILT in round 6 (COVERAGE.md "Round-6 window
-            # rotation #2"); simsearch_topk_incremental, chunk_documents,
-            # pandas_udf_norm, union_slices, string_date_funcs rotated
-            # out — all still registered and oracle-green in pytest +
-            # both local boards
-            "bpe_learn_merges", "bpe_fertility_by_source",
-            "ivf_partitioned_search",
-            # round-7 rotation (#3): driver certification for the seven
-            # round-6 builds that missed the late-round rotation
-            # (COVERAGE.md "Round-7 window rotation"); rotated out:
-            # dedup_incremental_docs, embedding_neardup,
-            # simsearch_pq_trained, pack_sequences, train_test_split,
-            # join_broadcast_rollup, stream_sliding_counts — all still
-            # registered and oracle-green in pytest + both local boards
+            # round-7 rotation (#3): survivors still in-window
             "simsearch_sq8", "bucketed_colocated_join",
-            "salted_skew_agg", "salted_skew_join",
-            "snapshot_time_travel", "neardup_group_summary",
+            "salted_skew_agg",
             "bpe_encode_stats",
-            # round-8 rotation (#4): driver certification for the twelve
-            # round-7 builds the judge hand-verified past the window
-            # (COVERAGE.md "Round-8 window rotation"); rotated out:
-            # neardup_clusters, span_dedup_docs, winnow_copy_pairs,
-            # semantic_dedup, text_metrics, simsearch_ivf,
-            # hybrid_rrf_docs, centroid_quality_filter,
-            # temperature_mix_weights, stream_dedup_events,
-            # stream_neardup_docs, join_order_revenue — all still
-            # registered and oracle-green in pytest + both local boards
+            # round-8 rotation (#4): survivors still in-window
             "nb_source_classifier", "fellegi_sunter_em",
             "kcenter_coreset", "incremental_join_mv",
             "snapshot_merge_upsert", "snapshot_cdc_apply",
             "snapshot_hidden_partition", "snapshot_delete_dv",
             "snapshot_bloom_lookup", "snapshot_rename_column",
             "stream_incremental_mv", "ivf_index_upsert",
-            # relational families (J3/J4/J5, W3, json_extract_events
-            # rotated out round 5; filter_project, distinct_counts,
-            # conditional_agg, collect_set_segments, window_lag_events
-            # rotated out round 6 — all still registered and oracle-green
-            # in tests/test_correctness.py + local boards)
+            # round-9 rotation (#5): driver certification for the
+            # thirteen round-8 builds the judge hand-verified past the
+            # window (COVERAGE.md "Round-9 window rotation"); rotated
+            # out: ngram_jaccard_pairs, simsearch_topk,
+            # ivf_partitioned_search, dsir_select_docs, bpe_learn_merges,
+            # bpe_fertility_by_source, corpus_prep_pipeline,
+            # stream_foreachbatch_counts, percentiles_price,
+            # topk_lineitems, salted_skew_join, array_ops_embeddings,
+            # snapshot_time_travel — all still registered and
+            # oracle-green in pytest + both local boards
+            "gbdt_split_histogram", "gbdt_boost_stumps",
+            "gbdt_tree_depth2", "hll_distinct_users",
+            "cms_heavy_hitters", "kmv_theta_sketch",
+            "ams_f2_joinsize", "mi_feature_ranking",
+            "two_pass_exact_median", "stream_hll_distinct",
+            "spec_evolution_scan", "snapshot_restore",
+            "snapshot_text_search",
+            # relational families (J3/J4/J5, W3 rotated out round 5;
+            # filter_project etc. round 6; percentiles_price,
+            # topk_lineitems, array_ops_embeddings round 9 — all still
+            # registered and oracle-green in tests + local boards)
             "pricing_summary", "normalize_target_schema",
             "range_join_bins",
-            "asof_join_events", "percentiles_price",
+            "asof_join_events",
             "rollup_cube_gsets", "window_topn_orders",
-            "topk_lineitems", "setops_custkeys",
-            "array_ops_embeddings",
+            "setops_custkeys",
         }
         assert must_have <= window, sorted(must_have - window)
 
