@@ -45,6 +45,24 @@ LINT_ALLOW = {
 }
 
 
+def _git_head() -> str:
+    import subprocess
+
+    try:
+        return (
+            subprocess.run(
+                ["git", "rev-parse", "HEAD"],
+                capture_output=True,
+                text=True,
+                cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                timeout=10,
+            ).stdout.strip()
+            or "unknown"
+        )
+    except Exception:  # noqa: BLE001 — the stamp is advisory
+        return "unknown"
+
+
 def main() -> None:
     if len(sys.argv) < 2:
         raise SystemExit("usage: local_correctness.py <round> [sf_dir]")
@@ -138,6 +156,10 @@ def main() -> None:
         "n_fail": n_fail,
         "n_rows_only": n_rows_only,
         "wall_sec": round(time.perf_counter() - t_start, 1),
+        # session-commit stamp (round-8 verdict ask #7): lets a reviewer
+        # diff this board against the driver's CORRECTNESS_r{N}.json for
+        # the same tree mechanically — scripts/board_diff.py is that diff
+        "commit": _git_head(),
     }
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
