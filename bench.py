@@ -51,6 +51,11 @@ HEADLINE = (
     # the exact-oracle sketch family's HLL
     "gbdt_split_histogram",
     "hll_distinct_users",
+    # round 9: the histogram-refinement selection (multi-quantile) and
+    # the cross-table AMS join-size estimate — both new sketch-tier
+    # walls tracked round-over-round
+    "two_pass_exact_quantiles",
+    "ams_join_estimate",
 )
 
 

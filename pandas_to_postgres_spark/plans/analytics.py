@@ -3663,3 +3663,644 @@ def two_pass_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n).cast("long").alias("n_rows"),
         F.lit(k).cast("long").alias("rank_k"),
     )
+
+
+_PRIORITY_SAMPLE_ORACLE = """
+    WITH d AS (
+        SELECT doc_id, n_chars AS w,
+               CAST(('0x' || substr(md5('ps:' || CAST(doc_id AS VARCHAR)),
+                     1, 15)) AS BIGINT) AS h
+        FROM documents),
+    c AS (
+        SELECT doc_id, w,
+               CAST(w AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+                   / CAST(h + 1 AS DOUBLE) AS q
+        FROM d ORDER BY q DESC, doc_id ASC LIMIT 51),
+    r AS (SELECT doc_id, w, q,
+                 row_number() OVER (ORDER BY q DESC, doc_id ASC) AS rn
+          FROM c),
+    t AS (SELECT min(q) AS tau FROM c)
+    SELECT r.doc_id, CAST(r.w AS BIGINT) AS w,
+           floor(greatest(CAST(r.w AS DOUBLE), t.tau) * 10000 + 0.5)
+               / 10000 AS w_est
+    FROM r, t WHERE r.rn <= 50
+    """
+
+
+@register("priority_sample_docs", min_rows=50, oracle=_PRIORITY_SAMPLE_ORACLE)
+def priority_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional PRIORITY SAMPLING (Duffield–Lund–Thorup,
+    JACM '07) with an exact oracle — the sampling scheme a training-data
+    pipeline needs when documents carry importance weights: each row
+    gets priority q = w / u with u a uniform in (0, 1], the k largest
+    priorities form the sample, and ŵ = max(w, τ) (τ = the (k+1)-th
+    priority) is an UNBIASED per-row weight estimator, so Σŵ over the
+    sample estimates any weighted subset total. Determinism rule: u is
+    md5-derived ((h+1)/2⁶⁰), and q is two IEEE-correctly-rounded double
+    ops (multiply, divide) on exact integers — identical bit-for-bit in
+    Spark and DuckDB, unlike ln/pow-based Efraimidis–Spirakis keys,
+    which is WHY priority sampling is the hash-checkable formulation.
+
+    Scale: the k+1 largest priorities of a distributed table is
+    ``TakeOrderedAndProject`` — a per-partition heap of 51 rows and a
+    driver merge of 51·P candidates, never a global sort; the window
+    rank and τ-join then run on the 51-row frame. One column-pruned
+    scan total.
+
+    Reference: no sampling in the 988-LoC loader; LLM-pipeline shaping
+    tier (SURVEY §2.12 [EXT]) — the weighted companion of the
+    deterministic corpus shuffle / reservoir family."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("ps:"), F.col("doc_id").cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    q = (
+        F.col("w").cast("double")
+        * F.lit(float(1152921504606846976))
+        / (F.col("h") + F.lit(1)).cast("double")
+    )
+    cand = (
+        docs.select(F.col("doc_id"), F.col("n_chars").alias("w"), h.alias("h"))
+        .select("doc_id", "w", q.alias("q"))
+        .orderBy(F.col("q").desc(), F.col("doc_id").asc())
+        .limit(51)
+    )
+    rn = F.row_number().over(
+        Window.partitionBy(F.lit(0)).orderBy(
+            F.col("q").desc(), F.col("doc_id").asc()
+        )
+    )
+    tau = cand.agg(F.min("q").alias("tau"))
+    return (
+        cand.withColumn("rn", rn)
+        .filter(F.col("rn") <= 50)
+        .crossJoin(F.broadcast(tau))
+        .select(
+            "doc_id",
+            F.col("w").cast("long").alias("w"),
+            grid_round(
+                F.greatest(F.col("w").cast("double"), F.col("tau")), 4
+            ).alias("w_est"),
+        )
+    )
+
+
+_QUANTILES_ORACLE = """
+    WITH v AS (
+        SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM lineitem),
+    n AS (SELECT count(*) AS n FROM v),
+    t(p_label, num, den) AS (
+        VALUES ('p25', 1, 4), ('p50', 1, 2), ('p75', 3, 4),
+               ('p90', 9, 10), ('p99', 99, 100)),
+    r AS (SELECT p_label,
+                 CAST((num * n.n + den - 1) // den AS BIGINT) AS rank
+          FROM t, n),
+    ranked AS (
+        SELECT cents, row_number() OVER (ORDER BY cents ASC) AS rn FROM v)
+    SELECT r.p_label, r.rank,
+           CAST(ranked.cents AS BIGINT) AS value_cents
+    FROM r JOIN ranked ON ranked.rn = r.rank
+    """
+
+
+@register("two_pass_exact_quantiles", min_rows=5, oracle=_QUANTILES_ORACLE)
+def two_pass_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT multi-quantile selection (p25/p50/p75/p90/p99 at once)
+    without a global sort — iterative HISTOGRAM REFINEMENT, the
+    multi-rank generalization of ``two_pass_exact_median``: a coarse
+    histogram locates every target rank's bin (O(bins) map-combined
+    shuffle), a second histogram 1000× finer runs over ONLY the
+    candidate-bin rows (fine bins nest exactly inside coarse ones, so
+    frame-relative ranks recompute in the driver's O(bins) walk), and
+    the final window ranks only the ~n/10⁵-row fine bins — every
+    shuffle in the plan is either O(bins) counters or a vanishing
+    fraction of the data, and no stage sorts more than a fine bin (the
+    one-level version window-sorted whole coarse bins: a 5-partition
+    skew that cost 2.9× at 8× data; this version is flat). Ranks are
+    type-1 (⌈p·n⌉-th smallest) in integer arithmetic
+    ((num·n + den − 1) div den) so both engines pick the same row;
+    values are integer cents, so the result hash-checks exactly.
+
+    A global ORDER BY + five OFFSET probes (the oracle's formulation)
+    range-exchanges the entire column; percentile_approx gives up
+    exactness. This is the plan you want for feature binning / SLA
+    percentiles over 100 TB when they must be EXACT.
+
+    Reference: no analytics in the 988-LoC loader; in-engine statistics
+    tier (SURVEY §2.12 [EXT])."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents")
+        )
+        .localCheckpoint(eager=False)  # all passes read this projection
+    )
+
+    def locate(frame, width, ranks):
+        """One map-combined histogram of ``frame`` at ``width`` →
+        driver-side cumulative walk: for each (label, global_rank,
+        rank_within_frame) return the bin holding it and the rank
+        WITHIN that bin. O(bins) driver rows per level."""
+        hist = (
+            frame.select(
+                F.floor(F.col("cents") / width).cast("long").alias("b")
+            )
+            .groupBy("b")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        )
+        rows = hist.orderBy("b").collect()
+        out = []
+        for label, grank, frank in ranks:
+            cum = 0
+            for r in rows:
+                if cum + r["cnt"] >= frank:
+                    out.append((label, grank, int(r["b"]), frank - cum))
+                    break
+                cum += r["cnt"]
+        return out
+
+    n = li.count()
+    ranks = []
+    for label, num, den in (
+        ("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4),
+        ("p90", 9, 10), ("p99", 99, 100),
+    ):
+        rank = (num * n + den - 1) // den
+        ranks.append((label, rank, rank))
+
+    # level 1: coarse bins over the whole column
+    lvl1 = locate(li, 100_000, ranks)
+    need1 = sorted({b for _, _, b, _ in lvl1})
+    cand = li.filter(
+        F.floor(F.col("cents") / 100_000).cast("long").isin(need1)
+    ).localCheckpoint(eager=False)
+    # level 2: refine ONLY candidate-bin rows at 1000x finer width; the
+    # within-level-1 offset is recovered because level-2 bins nest
+    # exactly inside level-1 bins (100_000 = 1000 * 100), so the frame
+    # rank within `cand` locates the right fine bin for each target:
+    # rank_within_cand = offset_in_bin1 + rows of OTHER selected bins
+    # before it — recompute per target against the candidate frame
+    lvl1_by_label = {lab: (b, off) for lab, _, b, off in lvl1}
+    cand_bins = (
+        cand.select(
+            F.floor(F.col("cents") / 100_000).cast("long").alias("b")
+        )
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .orderBy("b")
+        .collect()
+    )
+    cum_before = {}
+    cum = 0
+    for r in cand_bins:
+        cum_before[int(r["b"])] = cum
+        cum += r["cnt"]
+    ranks2 = [
+        (lab, grank, cum_before[lvl1_by_label[lab][0]] + lvl1_by_label[lab][1])
+        for lab, grank, _ in ranks
+    ]
+    lvl2 = locate(cand, 100, ranks2)
+    need2 = sorted({b for _, _, b, _ in lvl2})
+    tdf = spark.createDataFrame(
+        lvl2, "p_label string, rank long, tb long, toff long"
+    )
+    # final: rank rows inside the ~n/10^5-row fine bins only
+    rn = F.row_number().over(
+        Window.partitionBy("b").orderBy(F.col("cents").asc())
+    )
+    picked = (
+        cand.withColumn("b", F.floor(F.col("cents") / 100).cast("long"))
+        .filter(F.col("b").isin(need2))
+        .withColumn("rn", rn)
+        .join(
+            F.broadcast(tdf),
+            (F.col("b") == F.col("tb")) & (F.col("rn") == F.col("toff")),
+        )
+    )
+    return picked.select(
+        "p_label",
+        F.col("rank").cast("long").alias("rank"),
+        F.col("cents").cast("long").alias("value_cents"),
+    )
+
+
+_CASCADE_ORACLE = """
+    WITH d AS (
+        SELECT doc_id, text, n_chars,
+               list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                           x -> x <> '') AS tk,
+               length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                   AS alpha_chars,
+               length(text) AS total_chars
+        FROM documents),
+    f AS (
+        SELECT doc_id,
+               n_chars < 120 AS f1,
+               2 * alpha_chars < total_chars AS f2,
+               2 * len(list_distinct(tk)) < len(tk) AS f3,
+               coalesce(list_sum(list_transform(tk, t -> length(t))), 0)
+                   > 12 * len(tk) AS f4
+        FROM d),
+    k AS (
+        SELECT doc_id, f1, f2, f3, f4,
+               CASE WHEN f1 THEN 1 WHEN f2 THEN 2 WHEN f3 THEN 3
+                    WHEN f4 THEN 4 ELSE 0 END AS first_kill
+        FROM f),
+    agg AS (
+        SELECT count(*) AS n_docs,
+               CAST(sum(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS a1,
+               CAST(sum(CASE WHEN f2 THEN 1 ELSE 0 END) AS BIGINT) AS a2,
+               CAST(sum(CASE WHEN f3 THEN 1 ELSE 0 END) AS BIGINT) AS a3,
+               CAST(sum(CASE WHEN f4 THEN 1 ELSE 0 END) AS BIGINT) AS a4,
+               CAST(sum(CASE WHEN first_kill = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS k1,
+               CAST(sum(CASE WHEN first_kill = 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS k2,
+               CAST(sum(CASE WHEN first_kill = 3 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS k3,
+               CAST(sum(CASE WHEN first_kill = 4 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS k4
+        FROM k),
+    rules(rule, rule_order) AS (
+        VALUES ('too_short', 1), ('low_alpha', 2),
+               ('repetitive', 3), ('long_words', 4))
+    SELECT r.rule, CAST(r.rule_order AS BIGINT) AS rule_order,
+           CASE r.rule_order WHEN 1 THEN a1 WHEN 2 THEN a2
+                WHEN 3 THEN a3 ELSE a4 END AS n_fail_any,
+           CASE r.rule_order WHEN 1 THEN k1 WHEN 2 THEN k2
+                WHEN 3 THEN k3 ELSE k4 END AS n_first_kill,
+           CAST(n_docs - (CASE WHEN r.rule_order >= 1 THEN k1 ELSE 0 END
+                          + CASE WHEN r.rule_order >= 2 THEN k2 ELSE 0 END
+                          + CASE WHEN r.rule_order >= 3 THEN k3 ELSE 0 END
+                          + CASE WHEN r.rule_order >= 4 THEN k4 ELSE 0 END)
+                AS BIGINT) AS survivors_after
+    FROM rules r, agg
+    """
+
+
+@register("filter_cascade_stats", min_rows=4, oracle=_CASCADE_ORACLE)
+def filter_cascade_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter CASCADE attribution — the report a corpus-curation
+    pipeline (C4/FineWeb style) needs before committing to a rule set:
+    four ordered heuristic rules (too-short, low-alpha-ratio,
+    repetitive-vocabulary, implausibly-long words), and for each rule
+    BOTH its marginal kill count (docs failing it at all) and its
+    FIRST-KILL count (docs it removes given the cascade order), plus the
+    survivor count after each stage — first-kill sums telescope to the
+    total removed, so rule-order debates are settled by the numbers.
+    Every rule is an INTEGER comparison (2·alpha < total, 2·distinct <
+    tokens, token-chars > 12·tokens), so the whole report hash-checks
+    exactly; tokenization is the engine-wide whitespace rule.
+
+    Scale: one pass — per-doc flags are row-local expressions, the
+    cascade folds to NINE map-combined counters (4 any + 4 first + n),
+    and the 4-row report is a literal pivot of the one aggregate row.
+    Nothing shuffles but the counter row.
+
+    Reference: no text analysis in the 988-LoC loader; LLM-pipeline
+    quality tier (SURVEY §2.12 [EXT]) — the attribution companion of
+    ``quality_score`` / ``scrub_documents``."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = tokens_expr(F.col("text"))
+    d = docs.select(
+        "doc_id",
+        "n_chars",
+        tk.alias("tk"),
+        F.length(F.regexp_replace("text", "[^A-Za-z]", "")).alias(
+            "alpha_chars"
+        ),
+        F.length("text").alias("total_chars"),
+    )
+    f = d.select(
+        (F.col("n_chars") < 120).alias("f1"),
+        (2 * F.col("alpha_chars") < F.col("total_chars")).alias("f2"),
+        (2 * F.size(F.array_distinct("tk")) < F.size("tk")).alias("f3"),
+        (
+            F.coalesce(
+                F.expr(
+                    "aggregate(transform(tk, t -> length(t)), 0L,"
+                    " (a, x) -> a + x)"
+                ),
+                F.lit(0),
+            )
+            > 12 * F.size("tk")
+        ).alias("f4"),
+    )
+    k = f.withColumn(
+        "first_kill",
+        F.when(F.col("f1"), 1)
+        .when(F.col("f2"), 2)
+        .when(F.col("f3"), 3)
+        .when(F.col("f4"), 4)
+        .otherwise(0),
+    )
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    agg = k.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        *[cnt(F.col(f"f{i}")).alias(f"a{i}") for i in (1, 2, 3, 4)],
+        *[
+            cnt(F.col("first_kill") == i).alias(f"k{i}")
+            for i in (1, 2, 3, 4)
+        ],
+    )
+    rules = spark.createDataFrame(
+        [("too_short", 1), ("low_alpha", 2), ("repetitive", 3),
+         ("long_words", 4)],
+        "rule string, rule_order long",
+    )
+    j = rules.crossJoin(F.broadcast(agg))
+    pick = lambda pre: F.when(F.col("rule_order") == 1, F.col(f"{pre}1")) \
+        .when(F.col("rule_order") == 2, F.col(f"{pre}2")) \
+        .when(F.col("rule_order") == 3, F.col(f"{pre}3")) \
+        .otherwise(F.col(f"{pre}4"))  # noqa: E731
+    killed_cum = (
+        F.when(F.col("rule_order") >= 1, F.col("k1")).otherwise(0)
+        + F.when(F.col("rule_order") >= 2, F.col("k2")).otherwise(0)
+        + F.when(F.col("rule_order") >= 3, F.col("k3")).otherwise(0)
+        + F.when(F.col("rule_order") >= 4, F.col("k4")).otherwise(0)
+    )
+    return j.select(
+        "rule",
+        F.col("rule_order").cast("long").alias("rule_order"),
+        pick("a").alias("n_fail_any"),
+        pick("k").alias("n_first_kill"),
+        (F.col("n_docs") - killed_cum).cast("long").alias("survivors_after"),
+    )
+
+
+_AMS_JOIN_ORACLE = """
+    WITH ha AS (
+        SELECT CAST(('0x' || substr(md5('aj:'
+                   || CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        FROM orders),
+    hb AS (
+        SELECT CAST(('0x' || substr(md5('aj:'
+                   || CAST(l_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        FROM lineitem),
+    sa AS (
+        SELECT r.j,
+               CAST(sum(2 * ((ha.h >> r.j) & 1) - 1) AS BIGINT) AS sj
+        FROM ha, range(0, 32) r(j) GROUP BY r.j),
+    sb AS (
+        SELECT r.j,
+               CAST(sum(2 * ((hb.h >> r.j) & 1) - 1) AS BIGINT) AS sj
+        FROM hb, range(0, 32) r(j) GROUP BY r.j),
+    prod AS (
+        SELECT sa.j, CAST(sa.sj * sb.sj AS BIGINT) AS pj
+        FROM sa JOIN sb ON sa.j = sb.j),
+    grp AS (SELECT j // 8 AS g, CAST(sum(pj) AS DOUBLE) / 8 AS mean_est
+            FROM prod GROUP BY j // 8),
+    ranked AS (SELECT mean_est,
+                      row_number() OVER (ORDER BY mean_est ASC, g ASC) AS rn
+               FROM grp),
+    med AS (SELECT CAST(sum(mean_est) AS DOUBLE) / 2 AS join_est
+            FROM ranked WHERE rn IN (2, 3)),
+    exact AS (
+        SELECT CAST(sum(fa.c * fb.c) AS BIGINT) AS join_exact
+        FROM (SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS c
+              FROM orders GROUP BY o_orderkey) fa
+        JOIN (SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS c
+              FROM lineitem GROUP BY l_orderkey) fb ON fa.k = fb.k)
+    SELECT CAST(32 AS BIGINT) AS d, med.join_est, exact.join_exact
+    FROM med, exact
+    """
+
+
+@register("ams_join_estimate", min_rows=1, oracle=_AMS_JOIN_ORACLE)
+def ams_join_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS sketch INNER PRODUCT as a cross-table join-size estimate —
+    the planning question the r8 ``ams_f2_joinsize`` self-join sketch
+    generalizes to: |A ⋈ B| on a key = Σ_k f_A(k)·f_B(k), and with the
+    SAME md5-derived ±1 sign family on both tables (estimator j reads
+    bit j of ONE 60-bit md5 per row — one hash, 32 signs),
+    E[S_j^A · S_j^B] = Σ f_A f_B (Alon–Matias–Szegedy '96 §3; the
+    classic sketch-based join-size estimator a cost-based optimizer
+    consults before choosing broadcast vs shuffle). d = 32 estimators,
+    textbook median-of-means fold (4 groups × 8); every S_j is an exact
+    map-combinable integer so the whole estimator replays in DuckDB
+    bit-for-bit, with the exact join size (a count the sketch exists to
+    avoid) alongside for error visibility.
+
+    Scale: ONE pass per table folding to 32 integers each (map-side
+    combine; the shuffle is 32 rows per table at ANY size), a 32-row
+    join, and constant-size arithmetic. Two tables' sketches ALSO
+    estimate their join size without co-locating either — the property
+    that lets a planner size a shuffle it has not yet run.
+
+    Reference: no planner in the 988-LoC loader; in-engine statistics
+    tier (SURVEY §2.12 [EXT]) — the cross-table leg of the
+    deterministic-sketch family."""
+
+    def sketch(df, key_col):
+        # ONE md5 per row; estimator j draws its sign from bit j of the
+        # 60-bit hash (2*((h>>j)&1) - 1). The hash projection sits BELOW
+        # the Generate, so it evaluates once per row, not once per
+        # (row, j) - 32x less hashing than a per-estimator md5, with the
+        # same exact DuckDB replay.
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("aj:"), F.col(key_col).cast("string"))
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        return (
+            df.select(h.alias("h"))
+            .select(
+                "h",
+                F.explode(F.sequence(F.lit(0), F.lit(31))).alias("j"),
+            )
+            .select(
+                "j",
+                F.expr(
+                    "2 * (shiftright(h, CAST(j AS INT)) & 1) - 1"
+                ).alias("s"),
+            )
+            .groupBy("j")
+            .agg(F.sum("s").cast("long").alias("sj"))
+        )
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    sa = sketch(o, "o_orderkey").withColumnRenamed("sj", "sa")
+    sb = sketch(li, "l_orderkey").withColumnRenamed("sj", "sb")
+    prod = sa.join(sb, "j").select(
+        "j", (F.col("sa") * F.col("sb")).cast("long").alias("pj")
+    )
+    grp = prod.groupBy(F.floor(F.col("j") / 8).alias("g")).agg(
+        (F.sum("pj").cast("double") / 8).alias("mean_est")
+    )
+    rn = F.row_number().over(
+        Window.partitionBy(F.lit(0)).orderBy(
+            F.col("mean_est").asc(), F.col("g").asc()
+        )
+    )
+    med = (
+        grp.withColumn("rn", rn)
+        .filter(F.col("rn").isin(2, 3))
+        .agg((F.sum("mean_est").cast("double") / 2).alias("join_est"))
+    )
+    fa = o.groupBy(F.col("o_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).cast("long").alias("ca")
+    )
+    fb = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).cast("long").alias("cb")
+    )
+    exact = (
+        fa.join(fb, "k")
+        .agg(F.sum(F.col("ca") * F.col("cb")).cast("long").alias("join_exact"))
+    )
+    return med.crossJoin(F.broadcast(exact)).select(
+        F.lit(32).cast("long").alias("d"), "join_est", "join_exact"
+    )
+
+
+_HLL_UNION_ORACLE = f"""
+    WITH pos AS (
+        SELECT source, text,
+               unnest(generate_series(1, length(text) - 3)) AS i
+        FROM documents),
+    tok AS (
+        SELECT source, substr(text, CAST(i AS INT), 4) AS t FROM pos),
+    h AS (
+        SELECT source,
+               CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS hv
+        FROM tok),
+    reg AS (
+        SELECT source, hv % 1024 AS bucket,
+               max(CASE WHEN hv // 1024 = 0 THEN 51
+                        ELSE 51 - length(bin(hv // 1024)) END) AS rho
+        FROM h GROUP BY source, hv % 1024),
+    reg_all AS (
+        SELECT '__union__' AS source, bucket, max(rho) AS rho
+        FROM reg GROUP BY bucket
+        UNION ALL SELECT source, bucket, rho FROM reg),
+    fold AS (
+        SELECT source, count(*) AS n_present,
+               sum(CAST(2 AS BIGINT) ** (51 - rho)) AS z_present
+        FROM reg_all GROUP BY source),
+    stat AS (
+        SELECT source, CAST(1024 - n_present AS BIGINT) AS v_zero,
+               CAST(z_present + (1024 - n_present)
+                    * (CAST(2 AS BIGINT) ** 51) AS BIGINT) AS z_num
+        FROM fold),
+    est AS (
+        SELECT source, v_zero, z_num,
+               (CAST(0.7213 AS DOUBLE) / (1 + CAST(1.079 AS DOUBLE) / 1024))
+                   * 1024 * 1024 * (CAST(2 AS DOUBLE) ** 51)
+                   / CAST(z_num AS DOUBLE) AS e_raw
+        FROM stat),
+    exact AS (
+        SELECT source, CAST(count(DISTINCT t) AS BIGINT) AS exact_distinct
+        FROM tok GROUP BY source
+        UNION ALL
+        SELECT '__union__', CAST(count(DISTINCT t) AS BIGINT) FROM tok)
+    SELECT e.source AS scope, e.v_zero, e.z_num,
+           floor((CASE WHEN e.e_raw <= 2.5 * 1024 AND e.v_zero > 0
+                       THEN 1024 * ln(CAST(1024 AS DOUBLE) / e.v_zero)
+                       ELSE e.e_raw END) * 10000 + 0.5) / 10000
+               AS hll_estimate,
+           x.exact_distinct
+    FROM est e JOIN exact x ON e.source = x.source
+    """
+
+
+@register("hll_union_sources", min_rows=3, oracle=_HLL_UNION_ORACLE)
+def hll_union_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL SET ALGEBRA — the merge property demonstrated as an operator:
+    per-source character-4-gram shingle-space sketches (tens of
+    thousands of distincts — the genuine raw-HLL regime, not linear
+    counting; groupBy(source, bucket).max)
+    plus a '__union__' row whose registers are the ELEMENTWISE MAX of
+    the per-source register table — the union estimate is derived purely
+    from the sketches, never re-touching the data, which is exactly how
+    N nodes' (or N days') sketches combine on a cluster. Answers the
+    curation question "how much n-gram space do my sources share?"
+    (union < Σ per-source ⇒ overlap) at sketch cost. Deterministic
+    md5 registers, same integer-exact fold as ``hll_distinct_users``;
+    exact distincts alongside for error visibility.
+
+    Scale: the data pass shuffles ≤ sources·1024 register rows at any
+    corpus size; the union fold runs on that register table (metadata-
+    sized). The exact-distinct companion is the full shuffle the sketch
+    avoids — kept only for the oracle's sake.
+
+    Reference: no analytics in the 988-LoC loader; in-engine statistics
+    tier (SURVEY §2.12 [EXT]) — the set-algebra leg of the
+    deterministic-sketch family (KMV set algebra's HLL twin)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source",
+        F.explode(
+            F.sequence(F.lit(1), F.length("text") - F.lit(3))
+        ).alias("i"),
+        "text",
+    ).select("source", F.expr("substring(text, i, 4)").alias("t"))
+    hv = F.conv(F.substring(F.md5(F.col("t")), 1, 15), 16, 10).cast("long")
+    rho_row = F.when(F.floor(F.col("hv") / 1024) == 0, F.lit(51)).otherwise(
+        F.lit(51)
+        - F.length(F.expr("bin(CAST(FLOOR(hv / 1024) AS BIGINT))"))
+    )
+    reg = (
+        tok.select("source", hv.alias("hv"))
+        .select("source", (F.col("hv") % 1024).alias("bucket"),
+                rho_row.alias("rho_row"))
+        .groupBy("source", "bucket")
+        .agg(F.max("rho_row").alias("rho"))
+        .localCheckpoint(eager=False)  # union fold re-reads the registers
+    )
+    reg_union = reg.groupBy("bucket").agg(F.max("rho").alias("rho")).select(
+        F.lit("__union__").alias("source"), "bucket", "rho"
+    )
+    reg_all = reg_union.unionByName(reg.select("source", "bucket", "rho"))
+    fold = reg_all.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_present"),
+        F.sum(F.expr("CAST(POW(2, 51 - rho) AS BIGINT)")).alias("z_present"),
+    )
+    exact = (
+        tok.groupBy("source")
+        .agg(F.countDistinct("t").cast("long").alias("exact_distinct"))
+        .unionByName(
+            tok.agg(
+                F.countDistinct("t").cast("long").alias("exact_distinct")
+            ).select(F.lit("__union__").alias("source"), "exact_distinct")
+        )
+    )
+    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(1024.0))
+    v_zero = (F.lit(1024) - F.col("n_present")).cast("long")
+    z_num = (
+        F.col("z_present")
+        + (F.lit(1024) - F.col("n_present")) * F.lit(2**51)
+    ).cast("long")
+    e_raw = (
+        alpha * F.lit(1024.0 * 1024.0) * F.lit(float(2**51))
+        / z_num.cast("double")
+    )
+    lc = F.lit(1024.0) * F.log(F.lit(1024.0) / v_zero.cast("double"))
+    est = F.when((e_raw <= 2.5 * 1024) & (v_zero > 0), lc).otherwise(e_raw)
+    return (
+        fold.select(
+            F.col("source").alias("scope"),
+            v_zero.alias("v_zero"),
+            z_num.alias("z_num"),
+            (F.floor(est * 10000 + F.lit(0.5)) / 10000).alias(
+                "hll_estimate"
+            ),
+            "source",
+        )
+        .join(F.broadcast(exact), "source")
+        .drop("source")
+    )

@@ -573,3 +573,127 @@ def stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(est * 10000 + F.lit(0.5)) / 10000).alias("hll_estimate"),
         "exact_distinct",
     )
+
+
+@register(
+    "stream_cms_topk",
+    min_rows=10,
+    oracle="""
+    WITH pos AS (
+        SELECT j, user_id,
+               CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':'
+                         || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                   % 1024 AS c
+        FROM events, range(0, 4) r(j)),
+    counters AS (
+        SELECT j, c, CAST(count(*) AS BIGINT) AS n
+        FROM pos GROUP BY j, c),
+    exact AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS exact_n
+        FROM events GROUP BY user_id),
+    topk AS (
+        SELECT user_id, exact_n
+        FROM exact ORDER BY exact_n DESC, user_id ASC LIMIT 10),
+    probes AS (
+        SELECT t.user_id, t.exact_n, r.j,
+               CAST(('0x' || substr(md5(CAST(r.j AS VARCHAR) || ':'
+                         || CAST(t.user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                   % 1024 AS c
+        FROM topk t, range(0, 4) r(j))
+    SELECT p.user_id, p.exact_n,
+           CAST(min(c2.n) AS BIGINT) AS cms_estimate
+    FROM probes p JOIN counters c2 ON p.j = c2.j AND p.c = c2.c
+    GROUP BY p.user_id, p.exact_n
+    """,
+)
+def stream_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 × sketch composition #2: the Count-Min counter table
+    MAINTAINED BY A STREAM — a complete-mode ``groupBy(j, cell).count``
+    over the event stream IS the sketch state (counters merge by ADD
+    across micro-batches, so the state is ≤ d·w = 4096 rows forever —
+    the frequency twin of ``stream_hll_distinct``'s register table).
+    AvailableNow drains the static source, so the drained counters
+    equal the batch sketch and ``cms_heavy_hitters``'s exact oracle
+    applies verbatim: the 10 heaviest users' min-over-rows estimates
+    beside their exact counts.
+
+    Scale: per micro-batch the update is a map-combined fan-out of d=4
+    cells/row; the complete-mode state and its per-epoch rewrite are
+    sketch-sized, never data-sized — this is the shape of a streaming
+    heavy-hitters monitor that runs forever on an unbounded topic."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from pandas_to_postgres_spark.sources.parquet import load_table
+    from pandas_to_postgres_spark.streaming.sink import stream_to_batch_sink
+
+    path = f"{sf_dir}/events.parquet"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .format("parquet")
+        .load(f"{sf_dir}/events.parque[t]")
+    )
+
+    def cell(j_col, key_col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            j_col.cast("string"),
+                            F.lit(":"),
+                            key_col.cast("string"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 1024
+        )
+
+    rows4 = F.explode(F.sequence(F.lit(0), F.lit(3))).alias("j")
+    counters_stream = (
+        stream.select("user_id", rows4)
+        .select("j", cell(F.col("j"), F.col("user_id")).alias("c"))
+        .groupBy("j", "c")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    base = tempfile.mkdtemp(prefix="stream_cms_")
+    out, ckpt = f"{base}/out", f"{base}/ckpt"
+
+    def writer(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(out)
+
+    q = stream_to_batch_sink(
+        counters_stream, writer, checkpoint_dir=ckpt, output_mode="complete"
+    )
+    q.awaitTermination()
+    counters = spark.read.parquet(out).cache()
+    counters.count()
+    shutil.rmtree(base, ignore_errors=True)
+
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    exact = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_n")
+    )
+    topk = exact.orderBy(
+        F.col("exact_n").desc(), F.col("user_id").asc()
+    ).limit(10)
+    probes = topk.select("user_id", "exact_n", rows4).select(
+        "user_id",
+        "exact_n",
+        "j",
+        cell(F.col("j"), F.col("user_id")).alias("c"),
+    )
+    return (
+        probes.join(F.broadcast(counters), ["j", "c"])
+        .groupBy("user_id", "exact_n")
+        .agg(F.min("n").cast("long").alias("cms_estimate"))
+    )

@@ -879,3 +879,40 @@ class TestSketchShapes:
     def test_median_within_bin_is_takeordered(self, spark):
         plan = plan_of(spark, "two_pass_exact_median")
         assert "TakeOrderedAndProject" in plan
+
+
+class TestRound9Shapes:
+    """Plan shapes of the round-9 additions: selection without global
+    sorts, map-combined sketch folds, bounded sampling heaps."""
+
+    def test_priority_sample_is_takeordered(self, spark):
+        plan = plan_of(spark, "priority_sample_docs")
+        assert "TakeOrderedAndProject" in plan
+        # the candidate selection must not plan a standalone global sort
+        # (the only Sort allowed is the 51-row window's)
+        final = plan.split("Initial Plan")[0]
+        assert final.count("Sort [") <= 1
+
+    def test_quantiles_never_sort_more_than_a_fine_bin(self, spark):
+        # the histogram passes run as earlier driver jobs; the RETURNED
+        # frame is the final fine-bin rank + target join — its plan must
+        # sort only within hash-partitioned fine bins, never a global
+        # Exchange rangepartitioning (which would be an ORDER BY)
+        plan = plan_of(spark, "two_pass_exact_quantiles")
+        assert "Exchange rangepartitioning" not in plan
+        assert "hashpartitioning(b#" in plan  # the fine-bin window
+        assert "BroadcastHashJoin" in plan  # targets broadcast, 5 rows
+
+    def test_ams_join_sketch_folds_map_side(self, spark):
+        plan = plan_of(spark, "ams_join_estimate")
+        assert plan.count("HashAggregate") >= 2
+        assert "Generate" in plan  # 32-way fan-out is a generator
+        # one md5 per row: the hash projection sits BELOW the Generate,
+        # never recomputed per (row, j) — assert md5 appears in a
+        # Project under the Generate side, not 32 inlined copies
+        assert plan.count("md5") <= 4, plan.count("md5")
+
+    def test_cascade_is_one_pass(self, spark):
+        plan = plan_of(spark, "filter_cascade_stats")
+        assert plan.count("Scan parquet") == 1
+        assert plan.count("HashAggregate") >= 2  # map-combined counters
