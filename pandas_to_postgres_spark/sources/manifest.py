@@ -716,6 +716,7 @@ _INHERITED_KEYS = (
     "partition_specs",
     "default_spec_id",
     "column_map",
+    "constraints",
 )
 
 
@@ -733,6 +734,7 @@ def append_snapshot(
     drop_prefix: str | None = None,
     known_entries: Sequence[dict] | None = None,
     extra: dict | None = None,
+    spark=None,
 ) -> dict:
     """Publish head-files + ``new_files`` as the next version — the
     APPEND commit all snapshot writers share (batch ``mode("append")``,
@@ -762,7 +764,33 @@ def append_snapshot(
     fresh shard. Steady-state micro-batch ingest therefore commits in
     constant time regardless of table size; accumulated small shards are
     coalesced in-line once enough of them pile up (Iceberg's manifest-
-    merge-on-write), which keeps the manifest list itself bounded."""
+    merge-on-write), which keeps the manifest list itself bounded.
+
+    On a table carrying CHECK constraints
+    (:func:`set_check_constraint`), pass ``spark=`` — only the NEW
+    files are validated (existing files were validated when the
+    constraint was set and are immutable); a violation refuses the
+    commit before any claim is attempted. Appending to a constrained
+    table WITHOUT ``spark`` raises, so constraints can never be
+    silently bypassed."""
+    _vers0 = snapshot_versions(path)
+    if _vers0 and list(new_files):
+        _cons = load_snapshot(path, _vers0[-1], materialize=False).get(
+            "constraints"
+        )
+        if _cons:
+            if spark is None:
+                raise ValueError(
+                    f"table {path} carries CHECK constraints "
+                    f"({sorted(_cons)}); pass spark= to append_snapshot "
+                    "so the new files can be validated"
+                )
+            _check_violations(
+                spark.read.parquet(
+                    *[os.path.join(path, f) for f in new_files]
+                ),
+                _cons,
+            )
     for _ in range(_MAX_PUBLISH_RETRIES):
         versions = snapshot_versions(path)
         if versions:
@@ -1088,6 +1116,9 @@ def merge_snapshot(
         return load_snapshot(path)  # no-op: no new version published
     if updates.select(*key_cols).distinct().count() != n_up:
         raise ValueError("updates carry duplicate keys — merge is undefined")
+    # CHECK constraints validate NEW data only (surviving old rows were
+    # valid when their constraint was set; files are immutable)
+    _check_violations(updates, snap.get("constraints") or {})
 
     # 1. prune candidates by manifest stats on a single numeric key
     cand, untouched = list(snap["files"]), []
@@ -1474,6 +1505,8 @@ def apply_changes_to_snapshot(
     ups = latest.filter(F.col(op_col) != "D").select(*table_cols)
     del_keys = latest.filter(F.col(op_col) == "D").select(*key_cols)
     all_keys = latest.select(*key_cols).distinct()
+    # CHECK constraints: the upserted rows are the only NEW data
+    _check_violations(ups, snap.get("constraints") or {})
 
     import uuid
 
@@ -2097,6 +2130,115 @@ def drop_snapshot_column(path: str, name: str) -> dict:
             manifest["files"] = [_strip_entry(e) for e in head["files"]]
             return manifest
     raise RuntimeError("drop_snapshot_column: lost all version claims")
+
+
+class ConstraintViolation(ValueError):
+    """New data (or, at SET time, existing data) falsifies a table CHECK
+    constraint — the commit is refused and nothing publishes. SQL CHECK
+    semantics: a row violates only when the expression is FALSE; NULL
+    passes (add an explicit IS NOT NULL to forbid nulls), matching
+    Delta's constraint/invariant rule."""
+
+
+def _check_violations(df, constraints: dict) -> None:
+    """ONE column-pruned pass counting every constraint's violations at
+    once (k map-combined counters for k constraints); raises
+    :class:`ConstraintViolation` naming each violated constraint and its
+    row count."""
+    from pyspark.sql import functions as F
+
+    if not constraints:
+        return
+    aggs = [
+        F.sum(
+            F.when(F.expr(sql).eqNullSafe(F.lit(False)), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias(name)
+        for name, sql in constraints.items()
+    ]
+    row = df.agg(*aggs).collect()[0]
+    bad = {n: int(row[n]) for n in constraints if row[n]}
+    if bad:
+        detail = ", ".join(
+            f"{n!r} ({constraints[n]}): {c} row(s)" for n, c in bad.items()
+        )
+        raise ConstraintViolation(f"CHECK constraint(s) violated: {detail}")
+
+
+def set_check_constraint(spark, path: str, name: str, expr_sql: str) -> dict:
+    """Add a table CHECK constraint (Delta's ``ADD CONSTRAINT ... CHECK``
+    on the manifest log): ``expr_sql`` is a boolean SQL expression over
+    the table's LOGICAL columns. The ENTIRE current table is validated
+    first (one scan; files are immutable, so this is the only time
+    existing data ever needs checking) — a violation refuses the
+    constraint. On success a metadata-only version publishes carrying
+    ``constraints: {name: expr}``, which INHERITS through every later
+    commit; from then on write paths validate only NEW data
+    (:func:`append_snapshot` with ``spark=``, :func:`merge_snapshot`,
+    :func:`apply_changes_to_snapshot`, and the streaming epoch writers)
+    and refuse the commit on a violation — readers can trust the
+    invariant at every version that carries it. The Python DataSource
+    batch write commits from a session-less commit runner and therefore
+    FAILS CLOSED on constrained tables (the append raises); route
+    constrained-table writes through the library verbs."""
+    head = load_snapshot(path)
+    cons = dict(head.get("constraints", {}))
+    if name in cons and cons[name] != expr_sql:
+        raise ValueError(
+            f"constraint {name!r} already exists with a different "
+            f"expression ({cons[name]!r}); drop it first"
+        )
+    if head["files"]:
+        _check_violations(read_snapshot(spark, path), {name: expr_sql})
+    for _ in range(_MAX_PUBLISH_RETRIES):
+        head = load_snapshot(path)
+        cons = dict(head.get("constraints", {}))
+        cons[name] = expr_sql
+        manifest = _inherit(
+            _pack_manifest(
+                path,
+                head["version"] + 1,
+                head.get("stat_cols", []),
+                head["files"],
+                head,
+            ),
+            head,
+        )
+        manifest["constraints"] = cons
+        manifest["data_change"] = False  # rows untouched
+        if _claim_version(path, head["version"] + 1, manifest):
+            manifest["files"] = [_strip_entry(e) for e in head["files"]]
+            return manifest
+    raise RuntimeError("set_check_constraint: lost all version claims")
+
+
+def drop_check_constraint(path: str, name: str) -> dict:
+    """Remove a CHECK constraint: metadata-only version without it."""
+    for _ in range(_MAX_PUBLISH_RETRIES):
+        head = load_snapshot(path)
+        cons = dict(head.get("constraints", {}))
+        if name not in cons:
+            raise ValueError(
+                f"no constraint {name!r} (have {sorted(cons)})"
+            )
+        del cons[name]
+        manifest = _inherit(
+            _pack_manifest(
+                path,
+                head["version"] + 1,
+                head.get("stat_cols", []),
+                head["files"],
+                head,
+            ),
+            head,
+        )
+        manifest["constraints"] = cons
+        manifest["data_change"] = False
+        if _claim_version(path, head["version"] + 1, manifest):
+            manifest["files"] = [_strip_entry(e) for e in head["files"]]
+            return manifest
+    raise RuntimeError("drop_check_constraint: lost all version claims")
 
 
 def _apply_column_map(df: DataFrame, cmap: dict | None) -> DataFrame:

@@ -318,6 +318,7 @@ def append_partitioned_snapshot(
         names,
         stat_cols=stat_cols,
         known_entries=entries,
+        spark=spark,
         extra={
             "partition_spec": [dict(f) for f in spec],
             "partition_specs": specs,

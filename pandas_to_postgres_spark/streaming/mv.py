@@ -155,7 +155,7 @@ def incremental_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             and not f.startswith((".", "_"))
             and f not in published
         )
-        append_snapshot(bronze, new, stat_cols=["event_id"])
+        append_snapshot(bronze, new, stat_cols=["event_id"], spark=spark)
         stream = (
             spark.readStream.format("snapshot").option("path", bronze).load()
         )

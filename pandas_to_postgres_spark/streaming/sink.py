@@ -207,6 +207,7 @@ def snapshot_table_writer(
         append_snapshot(
             path, moved, stat_cols=stat_cols,
             drop_prefix=f"part-e{batch_id}-",
+            spark=batch_df.sparkSession,  # CHECK-constraint validation
         )
 
     return _writer
@@ -298,6 +299,7 @@ def partitioned_snapshot_table_writer(
             stat_cols=stat_cols,
             drop_prefix=f"part-e{batch_id}-",
             known_entries=entries,
+            spark=batch_df.sparkSession,  # CHECK-constraint validation
             extra=extra,
         )
 

@@ -1,0 +1,138 @@
+"""Table CHECK constraints on the snapshot table (Delta's ADD CONSTRAINT
+… CHECK on the manifest log): SET validates the whole table once, the
+constraint inherits through later commits, and every write path validates
+only NEW data — a violation refuses the commit before any version claim."""
+
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from pandas_to_postgres_spark.sources import manifest as M
+from pandas_to_postgres_spark.sources.manifest import (
+    ConstraintViolation,
+    drop_check_constraint,
+    set_check_constraint,
+)
+
+
+@pytest.fixture
+def table(spark, tmp_path):
+    p = str(tmp_path / "cons_tbl")
+    spark.range(100).selectExpr("id AS k", "id * 2 AS v").coalesce(
+        1
+    ).write.parquet(p)
+    M.publish_snapshot(p, ["k"])
+    return p
+
+
+def _new_parquet(spark, p, df):
+    published = {
+        e["path"] for v in M.snapshot_versions(p)
+        for e in M.load_snapshot(p, v)["files"]
+    }
+    df.coalesce(1).write.mode("append").parquet(p)
+    return sorted(
+        f for f in os.listdir(p)
+        if f.endswith(".parquet") and not f.startswith((".", "_"))
+        and f not in published
+    )
+
+
+class TestSetAndDrop:
+    def test_set_validates_existing_data(self, spark, table):
+        with pytest.raises(ConstraintViolation, match="v_small"):
+            set_check_constraint(spark, table, "v_small", "v < 100")
+        # nothing published on refusal
+        assert M.load_snapshot(table)["version"] == 1
+
+    def test_set_publishes_and_inherits(self, spark, table):
+        side = set_check_constraint(spark, table, "v_even", "v % 2 = 0")
+        assert side["constraints"] == {"v_even": "v % 2 = 0"}
+        assert side["data_change"] is False
+        new = _new_parquet(
+            spark, table, spark.range(100, 110).selectExpr("id AS k", "id * 2 AS v")
+        )
+        M.append_snapshot(table, new, spark=spark)
+        assert M.load_snapshot(table)["constraints"] == {
+            "v_even": "v % 2 = 0"
+        }
+
+    def test_conflicting_redefinition_refused(self, spark, table):
+        set_check_constraint(spark, table, "v_even", "v % 2 = 0")
+        with pytest.raises(ValueError, match="different"):
+            set_check_constraint(spark, table, "v_even", "v % 2 = 1")
+
+    def test_drop(self, spark, table):
+        set_check_constraint(spark, table, "v_even", "v % 2 = 0")
+        out = drop_check_constraint(table, "v_even")
+        assert out["constraints"] == {}
+        with pytest.raises(ValueError, match="no constraint"):
+            drop_check_constraint(table, "nope")
+
+
+class TestWritePathEnforcement:
+    def test_append_validates_new_files_only(self, spark, table):
+        set_check_constraint(spark, table, "k_nonneg", "k >= 0")
+        bad = _new_parquet(
+            spark, table,
+            spark.createDataFrame([Row(k=-5, v=0), Row(k=7, v=2)]),
+        )
+        with pytest.raises(ConstraintViolation, match="k_nonneg"):
+            M.append_snapshot(table, bad, spark=spark)
+        # refused BEFORE any claim: still at the constraint's version
+        assert M.load_snapshot(table)["version"] == 2
+
+    def test_append_without_spark_refused_on_constrained_table(
+        self, spark, table
+    ):
+        set_check_constraint(spark, table, "k_nonneg", "k >= 0")
+        new = _new_parquet(
+            spark, table, spark.createDataFrame([Row(k=5, v=10)])
+        )
+        with pytest.raises(ValueError, match="pass spark="):
+            M.append_snapshot(table, new)
+        M.append_snapshot(table, new, spark=spark)  # with spark: fine
+
+    def test_merge_validates_updates(self, spark, table):
+        set_check_constraint(spark, table, "v_even", "v % 2 = 0")
+        bad = spark.createDataFrame([Row(k=3, v=7)])  # odd v
+        with pytest.raises(ConstraintViolation, match="v_even"):
+            M.merge_snapshot(spark, table, bad, ["k"])
+        ok = spark.createDataFrame([Row(k=3, v=8)])
+        M.merge_snapshot(spark, table, ok, ["k"])
+        got = M.read_snapshot(spark, table).filter(F.col("k") == 3).collect()
+        assert [(r["k"], r["v"]) for r in got] == [(3, 8)]
+
+    def test_cdc_apply_validates_upserts_but_not_deletes(self, spark, table):
+        set_check_constraint(spark, table, "v_even", "v % 2 = 0")
+        bad = spark.createDataFrame(
+            [Row(k=1, v=9, op="U", seq=1), Row(k=2, v=4, op="D", seq=1)]
+        )
+        with pytest.raises(ConstraintViolation, match="v_even"):
+            M.apply_changes_to_snapshot(spark, table, bad, ["k"])
+        ok = spark.createDataFrame(
+            [Row(k=1, v=10, op="U", seq=1), Row(k=2, v=99, op="D", seq=1)]
+        )
+        M.apply_changes_to_snapshot(spark, table, ok, ["k"])
+        got = {
+            r["k"]: r["v"]
+            for r in M.read_snapshot(spark, table)
+            .filter(F.col("k").isin(1, 2))
+            .collect()
+        }
+        assert got == {1: 10}  # k=2 deleted; its odd v never validated
+
+    def test_null_passes_sql_check_semantics(self, spark, table):
+        set_check_constraint(spark, table, "v_even", "v % 2 = 0")
+        new = _new_parquet(
+            spark, table,
+            spark.createDataFrame(
+                [Row(k=200, v=None)], "k long, v long"
+            ),
+        )
+        M.append_snapshot(table, new, spark=spark)  # NULL is not FALSE
+        # and a NOT NULL constraint is expressible explicitly
+        with pytest.raises(ConstraintViolation, match="v_notnull"):
+            set_check_constraint(spark, table, "v_notnull", "v IS NOT NULL")
