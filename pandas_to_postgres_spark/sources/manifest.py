@@ -2132,6 +2132,48 @@ def drop_snapshot_column(path: str, name: str) -> dict:
     raise RuntimeError("drop_snapshot_column: lost all version claims")
 
 
+def rewrite_manifests(path: str, target: int | None = None) -> dict:
+    """Explicit manifest-list compaction (Iceberg's ``rewrite_manifests``
+    procedure): repack ALL of the head's entry shards into
+    ``target``-sized shards (default :data:`SHARD_TARGET`) and publish
+    the result as a metadata-only version (``data_change: false`` — no
+    data file moves, every prior version still time-travels). The inline
+    `_coalesce_small_shards` heuristic handles the steady-state append
+    drip; this verb is the operator-invoked reset for tables whose shard
+    layout degraded some other way — many partially-rewritten shards
+    after a burst of merges/deletes, or a lowered target. A no-op (head
+    inline, or already ≤1 repackable shard and all full) returns the
+    head without publishing."""
+    t = int(target or SHARD_TARGET)
+    for _ in range(_MAX_PUBLISH_RETRIES):
+        head = load_snapshot(path)  # materializes entries + annotations
+        raw = load_snapshot(path, head["version"], materialize=False)
+        refs = raw.get("shards")
+        if not refs:
+            return head  # inline manifest: nothing to repack
+        if len(refs) <= 1 and all(int(r["n"]) <= t for r in refs):
+            return head
+        entries = head["files"]
+        sc = head.get("stat_cols", [])
+        new_refs = [
+            _write_shard(path, entries[i : i + t], sc)
+            for i in range(0, len(entries), t)
+        ]
+        manifest = _inherit(
+            {
+                "version": head["version"] + 1,
+                "stat_cols": sc,
+                "shards": new_refs,
+            },
+            raw,
+        )
+        manifest["data_change"] = False  # metadata-only: rows untouched
+        if _claim_version(path, head["version"] + 1, manifest):
+            manifest["files"] = [_strip_entry(e) for e in entries]
+            return manifest
+    raise RuntimeError("rewrite_manifests: lost all version claims")
+
+
 class ConstraintViolation(ValueError):
     """New data (or, at SET time, existing data) falsifies a table CHECK
     constraint — the commit is refused and nothing publishes. SQL CHECK

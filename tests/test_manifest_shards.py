@@ -396,3 +396,55 @@ class TestAsOfTimestamp:
         assert M.snapshot_as_of(p, t_between) == 1
         with pytest.raises(ValueError):
             M.snapshot_as_of(p, -1.0)
+
+
+class TestRewriteManifests:
+    """rewrite_manifests: explicit metadata-only shard repack (Iceberg's
+    rewrite_manifests procedure)."""
+
+    def _fragmented_table(self, p):
+        """10 single-file appends past INLINE_MAX → ~1 tiny shard each."""
+        names = _write_parts(None, p, [(i * 10, i * 10 + 10) for i in range(6)])
+        M.publish_snapshot(p, ["k"], files=names)
+        for i in range(6, 16):
+            new = _write_parts(None, p, [(i * 10, i * 10 + 10)], f"part-e{i}")
+            M.append_snapshot(p, new)
+        return M.load_snapshot(p)
+
+    def test_repacks_to_target_metadata_only(self, tmp_path, tiny_shards):
+        p = str(tmp_path)
+        head = self._fragmented_table(p)
+        raw = json.load(open(os.path.join(p, f"_manifest-v{head['version']}.json")))
+        n_before = len(raw["shards"])
+        assert n_before > 4  # fragmented by the single-file appends
+        out = M.rewrite_manifests(p)
+        assert out["version"] == head["version"] + 1
+        assert out["data_change"] is False
+        raw2 = json.load(open(os.path.join(p, f"_manifest-v{out['version']}.json")))
+        assert len(raw2["shards"]) == 4  # ceil(16 / SHARD_TARGET=4)
+        assert all(int(r["n"]) <= 4 for r in raw2["shards"])
+        # byte-identical table: same entries, same count
+        assert {e["path"] for e in out["files"]} == {
+            e["path"] for e in head["files"]
+        }
+        assert M.count_snapshot(p) == 160
+        # prior version still time-travels over its own shards
+        assert len(M.load_snapshot(p, head["version"])["files"]) == 16
+
+    def test_noop_on_inline_manifest(self, tmp_path, tiny_shards):
+        p = str(tmp_path)
+        names = _write_parts(None, p, [(0, 10), (10, 20)])
+        M.publish_snapshot(p, ["k"], files=names)
+        out = M.rewrite_manifests(p)
+        assert out["version"] == 1  # nothing published
+
+    def test_old_shards_survive_until_expiry(self, tmp_path, tiny_shards):
+        p = str(tmp_path)
+        head = self._fragmented_table(p)
+        M.rewrite_manifests(p)
+        M.vacuum_orphans(p, grace_seconds=0)
+        # old versions still reference the fragmented shards → kept
+        assert len(M.load_snapshot(p, head["version"])["files"]) == 16
+        M.expire_snapshots(p, keep_latest=1)
+        out = M.vacuum_orphans(p, grace_seconds=0)
+        assert len(M.load_snapshot(p)["files"]) == 16  # head intact
