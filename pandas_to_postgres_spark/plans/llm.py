@@ -3014,3 +3014,113 @@ def kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
             "radius"
         ),
     )
+
+
+_IVF_RECALL_ORACLE = f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+               WHERE vec_id < 5),
+    bscored AS (
+        SELECT q.qid, e.vec_id,
+               round({_DOT} / ({_NORM_Q} * {_NORM_E}), 5) AS cosine
+        FROM q CROSS JOIN embeddings e),
+    brute AS (
+        SELECT qid, vec_id FROM (
+            SELECT qid, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY qid
+                                      ORDER BY cosine DESC, vec_id) AS rnk
+            FROM bscored) x WHERE rnk <= 5),
+    cent AS (
+      SELECT label, i,
+             CAST(sum(CAST(embedding[i] AS DECIMAL(18,12))) AS DOUBLE)
+               / count(*) AS m
+      FROM embeddings, range(1, 65) t(i)
+      GROUP BY label, i),
+    cvec AS (SELECT label, list(m ORDER BY i) AS centroid
+             FROM cent GROUP BY label),
+    psim AS (
+      SELECT q.qid, c.label, q.qe,
+             round((SELECT sum(CAST(q.qe[i] AS DOUBLE)
+                               * CAST(c.centroid[i] AS DOUBLE))
+                    FROM range(1, 65) t(i))
+                   / ({_NORM_Q}
+                      * sqrt((SELECT sum(CAST(c.centroid[i] AS DOUBLE)
+                                         * CAST(c.centroid[i] AS DOUBLE))
+                              FROM range(1, 65) t(i)))), 5) AS csim
+      FROM q CROSS JOIN cvec c),
+    probes AS (
+      SELECT qid, label, qe FROM (
+        SELECT qid, label, qe,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY csim DESC, label ASC) AS pr
+        FROM psim) x
+      WHERE pr <= 3),
+    iscored AS (
+      SELECT p.qid, e.vec_id,
+             round((SELECT sum(CAST(p.qe[i] AS DOUBLE)
+                               * CAST(e.embedding[i] AS DOUBLE))
+                    FROM range(1, 65) t(i))
+                   / (sqrt((SELECT sum(CAST(p.qe[i] AS DOUBLE)
+                                       * CAST(p.qe[i] AS DOUBLE))
+                            FROM range(1, 65) t(i)))
+                      * {_NORM_E}), 5) AS cosine
+      FROM probes p JOIN embeddings e ON e.label = p.label),
+    ivf AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY cosine DESC, vec_id) AS rnk
+        FROM iscored) x WHERE rnk <= 5)
+    SELECT b.qid, CAST(5 AS BIGINT) AS k,
+           CAST(count(i.vec_id) AS BIGINT) AS n_hits,
+           CAST(count(i.vec_id) AS DOUBLE) / 5 AS recall
+    FROM brute b LEFT JOIN ivf i
+      ON b.qid = i.qid AND b.vec_id = i.vec_id
+    GROUP BY b.qid
+    """
+
+
+@register("ivf_recall_audit", min_rows=5, oracle=_IVF_RECALL_ORACLE)
+def ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 EVALUATION: recall@5 of the IVF (nprobe=3) index against exact
+    brute-force top-5, per query — the audit every ANN deployment needs
+    before trusting an index (FAISS-style recall benchmarking done
+    in-engine, as one query). Both legs are the engine's own operators
+    (``topk_cosine_ivf``, ``topk_cosine_bruteforce``), both replayable
+    in DuckDB, so the recall numbers themselves hash-check — an
+    'approximate-index quality' metric with an exact oracle.
+
+    Scale: the brute leg is the broadcast-query pattern (one corpus
+    pass); the IVF leg touches nprobe inverted lists; the audit join is
+    queries×k rows. In production this runs on a SAMPLE of queries — the
+    shape stays identical.
+
+    Reference: no vector ops in the 988-LoC loader; D4 similarity tier
+    (SURVEY §2.11 [EXT]) — the evaluation leg."""
+    from pandas_to_postgres_spark.operators.similarity import (
+        topk_cosine_bruteforce,
+        topk_cosine_ivf,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding")
+    )
+    brute = topk_cosine_bruteforce(
+        q, e, query_id="qid", corpus_id="vec_id", query_vec="embedding",
+        corpus_vec="embedding", k=5,
+    ).select("qid", "vec_id")
+    ivf = topk_cosine_ivf(
+        q, e.select("vec_id", "embedding", "label"),
+        query_id="qid", corpus_id="vec_id", query_vec="embedding",
+        corpus_vec="embedding", cluster_col="label", k=5, nprobe=3,
+    ).select(F.col("qid").alias("iqid"), F.col("vec_id").alias("ivid"))
+    hits = brute.join(
+        ivf,
+        (F.col("qid") == F.col("iqid")) & (F.col("vec_id") == F.col("ivid")),
+        "left",
+    )
+    return hits.groupBy("qid").agg(
+        F.lit(5).cast("long").alias("k"),
+        F.count("ivid").cast("long").alias("n_hits"),
+        (F.count("ivid").cast("double") / 5).alias("recall"),
+    )
