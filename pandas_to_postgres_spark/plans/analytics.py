@@ -4304,3 +4304,104 @@ def hll_union_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(exact), "source")
         .drop("source")
     )
+
+
+_GROUPED_MEDIAN_ORACLE = """
+    WITH v AS (
+        SELECT l_returnflag AS g,
+               CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM lineitem),
+    n AS (SELECT g, count(*) AS n_rows, (count(*) + 1) // 2 AS rank_k
+          FROM v GROUP BY g),
+    ranked AS (
+        SELECT g, cents,
+               row_number() OVER (PARTITION BY g ORDER BY cents ASC) AS rn
+        FROM v)
+    SELECT n.g, CAST(n.n_rows AS BIGINT) AS n_rows,
+           CAST(n.rank_k AS BIGINT) AS rank_k,
+           CAST(ranked.cents AS BIGINT) AS median_cents
+    FROM n JOIN ranked ON ranked.g = n.g AND ranked.rn = n.rank_k
+    """
+
+
+@register("grouped_exact_median", min_rows=3, oracle=_GROUPED_MEDIAN_ORACLE)
+def grouped_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-group median WITHOUT per-group sorts — the GROUPED
+    generalization of the histogram-refinement selection family: ONE
+    (group, bin) histogram pass (map-combined, O(groups·bins) shuffle at
+    any table size) locates every group's rank-k bin in a driver walk,
+    then one second pass ranks only rows inside the located (group, bin)
+    cells — each a ~n_g/bins sliver. The naive plan
+    (``row_number() OVER (PARTITION BY g ORDER BY v)``, the oracle's
+    formulation) shuffles and SORTS the entire table and serializes each
+    group into one task — with skewed groups (this fixture's 3
+    return-flags; a real corpus's languages) the largest group becomes
+    the straggler. Here no task ever sorts more than one histogram
+    cell. Integer cents + integer rank arithmetic ((n+1) div 2) keep
+    both engines on the same row.
+
+    Scale: grouped percentiles (per-language length medians, per-source
+    quality cutoffs) are a daily curation need; this is the plan that
+    survives a 3-language 100 TB corpus where per-group sort cannot.
+
+    Reference: no analytics in the 988-LoC loader; in-engine statistics
+    tier (SURVEY §2.12 [EXT]) — third member of the refinement-selection
+    family (global median, global multi-quantile, grouped median)."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_returnflag").alias("g"),
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+        .localCheckpoint(eager=False)  # both passes read this projection
+    )
+    width = 100_000
+    hist = (
+        li.select("g", F.floor(F.col("cents") / width).cast("long").alias("b"))
+        .groupBy("g", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    rows = hist.orderBy("g", "b").collect()  # O(groups·bins): metadata
+    by_g: dict = {}
+    for r in rows:
+        by_g.setdefault(r["g"], []).append((int(r["b"]), int(r["cnt"])))
+    targets = []  # (g, n_rows, rank_k, bin, offset_in_bin)
+    for g, bins in by_g.items():
+        n = sum(c for _, c in bins)
+        k = (n + 1) // 2
+        cum = 0
+        for b, c in bins:
+            if cum + c >= k:
+                targets.append((g, n, k, b, k - cum))
+                break
+            cum += c
+    tdf = spark.createDataFrame(
+        targets, "tg string, n_rows long, rank_k long, tb long, toff long"
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("g", "b").orderBy(F.col("cents").asc())
+    )
+    pairs = [(g, b) for g, _, _, b, _ in targets]
+    picked = (
+        li.withColumn("b", F.floor(F.col("cents") / width).cast("long"))
+        .filter(
+            F.concat(F.col("g"), F.lit(":"), F.col("b").cast("string")).isin(
+                [f"{g}:{b}" for g, b in pairs]
+            )
+        )
+        .withColumn("rn", rn)
+        .join(
+            F.broadcast(tdf),
+            (F.col("g") == F.col("tg"))
+            & (F.col("b") == F.col("tb"))
+            & (F.col("rn") == F.col("toff")),
+        )
+    )
+    return picked.select(
+        "g",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("rank_k").cast("long").alias("rank_k"),
+        F.col("cents").cast("long").alias("median_cents"),
+    )

@@ -136,3 +136,34 @@ class TestWritePathEnforcement:
         # and a NOT NULL constraint is expressible explicitly
         with pytest.raises(ConstraintViolation, match="v_notnull"):
             set_check_constraint(spark, table, "v_notnull", "v IS NOT NULL")
+
+
+class TestStreamingEpochEnforcement:
+    """The streaming epoch writers pass spark= through to
+    append_snapshot, so a constrained table refuses a violating
+    micro-batch (the BatchWriter is a plain callable — drive it with
+    (batch_df, batch_id) directly, which is exactly what foreachBatch
+    does)."""
+
+    def test_epoch_writer_refuses_violating_batch(self, spark, table):
+        from pandas_to_postgres_spark.streaming.sink import (
+            snapshot_table_writer,
+        )
+
+        set_check_constraint(spark, table, "k_nonneg", "k >= 0")
+        v_before = M.load_snapshot(table)["version"]
+        writer = snapshot_table_writer(table, stat_cols=["k"])
+        bad = spark.createDataFrame([Row(k=-1, v=0)])
+        with pytest.raises(ConstraintViolation, match="k_nonneg"):
+            writer(bad, 0)
+        assert M.load_snapshot(table)["version"] == v_before
+        ok = spark.createDataFrame([Row(k=500, v=1000)])
+        writer(ok, 1)
+        head = M.load_snapshot(table)
+        assert head["version"] == v_before + 1
+        got = (
+            M.read_snapshot(spark, table)
+            .filter(F.col("k") == 500)
+            .collect()
+        )
+        assert [(r["k"], r["v"]) for r in got] == [(500, 1000)]

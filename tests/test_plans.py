@@ -916,3 +916,23 @@ class TestRound9Shapes:
         plan = plan_of(spark, "filter_cascade_stats")
         assert plan.count("Scan parquet") == 1
         assert plan.count("HashAggregate") >= 2  # map-combined counters
+
+    def test_grouped_median_no_per_group_sort(self, spark):
+        """The returned frame's plan must rank only inside (group, bin)
+        cells — a window partitioned on (g, b), never PARTITION BY g
+        alone (which serializes the largest group) and never a global
+        range exchange."""
+        plan = plan_of(spark, "grouped_exact_median")
+        assert "Exchange rangepartitioning" not in plan
+        assert "hashpartitioning(g#" in plan and ", b#" in plan
+        assert "BroadcastHashJoin" in plan  # 3-row target frame
+
+    def test_hll_union_shuffles_registers_only(self, spark):
+        plan = plan_of(spark, "hll_union_sources")
+        # register fold combines map-side; exchange keys on (source, bucket)
+        assert plan.count("HashAggregate") >= 2
+        assert "hashpartitioning(source#" in plan
+
+    def test_ivf_recall_audit_broadcasts_query_side(self, spark):
+        plan = plan_of(spark, "ivf_recall_audit")
+        assert "CartesianProduct" not in plan
