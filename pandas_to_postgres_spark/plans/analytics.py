@@ -4405,3 +4405,103 @@ def grouped_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank_k").cast("long").alias("rank_k"),
         F.col("cents").cast("long").alias("median_cents"),
     )
+
+
+_CONSTRAINT_AUDIT_ORACLE = """
+    WITH base AS (
+        SELECT o_orderstatus, o_orderpriority,
+               CASE WHEN o_orderkey % 97 = 0 THEN NULL
+                    ELSE CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+               END AS tp
+        FROM orders),
+    f AS (
+        SELECT (tp <= 30000000) AS c1,
+               (o_orderstatus IN ('F', 'O', 'P')) AS c2,
+               (o_orderpriority IS NOT NULL) AS c3
+        FROM base),
+    agg AS (
+        SELECT
+          CAST(sum(CASE WHEN c1 THEN 1 ELSE 0 END) AS BIGINT) AS p1,
+          CAST(sum(CASE WHEN c1 = false THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+          CAST(sum(CASE WHEN c1 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS u1,
+          CAST(sum(CASE WHEN c2 THEN 1 ELSE 0 END) AS BIGINT) AS p2,
+          CAST(sum(CASE WHEN c2 = false THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+          CAST(sum(CASE WHEN c2 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS u2,
+          CAST(sum(CASE WHEN c3 THEN 1 ELSE 0 END) AS BIGINT) AS p3,
+          CAST(sum(CASE WHEN c3 = false THEN 1 ELSE 0 END) AS BIGINT) AS f3,
+          CAST(sum(CASE WHEN c3 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS u3
+        FROM f),
+    names(cname, ord) AS (
+        VALUES ('price_cap', 1), ('status_known', 2),
+               ('priority_nonnull', 3))
+    SELECT cname,
+           CASE ord WHEN 1 THEN p1 WHEN 2 THEN p2 ELSE p3 END AS n_pass,
+           CASE ord WHEN 1 THEN f1 WHEN 2 THEN f2 ELSE f3 END AS n_fail,
+           CASE ord WHEN 1 THEN u1 WHEN 2 THEN u2 ELSE u3 END AS n_unknown,
+           CAST(CASE WHEN (CASE ord WHEN 1 THEN f1 WHEN 2 THEN f2
+                           ELSE f3 END) > 0
+                     THEN 1 ELSE 0 END AS BIGINT) AS would_block
+    FROM names, agg
+    """
+
+
+@register("check_constraint_audit", min_rows=3, oracle=_CONSTRAINT_AUDIT_ORACLE)
+def check_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECK-constraint DRY-RUN as a query — before setting a constraint
+    on a lakehouse table (``manifest.set_check_constraint``, which
+    validates and refuses atomically) you want its three-valued outcome
+    profile: per candidate constraint, how many rows PASS (TRUE), FAIL
+    (FALSE — these alone block the commit, the SQL CHECK rule), or are
+    UNKNOWN (NULL — these pass, which is why NOT NULL must be explicit).
+    A deterministic null slice (orderkey ≡ 0 mod 97 → NULL price) makes
+    all three outcomes visible in the fixture. Counts are exact
+    integers.
+
+    Scale: one pass, nine map-combined counters, a 3-row literal pivot —
+    the audit costs one scan regardless of how many constraints are
+    profiled together (they fold in the same aggregate).
+
+    Reference: no constraints in the 988-LoC loader (the target
+    Postgres schema was the implicit contract); lakehouse integrity
+    tier (SURVEY §2.12 [EXT]) — the query-surface face of
+    ``set_check_constraint``'s write-path enforcement."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderstatus",
+        "o_orderpriority",
+        F.when(F.col("o_orderkey") % 97 == 0, F.lit(None)).otherwise(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        ).alias("tp"),
+    )
+    f = base.select(
+        (F.col("tp") <= 30000000).alias("c1"),
+        F.col("o_orderstatus").isin("F", "O", "P").alias("c2"),
+        F.col("o_orderpriority").isNotNull().alias("c3"),
+    )
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    aggs = []
+    for i in (1, 2, 3):
+        c = F.col(f"c{i}")
+        aggs += [
+            cnt(c.eqNullSafe(F.lit(True))).alias(f"p{i}"),
+            cnt(c.eqNullSafe(F.lit(False))).alias(f"f{i}"),
+            cnt(c.isNull()).alias(f"u{i}"),
+        ]
+    agg = f.agg(*aggs)
+    names = spark.createDataFrame(
+        [("price_cap", 1), ("status_known", 2), ("priority_nonnull", 3)],
+        "cname string, ord long",
+    )
+    j = names.crossJoin(F.broadcast(agg))
+    pick = lambda pre: F.when(F.col("ord") == 1, F.col(f"{pre}1")) \
+        .when(F.col("ord") == 2, F.col(f"{pre}2")) \
+        .otherwise(F.col(f"{pre}3"))  # noqa: E731
+    return j.select(
+        "cname",
+        pick("p").alias("n_pass"),
+        pick("f").alias("n_fail"),
+        pick("u").alias("n_unknown"),
+        F.when(pick("f") > 0, 1).otherwise(0).cast("long").alias(
+            "would_block"
+        ),
+    )
