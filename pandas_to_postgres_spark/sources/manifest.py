@@ -1144,7 +1144,7 @@ def merge_snapshot(
             .select("__f")
             .distinct()
         )
-        affected = {os.path.basename(r["__f"]) for r in probe.collect()}
+        affected = _affected_entry_paths(path, cand, probe.collect())
         untouched += [e for e in cand if e["path"] not in affected]
 
     # 3. rewrite: survivors of affected files + the whole updates frame
@@ -1229,7 +1229,7 @@ def delete_snapshot_rows(
         .select("__f")
         .distinct()
     )
-    affected = {os.path.basename(r["__f"]) for r in probe.collect()}
+    affected = _affected_entry_paths(path, cand, probe.collect())
     if not affected:
         return load_snapshot(path)  # nothing matched: no-op
 
@@ -1323,6 +1323,14 @@ def delete_snapshot_rows_dv(
         cand, _ = prune_files(snap, k, b["lo"], b["hi"])
     if not cand:
         return load_snapshot(path)
+    esc = [e["path"] for e in cand if _escapes_table_dir(path, e["path"])]
+    if esc:
+        raise ValueError(
+            "delete_snapshot_rows_dv: candidate files are shallow-clone "
+            f"references outside the table dir (first: {esc[0]!r}) — DV "
+            "entries key on local file names, so use the copy-on-write "
+            "delete (delete_snapshot_rows) on cloned references instead"
+        )
     probe = (
         spark.read.parquet(*[os.path.join(path, e["path"]) for e in cand])
         .select(
@@ -1529,7 +1537,7 @@ def apply_changes_to_snapshot(
             .select("__f")
             .distinct()
         )
-        affected = {os.path.basename(r["__f"]) for r in probe.collect()}
+        affected = _affected_entry_paths(path, cand, probe.collect())
     if affected:
         old = _read_entries(
             spark, path, [e for e in snap["files"] if e["path"] in affected]
@@ -1617,6 +1625,8 @@ def expire_snapshots(path: str, keep_latest: int = 1) -> dict:
         expired_shards.update(r["path"] for r in snap.get("shards", []))
     deleted = []
     for f in sorted(expired_refs - keep_refs):
+        if _escapes_table_dir(path, f):
+            continue  # shallow-clone reference: the SOURCE owns the bytes
         full = os.path.join(path, f)
         if os.path.exists(full):
             os.remove(full)
@@ -2130,6 +2140,91 @@ def drop_snapshot_column(path: str, name: str) -> dict:
             manifest["files"] = [_strip_entry(e) for e in head["files"]]
             return manifest
     raise RuntimeError("drop_snapshot_column: lost all version claims")
+
+
+def _affected_entry_paths(path: str, cand, probe_rows) -> set:
+    """Map probed ``_metadata.file_path`` URIs back to manifest ENTRY
+    paths by RESOLVED absolute path — never by basename, which breaks on
+    shallow-clone entries (``../src/part.parquet``) and could collide
+    between a clone-local file and a cloned reference with the same
+    name."""
+    from urllib.parse import urlparse
+
+    by_resolved = {
+        os.path.normpath(os.path.abspath(os.path.join(path, e["path"]))):
+            e["path"]
+        for e in cand
+    }
+    out = set()
+    for r in probe_rows:
+        p = os.path.normpath(urlparse(r["__f"]).path or r["__f"])
+        hit = by_resolved.get(p)
+        if hit is not None:
+            out.add(hit)
+    return out
+
+
+def _escapes_table_dir(path: str, rel: str) -> bool:
+    """True when a manifest entry's relative path resolves OUTSIDE the
+    table directory — the shallow-clone case (:func:`clone_snapshot`
+    references the source's files via ``../`` paths). Physical deletion
+    verbs must never follow such a reference: the bytes belong to the
+    SOURCE table's lifecycle (Delta's rule — VACUUM on a shallow clone
+    does not touch source files)."""
+    root = os.path.normpath(os.path.abspath(path))
+    full = os.path.normpath(os.path.abspath(os.path.join(path, rel)))
+    return not (full == root or full.startswith(root + os.sep))
+
+
+def clone_snapshot(src: str, dst: str, version: int | None = None) -> dict:
+    """SHALLOW CLONE (Delta's ``CREATE TABLE ... CLONE``): publish ``dst``
+    as a new snapshot table whose v1 manifest references the SOURCE
+    snapshot's data files by relative path — zero bytes copied, O(manifest)
+    work. The clone is immediately independent: appends/merges/compacts on
+    either side never affect the other (the clone's new files land under
+    ``dst``; the source's files are immutable), stats/partition
+    specs/column map/constraints carry over so pruning and enforcement
+    work from the first read, and :func:`expire_snapshots` on the clone
+    skips any file resolving outside the clone's directory (the source
+    owns those bytes — the standard shallow-clone vacuum rule).
+
+    Refused on a source snapshot carrying DELETION VECTORS: the DV
+    anti-join keys on file basenames within the owning table, and a
+    cloned ``../`` reference would silently drop the DV (resurrecting
+    deleted rows). Compact or CoW the source first — an explicit gate,
+    never a wrong read."""
+    snap = load_snapshot(src, version)
+    if any(e.get("dv") for e in snap["files"]):
+        raise ValueError(
+            "clone_snapshot: source snapshot carries deletion vectors; "
+            "compact_snapshot (or CoW delete) the source first — a "
+            "shallow clone cannot carry another table's DVs safely"
+        )
+    os.makedirs(dst, exist_ok=True)
+    if snapshot_versions(dst):
+        raise ValueError(f"clone_snapshot: {dst} already has snapshots")
+    entries = []
+    for e in snap["files"]:
+        ne = _strip_entry(e)
+        ne["path"] = os.path.relpath(
+            os.path.abspath(os.path.join(src, e["path"])),
+            os.path.abspath(dst),
+        )
+        entries.append(ne)
+    # _pack_manifest shards the entry list past INLINE_MAX, so cloning a
+    # million-file table stays O(manifest) metadata under dst
+    manifest = _pack_manifest(dst, 1, snap.get("stat_cols", []), entries, None)
+    manifest["cloned_from"] = {
+        "path": os.path.abspath(src),
+        "version": snap["version"],
+    }
+    for k in _INHERITED_KEYS:
+        if k in snap:
+            manifest[k] = snap[k]
+    if not _claim_version(dst, 1, manifest):
+        raise RuntimeError(f"clone_snapshot: lost the v1 claim under {dst}")
+    manifest["files"] = entries
+    return manifest
 
 
 def rewrite_manifests(path: str, target: int | None = None) -> dict:
