@@ -3237,10 +3237,11 @@ def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     reg = (
         h.select(
             (F.col("hv") % 1024).alias("bucket"),
-            F.when(F.floor(F.col("hv") / 1024) == 0, F.lit(51))
+            # shiftright = integer hv // 1024; `/` loses bits > 2^53
+            # through double on this 60-bit hash vs DuckDB's exact `//`.
+            F.when(F.expr("shiftright(hv, 10)") == 0, F.lit(51))
             .otherwise(
-                F.lit(51)
-                - F.length(F.expr("bin(CAST(FLOOR(hv / 1024) AS BIGINT))"))
+                F.lit(51) - F.length(F.expr("bin(shiftright(hv, 10))"))
             )
             .alias("rho_row"),
         )
@@ -4172,7 +4173,7 @@ _HLL_UNION_ORACLE = f"""
     WITH pos AS (
         SELECT source, text,
                unnest(generate_series(1, length(text) - 3)) AS i
-        FROM documents),
+        FROM documents WHERE length(text) >= 4),
     tok AS (
         SELECT source, substr(text, CAST(i AS INT), 4) AS t FROM pos),
     h AS (
@@ -4242,7 +4243,12 @@ def hll_union_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     tier (SURVEY §2.12 [EXT]) — the set-algebra leg of the
     deterministic-sketch family (KMV set algebra's HLL twin)."""
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(
+    # Docs shorter than 4 chars have NO 4-gram shingles. Without this
+    # filter Spark's sequence(1, length-3) would run DESCENDING for
+    # short text (sequence(1, 0) = [1, 0]), fabricating shingles the
+    # oracle's generate_series correctly omits — filter first so both
+    # engines see the identical shingle set on any fixture.
+    tok = docs.filter(F.length("text") >= 4).select(
         "source",
         F.explode(
             F.sequence(F.lit(1), F.length("text") - F.lit(3))
@@ -4250,9 +4256,11 @@ def hll_union_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
     ).select("source", F.expr("substring(text, i, 4)").alias("t"))
     hv = F.conv(F.substring(F.md5(F.col("t")), 1, 15), 16, 10).cast("long")
-    rho_row = F.when(F.floor(F.col("hv") / 1024) == 0, F.lit(51)).otherwise(
-        F.lit(51)
-        - F.length(F.expr("bin(CAST(FLOOR(hv / 1024) AS BIGINT))"))
+    # shiftright(hv, 10) is INTEGER hv // 1024 — `/` would go through
+    # double and lose bits above 2^53 on this 60-bit hash, flipping rho
+    # on boundary-adjacent values vs DuckDB's exact `//`.
+    rho_row = F.when(F.expr("shiftright(hv, 10)") == 0, F.lit(51)).otherwise(
+        F.lit(51) - F.length(F.expr("bin(shiftright(hv, 10))"))
     )
     reg = (
         tok.select("source", hv.alias("hv"))

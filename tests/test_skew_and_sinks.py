@@ -1386,6 +1386,33 @@ class TestSnapshotMerge:
         assert got.count() == 310  # 300 + 10 appended
         assert got.filter("k = 250").first().v == "NEW"
 
+    def test_cow_verbs_on_url_encodable_table_path(self, spark, tmp_path):
+        """Spark reports ``_metadata.file_path`` as a URL-ENCODED URI (a
+        space arrives as ``%20``) — the probe-to-entry mapping must
+        percent-decode before matching, or every CoW verb silently
+        no-ops on such paths (r9 ADVICE high: stale row left beside the
+        update)."""
+        from pandas_to_postgres_spark.sources import manifest as M
+
+        path = str(tmp_path / "dir with space" / "m tbl")
+        os.makedirs(path)
+        self._mkfile(path, "part-a.parquet", 0, 100)
+        self._mkfile(path, "part-b.parquet", 100, 200)
+        M.publish_snapshot(path, ["k"], files=["part-a.parquet", "part-b.parquet"])
+        updates = spark.createDataFrame([(50, "NEW50")], "k long, v string")
+        man = M.merge_snapshot(spark, path, updates, ["k"])
+        names = {e["path"] for e in man["files"]}
+        assert "part-a.parquet" not in names  # touched file WAS rewritten
+        assert "part-b.parquet" in names
+        got = M.read_snapshot(spark, path)
+        assert got.count() == 200  # no stale duplicate of k=50
+        assert [r.v for r in got.filter("k = 50").collect()] == ["NEW50"]
+        keys = spark.createDataFrame([(150,)], "k long")
+        M.delete_snapshot_rows(spark, path, keys, ["k"])
+        got = M.read_snapshot(spark, path)
+        assert got.count() == 199
+        assert got.filter("k = 150").count() == 0
+
 
 class TestSnapshotDelete:
     """delete_snapshot_rows: copy-on-write DELETE — only files containing
