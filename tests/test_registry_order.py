@@ -26,7 +26,6 @@ class TestWindow:
             # staying in-window)
             "dedup_exact", "minhash_lsh_checked",
             "simhash_hamming_pairs",
-            "neardup_group_summary",
             "text_stats",
             "multimodal_pipeline",
             # X2..X5 (pandas_udf_norm rotated out in the second r6
@@ -41,15 +40,17 @@ class TestWindow:
             # round-5 rotation (COVERAGE.md "Round-5 window rotation")
             "k_anonymity_audit", "json_corrupt_audit",
             # round-7 rotation (#3): survivors still in-window
-            "simsearch_sq8", "bucketed_colocated_join",
+            "bucketed_colocated_join",
             "salted_skew_agg",
             "bpe_encode_stats",
             # round-8 rotation (#4): survivors still in-window
-            "nb_source_classifier", "fellegi_sunter_em",
-            "kcenter_coreset", "incremental_join_mv",
-            "snapshot_merge_upsert", "snapshot_cdc_apply",
-            "snapshot_hidden_partition", "snapshot_delete_dv",
-            "snapshot_bloom_lookup", "snapshot_rename_column",
+            # (fellegi_sunter_em, kcenter_coreset, incremental_join_mv,
+            # snapshot_cdc_apply, snapshot_hidden_partition,
+            # snapshot_bloom_lookup, snapshot_rename_column rotated out
+            # round 10 — each with sibling evidence staying in-window,
+            # see COVERAGE.md "Round-10 window rotation")
+            "nb_source_classifier",
+            "snapshot_merge_upsert", "snapshot_delete_dv",
             "stream_incremental_mv", "ivf_index_upsert",
             # round-9 rotation (#5): driver certification for the
             # thirteen round-8 builds the judge hand-verified past the
@@ -68,6 +69,19 @@ class TestWindow:
             "two_pass_exact_median", "stream_hll_distinct",
             "spec_evolution_scan", "snapshot_restore",
             "snapshot_text_search",
+            # round-10 rotation (#6): driver certification for the nine
+            # round-9 builds that had never had a driver-side run
+            # (COVERAGE.md "Round-10 window rotation"); rotated out:
+            # simsearch_sq8, neardup_group_summary, fellegi_sunter_em,
+            # kcenter_coreset, incremental_join_mv, snapshot_cdc_apply,
+            # snapshot_hidden_partition, snapshot_bloom_lookup,
+            # snapshot_rename_column — all still registered and
+            # oracle-green in pytest + both local boards
+            "priority_sample_docs", "two_pass_exact_quantiles",
+            "filter_cascade_stats", "ams_join_estimate",
+            "stream_cms_topk", "hll_union_sources",
+            "grouped_exact_median", "check_constraint_audit",
+            "ivf_recall_audit",
             # relational families (J3/J4/J5, W3 rotated out round 5;
             # filter_project etc. round 6; percentiles_price,
             # topk_lineitems, array_ops_embeddings round 9 — all still
