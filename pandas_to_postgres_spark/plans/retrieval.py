@@ -4275,3 +4275,220 @@ def snapshot_text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum(F.length("text")).cast("long").alias("sum_len"),
     )
+
+
+_CLONE_SCAN_ORACLE = """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS total_cents
+    FROM orders
+    WHERE o_orderkey % 4 IN (0, 1, 3)
+    GROUP BY o_orderpriority
+    """
+
+
+@register("snapshot_clone_scan", min_rows=3, oracle=_CLONE_SCAN_ORACLE)
+def snapshot_clone_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHALLOW CLONE read-through under the driver oracle (Delta's
+    ``CREATE TABLE ... SHALLOW CLONE``, per its public docs): a source
+    snapshot table (two append epochs of orders) is cloned with ZERO
+    data bytes copied — the clone's v1 manifest references the source's
+    files by relative path — then BOTH sides diverge: the source gains a
+    post-clone append the clone must never see, and the clone gains its
+    own append landing under its own directory. The returned aggregate
+    reads the CLONE, so the oracle (source-epoch rows + clone-side rows,
+    never the source's post-clone rows) proves zero-copy readability AND
+    clone independence in one hash-checked row set.
+
+    In-query invariants (asserted, not just described): the clone dir
+    holds no data file at clone time (the zero-copy claim is checked
+    against the filesystem), every v1 entry resolves OUTSIDE the clone
+    directory, and ``cloned_from`` pins the source lineage.
+
+    Scale: cloning is O(manifest) metadata regardless of table bytes —
+    a 100 TB source clones with one manifest write; the divergent
+    appends are ordinary O(new files) commits.
+
+    Reference: no versioning concept in the 988-LoC loader
+    (pandas_to_postgres/_base_copy.py drops/reloads in place); [EXT]
+    lakehouse surface (SURVEY §2.12) — the CLONE verb's query face
+    (sources/manifest.py clone_snapshot, Delta SHALLOW CLONE
+    semantics)."""
+    import hashlib
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    from pandas_to_postgres_spark.sources.manifest import (
+        _escapes_table_dir,
+        append_snapshot,
+        clone_snapshot,
+        load_snapshot,
+        publish_snapshot,
+        read_snapshot,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:6]
+    wh = urlparse(
+        spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    ).path or "spark-warehouse"
+    src = os.path.join(wh, f"clone_src_{tag}")
+    dst = os.path.join(wh, f"clone_dst_{tag}")
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(dst, ignore_errors=True)
+
+    def _parquets(p):
+        return sorted(
+            f for f in os.listdir(p)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        )
+
+    ords = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    for r in (0, 1):  # two source epochs
+        ords.filter(F.col("o_orderkey") % 4 == r).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    publish_snapshot(src, ["o_orderkey"])
+
+    man = clone_snapshot(src, dst)
+    assert man["cloned_from"]["path"] == os.path.abspath(src)
+    assert not _parquets(dst)  # zero data bytes copied
+    assert all(_escapes_table_dir(dst, e["path"]) for e in man["files"])
+
+    # diverge the SOURCE: the clone must never see this append
+    pre = set(_parquets(src))
+    ords.filter(F.col("o_orderkey") % 4 == 2).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    append_snapshot(src, sorted(set(_parquets(src)) - pre))
+
+    # diverge the CLONE: its new file lands under its own directory
+    ords.filter(F.col("o_orderkey") % 4 == 3).coalesce(1).write.mode(
+        "append"
+    ).parquet(dst)
+    append_snapshot(dst, _parquets(dst))
+    assert load_snapshot(dst)["version"] == 2
+
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    return read_snapshot(spark, dst).groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(cents).cast("long").alias("total_cents"),
+    )
+
+
+_REWRITE_MANIFESTS_ORACLE = """
+    SELECT CAST(2 AS BIGINT) AS shards_before_publish,
+           CAST(9 AS BIGINT) AS shards_before,
+           CAST(2 AS BIGINT) AS shards_after,
+           CAST(1156 AS BIGINT) AS n_files,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM lineitem
+    """
+
+
+@register(
+    "manifest_rewrite_audit", min_rows=1, oracle=_REWRITE_MANIFESTS_ORACLE
+)
+def manifest_rewrite_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``rewrite_manifests`` under the driver oracle (Iceberg's
+    ``rewrite_manifests`` procedure, per its public docs): a sharded
+    snapshot table is deliberately degraded — 1100 files publish into
+    [1000, 100] shards, then seven 8-file micro-appends each land their
+    own small shard (below the inline merge-on-write threshold), leaving
+    a 9-shard manifest list — and one metadata-only repack restores the
+    [1000, 156] packed layout. The returned audit row carries the shard
+    counts at each stage (deterministic: file counts are fixed by the
+    query's construction, independent of scale factor) PLUS row-count
+    and value invariance measured by re-reading the table AFTER the
+    rewrite — the oracle recomputes the invariants from the raw rows, so
+    a repack that dropped or duplicated an entry hash-mismatches.
+
+    Scale: the repack touches manifest SHARDS only (metadata-sized; no
+    data file moves, ``data_change: false``, every prior version still
+    time-travels) — on a 100 TB table this is O(entries) JSON, not
+    O(bytes); exactly the shape Iceberg's procedure promises.
+
+    Reference: the 988-LoC loader has no manifest concept; [EXT]
+    lakehouse surface (SURVEY §2.12) — the rewrite_manifests verb's
+    query face (sources/manifest.py rewrite_manifests).
+    """
+    import hashlib
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    from pandas_to_postgres_spark.sources.manifest import (
+        append_snapshot,
+        load_snapshot,
+        publish_snapshot,
+        read_snapshot,
+        rewrite_manifests,
+        snapshot_versions,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:6]
+    wh = urlparse(
+        spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    ).path or "spark-warehouse"
+    path = os.path.join(wh, f"rwm_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    # 1100 files force the sharded manifest layout (INLINE_MAX = 1000);
+    # explicit repartition(n) is exempt from AQE coalescing, so the file
+    # count is deterministic at every scale factor
+    li.filter(F.col("l_orderkey") % 2 == 0).repartition(1100).write.parquet(
+        path
+    )
+    publish_snapshot(path, ["l_orderkey"])
+
+    def _shards(p):
+        raw = load_snapshot(p, snapshot_versions(p)[-1], materialize=False)
+        return raw.get("shards") or []
+
+    shards_publish = len(_shards(path))
+
+    # seven micro-appends: each lands one small shard; 7 smalls + the
+    # 100-entry publish remainder = 8 smalls, below the inline
+    # merge-on-write threshold (> 8), so the degraded layout persists
+    for i in range(7):
+        pre = {
+            f for f in os.listdir(path)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        }
+        li.filter(F.col("l_orderkey") % 14 == 2 * i + 1).repartition(
+            8
+        ).write.mode("append").parquet(path)
+        new = sorted(
+            f for f in os.listdir(path)
+            if f.endswith(".parquet")
+            and not f.startswith((".", "_"))
+            and f not in pre
+        )
+        append_snapshot(path, new)
+
+    before = _shards(path)
+    shards_before, files_before = len(before), sum(int(r["n"]) for r in before)
+    man = rewrite_manifests(path)
+    assert man.get("data_change") is False
+    after = _shards(path)
+    shards_after, files_after = len(after), sum(int(r["n"]) for r in after)
+    assert files_after == files_before  # repack loses/duplicates nothing
+
+    return read_snapshot(spark, path).agg(
+        F.lit(shards_publish).cast("long").alias("shards_before_publish"),
+        F.lit(shards_before).cast("long").alias("shards_before"),
+        F.lit(shards_after).cast("long").alias("shards_after"),
+        F.lit(files_after).cast("long").alias("n_files"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+        ).cast("long").alias("sum_cents"),
+    )

@@ -953,3 +953,27 @@ class TestRound10Shapes:
             plan = plan_of(spark, name)
             assert tmp_tag not in plan, f"{name} plan references its tmpdir"
             assert "/tmp/" not in plan, f"{name} plan reads a temp path"
+
+    def test_clone_scan_reads_source_files_through_the_clone(self, spark):
+        """Zero-copy proof at the scan level: the clone's read must pull
+        the SOURCE table's data files (referenced by relative path) plus
+        the clone's own post-clone append — both directories appear in
+        the scan's input files (the plan string truncates file lists, so
+        assert on inputFiles), and the aggregate combines map-side."""
+        from pandas_to_postgres_spark.plans import REGISTRY
+        from tests.conftest import SF_SMOKE
+
+        df = REGISTRY["snapshot_clone_scan"].fn(spark, SF_SMOKE)
+        files = df.inputFiles()
+        assert any("clone_src_" in f for f in files)  # cloned references
+        assert any("clone_dst_" in f for f in files)  # the clone's append
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("HashAggregate") >= 2  # partial + final
+
+    def test_rewrite_audit_is_one_scan_with_partial_agg(self, spark):
+        """The audit's data leg is ONE scan of the repacked snapshot with
+        a map-combined scalar aggregate; shard bookkeeping is manifest
+        metadata, never a data-sized plan node."""
+        plan = plan_of(spark, "manifest_rewrite_audit")
+        assert plan.count("Scan parquet") == 1
+        assert plan.count("HashAggregate") >= 2
