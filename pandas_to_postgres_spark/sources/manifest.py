@@ -2224,7 +2224,16 @@ def clone_snapshot(src: str, dst: str, version: int | None = None) -> dict:
     anti-join keys on file basenames within the owning table, and a
     cloned ``../`` reference would silently drop the DV (resurrecting
     deleted rows). Compact or CoW the source first — an explicit gate,
-    never a wrong read."""
+    never a wrong read.
+
+    Caveat (Delta's documented shallow-clone rule, shared here): VACUUM
+    on the SOURCE can delete files the clone still references — source
+    lifecycle verbs count only the source's own retained versions, never
+    external borrowers. The dangling clone then fails LOUDLY at read
+    time (missing file), never silently; an append-only source can't
+    dangle a clone, only rewrite + expire + vacuum can
+    (tests/test_clone.py::test_source_vacuum_after_cow_breaks_clone_loudly).
+    """
     snap = load_snapshot(src, version)
     if any(e.get("dv") for e in snap["files"]):
         raise ValueError(

@@ -154,3 +154,31 @@ class TestShallowClone:
         clone_snapshot(src, dst)
         with pytest.raises(ValueError, match="already has snapshots"):
             clone_snapshot(src, dst)
+
+    def test_source_vacuum_after_cow_breaks_clone_loudly(
+        self, spark, src, tmp_path
+    ):
+        """Delta's documented shallow-clone caveat, reproduced on purpose:
+        VACUUM on the SOURCE can delete files a clone still references —
+        the source's lifecycle verbs only count references from the
+        source's own retained versions, never a clone's (a clone is a
+        separate table; tracking external borrowers would make vacuum
+        unscalable). The failure must be LOUD (the clone read throws on
+        the missing file), never a silent wrong answer. Files still
+        referenced by the source's retained head survive, so an
+        append-only source never dangles a clone — only rewrite + expire
+        + vacuum does."""
+        dst = str(tmp_path / "clone_dangle")
+        clone_snapshot(src, dst)
+        # CoW delete on the SOURCE rewrites a referenced file...
+        M.delete_snapshot_rows(
+            spark, src, spark.createDataFrame([Row(k=7)]), ["k"]
+        )
+        # ...and expiry + vacuum on the source deletes the original
+        M.expire_snapshots(src, keep_latest=1)
+        out = M.vacuum_orphans(src, grace_seconds=0)
+        assert out["deleted_files"], "vacuum should reap the rewritten file"
+        with pytest.raises(Exception):
+            M.read_snapshot(spark, dst).count()
+        # the source itself remains fully consistent
+        assert M.read_snapshot(spark, src).count() == 149

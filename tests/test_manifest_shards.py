@@ -448,3 +448,40 @@ class TestRewriteManifests:
         M.expire_snapshots(p, keep_latest=1)
         out = M.vacuum_orphans(p, grace_seconds=0)
         assert len(M.load_snapshot(p)["files"]) == 16  # head intact
+
+    def test_rewrite_racing_append_repacks_the_posterior_head(
+        self, tmp_path, tiny_shards, monkeypatch
+    ):
+        """TOCTOU audit (same class as the r9 constraint finding, proven
+        absent here): a rewrite that loses its version claim to a
+        concurrent append must RE-READ the new head and repack the
+        append's entries too — never publish a shard layout computed from
+        the pre-append file list (which would make the appended rows
+        vanish from the repacked version). The patched ``_claim_version``
+        fires the rival append through the REAL claim path at the instant
+        the rewrite makes its first claim, so the rewrite deterministically
+        loses and retries."""
+        p = str(tmp_path)
+        head = self._fragmented_table(p)
+        rival = _write_parts(None, p, [(160, 170)], "part-rival")
+        real = M._claim_version
+        state = {"armed": True}
+
+        def claim(path, version, manifest):
+            if state["armed"] and manifest.get("data_change") is False:
+                state["armed"] = False  # the rival's own claim passes through
+                M.append_snapshot(p, rival)
+            return real(path, version, manifest)
+
+        monkeypatch.setattr(M, "_claim_version", claim)
+        out = M.rewrite_manifests(p)
+        # the rewrite lost one claim to the append, then repacked v(+2)
+        assert out["version"] == head["version"] + 2
+        assert out["data_change"] is False
+        assert rival[0] in {e["path"] for e in out["files"]}
+        raw = json.load(
+            open(os.path.join(p, f"_manifest-v{out['version']}.json"))
+        )
+        assert len(raw["shards"]) == 5  # ceil(17 / SHARD_TARGET=4), packed
+        assert sum(int(r["n"]) for r in raw["shards"]) == 17
+        assert M.count_snapshot(p) == 170  # appended rows survive the repack
