@@ -1614,12 +1614,23 @@ def _is_bloom_shard_name(f: str) -> bool:
     return bool(SHARD_NAME_RE.match(f))
 
 
-def expire_snapshots(path: str, keep_latest: int = 1) -> dict:
+def expire_snapshots(
+    path: str, keep_latest: int = 1, older_than: float | None = None
+) -> dict:
     """Retire all but the newest ``keep_latest`` snapshots, then delete
     part files that are provably superseded: referenced by an EXPIRED
     snapshot and by no retained one. The only operation that can break a
     time-travel reader — which is the point: publishes are
     non-destructive, space reclamation is explicit.
+
+    ``older_than`` (epoch seconds) adds Iceberg's primary retention knob
+    (``expire_snapshots(older_than => ts, retain_last => n)``): only
+    versions whose publish timestamp is strictly BEFORE the cutoff are
+    candidates; every younger version is retained regardless of count,
+    and the newest ``keep_latest`` are retained regardless of age — both
+    conditions protect, neither expires. With ``older_than=None`` the
+    rolling count window alone decides (the prior behavior, equivalent
+    to a cutoff of +inf).
 
     Deliberately NOT deleted (the Iceberg remove_orphan_files race):
     files referenced by NO manifest at all — they may be a writer's
@@ -1634,7 +1645,22 @@ def expire_snapshots(path: str, keep_latest: int = 1) -> dict:
     reffed: set[int] = set()
     for vals in list_refs(path).values():
         reffed.update(vals.values())
-    retained = sorted(set(versions[-keep_latest:]) | (reffed & set(versions)))
+    young: set[int] = set()
+    if older_than is not None:
+        # age gate reads the raw manifest (metadata-only, no shard I/O);
+        # a manifest missing `ts` (pre-stamp vintage) sorts as 0 = old,
+        # consistent with the as-of-timestamp resolution rule
+        young = {
+            v
+            for v in versions
+            if float(
+                load_snapshot(path, v, materialize=False).get("ts", 0.0)
+            )
+            >= older_than
+        }
+    retained = sorted(
+        set(versions[-keep_latest:]) | (reffed & set(versions)) | young
+    )
     expired = [v for v in versions if v not in retained]
     keep_refs: set[str] = set()
     keep_shards: set[str] = set()

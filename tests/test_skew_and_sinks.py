@@ -593,6 +593,59 @@ class TestSnapshots:
         assert res2["expired_versions"] == [2]
         assert read_snapshot(spark, path).count() == 150
 
+    def test_expire_older_than_age_gates_and_count_floor_holds(
+        self, spark, tmp_path
+    ):
+        """Iceberg's primary retention knob: ``older_than`` expires only
+        versions published before the cutoff; younger versions are
+        retained regardless of count, and ``keep_latest`` newest are
+        retained regardless of age — both protect, neither expires."""
+        import json
+        import os
+
+        import pyspark.sql.functions as F
+
+        from pandas_to_postgres_spark.sources.manifest import (
+            append_snapshot,
+            expire_snapshots,
+            snapshot_versions,
+        )
+
+        path = self._publish_two(spark, tmp_path)  # v1, v2
+        extra = spark.range(150, 160).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        extra.coalesce(1).write.mode("append").parquet(path)
+        known = set()
+        for v in snapshot_versions(path):
+            m = json.load(open(os.path.join(path, f"_manifest-v{v}.json")))
+            known.update(e["path"] for e in m["files"])
+        append_snapshot(path, sorted(
+            f for f in os.listdir(path)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+            and f not in known
+        ))  # v3
+        # pin deterministic publish times: v1@100, v2@200, v3@300
+        for v, ts in ((1, 100.0), (2, 200.0), (3, 300.0)):
+            p = os.path.join(path, f"_manifest-v{v}.json")
+            m = json.load(open(p))
+            m["ts"] = ts
+            json.dump(m, open(p, "w"))
+        # age alone can't breach the count floor: everything younger than
+        # the cutoff is also in keep_latest=3 -> no-op
+        assert expire_snapshots(
+            path, keep_latest=3, older_than=250.0
+        )["expired_versions"] == []
+        # cutoff at 250 expires v1+v2, retains the young v3
+        res = expire_snapshots(path, keep_latest=1, older_than=250.0)
+        assert res["expired_versions"] == [1, 2]
+        assert snapshot_versions(path) == [3]
+        # count floor protects even an infinitely old table
+        path2 = self._publish_two(spark, tmp_path / "again")
+        assert expire_snapshots(
+            path2, keep_latest=2, older_than=1e18
+        )["expired_versions"] == []
+
 
 class TestSnapshotExpiryRace:
     def test_expire_never_deletes_unpublished_appends(self, spark, tmp_path):
