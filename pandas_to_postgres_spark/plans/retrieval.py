@@ -4492,3 +4492,99 @@ def manifest_rewrite_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
         ).cast("long").alias("sum_cents"),
     )
+
+
+_HISTORY_AUDIT_ORACLE = """
+    WITH k AS (SELECT o_orderkey AS k FROM orders),
+    c1 AS (SELECT CAST(count(*) AS BIGINT) AS c FROM k WHERE k % 3 = 0),
+    c2 AS (SELECT CAST(count(*) AS BIGINT) AS c FROM k WHERE k % 3 IN (0, 1)),
+    c3 AS (SELECT CAST(count(*) AS BIGINT) AS c FROM k
+           WHERE k % 3 IN (0, 1) AND k % 10 <> 5)
+    SELECT CAST(1 AS BIGINT) AS version, CAST('publish' AS VARCHAR) AS operation,
+           CAST(TRUE AS BOOLEAN) AS data_change, c1.c AS n_rows FROM c1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'append', TRUE, c2.c FROM c2
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), 'delete_snapshot_rows', TRUE, c3.c FROM c3
+    UNION ALL
+    SELECT CAST(4 AS BIGINT), 'set_check_constraint', FALSE, c3.c FROM c3
+    """
+
+
+@register("snapshot_history_audit", min_rows=4, oracle=_HISTORY_AUDIT_ORACLE)
+def snapshot_history_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE HISTORY under the driver oracle (Delta's DESCRIBE
+    HISTORY / Iceberg's ``tbl.history`` metadata table, per their public
+    docs): a snapshot table runs a four-verb lifecycle — publish, append,
+    copy-on-write DELETE, ADD CONSTRAINT — and the returned rows are the
+    table's own HISTORY metadata table: per version the stamped
+    operation, the data_change flag (the constraint commit is
+    metadata-only), and the live row count. The oracle recomputes each
+    version's row count from the raw orders table, so a history row
+    that misreports what a commit did (wrong op, wrong count, a delete
+    that did not land, a constraint version that touched data)
+    hash-mismatches.
+
+    Scale: the history table is a driver-side O(manifest-metadata) walk
+    (shard-ref aggregates carry file/row/byte totals — no shard I/O, no
+    data file opened); on a 100 TB table this is exactly Iceberg's
+    inspection-table promise.
+
+    Reference: the 988-LoC loader has no table versioning; [EXT]
+    lakehouse surface (SURVEY §2.12) — the inspection-table verb
+    (sources/manifest.py snapshot_metadata_table)."""
+    import hashlib
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    from pandas_to_postgres_spark.sources.manifest import (
+        append_snapshot,
+        delete_snapshot_rows,
+        publish_snapshot,
+        set_check_constraint,
+        snapshot_metadata_table,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:6]
+    wh = urlparse(
+        spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    ).path or "spark-warehouse"
+    path = os.path.join(wh, f"hist_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+
+    def _parquets(p):
+        return sorted(
+            f for f in os.listdir(p)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        )
+
+    ords = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    ords.filter(F.col("o_orderkey") % 3 == 0).coalesce(2).write.parquet(path)
+    publish_snapshot(path, ["o_orderkey"])  # v1
+
+    pre = set(_parquets(path))
+    ords.filter(F.col("o_orderkey") % 3 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+    append_snapshot(path, sorted(set(_parquets(path)) - pre))  # v2
+
+    keys = (
+        ords.filter(
+            (F.col("o_orderkey") % 3 <= 1) & (F.col("o_orderkey") % 10 == 5)
+        )
+        .select("o_orderkey")
+        .distinct()
+    )
+    delete_snapshot_rows(spark, path, keys, ["o_orderkey"])  # v3 (CoW)
+
+    set_check_constraint(spark, path, "key_nonneg", "o_orderkey >= 0")  # v4
+
+    return snapshot_metadata_table(spark, path, "history").select(
+        F.col("version").cast("long").alias("version"),
+        F.col("operation"),
+        F.col("data_change"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+    )

@@ -637,6 +637,7 @@ def _publish_rewrite(
         )
         if op == "compact_snapshot":
             manifest["data_change"] = False
+        manifest["operation"] = op  # history metadata table provenance
         if _claim_version(path, head["version"] + 1, manifest):
             manifest["files"] = [_strip_entry(e) for e in entries]
             return manifest
@@ -694,6 +695,7 @@ def publish_snapshot(
         )
         entries = _build_entries(path, names, stat_cols, known_entries)
         manifest = _pack_manifest(path, version, stat_cols, entries, head)
+        manifest["operation"] = "publish"
         if extra:
             manifest.update(extra)
         if _claim_version(path, version, manifest):
@@ -847,6 +849,7 @@ def append_snapshot(
                     },
                     raw,
                 )
+                manifest["operation"] = "append"
                 if extra:
                     manifest.update(extra)
                 if _claim_version(path, raw["version"] + 1, manifest):
@@ -877,6 +880,7 @@ def append_snapshot(
             carry_entries=head["files"] if head is not None else None,
         )
         manifest = _inherit(_pack_manifest(path, version, sc, entries, head), head)
+        manifest["operation"] = "append" if head is not None else "publish"
         if extra:
             manifest.update(extra)
         if _claim_version(path, version, manifest):
@@ -1487,6 +1491,7 @@ def delete_snapshot_rows_dv(
             head,
         )
         manifest["dml"] = "delete_dv"
+        manifest["operation"] = "delete_snapshot_rows_dv"
         if _claim_version(path, head["version"] + 1, manifest):
             manifest["files"] = [_strip_entry(e) for e in entries]
             return manifest
@@ -2076,6 +2081,7 @@ def restore_snapshot(path: str, version: int | str) -> dict:
         # past a rename must also restore the schema the files carry
         manifest = _inherit(manifest, target)
         manifest["dml"] = "restore"
+        manifest["operation"] = "restore"
         manifest["restored_from"] = target["version"]
         if _claim_version(path, head["version"] + 1, manifest):
             manifest["files"] = [
@@ -2159,6 +2165,7 @@ def rename_snapshot_column(path: str, old: str, new: str) -> dict:
         )
         manifest["column_map"] = cmap
         manifest["data_change"] = False  # rows untouched: feed emits nothing
+        manifest["operation"] = "rename_snapshot_column"
         if _claim_version(path, head["version"] + 1, manifest):
             manifest["files"] = [_strip_entry(e) for e in head["files"]]
             return manifest
@@ -2189,6 +2196,7 @@ def drop_snapshot_column(path: str, name: str) -> dict:
         )
         manifest["column_map"] = cmap
         manifest["data_change"] = False
+        manifest["operation"] = "drop_snapshot_column"
         if _claim_version(path, head["version"] + 1, manifest):
             manifest["files"] = [_strip_entry(e) for e in head["files"]]
             return manifest
@@ -2285,6 +2293,7 @@ def clone_snapshot(src: str, dst: str, version: int | None = None) -> dict:
         "path": os.path.abspath(src),
         "version": snap["version"],
     }
+    manifest["operation"] = "clone"
     for k in _INHERITED_KEYS:
         if k in snap:
             manifest[k] = snap[k]
@@ -2330,10 +2339,183 @@ def rewrite_manifests(path: str, target: int | None = None) -> dict:
             raw,
         )
         manifest["data_change"] = False  # metadata-only: rows untouched
+        manifest["operation"] = "rewrite_manifests"
         if _claim_version(path, head["version"] + 1, manifest):
             manifest["files"] = [_strip_entry(e) for e in entries]
             return manifest
     raise RuntimeError("rewrite_manifests: lost all version claims")
+
+
+def snapshot_metadata_table(
+    spark, path: str, kind: str = "history", version: int | None = None
+):
+    """Iceberg-style METADATA TABLES over the snapshot log (Iceberg's
+    ``tbl.history`` / ``tbl.files`` / ``tbl.manifests`` inspection
+    tables; Delta's DESCRIBE HISTORY is the ``history`` kind):
+
+    - ``history``: one row per version — ``version``, publish ``ts``,
+      ``operation`` (stamped at publish time by every write verb since
+      round 10; structurally inferred for older manifests),
+      ``data_change``, ``n_files`` / ``n_rows`` / ``total_bytes`` (from
+      shard-ref aggregates, no shard I/O on sharded tables), and
+      ``added_files`` / ``removed_files`` vs the parent version.
+    - ``files``: one row per live entry of the chosen version —
+      ``file_path``, ``bytes``, ``rows``, ``spec_id``, ``partition``
+      (JSON), ``dv_count``, ``stats`` (JSON min/max per stat col).
+    - ``manifests``: one row per entry shard of the chosen version
+      (inline manifests report themselves as a single ``inline`` row).
+
+    All kinds are driver-side O(manifest-metadata) walks turned into
+    DataFrames — no data file is ever opened. ``history``'s
+    added/removed diff loads each distinct shard ONCE across the whole
+    walk (shards are immutable and reused by reference between
+    versions, so the cost is O(total distinct shards) = Iceberg's
+    O(touched) bound, not O(versions x entries)).
+    """
+    from pyspark.sql import types as T
+
+    if kind == "files":
+        snap = load_snapshot(path, version)
+        rows = [
+            (
+                e["path"],
+                int(e.get("bytes") or 0),
+                int(e.get("rows") or 0),
+                int(e.get("spec_id") or 0),
+                json.dumps(e["partition"]) if "partition" in e else None,
+                len(e.get("dv") or ()),
+                json.dumps(e.get("stats") or {}, default=str),
+            )
+            for e in snap["files"]
+        ]
+        schema = T.StructType([
+            T.StructField("file_path", T.StringType(), False),
+            T.StructField("bytes", T.LongType(), False),
+            T.StructField("rows", T.LongType(), False),
+            T.StructField("spec_id", T.LongType(), False),
+            T.StructField("partition", T.StringType(), True),
+            T.StructField("dv_count", T.LongType(), False),
+            T.StructField("stats", T.StringType(), False),
+        ])
+        return spark.createDataFrame(rows, schema)
+
+    if kind == "manifests":
+        v = version or snapshot_versions(path)[-1]
+        raw = load_snapshot(path, v, materialize=False)
+        refs = raw.get("shards")
+        if refs:
+            rows = [
+                (
+                    r["path"],
+                    int(r["n"]),
+                    int(r.get("rows") or 0),
+                    int(r.get("bytes") or 0),
+                    False,
+                )
+                for r in refs
+            ]
+        else:
+            ents = raw.get("files") or []
+            rows = [(
+                f"_manifest-v{v}.json",
+                len(ents),
+                sum(int(e.get("rows") or 0) for e in ents),
+                sum(int(e.get("bytes") or 0) for e in ents),
+                True,
+            )]
+        schema = T.StructType([
+            T.StructField("shard_path", T.StringType(), False),
+            T.StructField("n_entries", T.LongType(), False),
+            T.StructField("rows", T.LongType(), False),
+            T.StructField("bytes", T.LongType(), False),
+            T.StructField("inline", T.BooleanType(), False),
+        ])
+        return spark.createDataFrame(rows, schema)
+
+    if kind != "history":
+        raise ValueError(
+            f"unknown metadata table kind {kind!r} "
+            "(have: history, files, manifests)"
+        )
+
+    shard_names: dict[str, list[str]] = {}  # immutable: load each ONCE
+
+    def _file_names(raw: dict) -> set[str]:
+        refs = raw.get("shards")
+        if not refs:
+            return {e["path"] for e in (raw.get("files") or [])}
+        out: set[str] = set()
+        for r in refs:
+            if r["path"] not in shard_names:
+                shard_names[r["path"]] = [
+                    e["path"] for e in _load_shard_entries(path, r)
+                ]
+            out.update(shard_names[r["path"]])
+        return out
+
+    def _totals(raw: dict) -> tuple[int, int, int]:
+        refs = raw.get("shards")
+        if refs:
+            return (
+                sum(int(r["n"]) for r in refs),
+                sum(int(r.get("rows") or 0) for r in refs),
+                sum(int(r.get("bytes") or 0) for r in refs),
+            )
+        ents = raw.get("files") or []
+        return (
+            len(ents),
+            sum(int(e.get("rows") or 0) for e in ents),
+            sum(int(e.get("bytes") or 0) for e in ents),
+        )
+
+    rows = []
+    prev_names: set[str] | None = None
+    for v in snapshot_versions(path):
+        raw = load_snapshot(path, v, materialize=False)
+        names = _file_names(raw)
+        added = len(names - prev_names) if prev_names is not None else len(names)
+        removed = len(prev_names - names) if prev_names is not None else 0
+        op = raw.get("operation")
+        if not op:  # pre-stamp vintage: structural inference
+            if raw.get("cloned_from"):
+                op = "clone"
+            elif raw.get("dml") == "delete_dv":
+                op = "delete_snapshot_rows_dv"
+            elif raw.get("dml") == "restore":
+                op = "restore"
+            elif prev_names is None:
+                op = "publish"
+            elif raw.get("data_change") is False:
+                op = "metadata"
+            elif removed == 0:
+                op = "append"
+            else:
+                op = "rewrite"
+        n_files, n_rows, n_bytes = _totals(raw)
+        rows.append((
+            int(v),
+            float(raw.get("ts", 0.0)),
+            op,
+            raw.get("data_change", True) is not False,
+            n_files,
+            n_rows,
+            n_bytes,
+            added,
+            removed,
+        ))
+        prev_names = names
+    schema = T.StructType([
+        T.StructField("version", T.LongType(), False),
+        T.StructField("ts", T.DoubleType(), False),
+        T.StructField("operation", T.StringType(), False),
+        T.StructField("data_change", T.BooleanType(), False),
+        T.StructField("n_files", T.LongType(), False),
+        T.StructField("n_rows", T.LongType(), False),
+        T.StructField("total_bytes", T.LongType(), False),
+        T.StructField("added_files", T.LongType(), False),
+        T.StructField("removed_files", T.LongType(), False),
+    ])
+    return spark.createDataFrame(rows, schema)
 
 
 class ConstraintViolation(ValueError):
@@ -2432,6 +2614,7 @@ def set_check_constraint(spark, path: str, name: str, expr_sql: str) -> dict:
         )
         manifest["constraints"] = cons
         manifest["data_change"] = False  # rows untouched
+        manifest["operation"] = "set_check_constraint"
         if _claim_version(path, head["version"] + 1, manifest):
             manifest["files"] = [_strip_entry(e) for e in head["files"]]
             return manifest
@@ -2460,6 +2643,7 @@ def drop_check_constraint(path: str, name: str) -> dict:
         )
         manifest["constraints"] = cons
         manifest["data_change"] = False
+        manifest["operation"] = "drop_check_constraint"
         if _claim_version(path, head["version"] + 1, manifest):
             manifest["files"] = [_strip_entry(e) for e in head["files"]]
             return manifest

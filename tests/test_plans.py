@@ -977,3 +977,11 @@ class TestRound10Shapes:
         plan = plan_of(spark, "manifest_rewrite_audit")
         assert plan.count("Scan parquet") == 1
         assert plan.count("HashAggregate") >= 2
+
+    def test_history_audit_returns_pure_metadata(self, spark):
+        """The history metadata table never opens a data file: the
+        returned frame is a driver-built local relation (Iceberg's
+        inspection-table promise — O(manifest), not O(data))."""
+        plan = plan_of(spark, "snapshot_history_audit")
+        assert "Scan parquet" not in plan
+        assert "LocalTableScan" in plan or "Scan ExistingRDD" in plan
