@@ -2364,6 +2364,11 @@ def snapshot_metadata_table(
       (JSON), ``dv_count``, ``stats`` (JSON min/max per stat col).
     - ``manifests``: one row per entry shard of the chosen version
       (inline manifests report themselves as a single ``inline`` row).
+    - ``partitions``: one row per distinct (spec_id, partition tuple) of
+      the chosen version with file/row/byte rollups (Iceberg's
+      ``tbl.partitions``); entries without a partition tuple
+      (unpartitioned vintage, rewrite outputs) group under a NULL
+      tuple — conservatively visible, never silently dropped.
 
     All kinds are driver-side O(manifest-metadata) walks turned into
     DataFrames — no data file is ever opened. ``history``'s
@@ -2432,10 +2437,39 @@ def snapshot_metadata_table(
         ])
         return spark.createDataFrame(rows, schema)
 
+    if kind == "partitions":
+        snap = load_snapshot(path, version)
+        groups: dict[tuple, list] = {}
+        for e in snap["files"]:
+            key = (
+                int(e.get("spec_id") or 0),
+                json.dumps(e.get("partition"), sort_keys=True, default=str)
+                if "partition" in e
+                else None,
+            )
+            g = groups.setdefault(key, [0, 0, 0])
+            g[0] += 1
+            g[1] += int(e.get("rows") or 0)
+            g[2] += int(e.get("bytes") or 0)
+        rows = [
+            (sid, part, n, r, b)
+            for (sid, part), (n, r, b) in sorted(
+                groups.items(), key=lambda kv: (kv[0][0], kv[0][1] or "")
+            )
+        ]
+        schema = T.StructType([
+            T.StructField("spec_id", T.LongType(), False),
+            T.StructField("partition", T.StringType(), True),
+            T.StructField("n_files", T.LongType(), False),
+            T.StructField("rows", T.LongType(), False),
+            T.StructField("bytes", T.LongType(), False),
+        ])
+        return spark.createDataFrame(rows, schema)
+
     if kind != "history":
         raise ValueError(
             f"unknown metadata table kind {kind!r} "
-            "(have: history, files, manifests)"
+            "(have: history, files, manifests, partitions)"
         )
 
     shard_names: dict[str, list[str]] = {}  # immutable: load each ONCE

@@ -150,6 +150,37 @@ class TestManifests:
         assert all(r["shard_path"].startswith("_mshard-") for r in m)
 
 
+class TestPartitions:
+    def test_unpartitioned_rolls_up_under_null_tuple(self, spark, table):
+        p = snapshot_metadata_table(spark, table, "partitions").collect()
+        assert len(p) == 1
+        assert p[0]["partition"] is None
+        assert p[0]["n_files"] == 3 and p[0]["rows"] == 150
+
+    def test_hidden_partitioned_groups_by_tuple(self, spark, tmp_path):
+        import json as _json
+
+        from pandas_to_postgres_spark.sources.partition_spec import (
+            spec_field,
+            write_partitioned_snapshot,
+        )
+
+        p = str(tmp_path / "part_meta")
+        df = spark.range(40).selectExpr(
+            "id AS k", "CAST(id % 4 AS INT) AS grp", "id * 2 AS v"
+        )
+        write_partitioned_snapshot(
+            spark, df, p, [spec_field("identity", "grp")], stat_cols=["k"]
+        )
+        parts = snapshot_metadata_table(spark, p, "partitions").collect()
+        assert len(parts) == 4
+        assert sum(r["rows"] for r in parts) == 40
+        vals = sorted(
+            list(_json.loads(r["partition"]).values())[0] for r in parts
+        )
+        assert len(set(vals)) == 4
+
+
 def test_unknown_kind_refused(spark, table):
     with pytest.raises(ValueError, match="kind"):
-        snapshot_metadata_table(spark, table, "partitions")
+        snapshot_metadata_table(spark, table, "refs_table")
