@@ -48,6 +48,35 @@ _BM25_K1 = 1.2
 _BM25_B = 0.75
 
 
+def _plan_table_dir(spark: SparkSession, sf_dir: str, prefix: str) -> str:
+    """Fresh per-(query, sf_dir) table directory under the session
+    warehouse for snapshot-building plan functions: deterministic name
+    (md5 tag keeps concurrent tiers apart), previous contents removed."""
+    import hashlib
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = urlparse(
+        spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    ).path or "spark-warehouse"
+    path = os.path.join(
+        wh, f"{prefix}_{hashlib.md5(sf_dir.encode()).hexdigest()[:6]}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    return path
+
+
+def _data_parquets(p: str) -> list[str]:
+    """Sorted data-file names in a table dir (hidden/metadata excluded)."""
+    import os
+
+    return sorted(
+        f for f in os.listdir(p)
+        if f.endswith(".parquet") and not f.startswith((".", "_"))
+    )
+
+
 @register(
     "bm25_docs",
     oracle=f"""
@@ -4315,10 +4344,7 @@ def snapshot_clone_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     lakehouse surface (SURVEY §2.12) — the CLONE verb's query face
     (sources/manifest.py clone_snapshot, Delta SHALLOW CLONE
     semantics)."""
-    import hashlib
     import os
-    import shutil
-    from urllib.parse import urlparse
 
     from pandas_to_postgres_spark.sources.manifest import (
         _escapes_table_dir,
@@ -4329,20 +4355,9 @@ def snapshot_clone_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_snapshot,
     )
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:6]
-    wh = urlparse(
-        spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    ).path or "spark-warehouse"
-    src = os.path.join(wh, f"clone_src_{tag}")
-    dst = os.path.join(wh, f"clone_dst_{tag}")
-    shutil.rmtree(src, ignore_errors=True)
-    shutil.rmtree(dst, ignore_errors=True)
-
-    def _parquets(p):
-        return sorted(
-            f for f in os.listdir(p)
-            if f.endswith(".parquet") and not f.startswith((".", "_"))
-        )
+    src = _plan_table_dir(spark, sf_dir, "clone_src")
+    dst = _plan_table_dir(spark, sf_dir, "clone_dst")
+    _parquets = _data_parquets
 
     ords = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority", "o_totalprice"
@@ -4354,9 +4369,14 @@ def snapshot_clone_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     publish_snapshot(src, ["o_orderkey"])
 
     man = clone_snapshot(src, dst)
-    assert man["cloned_from"]["path"] == os.path.abspath(src)
-    assert not _parquets(dst)  # zero data bytes copied
-    assert all(_escapes_table_dir(dst, e["path"]) for e in man["files"])
+    # unconditional raises (not assert): the zero-copy proofs must hold
+    # even under python -O, or the docstring's "asserted" claim is false
+    if man["cloned_from"]["path"] != os.path.abspath(src):
+        raise RuntimeError("clone lineage does not pin the source")
+    if _parquets(dst):
+        raise RuntimeError("clone copied data bytes; expected zero")
+    if not all(_escapes_table_dir(dst, e["path"]) for e in man["files"]):
+        raise RuntimeError("clone entry resolves inside the clone dir")
 
     # diverge the SOURCE: the clone must never see this append
     pre = set(_parquets(src))
@@ -4370,7 +4390,8 @@ def snapshot_clone_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "append"
     ).parquet(dst)
     append_snapshot(dst, _parquets(dst))
-    assert load_snapshot(dst)["version"] == 2
+    if load_snapshot(dst)["version"] != 2:
+        raise RuntimeError("clone-side append did not publish v2")
 
     cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
     return read_snapshot(spark, dst).groupBy("o_orderpriority").agg(
@@ -4417,11 +4438,6 @@ def manifest_rewrite_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     lakehouse surface (SURVEY §2.12) — the rewrite_manifests verb's
     query face (sources/manifest.py rewrite_manifests).
     """
-    import hashlib
-    import os
-    import shutil
-    from urllib.parse import urlparse
-
     from pandas_to_postgres_spark.sources.manifest import (
         append_snapshot,
         load_snapshot,
@@ -4431,12 +4447,7 @@ def manifest_rewrite_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         snapshot_versions,
     )
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:6]
-    wh = urlparse(
-        spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    ).path or "spark-warehouse"
-    path = os.path.join(wh, f"rwm_{tag}")
-    shutil.rmtree(path, ignore_errors=True)
+    path = _plan_table_dir(spark, sf_dir, "rwm")
 
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_extendedprice"
@@ -4459,28 +4470,25 @@ def manifest_rewrite_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 100-entry publish remainder = 8 smalls, below the inline
     # merge-on-write threshold (> 8), so the degraded layout persists
     for i in range(7):
-        pre = {
-            f for f in os.listdir(path)
-            if f.endswith(".parquet") and not f.startswith((".", "_"))
-        }
+        pre = set(_data_parquets(path))
         li.filter(F.col("l_orderkey") % 14 == 2 * i + 1).repartition(
             8
         ).write.mode("append").parquet(path)
-        new = sorted(
-            f for f in os.listdir(path)
-            if f.endswith(".parquet")
-            and not f.startswith((".", "_"))
-            and f not in pre
+        append_snapshot(
+            path, sorted(set(_data_parquets(path)) - pre)
         )
-        append_snapshot(path, new)
 
     before = _shards(path)
     shards_before, files_before = len(before), sum(int(r["n"]) for r in before)
     man = rewrite_manifests(path)
-    assert man.get("data_change") is False
+    # unconditional raises (not assert): the no-loss proofs must hold
+    # even under python -O
+    if man.get("data_change") is not False:
+        raise RuntimeError("rewrite_manifests published a data change")
     after = _shards(path)
     shards_after, files_after = len(after), sum(int(r["n"]) for r in after)
-    assert files_after == files_before  # repack loses/duplicates nothing
+    if files_after != files_before:
+        raise RuntimeError("manifest repack lost or duplicated entries")
 
     return read_snapshot(spark, path).agg(
         F.lit(shards_publish).cast("long").alias("shards_before_publish"),
@@ -4533,11 +4541,6 @@ def snapshot_history_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference: the 988-LoC loader has no table versioning; [EXT]
     lakehouse surface (SURVEY §2.12) — the inspection-table verb
     (sources/manifest.py snapshot_metadata_table)."""
-    import hashlib
-    import os
-    import shutil
-    from urllib.parse import urlparse
-
     from pandas_to_postgres_spark.sources.manifest import (
         append_snapshot,
         delete_snapshot_rows,
@@ -4546,18 +4549,8 @@ def snapshot_history_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         snapshot_metadata_table,
     )
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:6]
-    wh = urlparse(
-        spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    ).path or "spark-warehouse"
-    path = os.path.join(wh, f"hist_{tag}")
-    shutil.rmtree(path, ignore_errors=True)
-
-    def _parquets(p):
-        return sorted(
-            f for f in os.listdir(p)
-            if f.endswith(".parquet") and not f.startswith((".", "_"))
-        )
+    path = _plan_table_dir(spark, sf_dir, "hist")
+    _parquets = _data_parquets
 
     ords = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority", "o_totalprice"

@@ -594,6 +594,9 @@ def _publish_rewrite(
     removed: set,
     new_names: Sequence[str],
     op: str,
+    spark=None,
+    validated_constraints: dict | None = None,
+    introduces_rows: bool = False,
 ) -> dict:
     """Shared commit loop for every REWRITE publish (merge / delete /
     CDC apply / compaction): publish head − ``removed`` + ``new_names``
@@ -603,17 +606,61 @@ def _publish_rewrite(
     ``removed`` files is a genuine write-write conflict — our rewrite
     was derived from a file that no longer represents those rows — so
     the commit unlinks its staged output and raises
-    :class:`SnapshotConflictError` instead of publishing a duplicate."""
+    :class:`SnapshotConflictError` instead of publishing a duplicate.
+
+    CHECK constraints (same in-loop rule as ``append_snapshot``, closing
+    the TOCTOU for row-INTRODUCING rewrites): callers that introduce new
+    rows (merge, CDC apply — ``introduces_rows=True``) pass the
+    constraint set they validated at entry; if the re-read head carries
+    constraints beyond that set (a ``set_check_constraint`` landed
+    mid-flight), the staged files are re-validated against the delta
+    BEFORE any claim — a violation unlinks the staged output and raises,
+    so no version ever carries a constraint over unvalidated rows.
+    Row-PRESERVING rewrites (CoW delete, compaction) need no re-check:
+    their output rows are a subset of rows the mid-flight setter itself
+    validated (files are immutable and the setter scanned the head our
+    basis came from; a basis rewritten out from under us is the
+    write-write conflict above, which refuses)."""
+    revalidated = dict(validated_constraints or {})
+
+    def _unlink_staged() -> None:
+        for n in new_names:
+            try:
+                os.unlink(os.path.join(path, n))
+            except FileNotFoundError:
+                pass
+
     for _ in range(_MAX_PUBLISH_RETRIES):
         head = load_snapshot(path)
+        if introduces_rows and new_names:
+            pending = {
+                k: v
+                for k, v in (head.get("constraints") or {}).items()
+                if revalidated.get(k) != v
+            }
+            if pending:
+                if spark is None:  # cannot validate: fail closed
+                    _unlink_staged()
+                    raise ValueError(
+                        f"{op}: table gained CHECK constraints "
+                        f"{sorted(pending)} mid-flight and no session "
+                        "is available to validate the staged rows"
+                    )
+                try:
+                    _check_violations(
+                        spark.read.parquet(
+                            *[os.path.join(path, n) for n in new_names]
+                        ),
+                        pending,
+                    )
+                except Exception:
+                    _unlink_staged()
+                    raise
+                revalidated.update(pending)
         head_names = {e["path"] for e in head["files"]}
         gone = removed - head_names
         if gone:
-            for n in new_names:
-                try:
-                    os.unlink(os.path.join(path, n))
-                except FileNotFoundError:
-                    pass
+            _unlink_staged()
             raise SnapshotConflictError(
                 f"{op}: concurrent writer already rewrote "
                 f"{sorted(gone)[:3]}{'...' if len(gone) > 3 else ''} of "
@@ -808,13 +855,9 @@ def append_snapshot(
         )
         _validated_cons.update(pending)
 
-    _vers0 = snapshot_versions(path)
-    if _vers0 and list(new_files):
-        _ensure_validated(
-            load_snapshot(path, _vers0[-1], materialize=False).get(
-                "constraints"
-            )
-        )
+    # constraint enforcement happens INSIDE the claim loop (first thing,
+    # against the freshly-read head, re-checked on every retry) — there
+    # is deliberately no pre-loop check to go stale
     for _ in range(_MAX_PUBLISH_RETRIES):
         versions = snapshot_versions(path)
         if versions:
@@ -1208,7 +1251,10 @@ def merge_snapshot(
     # 4. publish (head-merged claim-retry; snapshot-isolation caveat in
     # the docstring: concurrent appends carry over unmerged)
     return _publish_rewrite(
-        path, snap["stat_cols"], affected, new_names, "merge_snapshot"
+        path, snap["stat_cols"], affected, new_names, "merge_snapshot",
+        spark=spark,
+        validated_constraints=snap.get("constraints") or {},
+        introduces_rows=True,
     )
 
 
@@ -1605,6 +1651,9 @@ def apply_changes_to_snapshot(
     return _publish_rewrite(
         path, snap["stat_cols"], affected, new_names,
         "apply_changes_to_snapshot",
+        spark=spark,
+        validated_constraints=snap.get("constraints") or {},
+        introduces_rows=True,
     )
 
 
@@ -2449,7 +2498,8 @@ def snapshot_metadata_table(
             )
             g = groups.setdefault(key, [0, 0, 0])
             g[0] += 1
-            g[1] += int(e.get("rows") or 0)
+            # live rows (DV ordinals subtracted), matching count_snapshot
+            g[1] += int(e.get("rows") or 0) - len(e.get("dv") or ())
             g[2] += int(e.get("bytes") or 0)
         rows = [
             (sid, part, n, r, b)
@@ -2488,17 +2538,26 @@ def snapshot_metadata_table(
         return out
 
     def _totals(raw: dict) -> tuple[int, int, int]:
+        # n_rows is LIVE rows: DV-deleted ordinals subtracted, matching
+        # count_snapshot — a history row must report what the commit did
+        # (a DV delete shows the count DROP even though no file changed)
         refs = raw.get("shards")
         if refs:
             return (
                 sum(int(r["n"]) for r in refs),
-                sum(int(r.get("rows") or 0) for r in refs),
+                sum(
+                    int(r.get("rows") or 0) - int(r.get("dv_total") or 0)
+                    for r in refs
+                ),
                 sum(int(r.get("bytes") or 0) for r in refs),
             )
         ents = raw.get("files") or []
         return (
             len(ents),
-            sum(int(e.get("rows") or 0) for e in ents),
+            sum(
+                int(e.get("rows") or 0) - len(e.get("dv") or ())
+                for e in ents
+            ),
             sum(int(e.get("bytes") or 0) for e in ents),
         )
 

@@ -291,3 +291,67 @@ class TestConcurrencyTOCTOU:
         assert head["constraints"] == {"v_even": "v % 2 = 0"}
         assert set(new) <= {e["path"] for e in head["files"]}
         assert head["version"] == 3  # v2 constraint won, v3 append retried
+
+    # -- order 3: row-INTRODUCING rewrite in flight, SET wins the version --
+
+    def test_merge_refuses_when_constraint_lands_mid_flight(
+        self, spark, table, monkeypatch
+    ):
+        """The rewrite-verb half of the TOCTOU: merge validated its
+        updates against an EMPTY constraint set at entry; a constraint
+        that lands before merge's claim must force a re-validation of
+        the staged files — violating upserts are refused, the staged
+        output unlinked, and no version publishes them."""
+        self._inject_before_first_claim(
+            monkeypatch,
+            rival=lambda: set_check_constraint(
+                spark, table, "v_even", "v % 2 = 0"
+            ),
+            when=lambda m: m.get("operation") == "merge_snapshot",
+        )
+        with pytest.raises(ConstraintViolation, match="v_even"):
+            M.merge_snapshot(
+                spark, table, spark.createDataFrame([Row(k=3, v=7)]), ["k"]
+            )
+        head = M.load_snapshot(table)
+        assert head["constraints"] == {"v_even": "v % 2 = 0"}
+        assert head["version"] == 2  # v2 = the rival SET; merge refused
+        got = {r["k"]: r["v"] for r in M.read_snapshot(spark, table).collect()}
+        assert got[3] == 6  # the violating upsert never landed
+
+    def test_merge_revalidates_and_commits_valid_rows(
+        self, spark, table, monkeypatch
+    ):
+        self._inject_before_first_claim(
+            monkeypatch,
+            rival=lambda: set_check_constraint(
+                spark, table, "v_even", "v % 2 = 0"
+            ),
+            when=lambda m: m.get("operation") == "merge_snapshot",
+        )
+        out = M.merge_snapshot(
+            spark, table, spark.createDataFrame([Row(k=3, v=8)]), ["k"]
+        )
+        assert out["version"] == 3  # lost v2 to the SET, republished v3
+        head = M.load_snapshot(table)
+        assert head["constraints"] == {"v_even": "v % 2 = 0"}
+        got = {r["k"]: r["v"] for r in M.read_snapshot(spark, table).collect()}
+        assert got[3] == 8 and len(got) == 100
+
+    def test_cdc_apply_refuses_when_constraint_lands_mid_flight(
+        self, spark, table, monkeypatch
+    ):
+        self._inject_before_first_claim(
+            monkeypatch,
+            rival=lambda: set_check_constraint(
+                spark, table, "v_even", "v % 2 = 0"
+            ),
+            when=lambda m: m.get("operation") == "apply_changes_to_snapshot",
+        )
+        changes = spark.createDataFrame([Row(k=3, v=7, op="U", seq=1)])
+        with pytest.raises(ConstraintViolation, match="v_even"):
+            M.apply_changes_to_snapshot(spark, table, changes, ["k"])
+        head = M.load_snapshot(table)
+        assert head["version"] == 2  # only the rival SET published
+        got = {r["k"]: r["v"] for r in M.read_snapshot(spark, table).collect()}
+        assert got[3] == 6

@@ -97,6 +97,24 @@ class TestHistory:
         assert h[2] == "append"   # strictly additive file set
         assert h  # inference never raises on old tables
 
+    def test_history_n_rows_is_live_rows_under_dv_delete(self, spark, table):
+        """A DV delete changes no file, but the history row for that
+        version must show the live count DROP (n_rows matches
+        count_snapshot, never the physical footer sum) — otherwise the
+        history table misreports what the commit did."""
+        M.delete_snapshot_rows_dv(
+            spark, table, spark.createDataFrame([Row(k=7), Row(k=9)]), ["k"]
+        )
+        h = {
+            r["version"]: r
+            for r in snapshot_metadata_table(spark, table, "history").collect()
+        }
+        assert h[3]["operation"] == "delete_snapshot_rows_dv"
+        assert h[3]["n_rows"] == 148 == M.count_snapshot(table)
+        assert h[2]["n_rows"] == 150  # prior version untouched
+        p = snapshot_metadata_table(spark, table, "partitions").collect()
+        assert sum(r["rows"] for r in p) == 148  # partitions agree
+
     def test_clone_history_starts_with_clone(self, spark, table, tmp_path):
         dst = str(tmp_path / "meta_clone")
         M.clone_snapshot(table, dst)
