@@ -109,6 +109,17 @@ def _agg_shard_stats(
     """Fold entry-level [min, max] to shard level. A column missing from
     ANY entry is omitted (readers then conservatively open the shard —
     the same contract as file-level stats)."""
+    import datetime
+
+    def _norm(v: Any) -> Any:
+        # entries reloaded from JSON carry temporal stats as ISO strings
+        # (default=str) while freshly-built entries carry natives — fold
+        # in string form so a residual shard mixing both vintages never
+        # compares across types (ISO-8601 strings order chronologically)
+        if isinstance(v, (datetime.date, datetime.datetime)):
+            return str(v)
+        return v
+
     out: dict[str, Any] = {}
     for col in stat_cols:
         lo = hi = None
@@ -118,8 +129,13 @@ def _agg_shard_stats(
             if st is None:
                 ok = False
                 break
-            lo = st[0] if lo is None else min(lo, st[0])
-            hi = st[1] if hi is None else max(hi, st[1])
+            a, b = _norm(st[0]), _norm(st[1])
+            try:
+                lo = a if lo is None else min(lo, a)
+                hi = b if hi is None else max(hi, b)
+            except TypeError:
+                ok = False  # incomparable vintages: omit, open the shard
+                break
         if ok and lo is not None:
             out[col] = [lo, hi]
     return out
@@ -296,8 +312,16 @@ def _file_stats(
             if not st.has_min_max:
                 ok = False
                 continue
-            lo = st.min if lo is None else min(lo, st.min)
-            hi = st.max if hi is None else max(hi, st.max)
+            try:
+                # pyarrow raises ArrowNotImplementedError for types it
+                # cannot extract (DECIMAL) — treat exactly like missing
+                # stats: omit the column, readers conservatively keep
+                smin, smax = st.min, st.max
+            except Exception:
+                ok = False
+                continue
+            lo = smin if lo is None else min(lo, smin)
+            hi = smax if hi is None else max(hi, smax)
         if ok and lo is not None:
             out[col] = [lo, hi]
         if nc_ok:
@@ -336,10 +360,27 @@ def prune_files(manifest: dict, col: str, lo: Any, hi: Any) -> tuple[list, int]:
 
 def _overlaps(st: Any, col: str, lo: Any, hi: Any) -> bool:
     """[min, max] overlap test shared by file- and shard-level pruning;
-    missing stats conservatively overlap (the superset guarantee)."""
+    missing stats conservatively overlap (the superset guarantee).
+
+    Stats round-trip through JSON with ``default=str``, so temporal
+    min/max come back as ISO strings; date/datetime bounds are compared
+    in ISO-string form (lexicographic == chronological for ISO-8601).
+    Any stat the bound type cannot interpret conservatively overlaps —
+    pruning may never turn a type mismatch into a dropped file."""
     if st is None:
         return True
-    return not (hi < type(hi)(st[0]) or lo > type(lo)(st[1]))
+    import datetime
+
+    if isinstance(hi, (datetime.date, datetime.datetime)) and isinstance(
+        st[0], str
+    ):
+        # default=str serialization: str(date) / str(datetime) — the
+        # same form both sides, ordered correctly
+        return not (str(hi) < st[0] or str(lo) > st[1])
+    try:
+        return not (hi < type(hi)(st[0]) or lo > type(lo)(st[1]))
+    except (TypeError, ValueError):
+        return True  # uninterpretable stat: keep the file
 
 
 def _prune_entries(entries: Sequence[dict], col: str, lo: Any, hi: Any) -> list:
@@ -410,6 +451,11 @@ def read_pruned(
     from pyspark.sql import functions as F
 
     manifest = load_manifest(path)
+    if not manifest["files"]:
+        raise ValueError(
+            f"manifest under {path} lists zero files — published on an "
+            "empty directory; there is no schema to read"
+        )
     keep, total = prune_files(manifest, col, lo, hi)
     entries = keep or manifest["files"][:1]
     paths = [os.path.join(path, e["path"]) for e in entries]
@@ -699,6 +745,7 @@ def publish_snapshot(
     files: Sequence[str] | None = None,
     known_entries: Sequence[dict] | None = None,
     extra: dict | None = None,
+    spark=None,
 ) -> dict:
     """Freeze a file list (with footer stats) as the next immutable
     ``_manifest-v{N}.json``. Files already listed by an earlier snapshot
@@ -723,6 +770,7 @@ def publish_snapshot(
     name instead of re-reading parquet footers. ``extra`` merges
     additional manifest-level metadata into the claimed manifest (e.g.
     the hidden-partitioning ``partition_spec``)."""
+    validated_cons: dict = {}
     for _ in range(_MAX_PUBLISH_RETRIES):
         versions = snapshot_versions(path)
         version = (versions[-1] if versions else 0) + 1
@@ -740,8 +788,32 @@ def publish_snapshot(
             if files is None
             else list(files)
         )
+        # a re-publish onto a constrained table is a LOGICAL OVERWRITE:
+        # the constraints inherit (never silently dropped) and the whole
+        # published file set is new data — validate it, fail closed
+        # without a session (same rule as append_snapshot; re-checked on
+        # every retry against the freshly-read head)
+        cons = (head or {}).get("constraints") or {}
+        pending = {k: v for k, v in cons.items() if validated_cons.get(k) != v}
+        if pending and names:
+            if spark is None:
+                raise ValueError(
+                    f"publish_snapshot: {path} carries CHECK constraints "
+                    f"{sorted(pending)} — pass spark= so the published "
+                    "file set can be validated; constraints inherit "
+                    "through every commit and are never silently dropped"
+                )
+            _check_violations(
+                spark.read.parquet(
+                    *[os.path.join(path, n) for n in names]
+                ),
+                pending,
+            )
+            validated_cons.update(pending)
         entries = _build_entries(path, names, stat_cols, known_entries)
-        manifest = _pack_manifest(path, version, stat_cols, entries, head)
+        manifest = _inherit(
+            _pack_manifest(path, version, stat_cols, entries, head), head
+        )
         manifest["operation"] = "publish"
         if extra:
             manifest.update(extra)
@@ -810,7 +882,12 @@ def append_snapshot(
     On a SHARDED head (and no ``drop_prefix``, same stat columns) the
     commit is O(new files) outright: head shard references carry over
     verbatim — no shard content is read — and the new files land in one
-    fresh shard. Steady-state micro-batch ingest therefore commits in
+    fresh shard. NOTE the return shape on this fast path: the manifest
+    dict carries ``shards`` references and NO ``files`` key (the entry
+    list was deliberately never materialized — backfilling it would
+    cost the O(table) shard reads the path exists to avoid); call
+    :func:`load_snapshot` when entries are needed. The inline path and
+    every other publish verb return materialized ``files``. Steady-state micro-batch ingest therefore commits in
     constant time regardless of table size; accumulated small shards are
     coalesced in-line once enough of them pile up (Iceberg's manifest-
     merge-on-write), which keeps the manifest list itself bounded.
@@ -1117,7 +1194,17 @@ def read_snapshot_pruned(
     plan = plan_snapshot_scan(path, col, lo, hi, version)
     keep = plan["keep"]
     entries = keep or plan["fallback"]
-    df = _read_entries(spark, path, entries)
+    # the LOGICAL schema applies to pruned reads exactly as to full ones
+    # (renamed columns coalesce across physical vintages, dropped
+    # columns stay dropped); `col` is a logical name, so the exact
+    # predicate goes on top of the mapped projection
+    cmap = load_snapshot(path, version, materialize=False).get("column_map")
+    df = _apply_column_map(
+        _read_entries(
+            spark, path, entries, bool(cmap and cmap.get("renames"))
+        ),
+        cmap,
+    )
     pred = (F.col(col) >= lo) & (F.col(col) <= hi)
     if not keep:
         pred = pred & F.lit(False)
@@ -1195,7 +1282,10 @@ def merge_snapshot(
     _check_violations(updates, snap.get("constraints") or {})
 
     # 1. prune candidates by manifest stats on a single numeric key
-    cand, untouched = list(snap["files"]), []
+    # (kept files need no bookkeeping here: _publish_rewrite re-derives
+    # the kept set from the freshly-read head, which is what makes a
+    # lost claim compose with concurrent appends)
+    cand = list(snap["files"])
     if len(key_cols) == 1 and key_cols[0] in snap.get("stat_cols", []):
         k = key_cols[0]
         b = updates.agg(
@@ -1203,8 +1293,6 @@ def merge_snapshot(
         ).first()
         if b["lo"] is not None:
             cand, _ = prune_files(snap, k, b["lo"], b["hi"])
-            pruned = {e["path"] for e in cand}
-            untouched = [e for e in snap["files"] if e["path"] not in pruned]
 
     new_names: list[str] = []
     affected: set[str] = set()
@@ -1219,7 +1307,6 @@ def merge_snapshot(
             .distinct()
         )
         affected = _affected_entry_paths(path, cand, probe.collect())
-        untouched += [e for e in cand if e["path"] not in affected]
 
     # 3. rewrite: survivors of affected files + the whole updates frame
     if affected:
@@ -1749,6 +1836,15 @@ def expire_snapshots(
             deleted_shards.append(s)
     for v in expired:
         os.remove(os.path.join(path, f"_manifest-v{v}.json"))
+    if expired:
+        # expiry with a ref-pinned old version punches HOLES into the
+        # version sequence (e.g. retained {3, 10}, 4..9 gone). The
+        # resolve-latest forward probe assumes contiguity above the
+        # hint, so a hint lagging below a hole would resolve a stale
+        # head; re-stamping the hint at the TRUE head here restores the
+        # invariant "no hole above the hint" (best-effort, like every
+        # hint write — readers fall back to the listing on a miss)
+        _write_version_hint(path, retained[-1])
     # Bloom sidecars (and their shards) pinned to an expired version
     # retire with it — they were previously permanent orphans (judge r7).
     # A sidecar for a RETAINED version stays: immutable files keep it
@@ -2069,9 +2165,14 @@ def set_branch(path: str, name: str, version: int | None = None) -> int:
     only :func:`set_branch`'s advance makes a version visible to readers
     pinned to ``ref="main"`` — stale or failed-audit versions simply
     never get the branch moved onto them."""
+    import uuid
+
     v = load_snapshot(path, version, materialize=False)["version"]
     ref = os.path.join(path, f"_ref-branch-{name}.json")
-    tmp = ref + ".tmp"
+    # writer-unique temp: a SHARED tmp name would let two concurrent
+    # advances truncate each other mid-write and promote a torn file —
+    # same discipline as tag_snapshot and _write_version_hint
+    tmp = os.path.join(path, f".ref-{uuid.uuid4().hex[:8]}.tmp")
     with open(tmp, "w") as fh:
         json.dump({"version": v}, fh)
     os.replace(tmp, ref)  # atomic move: last writer wins, never torn
@@ -2113,6 +2214,10 @@ def restore_snapshot(path: str, version: int | str) -> dict:
             json.dumps(snap.get("partition_spec"), sort_keys=True),
             json.dumps(snap.get("partition_specs"), sort_keys=True),
             str(snap.get("default_spec_id")),
+            # constraints are restored state too: a rollback to the
+            # version BEFORE a constraint was dropped must re-establish
+            # it, not no-op on an identical file list
+            json.dumps(snap.get("constraints"), sort_keys=True),
         )
 
     for _ in range(_MAX_PUBLISH_RETRIES):
