@@ -168,8 +168,10 @@ def windowed_event_counts_foreachbatch(
         agg, writer, checkpoint_dir=ckpt, output_mode="complete"
     )
     q.awaitTermination()
-    result = spark.read.parquet(out).cache()
-    result.count()  # materialize before the temp dir disappears
+    # localCheckpoint SEVERS lineage (cache() does not — an evicted
+    # block would recompute from the deleted temp path); eager so the
+    # materialization happens before the rmtree
+    result = spark.read.parquet(out).localCheckpoint(eager=True)
     shutil.rmtree(base, ignore_errors=True)
     return result
 

@@ -55,7 +55,10 @@ def silver_rollup_writer(silver_path: str):
 
     def _writer(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        part = rollup_partials(batch_df)
+        # localCheckpoint: the partials (one row per event_type) are
+        # consumed twice (isEmpty probe + write/merge) — without the
+        # barrier each consumer re-runs the batch aggregation
+        part = rollup_partials(batch_df).localCheckpoint(eager=True)
         if part.isEmpty():
             return
         os.makedirs(silver_path, exist_ok=True)
@@ -90,8 +93,10 @@ def silver_rollup_writer(silver_path: str):
                 F.lit(batch_id).cast("long").alias("applied_batch"),
             )
         )
-        if not updates.isEmpty():
-            merge_snapshot(spark, silver_path, updates, ["event_type"])
+        # no isEmpty probe: merge_snapshot counts the updates frame once
+        # anyway and no-ops on zero rows — a probe here would double the
+        # join cost per batch
+        merge_snapshot(spark, silver_path, updates, ["event_type"])
 
     return _writer
 
@@ -160,7 +165,14 @@ def incremental_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.readStream.format("snapshot").option("path", bronze).load()
         )
         q = stream_to_batch_sink(stream, writer, checkpoint_dir=ckpt)
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            # a partially-drained epoch must be an ERROR, never a silent
+            # under-application (and starting the next query on a still-
+            # active checkpoint would fail anyway)
+            q.stop()
+            raise TimeoutError(
+                "incremental_event_rollup: epoch drain exceeded 300s"
+            )
 
     return read_snapshot(spark, silver).select("event_type", "n", "value_cents")
 
@@ -289,6 +301,11 @@ def refresh_join_mv(
     d_left = delta_df(left_path, applied["left"], lv)
     d_right = delta_df(right_path, applied["right"], rv)
     if d_left is None and d_right is None:
+        if not sv:
+            # neither bronze has published yet AND no silver exists:
+            # the documented no-op publishes nothing — loading an
+            # empty silver dir would raise, so report version 0
+            return {"version": 0, "applied_versions": dict(applied)}
         return load_snapshot(silver_path)  # nothing to apply: no-op
 
     deltas = []

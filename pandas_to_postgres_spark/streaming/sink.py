@@ -99,12 +99,20 @@ def stream_to_postgres_exactly_once(
     previously-used target cannot match the old run's batch_ids and
     silently skip its epochs."""
     import hashlib  # noqa: PLC0415
+    import os  # noqa: PLC0415
 
     from pandas_to_postgres_spark.sinks.postgres_copy import (  # noqa: PLC0415
         load_batch_exactly_once,
     )
 
-    run_id = hashlib.sha256(checkpoint_dir.encode()).hexdigest()[:16]
+    # realpath: the ledger's run namespace must be stable across every
+    # spelling of the same checkpoint (relative vs absolute, trailing
+    # slash, symlink) — a restart that resolves to the same checkpoint
+    # but hashes a different string would miss the replay check and
+    # double-load the redelivered epoch
+    run_id = hashlib.sha256(
+        os.path.realpath(checkpoint_dir).encode()
+    ).hexdigest()[:16]
 
     def _writer(batch_df: DataFrame, batch_id: int) -> None:
         load_batch_exactly_once(
@@ -150,7 +158,9 @@ def snapshot_cdc_writer(
 
 
 def snapshot_table_writer(
-    path: str, stat_cols: Optional[list] = None
+    path: str,
+    stat_cols: Optional[list] = None,
+    stream_id: Optional[str] = None,
 ) -> BatchWriter:
     """Exactly-once streaming ingest into the manifest snapshot table
     (``sources/manifest``) — the streaming-lakehouse shape: every
@@ -176,17 +186,35 @@ def snapshot_table_writer(
     atomic version claim, retried against a re-read head, so the stream
     can run concurrently with compaction or batch appends. Use through
     :func:`stream_to_batch_sink`.
+
+    ``stream_id`` namespaces the epoch files (``part-e{id}-{epoch}-*``).
+    Epoch numbers are unique PER CHECKPOINT, not per table: TWO streams
+    ingesting the same table both start at batch 0, so without distinct
+    ids one stream's leftover sweep would delete the other's PUBLISHED
+    batch-0 files and its ``drop_prefix`` would evict them from the
+    head. Pass an id that is deterministic across restarts of the same
+    query — derive it from the checkpoint location (e.g.
+    ``sha256(realpath(ckpt))[:8]``), never a fresh uuid, or a restarted
+    query stops recognizing its own epochs and redelivery appends twice.
+    Single-stream tables may omit it (the default keeps the historical
+    ``part-e{epoch}-`` names).
     """
     import glob
     import os
+    import re
     import shutil
     import tempfile
 
     from pandas_to_postgres_spark.sources.manifest import append_snapshot
 
+    if stream_id is not None and not re.fullmatch(r"[A-Za-z0-9]+", stream_id):
+        raise ValueError("stream_id must be [A-Za-z0-9]+")
+    base = f"part-e{stream_id}-" if stream_id else "part-e"
+
     def _writer(batch_df: DataFrame, batch_id: int) -> None:
+        pfx = f"{base}{batch_id}-"
         os.makedirs(path, exist_ok=True)
-        for leftover in glob.glob(os.path.join(path, f"part-e{batch_id}-*.parquet")):
+        for leftover in glob.glob(os.path.join(path, f"{pfx}*.parquet")):
             os.remove(leftover)
         stage = tempfile.mkdtemp(prefix=f"snap-epoch-{batch_id}-")
         moved = []
@@ -197,7 +225,7 @@ def snapshot_table_writer(
                 if f.endswith(".parquet") and not f.startswith((".", "_"))
             )
             for i, f in enumerate(parts):
-                name = f"part-e{batch_id}-{i:05d}.parquet"
+                name = f"{pfx}{i:05d}.parquet"
                 shutil.move(
                     os.path.join(stage, f), os.path.join(path, name)
                 )
@@ -206,7 +234,7 @@ def snapshot_table_writer(
             shutil.rmtree(stage, ignore_errors=True)
         append_snapshot(
             path, moved, stat_cols=stat_cols,
-            drop_prefix=f"part-e{batch_id}-",
+            drop_prefix=pfx,
             spark=batch_df.sparkSession,  # CHECK-constraint validation
         )
 
@@ -214,7 +242,10 @@ def snapshot_table_writer(
 
 
 def partitioned_snapshot_table_writer(
-    path: str, spec: list, stat_cols: Optional[list] = None
+    path: str,
+    spec: list,
+    stat_cols: Optional[list] = None,
+    stream_id: Optional[str] = None,
 ) -> BatchWriter:
     """Exactly-once streaming ingest into a HIDDEN-PARTITIONED snapshot
     table — :func:`snapshot_table_writer` composed with the Iceberg-style
@@ -231,14 +262,22 @@ def partitioned_snapshot_table_writer(
     redelivered batch REPLACES its own files; the publish is an atomic
     version claim retried against the re-read head, composing with
     concurrent compaction/appends. First epoch stamps the spec via
-    ``extra``; later epochs inherit it from the head."""
+    ``extra``; later epochs inherit it from the head. ``stream_id``
+    namespaces epochs exactly as in :func:`snapshot_table_writer` —
+    required (distinct, checkpoint-derived) when MULTIPLE streams
+    ingest the same table, since epoch numbers are per-checkpoint."""
     import glob
     import os
+    import re
 
     from pandas_to_postgres_spark.sources.manifest import (
         append_snapshot,
         snapshot_versions,
     )
+
+    if stream_id is not None and not re.fullmatch(r"[A-Za-z0-9]+", stream_id):
+        raise ValueError("stream_id must be [A-Za-z0-9]+")
+    base = f"part-e{stream_id}-" if stream_id else "part-e"
     from pandas_to_postgres_spark.sources.partition_spec import (
         stage_partitioned_files,
     )
@@ -249,17 +288,16 @@ def partitioned_snapshot_table_writer(
             _head_specs,
         )
 
+        pfx = f"{base}{batch_id}-"
         os.makedirs(path, exist_ok=True)
-        for leftover in glob.glob(
-            os.path.join(path, f"part-e{batch_id}-*.parquet")
-        ):
+        for leftover in glob.glob(os.path.join(path, f"{pfx}*.parquet")):
             os.remove(leftover)
         names, entries = stage_partitioned_files(
             batch_df,
             path,
             spec,
             stat_cols or (),
-            prefix=f"part-e{batch_id}-",
+            prefix=pfx,
         )
         first = not snapshot_versions(path)
         # spec-evolution safety: once the table carries MULTIPLE specs
@@ -297,7 +335,7 @@ def partitioned_snapshot_table_writer(
             path,
             names,
             stat_cols=stat_cols,
-            drop_prefix=f"part-e{batch_id}-",
+            drop_prefix=pfx,
             known_entries=entries,
             spark=batch_df.sparkSession,  # CHECK-constraint validation
             extra=extra,

@@ -1201,6 +1201,41 @@ class TestSnapshotStreamMaintenanceCompose:
             M.read_snapshot_pruned(spark, path, "k", 240, 249).count() == 10
         )
 
+    def test_two_streams_one_table_namespaced_epochs(self, spark, tmp_path):
+        """Epoch numbers are per-CHECKPOINT, not per table: two streams
+        ingesting the same snapshot table both deliver batch 0. With
+        distinct stream_ids their epoch namespaces cannot collide —
+        stream B's batch-0 leftover sweep must not delete stream A's
+        PUBLISHED batch-0 files, and each stream's redelivery replaces
+        only its OWN epoch."""
+        import pyspark.sql.functions as F
+
+        from pandas_to_postgres_spark.sources import manifest as M
+        from pandas_to_postgres_spark.streaming.sink import (
+            snapshot_table_writer,
+        )
+
+        path = str(tmp_path / "shared_tbl")
+        wa = snapshot_table_writer(path, ["k"], stream_id="aa")
+        wb = snapshot_table_writer(path, ["k"], stream_id="bb")
+
+        def df(lo, hi):
+            return spark.range(lo, hi).select(F.col("id").alias("k"))
+
+        wa(df(0, 100), 0)     # stream A, batch 0
+        wb(df(100, 150), 0)   # stream B, batch 0 — same epoch NUMBER
+        got = M.read_snapshot(spark, path)
+        assert got.count() == 150  # A's batch-0 rows survived B's sweep
+        assert got.select("k").distinct().count() == 150
+        # each stream's redelivery replaces only its own epoch
+        wa(df(0, 100), 0)
+        wb(df(100, 150), 0)
+        got2 = M.read_snapshot(spark, path)
+        assert got2.count() == 150
+        assert got2.select("k").distinct().count() == 150
+        with pytest.raises(ValueError, match="stream_id"):
+            snapshot_table_writer(path, ["k"], stream_id="../evil")
+
 
 class TestSnapshotWriterStatColsInheritance:
     def test_unoptioned_append_keeps_pruning(self, spark, tmp_path):
