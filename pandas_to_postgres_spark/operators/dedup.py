@@ -30,6 +30,23 @@ from pyspark.sql import functions as F
 from pandas_to_postgres_spark.functions.text import tokens_expr
 from pandas_to_postgres_spark.functions.vectors import cosine_expr
 
+#: Vocabulary bound for the bitset verify fast path in
+#: :func:`ngram_jaccard_prefix`. With V distinct shingles the per-doc token
+#: set fits in ceil(V/64) BIGINT words; exact intersection is then
+#: bit_count(a & b) summed over words — a handful of ALU ops per candidate
+#: pair instead of a hash-set build over both shingle arrays. 512 keeps the
+#: mask at <= 8 codegen columns (64 B/row); the decision is made from the
+#: MEASURED vocabulary (the interning check's countDistinct), so natural
+#: corpora (vocabulary in the millions) always take the general array path.
+_BITSET_MAX_VOCAB = 512
+
+#: Broadcast bound for the bitset path's prefix frame, in ROWS (~44 B/row
+#: at 512 vocab → <=90 MB built). The decision reads the materialized
+#: checkpoint's exact count, never a plan estimate; a corpus whose prefix
+#: frame exceeds it keeps the planner's shuffle join (broadcasting a
+#: corpus-sized frame would be the 100 TB scale bug).
+_BITSET_BCAST_ROWS = 2_000_000
+
 
 def ensure_parallelism(df: DataFrame, min_partitions: Optional[int] = None) -> DataFrame:
     """Repartition iff the input has fewer partitions than the target.
@@ -329,6 +346,118 @@ def ngram_jaccard_blocked(
     )
 
 
+def _ngram_jaccard_bitset(
+    tok: DataFrame,
+    dfreq: DataFrame,
+    n_vocab: int,
+    width: int,
+    threshold: float,
+    prefix_len,
+    with_sizes: bool,
+) -> DataFrame:
+    """Bitset verify leg of :func:`ngram_jaccard_prefix` (gated on the
+    measured vocabulary fitting ``_BITSET_MAX_VOCAB``; see the call site
+    for the full rationale).
+
+    Candidate generation is the same Vernica/Chaudhuri prefix join; the
+    difference is that each prefix row carries the document's EXACT token
+    set as ``ceil(V/64)`` BIGINT mask words over a dense vocabulary index
+    (built once: broadcast <=512-row vocab join + one ``bit_or`` window
+    that rides the SAME per-doc exchange the prefix-rank window already
+    pays), so the exact Jaccard verify runs INLINE in the join —
+    ``sum_j bit_count(wa_j & wb_j)`` — and only SURVIVING rows reach the
+    pair-distinct. No verify joins, no array payloads in any exchange.
+    """
+    n_words = (n_vocab + 63) // 64
+    # dense 0..V-1 index in the global (df, token) order; V <= 512 rows, so
+    # the single-partition row_number window and the broadcast are both
+    # metadata-sized at any corpus size
+    vocab = dfreq.select(
+        "__t",
+        "__df",
+        (F.row_number().over(Window.orderBy("__df", "__t")) - 1).alias("__ix"),
+    )
+    rn = F.row_number().over(Window.partitionBy("__id").orderBy("__df", "__t"))
+    wdoc = Window.partitionBy("__id")
+    masks = [
+        F.bit_or(
+            F.expr(
+                f"CASE WHEN __ix DIV 64 = {j} THEN "
+                "shiftleft(CAST(1 AS BIGINT), CAST(__ix % 64 AS INT)) "
+                "ELSE CAST(0 AS BIGINT) END"
+            )
+        )
+        .over(wdoc)
+        .alias(f"__w{j}")
+        for j in range(n_words)
+    ]
+    wcols = [f"__w{j}" for j in range(n_words)]
+    # the candidate join runs on the dense INT vocab index, not the token:
+    # 4-byte fixed-width keys keep the prefix frame narrow enough that the
+    # planner broadcasts one side (string keys here were measured to tip
+    # the size estimate into a sort-merge join that AQE then coalesced to
+    # ONE partition — a 54s single-task fan-out)
+    pref = (
+        tok.join(F.broadcast(vocab), "__t")
+        .select("__id", "__sz", "__ix", rn.alias("__rn"), *masks)
+        .filter(F.col("__rn") <= prefix_len)
+        .select("__id", "__sz", "__ix", *wcols)
+        .repartition(width)
+        .localCheckpoint(eager=False)
+    )
+    # materialize NOW and decide the join strategy from the exact row
+    # count: with a lazy checkpoint the planner only sees upstream
+    # ESTIMATES (the string-token upstream inflated them enough to flip
+    # this join to a shuffle join, which AQE — seeing 0.8 MB and not the
+    # ~100x fan-out below — coalesced to a single 54s task). The count is
+    # one metadata-sized job over the checkpointed blocks; the broadcast
+    # side is bounded by _BITSET_BCAST_ROWS, so a corpus whose prefix
+    # frame is genuinely large keeps the planner's shuffle join, and the
+    # stream side always scans the width-pinned checkpoint.
+    small_pref = pref.count() <= _BITSET_BCAST_ROWS
+    a = pref.select(
+        F.col("__id").alias("id_a"),
+        "__ix",
+        F.col("__sz").alias("__sza"),
+        *[F.col(w).alias(f"__wa{j}") for j, w in enumerate(wcols)],
+    )
+    b = pref.select(
+        F.col("__id").alias("id_b"),
+        "__ix",
+        F.col("__sz").alias("__szb"),
+        *[F.col(w).alias(f"__wb{j}") for j, w in enumerate(wcols)],
+    )
+    inter = F.expr(
+        " + ".join(f"bit_count(__wa{j} & __wb{j})" for j in range(n_words))
+    ).cast("bigint")
+    verified = (
+        a.join(F.broadcast(b) if small_pref else b, "__ix")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            # same 1e-9 slack as the general path's length filter: purely
+            # a prefilter, the exact popcount verify below decides
+            F.least("__sza", "__szb").cast("double")
+            >= F.lit(threshold - 1e-9) * F.greatest("__sza", "__szb").cast("double")
+        )
+        .withColumn("__isz", inter)
+        .withColumn(
+            "__usz",
+            (F.col("__sza") + F.col("__szb")).cast("bigint") - F.col("__isz"),
+        )
+        .withColumn(
+            "jaccard", F.col("__isz").cast("double") / F.col("__usz").cast("double")
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    out = ["id_a", "id_b", F.round("jaccard", 4).alias("jaccard")]
+    if with_sizes:
+        out += [F.col("__isz").alias("inter_sz"), F.col("__usz").alias("union_sz")]
+    # distinct AFTER the inline verify: every output column is a function
+    # of the (id_a, id_b) pair, so this is exactly the old candidate
+    # distinct — but its input is survivors only
+    return verified.select(*out).distinct()
+
+
 def ngram_jaccard_prefix(
     df: DataFrame,
     text_col: str,
@@ -375,10 +504,16 @@ def ngram_jaccard_prefix(
 
     **Token interning (``intern_tokens=True``)**: shingles are replaced by
     their xxhash64 BEFORE anything shuffles, guarded by one vocabulary-wide
-    collision check (``count_distinct(shingle) == count_distinct(hash)`` —
-    a map-side-combined pass; on ANY collision the operator silently falls
-    back to string shingles, so the result is EXACT either way, never
-    probabilistically wrong). Document frequency, prefix ranks, the
+    collision check (``count_distinct(shingle) == count_distinct(hash)``,
+    computed since r10 as a VOCABULARY-sized aggregate over the document-
+    frequency frame instead of a second corpus pass; on ANY collision the
+    operator silently falls back to string shingles, so the result is
+    EXACT either way, never probabilistically wrong).
+
+    **Small-vocabulary bitset verify (r10)**: when the measured vocabulary
+    fits ``_BITSET_MAX_VOCAB``, the verify runs INLINE in the candidate
+    join as popcounts over fixed-width token-set bitmasks — see
+    :func:`_ngram_jaccard_bitset`. Decided from data, exact either way. Document frequency, prefix ranks, the
     candidate join, and the verify's array_intersect then all run on
     array<long> instead of array<string>: smaller shuffles, 64-bit compares
     instead of string hashing in the per-pair intersect. The prefix ORDER
@@ -399,6 +534,7 @@ def ngram_jaccard_prefix(
     thousands of splits and the guard is a no-op.
     """
     width = df.sparkSession.sparkContext.defaultParallelism
+    n_vocab = 0
     sh = shingles_expr(text_col, n)
     # materialized once (lazy localCheckpoint): the tokenized table feeds
     # candidate generation (via explode), BOTH sides of the prefix
@@ -416,40 +552,88 @@ def ngram_jaccard_prefix(
     base = ensure_parallelism(
         df.select(F.col(id_col).alias("__id"), F.col(text_col)), width
     ).select("__id", sh.alias("__tks"))
-    interned = False
-    if intern_tokens:
-        # explode_OUTER on purpose: a plain explode lets Catalyst infer a
-        # size(__tks) > 0 filter (InferFiltersFromGenerate) whose predicate
-        # carries the WHOLE shingle expression below the repartition
-        # exchange into the scan stage — the expensive HOF then evaluates
-        # twice, once on the scan's 1-2 splits (measured 8.4s on 2 of 32
-        # cores at sf0.1; the round-7 width gate caught it). The rule
-        # skips outer generates, and countDistinct ignores the null rows
-        # outer adds for empty arrays, so results are identical.
-        chk = base.select(F.explode_outer("__tks").alias("__t")).agg(
-            F.countDistinct("__t").alias("n_tok"),
-            F.countDistinct(F.xxhash64("__t")).alias("n_hash"),
-        ).first()
-        interned = chk["n_tok"] == chk["n_hash"]
-    arr = (
-        F.transform("__tks", lambda t: F.xxhash64(t))
-        if interned
-        else F.col("__tks")
-    )
-    toks = (
-        base.select("__id", arr.alias("__tk"))
+    # STRING shingle arrays, materialized once: document frequencies, the
+    # interning collision check, and both execution paths all derive from
+    # this checkpoint, so the expensive tokenize/shingle HOF runs exactly
+    # once per corpus (it used to run twice — once for the collision-check
+    # pass over the raw scan, once for this frame; r10 folds the check
+    # into the vocabulary aggregate below, saving a full corpus pass).
+    toks_str = (
+        base.select("__id", F.col("__tks").alias("__tk"))
         .withColumn("__sz", F.size("__tk"))
         .localCheckpoint(eager=False)
     )
-    tok = toks.select("__id", "__sz", F.explode("__tk").alias("__t"))
-    dfreq = tok.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
+    tok_str = toks_str.select("__id", "__sz", F.explode("__tk").alias("__t"))
+    # vocabulary-sized (one row per distinct shingle); checkpointed so the
+    # collision-check aggregate and the downstream rank join share ONE
+    # explode+groupBy pass instead of re-deriving it per reference
+    dfreq_str = (
+        tok_str.groupBy("__t")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .localCheckpoint(eager=False)
+    )
+    interned = False
+    n_vocab = 0
+    if intern_tokens:
+        # interning safety check + vocabulary size in one vocabulary-sized
+        # aggregate (NOT a corpus pass): count_distinct(token) == |dfreq|
+        # by construction, so comparing it with count_distinct(xxhash64)
+        # over the dfreq frame is the same collision test the old
+        # corpus-wide explode ran.
+        chk = dfreq_str.agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.countDistinct(F.xxhash64("__t")).alias("n_hash"),
+        ).first()
+        interned = chk["n_tok"] == chk["n_hash"]
+        n_vocab = int(chk["n_tok"])
+    prefix_len = F.col("__sz") - F.ceil(F.lit(threshold) * F.col("__sz")) + 1
+    if max_token_df is None and 0 < n_vocab <= _BITSET_MAX_VOCAB:
+        # SMALL-VOCABULARY BITSET VERIFY (output-dense corpora). When the
+        # measured vocabulary fits in a few 64-bit words, each document's
+        # exact token SET is a fixed-width bitmask over a dense vocabulary
+        # index, and the per-pair verify collapses to popcounts of ANDed
+        # words — computed INLINE in the candidate join, BEFORE the
+        # pair-distinct. That removes both verify joins (cand ⋈ toks ⋈
+        # toks) and their fat array payloads entirely, and shrinks the
+        # distinct's input from ALL candidate rows to surviving rows only
+        # (sf0.1 adversarial fixture: 177M raw candidate rows → the old
+        # path dedups all of them to 48.6M pairs then hash-set-intersects
+        # each; this path filters to 62M surviving rows with ~8 ALU ops
+        # per row, then dedups 11.7M output pairs — measured 25.8s → see
+        # OPTIMIZATION_r10.md). Exactness: the vocab index is a bijection
+        # (tokens already collision-checked when interned), arrays are
+        # distinct-element by construction, so bit_count(a&b) IS
+        # |A ∩ B| and union falls out arithmetically — identical rows to
+        # the array path, pair for pair. At 100 TB a natural vocabulary
+        # blows the gate and the general path below runs instead; docs
+        # scale freely here (the broadcast is the <=512-row vocab, never
+        # the corpus). Runs directly on STRING tokens — masks replace the
+        # arrays, so interning would buy nothing here.
+        return _ngram_jaccard_bitset(
+            tok_str, dfreq_str, n_vocab, width, threshold, prefix_len, with_sizes
+        )
+    if interned:
+        # general path on interned tokens: the arrays re-derive from the
+        # string checkpoint with a cheap per-element xxhash64 transform
+        # (never re-tokenizing), and the df counts carry over by hashing
+        # the vocabulary-sized dfreq frame — exact because the collision
+        # check above proved token → hash is a bijection on this corpus.
+        toks = toks_str.select(
+            "__id",
+            F.transform("__tk", lambda t: F.xxhash64(t)).alias("__tk"),
+            "__sz",
+        )
+        dfreq = dfreq_str.select(F.xxhash64("__t").alias("__t"), "__df")
+    else:
+        toks = toks_str
+        dfreq = dfreq_str
     if max_token_df is not None:
         dfreq = dfreq.filter(F.col("__df") <= max_token_df)
+    tok = toks.select("__id", "__sz", F.explode("__tk").alias("__t"))
     ranked = tok.join(dfreq, "__t").withColumn(
         "__rn",
         F.row_number().over(Window.partitionBy("__id").orderBy("__df", "__t")),
     )
-    prefix_len = F.col("__sz") - F.ceil(F.lit(threshold) * F.col("__sz")) + 1
     # materialized: consumed by both sides of the candidate self-join
     # (same lazy-localCheckpoint discipline as toks above); repartition
     # BELOW the checkpoint pins the split count the fan-out stage runs at

@@ -139,6 +139,38 @@ class TestDedup:
         assert (1, 3) in pairs and (2, 3) in pairs  # near dups found
         assert not any({4, 5} & set(p) for p in pairs)  # no false positives
 
+    def test_ngram_bitset_path_matches_array_path(self, spark):
+        """r10: the small-vocabulary bitset verify (popcount of ANDed mask
+        words, decided from the measured vocab) must return row-identical
+        pairs — jaccard AND exact sizes — to the general array path. The
+        fixture's word vocab is far under _BITSET_MAX_VOCAB so the default
+        call takes the bitset leg; intern_tokens=False disables the gate
+        and forces the array path on the same corpus."""
+        from pandas_to_postgres_spark.operators.dedup import (
+            _BITSET_MAX_VOCAB,
+            ngram_jaccard_prefix,
+        )
+
+        d = self._docs(spark)
+        vocab = (
+            d.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("t"))
+            .distinct()
+            .count()
+        )
+        assert vocab <= _BITSET_MAX_VOCAB  # fixture really takes the fast leg
+        fast = ngram_jaccard_prefix(
+            d, "text", "doc_id", threshold=0.5, n=1, with_sizes=True
+        )
+        slow = ngram_jaccard_prefix(
+            d, "text", "doc_id", threshold=0.5, n=1, with_sizes=True,
+            intern_tokens=False,
+        )
+        assert fast.columns == slow.columns
+        rows_fast = sorted(map(tuple, fast.collect()))
+        rows_slow = sorted(map(tuple, slow.collect()))
+        assert rows_fast == rows_slow
+        assert rows_fast, "fixture must produce at least one verified pair"
+
     def test_minhash_md5_checked_recall(self, spark):
         """The replayable md5-basis tier finds the planted dups with the
         same recall as the xxhash64 throughput tier, and its corpus-level

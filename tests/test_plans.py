@@ -757,7 +757,13 @@ class TestParallelismPinning:
         )
         assert widths, "expected toks + pref checkpoints"
         floor = min(spark.sparkContext.defaultParallelism, 8)
-        assert all(w >= floor for w in widths), widths
+        # the two compute-bearing checkpoints (token arrays + prefix frame,
+        # the fan-out join's feeders) must stay pooled; the round-10
+        # vocabulary-sized dfreq checkpoint (one row per distinct shingle)
+        # is ALLOWED to be narrow — it only feeds metadata-sized jobs (the
+        # collision-check aggregate and the <=512-row vocab index), never
+        # the fan-out
+        assert sum(w >= floor for w in widths) >= 2, widths
 
     def test_blocked_embedding_join_is_width_pinned(self, spark):
         # pinned by an explicit hashpartitioning on the block column
