@@ -245,6 +245,20 @@ def minhash_lsh_candidates(
     capped = banded.withColumn("__bn", F.row_number().over(wb)).filter(
         F.col("__bn") <= max_bucket
     )
+    # materialize the capped band table once: the self-join's two sides do
+    # NOT share the window exchange in practice (measured: two identical
+    # 32-task scan→signature→band→window stages, ~6.5s CPU each, because
+    # the broadcast build side replans the whole subtree instead of
+    # reusing the exchange) — the checkpoint guarantees one signature
+    # computation. repartition BELOW the checkpoint pins the width the
+    # bucket fan-out runs at (the ngram_jaccard_prefix pattern: AQE
+    # coalesces the ~3 MB band frame to 1-2 partitions and cannot see the
+    # self-join's fan-out under it).
+    capped = (
+        capped.select(F.col(id_col), "band_idx", "band_hash")
+        .repartition(signatures.sparkSession.sparkContext.defaultParallelism)
+        .localCheckpoint(eager=False)
+    )
     a = capped.select(
         F.col("band_idx"), F.col("band_hash"), F.col(id_col).alias("id_a")
     )

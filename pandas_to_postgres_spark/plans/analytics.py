@@ -3806,19 +3806,25 @@ def two_pass_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)  # all passes read this projection
     )
 
-    def locate(frame, width, ranks):
-        """One map-combined histogram of ``frame`` at ``width`` →
-        driver-side cumulative walk: for each (label, global_rank,
-        rank_within_frame) return the bin holding it and the rank
-        WITHIN that bin. O(bins) driver rows per level."""
-        hist = (
+    def hist_rows(frame, width):
+        """One map-combined histogram of ``frame`` at ``width``, collected
+        and sorted IN THE DRIVER (O(bins) rows — an orderBy here would add
+        a whole range-exchange stage to sort what the driver sorts for
+        free)."""
+        return sorted(
             frame.select(
                 F.floor(F.col("cents") / width).cast("long").alias("b")
             )
             .groupBy("b")
             .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+            .collect(),
+            key=lambda r: r["b"],
         )
-        rows = hist.orderBy("b").collect()
+
+    def walk(rows, ranks):
+        """Cumulative walk over sorted histogram rows: for each (label,
+        global_rank, rank_within_frame) return the bin holding it and the
+        rank WITHIN that bin."""
         out = []
         for label, grank, frank in ranks:
             cum = 0
@@ -3829,7 +3835,10 @@ def two_pass_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                 cum += r["cnt"]
         return out
 
-    n = li.count()
+    # level 1: coarse bins over the whole column; n = the histogram's own
+    # total, so the count() pass the old version paid first is free
+    rows1 = hist_rows(li, 100_000)
+    n = sum(r["cnt"] for r in rows1)
     ranks = []
     for label, num, den in (
         ("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4),
@@ -3837,9 +3846,7 @@ def two_pass_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ):
         rank = (num * n + den - 1) // den
         ranks.append((label, rank, rank))
-
-    # level 1: coarse bins over the whole column
-    lvl1 = locate(li, 100_000, ranks)
+    lvl1 = walk(rows1, ranks)
     need1 = sorted({b for _, _, b, _ in lvl1})
     cand = li.filter(
         F.floor(F.col("cents") / 100_000).cast("long").isin(need1)
@@ -3849,27 +3856,26 @@ def two_pass_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exactly inside level-1 bins (100_000 = 1000 * 100), so the frame
     # rank within `cand` locates the right fine bin for each target:
     # rank_within_cand = offset_in_bin1 + rows of OTHER selected bins
-    # before it — recompute per target against the candidate frame
+    # before it. The fine histogram also SUPPLIES the per-coarse-bin
+    # counts (fine bins nest: b DIV 1000 is the coarse bin), so one
+    # collect serves both walks — the old version paid a separate
+    # coarse-histogram job over cand first.
     lvl1_by_label = {lab: (b, off) for lab, _, b, off in lvl1}
-    cand_bins = (
-        cand.select(
-            F.floor(F.col("cents") / 100_000).cast("long").alias("b")
-        )
-        .groupBy("b")
-        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-        .orderBy("b")
-        .collect()
-    )
+    rows2 = hist_rows(cand, 100)
     cum_before = {}
     cum = 0
-    for r in cand_bins:
-        cum_before[int(r["b"])] = cum
+    prev = None
+    for r in rows2:  # rows sorted by fine bin → coarse groups are runs
+        cb = int(r["b"]) // 1000  # Python // floors like F.floor: nested bins
+        if cb != prev:
+            cum_before[cb] = cum
+            prev = cb
         cum += r["cnt"]
     ranks2 = [
         (lab, grank, cum_before[lvl1_by_label[lab][0]] + lvl1_by_label[lab][1])
         for lab, grank, _ in ranks
     ]
-    lvl2 = locate(cand, 100, ranks2)
+    lvl2 = walk(rows2, ranks2)
     need2 = sorted({b for _, _, b, _ in lvl2})
     tdf = spark.createDataFrame(
         lvl2, "p_label string, rank long, tb long, toff long"
@@ -4101,59 +4107,67 @@ def ams_join_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     tier (SURVEY §2.12 [EXT]) — the cross-table leg of the
     deterministic-sketch family."""
 
-    def sketch(df, key_col):
+    width = spark.sparkContext.defaultParallelism
+
+    def leg(df, key_col, tag):
         # ONE md5 per row; estimator j draws its sign from bit j of the
-        # 60-bit hash (2*((h>>j)&1) - 1). The hash projection sits BELOW
-        # the Generate, so it evaluates once per row, not once per
-        # (row, j) - 32x less hashing than a per-estimator md5, with the
-        # same exact DuckDB replay.
+        # 60-bit hash (2*((h>>j)&1) - 1). The md5 projection is CPU-bound
+        # and the key column arrives as 1-3 parquet splits at bench scale
+        # — widen first so the hashing uses the pool (no-op at 100 TB).
+        d = df.select(F.col(key_col).alias("k"))
+        if d.rdd.getNumPartitions() < width:
+            d = d.repartition(width)
         h = F.conv(
             F.substring(
-                F.md5(
-                    F.concat(F.lit("aj:"), F.col(key_col).cast("string"))
-                ),
+                F.md5(F.concat(F.lit("aj:"), F.col("k").cast("string"))),
                 1,
                 15,
             ),
             16,
             10,
         ).cast("long")
-        return (
-            df.select(h.alias("h"))
-            .select(
-                "h",
-                F.explode(F.sequence(F.lit(0), F.lit(31))).alias("j"),
-            )
-            .select(
-                "j",
-                F.expr(
-                    "2 * (shiftright(h, CAST(j AS INT)) & 1) - 1"
-                ).alias("s"),
-            )
-            .groupBy("j")
-            .agg(F.sum("s").cast("long").alias("sj"))
-        )
+        return d.select(h.alias("h"), F.lit(tag).alias("t"))
 
+    # r10: the 32 sign sums per table fold in ONE two-row aggregate (32
+    # map-combined ones-counters per table; S_j = 2*ones_j - N) instead
+    # of explode(0..31) → 32x the rows → groupBy(j) → join — same exact
+    # integers, no Generate, one job for BOTH tables (the union lets the
+    # two scans fill the pool together). The bounded collect (2 rows x
+    # 33 ints) IS the sketch; the median-of-means arithmetic on it is
+    # O(d) and replays the DuckDB oracle bit-for-bit.
     o = load_table(spark, sf_dir, "orders").select("o_orderkey")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
-    sa = sketch(o, "o_orderkey").withColumnRenamed("sj", "sa")
-    sb = sketch(li, "l_orderkey").withColumnRenamed("sj", "sb")
-    prod = sa.join(sb, "j").select(
-        "j", (F.col("sa") * F.col("sb")).cast("long").alias("pj")
-    )
-    grp = prod.groupBy(F.floor(F.col("j") / 8).alias("g")).agg(
-        (F.sum("pj").cast("double") / 8).alias("mean_est")
-    )
-    rn = F.row_number().over(
-        Window.partitionBy(F.lit(0)).orderBy(
-            F.col("mean_est").asc(), F.col("g").asc()
+    rows = (
+        leg(o, "o_orderkey", 0)
+        .unionByName(leg(li, "l_orderkey", 1))
+        .groupBy("t")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.sum(F.expr(f"shiftright(h, {j}) & 1"))
+                .cast("long")
+                .alias(f"o{j}")
+                for j in range(32)
+            ],
         )
+        .collect()
     )
-    med = (
-        grp.withColumn("rn", rn)
-        .filter(F.col("rn").isin(2, 3))
-        .agg((F.sum("mean_est").cast("double") / 2).alias("join_est"))
-    )
+    by_tag = {int(r["t"]): r for r in rows}
+
+    def sums(r) -> list:
+        n = int(r["n"])
+        return [2 * int(r[f"o{j}"]) - n for j in range(32)]
+
+    sa = sums(by_tag[0])
+    sb = sums(by_tag[1])
+    # textbook median-of-means over the 32 products, computed in the
+    # driver on the two 32-int sketches (exact integer products; the
+    # /8, sort-by-(mean, g) and middle-two /2 are the same IEEE-double
+    # steps the oracle runs, so the estimate matches bit-for-bit)
+    pj = [sa[j] * sb[j] for j in range(32)]
+    means = [(sum(pj[g * 8:(g + 1) * 8]) / 8.0, g) for g in range(4)]
+    means.sort()
+    join_est = (means[1][0] + means[2][0]) / 2.0
     fa = o.groupBy(F.col("o_orderkey").alias("k")).agg(
         F.count(F.lit(1)).cast("long").alias("ca")
     )
@@ -4164,8 +4178,10 @@ def ams_join_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         fa.join(fb, "k")
         .agg(F.sum(F.col("ca") * F.col("cb")).cast("long").alias("join_exact"))
     )
-    return med.crossJoin(F.broadcast(exact)).select(
-        F.lit(32).cast("long").alias("d"), "join_est", "join_exact"
+    return exact.select(
+        F.lit(32).cast("long").alias("d"),
+        F.lit(join_est).cast("double").alias("join_est"),
+        "join_exact",
     )
 
 

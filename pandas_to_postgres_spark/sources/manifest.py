@@ -1272,27 +1272,39 @@ def merge_snapshot(
     if missing:
         raise ValueError(f"updates missing table columns: {missing}")
     updates = updates.select(*table_cols).localCheckpoint(eager=False)
-    n_up = updates.count()
+    # ONE aggregate job over the (metadata-sized) updates frame replaces
+    # what used to be up to four: row count, duplicate-key check, the
+    # single-key prune bounds, and the CHECK-constraint counters — each
+    # was a separate ~0.1-0.3s driver round-trip on every merge
+    constraints = snap.get("constraints") or {}
+    single_key = len(key_cols) == 1 and key_cols[0] in snap.get("stat_cols", [])
+    aggs = [
+        F.count(F.lit(1)).alias("__mg_n"),
+        F.countDistinct(F.struct(*key_cols)).alias("__mg_nk"),
+    ]
+    if single_key:
+        aggs += [
+            F.min(key_cols[0]).alias("__mg_lo"),
+            F.max(key_cols[0]).alias("__mg_hi"),
+        ]
+    aggs += _violation_aggs(constraints)
+    stats = updates.agg(*aggs).first()
+    n_up = stats["__mg_n"]
     if n_up == 0:
         return load_snapshot(path)  # no-op: no new version published
-    if updates.select(*key_cols).distinct().count() != n_up:
+    if stats["__mg_nk"] != n_up:
         raise ValueError("updates carry duplicate keys — merge is undefined")
     # CHECK constraints validate NEW data only (surviving old rows were
     # valid when their constraint was set; files are immutable)
-    _check_violations(updates, snap.get("constraints") or {})
+    _raise_violations(stats, constraints)
 
     # 1. prune candidates by manifest stats on a single numeric key
     # (kept files need no bookkeeping here: _publish_rewrite re-derives
     # the kept set from the freshly-read head, which is what makes a
     # lost claim compose with concurrent appends)
     cand = list(snap["files"])
-    if len(key_cols) == 1 and key_cols[0] in snap.get("stat_cols", []):
-        k = key_cols[0]
-        b = updates.agg(
-            F.min(k).alias("lo"), F.max(k).alias("hi")
-        ).first()
-        if b["lo"] is not None:
-            cand, _ = prune_files(snap, k, b["lo"], b["hi"])
+    if single_key and stats["__mg_lo"] is not None:
+        cand, _ = prune_files(snap, key_cols[0], stats["__mg_lo"], stats["__mg_hi"])
 
     new_names: list[str] = []
     affected: set[str] = set()
@@ -2724,16 +2736,13 @@ class ConstraintViolation(ValueError):
     Delta's constraint/invariant rule."""
 
 
-def _check_violations(df, constraints: dict) -> None:
-    """ONE column-pruned pass counting every constraint's violations at
-    once (k map-combined counters for k constraints); raises
-    :class:`ConstraintViolation` naming each violated constraint and its
-    row count."""
+def _violation_aggs(constraints: dict) -> list:
+    """Per-constraint violation-count aggregate expressions (map-combined
+    counters), for callers that fold the constraint check into an
+    aggregate pass they are already paying for."""
     from pyspark.sql import functions as F
 
-    if not constraints:
-        return
-    aggs = [
+    return [
         F.sum(
             F.when(F.expr(sql).eqNullSafe(F.lit(False)), 1).otherwise(0)
         )
@@ -2741,13 +2750,27 @@ def _check_violations(df, constraints: dict) -> None:
         .alias(name)
         for name, sql in constraints.items()
     ]
-    row = df.agg(*aggs).collect()[0]
+
+
+def _raise_violations(row, constraints: dict) -> None:
+    """Raise :class:`ConstraintViolation` from a row carrying the
+    :func:`_violation_aggs` counters (no-op when all are zero)."""
     bad = {n: int(row[n]) for n in constraints if row[n]}
     if bad:
         detail = ", ".join(
             f"{n!r} ({constraints[n]}): {c} row(s)" for n, c in bad.items()
         )
         raise ConstraintViolation(f"CHECK constraint(s) violated: {detail}")
+
+
+def _check_violations(df, constraints: dict) -> None:
+    """ONE column-pruned pass counting every constraint's violations at
+    once (k map-combined counters for k constraints); raises
+    :class:`ConstraintViolation` naming each violated constraint and its
+    row count."""
+    if not constraints:
+        return
+    _raise_violations(df.agg(*_violation_aggs(constraints)).collect()[0], constraints)
 
 
 def set_check_constraint(spark, path: str, name: str, expr_sql: str) -> dict:
