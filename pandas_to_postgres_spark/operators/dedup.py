@@ -47,6 +47,11 @@ _BITSET_MAX_VOCAB = 512
 #: corpus-sized frame would be the 100 TB scale bug).
 _BITSET_BCAST_ROWS = 2_000_000
 
+#: candidate-enumeration rows per task targeted by the scale-adaptive
+#: fan-out in :func:`_ngram_jaccard_bitset` (module constant so the
+#: path-equivalence test can force the scaled branch on a small corpus)
+_BITSET_ENUM_PER_TASK = 20_000_000
+
 
 def ensure_parallelism(df: DataFrame, min_partitions: Optional[int] = None) -> DataFrame:
     """Repartition iff the input has fewer partitions than the target.
@@ -428,7 +433,25 @@ def _ngram_jaccard_bitset(
     # side is bounded by _BITSET_BCAST_ROWS, so a corpus whose prefix
     # frame is genuinely large keeps the planner's shuffle join, and the
     # stream side always scans the width-pinned checkpoint.
-    small_pref = pref.count() <= _BITSET_BCAST_ROWS
+    pref_rows = pref.count()
+    small_pref = pref_rows <= _BITSET_BCAST_ROWS
+    # scale-adaptive width (guide §2: derive partitioning from the data,
+    # not a core-count constant): the join enumerates roughly
+    # pref_rows^2 / V candidate rows and the TRUE output is
+    # quadratic-dense on this corpus shape, so both the enumeration
+    # stage's width and — critically — the pair-distinct's reduce width
+    # must grow with the data. Measured at the 8x adversarial fixture
+    # (40k docs, ~154M true pairs, default 8g local[32] heap): the
+    # enumeration stage is fine at any width, but the final distinct at
+    # the session's fixed 32 shuffle partitions put ~5M-pair hash maps
+    # in 32 concurrent tasks and OOMed the heap — AQE can coalesce small
+    # aggregate partitions but never split large ones. Target
+    # ~_BITSET_ENUM_PER_TASK enumerations per task, floor at the pool
+    # width, cap at 32x the pool so tasks never degenerate.
+    est_enum = pref_rows * pref_rows // max(n_vocab, 1)
+    fan_width = max(width, min(width * 32, est_enum // _BITSET_ENUM_PER_TASK))
+    if fan_width > width:
+        pref = pref.repartition(fan_width)
     a = pref.select(
         F.col("__id").alias("id_a"),
         "__ix",
@@ -469,7 +492,19 @@ def _ngram_jaccard_bitset(
     # distinct AFTER the inline verify: every output column is a function
     # of the (id_a, id_b) pair, so this is exactly the old candidate
     # distinct — but its input is survivors only
-    return verified.select(*out).distinct()
+    res = verified.select(*out)
+    if fan_width > width:
+        # widen the pair-dedup too: hash-partitioning on (id_a, id_b) —
+        # a subset of the distinct keys — satisfies the aggregate's
+        # clustered distribution, so the distinct's own 32-partition
+        # exchange is ELIDED and the dedup runs at fan_width partitions
+        # with bounded per-task maps (the stage-44 OOM above). The cost
+        # is shuffling raw survivors instead of partially-deduped pairs
+        # (~5x rows on the adversarial fixture) — disk-bound and safe,
+        # vs. heap-bound and fatal. Unscaled corpora (fan_width ==
+        # width) keep the cheaper partial-dedup plan unchanged.
+        res = res.repartition(fan_width, "id_a", "id_b")
+    return res.distinct()
 
 
 def ngram_jaccard_prefix(

@@ -171,6 +171,34 @@ class TestDedup:
         assert rows_fast == rows_slow
         assert rows_fast, "fixture must produce at least one verified pair"
 
+    def test_ngram_bitset_scaled_fanout_matches_default(self, spark, monkeypatch):
+        """r10: the scale-adaptive branch of the bitset leg (fan-out
+        repartition + pair-dedup repartition on (id_a, id_b)) must be
+        result-identical to the unscaled plan. Forced on the small
+        fixture by shrinking the per-task enumeration target to 1."""
+        from pandas_to_postgres_spark.operators import dedup as D
+
+        d = self._docs(spark)
+        base = sorted(
+            map(
+                tuple,
+                D.ngram_jaccard_prefix(
+                    d, "text", "doc_id", threshold=0.5, n=1, with_sizes=True
+                ).collect(),
+            )
+        )
+        monkeypatch.setattr(D, "_BITSET_ENUM_PER_TASK", 1)
+        scaled = sorted(
+            map(
+                tuple,
+                D.ngram_jaccard_prefix(
+                    d, "text", "doc_id", threshold=0.5, n=1, with_sizes=True
+                ).collect(),
+            )
+        )
+        assert scaled == base
+        assert base, "fixture must produce at least one verified pair"
+
     def test_minhash_md5_checked_recall(self, spark):
         """The replayable md5-basis tier finds the planted dups with the
         same recall as the xxhash64 throughput tier, and its corpus-level
