@@ -384,8 +384,22 @@ def _ngram_jaccard_bitset(
     (built once: broadcast <=512-row vocab join + one ``bit_or`` window
     that rides the SAME per-doc exchange the prefix-rank window already
     pays), so the exact Jaccard verify runs INLINE in the join —
-    ``sum_j bit_count(wa_j & wb_j)`` — and only SURVIVING rows reach the
-    pair-distinct. No verify joins, no array payloads in any exchange.
+    ``sum_j bit_count(wa_j & wb_j)`` — with no verify joins and no array
+    payloads in any exchange.
+
+    Pair de-duplication is BY CONSTRUCTION (the PPJoin trick, Xiao/Wang/
+    Lin/Yu WWW'08 §3.1): a pair is emitted once per shared prefix token,
+    so instead of a corpus-pair-sized ``distinct`` the join keeps ONLY the
+    candidate whose join token is the pair's MINIMUM common token — a
+    per-row mask test against the ANDed bitsets (no common bit strictly
+    below ``__ix``). The minimum common token of the FULL sets is always
+    in both prefixes whenever any shared prefix token exists (prefixes
+    are the per-doc smallest tokens in the same global (df, token) order
+    the dense index encodes, and they are downward-closed within a doc's
+    set), so exactly one candidate per qualifying pair survives and the
+    output is row-identical to the distinct — with the entire post-join
+    shuffle (62M surviving rows at the sf0.1 fixture) deleted from the
+    plan: after the broadcast candidate join the query is map-only.
     """
     n_words = (n_vocab + 63) // 64
     # dense 0..V-1 index in the global (df, token) order; V <= 512 rows, so
@@ -437,17 +451,14 @@ def _ngram_jaccard_bitset(
     small_pref = pref_rows <= _BITSET_BCAST_ROWS
     # scale-adaptive width (guide §2: derive partitioning from the data,
     # not a core-count constant): the join enumerates roughly
-    # pref_rows^2 / V candidate rows and the TRUE output is
-    # quadratic-dense on this corpus shape, so both the enumeration
-    # stage's width and — critically — the pair-distinct's reduce width
-    # must grow with the data. Measured at the 8x adversarial fixture
-    # (40k docs, ~154M true pairs, default 8g local[32] heap): the
-    # enumeration stage is fine at any width, but the final distinct at
-    # the session's fixed 32 shuffle partitions put ~5M-pair hash maps
-    # in 32 concurrent tasks and OOMed the heap — AQE can coalesce small
-    # aggregate partitions but never split large ones. Target
+    # pref_rows^2 / V candidate rows, so the enumeration stage's task
+    # count grows with the estimated candidate volume — target
     # ~_BITSET_ENUM_PER_TASK enumerations per task, floor at the pool
-    # width, cap at 32x the pool so tasks never degenerate.
+    # width, cap at 32x the pool so tasks never degenerate. (The r10
+    # pair-dedup widening that used to live here is gone with the
+    # distinct itself — the min-common-token filter below keeps the
+    # post-join pipeline map-only, so there is no reduce-side hash map
+    # left to OOM at any width.)
     est_enum = pref_rows * pref_rows // max(n_vocab, 1)
     fan_width = max(width, min(width * 32, est_enum // _BITSET_ENUM_PER_TASK))
     if fan_width > width:
@@ -467,9 +478,28 @@ def _ngram_jaccard_bitset(
     inter = F.expr(
         " + ".join(f"bit_count(__wa{j} & __wb{j})" for j in range(n_words))
     ).cast("bigint")
+    # PPJoin-style dedup-by-construction: keep only the candidate whose
+    # join token __ix is the pair's MINIMUM common token — i.e. the ANDed
+    # masks have no set bit strictly below __ix. Per word j the probe mask
+    # is all-ones below the join token's word, the low (__ix % 64) bits in
+    # its own word, and zero above; `-1 ^ shiftleft(-1, k)` builds the low
+    # mask without the `(1 << 63) - 1` overflow ANSI mode would reject.
+    # (See the docstring: the min common token is provably in both
+    # prefixes whenever any shared prefix token is, so exactly one
+    # candidate per qualifying pair passes.)
+    min_common = F.expr(
+        " AND ".join(
+            f"((__wa{j} & __wb{j} & (CASE WHEN {j} < __ix DIV 64 "
+            f"THEN CAST(-1 AS BIGINT) WHEN {j} = __ix DIV 64 "
+            f"THEN (CAST(-1 AS BIGINT) ^ shiftleft(CAST(-1 AS BIGINT), "
+            f"CAST(__ix % 64 AS INT))) ELSE CAST(0 AS BIGINT) END)) = 0)"
+            for j in range(n_words)
+        )
+    )
     verified = (
         a.join(F.broadcast(b) if small_pref else b, "__ix")
         .filter(F.col("id_a") < F.col("id_b"))
+        .filter(min_common)
         .filter(
             # same 1e-9 slack as the general path's length filter: purely
             # a prefilter, the exact popcount verify below decides
@@ -489,22 +519,12 @@ def _ngram_jaccard_bitset(
     out = ["id_a", "id_b", F.round("jaccard", 4).alias("jaccard")]
     if with_sizes:
         out += [F.col("__isz").alias("inter_sz"), F.col("__usz").alias("union_sz")]
-    # distinct AFTER the inline verify: every output column is a function
-    # of the (id_a, id_b) pair, so this is exactly the old candidate
-    # distinct — but its input is survivors only
-    res = verified.select(*out)
-    if fan_width > width:
-        # widen the pair-dedup too: hash-partitioning on (id_a, id_b) —
-        # a subset of the distinct keys — satisfies the aggregate's
-        # clustered distribution, so the distinct's own 32-partition
-        # exchange is ELIDED and the dedup runs at fan_width partitions
-        # with bounded per-task maps (the stage-44 OOM above). The cost
-        # is shuffling raw survivors instead of partially-deduped pairs
-        # (~5x rows on the adversarial fixture) — disk-bound and safe,
-        # vs. heap-bound and fatal. Unscaled corpora (fan_width ==
-        # width) keep the cheaper partial-dedup plan unchanged.
-        res = res.repartition(fan_width, "id_a", "id_b")
-    return res.distinct()
+    # no distinct: the min-common-token filter above admits exactly one
+    # candidate row per qualifying pair, so the old corpus-pair-sized
+    # dedup shuffle (and the OOM-prone reduce-side hash maps it carried
+    # at scale) is gone — every output column is a function of the pair
+    # and the post-join pipeline is map-only.
+    return verified.select(*out)
 
 
 def ngram_jaccard_prefix(
@@ -641,15 +661,16 @@ def ngram_jaccard_prefix(
         # measured vocabulary fits in a few 64-bit words, each document's
         # exact token SET is a fixed-width bitmask over a dense vocabulary
         # index, and the per-pair verify collapses to popcounts of ANDed
-        # words — computed INLINE in the candidate join, BEFORE the
-        # pair-distinct. That removes both verify joins (cand ⋈ toks ⋈
-        # toks) and their fat array payloads entirely, and shrinks the
-        # distinct's input from ALL candidate rows to surviving rows only
-        # (sf0.1 adversarial fixture: 177M raw candidate rows → the old
-        # path dedups all of them to 48.6M pairs then hash-set-intersects
-        # each; this path filters to 62M surviving rows with ~8 ALU ops
-        # per row, then dedups 11.7M output pairs — measured 25.8s → see
-        # OPTIMIZATION_r10.md). Exactness: the vocab index is a bijection
+        # words — computed INLINE in the candidate join. That removes both
+        # verify joins (cand ⋈ toks ⋈ toks) and their fat array payloads
+        # entirely, and the PPJoin min-common-token filter (see
+        # _ngram_jaccard_bitset) removes the pair-distinct too: after the
+        # candidate join the plan is MAP-ONLY (sf0.1 adversarial fixture:
+        # 177M raw candidate rows → the old path dedup'd all of them to
+        # 48.6M pairs then hash-set-intersected each; this path decides
+        # each candidate with ~12 ALU ops and shuffles nothing after the
+        # join — measured 25.8s → see OPTIMIZATION_r10.md).
+        # Exactness: the vocab index is a bijection
         # (tokens already collision-checked when interned), arrays are
         # distinct-element by construction, so bit_count(a&b) IS
         # |A ∩ B| and union falls out arithmetically — identical rows to

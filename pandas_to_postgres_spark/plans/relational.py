@@ -142,16 +142,42 @@ def join_broadcast_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def join_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2: fact-fact equi-join → sort-merge/shuffled-hash on the order key.
 
-    Scale: both sides shuffle ONCE on o_orderkey/l_orderkey; the agg reuses
-    the join partitioning (no second shuffle — check .explain)."""
+    r10 (guide §2.3 "aggregate before you shuffle"): the measures touch
+    only lineitem columns and the grouping key contains the join key, so
+    lineitem folds to one (l_orderkey, decimal partial sum, count) row per
+    key BELOW its exchange — the big side shuffles ~4x fewer, far narrower
+    rows, and the post-join aggregate sums bounded per-key partials
+    instead of raw items. Exactness: decimal partial sums re-sum exactly
+    (associative, no overflow headroom lost at decimal(28,6) → (38,6)),
+    counts re-sum as bigint, and duplicate o_orderkey rows (if any)
+    multiply partials exactly as they multiplied raw rows, so the final
+    grouped values are bit-identical to the unfolded plan's.
+
+    Scale: both sides still shuffle ONCE on o_orderkey/l_orderkey; the
+    final agg reuses the join partitioning (no third shuffle — the
+    partitioning on the key subset satisfies the grouped distribution;
+    check .explain)."""
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
+    # partial fold below the shuffle: raw decimal sum (dsum's rounding is
+    # applied ONCE, over the re-summed total, exactly like the flat plan)
+    li_pre = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,6)"
+                )
+            ).alias("__rev"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+    )
     return (
-        o.join(li, o.o_orderkey == li.l_orderkey)
+        o.join(li_pre, o.o_orderkey == li_pre.l_orderkey)
         .groupBy("o_orderkey", "o_orderpriority")
         .agg(
-            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
-            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("__rev"), 2).cast("double").alias("revenue"),
+            F.sum("__n").alias("n_items"),
         )
     )
 

@@ -47,13 +47,15 @@ def main() -> None:
     for name in names:
         fn = REGISTRY[name].fn
         spark.sparkContext.setJobDescription(f"r10-measure:{name}")
-        # capture the formatted plan once (pre-execution, AQE initial plan)
+        # capture the formatted plan once (pre-execution, AQE initial plan);
+        # tag "none" = timing-only sweep, no plan files written
         df = fn(spark, sf_dir)
-        buf = io.StringIO()
-        with contextlib.redirect_stdout(buf):
-            df.explain("formatted")
-        with open(os.path.join(out_dir, f"{name}_{tag}.txt"), "w") as fh:
-            fh.write(buf.getvalue())
+        if tag != "none":
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain("formatted")
+            with open(os.path.join(out_dir, f"{name}_{tag}.txt"), "w") as fh:
+                fh.write(buf.getvalue())
         t0 = time.perf_counter()
         noop(df)
         cold = time.perf_counter() - t0

@@ -172,10 +172,10 @@ class TestDedup:
         assert rows_fast, "fixture must produce at least one verified pair"
 
     def test_ngram_bitset_scaled_fanout_matches_default(self, spark, monkeypatch):
-        """r10: the scale-adaptive branch of the bitset leg (fan-out
-        repartition + pair-dedup repartition on (id_a, id_b)) must be
-        result-identical to the unscaled plan. Forced on the small
-        fixture by shrinking the per-task enumeration target to 1."""
+        """r10: the scale-adaptive branch of the bitset leg (enumeration
+        fan-out repartition) must be result-identical to the unscaled
+        plan. Forced on the small fixture by shrinking the per-task
+        enumeration target to 1."""
         from pandas_to_postgres_spark.operators import dedup as D
 
         d = self._docs(spark)

@@ -910,13 +910,17 @@ class TestRound9Shapes:
         assert "BroadcastHashJoin" in plan  # targets broadcast, 5 rows
 
     def test_ams_join_sketch_folds_map_side(self, spark):
+        # r10: the sketch leg folds to ONE two-row aggregate (32
+        # map-combined ones-counters per table, S_j = 2*ones_j - N)
+        # collected during construction — no explode(0..31) Generate,
+        # no groupBy(j), no sketch join anywhere. The RETURNED frame is
+        # only the exact-count leg: two per-key groupBys joined and
+        # summed, with column-pruned scans.
         plan = plan_of(spark, "ams_join_estimate")
-        assert plan.count("HashAggregate") >= 2
-        assert "Generate" in plan  # 32-way fan-out is a generator
-        # one md5 per row: the hash projection sits BELOW the Generate,
-        # never recomputed per (row, j) — assert md5 appears in a
-        # Project under the Generate side, not 32 inlined copies
-        assert plan.count("md5") <= 4, plan.count("md5")
+        assert "Generate" not in plan  # the 32x row fan-out is gone
+        assert plan.count("md5") == 0  # hashing lives in the sketch job
+        assert plan.count("HashAggregate") >= 2  # map-combined partials
+        assert "ReadSchema: struct<l_orderkey:bigint>" in plan  # pruned
 
     def test_cascade_is_one_pass(self, spark):
         plan = plan_of(spark, "filter_cascade_stats")
