@@ -505,14 +505,14 @@ def stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pandas_to_postgres_spark.sources.parquet import load_table
     from pandas_to_postgres_spark.streaming.sink import stream_to_batch_sink
 
-    path = f"{sf_dir}/events.parquet"
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(path).schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .format("parquet")
-        .load(f"{sf_dir}/events.parque[t]")
-    )
+    # width-corrected shared source (streaming/events.py::_event_stream):
+    # file-bound microbatches widen to the pool so the per-row hash fold
+    # below runs on every core, not one task per source file (no-op at
+    # multi-file scale); the ts normalization it adds is pruned away by
+    # the optimizer when unused
+    from pandas_to_postgres_spark.streaming.events import _event_stream
+
+    stream = _event_stream(spark, sf_dir)
     hv = F.conv(
         F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
     ).cast("long")
@@ -634,14 +634,14 @@ def stream_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pandas_to_postgres_spark.sources.parquet import load_table
     from pandas_to_postgres_spark.streaming.sink import stream_to_batch_sink
 
-    path = f"{sf_dir}/events.parquet"
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(path).schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .format("parquet")
-        .load(f"{sf_dir}/events.parque[t]")
-    )
+    # width-corrected shared source (streaming/events.py::_event_stream):
+    # file-bound microbatches widen to the pool so the per-row hash fold
+    # below runs on every core, not one task per source file (no-op at
+    # multi-file scale); the ts normalization it adds is pruned away by
+    # the optimizer when unused
+    from pandas_to_postgres_spark.streaming.events import _event_stream
+
+    stream = _event_stream(spark, sf_dir)
 
     def cell(j_col, key_col):
         return (

@@ -48,13 +48,48 @@ def windowed_event_counts(
     return spark.table(table)
 
 
-def _windowed_agg(
-    spark: SparkSession,
-    sf_dir: str,
-    window_duration: str = "10 minutes",
-    watermark: str = "1 hour",
-    slide: str | None = None,
-) -> DataFrame:
+def _stream_width(spark: SparkSession, path: str) -> int:
+    """Scale-adaptive microbatch width for a file-stream source (guide §2:
+    derive partitioning from the data, not a core-count constant).
+
+    A streaming file source parallelizes by FILE, so a batch over few
+    files runs its scan→normalize→partial-aggregate pipeline on few cores
+    (measured at sf0.1: the single-file events source put ~5.8 s of the
+    7.6 s drain in a one-task addBatch). Returns the pool width when the
+    listed file count is below it (the caller inserts a repartition so
+    the per-row work spreads across the pool), else 0 (no-op: at scale a
+    batch spans thousands of files and an extra raw-row exchange would
+    only add shuffle bytes — exactly the case the guide says NOT to pay).
+    """
+    import glob as _glob
+    import os as _os
+
+    width = spark.sparkContext.defaultParallelism
+    n_files = 0
+    for p in _glob.glob(path):
+        if _os.path.isdir(p):
+            n_files += sum(
+                1 for f in _os.listdir(p) if f.endswith(".parquet")
+            )
+        else:
+            n_files += 1
+    return width if 0 < n_files < width else 0
+
+
+def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table as a streaming source, width-corrected.
+
+    Shared by every §2.9 drain: sets the NANOS-as-long conf BEFORE the
+    schema probe (load-order landmine otherwise), glob-loads the file
+    source, widens file-bound microbatches (see :func:`_stream_width` —
+    the per-row normalize/aggregate/join work otherwise runs on as many
+    cores as the batch has FILES; measured 5.8 s of a 7.6 s drain in a
+    one-task addBatch at sf0.1), and normalizes ``ts`` to a
+    watermark-eligible TIMESTAMP. Row placement is irrelevant to every
+    consumer (grouped aggregates with decimal accumulation, key-equality
+    joins, distinct-on-key dedup over full-row duplicates), so the
+    repartition never changes results; at scale it is a no-op because a
+    batch spans >= pool-width files."""
     path = f"{sf_dir}/events.parquet"
     # events.ts is parquet TIMESTAMP(NANOS) — same legacy-long treatment as
     # the batch source (see sources/parquet.py)
@@ -66,7 +101,20 @@ def _windowed_agg(
         .format("parquet")
         .load(f"{sf_dir}/events.parque[t]")
     )
-    stream = normalize_event_ts(stream)
+    w = _stream_width(spark, f"{sf_dir}/events.parque[t]")
+    if w:
+        stream = stream.repartition(w)
+    return normalize_event_ts(stream)
+
+
+def _windowed_agg(
+    spark: SparkSession,
+    sf_dir: str,
+    window_duration: str = "10 minutes",
+    watermark: str = "1 hour",
+    slide: str | None = None,
+) -> DataFrame:
+    stream = _event_stream(spark, sf_dir)
     window_col = (
         F.window("ts", window_duration, slide) if slide else F.window("ts", window_duration)
     )
@@ -107,17 +155,7 @@ def session_window_counts(
     Scale: state is keyed by (user, open session); the watermark bounds it
     to sessions whose close is within ``watermark`` of the stream's event
     time — without it, 100 TB of users would accumulate state forever."""
-    # must be set BEFORE the schema-probe read: on rounds where events.ts
-    # is TIMESTAMP(NANOS) this is otherwise PARQUET_TYPE_ILLEGAL if this
-    # query is the session's first events read (every other events reader
-    # sets it; relying on them running first is a load-order landmine)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = (
-        spark.readStream.schema(spark.read.parquet(f"{sf_dir}/events.parquet").schema)
-        .format("parquet")
-        .load(f"{sf_dir}/events.parque[t]")
-    )
-    stream = normalize_event_ts(stream)
+    stream = _event_stream(spark, sf_dir)
     agg = (
         stream.withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
@@ -187,15 +225,7 @@ def streaming_dedup_events(
     O(stream) — the only formulation that survives an unbounded stream.
     Drained with AvailableNow + append mode; on this static source the
     result equals batch DISTINCT, which is the oracle."""
-    path = f"{sf_dir}/events.parquet"
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(path).schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .format("parquet")
-        .load(f"{sf_dir}/events.parque[t]")
-    )
-    stream = normalize_event_ts(stream)
+    stream = _event_stream(spark, sf_dir)
     deduped = (
         stream.withWatermark("ts", watermark)
         .dropDuplicates(["event_id", "ts"])
@@ -234,15 +264,7 @@ def stream_static_enrichment(
     """
     from pandas_to_postgres_spark.sources.parquet import load_table
 
-    path = f"{sf_dir}/events.parquet"
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(path).schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .format("parquet")
-        .load(f"{sf_dir}/events.parque[t]")
-    )
-    stream = normalize_event_ts(stream)
+    stream = _event_stream(spark, sf_dir)
     customers = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment"
     )
@@ -285,17 +307,8 @@ def stream_stream_purchase_clicks(
     time-range predicate is what lets Spark prune state — an unbounded
     condition would grow state forever.
     """
-    path = f"{sf_dir}/events.parquet"
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(path).schema
-
     def one_stream(alias: str) -> DataFrame:
-        s = (
-            spark.readStream.schema(raw_schema)
-            .format("parquet")
-            .load(f"{sf_dir}/events.parque[t]")
-        )
-        s = normalize_event_ts(s)
+        s = _event_stream(spark, sf_dir)
         return s.withWatermark("ts", watermark).alias(alias)
 
     p = one_stream("p").filter(F.col("event_type") == "purchase")
@@ -339,15 +352,7 @@ def streaming_dedup_within_watermark(
     order dependent; the id set is not), so the AvailableNow drain of
     this static source equals batch DISTINCT event_id — the oracle.
     """
-    path = f"{sf_dir}/events.parquet"
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(path).schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .format("parquet")
-        .load(f"{sf_dir}/events.parque[t]")
-    )
-    stream = normalize_event_ts(stream)
+    stream = _event_stream(spark, sf_dir)
     deduped = (
         stream.withWatermark("ts", watermark)
         .dropDuplicatesWithinWatermark(["event_id"])
@@ -414,15 +419,7 @@ def windowed_bin_psi(
     Returns one row per window: (window_start, psi). Scale: streaming
     state is windows x bins rows; the scoring joins are bins-sized.
     """
-    path = f"{sf_dir}/events.parquet"
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(path).schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .format("parquet")
-        .load(f"{sf_dir}/events.parque[t]")
-    )
-    stream = normalize_event_ts(stream)
+    stream = _event_stream(spark, sf_dir)
     bin_col = F.least(
         F.floor(F.col("value") / bin_width), F.lit(num_bins - 1)
     ).alias("bin")
@@ -513,15 +510,7 @@ def stream_scd2_enrich(
     shuffled-hash at big-dim scale) equi-join. Exactly one version
     matches per event because SCD2 intervals partition time.
     """
-    path = f"{sf_dir}/events.parquet"
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(path).schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .format("parquet")
-        .load(f"{sf_dir}/events.parque[t]")
-    )
-    stream = normalize_event_ts(stream)
+    stream = _event_stream(spark, sf_dir)
     from pandas_to_postgres_spark.sources.parquet import load_table
 
     cust = load_table(spark, sf_dir, "customer").select(

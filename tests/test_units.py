@@ -456,3 +456,33 @@ class TestAdpcmIma:
         assert row["mime"] == "audio/adpcm"
         assert abs(row["feature"][0] - 0.5) < 0.01  # duration s
         assert 0.6 < row["feature"][1] < 0.8  # sine RMS ~ 0.707
+
+
+class TestStreamWidth:
+    """r10: the scale-adaptive microbatch widening for file-stream drains
+    (streaming/events.py::_stream_width) — widen only when the source has
+    fewer files than the pool, never at multi-file scale."""
+
+    def test_single_file_source_widens_to_pool(self, spark, tmp_path):
+        from pandas_to_postgres_spark.streaming.events import _stream_width
+
+        f = tmp_path / "events.parquet"
+        f.write_bytes(b"x")  # listing-only probe; content never read
+        assert (
+            _stream_width(spark, str(f))
+            == spark.sparkContext.defaultParallelism
+        )
+
+    def test_pool_width_files_disable_the_repartition(self, spark, tmp_path):
+        from pandas_to_postgres_spark.streaming.events import _stream_width
+
+        d = tmp_path / "events.parquet"
+        d.mkdir()
+        for i in range(spark.sparkContext.defaultParallelism):
+            (d / f"part-{i:05d}.parquet").write_bytes(b"x")
+        assert _stream_width(spark, str(d)) == 0
+
+    def test_missing_path_is_a_noop(self, spark, tmp_path):
+        from pandas_to_postgres_spark.streaming.events import _stream_width
+
+        assert _stream_width(spark, str(tmp_path / "nope.parquet")) == 0
