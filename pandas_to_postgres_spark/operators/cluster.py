@@ -44,10 +44,18 @@ def connected_components(
     converge in a handful; hitting the cap means the input is not the
     intended pair graph.
     """
+    # materialize the symmetrized edge list ONCE (r10): every propagation
+    # round joins against `sym`, and without the checkpoint each round
+    # re-derives the whole upstream pair computation (for the near-dup
+    # callers that is the prefix candidate join + verify, re-run per
+    # round — measured as the bulk of neardup_clusters' wall). Edge-sized
+    # storage, written once, read diameter-many times; eager=False keeps
+    # the materialization inside the first round's action.
     sym = (
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
         .unionByName(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     comp = vertices.select(
         F.col(id_col).alias("id"), F.col(id_col).alias("component")

@@ -785,6 +785,17 @@ class TestConnectedComponents:
         got = {(r.id, r.component) for r in connected_components(edges, verts).collect()}
         assert got == {(i, 0) for i in range(10)}
 
+    def test_empty_edges_all_singletons(self, spark):
+        """r10: the symmetrized edge list is localCheckpoint()ed once (so
+        propagation rounds stop re-deriving the upstream pair join) — an
+        EMPTY edge frame must checkpoint and converge to all-singletons."""
+        from pandas_to_postgres_spark.operators.cluster import connected_components
+
+        edges = spark.createDataFrame([], "id_a long, id_b long")
+        verts = spark.createDataFrame([(7,), (8,)], "id long")
+        got = {(r.id, r.component) for r in connected_components(edges, verts).collect()}
+        assert got == {(7, 7), (8, 8)}
+
     def test_nonconvergence_raises(self, spark):
         import pytest
 
