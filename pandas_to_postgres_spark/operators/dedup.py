@@ -1317,6 +1317,13 @@ def minhash_md5_pairs(
     capped = banded.withColumn("__bn", F.row_number().over(wb)).filter(
         F.col("__bn") <= max_bucket
     )
+    # NOT checkpointed (r10, measured both ways): unlike the xxhash64
+    # twin (minhash_lsh_candidates, where both self-join sides re-ran the
+    # whole scan→signature pipeline), `hashed` is cached here so the md5
+    # shingle fold is shared already — only the cheap Carter-Wegman sig
+    # fold duplicates across the two sides, and a capped-band checkpoint
+    # (repartition exchange + store + read per run) measured ~0.8 s
+    # SLOWER warm at sf0.1 (2.3-3.0 s → 3.1-3.6 s).
     cand = (
         capped.select("band_idx", "band_key", F.col(id_col).alias("id_a"))
         .join(

@@ -2083,10 +2083,25 @@ def nb_source_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.explode(tokens_expr(F.lower(F.col("text")))).alias("tok"),
     )
-    dt = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("cnt"))
-    stats = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    # ONE tokenize+explode pass: the per-(doc, tok) counts carry the
+    # doc's source, and every other training statistic derives from this
+    # frame instead of re-tokenizing the corpus (dt / stats / vocab each
+    # re-ran the scan→tokenize→explode subtree before). doc_id determines
+    # source, so the extra grouping key changes no counts. localCheckpoint
+    # = store-once-read-many: the (doc, tok) counts are a fraction of the
+    # raw token stream and feed two legs; stats is model-sized
+    # (labels × vocab) and feeds three.
+    dt0 = toks.groupBy("doc_id", "source", "tok").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    dt = dt0.select("doc_id", "tok", "cnt")
+    stats = (
+        dt0.groupBy("source", "tok")
+        .agg(F.sum("cnt").cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
     t = stats.groupBy("source").agg(F.sum("c").cast("long").alias("t_tot"))
-    v = toks.agg(F.countDistinct("tok").cast("long").alias("vocab"))
+    v = stats.agg(F.countDistinct("tok").cast("long").alias("vocab"))
     pri = d.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_s"))
     nn = d.agg(F.count(F.lit(1)).cast("long").alias("n"))
     lbl = (
@@ -4278,8 +4293,17 @@ def hll_union_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     rho_row = F.when(F.expr("shiftright(hv, 10)") == 0, F.lit(51)).otherwise(
         F.lit(51) - F.length(F.expr("bin(shiftright(hv, 10))"))
     )
+    # ONE shingle pass: HLL registers are duplicate-insensitive (max over
+    # rows), so the sketch leg and BOTH exact-distinct companions derive
+    # from the DISTINCT (source, shingle) frame — before, the explode ran
+    # once per leg (three corpus passes) and md5 hashed every occurrence;
+    # now it hashes each distinct shingle once. The distinct frame is
+    # shingle-space-sized (tens of thousands of rows — the exact legs'
+    # countDistinct expansions already shuffled these same pairs), so the
+    # lazy checkpoint is cheap and feeds all three consumers.
+    dist = tok.distinct().localCheckpoint(eager=False)
     reg = (
-        tok.select("source", hv.alias("hv"))
+        dist.select("source", hv.alias("hv"))
         .select("source", (F.col("hv") % 1024).alias("bucket"),
                 rho_row.alias("rho_row"))
         .groupBy("source", "bucket")
@@ -4295,11 +4319,11 @@ def hll_union_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr("CAST(POW(2, 51 - rho) AS BIGINT)")).alias("z_present"),
     )
     exact = (
-        tok.groupBy("source")
-        .agg(F.countDistinct("t").cast("long").alias("exact_distinct"))
+        dist.groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_distinct"))
         .unionByName(
-            tok.agg(
-                F.countDistinct("t").cast("long").alias("exact_distinct")
+            dist.select("t").distinct().agg(
+                F.count(F.lit(1)).cast("long").alias("exact_distinct")
             ).select(F.lit("__union__").alias("source"), "exact_distinct")
         )
     )

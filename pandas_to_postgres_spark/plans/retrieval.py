@@ -693,21 +693,32 @@ def cms_token_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(
         F.explode(tokens_expr(F.lower(F.col("text")))).alias("term")
     )
-    exact = tok.groupBy("term").agg(F.count(F.lit(1)).alias("exact_n"))
+    # ONE corpus tokenize pass (r10): the sketch cells are Σ exact_n
+    # over the terms hashing into each (seed, bucket) — identical
+    # integers to counting occurrences directly — so the cells leg
+    # derives from the checkpointed vocab-sized exact frame instead of
+    # re-tokenizing the corpus, and md5 hashes each DISTINCT term once
+    # (4 cells per term) instead of every occurrence.
+    exact = (
+        tok.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .localCheckpoint(eager=False)  # vocab-sized; feeds cells + probes
+    )
     # 4 (seed, bucket) pairs assembled in-row, ONE posexplode, then a
-    # map-side-combined count into <= 4096 cells
+    # map-side-combined sum into <= 4096 cells
     cells = (
-        tok.select(
+        exact.select(
+            "exact_n",
             F.posexplode(
                 F.expr(
                     "transform(sequence(0, 3), s -> "
                     + _CMS_BUCKET_SPARK.format(s="s")
                     + ")"
                 )
-            ).alias("seed", "bucket")
+            ).alias("seed", "bucket"),
         )
         .groupBy("seed", "bucket")
-        .agg(F.count(F.lit(1)).alias("cell"))
+        .agg(F.sum("exact_n").alias("cell"))
     )
     probes = exact.select(
         "term",
@@ -3035,15 +3046,19 @@ def dsir_select_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed = feats.select(
         "doc_id", "lang", F.expr(_DSIR_BUCKET_SPARK).alias("b")
     )
-    src = hashed.groupBy("b").agg(F.count(F.lit(1)).alias("c_s"))
-    tgt = (
-        hashed.filter(F.col("lang") == "en")
-        .groupBy("b")
-        .agg(F.count(F.lit(1)).alias("c_t"))
-    )
-    counts = (
-        src.join(tgt, "b", "left").na.fill({"c_t": 0})
-    )
+    # source and target counts fold in ONE pass (r10): c_t is a
+    # conditional counter over the same rows, so the separate tgt leg —
+    # a third full tokenize+bucket pass plus a join — collapses into the
+    # src aggregate (buckets with no 'en' rows get the exact 0 the old
+    # left-join fill produced). The docstring's two-pass shape now holds.
+    # the 256-row counts frame feeds both the totals and the model —
+    # checkpoint it so neither leg re-derives the corpus pass
+    counts = hashed.groupBy("b").agg(
+        F.count(F.lit(1)).alias("c_s"),
+        F.sum(
+            F.when(F.col("lang") == "en", 1).otherwise(0)
+        ).cast("long").alias("c_t"),
+    ).localCheckpoint(eager=False)
     tot = counts.agg(
         F.sum("c_s").alias("n_s"), F.sum("c_t").alias("n_t")
     )

@@ -47,18 +47,24 @@ def main() -> None:
     for name in names:
         fn = REGISTRY[name].fn
         spark.sparkContext.setJobDescription(f"r10-measure:{name}")
-        # capture the formatted plan once (pre-execution, AQE initial plan);
-        # tag "none" = timing-only sweep, no plan files written
+        # construction is INSIDE the cold timer (same convention as
+        # bench.py): PySpark 4.1.2 materializes localCheckpoint at
+        # construction time even with eager=False, so timing only the
+        # sink action would let checkpoint-bearing queries hide their
+        # heaviest job (found session 5: minhash_lsh_checked "first"
+        # read 0.6 s while each checkpoint run cost ~2 s untimed).
+        t0 = time.perf_counter()
         df = fn(spark, sf_dir)
+        noop(df)
+        cold = time.perf_counter() - t0
+        # capture the formatted plan once (post-run; AQE initial plan of
+        # a fresh frame); tag "none" = timing-only sweep, no plan files
         if tag != "none":
             buf = io.StringIO()
             with contextlib.redirect_stdout(buf):
                 df.explain("formatted")
             with open(os.path.join(out_dir, f"{name}_{tag}.txt"), "w") as fh:
                 fh.write(buf.getvalue())
-        t0 = time.perf_counter()
-        noop(df)
-        cold = time.perf_counter() - t0
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()

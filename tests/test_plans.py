@@ -988,6 +988,51 @@ class TestRound10Shapes:
         assert plan.count("Scan parquet") == 1
         assert plan.count("HashAggregate") >= 2
 
+    def test_hll_union_rides_one_distinct_shingle_pass(self, spark):
+        """r10: the sketch leg and both exact-distinct companions all
+        derive from ONE checkpointed distinct-(source, shingle) frame —
+        the returned plan must not re-derive the shingle explode or
+        re-scan the raw table per leg (before: three corpus passes), and
+        the countDistinct Expand expansions are gone (counts over the
+        already-distinct frame)."""
+        plan = plan_of(spark, "hll_union_sources")
+        assert "Generate" not in plan  # explode lives below the checkpoint
+        assert "Scan parquet" not in plan  # no leg re-reads documents
+        assert "Expand" not in plan  # no countDistinct expansion
+
+    def test_cms_audit_tokenizes_once(self, spark):
+        """r10: the sketch cells are Σ exact_n over the checkpointed
+        vocab frame — the returned plan must not re-scan/re-tokenize the
+        corpus for the cells leg (before: two corpus passes, md5 per
+        occurrence; after: both legs read the checkpoint, md5 per
+        DISTINCT term)."""
+        plan = plan_of(spark, "cms_token_audit")
+        assert "Scan parquet" not in plan  # corpus pass lives below the checkpoint
+        assert plan.count("Scan ExistingRDD") == 2  # cells + probes legs
+
+    def test_dsir_counts_fold_in_one_pass(self, spark):
+        """r10: source and target bucket counts fold in ONE conditional
+        aggregate over one tokenize pass (the before-plan ran the
+        tokenize+bucket pipeline separately for src, tgt, and both
+        consumers of the un-materialized counts frame: 5 Generates, 10
+        scans). The returned plan keeps only the scoring pass's explode
+        plus checkpoint reads."""
+        plan = plan_of(spark, "dsir_select_docs")
+        assert plan.count("Generate") == 1  # the scoring pass only
+        assert plan.count("Scan parquet") == 1
+        assert "TakeOrderedAndProject" in plan  # selection never global-sorts
+
+    def test_nb_classifier_tokenizes_once(self, spark):
+        """r10: dt / stats / t / vocab all derive from ONE per-(doc,
+        source, tok) count frame — the corpus tokenize+explode subtree
+        must appear exactly once in the plan (it ran four times before:
+        dt, stats, t, v each re-derived it), and the only remaining
+        documents scans are the cheap non-tokenizing legs (priors,
+        corpus count, actual-source join)."""
+        plan = plan_of(spark, "nb_source_classifier")
+        assert plan.count("Generate explode") == 1
+        assert plan.count("Scan parquet") <= 4
+
     def test_history_audit_returns_pure_metadata(self, spark):
         """The history metadata table never opens a data file: the
         returned frame is a driver-built local relation (Iceberg's
