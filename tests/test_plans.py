@@ -993,8 +993,8 @@ class TestRound10Shapes:
         derive from ONE checkpointed distinct-(source, shingle) frame —
         the returned plan must not re-derive the shingle explode or
         re-scan the raw table per leg (before: three corpus passes), and
-        the countDistinct Expand expansions are gone (counts over the
-        already-distinct frame)."""
+        the exact legs are plain counts over the already-distinct frame
+        (no countDistinct machinery, no Expand)."""
         plan = plan_of(spark, "hll_union_sources")
         assert "Generate" not in plan  # explode lives below the checkpoint
         assert "Scan parquet" not in plan  # no leg re-reads documents
