@@ -1819,13 +1819,26 @@ def open_orders_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.to_date(F.max("l_shipdate")).alias("e"),
         )
     )
-    deltas = iv.select(F.col("s").alias("day"), F.lit(1).alias("d")).unionAll(
-        iv.select(F.date_add("e", 1).alias("day"), F.lit(-1).alias("d"))
-    )
+    # both boundary deltas emit from ONE pass over the interval frame
+    # (the unionAll re-derived the corpus join+groupBy once per branch);
+    # daily is timeline-bounded (one row per delta day), so the
+    # checkpoint is metadata-cheap and its two consumers (month nets,
+    # running sum) stop re-deriving the corpus aggregate
+    deltas = iv.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("s").alias("day"), F.lit(1).alias("d")),
+                F.struct(
+                    F.date_add("e", 1).alias("day"), F.lit(-1).alias("d")
+                ),
+            )
+        ).alias("x")
+    ).select("x.day", "x.d")
     daily = (
         deltas.groupBy("day")
         .agg(F.sum("d").cast("bigint").alias("net_change"))
         .withColumn("month", F.trunc("day", "month"))
+        .localCheckpoint(eager=False)
     )
     monthly = daily.groupBy("month").agg(F.sum("net_change").alias("mnet"))
     # exclusive prefix over the timeline-bounded month spine
@@ -1961,9 +1974,13 @@ def chi2_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-sized stage is the single count pass. Term sums go through
     decimal accumulation; dof is pure integers."""
     d = load_table(spark, sf_dir, "documents")
+    # the contingency-cell frame is category-cardinality-sized and feeds
+    # FIVE legs (row/col margins, total, cells, dims) — checkpoint it so
+    # the docstring's "single corpus count pass" is what actually runs
+    # (uncheckpointed, every leg re-derived the corpus groupBy: 5 scans)
     obs = d.groupBy("source", "lang").agg(
         F.count(F.lit(1)).cast("bigint").alias("o")
-    )
+    ).localCheckpoint(eager=False)
     rows_ = obs.groupBy("source").agg(F.sum("o").cast("bigint").alias("r"))
     cols_ = obs.groupBy("lang").agg(F.sum("o").cast("bigint").alias("c"))
     tot = obs.agg(F.sum("o").cast("bigint").alias("t"))

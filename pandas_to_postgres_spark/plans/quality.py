@@ -2272,6 +2272,12 @@ def basket_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
+    # NOT checkpointed (r10, measured both ways): the four ob legs'
+    # identical distinct exchanges are deduplicated by exchange reuse,
+    # so a localCheckpoint only adds its store cost — warm 1.9-2.2 s
+    # without vs 2.2-3.0 s with at sf0.1 (contrast chi2_source_lang,
+    # where the repeated frame feeds BROADCAST subtrees that replan
+    # instead of reusing, and the checkpoint halved the wall)
     ob = (
         li.join(part, li.l_partkey == part.p_partkey)
         .select("l_orderkey", "p_brand")
@@ -2435,6 +2441,9 @@ def kcore_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
+    # not checkpointed — same measured call as basket_lift_pairs (the
+    # self-join sides share ob's distinct exchange via exchange reuse;
+    # a checkpoint measured flat-to-slower at sf0.1)
     ob = (
         li.join(part, li.l_partkey == part.p_partkey)
         .select("l_orderkey", "p_brand")

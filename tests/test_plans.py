@@ -1000,6 +1000,26 @@ class TestRound10Shapes:
         assert "Scan parquet" not in plan  # no leg re-reads documents
         assert "Expand" not in plan  # no countDistinct expansion
 
+    def test_chi2_counts_corpus_once(self, spark):
+        """r10: the contingency-cell frame is checkpointed — margins,
+        total, cells, and dims all read it instead of re-running the
+        corpus groupBy (before: 10 scan nodes, one per broadcast leg,
+        because broadcast subtrees replan instead of reusing the
+        exchange)."""
+        plan = plan_of(spark, "chi2_source_lang")
+        assert "Scan parquet" not in plan  # the one corpus pass is below the checkpoint
+
+    def test_open_orders_derives_intervals_once(self, spark):
+        """r10: both boundary deltas explode from ONE pass over the
+        interval aggregate and the timeline-bounded daily frame is
+        checkpointed — the returned plan reads checkpoints only (before:
+        16 scan nodes across the union branches and daily's two
+        consumers), and the running sum stays the bucketed month-window
+        pattern, never a global range exchange."""
+        plan = plan_of(spark, "open_orders_concurrency")
+        assert "Scan parquet" not in plan
+        assert "hashpartitioning(month" in plan  # per-month running sum
+
     def test_cms_audit_tokenizes_once(self, spark):
         """r10: the sketch cells are Σ exact_n over the checkpointed
         vocab frame — the returned plan must not re-scan/re-tokenize the
