@@ -1977,7 +1977,15 @@ def chi2_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the contingency-cell frame is category-cardinality-sized and feeds
     # FIVE legs (row/col margins, total, cells, dims) — checkpoint it so
     # the docstring's "single corpus count pass" is what actually runs
-    # (uncheckpointed, every leg re-derived the corpus groupBy: 5 scans)
+    # (uncheckpointed, every leg re-derived the corpus groupBy: 5 scans).
+    # Tradeoffs of localCheckpoint (apply to every metadata-sized
+    # checkpoint in this module): blocks are executor-local and
+    # NON-replicated, so on a real cluster an executor loss fails the
+    # query instead of recomputing — and under AQE the checkpoint
+    # materializes at DataFrame-construction time (building the frame
+    # already runs its job). Both are fine for cell/vocab-sized frames;
+    # if cluster fault-tolerance matters, reliable checkpoint() or
+    # persist(MEMORY_AND_DISK_2) are cheap drop-ins at these sizes.
     obs = d.groupBy("source", "lang").agg(
         F.count(F.lit(1)).cast("bigint").alias("o")
     ).localCheckpoint(eager=False)
@@ -2104,10 +2112,12 @@ def nb_source_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # doc's source, and every other training statistic derives from this
     # frame instead of re-tokenizing the corpus (dt / stats / vocab each
     # re-ran the scan→tokenize→explode subtree before). doc_id determines
-    # source, so the extra grouping key changes no counts. localCheckpoint
-    # = store-once-read-many: the (doc, tok) counts are a fraction of the
-    # raw token stream and feed two legs; stats is model-sized
-    # (labels × vocab) and feeds three.
+    # source, so the extra grouping key changes no counts. dt0 itself is
+    # deliberately NOT checkpointed: it is corpus-sized, its two consumers
+    # share the groupBy exchange, and a checkpoint was measured SLOWER
+    # (5.26s vs ~3.6s warm, OPTIMIZATION_r10.md §8) — don't "fix" this by
+    # adding one. Only `stats` below carries a checkpoint: it is
+    # model-sized (labels × vocab) and feeds three legs.
     dt0 = toks.groupBy("doc_id", "source", "tok").agg(
         F.count(F.lit(1)).alias("cnt")
     )
@@ -4129,90 +4139,88 @@ def ams_join_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-for-bit, with the exact join size (a count the sketch exists to
     avoid) alongside for error visibility.
 
-    Scale: ONE pass per table folding to 32 integers each (map-side
-    combine; the shuffle is 32 rows per table at ANY size), a 32-row
-    join, and constant-size arithmetic. Two tables' sketches ALSO
-    estimate their join size without co-locating either — the property
-    that lets a planner size a shuffle it has not yet run.
+    Scale: ONE pass per table folding to per-key counts (the exact leg's
+    frames), from which BOTH legs derive — the sketch hashes each
+    DISTINCT key once and weights its 32 sign bits by the key's count
+    (Σ_rows bit_j(h) = Σ_keys c·bit_j(h), exact integers), so the md5
+    work is O(distinct keys) and the whole estimator folds map-side to
+    one row per table. Two tables' sketches ALSO estimate their join
+    size without co-locating either — the property that lets a planner
+    size a shuffle it has not yet run.
+
+    r11 shape (the r10 construction-time collect regressed on the driver
+    box — two serial queries paid the per-query driver/AQE floor twice):
+    the median-of-means fold now runs IN-PLAN on the two 1-row sketch
+    frames, so the whole query is ONE action; AQE runs the sketch and
+    exact legs' independent stages concurrently, and the exchange under
+    each per-key groupBy is shared by its two consumers. The fold's
+    arithmetic is bit-identical to the oracle's: all group means are
+    dyadic rationals far inside 2^53 (exact BIGINT sums, /8), so
+    (Σmeans − least − greatest)/2 IS the sorted middle-two mean — every
+    double op is exact, no rounding anywhere.
 
     Reference: no planner in the 988-LoC loader; in-engine statistics
     tier (SURVEY §2.12 [EXT]) — the cross-table leg of the
     deterministic-sketch family."""
 
-    width = spark.sparkContext.defaultParallelism
-
-    def leg(df, key_col, tag):
-        # ONE md5 per row; estimator j draws its sign from bit j of the
-        # 60-bit hash (2*((h>>j)&1) - 1). The md5 projection is CPU-bound
-        # and the key column arrives as 1-3 parquet splits at bench scale
-        # — widen first so the hashing uses the pool (no-op at 100 TB).
-        d = df.select(F.col(key_col).alias("k"))
-        if d.rdd.getNumPartitions() < width:
-            d = d.repartition(width)
-        h = F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("aj:"), F.col("k").cast("string"))),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("long")
-        return d.select(h.alias("h"), F.lit(tag).alias("t"))
-
-    # r10: the 32 sign sums per table fold in ONE two-row aggregate (32
-    # map-combined ones-counters per table; S_j = 2*ones_j - N) instead
-    # of explode(0..31) → 32x the rows → groupBy(j) → join — same exact
-    # integers, no Generate, one job for BOTH tables (the union lets the
-    # two scans fill the pool together). The bounded collect (2 rows x
-    # 33 ints) IS the sketch; the median-of-means arithmetic on it is
-    # O(d) and replays the DuckDB oracle bit-for-bit.
     o = load_table(spark, sf_dir, "orders").select("o_orderkey")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
-    rows = (
-        leg(o, "o_orderkey", 0)
-        .unionByName(leg(li, "l_orderkey", 1))
-        .groupBy("t")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            *[
-                F.sum(F.expr(f"shiftright(h, {j}) & 1"))
-                .cast("long")
-                .alias(f"o{j}")
-                for j in range(32)
-            ],
-        )
-        .collect()
-    )
-    by_tag = {int(r["t"]): r for r in rows}
-
-    def sums(r) -> list:
-        n = int(r["n"])
-        return [2 * int(r[f"o{j}"]) - n for j in range(32)]
-
-    sa = sums(by_tag[0])
-    sb = sums(by_tag[1])
-    # textbook median-of-means over the 32 products, computed in the
-    # driver on the two 32-int sketches (exact integer products; the
-    # /8, sort-by-(mean, g) and middle-two /2 are the same IEEE-double
-    # steps the oracle runs, so the estimate matches bit-for-bit)
-    pj = [sa[j] * sb[j] for j in range(32)]
-    means = [(sum(pj[g * 8:(g + 1) * 8]) / 8.0, g) for g in range(4)]
-    means.sort()
-    join_est = (means[1][0] + means[2][0]) / 2.0
     fa = o.groupBy(F.col("o_orderkey").alias("k")).agg(
         F.count(F.lit(1)).cast("long").alias("ca")
     )
     fb = li.groupBy(F.col("l_orderkey").alias("k")).agg(
         F.count(F.lit(1)).cast("long").alias("cb")
     )
+    # estimator j draws its sign from bit j of ONE 60-bit md5 per
+    # DISTINCT key: ones_j = Σ_keys c · ((h >> j) & 1); S_j = 2·ones_j − N
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("aj:"), F.col("k").cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+
+    def sketch(freq, c_col, pre):
+        return freq.select(F.col(c_col).alias("c"), h.alias("h")).agg(
+            F.sum("c").cast("long").alias(f"{pre}n"),
+            *[
+                F.sum(F.col("c") * F.expr(f"shiftright(h, {j}) & 1"))
+                .cast("long")
+                .alias(f"{pre}o{j}")
+                for j in range(32)
+            ],
+        )
+
+    sk = sketch(fa, "ca", "a").crossJoin(sketch(fb, "cb", "b"))
+    pj = [
+        (
+            (2 * F.col(f"ao{j}") - F.col("an"))
+            * (2 * F.col(f"bo{j}") - F.col("bn"))
+        ).cast("long")
+        for j in range(32)
+    ]
+    means = []
+    for g in range(4):
+        s = pj[8 * g]
+        for j in range(8 * g + 1, 8 * g + 8):
+            s = s + pj[j]
+        means.append(s.cast("double") / F.lit(8))
+    total = means[0] + means[1] + means[2] + means[3]
+    est = sk.select(
+        (
+            (total - F.least(*means) - F.greatest(*means)) / F.lit(2)
+        ).alias("join_est")
+    )
     exact = (
         fa.join(fb, "k")
         .agg(F.sum(F.col("ca") * F.col("cb")).cast("long").alias("join_exact"))
     )
-    return exact.select(
+    return exact.crossJoin(F.broadcast(est)).select(
         F.lit(32).cast("long").alias("d"),
-        F.lit(join_est).cast("double").alias("join_est"),
+        "join_est",
         "join_exact",
     )
 

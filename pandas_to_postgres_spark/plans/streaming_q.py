@@ -506,13 +506,15 @@ def stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pandas_to_postgres_spark.streaming.sink import stream_to_batch_sink
 
     # width-corrected shared source (streaming/events.py::_event_stream):
-    # file-bound microbatches widen to the pool so the per-row hash fold
-    # below runs on every core, not one task per source file (no-op at
-    # multi-file scale); the ts normalization it adds is pruned away by
-    # the optimizer when unused
+    # file-bound microbatches widen so the per-row hash fold below runs
+    # pool-wide, not one task per source file (no-op at multi-file
+    # scale); the ts normalization it adds is pruned away by the
+    # optimizer when unused. The tight rows-per-task target reflects the
+    # per-row md5+conv cost — far heavier than the windowed counts the
+    # default target is sized for (r11: the volume-aware gate).
     from pandas_to_postgres_spark.streaming.events import _event_stream
 
-    stream = _event_stream(spark, sf_dir)
+    stream = _event_stream(spark, sf_dir, target_rows=8192)
     hv = F.conv(
         F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
     ).cast("long")
@@ -635,13 +637,15 @@ def stream_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pandas_to_postgres_spark.streaming.sink import stream_to_batch_sink
 
     # width-corrected shared source (streaming/events.py::_event_stream):
-    # file-bound microbatches widen to the pool so the per-row hash fold
-    # below runs on every core, not one task per source file (no-op at
+    # file-bound microbatches widen so the 4x per-row md5 cell hashing
+    # below runs pool-wide, not one task per source file (no-op at
     # multi-file scale); the ts normalization it adds is pruned away by
-    # the optimizer when unused
+    # the optimizer when unused. Tight rows-per-task target: the per-row
+    # work here is 4 md5+conv folds, far heavier than a windowed count
+    # (r11: the volume-aware gate).
     from pandas_to_postgres_spark.streaming.events import _event_stream
 
-    stream = _event_stream(spark, sf_dir)
+    stream = _event_stream(spark, sf_dir, target_rows=8192)
 
     def cell(j_col, key_col):
         return (

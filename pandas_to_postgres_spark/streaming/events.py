@@ -48,48 +48,89 @@ def windowed_event_counts(
     return spark.table(table)
 
 
-def _stream_width(spark: SparkSession, path: str) -> int:
+#: default rows-per-task target for the microbatch widening below —
+#: overridable per session via ``spark.graft.stream.targetRowsPerTask``
+#: (deployment knob; the default keeps tiny local batches narrow while a
+#: genuinely large single-file batch still spreads)
+_STREAM_TARGET_ROWS = 65536
+
+
+def _stream_width(
+    spark: SparkSession, path: str, target_rows: int | None = None
+) -> int:
     """Scale-adaptive microbatch width for a file-stream source (guide §2:
     derive partitioning from the data, not a core-count constant).
 
     A streaming file source parallelizes by FILE, so a batch over few
     files runs its scan→normalize→partial-aggregate pipeline on few cores
     (measured at sf0.1: the single-file events source put ~5.8 s of the
-    7.6 s drain in a one-task addBatch). Returns the pool width when the
-    listed file count is below it (the caller inserts a repartition so
-    the per-row work spreads across the pool), else 0 (no-op: at scale a
-    batch spans thousands of files and an extra raw-row exchange would
-    only add shuffle bytes — exactly the case the guide says NOT to pay).
+    7.6 s drain in a one-task addBatch). r10 widened every few-file batch
+    to the FULL pool, which regressed the driver's stream tier 20%: a
+    100k-row batch paid a 32-partition raw-row shuffle whose overhead
+    exceeded the parallelism it bought (r10 verdict item 1). The gate is
+    therefore VOLUME-aware now: width = min(pool, ceil(rows / target))
+    with rows read from the parquet footers during the same listing pass
+    (driver-side metadata, no job), and the repartition only fires when
+    that width at least DOUBLES the file-granted parallelism — below
+    that, the exchange costs more than the extra tasks win back. Returns
+    0 for a no-op: at 100 TB a batch spans >= pool-width files and the
+    early exit keeps this metadata-free; a tiny batch stays narrow.
+    ``target_rows`` lets per-row-heavy consumers (md5 sketch folds) widen
+    sooner than the cheap windowed counts.
     """
     import glob as _glob
     import os as _os
 
-    width = spark.sparkContext.defaultParallelism
-    n_files = 0
+    pool = spark.sparkContext.defaultParallelism
+    files: list[str] = []
     for p in _glob.glob(path):
         if _os.path.isdir(p):
-            n_files += sum(
-                1 for f in _os.listdir(p) if f.endswith(".parquet")
+            files.extend(
+                _os.path.join(p, f)
+                for f in _os.listdir(p)
+                if f.endswith(".parquet")
             )
         else:
-            n_files += 1
-    return width if 0 < n_files < width else 0
+            files.append(p)
+    n_files = len(files)
+    if n_files == 0 or n_files >= pool:
+        return 0
+    if target_rows is None:
+        target_rows = int(
+            spark.conf.get(
+                "spark.graft.stream.targetRowsPerTask",
+                str(_STREAM_TARGET_ROWS),
+            )
+        )
+    try:
+        import pyarrow.parquet as pq
+
+        rows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    except Exception:
+        # footers unreadable (non-parquet fixture, concurrent writer):
+        # no volume signal — keep the r10 behavior and spread the batch
+        return pool
+    width = min(pool, -(-rows // max(int(target_rows), 1)))
+    return width if width >= 2 * n_files else 0
 
 
-def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _event_stream(
+    spark: SparkSession, sf_dir: str, target_rows: int | None = None
+) -> DataFrame:
     """The events table as a streaming source, width-corrected.
 
     Shared by every §2.9 drain: sets the NANOS-as-long conf BEFORE the
     schema probe (load-order landmine otherwise), glob-loads the file
     source, widens file-bound microbatches (see :func:`_stream_width` —
     the per-row normalize/aggregate/join work otherwise runs on as many
-    cores as the batch has FILES; measured 5.8 s of a 7.6 s drain in a
-    one-task addBatch at sf0.1), and normalizes ``ts`` to a
+    cores as the batch has FILES, but only when the batch carries enough
+    ROWS to pay for the raw-row exchange), and normalizes ``ts`` to a
     watermark-eligible TIMESTAMP. Row placement is irrelevant to every
     consumer (grouped aggregates with decimal accumulation, key-equality
     joins, distinct-on-key dedup over full-row duplicates), so the
     repartition never changes results; at scale it is a no-op because a
-    batch spans >= pool-width files."""
+    batch spans >= pool-width files. ``target_rows`` tunes the
+    rows-per-task target for consumers whose per-row work is heavy."""
     path = f"{sf_dir}/events.parquet"
     # events.ts is parquet TIMESTAMP(NANOS) — same legacy-long treatment as
     # the batch source (see sources/parquet.py)
@@ -101,7 +142,7 @@ def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .format("parquet")
         .load(f"{sf_dir}/events.parque[t]")
     )
-    w = _stream_width(spark, f"{sf_dir}/events.parque[t]")
+    w = _stream_width(spark, f"{sf_dir}/events.parque[t]", target_rows)
     if w:
         stream = stream.repartition(w)
     return normalize_event_ts(stream)

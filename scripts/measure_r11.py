@@ -1,12 +1,12 @@
-"""Round-10 optimization measurement harness (guide §1).
+"""Round-11 optimization measurement harness (guide §1).
 
 Isolates each named query with the noop sink (times the computation, not
 the sink), records min-of-2 warm seconds after one warm-up run, and dumps
-``.explain("formatted")`` to plans/r10/<query>_<tag>.txt so plan claims in
-OPTIMIZATION_r10.md are checkable without running Spark.
+``.explain("formatted")`` to plans/r11/<query>_<tag>.txt so plan claims in
+OPTIMIZATION_r11.md are checkable without running Spark.
 
 Usage:
-    python scripts/measure_r10.py <tag> [query ...]
+    python scripts/measure_r11.py <tag> [query ...]
         tag    = suffix for the plan files (before / after)
         query  = registry names; default = the bench HEADLINE tuple
 """
@@ -38,15 +38,15 @@ def main() -> None:
 
         names = list(HEADLINE)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    spark = get_spark("measure_r10")
+    spark = get_spark("measure_r11")
     spark.sparkContext.setLogLevel("ERROR")
     REGISTRY["count_star"].fn(spark, sf_dir).collect()  # spin-up
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r10")
+    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r11")
     os.makedirs(out_dir, exist_ok=True)
     results = {}
     for name in names:
         fn = REGISTRY[name].fn
-        spark.sparkContext.setJobDescription(f"r10-measure:{name}")
+        spark.sparkContext.setJobDescription(f"r11-measure:{name}")
         # construction is INSIDE the cold timer (same convention as
         # bench.py): PySpark 4.1.2 materializes localCheckpoint at
         # construction time even with eager=False, so timing only the

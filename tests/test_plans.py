@@ -910,15 +910,20 @@ class TestRound9Shapes:
         assert "BroadcastHashJoin" in plan  # targets broadcast, 5 rows
 
     def test_ams_join_sketch_folds_map_side(self, spark):
-        # r10: the sketch leg folds to ONE two-row aggregate (32
-        # map-combined ones-counters per table, S_j = 2*ones_j - N)
-        # collected during construction — no explode(0..31) Generate,
-        # no groupBy(j), no sketch join anywhere. The RETURNED frame is
-        # only the exact-count leg: two per-key groupBys joined and
-        # summed, with column-pruned scans.
+        # r11: ONE query — the sketch derives from the exact leg's
+        # per-key count frames (md5 once per DISTINCT key, sign bits
+        # weighted by the key's count) and the median-of-means fold runs
+        # in-plan over the two 1-row sketch frames. No explode(0..31)
+        # Generate, no groupBy(j), no construction-time collect; scans
+        # stay column-pruned to the join keys and each table is scanned
+        # exactly once.
         plan = plan_of(spark, "ams_join_estimate")
         assert "Generate" not in plan  # the 32x row fan-out is gone
-        assert plan.count("md5") == 0  # hashing lives in the sketch job
+        # each leg pair shares one per-key groupBy subtree; the initial
+        # plan prints it per consumer (2 tables x 2 consumers) and AQE
+        # dedups the identical exchanges at runtime — what must NOT
+        # appear is any scan beyond those four or a raw-row sketch scan
+        assert plan.count("Scan parquet") <= 4
         assert plan.count("HashAggregate") >= 2  # map-combined partials
         assert "ReadSchema: struct<l_orderkey:bigint>" in plan  # pruned
 

@@ -459,15 +459,52 @@ class TestAdpcmIma:
 
 
 class TestStreamWidth:
-    """r10: the scale-adaptive microbatch widening for file-stream drains
-    (streaming/events.py::_stream_width) — widen only when the source has
-    fewer files than the pool, never at multi-file scale."""
+    """r10/r11: the scale-adaptive microbatch widening for file-stream
+    drains (streaming/events.py::_stream_width) — widen only when the
+    source has fewer files than the pool AND carries enough rows (parquet
+    footer metadata) that the extra tasks at least double the file-granted
+    parallelism; never at multi-file scale, never on a tiny batch."""
 
-    def test_single_file_source_widens_to_pool(self, spark, tmp_path):
+    @staticmethod
+    def _write_pq(path, rows):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq.write_table(pa.table({"x": list(range(rows))}), str(path))
+
+    def test_large_single_file_widens_by_volume(self, spark, tmp_path):
         from pandas_to_postgres_spark.streaming.events import _stream_width
 
         f = tmp_path / "events.parquet"
-        f.write_bytes(b"x")  # listing-only probe; content never read
+        self._write_pq(f, 5000)
+        # 5000 rows / 1000-row target = 5 tasks >= 2x the 1 file
+        assert _stream_width(spark, str(f), target_rows=1000) == min(
+            spark.sparkContext.defaultParallelism, 5
+        )
+
+    def test_tiny_single_file_stays_narrow(self, spark, tmp_path):
+        from pandas_to_postgres_spark.streaming.events import _stream_width
+
+        f = tmp_path / "events.parquet"
+        self._write_pq(f, 100)
+        # 100 rows / 1000-row target -> width 1 < 2x files: no exchange
+        assert _stream_width(spark, str(f), target_rows=1000) == 0
+
+    def test_marginal_gain_stays_narrow(self, spark, tmp_path):
+        from pandas_to_postgres_spark.streaming.events import _stream_width
+
+        d = tmp_path / "events.parquet"
+        d.mkdir()
+        for i in range(4):
+            self._write_pq(d / f"part-{i:05d}.parquet", 1500)
+        # 6000 rows / 1000 = 6 tasks < 2x the 4 files: not worth a shuffle
+        assert _stream_width(spark, str(d), target_rows=1000) == 0
+
+    def test_unreadable_footers_fall_back_to_pool(self, spark, tmp_path):
+        from pandas_to_postgres_spark.streaming.events import _stream_width
+
+        f = tmp_path / "events.parquet"
+        f.write_bytes(b"x")  # not parquet: no volume signal -> r10 gate
         assert (
             _stream_width(spark, str(f))
             == spark.sparkContext.defaultParallelism
