@@ -2613,7 +2613,25 @@ def winnow_copy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    h = (
+    # Winnowing is per-doc local, so the sliding-window minima compute
+    # MAP-SIDE over the doc's own hash array (r11, guide §2.4 "remove
+    # shuffles outright"): window i's fingerprint is
+    # array_min(slice(__h, i, w)) and the per-doc fingerprint SET is one
+    # array_distinct — the r10 shape instead posexploded ~240 hash rows
+    # per doc into a doc_id window exchange (corpus-gram-sized shuffle +
+    # sort) and collapsed the per-window duplicates with a second
+    # (doc, fp) distinct exchange; both exchanges are deleted, identical
+    # fingerprint sets by construction. Bound: windows start at
+    # 1..max(m-w, 0)+1 = greatest(m-(w-1), 1), and a short doc's
+    # min-of-available-rows window equals array_min of the short slice.
+    wins = (
+        f"CASE WHEN size(__h) >= 1 THEN "
+        f"array_distinct(transform("
+        f"sequence(1, greatest(size(__h) - {_WIN_W - 1}, 1)), "
+        f"i -> array_min(slice(__h, i, {_WIN_W})))) "
+        f"ELSE CAST(array() AS array<bigint>) END"
+    )
+    fps = (
         d.select("doc_id", tokens_expr(F.lower(F.col("text"))).alias("__toks"))
         # short docs are guarded INSIDE _WIN_HASH_SPARK (empty array) and
         # the explode is OUTER: both a size filter here and the filter
@@ -2621,33 +2639,13 @@ def winnow_copy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the repartition exchange with the whole tokenize/hash pipeline
         # in tow, re-running it on the scan's single split
         .select("doc_id", F.expr(_WIN_HASH_SPARK).alias("__h"))
-        # m is the array size — known BEFORE the explode, so no second
-        # (count-over-partition) window pass is needed downstream
-        .select(
-            "doc_id",
-            F.size("__h").alias("m"),
-            F.posexplode_outer("__h").alias("pos", "h"),
-        )
-        .filter(F.col("h").isNotNull())  # drop outer's empty-array rows
-    )
-    wmin = (
-        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, _WIN_W - 1)
-    )
-    mins = h.select(
-        "doc_id",
-        "pos",
-        "m",
-        F.min("h").over(wmin).alias("fp"),
-    )
-    fps = (
-        mins.filter(F.col("pos") <= F.greatest(F.col("m") - _WIN_W, F.lit(0)))
-        .select("doc_id", "fp")
-        .distinct()
+        .select("doc_id", F.explode_outer(F.expr(wins)).alias("fp"))
+        .filter(F.col("fp").isNotNull())  # drop outer's empty-array rows
         # three downstream references (both self-join sides + the
         # ubiquity cap) would otherwise each recompute the tokenize/
         # hash/winnow pipeline — the (id, fp) frame is tiny vs the text.
         # repartition BELOW the checkpoint: localCheckpoint freezes the
-        # split count, AQE coalesces this small distinct to 1 partition,
+        # split count, AQE coalesces this small frame to 1 partition,
         # and the fp self-join's fan-out would then run single-task (the
         # ngram_jaccard_prefix checkpoint-width trap, SCALE.md round 6 —
         # measured 4.3s of the query's 6.1s wall on one core here)

@@ -3243,27 +3243,24 @@ def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).parquet(path)
     publish_snapshot(path, ["l_orderkey"])
 
-    outs = []
-    for v in (1, 2):
-        df = (
-            spark.read.format("snapshot")
-            .option("path", path)
-            .option("version", v)
-            .load()
+    # ONE multi-version DataSource read spanning both versions (r11:
+    # halves the planning-worker spawns; identical values — see
+    # snapshot_merge_upsert)
+    df = (
+        spark.read.format("snapshot")
+        .option("path", path)
+        .option("versions", "1,2")
+        .load()
+    )
+    return (
+        df.groupBy(F.col("_snapshot_version").cast("long").alias("version"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("qc").cast("long").alias("qty_cents"),
+            F.max("l_orderkey").cast("long").alias("max_key"),
         )
-        outs.append(
-            df.agg(
-                F.count(F.lit(1)).cast("long").alias("n_rows"),
-                F.sum("qc").cast("long").alias("qty_cents"),
-                F.max("l_orderkey").cast("long").alias("max_key"),
-            ).select(
-                F.lit(v).cast("long").alias("version"),
-                "n_rows",
-                "qty_cents",
-                "max_key",
-            )
-        )
-    return outs[0].unionAll(outs[1])
+        .select("version", "n_rows", "qty_cents", "max_key")
+    )
 
 
 _MERGE_ORACLE = """
@@ -3350,27 +3347,26 @@ def snapshot_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merge_snapshot(spark, path, updates, ["k"])
 
-    outs = []
-    for v in (1, 2):
-        df = (
-            spark.read.format("snapshot")
-            .option("path", path)
-            .option("version", v)
-            .load()
+    # ONE multi-version DataSource read spanning both versions (r11:
+    # every read pays a fresh Python planning-worker spawn — the plural
+    # `versions` option halves them and the per-version aggregate rides
+    # one scan, grouped on the version tag; values identical to two
+    # separate reads by construction)
+    df = (
+        spark.read.format("snapshot")
+        .option("path", path)
+        .option("versions", "1,2")
+        .load()
+    )
+    return (
+        df.groupBy(F.col("_snapshot_version").cast("long").alias("version"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("tc").cast("long").alias("tc_cents"),
+            F.max("k").cast("long").alias("max_key"),
         )
-        outs.append(
-            df.agg(
-                F.count(F.lit(1)).cast("long").alias("n_rows"),
-                F.sum("tc").cast("long").alias("tc_cents"),
-                F.max("k").cast("long").alias("max_key"),
-            ).select(
-                F.lit(v).cast("long").alias("version"),
-                "n_rows",
-                "tc_cents",
-                "max_key",
-            )
-        )
-    return outs[0].unionAll(outs[1])
+        .select("version", "n_rows", "tc_cents", "max_key")
+    )
 
 
 _CDC_APPLY_ORACLE = """
@@ -3479,27 +3475,24 @@ def snapshot_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     apply_changes_to_snapshot(spark, path, changes, ["k"])
 
-    outs = []
-    for v in (1, 2):
-        df = (
-            spark.read.format("snapshot")
-            .option("path", path)
-            .option("version", v)
-            .load()
+    # ONE multi-version DataSource read spanning both versions (r11:
+    # halves the planning-worker spawns; identical values — see
+    # snapshot_merge_upsert)
+    df = (
+        spark.read.format("snapshot")
+        .option("path", path)
+        .option("versions", "1,2")
+        .load()
+    )
+    return (
+        df.groupBy(F.col("_snapshot_version").cast("long").alias("version"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("tc").cast("long").alias("tc_cents"),
+            F.max("k").cast("long").alias("max_key"),
         )
-        outs.append(
-            df.agg(
-                F.count(F.lit(1)).cast("long").alias("n_rows"),
-                F.sum("tc").cast("long").alias("tc_cents"),
-                F.max("k").cast("long").alias("max_key"),
-            ).select(
-                F.lit(v).cast("long").alias("version"),
-                "n_rows",
-                "tc_cents",
-                "max_key",
-            )
-        )
-    return outs[0].unionAll(outs[1])
+        .select("version", "n_rows", "tc_cents", "max_key")
+    )
 
 
 _OPTIMIZE_ORACLE = """

@@ -512,33 +512,41 @@ def stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     # optimizer when unused. The tight rows-per-task target reflects the
     # per-row md5+conv cost — far heavier than the windowed counts the
     # default target is sized for (r11: the volume-aware gate).
-    from pandas_to_postgres_spark.streaming.events import _event_stream
+    from pandas_to_postgres_spark.streaming.events import (
+        _event_stream,
+        _scaled_state_partitions,
+    )
 
-    stream = _event_stream(spark, sf_dir, target_rows=8192)
-    hv = F.conv(
-        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
-    ).cast("long")
-    hvd = stream.select(hv.alias("hv"))
-    # shiftright = integer hv // 1024; double `/` loses bits above 2^53
-    # on this 60-bit hash vs the oracle's exact integer division.
-    rho_row = F.when(F.expr("shiftright(hv, 10)") == 0, F.lit(51)).otherwise(
-        F.lit(51) - F.length(F.expr("bin(shiftright(hv, 10))"))
-    )
-    regs = (
-        hvd.select((F.col("hv") % 1024).alias("bucket"), rho_row.alias("rho_row"))
-        .groupBy("bucket")
-        .agg(F.max("rho_row").alias("rho"))
-    )
     base = tempfile.mkdtemp(prefix="stream_hll_")
     out, ckpt = f"{base}/out", f"{base}/ckpt"
 
     def writer(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.mode("overwrite").parquet(out)
 
-    q = stream_to_batch_sink(
-        regs, writer, checkpoint_dir=ckpt, output_mode="complete"
-    )
-    q.awaitTermination()
+    with _scaled_state_partitions(spark, sf_dir):
+        stream = _event_stream(spark, sf_dir, target_rows=8192)
+        hv = F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        hvd = stream.select(hv.alias("hv"))
+        # shiftright = integer hv // 1024; double `/` loses bits above
+        # 2^53 on this 60-bit hash vs the oracle's exact integer division.
+        rho_row = F.when(
+            F.expr("shiftright(hv, 10)") == 0, F.lit(51)
+        ).otherwise(F.lit(51) - F.length(F.expr("bin(shiftright(hv, 10))")))
+        regs = (
+            hvd.select(
+                (F.col("hv") % 1024).alias("bucket"), rho_row.alias("rho_row")
+            )
+            .groupBy("bucket")
+            .agg(F.max("rho_row").alias("rho"))
+        )
+        q = stream_to_batch_sink(
+            regs, writer, checkpoint_dir=ckpt, output_mode="complete"
+        )
+        q.awaitTermination()
     # Materialize the sketch-sized state (<=1024 register rows by
     # construction) into a SOURCE-INDEPENDENT frame before deleting the
     # temp dir — cache() is not a persistence guarantee; an evicted block
@@ -643,9 +651,10 @@ def stream_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the optimizer when unused. Tight rows-per-task target: the per-row
     # work here is 4 md5+conv folds, far heavier than a windowed count
     # (r11: the volume-aware gate).
-    from pandas_to_postgres_spark.streaming.events import _event_stream
-
-    stream = _event_stream(spark, sf_dir, target_rows=8192)
+    from pandas_to_postgres_spark.streaming.events import (
+        _event_stream,
+        _scaled_state_partitions,
+    )
 
     def cell(j_col, key_col):
         return (
@@ -668,22 +677,27 @@ def stream_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     rows4 = F.explode(F.sequence(F.lit(0), F.lit(3))).alias("j")
-    counters_stream = (
-        stream.select("user_id", rows4)
-        .select("j", cell(F.col("j"), F.col("user_id")).alias("c"))
-        .groupBy("j", "c")
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
-    )
     base = tempfile.mkdtemp(prefix="stream_cms_")
     out, ckpt = f"{base}/out", f"{base}/ckpt"
 
     def writer(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.mode("overwrite").parquet(out)
 
-    q = stream_to_batch_sink(
-        counters_stream, writer, checkpoint_dir=ckpt, output_mode="complete"
-    )
-    q.awaitTermination()
+    with _scaled_state_partitions(spark, sf_dir):
+        stream = _event_stream(spark, sf_dir, target_rows=8192)
+        counters_stream = (
+            stream.select("user_id", rows4)
+            .select("j", cell(F.col("j"), F.col("user_id")).alias("c"))
+            .groupBy("j", "c")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+        q = stream_to_batch_sink(
+            counters_stream,
+            writer,
+            checkpoint_dir=ckpt,
+            output_mode="complete",
+        )
+        q.awaitTermination()
     # Materialize the sketch-sized state (<=4096 counter rows by
     # construction) into a SOURCE-INDEPENDENT frame before deleting the
     # temp dir — cache() is not a persistence guarantee; an evicted block

@@ -1251,11 +1251,6 @@ def merge_snapshot(
     ``updates`` must carry every table column (full-row upsert) and at
     most one row per key — both validated. Returns the new manifest.
     """
-    import uuid
-
-    import shutil
-    import tempfile
-
     from pyspark.sql import functions as F
 
     key_cols = list(key_cols)
@@ -1271,32 +1266,66 @@ def merge_snapshot(
     missing = [c for c in table_cols if c not in updates.columns]
     if missing:
         raise ValueError(f"updates missing table columns: {missing}")
-    updates = updates.select(*table_cols).localCheckpoint(eager=False)
-    # ONE aggregate job over the (metadata-sized) updates frame replaces
-    # what used to be up to four: row count, duplicate-key check, the
-    # single-key prune bounds, and the CHECK-constraint counters — each
-    # was a separate ~0.1-0.3s driver round-trip on every merge
-    constraints = snap.get("constraints") or {}
-    single_key = len(key_cols) == 1 and key_cols[0] in snap.get("stat_cols", [])
-    aggs = [
-        F.count(F.lit(1)).alias("__mg_n"),
-        F.countDistinct(F.struct(*key_cols)).alias("__mg_nk"),
-    ]
-    if single_key:
-        aggs += [
-            F.min(key_cols[0]).alias("__mg_lo"),
-            F.max(key_cols[0]).alias("__mg_hi"),
+    # persist (NOT localCheckpoint): the updates frame feeds three
+    # consumers (stats aggregate, probe join, rewrite union), but a
+    # localCheckpoint(eager=False) materializes as its OWN job at
+    # construction under Spark 4.1 — persist() instead materializes as a
+    # side effect of the stats aggregate's pass below, one job fewer per
+    # merge; unpersisted in the finally (bounded lifetime, no
+    # CacheManager leak). Lineage stays live, which is also the
+    # cluster-safe choice (an evicted block recomputes instead of
+    # failing the merge).
+    updates = updates.select(*table_cols).persist()
+    try:
+        # ONE aggregate job over the (metadata-sized) updates frame
+        # replaces what used to be up to four: row count, duplicate-key
+        # check, the single-key prune bounds, and the CHECK-constraint
+        # counters — each was a separate ~0.1-0.3s driver round-trip on
+        # every merge
+        constraints = snap.get("constraints") or {}
+        single_key = (
+            len(key_cols) == 1 and key_cols[0] in snap.get("stat_cols", [])
+        )
+        aggs = [
+            F.count(F.lit(1)).alias("__mg_n"),
+            F.countDistinct(F.struct(*key_cols)).alias("__mg_nk"),
         ]
-    aggs += _violation_aggs(constraints)
-    stats = updates.agg(*aggs).first()
-    n_up = stats["__mg_n"]
-    if n_up == 0:
-        return load_snapshot(path)  # no-op: no new version published
-    if stats["__mg_nk"] != n_up:
-        raise ValueError("updates carry duplicate keys — merge is undefined")
-    # CHECK constraints validate NEW data only (surviving old rows were
-    # valid when their constraint was set; files are immutable)
-    _raise_violations(stats, constraints)
+        if single_key:
+            aggs += [
+                F.min(key_cols[0]).alias("__mg_lo"),
+                F.max(key_cols[0]).alias("__mg_hi"),
+            ]
+        aggs += _violation_aggs(constraints)
+        stats = updates.agg(*aggs).first()
+        n_up = stats["__mg_n"]
+        if n_up == 0:
+            return load_snapshot(path)  # no-op: no new version published
+        if stats["__mg_nk"] != n_up:
+            raise ValueError(
+                "updates carry duplicate keys — merge is undefined"
+            )
+        # CHECK constraints validate NEW data only (surviving old rows
+        # were valid when their constraint was set; files are immutable)
+        _raise_violations(stats, constraints)
+        return _merge_snapshot_body(
+            spark, path, updates, key_cols, snap, stats, single_key
+        )
+    finally:
+        updates.unpersist(blocking=False)
+
+
+def _merge_snapshot_body(
+    spark, path, updates, key_cols, snap, stats, single_key
+) -> dict:
+    """Prune → probe → rewrite → publish (split from
+    :func:`merge_snapshot` so the persist/unpersist envelope stays a
+    readable try/finally)."""
+    import uuid
+
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
 
     # 1. prune candidates by manifest stats on a single numeric key
     # (kept files need no bookkeeping here: _publish_rewrite re-derives

@@ -59,11 +59,31 @@ from pyspark.sql.datasource import (
 )
 
 
+#: column appended by a multi-version read (``option("versions", "1,2")``)
+#: carrying each row's source snapshot version
+_VERSION_COL = "_snapshot_version"
+
+
+def _versions_list(options) -> list[int] | None:
+    """``versions`` option ("1,2,5") → [1, 2, 5], or None when unset.
+    One read spanning several versions pays ONE planning-worker spawn per
+    planning call instead of one per version — the Iceberg
+    incremental-scan shape; rows carry ``_snapshot_version``."""
+    raw = options.get("versions")
+    if raw is None:
+        return None
+    vs = [int(x) for x in str(raw).split(",") if str(x).strip()]
+    if not vs:
+        raise ValueError("option 'versions' must list at least one version")
+    return vs
+
+
 def _resolve_version(options) -> int | None:
     """``version`` / ``timestampAsOf`` / ``ref`` option → concrete
     version (or None = latest). Mutually exclusive, like Delta's
     versionAsOf / timestampAsOf; ``ref`` resolves a named tag or branch
-    (``option("ref", "main")`` = the write-audit-publish gated view)."""
+    (``option("ref", "main")`` = the write-audit-publish gated view).
+    ``versions`` (plural, the multi-version read) excludes all three."""
     from pandas_to_postgres_spark.sources.manifest import (
         resolve_ref,
         snapshot_as_of,
@@ -74,10 +94,20 @@ def _resolve_version(options) -> int | None:
     ref = options.get("ref")
     if sum(x is not None for x in (v, ts, ref)) > 1:
         raise ValueError("pass at most one of version / timestampAsOf / ref")
+    if options.get("versions") is not None and any(
+        x is not None for x in (v, ts, ref)
+    ):
+        raise ValueError(
+            "option 'versions' excludes version / timestampAsOf / ref"
+        )
     if ts is not None:
         return snapshot_as_of(options["path"], float(ts))
     if ref is not None:
         return resolve_ref(options["path"], ref)
+    if v is None:
+        vs = _versions_list(options)
+        if vs is not None:
+            return vs[0]  # schema/column-map basis for the multi-read
     return int(v) if v is not None else None
 
 
@@ -193,12 +223,48 @@ class SnapshotReaderNoPushdown(DataSourceReader):
         return True
 
     def partitions(self) -> List[InputPartition]:
+        path = self.options["path"]
+        vs = _versions_list(self.options)
+        if vs is not None:
+            # multi-version read: one partition per (surviving file,
+            # version) pair — ONE planning pass spans every listed
+            # version, and each row will carry _VERSION_COL
+            from pandas_to_postgres_spark.sources.manifest import (
+                load_snapshot,
+            )
+
+            keep = [
+                InputPartition(
+                    (
+                        os.path.join(path, e["path"]),
+                        tuple(e.get("dv") or ()),
+                        v,
+                    )
+                )
+                for v in vs
+                for e in self._plan_entries(
+                    load_snapshot(path, v, materialize=False), path
+                )
+            ]
+            return keep or [InputPartition(None)]
+        man = _load(self.options, materialize=False)
+        keep = [
+            InputPartition(
+                (os.path.join(path, e["path"]), tuple(e.get("dv") or ()))
+            )
+            for e in self._plan_entries(man, path)
+        ]
+        # an all-pruned (or empty) snapshot still needs one partition so
+        # read() can yield nothing of the right shape
+        return keep or [InputPartition(None)]
+
+    def _plan_entries(self, man: dict, path: str) -> list:
+        """Manifest → entries surviving stats/partition pruning (shared
+        by the single- and multi-version planning paths)."""
         from pandas_to_postgres_spark.sources.manifest import (
             _load_shard_entries,
         )
 
-        man = _load(self.options, materialize=False)
-        path = self.options["path"]
         if "shards" in man and "files" not in man:
             # two-level skip: shard refs carry the same {col: [min, max]}
             # shape as entries, so the pushed ranges prune whole shards
@@ -234,19 +300,30 @@ class SnapshotReaderNoPushdown(DataSourceReader):
                     preds,
                 )
             ]
-        keep = [
-            InputPartition(
-                (os.path.join(path, e["path"]), tuple(e.get("dv") or ()))
-            )
-            for e in entries
-            if self._keep(e)
-        ]
-        # an all-pruned (or empty) snapshot still needs one partition so
-        # read() can yield nothing of the right shape
-        return keep or [InputPartition(None)]
+        return [e for e in entries if self._keep(e)]
 
     def read(self, partition: InputPartition) -> Iterator:
         if partition.value is None:
+            return
+        if len(partition.value) == 3:  # multi-version read
+            import pyarrow as pa
+
+            fpath, dv, ver = partition.value
+            cols = [c for c in self.columns if c != _VERSION_COL]
+            schema = self.spark_schema
+            if schema is not None and _VERSION_COL in schema.fieldNames():
+                from pyspark.sql import types as T
+
+                schema = T.StructType(
+                    [f for f in schema.fields if f.name != _VERSION_COL]
+                )
+            for b in _read_file_projected(
+                fpath, cols, schema, dv, self.renames
+            ):
+                t = pa.Table.from_batches([b]).append_column(
+                    _VERSION_COL, pa.array([ver] * b.num_rows, pa.int64())
+                )
+                yield from t.to_batches()
             return
         fpath, dv = partition.value
         yield from _read_file_projected(
@@ -382,7 +459,11 @@ class SnapshotReader(SnapshotReaderNoPushdown):
 
 class SnapshotDataSource(DataSource):
     """``format("snapshot")`` — options: path (snapshot table directory),
-    version (optional, default latest), pushdown ("true" to enable the
+    version (optional, default latest), versions ("1,2" = ONE read
+    spanning several versions, rows tagged with a trailing
+    ``_snapshot_version`` long column — one planning-worker spawn per
+    planning call instead of one whole read per version; excludes
+    version/timestampAsOf/ref), pushdown ("true" to enable the
     pushFilters reader; requires spark.sql.python.filterPushdown.enabled),
     mergeSchema ("true" = ADD-COLUMN schema evolution: the schema is the
     UNION of the per-file schemas and pre-evolution files null-fill the
@@ -435,13 +516,24 @@ class SnapshotDataSource(DataSource):
                 ]
             )
 
+        def _with_version_col(st):
+            # multi-version read: rows carry their source snapshot
+            # version in a trailing long column
+            if _versions_list(self.options) is None:
+                return st
+            from pyspark.sql import types as T
+
+            return T.StructType(
+                list(st.fields) + [T.StructField(_VERSION_COL, T.LongType())]
+            )
+
         if str(self.options.get("mergeschema",
                                 self.options.get("mergeSchema", "false"))
                ).lower() == "true":
             # ADD-COLUMN schema evolution: union the per-file schemas
             # (missing columns null-fill at read); one footer read per
             # manifest file, planning-time only
-            return _map_columns(
+            return _with_version_col(_map_columns(
                 _all_nullable(
                     from_arrow_schema(
                         pa.unify_schemas(
@@ -453,12 +545,12 @@ class SnapshotDataSource(DataSource):
                     )
                 ),
                 _load(self.options, materialize=False).get("column_map"),
-            )
+            ))
         first = os.path.join(root, man["files"][0]["path"])
-        return _map_columns(
+        return _with_version_col(_map_columns(
             _all_nullable(from_arrow_schema(pq.read_schema(first))),
             _load(self.options, materialize=False).get("column_map"),
-        )
+        ))
 
     def reader(self, schema) -> SnapshotReaderNoPushdown:
         enabled = str(self.options.get("pushdown", "false")).lower() == "true"

@@ -35,16 +35,17 @@ def windowed_event_counts(
 
     Returns the final result as a static DataFrame: (window_start string,
     event_type, n, total_value)."""
-    agg = _windowed_agg(spark, sf_dir, window_duration, watermark, slide)
-    table = f"stream_events_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(table)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _scaled_state_partitions(spark, sf_dir):
+        agg = _windowed_agg(spark, sf_dir, window_duration, watermark, slide)
+        table = f"stream_events_{uuid.uuid4().hex[:8]}"
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(table)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(table)
 
 
@@ -53,6 +54,83 @@ def windowed_event_counts(
 #: (deployment knob; the default keeps tiny local batches narrow while a
 #: genuinely large single-file batch still spreads)
 _STREAM_TARGET_ROWS = 65536
+
+#: default rows-per-STATE-PARTITION target for the stateful drains —
+#: overridable via ``spark.graft.stream.targetRowsPerStatePartition``.
+#: Each state partition is a separate state-store instance whose
+#: open/snapshot/commit runs PER MICRO-BATCH (including the 0-input
+#: watermark-eviction batch); measured at sf0.1, the stream-stream join
+#: spent ~4.7 s in a 0-row batch doing nothing but 32 partitions x 2
+#: sides of store maintenance — scaled to the batch volume it ran 3.2 s
+#: end to end (was ~11.7 s)
+_STREAM_TARGET_STATE_ROWS = 16384
+
+
+def _source_rows(path: str) -> int | None:
+    """Total rows of a file-stream source from its parquet footers
+    (driver-side metadata, no job); None when unknowable."""
+    import glob as _glob
+    import os as _os
+
+    files: list[str] = []
+    for p in _glob.glob(path):
+        if _os.path.isdir(p):
+            files.extend(
+                _os.path.join(p, f)
+                for f in _os.listdir(p)
+                if f.endswith(".parquet")
+            )
+        else:
+            files.append(p)
+    if not files:
+        return None
+    try:
+        import pyarrow.parquet as pq
+
+        return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    except Exception:
+        return None
+
+
+class _scaled_state_partitions:
+    """Context manager: scale ``spark.sql.shuffle.partitions`` (which
+    pins a streaming query's STATE-STORE partition count at start) to
+    the batch volume — ``min(conf, ceil(rows / target))`` — and restore
+    the session conf afterwards (guide §2: derive partitioning from the
+    data; a 100k-row drain does not need 32 state stores ticking over
+    per micro-batch). No-op when the volume is unknown or already fills
+    the configured width — at 100 TB the row count blows past the
+    target and the cluster's own shuffle.partitions stands. The conf
+    swap is visible to anything else PLANNING in this session during
+    the drain; the bench and driver run queries serially."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        self.spark = spark
+        self.path = f"{sf_dir}/events.parque[t]"
+        self.old: str | None = None
+
+    def __enter__(self):
+        spark = self.spark
+        rows = _source_rows(self.path)
+        if rows is None:
+            return self
+        conf_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        target = int(
+            spark.conf.get(
+                "spark.graft.stream.targetRowsPerStatePartition",
+                str(_STREAM_TARGET_STATE_ROWS),
+            )
+        )
+        w = max(1, -(-rows // max(target, 1)))
+        if w < conf_parts:
+            self.old = str(conf_parts)
+            spark.conf.set("spark.sql.shuffle.partitions", str(w))
+        return self
+
+    def __exit__(self, *exc):
+        if self.old is not None:
+            self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
+        return False
 
 
 def _stream_width(
@@ -76,23 +154,26 @@ def _stream_width(
     0 for a no-op: at 100 TB a batch spans >= pool-width files and the
     early exit keeps this metadata-free; a tiny batch stays narrow.
     ``target_rows`` lets per-row-heavy consumers (md5 sketch folds) widen
-    sooner than the cheap windowed counts.
+    sooner than the cheap windowed counts; ``target_rows <= 0`` disables
+    the widening outright — consumers whose FIRST operation is a
+    stateful exchange (the stream-stream join) get their parallelism
+    from that exchange, and a pre-shuffle widening exchange is pure
+    cost there.
     """
     import glob as _glob
     import os as _os
 
+    if target_rows is not None and int(target_rows) <= 0:
+        return 0
     pool = spark.sparkContext.defaultParallelism
-    files: list[str] = []
+    n_files = 0
     for p in _glob.glob(path):
         if _os.path.isdir(p):
-            files.extend(
-                _os.path.join(p, f)
-                for f in _os.listdir(p)
-                if f.endswith(".parquet")
+            n_files += sum(
+                1 for f in _os.listdir(p) if f.endswith(".parquet")
             )
         else:
-            files.append(p)
-    n_files = len(files)
+            n_files += 1
     if n_files == 0 or n_files >= pool:
         return 0
     if target_rows is None:
@@ -102,11 +183,8 @@ def _stream_width(
                 str(_STREAM_TARGET_ROWS),
             )
         )
-    try:
-        import pyarrow.parquet as pq
-
-        rows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
-    except Exception:
+    rows = _source_rows(path)
+    if rows is None:
         # footers unreadable (non-parquet fixture, concurrent writer):
         # no volume signal — keep the r10 behavior and spread the batch
         return pool
@@ -196,26 +274,29 @@ def session_window_counts(
     Scale: state is keyed by (user, open session); the watermark bounds it
     to sessions whose close is within ``watermark`` of the stream's event
     time — without it, 100 TB of users would accumulate state forever."""
-    stream = _event_stream(spark, sf_dir)
-    agg = (
-        stream.withWatermark("ts", watermark)
-        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .select(
-            "user_id",
-            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
-            "n",
+    with _scaled_state_partitions(spark, sf_dir):
+        stream = _event_stream(spark, sf_dir)
+        agg = (
+            stream.withWatermark("ts", watermark)
+            .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                "user_id",
+                F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                    "session_start"
+                ),
+                "n",
+            )
         )
-    )
-    table = f"stream_sessions_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(table)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        table = f"stream_sessions_{uuid.uuid4().hex[:8]}"
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(table)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(table)
 
 
@@ -234,7 +315,6 @@ def windowed_event_counts_foreachbatch(
 
     from pandas_to_postgres_spark.streaming.sink import stream_to_batch_sink
 
-    agg = _windowed_agg(spark, sf_dir)
     base = tempfile.mkdtemp(prefix="stream_fb_")
     out, ckpt = f"{base}/out", f"{base}/ckpt"
 
@@ -243,10 +323,12 @@ def windowed_event_counts_foreachbatch(
         # overwrite wins and equals the drained-stream state
         batch_df.write.mode("overwrite").parquet(out)
 
-    q = stream_to_batch_sink(
-        agg, writer, checkpoint_dir=ckpt, output_mode="complete"
-    )
-    q.awaitTermination()
+    with _scaled_state_partitions(spark, sf_dir):
+        agg = _windowed_agg(spark, sf_dir)
+        q = stream_to_batch_sink(
+            agg, writer, checkpoint_dir=ckpt, output_mode="complete"
+        )
+        q.awaitTermination()
     # localCheckpoint SEVERS lineage (cache() does not — an evicted
     # block would recompute from the deleted temp path); eager so the
     # materialization happens before the rmtree
@@ -266,26 +348,27 @@ def streaming_dedup_events(
     O(stream) — the only formulation that survives an unbounded stream.
     Drained with AvailableNow + append mode; on this static source the
     result equals batch DISTINCT, which is the oracle."""
-    stream = _event_stream(spark, sf_dir)
-    deduped = (
-        stream.withWatermark("ts", watermark)
-        .dropDuplicates(["event_id", "ts"])
-        .select(
-            "event_id",
-            "user_id",
-            "event_type",
-            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+    with _scaled_state_partitions(spark, sf_dir):
+        stream = _event_stream(spark, sf_dir)
+        deduped = (
+            stream.withWatermark("ts", watermark)
+            .dropDuplicates(["event_id", "ts"])
+            .select(
+                "event_id",
+                "user_id",
+                "event_type",
+                F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+            )
         )
-    )
-    table = f"stream_dedup_{uuid.uuid4().hex[:8]}"
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName(table)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        table = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(table)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(table)
 
 
@@ -305,30 +388,31 @@ def stream_static_enrichment(
     """
     from pandas_to_postgres_spark.sources.parquet import load_table
 
-    stream = _event_stream(spark, sf_dir)
-    customers = load_table(spark, sf_dir, "customer").select(
-        "c_custkey", "c_mktsegment"
-    )
-    joined = (
-        stream.withWatermark("ts", watermark)
-        .join(customers, stream.user_id == customers.c_custkey)
-        .groupBy("c_mktsegment", "event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
-            .cast("double")
-            .alias("total_value"),
+    with _scaled_state_partitions(spark, sf_dir):
+        stream = _event_stream(spark, sf_dir)
+        customers = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment"
         )
-    )
-    table = f"stream_static_{uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(table)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        joined = (
+            stream.withWatermark("ts", watermark)
+            .join(customers, stream.user_id == customers.c_custkey)
+            .groupBy("c_mktsegment", "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+                .cast("double")
+                .alias("total_value"),
+            )
+        )
+        table = f"stream_static_{uuid.uuid4().hex[:8]}"
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(table)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(table)
 
 
@@ -349,30 +433,34 @@ def stream_stream_purchase_clicks(
     condition would grow state forever.
     """
     def one_stream(alias: str) -> DataFrame:
-        s = _event_stream(spark, sf_dir)
+        # target_rows=0: no pre-join widening — the join's own stateful
+        # exchange is this query's first real operator, so a widening
+        # repartition ahead of it is a pure extra raw-row shuffle
+        s = _event_stream(spark, sf_dir, target_rows=0)
         return s.withWatermark("ts", watermark).alias(alias)
 
-    p = one_stream("p").filter(F.col("event_type") == "purchase")
-    c = one_stream("c").filter(F.col("event_type") == "click")
-    joined = p.join(
-        c,
-        F.expr(
-            "p.user_id = c.user_id AND "
-            "c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts"
-        ),
-    ).select(
-        F.col("p.event_id").alias("purchase_id"),
-        F.col("c.event_id").alias("click_id"),
-    )
-    table = f"stream_ssj_{uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(table)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _scaled_state_partitions(spark, sf_dir):
+        p = one_stream("p").filter(F.col("event_type") == "purchase")
+        c = one_stream("c").filter(F.col("event_type") == "click")
+        joined = p.join(
+            c,
+            F.expr(
+                "p.user_id = c.user_id AND "
+                "c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts"
+            ),
+        ).select(
+            F.col("p.event_id").alias("purchase_id"),
+            F.col("c.event_id").alias("click_id"),
+        )
+        table = f"stream_ssj_{uuid.uuid4().hex[:8]}"
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(table)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(table)
 
 
@@ -393,21 +481,22 @@ def streaming_dedup_within_watermark(
     order dependent; the id set is not), so the AvailableNow drain of
     this static source equals batch DISTINCT event_id — the oracle.
     """
-    stream = _event_stream(spark, sf_dir)
-    deduped = (
-        stream.withWatermark("ts", watermark)
-        .dropDuplicatesWithinWatermark(["event_id"])
-        .select("event_id")
-    )
-    table = f"stream_dedup_wm_{uuid.uuid4().hex[:8]}"
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName(table)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _scaled_state_partitions(spark, sf_dir):
+        stream = _event_stream(spark, sf_dir)
+        deduped = (
+            stream.withWatermark("ts", watermark)
+            .dropDuplicatesWithinWatermark(["event_id"])
+            .select("event_id")
+        )
+        table = f"stream_dedup_wm_{uuid.uuid4().hex[:8]}"
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(table)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(table)
 
 
@@ -460,31 +549,34 @@ def windowed_bin_psi(
     Returns one row per window: (window_start, psi). Scale: streaming
     state is windows x bins rows; the scoring joins are bins-sized.
     """
-    stream = _event_stream(spark, sf_dir)
-    bin_col = F.least(
-        F.floor(F.col("value") / bin_width), F.lit(num_bins - 1)
-    ).alias("bin")
-    agg = (
-        stream.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", window_duration).alias("w"), bin_col)
-        .agg(F.count(F.lit(1)).alias("n"))
-        .select(
-            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
-            "bin",
-            "n",
-        )
-    )
     import uuid
 
-    table = f"stream_psi_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(table)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _scaled_state_partitions(spark, sf_dir):
+        stream = _event_stream(spark, sf_dir)
+        bin_col = F.least(
+            F.floor(F.col("value") / bin_width), F.lit(num_bins - 1)
+        ).alias("bin")
+        agg = (
+            stream.withWatermark("ts", watermark)
+            .groupBy(F.window("ts", window_duration).alias("w"), bin_col)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                    "window_start"
+                ),
+                "bin",
+                "n",
+            )
+        )
+        table = f"stream_psi_{uuid.uuid4().hex[:8]}"
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(table)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     # materialize: the window spine derives FROM the drained table and
     # joins back to it — on the raw memory-sink relation that is a
     # conflicting-reference self-join; the checkpointed copy self-joins

@@ -55,48 +55,60 @@ def silver_rollup_writer(silver_path: str):
 
     def _writer(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        # localCheckpoint: the partials (one row per event_type) are
-        # consumed twice (isEmpty probe + write/merge) — without the
-        # barrier each consumer re-runs the batch aggregation
-        part = rollup_partials(batch_df).localCheckpoint(eager=True)
-        if part.isEmpty():
-            return
-        os.makedirs(silver_path, exist_ok=True)
-        if not snapshot_versions(silver_path):
-            # bootstrap: the first refresh IS the table
-            part.withColumn(
-                "applied_batch", F.lit(batch_id).cast("long")
-            ).coalesce(1).write.mode("overwrite").parquet(silver_path)
-            publish_snapshot(silver_path, ["event_type"])
-            return
-        cur = read_snapshot(spark, silver_path).select(
-            "event_type",
-            F.col("n").alias("old_n"),
-            F.col("value_cents").alias("old_c"),
-            "applied_batch",
-        )
-        updates = (
-            part.join(F.broadcast(cur), "event_type", "left")
-            # redelivery guard: keys this batch already stamped add nothing
-            .filter(
-                F.col("applied_batch").isNull()
-                | (F.col("applied_batch") < batch_id)
-            )
-            .select(
+        # persist (NOT an eager localCheckpoint, r11): the partials (one
+        # row per event_type) are consumed twice (isEmpty probe +
+        # write/merge) — without a barrier each consumer re-runs the
+        # batch aggregation, but the eager checkpoint ran the whole
+        # aggregation as its OWN job before either consumer. persist
+        # materializes inside the probe/merge passes instead (their
+        # shared shuffle is reused across the actions), one job fewer
+        # per micro-batch; lifetime bounded by the try/finally.
+        part = rollup_partials(batch_df).persist()
+        try:
+            if part.isEmpty():
+                return
+            os.makedirs(silver_path, exist_ok=True)
+            if not snapshot_versions(silver_path):
+                # bootstrap: the first refresh IS the table
+                part.withColumn(
+                    "applied_batch", F.lit(batch_id).cast("long")
+                ).coalesce(1).write.mode("overwrite").parquet(silver_path)
+                publish_snapshot(silver_path, ["event_type"])
+                return
+            cur = read_snapshot(spark, silver_path).select(
                 "event_type",
-                (F.coalesce(F.col("old_n"), F.lit(0)) + F.col("n"))
-                .cast("long")
-                .alias("n"),
-                (F.coalesce(F.col("old_c"), F.lit(0)) + F.col("value_cents"))
-                .cast("long")
-                .alias("value_cents"),
-                F.lit(batch_id).cast("long").alias("applied_batch"),
+                F.col("n").alias("old_n"),
+                F.col("value_cents").alias("old_c"),
+                "applied_batch",
             )
-        )
-        # no isEmpty probe: merge_snapshot counts the updates frame once
-        # anyway and no-ops on zero rows — a probe here would double the
-        # join cost per batch
-        merge_snapshot(spark, silver_path, updates, ["event_type"])
+            updates = (
+                part.join(F.broadcast(cur), "event_type", "left")
+                # redelivery guard: keys this batch already stamped add
+                # nothing
+                .filter(
+                    F.col("applied_batch").isNull()
+                    | (F.col("applied_batch") < batch_id)
+                )
+                .select(
+                    "event_type",
+                    (F.coalesce(F.col("old_n"), F.lit(0)) + F.col("n"))
+                    .cast("long")
+                    .alias("n"),
+                    (
+                        F.coalesce(F.col("old_c"), F.lit(0))
+                        + F.col("value_cents")
+                    )
+                    .cast("long")
+                    .alias("value_cents"),
+                    F.lit(batch_id).cast("long").alias("applied_batch"),
+                )
+            )
+            # no isEmpty probe: merge_snapshot counts the updates frame
+            # once anyway and no-ops on zero rows — a probe here would
+            # double the join cost per batch
+            merge_snapshot(spark, silver_path, updates, ["event_type"])
+        finally:
+            part.unpersist(blocking=False)
 
     return _writer
 

@@ -53,6 +53,42 @@ class TestPlanLint:
         assert codes(agg, "error") == set()
         assert_scalable(agg)  # must not raise
 
+    def test_checkpoint_economics_allowlist_clean(self):
+        """r11 (VERDICT r10 item 9): every localCheckpoint call site in
+        the package must be adjudicated in CHECKPOINT_ALLOWLIST
+        (metadata-sized, broadcast-replanned consumers, or lineage-sever
+        before a temp-dir delete). A new fact-sized checkpoint measured
+        SLOWER twice in r10 — this gate forces the measurement before the
+        merge."""
+        import os
+
+        from pandas_to_postgres_spark.plans.lint import lint_checkpoints
+
+        pkg = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "pandas_to_postgres_spark",
+        )
+        assert lint_checkpoints(pkg) == []
+
+    def test_checkpoint_lint_catches_new_sites(self, tmp_path):
+        import os
+        import shutil
+
+        from pandas_to_postgres_spark.plans.lint import lint_checkpoints
+
+        pkg = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "pandas_to_postgres_spark",
+        )
+        # plant a copy with one extra call site: must be flagged UNLISTED
+        clone = tmp_path / "pandas_to_postgres_spark"
+        shutil.copytree(pkg, clone)
+        (clone / "planted.py").write_text(
+            "def sneaky(df):\n    return df.localCheckpoint(eager=False)\n"
+        )
+        out = lint_checkpoints(str(clone))
+        assert any("UNLISTED" in v and "sneaky" in v for v in out)
+
     def test_registry_headliners_pass_the_gate(self, spark):
         # the linter's gate must agree with the hand-written plan tests on
         # the bench headliners (BNLJ/arrow infos allowed, no errors)

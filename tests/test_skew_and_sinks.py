@@ -834,6 +834,66 @@ class TestSnapshotDataSource:
         assert len(parts3) == 1 and parts3[0].value is None
         assert list(r3.read(parts3[0])) == []
 
+    def test_multi_version_read_matches_per_version_reads(
+        self, spark, tmp_path
+    ):
+        """r11: option('versions', '1,2') reads several versions in ONE
+        DataSource read (one planning-worker spawn per planning call),
+        tagging rows with _snapshot_version — per-version aggregates must
+        equal the individual version reads'."""
+        import pyspark.sql.functions as F
+
+        from pandas_to_postgres_spark.sources.snapshot_datasource import (
+            SnapshotDataSource,
+        )
+
+        path = self._table(spark, tmp_path)
+        spark.dataSource.register(SnapshotDataSource)
+        multi = (
+            spark.read.format("snapshot")
+            .option("path", path)
+            .option("versions", "1,2")
+            .load()
+        )
+        assert multi.columns[-1] == "_snapshot_version"
+        got = {
+            int(r["_snapshot_version"]): (r["n"], r["s"], r["mx"])
+            for r in multi.groupBy("_snapshot_version")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("v").alias("s"),
+                F.max("k").alias("mx"),
+            )
+            .collect()
+        }
+        for v in (1, 2):
+            one = (
+                spark.read.format("snapshot")
+                .option("path", path)
+                .option("version", v)
+                .load()
+            )
+            row = one.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("v").alias("s"),
+                F.max("k").alias("mx"),
+            ).first()
+            assert got[v] == (row["n"], row["s"], row["mx"])
+
+    def test_versions_option_excludes_single_version_options(
+        self, spark, tmp_path
+    ):
+        import pytest
+
+        from pandas_to_postgres_spark.sources.snapshot_datasource import (
+            _resolve_version,
+        )
+
+        with pytest.raises(ValueError, match="excludes"):
+            _resolve_version(
+                {"path": "x", "versions": "1,2", "version": "1"}
+            )
+
     def test_e2e_pushdown_results_match_plain_read(self, spark, tmp_path):
         from pandas_to_postgres_spark.sources.snapshot_datasource import (
             SnapshotDataSource,

@@ -523,3 +523,71 @@ class TestStreamWidth:
         from pandas_to_postgres_spark.streaming.events import _stream_width
 
         assert _stream_width(spark, str(tmp_path / "nope.parquet")) == 0
+
+    def test_nonpositive_target_disables_widening(self, spark, tmp_path):
+        # stream-stream join opt-out: its first operator is the stateful
+        # join exchange, so a pre-shuffle widening is pure cost
+        from pandas_to_postgres_spark.streaming.events import _stream_width
+
+        f = tmp_path / "events.parquet"
+        self._write_pq(f, 5000)
+        assert _stream_width(spark, str(f), target_rows=0) == 0
+
+
+class TestScaledStatePartitions:
+    """r11: stateful drains scale their state-store partition count
+    (pinned from spark.sql.shuffle.partitions at query start) to the
+    batch volume — min(conf, ceil(rows/target)) — and restore the conf;
+    no-op when the volume is unknown or already fills the conf width."""
+
+    def test_small_source_narrows_and_restores(self, spark, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pandas_to_postgres_spark.streaming.events import (
+            _scaled_state_partitions,
+        )
+
+        sf = tmp_path / "sf"
+        sf.mkdir()
+        pq.write_table(
+            pa.table({"x": list(range(1000))}), str(sf / "events.parquet")
+        )
+        before = spark.conf.get("spark.sql.shuffle.partitions")
+        with _scaled_state_partitions(spark, str(sf)):
+            # 1000 rows / 16384 target -> 1 state partition
+            assert spark.conf.get("spark.sql.shuffle.partitions") == "1"
+        assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+    def test_large_source_is_a_noop(self, spark, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pandas_to_postgres_spark.streaming.events import (
+            _scaled_state_partitions,
+        )
+
+        sf = tmp_path / "sf"
+        sf.mkdir()
+        pq.write_table(
+            pa.table({"x": list(range(100))}), str(sf / "events.parquet")
+        )
+        before = spark.conf.get("spark.sql.shuffle.partitions")
+        # a 1-row/partition target would need >= conf partitions: no-op
+        spark.conf.set("spark.graft.stream.targetRowsPerStatePartition", "1")
+        try:
+            with _scaled_state_partitions(spark, str(sf)):
+                assert (
+                    spark.conf.get("spark.sql.shuffle.partitions") == before
+                )
+        finally:
+            spark.conf.unset("spark.graft.stream.targetRowsPerStatePartition")
+
+    def test_missing_source_is_a_noop(self, spark, tmp_path):
+        from pandas_to_postgres_spark.streaming.events import (
+            _scaled_state_partitions,
+        )
+
+        before = spark.conf.get("spark.sql.shuffle.partitions")
+        with _scaled_state_partitions(spark, str(tmp_path / "nope")):
+            assert spark.conf.get("spark.sql.shuffle.partitions") == before
