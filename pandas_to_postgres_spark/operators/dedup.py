@@ -40,12 +40,17 @@ from pandas_to_postgres_spark.functions.vectors import cosine_expr
 #: corpora (vocabulary in the millions) always take the general array path.
 _BITSET_MAX_VOCAB = 512
 
-#: Broadcast bound for the bitset path's prefix frame, in ROWS (~44 B/row
-#: at 512 vocab → <=90 MB built). The decision reads the materialized
-#: checkpoint's exact count, never a plan estimate; a corpus whose prefix
-#: frame exceeds it keeps the planner's shuffle join (broadcasting a
-#: corpus-sized frame would be the 100 TB scale bug).
-_BITSET_BCAST_ROWS = 2_000_000
+#: Broadcast bound for the bitset path's prefix frame, in BYTES of built
+#: hash relation (r11, VERDICT r10 scale-watch: the old 2M-ROW bound
+#: allowed up to ~160 MB at the 8-word vocab edge — heavy on executor
+#: memory). The row budget derives from the actual row width
+#: (id + size + ix + n_words mask words), so narrow-vocab frames keep
+#: the old reach while wide-vocab frames are bounded by what they cost.
+#: The decision reads the materialized checkpoint's exact count, never a
+#: plan estimate; a corpus whose prefix frame exceeds it keeps the
+#: planner's shuffle join (broadcasting a corpus-sized frame would be
+#: the 100 TB scale bug).
+_BITSET_BCAST_BYTES = 64 << 20
 
 #: candidate-enumeration rows per task targeted by the scale-adaptive
 #: fan-out in :func:`_ngram_jaccard_bitset` (module constant so the
@@ -444,11 +449,12 @@ def _ngram_jaccard_bitset(
     # this join to a shuffle join, which AQE — seeing 0.8 MB and not the
     # ~100x fan-out below — coalesced to a single 54s task). The count is
     # one metadata-sized job over the checkpointed blocks; the broadcast
-    # side is bounded by _BITSET_BCAST_ROWS, so a corpus whose prefix
-    # frame is genuinely large keeps the planner's shuffle join, and the
-    # stream side always scans the width-pinned checkpoint.
+    # side is bounded in BYTES (row width grows with the vocab's mask
+    # words), so a corpus whose prefix frame is genuinely large keeps
+    # the planner's shuffle join, and the stream side always scans the
+    # width-pinned checkpoint.
     pref_rows = pref.count()
-    small_pref = pref_rows <= _BITSET_BCAST_ROWS
+    small_pref = pref_rows * (16 + 8 * n_words) <= _BITSET_BCAST_BYTES
     # scale-adaptive width (guide §2: derive partitioning from the data,
     # not a core-count constant): the join enumerates roughly
     # pref_rows^2 / V candidate rows, so the enumeration stage's task

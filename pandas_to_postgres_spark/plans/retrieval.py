@@ -3298,7 +3298,8 @@ def snapshot_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     (keys ≡ 0 mod 10, totalprice as exact integer cents), merge an
     updates frame that DOUBLES the cents on keys ≡ 0 mod 50 (matched →
     replaced) and inserts the keys ≡ 7 mod 10 slice (unmatched →
-    appended), then read BOTH versions back through ``format("snapshot")``
+    appended), then read BOTH versions back through ONE multi-version
+    ``format("snapshot")`` read (``option("versions", "1,2")``, r11)
     and aggregate each — v1 must still serve the pre-merge table
     bit-exactly (copy-on-write isolation) while v2 serves the merged
     result. The table is rebuilt per run (tier-tagged dir wiped) so
