@@ -62,8 +62,11 @@ _STREAM_TARGET_ROWS = 65536
 #: watermark-eviction batch); measured at sf0.1, the stream-stream join
 #: spent ~4.7 s in a 0-row batch doing nothing but 32 partitions x 2
 #: sides of store maintenance — scaled to the batch volume it ran 3.2 s
-#: end to end (was ~11.7 s)
-_STREAM_TARGET_STATE_ROWS = 16384
+#: end to end (was ~11.7 s). 64k rows/partition amortizes a store's
+#: ~10-30 ms fixed cost well past it (measured sweep: the 800k-row 8x
+#: drain ran 445k rows/s at 32 partitions, 597k at 13, 685k at 4; the
+#: 100k-row sf0.1 drain is flat 78-84k across 2-7 partitions)
+_STREAM_TARGET_STATE_ROWS = 65536
 
 
 def _source_rows(path: str) -> int | None:
